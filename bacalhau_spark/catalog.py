@@ -1,0 +1,42 @@
+"""Fixture-table catalog.
+
+The reference mounts content-addressed inputs (CIDs) read-only into the
+execution sandbox (`pkg/storage/ipfs_apicopy/storage.go:87-143`). The Spark
+analog: immutable parquet paths loaded lazily — Catalyst prunes columns and
+pushes predicates into the scan, which is the columnar restatement of the
+reference's lazy FUSE mount (`pkg/storage/ipfs_fusedocker/storage.go:114`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one fixture table. No schema inference at read time —
+    parquet footers carry the authoritative schema (FIXTURES.md §2).
+
+    events.ts is physically TIMESTAMP(NANOS) in the fixtures, which Spark's
+    parquet reader rejects; it is read as raw nanos (legacy nanosAsLong) and
+    rebuilt as a microsecond timestamp — same floor-truncation DuckDB applies
+    when normalizing ns→µs, so the oracle sees identical instants.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql users)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

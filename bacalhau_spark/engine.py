@@ -1,0 +1,150 @@
+"""Engine: declarative job specs, an event-log run history, and replicated
+verification — the reference's control-plane *semantics* on a single Spark
+driver.
+
+Mapping (SURVEY.md §1, §3):
+- JobSpec (`pkg/executor/types.go:57-87`, YAML/JSON documents parsed by
+  `cmd/bacalhau/apply.go:60-176`) → a declarative pipeline spec: named query
+  + inputs + sink, loadable from YAML/JSON.
+- Controller submit + event fold (`pkg/controller/controller.go:127-158`,
+  state fold `pkg/executor/constants.go:211-250`) → an append-only event log;
+  current state = max-ordinal event per run (the Q20 query shape, dogfooded).
+- Deal.Concurrency / replicated execution + results acceptance
+  (`pkg/executor/types.go:138-142`, `pkg/requesternode/requesternode.go:89-121`,
+  `pkg/controller/controller.go:211-241`) → run the same deterministic plan N
+  times and compare content manifests; mismatch ⇒ ResultsRejected.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bacalhau_spark.plans.validation import assert_deterministic
+from bacalhau_spark.sources.sinks import result_manifest
+
+# Event names follow `pkg/executor/constants.go:44-89`.
+EVT_CREATED = "Created"
+EVT_RUNNING = "Running"
+EVT_COMPLETED = "Completed"
+EVT_ERROR = "Error"
+EVT_RESULTS_ACCEPTED = "ResultsAccepted"
+EVT_RESULTS_REJECTED = "ResultsRejected"
+
+
+@dataclass
+class JobSpec:
+    """Declarative job document (the `testdata/job.yaml` shape, re-typed for
+    a query engine): which query, over which inputs, with what guarantees."""
+    query: str                      # name in the engine's query registry
+    inputs: dict = field(default_factory=dict)   # e.g. {"sf_dir": "..."}
+    outputs: dict = field(default_factory=dict)  # e.g. {"path": "...", "format": "parquet"}
+    replicas: int = 1               # Deal.Concurrency analog
+    verified: bool = False          # enforce deterministic plan + manifest compare
+    annotations: list = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, doc: dict) -> "JobSpec":
+        known = {k: doc[k] for k in
+                 ("query", "inputs", "outputs", "replicas", "verified",
+                  "annotations") if k in doc}
+        if "query" not in known:
+            raise ValueError("job spec requires a 'query' field")
+        return cls(**known)
+
+    @classmethod
+    def load(cls, path: str) -> "JobSpec":
+        """Load a YAML or JSON job document (`cmd/bacalhau/apply.go:60-176`
+        analog). YAML support is optional (import-gated)."""
+        with open(path) as f:
+            raw = f.read()
+        if path.endswith((".yaml", ".yml")):
+            try:
+                import yaml  # type: ignore
+                return cls.from_dict(yaml.safe_load(raw))
+            except ImportError:
+                raise RuntimeError("pyyaml not installed; use JSON specs")
+        return cls.from_dict(json.loads(raw))
+
+
+@dataclass
+class JobEvent:
+    run_id: str
+    ordinal: int
+    name: str
+    ts: float
+    detail: str = ""
+
+
+class Engine:
+    """Single-driver engine with the reference's run-lifecycle semantics."""
+
+    def __init__(self, spark: SparkSession,
+                 registry: dict[str, Callable[[SparkSession, str], DataFrame]]):
+        self.spark = spark
+        self.registry = dict(registry)
+        self._events: list[JobEvent] = []
+        self._ordinals: dict[str, int] = {}
+
+    # -- event log ---------------------------------------------------------
+    def _emit(self, run_id: str, name: str, detail: str = "") -> None:
+        ordinal = self._ordinals.get(run_id, 0) + 1
+        self._ordinals[run_id] = ordinal
+        self._events.append(JobEvent(run_id, ordinal, name, time.time(), detail))
+
+    def events(self, run_id: str | None = None) -> list[JobEvent]:
+        return [e for e in self._events
+                if run_id is None or e.run_id == run_id]
+
+    def state(self, run_id: str) -> str:
+        """Current state = max-ordinal event (`pkg/job/job.go:233-259`)."""
+        evts = self.events(run_id)
+        if not evts:
+            raise KeyError(f"unknown run {run_id}")
+        return max(evts, key=lambda e: e.ordinal).name
+
+    def list_runs(self) -> dict[str, str]:
+        return {rid: self.state(rid) for rid in self._ordinals}
+
+    # -- submit / run ------------------------------------------------------
+    def submit(self, spec: JobSpec) -> str:
+        """Run a spec to completion; returns the run id. Replicated,
+        verified specs compare content manifests across replicas."""
+        if spec.query not in self.registry:
+            raise KeyError(f"unknown query {spec.query!r}")
+        run_id = uuid.uuid4().hex[:12]
+        self._emit(run_id, EVT_CREATED, spec.query)
+        try:
+            fn = self.registry[spec.query]
+            sf_dir = spec.inputs.get("sf_dir", "/root/testdata/sf0.001")
+            df = fn(self.spark, sf_dir)
+            if spec.verified:
+                assert_deterministic(df)
+            self._emit(run_id, EVT_RUNNING)
+            manifests = []
+            for _ in range(max(1, spec.replicas)):
+                if spec.verified or spec.replicas > 1:
+                    manifests.append(result_manifest(df))
+                else:
+                    df.count()  # execute once
+            out = spec.outputs.get("path")
+            if out:
+                df.write.mode("overwrite").format(
+                    spec.outputs.get("format", "parquet")).save(out)
+            self._emit(run_id, EVT_COMPLETED,
+                       manifests[0] if manifests else "")
+            if manifests:
+                if len(set(manifests)) == 1:
+                    self._emit(run_id, EVT_RESULTS_ACCEPTED, manifests[0])
+                else:
+                    self._emit(run_id, EVT_RESULTS_REJECTED,
+                               ";".join(manifests))
+        except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
+            self._emit(run_id, EVT_ERROR, repr(exc))
+            raise
+        return run_id

@@ -1,0 +1,224 @@
+"""Deduplication operators — exact and near-dup, the training-data stack.
+
+The reference has no dedup (its users would ship it as container code); these
+are first-class engine operators designed for the 100 TB regime:
+
+- exact dedup: hash-groupBy on a content fingerprint — shuffles one 16-byte
+  hash + key per row, never the text itself.
+- MinHash + LSH: shingle → seeded minhash signature → banded bucket join.
+  The candidate-pair join is an *equi* join on (band, signature), so Spark
+  hash-partitions buckets across the cluster; giant buckets are split by AQE
+  skew handling. No O(n²) comparison ever happens.
+- SimHash: 16-bit sign-of-sum signature, one groupBy per (doc, bit).
+- n-gram Jaccard: inverted-index self-join on shingles (candidate pairs only
+  from shared shingles), then exact Jaccard on the pair counts.
+
+All hashing is md5-based (cross-engine deterministic) so every operator is
+checkable against the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+from bacalhau_spark.functions import seeded_hash, shingles, words
+
+N_HASHES = 16   # minhash signature length
+N_BANDS = 4     # LSH bands (4 rows per band)
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + per-language survivor counts (Q29)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("text", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("lang")
+    )
+
+
+def nd_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup: group by content hash, survivor = min doc_id.
+    The shuffle key is md5(text), not text — constant-width rows at any
+    document size."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("copies"))
+        .select("doc_id", "copies")
+        .orderBy("doc_id")
+    )
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id",
+                    F.explode(shingles(words("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs. 16 seeded minhashes per doc, banded 4×4;
+    docs sharing any full band signature are candidates. Returns distinct
+    (a_id < b_id) pairs."""
+    sh = _shingle_table(spark, sf_dir, 5)
+    hashed = sh.select(
+        "doc_id", "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
+    ).select(
+        "doc_id", "seed",
+        seeded_hash(F.col("seed"), F.col("shingle")).alias("h"),
+    )
+    mh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    sig = (
+        mh.withColumn("band", F.floor(F.col("seed") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s.getField("mh"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (sign of per-bit ±1 sums over word hashes).
+    Bits come from the first 4 hex chars of md5(word) — identical bytes in
+    the oracle. Near-dups collide on the signature; bucketing on it is the
+    O(n) grouping stage of simhash dedup."""
+    docs = table(spark, sf_dir, "documents")
+    wordsdf = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    bits = wordsdf.select(
+        "doc_id", "word",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    )
+    contrib = F.expr(
+        "2 * (((instr('0123456789abcdef', "
+        "substring(md5(word), (j div 4) + 1, 1)) - 1) "
+        "div shiftleft(1, j % 4)) % 2) - 1"
+    )
+    per_bit = bits.groupBy("doc_id", "j").agg(F.sum(contrib).alias("s"))
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(F.expr(
+            "CAST(SUM(CASE WHEN s >= 0 THEN shiftleft(1, j) ELSE 0 END) AS INT)"
+        ).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (similarity >= 0.5). Candidate
+    generation is an inverted-index equi join on the shingle — only docs
+    sharing at least one shingle are ever compared."""
+    sh = _shingle_table(spark, sf_dir, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    # Raw division (no ROUND): numerator/denominator are identical integers
+    # in both engines, so the quotient is bit-identical (see scalar.q04 note).
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(na, "a_id").join(nb, "b_id")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 4, 0))) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[(i+1):(i+5)], ' ') AS shingle FROM e),
+mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+       FROM sh CROSS JOIN (SELECT unnest(range({N_HASHES})) AS seed) s
+       GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
+               string_agg(mh, ',' ORDER BY seed) AS sig
+        FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND})
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+ORDER BY a_id, b_id
+"""
+
+_SIMHASH_ORACLE = """
+WITH wds AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+             FROM documents),
+b AS (SELECT doc_id, word, j FROM wds
+      CROSS JOIN (SELECT unnest(range(16)) AS j) seeds),
+c AS (SELECT doc_id, j,
+             SUM(2 * (((strpos('0123456789abcdef',
+                        substring(md5(word), CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+                       // (1 << CAST(j % 4 AS INTEGER))) % 2) - 1) AS s
+      FROM b GROUP BY doc_id, j)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s >= 0 THEN 1 << CAST(j AS INTEGER) ELSE 0 END)
+            AS INTEGER) AS simhash
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+_JACCARD_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ws[(i+1):(i+3)], ' ') AS shingle FROM e),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id,
+       CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = a_id
+JOIN sizes nb ON nb.doc_id = b_id
+WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+QUERIES = {
+    "q29_exact_dedup": (
+        q29_exact_dedup,
+        "SELECT lang, COUNT(*) AS docs FROM "
+        "(SELECT DISTINCT text, lang FROM documents) t "
+        "GROUP BY lang ORDER BY lang",
+    ),
+    "nd_dedup_exact": (
+        nd_dedup_exact,
+        "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents "
+        "GROUP BY md5(text) ORDER BY doc_id",
+    ),
+    "nd_minhash_lsh": (nd_minhash_lsh, _MINHASH_ORACLE),
+    "nd_simhash": (nd_simhash, _SIMHASH_ORACLE),
+    "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
+}

@@ -1,0 +1,114 @@
+"""Join operators (equi / anti / multi-way / theta).
+
+Absent in the reference (its users ship joins as code inside containers,
+`pkg/executor/python_wasm/executor.go:48-73`); first-class here. Scale notes
+per query in docstrings — the 100 TB plan is: broadcast the dimension chain
+(region/nation: tiny, customer: still small relative to lineitem), shuffle
+hash-join only on the fact-fact edge, and let AQE split skewed partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+
+
+def q13_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation + count per nation (Q13). nation is 25 rows at any
+    SF — broadcast, so the only shuffle is the final 25-group aggregate
+    (map-side partials make it negligible)."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n_name")
+    )
+
+
+def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no lineitem (Q14) — left anti join. At scale both sides
+    shuffle on orderkey; lineitem is pre-projected to the single join column
+    so the shuffle payload is one bigint per row."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def q15_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join revenue rollup (Q15, TPC-H Q5 shape). The dimension chain
+    customer⋈nation⋈region is broadcast (small at the declared scale’s dim
+    sizes); lineitem⋈orders is the one real shuffle. AQE re-plans if the
+    estimate is wrong."""
+    lineitem = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.round(F.sum(rev), 2).alias("rev"))
+        .orderBy("r_name")
+    )
+
+
+def q16_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with residual theta predicate (Q16). The equi component
+    (custkey) makes this a hash join with a post-join filter — NOT a
+    broadcast-nested-loop — so it scales like any equi join."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cond = (orders.o_custkey == customer.c_custkey) & \
+           (orders.o_totalprice > customer.c_acctbal)
+    return (
+        customer.join(orders, cond)
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_custkey")
+    )
+
+
+QUERIES = {
+    "q13_join_agg": (
+        q13_join_agg,
+        "SELECT n_name, COUNT(*) AS c FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name",
+    ),
+    "q14_anti_join": (
+        q14_anti_join,
+        "SELECT o_orderkey FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) "
+        "ORDER BY o_orderkey",
+    ),
+    "q15_multiway_join": (
+        q15_multiway_join,
+        "SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name",
+    ),
+    "q16_theta_join": (
+        q16_theta_join,
+        "SELECT c_custkey, COUNT(*) AS n FROM customer c JOIN orders o "
+        "ON o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal "
+        "GROUP BY c_custkey ORDER BY c_custkey",
+    ),
+}

@@ -1,0 +1,86 @@
+"""Multimodal (binary) column plumbing.
+
+Reference capability: opaque binary inputs processed by containers
+(`examples/image_downscaling/`). Spark-first restatement: media are opaque
+``binary`` columns with typed metadata alongside; decode / feature-extract
+runs as Arrow-batched ``mapInPandas`` — the one place Python is the right
+tool, amortized over whole record batches.
+
+The actual image/audio decode is STUBBED (libs not in this container):
+``decode_image_real`` raises NotImplementedError; the shipping path uses a
+deterministic fake decoder so the Spark-side plumbing — schema, batching,
+partitioning, UDF signature — is real and oracle-checkable (the fake features
+are md5-derived, which DuckDB can reproduce).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+
+FEATURE_SCHEMA = ("doc_id bigint, n_bytes int, width int, height int, "
+                  "phash string")
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real decoder entry point — requires an image library not present in
+    this container. Deliberately stubbed (see module docstring)."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; not available in this environment")
+
+
+def nd_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction. The documents table stands in for a
+    media table: text bytes as the opaque payload. At 100 TB the payload
+    column never leaves the executor — only the fixed-width features shuffle.
+
+    The batch function is a self-contained closure (imports inside, no
+    module-level references) so cloudpickle ships it by value — Python
+    workers never need this package importable on their path.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # mapInPandas worker: one Arrow batch in, one feature batch out.
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_decode(payload: bytes) -> tuple[int, int, str]:
+            # Deterministic fake decode: dimensions derived from the content
+            # hash. Stands in for decode_image_real (see module docstring).
+            h = _hashlib.md5(payload).hexdigest()
+            return (int(h[0:2], 16) % 512) + 16, (int(h[2:4], 16) % 512) + 16, h
+
+        for pdf in batches:
+            decoded = [fake_decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "phash": [d[2] for d in decoded],
+            })
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return docs.mapInPandas(decode_batches, FEATURE_SCHEMA).orderBy("doc_id")
+
+
+_HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16"
+            " + (strpos('0123456789abcdef', substring(md5(text), {b}, 1)) - 1)")
+
+QUERIES = {
+    "nd_multimodal_features": (
+        nd_multimodal_features,
+        "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes, "
+        f"CAST(({_HEXPAIR.format(a=1, b=2)}) % 512 + 16 AS INTEGER) AS width, "
+        f"CAST(({_HEXPAIR.format(a=3, b=4)}) % 512 + 16 AS INTEGER) AS height, "
+        "md5(text) AS phash FROM documents ORDER BY doc_id",
+    ),
+}

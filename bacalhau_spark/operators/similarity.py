@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns.
+
+Three tiers, from exact to scale-out:
+
+- q30_nn / nd_ann_topk: brute-force cosine — correct baseline, quadratic;
+  bounded here to a query slice. At scale this is only sane when one side is
+  small enough to broadcast (query batch ≪ corpus).
+- nd_ann_lsh: random-hyperplane LSH — the 100 TB path. Each vector gets an
+  8-bit signature from fixed (deterministically derived) hyperplanes; the
+  candidate join is an equi join on the signature bucket, so the cluster
+  partitions by bucket and never forms the full cross product. Recall is
+  tested against the brute-force baseline in tests (threshold, not hash).
+
+All dot products use functions.dot_double — a JVM-side left fold, no UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+from bacalhau_spark.functions import cosine
+
+_DOT_SQL = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+N_PLANES = 8
+DIM = 64
+
+
+def _pairs(spark: SparkSession, sf_dir: str, a_filter, b_filter):
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"),
+                   F.col("embedding").alias("a_emb")).where(a_filter)
+    b = emb.select(F.col("vec_id").alias("b_id"),
+                   F.col("embedding").alias("b_emb")).where(b_filter)
+    return a, b
+
+
+def q30_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force nearest neighbor on a 50-vector slice (Q30): min cosine
+    *distance* per query via min_by. Embeddings are unit-normalized
+    (FIXTURES.md §2), so distance = 1 - dot."""
+    a, b = _pairs(spark, sf_dir, F.col("a_id") < 50, F.col("b_id") < 50)
+    dist = 1 - cosine(F.col("a_emb"), F.col("b_emb"))
+    return (
+        a.join(b, F.col("a_id") != F.col("b_id"))
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.min_by("b_id", dist).alias("nn"))
+        .orderBy("vec_id")
+    )
+
+
+def nd_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4) on a 200-vector slice."""
+    a, b = _pairs(spark, sf_dir, F.col("a_id") < 200, F.col("b_id") < 200)
+    # Raw cosine output: the left-fold dot product is bit-identical across
+    # engines (verified empirically), so no rounding is needed — or wanted
+    # (ROUND-of-double is the cross-engine divergent op, see scalar.q04).
+    cos = cosine(F.col("a_emb"), F.col("b_emb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .where(cos >= 0.4)
+        .select("a_id", "b_id", cos.alias("cos"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def nd_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for the first 20 query vectors over
+    the whole corpus. The query side is broadcast (tiny); the corpus streams.
+    Ranking happens on the raw double, rounding only on output."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("vec_id"),
+                   F.col("embedding").alias("q_emb")).where(F.col("vec_id") < 20)
+    c = emb.select(F.col("vec_id").alias("nn"),
+                   F.col("embedding").alias("c_emb"))
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
+    return (
+        F.broadcast(q).join(c, F.col("vec_id") != F.col("nn"))
+        .select("vec_id", "nn", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("vec_id", "rank", "nn", F.col("cos_raw").alias("cos"))
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: coefficient (p, d) is derived
+    from md5, centered to [-7.5, 7.5]. Fixed model parameters, not data —
+    computed driver-side once and inlined as literals."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(int(h[:2], 16) / 255.0 * 2 - 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(emb_col: Column) -> Column:
+    """8-bit random-hyperplane signature as an int column (JVM-side)."""
+    planes = _hyperplanes()
+    sig = F.lit(0)
+    for p, coefs in enumerate(planes):
+        plane = F.array(*[F.lit(c) for c in coefs])
+        dot = F.aggregate(
+            F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: top-3 per query *within its signature bucket*.
+    The join is an equi join on the 8-bit bucket — at 100 TB the corpus is
+    hash-partitioned by bucket and each query probes one partition's worth
+    of candidates. Approximate (recall tested vs. brute force in tests/);
+    no SQL oracle by design."""
+    emb = table(spark, sf_dir, "embeddings")
+    with_sig = emb.select("vec_id", "embedding",
+                          lsh_signature(F.col("embedding")).alias("bucket"))
+    q = (with_sig.where(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"), "bucket"))
+    c = with_sig.select(F.col("vec_id").alias("nn"),
+                        F.col("embedding").alias("c_emb"), "bucket")
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
+    return (
+        F.broadcast(q).join(c, "bucket")
+        .where(F.col("q_id") != F.col("nn"))
+        .select(F.col("q_id").alias("vec_id"), "nn", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("vec_id", "rank", "nn", F.col("cos_raw").alias("cos"))
+        .orderBy("vec_id", "rank")
+    )
+
+
+QUERIES = {
+    "q30_nn": (
+        q30_nn,
+        "SELECT a.vec_id AS vec_id, "
+        f"min_by(b.vec_id, 1 - ({_DOT_SQL})) AS nn "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+        "WHERE a.vec_id < 50 AND b.vec_id < 50 "
+        "GROUP BY a.vec_id ORDER BY vec_id",
+    ),
+    "nd_cosine_neardup": (
+        nd_cosine_neardup,
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        f"{_DOT_SQL} AS cos "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE a.vec_id < 200 AND b.vec_id < 200 AND {_DOT_SQL} >= 0.4 "
+        "ORDER BY a_id, b_id",
+    ),
+    "nd_ann_topk": (
+        nd_ann_topk,
+        "SELECT vec_id, rank, nn, cos_raw AS cos FROM ("
+        "SELECT a.vec_id AS vec_id, b.vec_id AS nn, "
+        f"{_DOT_SQL} AS cos_raw, "
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id "
+        f"ORDER BY {_DOT_SQL} DESC, b.vec_id) AS rank "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+        "WHERE a.vec_id < 20) t "
+        "WHERE rank <= 3 ORDER BY vec_id, rank",
+    ),
+    "nd_ann_lsh": (nd_ann_lsh, None),
+}

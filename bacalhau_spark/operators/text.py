@@ -1,0 +1,185 @@
+"""Text-analysis operators over the documents table.
+
+Reference capability: the grep/sed text plane and arbitrary text code in
+containers (`pkg/test/scenario/test_scenarios.go:77-132`). Here the
+training-data-pipeline text stack is first-class: tokenization, language-ID
+heuristic, quality scoring, token counting, document fingerprinting — all as
+JVM-side expressions (no Python UDFs), so they run inside whole-stage codegen
+over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+from bacalhau_spark.functions import words
+
+# Tiny stopword marker sets for the language-ID heuristic. A production
+# pipeline swaps in real frequency tables; the *plumbing* (per-language score
+# -> argmax, one pass over tokens) is the part that matters at scale.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "las"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _marker_hits(w, markers):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+
+def q11_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + word count (Q11) — the UDTF-shaped explode. At scale the
+    groupBy key (doc_id, word) is high-cardinality and well-spread; map-side
+    combine collapses within-partition repeats before the shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+        .orderBy("doc_id", "word")
+    )
+
+
+def nd_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID. One pass over the token array per doc;
+    argmax over per-language hit counts (ties -> first language in fixed
+    order, deterministic)."""
+    docs = table(spark, sf_dir, "documents")
+    w = words("text")
+    scored = docs.select(
+        "doc_id",
+        *[
+            _marker_hits(w, markers).alias(f"hits_{lang}")
+            for lang, markers in _LANG_MARKERS.items()
+        ],
+    )
+    langs = list(_LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_hits = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+    return (
+        scored.select("doc_id", best.alias("guess"),
+                      best_hits.cast("int").alias("hits"))
+        .orderBy("doc_id")
+    )
+
+
+def nd_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, type-token ratio, stopword ratio, mean
+    word length — the standard cheap filters before expensive dedup/training
+    stages. All ratios are exact double divisions (oracle-identical)."""
+    docs = table(spark, sf_dir, "documents")
+    w = words("text")
+    n_tok = F.size(w)
+    n_types = F.size(F.array_distinct(w))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    mean_wlen = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                 .cast("double") / n_tok)
+    # Ratios stay unrounded: int/int division is bit-identical across engines
+    # while ROUND-of-double is not (see scalar.q04 note).
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            (n_types.cast("double") / n_tok).alias("ttr"),
+            (n_stop.cast("double") / n_tok).alias("stop_ratio"),
+            mean_wlen.alias("mean_wlen"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def nd_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: words, digit runs, and punctuation each
+    count as one token (the cheap pre-tokenizer estimate used for corpus
+    sizing)."""
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words("text")).alias("n_words"),
+            bpe.alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def nd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set. Two docs with the same vocabulary collide — the cheap
+    first-stage near-dup key (followed by minhash, dedup.py)."""
+    docs = table(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(words("text"))), " ")
+    return (
+        docs.select("doc_id", F.md5(canon).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_marker_hits(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return (f"len(list_filter(string_split(lower(text), ' '), "
+            f"x -> list_contains([{inlist}], x)))")
+
+
+_LANGID_ORACLE = (
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(f"{_sql_marker_hits(m)} AS hits_{lang}"
+                for lang, m in _LANG_MARKERS.items())
+    + " FROM documents) SELECT doc_id, CASE "
+    "WHEN hits_es > hits_en AND hits_es > hits_de AND hits_es > hits_fr THEN 'es' "
+    "WHEN hits_fr > hits_en AND hits_fr > hits_de THEN 'fr' "
+    "WHEN hits_de > hits_en THEN 'de' ELSE 'en' END AS guess, "
+    "CAST(greatest(hits_en, hits_de, hits_fr, hits_es) AS INTEGER) AS hits "
+    "FROM s ORDER BY doc_id"
+)
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+QUERIES = {
+    "q11_tokenize_count": (
+        q11_tokenize_count,
+        "SELECT doc_id, word, COUNT(*) AS n FROM (SELECT doc_id, "
+        "unnest(string_split(lower(text), ' ')) AS word FROM documents) t "
+        "GROUP BY doc_id, word ORDER BY doc_id, word",
+    ),
+    "nd_langid": (nd_langid, _LANGID_ORACLE),
+    "nd_quality": (
+        nd_quality,
+        "SELECT doc_id, "
+        "CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens, "
+        "CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) "
+        "/ len(string_split(lower(text), ' ')) AS ttr, "
+        f"CAST(len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains([{_STOP_LIST}], x))) AS DOUBLE) "
+        "/ len(string_split(lower(text), ' ')) AS stop_ratio, "
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE) "
+        "/ len(string_split(lower(text), ' ')) AS mean_wlen "
+        "FROM documents ORDER BY doc_id",
+    ),
+    "nd_token_count": (
+        nd_token_count,
+        "SELECT doc_id, "
+        "CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words, "
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) "
+        "AS INTEGER) AS n_bpe_tokens FROM documents ORDER BY doc_id",
+    ),
+    "nd_fingerprint": (
+        nd_fingerprint,
+        "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+        "string_split(lower(text), ' '))), ' ')) AS fp "
+        "FROM documents ORDER BY doc_id",
+    ),
+}

@@ -1,0 +1,148 @@
+"""Window functions + the orchestration event-log surface.
+
+The reference folds a job-event stream into per-(job,node) states — max-ordinal
+event wins (`pkg/job/job.go:233-259`, fold table
+`pkg/executor/constants.go:211-250`), accepts the first N bidders per job
+(`pkg/requesternode/requesternode.go:89-121`), dedups before acting
+(`pkg/computenode/computenode.go:146-166`) and packs a FIFO backlog by running
+capacity (`pkg/capacitymanager/capacitymanager.go:250-264`). Each of those
+control-plane folds is a window/aggregate query over an event table — declared
+here over the `events` fixture (Q20–Q24) plus session-window assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+
+
+def q20_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last event per entity (Q20) — the GetCurrentJobState fold
+    (`pkg/job/job.go:233-259`): max-ordinal event wins. max_by is a single
+    shuffle-free-combine aggregate (partial max per partition)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", "event_id").alias("last_type"))
+        .orderBy("user_id")
+    )
+
+
+def q21_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-N-per-key (Q21) — the requester's first-N-bids-accepted gate
+    (`pkg/requesternode/requesternode.go:89-121`). row_number over a
+    per-key window; at scale the partition-by key spreads the work."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type",
+                F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 2)
+        .orderBy("user_id", "rn")
+    )
+
+
+def q22_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (Q22) — the hasAlreadyBid dedup
+    (`pkg/computenode/computenode.go:146-166`)."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q23_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running sum (Q23) — the FIFO capacity-packing fold
+    (`pkg/capacitymanager/capacitymanager.go:250-264`). NOTE: a total-order
+    running sum is inherently sequential; at 100 TB the scale-out form is a
+    two-pass prefix sum (per-partition partials + broadcast offsets). The
+    declared query keeps the single-window semantics for the oracle gate."""
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "value",
+                F.round(F.sum("value").over(w), 4).alias("running"))
+        .orderBy("event_id")
+    )
+
+
+def q24_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag (Q24) — per-entity deltas."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id",
+                (F.col("value") - F.lag("value", 1, 0.0).over(w)).alias("delta"))
+        .orderBy("event_id")
+    )
+
+
+def nd_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window assignment (batch form of the streaming session window,
+    streaming/events.py). Spark's session_window merges events whose
+    [ts, ts+gap) intervals overlap; end = last ts + gap. The oracle states the
+    same semantics as a gaps-and-islands fold."""
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(sw, "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "n",
+        )
+        .orderBy("user_id", "s_start")
+    )
+
+
+QUERIES = {
+    "q20_last_state": (
+        q20_last_state,
+        "SELECT user_id, max_by(event_type, event_id) AS last_type "
+        "FROM events GROUP BY user_id ORDER BY user_id",
+    ),
+    "q21_first_n": (
+        q21_first_n,
+        "SELECT event_id, user_id, event_type, rn FROM ("
+        "SELECT event_id, user_id, event_type, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn "
+        "FROM events) t WHERE rn <= 2 ORDER BY user_id, rn",
+    ),
+    "q22_distinct": (
+        q22_distinct,
+        "SELECT DISTINCT user_id, event_type FROM events "
+        "ORDER BY user_id, event_type",
+    ),
+    "q23_running_sum": (
+        q23_running_sum,
+        "SELECT event_id, value, ROUND(SUM(value) OVER ("
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        "), 4) AS running FROM events ORDER BY event_id",
+    ),
+    "q24_lag_delta": (
+        q24_lag_delta,
+        "SELECT event_id, user_id, value - lag(value, 1, 0.0) OVER ("
+        "PARTITION BY user_id ORDER BY event_id) AS delta "
+        "FROM events ORDER BY event_id",
+    ),
+    "nd_sessionize": (
+        nd_sessionize,
+        "WITH o AS (SELECT user_id, ts, CASE WHEN "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        ">= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk FROM events), "
+        "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess "
+        "FROM o) "
+        "SELECT user_id, MIN(ts) AS s_start, "
+        "MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n "
+        "FROM g GROUP BY user_id, sess ORDER BY user_id, s_start",
+    ),
+}

@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference's devstack (`pkg/devstack/devstack.go:54-258`) wires a 3-node
+in-process cluster for tests; the Spark analog is a local-mode session. The
+defaults below are chosen for the 100 TB design point and are all safe in
+local mode:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion based on observed sizes).
+- UTC session timezone so timestamp bucketing is cluster-independent.
+- Arrow execution for any pandas interchange (the UDF slow path, when used,
+  is batched, never row-at-a-time).
+- shuffle.partitions sized by env (local tests: 32; a real cluster overrides
+  via spark-defaults — AQE coalescing makes the initial number forgiving).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # dims (region/nation/...) broadcast freely; 32 MB leaves headroom for
+    # AQE to demote a mis-estimated build side.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(app_name: str = "bacalhau-spark", master: str | None = None,
+                shuffle_partitions: int | None = None,
+                extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

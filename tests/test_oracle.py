@@ -1,0 +1,75 @@
+"""Differential correctness: every registered query vs its DuckDB oracle.
+
+This is the local rehearsal of the driver's correctness gate
+(CORRECTNESS_r{N}.json): same parquet fixtures, Spark result compared to
+DuckDB running the declared oracle SQL — row count, schema shape, and values.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from bacalhau_spark.catalog import TABLES
+from bacalhau_spark.registry import ALL_QUERIES
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            sample = s.dropna()
+            if len(sample) and hasattr(sample.iloc[0], "isoformat"):
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                df[c] = s.map(lambda v: None if v is None else str(v))
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort",
+                            na_position="first")
+    return df.reset_index(drop=True)
+
+
+ORACLE_CASES = sorted(n for n, (_, sql) in ALL_QUERIES.items() if sql)
+NO_ORACLE_CASES = sorted(n for n, (_, sql) in ALL_QUERIES.items() if not sql)
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    fn, sql = ALL_QUERIES[name]
+    got = _normalize(fn(spark, sf_dir).toPandas())
+    want = _normalize(oracle_con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    assert len(got) == len(want), \
+        f"{name}: row count {len(got)} vs oracle {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-9, atol=1e-12,
+                                  obj=name)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_CASES)
+def test_no_oracle_query_runs(name, spark, sf_dir):
+    fn, _ = ALL_QUERIES[name]
+    df = fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
