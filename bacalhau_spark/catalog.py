@@ -17,6 +17,11 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# DataFrame handles are immutable lazy plans over read-only fixture paths, so
+# they are safe to reuse across queries — this skips repeated file listing +
+# parquet footer reads (the catalog/metastore role; statistics stay cached).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one fixture table. No schema inference at read time —
@@ -29,11 +34,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

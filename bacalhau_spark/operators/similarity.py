@@ -27,7 +27,12 @@ from bacalhau_spark.functions import cosine
 _DOT_SQL = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
             "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
 
-N_PLANES = 8
+# Multi-band random-hyperplane LSH: B independent bands of K bits each.
+# A pair is a candidate when ANY band's K-bit signature matches, so recall is
+# 1-(1-p^K)^B for per-bit agreement p — banding trades index size (each row is
+# indexed B times) for recall without widening any single bucket join.
+N_BANDS = 8
+BAND_BITS = 4
 DIM = 64
 
 
@@ -90,25 +95,25 @@ def nd_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: coefficient (p, d) is derived
-    from md5, centered to [-7.5, 7.5]. Fixed model parameters, not data —
-    computed driver-side once and inlined as literals."""
+def _hyperplanes(band: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for one band: coefficient
+    (band, p, d) is derived from md5, centered to [-1, 1]. Fixed model
+    parameters, not data — computed driver-side once and inlined as
+    literals."""
     planes = []
-    for p in range(N_PLANES):
+    for p in range(BAND_BITS):
         row = []
         for d in range(DIM):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{band}:{p}:{d}".encode()).hexdigest()
             row.append(int(h[:2], 16) / 255.0 * 2 - 1)
         planes.append(row)
     return planes
 
 
-def lsh_signature(emb_col: Column) -> Column:
-    """8-bit random-hyperplane signature as an int column (JVM-side)."""
-    planes = _hyperplanes()
+def lsh_signature(emb_col: Column, band: int = 0) -> Column:
+    """K-bit random-hyperplane signature for one band (JVM-side fold)."""
     sig = F.lit(0)
-    for p, coefs in enumerate(planes):
+    for p, coefs in enumerate(_hyperplanes(band)):
         plane = F.array(*[F.lit(c) for c in coefs])
         dot = F.aggregate(
             F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
@@ -117,26 +122,36 @@ def lsh_signature(emb_col: Column) -> Column:
     return sig
 
 
+def band_signatures(emb_col: Column) -> Column:
+    """Array of all B band signatures for a vector."""
+    return F.array(*[lsh_signature(emb_col, b) for b in range(N_BANDS)])
+
+
 def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: top-3 per query *within its signature bucket*.
-    The join is an equi join on the 8-bit bucket — at 100 TB the corpus is
-    hash-partitioned by bucket and each query probes one partition's worth
-    of candidates. Approximate (recall tested vs. brute force in tests/);
+    """LSH-bucketed ANN: top-3 per query among candidates that share at least
+    one (band, signature) bucket. The candidate join is an equi join on
+    (band, bucket) — at 100 TB the corpus index is hash-partitioned by that
+    key and each query probes B buckets' worth of candidates, never the full
+    cross product. Approximate (recall tested vs. brute force in tests/);
     no SQL oracle by design."""
     emb = table(spark, sf_dir, "embeddings")
-    with_sig = emb.select("vec_id", "embedding",
-                          lsh_signature(F.col("embedding")).alias("bucket"))
+    with_sig = emb.select(
+        "vec_id", "embedding",
+        F.posexplode(band_signatures(F.col("embedding"))).alias("band", "sig"))
     q = (with_sig.where(F.col("vec_id") < 20)
          .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"), "bucket"))
+                 F.col("embedding").alias("q_emb"), "band", "sig"))
     c = with_sig.select(F.col("vec_id").alias("nn"),
-                        F.col("embedding").alias("c_emb"), "bucket")
+                        F.col("embedding").alias("c_emb"), "band", "sig")
     cos = cosine(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
     return (
-        F.broadcast(q).join(c, "bucket")
+        F.broadcast(q).join(c, ["band", "sig"])
         .where(F.col("q_id") != F.col("nn"))
         .select(F.col("q_id").alias("vec_id"), "nn", cos.alias("cos_raw"))
+        # a pair colliding in several bands appears once per band; dedup
+        # before ranking (cos is identical across duplicates)
+        .groupBy("vec_id", "nn").agg(F.max("cos_raw").alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select("vec_id", "rank", "nn", F.col("cos_raw").alias("cos"))

@@ -41,9 +41,13 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str,
     batch query doesn't need. Returns the streaming DataFrame; callers
     attach a sink (tests use a memory sink in complete mode)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source monitors a *directory*; the fixture is a single
+    # file, so stream the parent dir with a glob (the production shape is an
+    # append-only event-log directory anyway).
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     return (

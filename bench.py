@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Protocol (BASELINE.md §2): AQE on, parquet inputs, warm JVM — 1 warm-up run
+then median of 3 timed runs per query; results are fully materialized via a
+noop-format write (no driver collect, no display cost). Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bacalhau_spark.registry import ALL_QUERIES
+from bacalhau_spark.session import get_session
+
+BENCH_QUERIES = (
+    "q17_hash_agg",        # scan + hash aggregate (TPC-H Q1 shape)
+    "q13_join_agg",        # equi join + group-by
+    "q15_multiway_join",   # 5-way join + agg
+    "q25_topk",            # order-by + limit (top-k)
+    "q28_tumbling_window", # 1-hour tumbling window aggregate
+)
+
+WARMUP_RUNS = 1
+TIMED_RUNS = 3
+
+
+def materialize(df) -> None:
+    """Force full execution of every operator without collecting to the
+    driver: write to the no-op sink (row-by-row consumption, zero IO)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_session("bacalhau-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = ALL_QUERIES[name]
+        for _ in range(WARMUP_RUNS):
+            materialize(fn(spark, sf_dir))
+        runs = []
+        for _ in range(TIMED_RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+
+    print(json.dumps({
+        "metric": "bench_headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

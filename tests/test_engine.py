@@ -1,0 +1,82 @@
+"""Engine lifecycle tests — the reference's control-plane semantics.
+
+Mirrors the reference's test strategy (SURVEY.md §5): scenario-style
+end-to-end runs through the engine surface, concurrency/verification
+semantics (`pkg/test/devstack/concurrency_test.go:46-106` analog), and the
+event fold (`pkg/executor/constants.go:211-250`).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacalhau_spark.engine import (EVT_COMPLETED, EVT_CREATED, EVT_ERROR,
+                                   EVT_RESULTS_ACCEPTED, Engine, JobSpec)
+from bacalhau_spark.registry import queries
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def engine(spark):
+    return Engine(spark, queries())
+
+
+def test_submit_runs_to_completion(engine):
+    run_id = engine.submit(JobSpec(query="q01_scan_projection",
+                                   inputs={"sf_dir": SF_DIR}))
+    assert engine.state(run_id) == EVT_COMPLETED
+    names = [e.name for e in engine.events(run_id)]
+    assert names[0] == EVT_CREATED
+    assert names[-1] == EVT_COMPLETED
+
+
+def test_replicated_verification_accepts_deterministic_plan(engine):
+    """Concurrency=2 analog: two replicas of a deterministic plan must agree
+    on the content manifest ⇒ ResultsAccepted."""
+    run_id = engine.submit(JobSpec(query="q17_hash_agg",
+                                   inputs={"sf_dir": SF_DIR},
+                                   replicas=2, verified=True))
+    assert engine.state(run_id) == EVT_RESULTS_ACCEPTED
+
+
+def test_verified_mode_rejects_nondeterministic_plan(engine, spark):
+    def bad_query(spark_, sf_dir):
+        from bacalhau_spark.catalog import table
+        return table(spark_, sf_dir, "nation").withColumn("r", F.rand())
+
+    engine.registry["bad_rand"] = bad_query
+    with pytest.raises(Exception, match="nondeterministic"):
+        engine.submit(JobSpec(query="bad_rand", inputs={"sf_dir": SF_DIR},
+                              verified=True))
+    run_id = next(iter(engine.list_runs()))
+    assert engine.state(run_id) == EVT_ERROR
+
+
+def test_unknown_query_rejected(engine):
+    with pytest.raises(KeyError):
+        engine.submit(JobSpec(query="nope"))
+
+
+def test_spec_loader_json(tmp_path):
+    doc = {"query": "q01_scan_projection", "replicas": 2, "verified": True,
+           "inputs": {"sf_dir": SF_DIR}, "annotations": ["t1"]}
+    p = tmp_path / "job.json"
+    p.write_text(json.dumps(doc))
+    spec = JobSpec.load(str(p))
+    assert spec.query == "q01_scan_projection"
+    assert spec.replicas == 2 and spec.verified
+    with pytest.raises(ValueError):
+        JobSpec.from_dict({"replicas": 1})
+
+
+def test_output_sink(engine, tmp_path, spark):
+    out = str(tmp_path / "out")
+    engine.submit(JobSpec(query="q01_scan_projection",
+                          inputs={"sf_dir": SF_DIR},
+                          outputs={"path": out, "format": "parquet"}))
+    back = spark.read.parquet(out)
+    assert back.count() == 25
