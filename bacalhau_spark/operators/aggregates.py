@@ -63,6 +63,82 @@ def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q19b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status) — all four grouping sets in one pass
+    (Spark expands to a single Expand + hash agg, not four scans)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("c"))
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("c"),
+        )
+    )
+
+
+def q19c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-priority and per-status marginals, no
+    cross terms) — SQL surface, since the DataFrame API exposes only
+    rollup/cube."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) "
+        "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, c")
+
+
+def nd_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority x status. Pivot values are declared
+    (F/O/P) so Spark skips the extra distinct-values job and the plan is one
+    hash aggregate wide-column pass."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select("o_orderpriority",
+                F.coalesce("F", F.lit(0)).alias("n_f"),
+                F.coalesce("O", F.lit(0)).alias("n_o"),
+                F.coalesce("P", F.lit(0)).alias("n_p"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def nd_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance) per
+    return flag — single-pass moment accumulators; rounded because the
+    summation order is partition-dependent."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def nd_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90, linear interpolation) per return
+    flag. Exact percentile sorts within each group — fine for bounded group
+    counts; the approx variant (nd below / q18b pattern) is the 100 TB
+    default."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q17_hash_agg": (
         q17_hash_agg,
@@ -82,5 +158,39 @@ QUERIES = {
         "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c FROM orders "
         "GROUP BY ROLLUP(o_orderpriority, o_orderstatus) "
         "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, c",
+    ),
+    "q19b_cube": (
+        q19b_cube,
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c FROM orders "
+        "GROUP BY CUBE(o_orderpriority, o_orderstatus) "
+        "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, c",
+    ),
+    "q19c_grouping_sets": (
+        q19c_grouping_sets,
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) "
+        "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, c",
+    ),
+    "nd_pivot": (
+        nd_pivot,
+        "SELECT o_orderpriority, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    ),
+    "nd_stats_agg": (
+        nd_stats_agg,
+        "SELECT l_returnflag, ROUND(stddev_samp(l_quantity), 4) AS sd_qty, "
+        "ROUND(var_samp(l_quantity), 4) AS var_qty, "
+        "ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp, "
+        "ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    ),
+    "nd_percentiles": (
+        nd_percentiles,
+        "SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, "
+        "quantile_cont(l_extendedprice, 0.9) AS p90_price "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     ),
 }

@@ -1,0 +1,114 @@
+"""As-of and range joins — temporal/interval operators Spark lacks natively.
+
+The reference has no joins at all (SURVEY.md §2.6); these are the two
+non-equi shapes a compute-over-data pipeline hits first when it outgrows
+per-file maps: "latest state at or before T" (as-of) and "which interval
+does this value fall in" (range/banding).
+
+Scale design:
+- **As-of** is implemented with the union-and-window pattern, NOT a theta
+  join: tag both sides, union, single shuffle on the partition key, then a
+  running ``last(ignorenulls)`` window. A naive ``ts_r <= ts_l`` theta join
+  is O(events x checkpoints) per key and explodes at 100 TB; the union form
+  is O(n log n) per key with exactly one exchange, and the window frame is
+  running (no full-partition buffering).
+- **Range join** broadcasts the (tiny, constant-size) interval table, so the
+  non-equi condition runs as a broadcast nested-loop over K intervals — an
+  O(K) map per row, embarrassingly parallel, no fact-side shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              value_cols: list[str], tiebreak: str) -> DataFrame:
+    """Generic as-of join: for each left row, attach the right row with the
+    greatest (ts, tiebreak) at-or-before the left row's ts, per `on` key.
+
+    Union-and-window: right rows sort before left rows at equal ts (so
+    "at-or-before" includes ties), and among equal-ts right rows the greatest
+    `tiebreak` wins. One shuffle on (`on`), running frame, no join node.
+    """
+    lcols = left.columns
+    marked_l = left.select(
+        *lcols, F.lit(1).alias("_side"), F.lit(None).cast("bigint").alias("_tb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols])
+    marked_r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in (on, ts) else F.col(c) for c in lcols],
+        F.lit(0).alias("_side"), F.col(tiebreak).cast("bigint").alias("_tb"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols])
+    unioned = marked_l.unionByName(marked_r)
+    w = (Window.partitionBy(on).orderBy(F.col(ts).asc(), F.col("_side").asc(),
+                                        F.col("_tb").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = unioned.select(
+        *lcols, "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in value_cols])
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def nd_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the user's most recent purchase at or before the event.
+    'Latest checkpoint as of T' — the canonical as-of query shape."""
+    events = table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts")
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id")))
+    out = asof_join(left, purchases, on="user_id", ts="ts",
+                    value_cols=["purchase_id"], tiebreak="purchase_id")
+    return (out.select("event_id", "user_id",
+                       F.col("asof_purchase_id").alias("last_purchase_id"))
+            .orderBy("event_id"))
+
+
+# Price brackets: a fixed interval dimension (the kind of tiny reference
+# table a pipeline broadcasts). Half-open [lo, hi).
+_BRACKETS = (("small", 0.0, 50_000.0), ("mid", 50_000.0, 200_000.0),
+             ("big", 200_000.0, 1e12))
+
+
+def nd_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/banding join: each order matched to its price bracket via a
+    broadcast non-equi join (no fact shuffle; O(K) comparisons per row)."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    brackets = F.broadcast(spark.createDataFrame(
+        list(_BRACKETS), "bracket string, lo double, hi double"))
+    cond = (F.col("o_totalprice") >= F.col("lo")) & \
+           (F.col("o_totalprice") < F.col("hi"))
+    return (orders.join(brackets, cond)
+            .groupBy("bracket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("bracket"))
+
+
+_BRACKET_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BRACKETS)
+
+QUERIES = {
+    "nd_asof_join": (
+        nd_asof_join,
+        # Correlated ordered-limit subquery states the exact same semantics:
+        # greatest (ts, event_id) purchase at-or-before each event's ts.
+        "SELECT e.event_id, e.user_id, "
+        "(SELECT p.event_id FROM events p WHERE p.user_id = e.user_id "
+        "AND p.event_type = 'purchase' AND p.ts <= e.ts "
+        "ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_id "
+        "FROM events e ORDER BY e.event_id",
+    ),
+    "nd_range_join": (
+        nd_range_join,
+        f"SELECT bracket, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total "
+        f"FROM orders JOIN (VALUES {_BRACKET_VALUES}) b(bracket, lo, hi) "
+        f"ON o_totalprice >= lo AND o_totalprice < hi "
+        f"GROUP BY bracket ORDER BY bracket",
+    ),
+}

@@ -83,6 +83,55 @@ def q16_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13b_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: suppliers whose nation has customers (existence only —
+    the build side is deduped before probing, so the output never fans out)."""
+    supplier = table(spark, sf_dir, "supplier")
+    customer = table(spark, sf_dir, "customer").select("c_nationkey")
+    return (
+        supplier.join(customer,
+                      supplier.s_nationkey == customer.c_nationkey,
+                      "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q14b_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched rows: per-order lineitem count
+    including zero. Aggregate-then-join (the count collapses lineitem to one
+    row per orderkey BEFORE the join) so the outer join's shuffle carries
+    pre-aggregated rows, not the raw fact table."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    licnt = (table(spark, sf_dir, "lineitem")
+             .groupBy("l_orderkey").agg(F.count("*").alias("cnt")))
+    return (
+        orders.join(licnt, orders.o_orderkey == licnt.l_orderkey, "left")
+        .select("o_orderkey",
+                F.coalesce(F.col("cnt"), F.lit(0)).alias("n_items"))
+        .orderBy("o_orderkey")
+    )
+
+
+def qj_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides: customer count vs
+    supplier count per nation key. Both sides collapse to ≤25 rows before
+    the join — the full-outer exchange is constant-size at any SF."""
+    c = (table(spark, sf_dir, "customer")
+         .groupBy(F.col("c_nationkey").alias("k"))
+         .agg(F.count("*").alias("n_cust")))
+    s = (table(spark, sf_dir, "supplier")
+         .groupBy(F.col("s_nationkey").alias("k2"))
+         .agg(F.count("*").alias("n_supp")))
+    return (
+        c.join(s, c.k == s.k2, "full_outer")
+        .select(F.coalesce(F.col("k"), F.col("k2")).alias("k"),
+                F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+        .orderBy("k")
+    )
+
+
 QUERIES = {
     "q13_join_agg": (
         q13_join_agg,
@@ -110,5 +159,27 @@ QUERIES = {
         "SELECT c_custkey, COUNT(*) AS n FROM customer c JOIN orders o "
         "ON o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal "
         "GROUP BY c_custkey ORDER BY c_custkey",
+    ),
+    "q13b_semi_join": (
+        q13b_semi_join,
+        "SELECT s_suppkey, s_name FROM supplier s WHERE EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey) "
+        "ORDER BY s_suppkey",
+    ),
+    "q14b_left_join_agg": (
+        q14b_left_join_agg,
+        "SELECT o_orderkey, COALESCE(cnt, 0) AS n_items FROM orders "
+        "LEFT JOIN (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem "
+        "GROUP BY l_orderkey) li ON o_orderkey = l_orderkey "
+        "ORDER BY o_orderkey",
+    ),
+    "qj_full_outer": (
+        qj_full_outer,
+        "SELECT COALESCE(c.k, s.k2) AS k, COALESCE(n_cust, 0) AS n_cust, "
+        "COALESCE(n_supp, 0) AS n_supp FROM "
+        "(SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c "
+        "FULL OUTER JOIN "
+        "(SELECT s_nationkey AS k2, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s "
+        "ON c.k = s.k2 ORDER BY k",
     ),
 }

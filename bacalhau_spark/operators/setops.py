@@ -34,6 +34,26 @@ def q27_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q26b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: order keys with no lineitem, as a set difference (the set-op
+    spelling of q14's anti join — same shuffle-semi physical shape)."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return o.exceptAll(li).distinct().orderBy("k")
+
+
+def q26c_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with provenance column, then fold — the concat-then-reduce
+    shape (no dedup pass; union is free, the aggregate is the only shuffle)."""
+    c = (table(spark, sf_dir, "customer")
+         .select(F.col("c_nationkey").alias("k"), F.lit("cust").alias("side")))
+    s = (table(spark, sf_dir, "supplier")
+         .select(F.col("s_nationkey").alias("k"), F.lit("supp").alias("side")))
+    return (c.unionByName(s)
+            .groupBy("k", "side").agg(F.count("*").alias("n"))
+            .orderBy("k", "side"))
+
+
 QUERIES = {
     "q26_intersect": (
         q26_intersect,
@@ -44,5 +64,17 @@ QUERIES = {
         q27_scalar_subquery,
         "SELECT o_orderkey FROM orders WHERE o_totalprice > "
         "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey",
+    ),
+    "q26b_except": (
+        q26b_except,
+        "SELECT o_orderkey AS k FROM orders EXCEPT "
+        "SELECT l_orderkey AS k FROM lineitem ORDER BY k",
+    ),
+    "q26c_union_all": (
+        q26c_union_all,
+        "SELECT k, side, COUNT(*) AS n FROM ("
+        "SELECT c_nationkey AS k, 'cust' AS side FROM customer "
+        "UNION ALL SELECT s_nationkey AS k, 'supp' AS side FROM supplier) t "
+        "GROUP BY k, side ORDER BY k, side",
     ),
 }

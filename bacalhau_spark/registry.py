@@ -12,14 +12,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bacalhau_spark.operators import (aggregates, dedup, filters, joins,
+from bacalhau_spark.operators import (aggregates, asof, dedup, filters, joins,
                                       multimodal, scalar, scans, setops, sort,
                                       similarity, text, windows)
 from bacalhau_spark.sources import sinks
 from bacalhau_spark.streaming import events as streaming_events
 
 _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
-            dedup, similarity, text, multimodal, sinks, streaming_events)
+            asof, dedup, similarity, text, multimodal, sinks, streaming_events)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
