@@ -1,0 +1,110 @@
+"""CLI — the reference's client surface restated for a query engine.
+
+Mapping (SURVEY.md §2.5):
+- `bacalhau docker run ...` / `run python` (`cmd/bacalhau/docker_run.go:294-517`,
+  `run_python.go:83-181`) → `run --query <name>`: build + execute a registered
+  query against a fixture dir.
+- `bacalhau apply -f job.yaml|json` (`cmd/bacalhau/apply.go:60-176`) →
+  `apply -f spec.json`: declarative JobSpec document through Engine.submit
+  (replicas / verified semantics included).
+- `bacalhau list` / `describe` (`cmd/bacalhau/list.go:79-211`,
+  `describe.go:73-176`) → `list-queries` and `explain --query` (the plan is
+  the thing worth describing in a single-driver engine).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _get_spark(cpus: int) -> SparkSession:
+    from bacalhau_spark.session import get_session
+    return get_session("bacalhau-spark-cli", master=f"local[{cpus}]")
+
+
+def cmd_list_queries(_args) -> int:
+    from bacalhau_spark import registry
+    sql = registry.oracle_sql()
+    for name in sorted(registry.queries()):
+        kind = "oracle" if name in sql else "rows-only"
+        print(f"{name}\t{kind}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from bacalhau_spark import registry
+    qs = registry.queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; see list-queries", file=sys.stderr)
+        return 2
+    spark = _get_spark(args.cpus)
+    df = qs[args.query](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").format(args.format).save(args.out)
+        print(f"wrote {args.out} ({args.format})")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_explain(args) -> int:
+    from bacalhau_spark import registry
+    qs = registry.queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; see list-queries", file=sys.stderr)
+        return 2
+    spark = _get_spark(args.cpus)
+    qs[args.query](spark, args.sf_dir).explain("formatted")
+    return 0
+
+
+def cmd_apply(args) -> int:
+    from bacalhau_spark import registry
+    from bacalhau_spark.engine import Engine, JobSpec
+    spec = JobSpec.load(args.file)
+    spark = _get_spark(args.cpus)
+    engine = Engine(spark, registry.queries())
+    run_id = engine.submit(spec)
+    print(f"run {run_id}: {engine.state(run_id)}")
+    for evt in engine.events(run_id):
+        print(f"  [{evt.ordinal}] {evt.name} {evt.detail[:60]}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bacalhau_spark",
+                                description="PySpark-native analytics engine")
+    p.add_argument("--cpus", type=int, default=4, help="local[N] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list-queries").set_defaults(fn=cmd_list_queries)
+
+    run = sub.add_parser("run", help="run a registered query")
+    run.add_argument("--query", required=True)
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    run.add_argument("--limit", type=int, default=20)
+    run.add_argument("--out", help="write results here instead of printing")
+    run.add_argument("--format", default="parquet")
+    run.set_defaults(fn=cmd_run)
+
+    ex = sub.add_parser("explain", help="show a query's physical plan")
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.set_defaults(fn=cmd_explain)
+
+    ap = sub.add_parser("apply", help="submit a declarative job spec")
+    ap.add_argument("-f", "--file", required=True)
+    ap.set_defaults(fn=cmd_apply)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

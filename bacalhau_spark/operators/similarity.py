@@ -159,6 +159,86 @@ def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CLUSTERS = 16
+NPROBE = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer: deterministic seeds (first K vectors)
+    + one Lloyd refinement, all as DataFrame ops. The K x DIM result is model
+    state — constant-size regardless of corpus size — so collecting it to the
+    driver is the trained-quantizer pattern (Spark ML's KMeansModel does the
+    same), not a data collect."""
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = F.broadcast(
+        emb.where(F.col("vec_id") < N_CLUSTERS)
+        .select(F.col("vec_id").cast("int").alias("cluster"),
+                F.col("embedding").alias("s_emb")))
+    assigned = (
+        emb.crossJoin(seeds)
+        .select("vec_id", "embedding", "cluster",
+                _dot(F.col("embedding"), F.col("s_emb")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.first("embedding").alias("embedding"),
+             F.max_by("cluster", "d").alias("cluster"))
+    )
+    means = (
+        assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
+        .groupBy("cluster")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                         lambda x: x["m"]).alias("c_emb"))
+    )
+    out = []
+    for row in means.collect():
+        vec = row["c_emb"]
+        norm = sum(v * v for v in vec) ** 0.5 or 1.0
+        out.append((row["cluster"], [v / norm for v in vec]))
+    return sorted(out)
+
+
+def nd_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: corpus vectors are partitioned into K coarse cells
+    (nearest centroid); each query probes its NPROBE nearest cells only. The
+    candidate join is an equi join on cell id — at 100 TB the corpus is
+    hash-partitioned (or bucketed) by cell, so a query touches NPROBE/K of
+    the data. Approximate: recall vs brute force is threshold-tested in
+    tests/; no SQL oracle by design."""
+    cents = F.broadcast(spark.createDataFrame(
+        _ivf_centroids(spark, sf_dir), "cluster int, c_emb array<double>"))
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.crossJoin(cents).select(
+        "vec_id", "embedding", "cluster",
+        _dot(F.col("embedding"), F.col("c_emb")).alias("d"))
+    corpus = (scored.groupBy("vec_id")
+              .agg(F.first("embedding").alias("c_emb2"),
+                   F.max_by("cluster", "d").alias("cluster"))
+              .select(F.col("vec_id").alias("nn"), "c_emb2", "cluster"))
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cluster"))
+    probes = (scored.where(F.col("vec_id") < 20)
+              .withColumn("pr", F.row_number().over(wq))
+              .where(F.col("pr") <= NPROBE)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_emb"), "cluster"))
+    cos = cosine(F.col("q_emb"), F.col("c_emb2"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
+    return (
+        F.broadcast(probes).join(corpus, "cluster")
+        .where(F.col("q_id") != F.col("nn"))
+        .select(F.col("q_id").alias("vec_id"), "nn", cos.alias("cos_raw"))
+        .groupBy("vec_id", "nn").agg(F.max("cos_raw").alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("vec_id", "rank", "nn", F.col("cos_raw").alias("cos"))
+        .orderBy("vec_id", "rank")
+    )
+
+
 QUERIES = {
     "q30_nn": (
         q30_nn,
@@ -188,4 +268,5 @@ QUERIES = {
         "WHERE rank <= 3 ORDER BY vec_id, rank",
     ),
     "nd_ann_lsh": (nd_ann_lsh, None),
+    "nd_ann_ivf": (nd_ann_ivf, None),
 }

@@ -90,6 +90,142 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the event-log dir (see stream_tumbling_window note)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str,
+                          gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming session windows: per-user sessions closed by a `gap` of
+    silence, finalized once the watermark passes. State per open session is
+    O(1) (count + bounds), keyed by (user, session) — the scale path for
+    billions of users is exactly this keyed state store."""
+    stream = _event_stream(spark, sf_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id",
+                F.col("session_window.start").alias("s_start"),
+                F.col("session_window.end").alias("s_end"),
+                "n")
+    )
+
+
+def run_stream_session_to_memory(spark: SparkSession, sf_dir: str,
+                                 table_name: str = "stream_sessions",
+                                 timeout_sec: int = 120) -> DataFrame:
+    """Run the streaming sessionization over the finite fixture dir; returns
+    the materialized sessions for comparison with the batch nd_sessionize."""
+    q = (
+        stream_session_window(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(table_name).orderBy("user_id", "s_start")
+
+
+STATE_SCHEMA = "n bigint, total double, last_type string, last_event_id bigint"
+STATEFUL_OUT_SCHEMA = ("user_id bigint, n bigint, total double, "
+                       "last_type string")
+
+
+def stateful_user_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running fold of (event count, value total, last event type by event_id) —
+    the reference's per-(job,node) state-machine fold
+    (`pkg/executor/constants.go:211-250`, `pkg/job/job.go:233-259`) restated
+    as keyed streaming state. State is O(1) per key; each micro-batch emits
+    the key's updated state (update mode)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdf_iter, state):
+        # Self-contained closure: imports inside so cloudpickle ships it by
+        # value and workers never import this module.
+        import pandas as _pd
+
+        n, total, last_type, last_id = (
+            state.get if state.exists else (0, 0.0, None, -1))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            top = pdf.loc[pdf["event_id"].idxmax()]
+            if int(top["event_id"]) > last_id:
+                last_id = int(top["event_id"])
+                last_type = str(top["event_type"])
+        state.update((n, total, last_type, last_id))
+        yield _pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total],
+                             "last_type": [last_type]})
+
+    stream = _event_stream(spark, sf_dir)
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(fold, STATEFUL_OUT_SCHEMA, STATE_SCHEMA,
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def run_stateful_fold(spark: SparkSession, sf_dir: str,
+                      table_name: str = "stream_user_state",
+                      timeout_sec: int = 120) -> DataFrame:
+    """Run the stateful fold over the finite fixture; the last update per
+    user is the final state (single micro-batch with availableNow)."""
+    q = (
+        stateful_user_fold(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(table_name).orderBy("user_id")
+
+
+def run_stream_foreach_batch(spark: SparkSession, sf_dir: str,
+                             out_dir: str, timeout_sec: int = 120) -> list[int]:
+    """foreachBatch sink: each micro-batch of the windowed aggregate is
+    written as parquet under out_dir/batch=<id> (the custom-sink surface —
+    idempotent by batch id, the exactly-once pattern for external stores).
+    Returns the batch ids written."""
+    seen: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (
+        stream_tumbling_window(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return seen
+
+
 QUERIES = {
     "q28_tumbling_window": (
         q28_tumbling_window,

@@ -1,0 +1,47 @@
+"""CLI surface tests (the reference's CLI test analog,
+`cmd/bacalhau/docker_run_test.go`, `apply_test.go`, `list_test.go`)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from bacalhau_spark import cli
+
+
+def test_list_queries(capsys):
+    assert cli.main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q17_hash_agg\toracle" in out
+    assert "nd_ann_lsh\trows-only" in out
+
+
+def test_run_unknown_query():
+    assert cli.main(["run", "--query", "nope"]) == 2
+
+
+def test_run_and_write(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "q01_out")
+    rc = cli.main(["run", "--query", "q01_scan_projection",
+                   "--sf-dir", sf_dir, "--out", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 25
+
+
+def test_explain(sf_dir, capsys):
+    rc = cli.main(["explain", "--query", "q17_hash_agg", "--sf-dir", sf_dir])
+    assert rc == 0
+    plan = capsys.readouterr().out
+    assert "HashAggregate" in plan
+
+
+def test_apply_spec(sf_dir, tmp_path, capsys):
+    spec = {"query": "q13_join_agg", "inputs": {"sf_dir": sf_dir},
+            "replicas": 2, "verified": True}
+    f = tmp_path / "job.json"
+    f.write_text(json.dumps(spec))
+    rc = cli.main(["apply", "-f", str(f)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ResultsAccepted" in out

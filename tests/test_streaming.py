@@ -7,7 +7,16 @@ result over the finite fixture directory.
 
 from __future__ import annotations
 
+import glob
+
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+from bacalhau_spark.operators.windows import nd_sessionize
 from bacalhau_spark.streaming.events import (q28_tumbling_window,
+                                             run_stateful_fold,
+                                             run_stream_foreach_batch,
+                                             run_stream_session_to_memory,
                                              run_stream_to_memory)
 
 
@@ -19,3 +28,40 @@ def test_stream_equals_batch(spark, sf_dir):
     b = {(r["ws"], r["event_type"]): (r["c"], r["s"]) for r in batch}
     s = {(r["ws"], r["event_type"]): (r["c"], r["s"]) for r in stream}
     assert b == s
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    batch = nd_sessionize(spark, sf_dir).collect()
+    stream = run_stream_session_to_memory(
+        spark, sf_dir, table_name="t_stream_sessions").collect()
+    b = {(r["user_id"], r["s_start"], r["s_end"]): r["n"] for r in batch}
+    s = {(r["user_id"], r["s_start"], r["s_end"]): r["n"] for r in stream}
+    assert b == s
+
+
+def test_stateful_fold_equals_batch(spark, sf_dir):
+    got = run_stateful_fold(spark, sf_dir,
+                            table_name="t_stream_state").collect()
+    want = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"),
+             F.max_by("event_type", "event_id").alias("last_type"))
+        .collect()
+    )
+    g = {r["user_id"]: (r["n"], round(r["total"], 6), r["last_type"])
+         for r in got}
+    w = {r["user_id"]: (r["n"], round(r["total"], 6), r["last_type"])
+         for r in want}
+    assert g == w
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "fb_out")
+    batch_ids = run_stream_foreach_batch(spark, sf_dir, out)
+    assert batch_ids, "no micro-batches executed"
+    files = glob.glob(f"{out}/batch=*/*.parquet")
+    assert files, "foreachBatch wrote no parquet"
+    written = spark.read.parquet(f"{out}/batch={max(batch_ids)}")
+    batch = q28_tumbling_window(spark, sf_dir)
+    assert written.count() == batch.count()
