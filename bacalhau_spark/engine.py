@@ -111,6 +111,24 @@ class Engine:
     def list_runs(self) -> dict[str, str]:
         return {rid: self.state(rid) for rid in self._ordinals}
 
+    def events_df(self) -> DataFrame:
+        """The run log as a DataFrame — the reference's LocalDB views
+        (`pkg/publicapi/server.go:195-312`) as queryable tables."""
+        rows = [(e.run_id, e.ordinal, e.name, e.ts, e.detail)
+                for e in self._events]
+        return self.spark.createDataFrame(
+            rows, "run_id string, ordinal int, name string, ts double, "
+                  "detail string")
+
+    def states_df(self) -> DataFrame:
+        """Current state per run — the engine's own Q20 fold (max-ordinal
+        event wins, `pkg/job/job.go:233-259`) run through its own operator
+        plane (dogfooding)."""
+        from pyspark.sql import functions as F
+        return (self.events_df()
+                .groupBy("run_id")
+                .agg(F.max_by("name", "ordinal").alias("state")))
+
     # -- submit / run ------------------------------------------------------
     def submit(self, spec: JobSpec) -> str:
         """Run a spec to completion; returns the run id. Replicated,

@@ -1,0 +1,120 @@
+"""The Python-UDF plane: vectorized pandas_udf + applyInPandas group maps.
+
+Mapping (SURVEY.md §2.2): the reference executes arbitrary user code next to
+the data — docker containers and deterministic Python-in-WASM
+(`pkg/executor/docker/executor.go:104-341`,
+`pkg/executor/python_wasm/executor.go:48-73`, dispatch
+`pkg/executor/language/executor.go:47-62`). In a Spark engine that plane is
+the UDF surface, with the same two-tier dispatch:
+
+- deterministic, vectorized work → Arrow-batched ``pandas_udf`` (the
+  python_wasm analog: sandboxed, batch-at-a-time, no entropy);
+- arbitrary per-group programs → ``applyInPandas`` (the docker analog: the
+  black-box map over a whole partition of one key's rows).
+
+The reference's `deterministic` flag (`pkg/executor/types.go:102-115`)
+inverts onto Spark: UDFs are assumed deterministic unless marked with
+``asNondeterministic()`` — ``register_udfs`` exposes both so the validation
+gate (plans/validation.py) can see the difference.
+
+All closures are self-contained (imports inside) so cloudpickle ships them
+by value — workers never import this package.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from bacalhau_spark.catalog import table
+
+
+def make_charge_udf():
+    """Vectorized per-row charge — the deterministic python job analog.
+    Built as a local closure (pickled by value) so executors never need this
+    module importable; Arrow moves whole columns, pandas does one vectorized
+    expression per batch (no per-row Python)."""
+
+    def _charge(extendedprice: pd.Series, discount: pd.Series,
+                tax: pd.Series) -> pd.Series:
+        return extendedprice * (1 - discount) * (1 + tax)
+
+    return pandas_udf(_charge, "double")
+
+
+def register_udfs(spark: SparkSession) -> None:
+    """Register the UDF surface for spark.sql users. `entropy()` is the
+    deliberately-nondeterministic example (asNondeterministic), which the
+    verified-mode plan gate must reject."""
+    spark.udf.register("charge_py", make_charge_udf())
+
+    def _entropy() -> float:
+        import random
+        return random.random()
+
+    entropy = F.udf(_entropy, "double").asNondeterministic()
+    spark.udf.register("entropy", entropy)
+
+
+def nd_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's charge computed through the Arrow-batched pandas_udf instead of
+    built-ins — the dispatch target for 'deterministic python' jobs. The
+    pandas expression is IEEE-identical to the built-in column expression
+    (same multiply order), so the oracle hash-matches on raw doubles."""
+    charge_udf = make_charge_udf()
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber",
+                  charge_udf("l_extendedprice", "l_discount", "l_tax")
+                  .alias("charge"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+GROUP_OLS_SCHEMA = "user_id bigint, n bigint, slope double"
+
+
+def nd_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit via applyInPandas — the 'arbitrary program over
+    one key's data' analog of the reference's docker executor. Fits an OLS
+    slope of value over event_id per user. The closed-form moment formula
+    matches the oracle's regr_slope; output rounded (summation order within
+    a group is pandas', not the oracle's)."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        x = pdf["event_id"].astype("float64")
+        y = pdf["value"].astype("float64")
+        n = len(pdf)
+        vx = ((x - x.mean()) ** 2).sum()
+        slope = (((x - x.mean()) * (y - y.mean())).sum() / vx
+                 if vx > 0 else None)
+        return _pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n": [n],
+            "slope": [None if slope is None else round(slope, 6)],
+        })
+
+    events = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return (events.groupBy("user_id").applyInPandas(fit, GROUP_OLS_SCHEMA)
+            .orderBy("user_id"))
+
+
+QUERIES = {
+    "nd_pandas_udf": (
+        nd_pandas_udf,
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    ),
+    "nd_applyinpandas": (
+        nd_applyinpandas,
+        "SELECT user_id, COUNT(*) AS n, "
+        "ROUND(regr_slope(value, event_id), 6) AS slope "
+        "FROM events GROUP BY user_id ORDER BY user_id",
+    ),
+}

@@ -209,8 +209,12 @@ def nd_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned (or bucketed) by cell, so a query touches NPROBE/K of
     the data. Approximate: recall vs brute force is threshold-tested in
     tests/; no SQL oracle by design."""
-    cents = F.broadcast(spark.createDataFrame(
-        _ivf_centroids(spark, sf_dir), "cluster int, c_emb array<double>"))
+    # Literal local relation (inline over structs), not createDataFrame:
+    # keeps the centroid table JVM-side — no Python-RDD scan per execution.
+    cents = F.broadcast(spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(cl).alias("cluster"),
+                 F.array(*[F.lit(v) for v in vec]).alias("c_emb"))
+        for cl, vec in _ivf_centroids(spark, sf_dir)]))))
     emb = table(spark, sf_dir, "embeddings")
     scored = emb.crossJoin(cents).select(
         "vec_id", "embedding", "cluster",

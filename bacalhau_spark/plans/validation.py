@@ -45,10 +45,38 @@ def validate_sql(spark: SparkSession, sql: str) -> None:
     spark.sql(sql).schema  # forces analysis only
 
 
+def _iter_scala_seq(seq):
+    for i in range(seq.size()):
+        yield seq.apply(i)
+
+
+def nondeterministic_exprs(df: DataFrame) -> list[str]:
+    """Walk the analyzed Catalyst plan and return expressions whose
+    `deterministic` flag is false — catches nondeterministic Python UDFs
+    (asNondeterministic) and any builtin the name-pattern list misses.
+    Expression.deterministic already folds in its children, so checking each
+    plan node's top-level expressions suffices."""
+    bad: list[str] = []
+
+    def walk(plan) -> None:
+        for e in _iter_scala_seq(plan.expressions()):
+            if not e.deterministic():
+                bad.append(e.toString())
+        for child in _iter_scala_seq(plan.children()):
+            walk(child)
+
+    walk(df._jdf.queryExecution().analyzed())
+    return bad
+
+
 def assert_deterministic(df: DataFrame) -> None:
-    """Reject plans that cannot produce stable output hashes."""
+    """Reject plans that cannot produce stable output hashes. Two layers:
+    the Catalyst `deterministic` flag (true nondeterminism, incl. UDFs), and
+    a name-pattern list for expressions Catalyst treats as query-constant
+    but that vary across replicated runs (current_timestamp & co.)."""
+    hits: list[str] = nondeterministic_exprs(df)
     plan = analyzed_plan(df).lower()
-    hits = [p for p in NONDETERMINISTIC_PATTERNS if re.search(p, plan)]
+    hits += [p for p in NONDETERMINISTIC_PATTERNS if re.search(p, plan)]
     if hits:
         raise NondeterministicPlanError(
             f"plan contains nondeterministic expressions ({hits}); "

@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bacalhau_spark.functions import udfs
 from bacalhau_spark.operators import (aggregates, asof, dedup, filters, joins,
                                       multimodal, scalar, scans, setops, sort,
                                       similarity, text, windows)
@@ -19,7 +20,8 @@ from bacalhau_spark.sources import sinks
 from bacalhau_spark.streaming import events as streaming_events
 
 _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
-            asof, dedup, similarity, text, multimodal, sinks, streaming_events)
+            asof, dedup, similarity, text, multimodal, sinks, streaming_events,
+            udfs)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

@@ -80,3 +80,13 @@ def test_output_sink(engine, tmp_path, spark):
                           outputs={"path": out, "format": "parquet"}))
     back = spark.read.parquet(out)
     assert back.count() == 25
+
+
+def test_events_and_states_df(engine):
+    rid = engine.submit(JobSpec(query="q01_scan_projection",
+                                inputs={"sf_dir": SF_DIR}))
+    evts = engine.events_df().where(f"run_id = '{rid}'").collect()
+    assert [e["name"] for e in sorted(evts, key=lambda e: e["ordinal"])][:2] \
+        == ["Created", "Running"]
+    states = {r["run_id"]: r["state"] for r in engine.states_df().collect()}
+    assert states[rid] == "Completed"

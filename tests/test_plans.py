@@ -27,6 +27,28 @@ def test_nondeterministic_plans_rejected(spark, expr):
         assert_deterministic(df)
 
 
+def test_nondeterministic_udf_rejected(spark):
+    """A Python UDF marked asNondeterministic must fail the verified-mode
+    gate via the Catalyst deterministic-flag walk (the name-pattern list
+    can't know user function names)."""
+    from bacalhau_spark.functions.udfs import register_udfs
+    register_udfs(spark)
+    df = table(spark, SF_DIR, "nation").selectExpr("n_name", "entropy() AS e")
+    with pytest.raises(NondeterministicPlanError):
+        assert_deterministic(df)
+
+
+def test_deterministic_pandas_udf_passes(spark):
+    """The deterministic pandas_udf plane must NOT trip the gate — this is
+    the reference's python_wasm contract (deterministic python allowed in
+    verified jobs)."""
+    from bacalhau_spark.functions.udfs import make_charge_udf
+    charge = make_charge_udf()
+    df = table(spark, SF_DIR, "lineitem").select(
+        charge("l_extendedprice", "l_discount", "l_tax").alias("c"))
+    assert_deterministic(df)
+
+
 def test_validate_sql_parses_without_running(spark):
     table(spark, SF_DIR, "nation").createOrReplaceTempView("v_nation")
     validate_sql(spark, "SELECT n_name FROM v_nation")
