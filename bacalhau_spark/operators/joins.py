@@ -132,6 +132,38 @@ def qj_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8
+
+
+def nd_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join: events cluster on ~150 hot user keys
+    while customer has 10x more — the shape where one reducer gets a hot
+    key's whole partition. Salting spreads each hot key over SALT_BUCKETS
+    reducers: the fact side appends salt = hash(row) % S to the key, the dim
+    side replicates each row S times (explode over a literal sequence), and
+    the join key becomes (key, salt). Semantics identical to the plain join
+    (oracle is the unsalted SQL); AQE's skew split is the automatic cousin —
+    this operator is the explicit form for engines/pipelines that pin it.
+    """
+    events = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(SALT_BUCKETS)))
+    customer = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment",
+                F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+                .alias("salt"))
+    )
+    return (
+        events.join(customer,
+                    (events.user_id == customer.c_custkey)
+                    & (events.salt == customer.salt))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 3).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q13_join_agg": (
         q13_join_agg,
@@ -172,6 +204,12 @@ QUERIES = {
         "LEFT JOIN (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem "
         "GROUP BY l_orderkey) li ON o_orderkey = l_orderkey "
         "ORDER BY o_orderkey",
+    ),
+    "nd_salted_join": (
+        nd_salted_join,
+        "SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(value), 3) AS total "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment",
     ),
     "qj_full_outer": (
         qj_full_outer,

@@ -72,6 +72,42 @@ def nd_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode_batches, FEATURE_SCHEMA).orderBy("doc_id")
 
 
+N_FRAMES = 3
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string, n_bytes int"
+
+
+def nd_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one input blob fans out to N_FRAMES sampled-frame
+    rows (the video/audio segment shape) — a 1-to-N mapInPandas. The frame
+    decode is the deterministic fake (md5-derived; a real build swaps in the
+    codec, same schema/batching). The payload column is consumed inside the
+    executor; only fixed-width frame rows come out."""
+
+    def sample_batches(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        n_frames = 3
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": [],
+                   "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                base = _hashlib.md5(payload).hexdigest()
+                for i in range(n_frames):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame_hash"].append(
+                        _hashlib.md5(f"{base}:{i}".encode()).hexdigest())
+                    out["n_bytes"].append(len(payload))
+            yield _pd.DataFrame(out)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return (docs.mapInPandas(sample_batches, FRAME_SCHEMA)
+            .orderBy("doc_id", "frame_idx"))
+
+
 _HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16"
             " + (strpos('0123456789abcdef', substring(md5(text), {b}, 1)) - 1)")
 
@@ -82,5 +118,13 @@ QUERIES = {
         f"CAST(({_HEXPAIR.format(a=1, b=2)}) % 512 + 16 AS INTEGER) AS width, "
         f"CAST(({_HEXPAIR.format(a=3, b=4)}) % 512 + 16 AS INTEGER) AS height, "
         "md5(text) AS phash FROM documents ORDER BY doc_id",
+    ),
+    "nd_multimodal_frames": (
+        nd_multimodal_frames,
+        "SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx, "
+        "md5(md5(text) || ':' || f.i) AS frame_hash, "
+        "CAST(length(text) AS INTEGER) AS n_bytes "
+        f"FROM documents CROSS JOIN (SELECT unnest(range({N_FRAMES})) AS i) f "
+        "ORDER BY doc_id, frame_idx",
     ),
 }

@@ -1,0 +1,111 @@
+"""Scale-mechanics evidence tests: the physical-plan properties the 100 TB
+design relies on (SURVEY.md §4) — bucketed co-located joins eliminate the
+shuffle, salting spreads hot keys, watermarks actually drop late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join with
+    ZERO exchanges — the co-located join that makes repeated fact-fact joins
+    affordable at 100 TB (bucket once, join many times)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .option("path", str(tmp_path / "b_li")).saveAsTable("b_li"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .option("path", str(tmp_path / "b_ord")).saveAsTable("b_ord"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_li").join(
+                spark.table("b_ord"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            n = joined.count()
+            plan = _executed_plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert n == table(spark, sf_dir, "lineitem").count()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, \
+            "bucketed join still shuffles:\n" + plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join's fact side must distribute each hot key over
+    SALT_BUCKETS distinct composite keys (the whole point of salting)."""
+    from bacalhau_spark.operators.joins import SALT_BUCKETS
+    events = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(SALT_BUCKETS)))
+    spread = (events.groupBy("user_id")
+              .agg(F.countDistinct("salt").alias("n_salts"),
+                   F.count("*").alias("n"))
+              .where(F.col("n") >= SALT_BUCKETS))
+    rows = spread.collect()
+    assert rows, "fixture has no key with >= SALT_BUCKETS rows"
+    avg_salts = sum(r["n_salts"] for r in rows) / len(rows)
+    assert avg_salts >= SALT_BUCKETS * 0.75
+
+
+def _write_events(spark, path: str, rows: list[tuple[int, str]]) -> None:
+    (spark.createDataFrame(rows, "id bigint, ts_s string")
+     .select("id", F.to_timestamp("ts_s").alias("ts"))
+     .coalesce(1).write.mode("append").parquet(path))
+
+
+def _run_stream(spark, src: str, out: str, ckpt: str) -> None:
+    q = (spark.readStream.schema("id bigint, ts timestamp").parquet(src)
+         .withWatermark("ts", "1 hour")
+         .groupBy(F.window("ts", "1 hour").alias("w"))
+         .agg(F.count("*").alias("n"))
+         .select(F.col("w.start").alias("ws"), "n")
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy end-to-end (SURVEY.md §7 hard part d): a row arriving
+    behind the watermark is dropped, not resurrected into a closed window.
+    Three availableNow runs over one checkpoint simulate arrival order."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: on-time rows; max ts 12:00 -> watermark 11:00, closes [10,11).
+    _write_events(spark, src, [(1, "2024-01-01 10:00:00"),
+                               (2, "2024-01-01 10:30:00"),
+                               (3, "2024-01-01 12:00:00")])
+    _run_stream(spark, src, out, ckpt)
+
+    # run 2: one late row (08:15, far behind watermark) + one on-time row.
+    _write_events(spark, src, [(4, "2024-01-01 08:15:00"),
+                               (5, "2024-01-01 13:00:00")])
+    _run_stream(spark, src, out, ckpt)
+
+    # run 3: advance watermark past every pending window so they all emit.
+    _write_events(spark, src, [(6, "2024-01-01 16:00:00")])
+    _run_stream(spark, src, out, ckpt)
+
+    got = {r["ws"].strftime("%H:%M"): r["n"]
+           for r in spark.read.parquet(out).collect()}
+    assert got.get("10:00") == 2          # both on-time rows
+    assert "08:00" not in got             # late row dropped
+    assert got.get("12:00") == 1 and got.get("13:00") == 1
