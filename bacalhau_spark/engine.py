@@ -35,6 +35,12 @@ EVT_COMPLETED = "Completed"
 EVT_ERROR = "Error"
 EVT_RESULTS_ACCEPTED = "ResultsAccepted"
 EVT_RESULTS_REJECTED = "ResultsRejected"
+EVT_REJECTED = "Rejected"
+
+
+class JobRejectedError(RuntimeError):
+    """A submit-time policy hook declined the job (the SelectJob=false
+    path, `pkg/computenode/computenode.go:348-405`)."""
 
 
 @dataclass
@@ -85,9 +91,16 @@ class Engine:
     """Single-driver engine with the reference's run-lifecycle semantics."""
 
     def __init__(self, spark: SparkSession,
-                 registry: dict[str, Callable[[SparkSession, str], DataFrame]]):
+                 registry: dict[str, Callable[[SparkSession, str], DataFrame]],
+                 policies: list[Callable[[JobSpec], bool]] | None = None):
+        """`policies` are submit-time selection hooks — the reference's
+        JobSelectionPolicy / exec-probe / http-probe plane
+        (`pkg/computenode/job_selection.go:23-101`) as plain Python
+        callables: each gets the spec; return False (or raise) to decline
+        the job before any Spark work starts."""
         self.spark = spark
         self.registry = dict(registry)
+        self.policies = list(policies or [])
         self._events: list[JobEvent] = []
         self._ordinals: dict[str, int] = {}
 
@@ -137,6 +150,13 @@ class Engine:
             raise KeyError(f"unknown query {spec.query!r}")
         run_id = uuid.uuid4().hex[:12]
         self._emit(run_id, EVT_CREATED, spec.query)
+        for policy in self.policies:
+            if not policy(spec):
+                self._emit(run_id, EVT_REJECTED,
+                           getattr(policy, "__name__", "policy"))
+                raise JobRejectedError(
+                    f"job declined by policy "
+                    f"{getattr(policy, '__name__', 'policy')!r}")
         try:
             fn = self.registry[spec.query]
             sf_dir = spec.inputs.get("sf_dir", "/root/testdata/sf0.001")

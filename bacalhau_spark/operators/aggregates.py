@@ -139,6 +139,22 @@ def nd_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (per-partition sketch + merge, bounded
+    memory) — the 100 TB default where exact percentile's per-group sort is
+    unaffordable. Tolerance-checked against the exact form in tests, not
+    hash-checked (rows-only for the driver)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q17_hash_agg": (
         q17_hash_agg,
@@ -153,6 +169,7 @@ QUERIES = {
         "SELECT COUNT(DISTINCT o_custkey) AS exact_cnt FROM orders",
     ),
     "q18b_approx_distinct": (q18b_approx_distinct, None),
+    "nd_approx_percentiles": (nd_approx_percentiles, None),
     "q19_rollup": (
         q19_rollup,
         "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c FROM orders "

@@ -132,6 +132,34 @@ def qj_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered 3-way join + aggregate + top-10 — the
+    composite pipeline (scan with pushed predicates -> broadcast dim join ->
+    fact shuffle join -> partial+final agg -> TakeOrdered). Filters sit on
+    each scan so parquet prunes row groups before any join."""
+    cutoff = "1995-03-15"
+    customer = (table(spark, sf_dir, "customer")
+                .where(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+    orders = (table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < cutoff)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    lineitem = (table(spark, sf_dir, "lineitem")
+                .where(F.col("l_shipdate") > cutoff)
+                .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 SALT_BUCKETS = 8
 
 
@@ -204,6 +232,17 @@ QUERIES = {
         "LEFT JOIN (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem "
         "GROUP BY l_orderkey) li ON o_orderkey = l_orderkey "
         "ORDER BY o_orderkey",
+    ),
+    "q3_shipping_priority": (
+        q3_shipping_priority,
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15' "
+        "AND l_shipdate > DATE '1995-03-15' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10",
     ),
     "nd_salted_join": (
         nd_salted_join,

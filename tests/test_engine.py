@@ -90,3 +90,23 @@ def test_events_and_states_df(engine):
         == ["Created", "Running"]
     states = {r["run_id"]: r["state"] for r in engine.states_df().collect()}
     assert states[rid] == "Completed"
+
+
+def test_policy_hooks(spark):
+    """Submit-time selection policies — the JobSelectionPolicy analog:
+    a declining policy rejects the job before any Spark work."""
+    from bacalhau_spark.engine import Engine, JobRejectedError
+    from bacalhau_spark import registry as reg
+
+    def no_annotated_jobs(spec):
+        return "blocked" not in spec.annotations
+
+    eng = Engine(spark, reg.queries(), policies=[no_annotated_jobs])
+    ok = eng.submit(JobSpec(query="q01_scan_projection",
+                            inputs={"sf_dir": SF_DIR}))
+    assert eng.state(ok) == "Completed"
+    with pytest.raises(JobRejectedError):
+        eng.submit(JobSpec(query="q01_scan_projection",
+                           inputs={"sf_dir": SF_DIR},
+                           annotations=["blocked"]))
+    assert "Rejected" in {e.name for e in eng.events()}

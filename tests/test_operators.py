@@ -104,3 +104,27 @@ def test_reader_registry(spark, tmp_path):
     assert readers.is_url_supported("https://example.com/x.csv")
     assert not readers.is_url_supported("ftp://example.com/x.csv")
     assert not readers.is_url_supported("file:///etc/passwd")
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    """Approx percentiles must land within 5% of the exact interpolated
+    values (tolerance gate, never hash — SURVEY.md §2.6 approx row)."""
+    from bacalhau_spark.operators.aggregates import (nd_approx_percentiles,
+                                                     nd_percentiles)
+    exact = {r["l_returnflag"]: (r["median_qty"], r["p90_price"])
+             for r in nd_percentiles(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: (r["median_qty"], r["p90_price"])
+              for r in nd_approx_percentiles(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for k, (em, ep) in exact.items():
+        am, ap = approx[k]
+        assert abs(am - em) <= 0.05 * em + 1e-9
+        assert abs(ap - ep) <= 0.05 * ep + 1e-9
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    from bacalhau_spark.operators.aggregates import (q18_count_distinct,
+                                                     q18b_approx_distinct)
+    exact = q18_count_distinct(spark, sf_dir).collect()[0]["exact_cnt"]
+    approx = q18b_approx_distinct(spark, sf_dir).collect()[0]["approx_cnt"]
+    assert abs(approx - exact) <= 0.05 * exact
