@@ -26,6 +26,8 @@ BENCH_QUERIES = (
     "q15_multiway_join",   # 5-way join + agg
     "q25_topk",            # order-by + limit (top-k)
     "q28_tumbling_window", # 1-hour tumbling window aggregate
+    "q3_shipping_priority",# filtered 3-way join + agg + top-10 (TPC-H Q3)
+    "nd_asof_join",        # as-of join (union + running window)
 )
 
 WARMUP_RUNS = 1
