@@ -134,6 +134,26 @@ def _sql_marker_hits(markers: tuple[str, ...]) -> str:
             f"x -> list_contains([{inlist}], x)))")
 
 
+def nd_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup on a bounded slice: pairwise levenshtein over
+    the first 40 chars of a 30-doc window. Quadratic by nature — at scale
+    this runs only WITHIN candidate buckets produced by cheap keys
+    (fingerprint/minhash), never across the corpus; the bounded slice here
+    stands in for one bucket."""
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 30)
+            .select("doc_id", F.substring("text", 1, 40).alias("head")))
+    a = docs.select(F.col("doc_id").alias("a_id"), F.col("head").alias("a_h"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("head").alias("b_h"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id",
+                F.levenshtein("a_h", "b_h").alias("dist"))
+        .where(F.col("dist") <= 25)
+        .orderBy("a_id", "b_id")
+    )
+
+
 _LANGID_ORACLE = (
     "WITH s AS (SELECT doc_id, "
     + ", ".join(f"{_sql_marker_hits(m)} AS hits_{lang}"
@@ -175,6 +195,16 @@ QUERIES = {
         "CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words, "
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) "
         "AS INTEGER) AS n_bpe_tokens FROM documents ORDER BY doc_id",
+    ),
+    "nd_levenshtein": (
+        nd_levenshtein,
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) "
+        "AS INTEGER) AS dist "
+        "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+        "WHERE a.doc_id < 30 AND b.doc_id < 30 "
+        "AND levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 25 "
+        "ORDER BY a_id, b_id",
     ),
     "nd_fingerprint": (
         nd_fingerprint,

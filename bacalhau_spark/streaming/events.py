@@ -200,6 +200,69 @@ def run_stateful_fold(spark: SparkSession, sf_dir: str,
     return spark.table(table_name).orderBy("user_id")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks within the following hour. Both sides carry watermarks and the
+    join condition bounds event time on both ends, so Spark can expire join
+    state — the requirement that makes stream-stream joins feasible at all
+    (unbounded state otherwise). Batch-equivalence tested."""
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr("user_id = c_user AND c_ts >= p_ts "
+               "AND c_ts <= p_ts + INTERVAL 1 HOUR"),
+    ).select("user_id", "p_id", "c_id")
+
+
+def batch_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of stream_stream_join (the equivalence oracle)."""
+    events = table(spark, sf_dir, "events")
+    p = (events.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("p_id")))
+    c = (events.where(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("c_id")))
+    return p.join(
+        c, F.expr("user_id = c_user AND c_ts >= p_ts "
+                  "AND c_ts <= p_ts + INTERVAL 1 HOUR"),
+    ).select("user_id", "p_id", "c_id")
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str,
+                           table_name: str = "stream_ssj",
+                           timeout_sec: int = 120) -> DataFrame:
+    q = (
+        stream_stream_join(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(table_name)
+
+
 def run_stream_foreach_batch(spark: SparkSession, sf_dir: str,
                              out_dir: str, timeout_sec: int = 120) -> list[int]:
     """foreachBatch sink: each micro-batch of the windowed aggregate is

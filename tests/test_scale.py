@@ -60,6 +60,25 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     assert avg_salts >= SALT_BUCKETS * 0.75
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter must prune at
+    planning time (PartitionFilters in the scan, non-matching dirs never
+    listed into the plan) — the layout contract for time/type-partitioned
+    100 TB event logs."""
+    out = str(tmp_path / "events_by_type")
+    (table(spark, sf_dir, "events")
+     .write.partitionBy("event_type").parquet(out))
+    df = (spark.read.parquet(out)
+          .where(F.col("event_type") == "purchase")
+          .select("event_id"))
+    df.collect()
+    plan = _executed_plan(df)
+    assert "PartitionFilters" in plan and "purchase" in plan
+    n_purchase = (table(spark, sf_dir, "events")
+                  .where("event_type = 'purchase'").count())
+    assert df.count() == n_purchase
+
+
 def _write_events(spark, path: str, rows: list[tuple[int, str]]) -> None:
     (spark.createDataFrame(rows, "id bigint, ts_s string")
      .select("id", F.to_timestamp("ts_s").alias("ts"))

@@ -13,10 +13,12 @@ from pyspark.sql import functions as F
 
 from bacalhau_spark.catalog import table
 from bacalhau_spark.operators.windows import nd_sessionize
-from bacalhau_spark.streaming.events import (q28_tumbling_window,
+from bacalhau_spark.streaming.events import (batch_purchase_click_join,
+                                             q28_tumbling_window,
                                              run_stateful_fold,
                                              run_stream_foreach_batch,
                                              run_stream_session_to_memory,
+                                             run_stream_stream_join,
                                              run_stream_to_memory)
 
 
@@ -54,6 +56,16 @@ def test_stateful_fold_equals_batch(spark, sf_dir):
     w = {r["user_id"]: (r["n"], round(r["total"], 6), r["last_type"])
          for r in want}
     assert g == w
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    got = {(r["user_id"], r["p_id"], r["c_id"])
+           for r in run_stream_stream_join(
+               spark, sf_dir, table_name="t_ssj").collect()}
+    want = {(r["user_id"], r["p_id"], r["c_id"])
+            for r in batch_purchase_click_join(spark, sf_dir).collect()}
+    assert want, "batch join produced no pairs (fixture regression)"
+    assert got == want
 
 
 def test_foreach_batch_sink(spark, sf_dir, tmp_path):
