@@ -53,12 +53,22 @@ class JobSpec:
     replicas: int = 1               # Deal.Concurrency analog
     verified: bool = False          # enforce deterministic plan + manifest compare
     annotations: list = field(default_factory=list)
+    resources: dict = field(default_factory=dict)  # {"cpu": "500m", "memory": "2Gb", ...}
+
+    def __post_init__(self) -> None:
+        # Validate + sanitize at construction (the reference validates specs
+        # at submit: resources `pkg/capacitymanager/capacitymanager.go:61-179`,
+        # labels `pkg/job/util.go:8-23`). Bad resource strings raise here.
+        from bacalhau_spark.resources import sanitize_annotation, to_spark_conf
+        self.spark_conf = to_spark_conf(self.resources)
+        self.annotations = [sanitize_annotation(str(a))
+                            for a in self.annotations]
 
     @classmethod
     def from_dict(cls, doc: dict) -> "JobSpec":
         known = {k: doc[k] for k in
                  ("query", "inputs", "outputs", "replicas", "verified",
-                  "annotations") if k in doc}
+                  "annotations", "resources") if k in doc}
         if "query" not in known:
             raise ValueError("job spec requires a 'query' field")
         return cls(**known)

@@ -139,6 +139,19 @@ def nd_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17b_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + HAVING (post-aggregation filter): orders whose total
+    quantity exceeds 150. The filter runs on the aggregated rows — one
+    shuffle, the HAVING costs nothing extra."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+        .orderBy("l_orderkey")
+    )
+
+
 def nd_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (per-partition sketch + merge, bounded
     memory) — the 100 TB default where exact percentile's per-group sort is
@@ -170,6 +183,11 @@ QUERIES = {
     ),
     "q18b_approx_distinct": (q18b_approx_distinct, None),
     "nd_approx_percentiles": (nd_approx_percentiles, None),
+    "q17b_having": (
+        q17b_having,
+        "SELECT l_orderkey, SUM(l_quantity) AS total_qty FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150 ORDER BY l_orderkey",
+    ),
     "q19_rollup": (
         q19_rollup,
         "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c FROM orders "

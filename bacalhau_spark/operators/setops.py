@@ -34,6 +34,21 @@ def q27_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27b_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelates to a left-semi join): orders from
+    high-balance customers. The subquery side is deduped then broadcast —
+    the plan Catalyst picks for a bounded IN-list source."""
+    orders = table(spark, sf_dir, "orders")
+    rich = (table(spark, sf_dir, "customer")
+            .where(F.col("c_acctbal") > 9000)
+            .select("c_custkey"))
+    return (
+        orders.join(rich, orders.o_custkey == rich.c_custkey, "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
 def q26b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT: order keys with no lineitem, as a set difference (the set-op
     spelling of q14's anti join — same shuffle-semi physical shape)."""
@@ -64,6 +79,12 @@ QUERIES = {
         q27_scalar_subquery,
         "SELECT o_orderkey FROM orders WHERE o_totalprice > "
         "(SELECT AVG(o_totalprice) FROM orders) ORDER BY o_orderkey",
+    ),
+    "q27b_in_subquery": (
+        q27b_in_subquery,
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000) "
+        "ORDER BY o_orderkey",
     ),
     "q26b_except": (
         q26b_except,

@@ -102,6 +102,27 @@ def nd_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function plane in one window pass: rank, dense_rank,
+    percent_rank, cume_dist, ntile — one sort per partition serves all five
+    (Spark computes them in a single Window operator)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                      "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey", "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = {
     "q20_last_state": (
         q20_last_state,
@@ -131,6 +152,17 @@ QUERIES = {
         "SELECT event_id, user_id, value - lag(value, 1, 0.0) OVER ("
         "PARTITION BY user_id ORDER BY event_id) AS delta "
         "FROM events ORDER BY event_id",
+    ),
+    "nd_ranking_suite": (
+        nd_ranking_suite,
+        "SELECT o_orderkey, o_orderpriority, "
+        "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, "
+        "ROUND(PERCENT_RANK() OVER w, 6) AS prnk, "
+        "ROUND(CUME_DIST() OVER w, 6) AS cd, "
+        "CAST(NTILE(4) OVER w AS INTEGER) AS quartile "
+        "FROM orders WHERE o_orderkey < 2000 "
+        "WINDOW w AS (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey",
     ),
     "nd_sessionize": (
         nd_sessionize,

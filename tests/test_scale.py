@@ -60,6 +60,41 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     assert avg_salts >= SALT_BUCKETS * 0.75
 
 
+def test_q15_dim_chain_broadcasts(spark, sf_dir):
+    """The 5-way join must broadcast its dimension chain — the fact side
+    (lineitem) must never hash-shuffle into a sort-merge join."""
+    from bacalhau_spark.operators.joins import q15_multiway_join
+    df = q15_multiway_join(spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q15_scan_is_column_pruned(spark, sf_dir):
+    """The lineitem scan must read exactly the three needed columns —
+    column pruning reaching the parquet reader is the difference between
+    reading 3 and 16 columns of 100 TB."""
+    from bacalhau_spark.operators.joins import q15_multiway_join
+    plan = _executed_plan(q15_multiway_join(spark, sf_dir))
+    import re
+    li_reads = re.findall(r"ReadSchema: struct<([^>]*)>",
+                          plan.split("lineitem.parquet")[1])
+    assert li_reads, "no lineitem ReadSchema found"
+    cols = {c.split(":")[0] for c in li_reads[0].split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}, cols
+
+
+def test_q3_filters_are_pushed(spark, sf_dir):
+    """Q3's date/segment filters must reach the parquet scans as
+    PushedFilters (row-group skipping at 100 TB)."""
+    from bacalhau_spark.operators.joins import q3_shipping_priority
+    plan = _executed_plan(q3_shipping_priority(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Hive-style partitioned layout + a partition-key filter must prune at
     planning time (PartitionFilters in the scan, non-matching dirs never
