@@ -35,7 +35,10 @@ def result_manifest(df: DataFrame) -> str:
     hashed = df.select(fp.alias("fp"), *[c.alias(f"c{i}") for i, c in enumerate(chunks)])
     agg = hashed.agg(
         F.count("*").alias("n"),
-        *[F.sum(f"c{i}").cast("decimal(38,0)").alias(f"s{i}") for i in range(4)],
+        # coalesce: SUM over zero rows is NULL — an empty result must still
+        # manifest (as "0-0-0-0-0"), not crash the verifier.
+        *[F.coalesce(F.sum(f"c{i}"), F.lit(0)).cast("decimal(38,0)")
+          .alias(f"s{i}") for i in range(4)],
     ).collect()[0]
     return f"{agg['n']}-" + "-".join(f"{int(agg[f's{i}']):x}" for i in range(4))
 

@@ -263,6 +263,39 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str,
     return spark.table(table_name)
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first occurrence per (user_id, event_type)
+    within the watermark horizon survives. dropDuplicates on a stream keys
+    the state store by the dedup columns; the watermark bounds state (keys
+    older than the horizon are evicted) — unbounded-state dedup is the
+    classic streaming-pipeline OOM, this is the bounded form."""
+    return (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str,
+                     table_name: str = "stream_dedup",
+                     timeout_sec: int = 120) -> DataFrame:
+    q = (
+        stream_dedup(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(table_name)
+
+
 def run_stream_foreach_batch(spark: SparkSession, sf_dir: str,
                              out_dir: str, timeout_sec: int = 120) -> list[int]:
     """foreachBatch sink: each micro-batch of the windowed aggregate is

@@ -110,3 +110,19 @@ def test_policy_hooks(spark):
                            inputs={"sf_dir": SF_DIR},
                            annotations=["blocked"]))
     assert "Rejected" in {e.name for e in eng.events()}
+
+
+def test_error_event_recorded_on_failure(spark):
+    """A failing job must emit Error (with the exception) and re-raise —
+    the reference's ErrorJob path (`pkg/computenode/computenode.go:291-319`)."""
+    from bacalhau_spark.engine import Engine
+
+    def boom(_spark, _sf):
+        raise RuntimeError("executor exploded")
+
+    eng = Engine(spark, {"boom": boom})
+    with pytest.raises(RuntimeError, match="executor exploded"):
+        eng.submit(JobSpec(query="boom"))
+    (rid,) = list(eng.list_runs())
+    assert eng.state(rid) == "Error"
+    assert "executor exploded" in eng.events(rid)[-1].detail

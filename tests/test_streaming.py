@@ -68,6 +68,19 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_dedup_one_row_per_key(spark, sf_dir):
+    """Streaming dropDuplicates must emit exactly one row per
+    (user_id, event_type) — same key set as batch distinct."""
+    from bacalhau_spark.streaming.events import run_stream_dedup
+    got = run_stream_dedup(spark, sf_dir, table_name="t_sdedup").collect()
+    keys = [(r["user_id"], r["event_type"]) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate keys survived"
+    want = {(r["user_id"], r["event_type"])
+            for r in table(spark, sf_dir, "events")
+            .select("user_id", "event_type").distinct().collect()}
+    assert set(keys) == want
+
+
 def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     out = str(tmp_path / "fb_out")
     batch_ids = run_stream_foreach_batch(spark, sf_dir, out)
