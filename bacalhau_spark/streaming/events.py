@@ -263,6 +263,39 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str,
     return spark.table(table_name)
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the static
+    customer dimension (broadcast — re-read per micro-batch, so dim updates
+    are picked up). The standard enrichment topology: no stream state at
+    all, the static side never blocks the watermark."""
+    dim = (table(spark, sf_dir, "customer")
+           .select("c_custkey", "c_mktsegment"))
+    return (
+        _event_stream(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str,
+                           table_name: str = "stream_ssj_static",
+                           timeout_sec: int = 120) -> DataFrame:
+    q = (
+        stream_static_join(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(table_name).orderBy("c_mktsegment")
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str,
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: first occurrence per (user_id, event_type)

@@ -68,6 +68,19 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    from bacalhau_spark.streaming.events import run_stream_static_join
+    got = {(r["c_mktsegment"], r["n"]) for r in
+           run_stream_static_join(spark, sf_dir,
+                                  table_name="t_ss_static").collect()}
+    want = {(r["c_mktsegment"], r["n"]) for r in
+            table(spark, sf_dir, "events")
+            .join(table(spark, sf_dir, "customer"),
+                  F.col("user_id") == F.col("c_custkey"))
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()}
+    assert got == want and got
+
+
 def test_stream_dedup_one_row_per_key(spark, sf_dir):
     """Streaming dropDuplicates must emit exactly one row per
     (user_id, event_type) — same key set as batch distinct."""
