@@ -264,6 +264,22 @@ def nd_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene scan: dimension count and L2 norm per vector (the
+    pre-index validation pass — catches zero/denormal vectors before they
+    poison cosine math). Left-fold sum of squares then sqrt: bit-identical
+    across engines, so the norms hash-match raw."""
+    emb = table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        emb.select("vec_id", F.size("embedding").alias("dim"),
+                   F.sqrt(sumsq).alias("l2_norm"))
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "q30_nn": (
         q30_nn,
@@ -294,4 +310,11 @@ QUERIES = {
     ),
     "nd_ann_lsh": (nd_ann_lsh, None),
     "nd_ann_ivf": (nd_ann_ivf, None),
+    "nd_vector_norm": (
+        nd_vector_norm,
+        "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, "
+        "sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * x))) AS l2_norm "
+        "FROM embeddings ORDER BY vec_id",
+    ),
 }

@@ -134,6 +134,37 @@ def _sql_marker_hits(markers: tuple[str, ...]) -> str:
             f"x -> list_contains([{inlist}], x)))")
 
 
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 25
+
+
+def nd_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-word chunks, 50% overlap) — the
+    LLM-training segmentation op. One explode per document over a computed
+    start sequence; all JVM-side (transform/slice/array_join inside
+    codegen), no Python in the path. Chunk count per doc =
+    ceil(n_words / stride) clipped to starts < n_words."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    w = words("text")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0)),
+                   F.lit(CHUNK_STRIDE)),
+        lambda s: s < F.size(w))
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(starts,
+                            lambda s: F.array_join(
+                                F.slice(w, s + 1, CHUNK_WORDS), " ")))
+            .alias("chunk_idx", "chunk"))
+        .select("doc_id", "chunk_idx",
+                F.size(F.split("chunk", " ")).alias("chunk_words"),
+                F.md5("chunk").alias("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def nd_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup on a bounded slice: pairwise levenshtein over
     the first 40 chars of a 30-doc window. Quadratic by nature — at scale
@@ -195,6 +226,21 @@ QUERIES = {
         "CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words, "
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) "
         "AS INTEGER) AS n_bpe_tokens FROM documents ORDER BY doc_id",
+    ),
+    "nd_chunking": (
+        nd_chunking,
+        # duckdb: k-th chunk = words[k*S+1 .. k*S+W] (list_slice clamps),
+        # starts generated while k*S < n_words.
+        "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w "
+        "FROM documents WHERE doc_id < 200) "
+        "SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx, "
+        f"CAST(len(list_slice(w, k * {CHUNK_STRIDE} + 1, "
+        f"k * {CHUNK_STRIDE} + {CHUNK_WORDS})) AS INTEGER) AS chunk_words, "
+        f"md5(array_to_string(list_slice(w, k * {CHUNK_STRIDE} + 1, "
+        f"k * {CHUNK_STRIDE} + {CHUNK_WORDS}), ' ')) AS chunk_hash "
+        "FROM d CROSS JOIN LATERAL (SELECT unnest(range(0, "
+        f"CAST(ceil(len(w) / {CHUNK_STRIDE}.0) AS BIGINT))) AS k) ks "
+        "ORDER BY doc_id, chunk_idx",
     ),
     "nd_levenshtein": (
         nd_levenshtein,

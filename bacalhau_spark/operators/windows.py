@@ -102,6 +102,22 @@ def nd_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, each event's trailing-1-hour value
+    sum — the value-range frame (vs q23's ROWS frame). Ordering on epoch
+    seconds with rangeBetween(-3600, 0); rows whose ts falls in the window
+    contribute regardless of row position."""
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, 0))
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id",
+                F.round(F.sum("value").over(w), 4).alias("trailing_1h"))
+        .orderBy("event_id")
+    )
+
+
 def nd_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-function plane in one window pass: rank, dense_rank,
     percent_rank, cume_dist, ntile — one sort per partition serves all five
@@ -152,6 +168,13 @@ QUERIES = {
         "SELECT event_id, user_id, value - lag(value, 1, 0.0) OVER ("
         "PARTITION BY user_id ORDER BY event_id) AS delta "
         "FROM events ORDER BY event_id",
+    ),
+    "nd_moving_window": (
+        nd_moving_window,
+        "SELECT event_id, user_id, ROUND(SUM(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW"
+        "), 4) AS trailing_1h FROM events ORDER BY event_id",
     ),
     "nd_ranking_suite": (
         nd_ranking_suite,
