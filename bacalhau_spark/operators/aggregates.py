@@ -168,6 +168,47 @@ def nd_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregation: several differently-filtered aggregates of
+    the same scan in one pass (one shuffle, no self-joins) — the idiomatic
+    replacement for N separate filtered scans. Uses the SQL FILTER (WHERE)
+    surface; Catalyst compiles it to the same conditional accumulators as
+    sum(CASE...)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("COUNT(*) FILTER (WHERE l_discount > 0.05)")
+            .alias("n_discounted"),
+            F.expr("ROUND(SUM(l_extendedprice) "
+                   "FILTER (WHERE l_tax > 0.04), 2)").alias("taxed_price"),
+            F.expr("COUNT(*) FILTER (WHERE l_quantity >= 25)")
+            .alias("n_bulk"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def nd_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group: the listagg/string_agg surface,
+    built as sort_array(collect_list(...)) then joined to one string so the
+    result is deterministic regardless of partition arrival order. The
+    distinct variant goes through collect_set. Bounded group sizes only —
+    at 100 TB an unbounded collect_list per group is an OOM; cap with a
+    prior filter (here: nations per region, 25 rows total)."""
+    nation = table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name")))
+            .alias("nations"),
+            F.concat_ws(",", F.sort_array(F.collect_set(
+                F.substring("n_name", 1, 7)))).alias("name_prefixes"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 QUERIES = {
     "q17_hash_agg": (
         q17_hash_agg,
@@ -183,6 +224,23 @@ QUERIES = {
     ),
     "q18b_approx_distinct": (q18b_approx_distinct, None),
     "nd_approx_percentiles": (nd_approx_percentiles, None),
+    "nd_filtered_agg": (
+        nd_filtered_agg,
+        "SELECT l_returnflag, "
+        "COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted, "
+        "ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) "
+        "AS taxed_price, "
+        "COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    ),
+    "nd_listagg": (
+        nd_listagg,
+        "SELECT n_regionkey, "
+        "string_agg(n_name, ',' ORDER BY n_name) AS nations, "
+        "array_to_string(list_sort(list_distinct("
+        "list(substring(n_name, 1, 7)))), ',') AS name_prefixes "
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    ),
     "q17b_having": (
         q17b_having,
         "SELECT l_orderkey, SUM(l_quantity) AS total_qty FROM lineitem "

@@ -140,6 +140,124 @@ def tpch_q2_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: forecast-revenue-change — a pure scan-side conjunctive
+    filter (date range + discount band + quantity cap) and a single global
+    sum. The whole predicate must reach the parquet reader as pushed
+    filters; no shuffle beyond the final 1-row partial-agg exchange."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")
+                 & (F.col("l_discount") >= 0.05)
+                 & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between two nations by year — the same dim
+    table (nation) joined twice in different roles (supplier side vs
+    customer side), a disjunctive cross-side pair filter, and a derived
+    grouping column (YEAR(l_shipdate)). Both nation joins broadcast."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customer order-count distribution — left outer join
+    (customers with zero orders survive as count 0) feeding a second
+    aggregation over the first's result. Two shuffles by design: one on
+    c_custkey for the per-customer count, one on c_count for the histogram;
+    all counts integral so the hash is exact."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from small-quantity orders of one brand — a
+    correlated scalar subquery (per-part average quantity) that Catalyst
+    decorrelates into an aggregate joined back on the correlation key.
+    Expressed directly as agg + join: one shuffle for the per-part avg,
+    broadcast for the brand-filtered part dim."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    part = (table(spark, sf_dir, "part")
+            .where(F.col("p_brand") == "Brand#23")
+            .select("p_partkey"))
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((F.avg("l_quantity") * 0.5).alias("half_avg")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: large-volume orders — IN over a grouped HAVING subquery
+    (orders whose total quantity exceeds 300), realized as a left-semi join
+    against the qualifying key set, then the 3-way join re-aggregates the
+    winning orders. Quantities are integral doubles, so sums are exact."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("tq"))
+           .where(F.col("tq") > 300)
+           .select("l_orderkey"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                    "o_orderkey", "left_semi")
+        .join(li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = {
     "tpch_q4_exists": (
         tpch_q4_exists,
@@ -202,5 +320,56 @@ QUERIES = {
         "WHERE l_partkey < 200) ps "
         "JOIN supplier ON l_suppkey = s_suppkey) t "
         "WHERE rn = 1 ORDER BY p_partkey",
+    ),
+    "tpch_q6_forecast": (
+        tpch_q6_forecast,
+        "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    ),
+    "tpch_q7_volume": (
+        tpch_q7_volume,
+        "SELECT supp_nation, cust_nation, l_year, "
+        "ROUND(SUM(volume), 2) AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(YEAR(l_shipdate) AS INTEGER) AS l_year, "
+        "l_extendedprice * (1 - l_discount) AS volume "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year",
+    ),
+    "tpch_q13_custdist": (
+        tpch_q13_custdist,
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) c_orders "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+    ),
+    "tpch_q17_small_qty": (
+        tpch_q17_small_qty,
+        "SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand = 'Brand#23' AND l_quantity < ("
+        "SELECT 0.5 * AVG(l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = part.p_partkey)",
+    ),
+    "tpch_q18_large_orders": (
+        tpch_q18_large_orders,
+        "SELECT c_custkey, c_name, o_orderkey, o_totalprice, "
+        "SUM(l_quantity) AS total_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) "
+        "GROUP BY c_custkey, c_name, o_orderkey, o_totalprice "
+        "ORDER BY o_orderkey",
     ),
 }

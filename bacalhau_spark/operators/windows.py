@@ -118,6 +118,29 @@ def nd_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-navigation window plane in one pass: lead, first_value,
+    last_value and nth_value per user ordered by event_id. last/nth use the
+    full-partition frame (unbounded preceding..unbounded following) — the
+    default growing frame would make last_value trivially the current row.
+    One sort per partition serves all four; pure value picks, no
+    arithmetic, so the hash is exact."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id",
+            F.lead("value", 1).over(w).alias("next_value"),
+            F.first("value").over(w).alias("first_value"),
+            F.last("value").over(w_full).alias("last_value"),
+            F.nth_value("value", 2).over(w_full).alias("second_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def nd_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-function plane in one window pass: rank, dense_rank,
     percent_rank, cume_dist, ntile — one sort per partition serves all five
@@ -175,6 +198,20 @@ QUERIES = {
         "PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW"
         "), 4) AS trailing_1h FROM events ORDER BY event_id",
+    ),
+    "nd_analytic_suite": (
+        nd_analytic_suite,
+        "SELECT event_id, user_id, "
+        "LEAD(value, 1) OVER w AS next_value, "
+        "FIRST_VALUE(value) OVER w AS first_value, "
+        "LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS last_value, "
+        "NTH_VALUE(value, 2) OVER (PARTITION BY user_id ORDER BY event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS second_value "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) "
+        "ORDER BY event_id",
     ),
     "nd_ranking_suite": (
         nd_ranking_suite,

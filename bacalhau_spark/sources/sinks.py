@@ -67,10 +67,67 @@ def q12_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink→source round trip with an explicit read schema (no runtime
+    inference — the correctness-gate contract, SURVEY.md §1.2). The
+    reference's data plane is textual (CSV sensor files,
+    `testdata/awk_file.txt:1`); this is that plane done engine-side.
+    Doubles survive via Spark's shortest-round-trip CSV formatting."""
+    import tempfile
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    out = tempfile.mkdtemp(prefix="bacalhau_spark_csv_") + "/orders"
+    orders.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE").option("header", True).csv(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def nd_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink→source round trip (the control-plane wire format:
+    job documents travel as JSON, `pkg/transport/libp2p/libp2p.go:214-233`).
+    Explicit schema on re-read; the embedded `props` JSON string survives
+    as an opaque field and stays queryable (get_json_object)."""
+    import tempfile
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props")
+    out = tempfile.mkdtemp(prefix="bacalhau_spark_json_") + "/events"
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING").json(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 3).alias("total_value"),
+             F.count(F.get_json_object("props", "$.k")).alias("n_with_k"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q12_roundtrip": (
         q12_roundtrip,
         "SELECT COUNT(*) AS n_rows, ROUND(SUM(l_extendedprice), 2) AS total "
         "FROM lineitem",
+    ),
+    "nd_csv_roundtrip": (
+        nd_csv_roundtrip,
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS total "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ),
+    "nd_json_roundtrip": (
+        nd_json_roundtrip,
+        "SELECT event_type, COUNT(*) AS n, "
+        "ROUND(SUM(value), 3) AS total_value, "
+        "COUNT(json_extract_string(props, '$.k')) AS n_with_k "
+        "FROM events GROUP BY event_type ORDER BY event_type",
     ),
 }
