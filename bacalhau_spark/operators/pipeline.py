@@ -1,0 +1,142 @@
+"""Training-data pipeline operators: deterministic sampling, dataset
+splits, reshaping, and incremental upsert.
+
+These are the dataset-maintenance verbs a 100 TB corpus pipeline needs
+around the core dedup/similarity/text ops. The common design rule: any
+row-selection decision is a pure function of row *content* (md5 of a stable
+key), never of partitioning, row order, or RNG state — so a resampled 100 TB
+corpus produces the identical split on any cluster layout, and incremental
+reruns are reproducible. The reference's closest analog is its deterministic
+python_wasm execution contract (`pkg/executor/python_wasm/executor.go:48-73`:
+same input CID → same output), restated here at row granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+
+
+def nd_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 content-hash sample of the corpus: keep documents
+    whose md5(text) starts with '0'. Unlike TABLESAMPLE/rand(), the sample
+    is stable across engines, partitionings, and reruns — the only sampling
+    admissible under the verified-output contract. Scales embarrassingly:
+    the predicate evaluates per-row inside codegen, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.substring(F.md5(F.col("text")), 1, 1) == "0")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def nd_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~75/12.5/12.5) by the first hex
+    digit of md5(doc_id): 0-b -> train, c-d -> val, e-f -> test. Keying on
+    the id (not text) keeps exact-duplicate texts in the same relation to
+    their ids; keying on text instead would co-locate dups in one split —
+    both are one-line policies. Returns the lang x split histogram (the
+    split-audit report)."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (F.when(h < "c", "train")
+             .when(h < "e", "val")
+             .otherwise("test"))
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def nd_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (UNPIVOT / melt): per-returnflag metric columns
+    become (metric, value) rows — the inverse of nd_pivot. Spark's
+    DataFrame.unpivot is a zero-shuffle Expand over the aggregated rows."""
+    wide = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
+    return (
+        wide.unpivot("l_returnflag", ["sum_qty", "sum_price"],
+                     "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+def nd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert (CDC merge, latest-version-wins): an updates
+    batch — every 7th order with a 10% price bump — merged over the base
+    snapshot by union + row_number on (key, version desc). This is the
+    MERGE INTO pattern without a table format: one shuffle on the merge
+    key; at 100 TB the same plan applies per partition of a date-
+    partitioned base, touching only affected partitions. Returns the
+    post-merge per-status audit aggregate."""
+    base = (table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .withColumn("version", F.lit(0)))
+    updates = (table(spark, sf_dir, "orders")
+               .where(F.col("o_orderkey") % 7 == 0)
+               .select("o_orderkey", "o_orderstatus",
+                       (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+               .withColumn("version", F.lit(1)))
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES = {
+    "nd_hash_sample": (
+        nd_hash_sample,
+        "SELECT doc_id, lang FROM documents "
+        "WHERE substring(md5(text), 1, 1) = '0' ORDER BY doc_id",
+    ),
+    "nd_train_split": (
+        nd_train_split,
+        "SELECT lang, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+        " < 'c' THEN 'train' "
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' "
+        "THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n_docs "
+        "FROM documents GROUP BY lang, split ORDER BY lang, split",
+    ),
+    "nd_unpivot": (
+        nd_unpivot,
+        "WITH wide AS (SELECT l_returnflag, SUM(l_quantity) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, metric, value FROM ("
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide "
+        "UNION ALL "
+        "SELECT l_returnflag, 'sum_price', sum_price FROM wide) "
+        "ORDER BY l_returnflag, metric",
+    ),
+    "nd_upsert": (
+        nd_upsert,
+        "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, "
+        "0 AS version FROM orders), "
+        "updates AS (SELECT o_orderkey, o_orderstatus, "
+        "o_totalprice * 1.1 AS o_totalprice, 1 AS version "
+        "FROM orders WHERE o_orderkey % 7 = 0), "
+        "merged AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey "
+        "ORDER BY version DESC) AS rn FROM "
+        "(SELECT * FROM base UNION ALL SELECT * FROM updates)) "
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 2) AS total FROM merged WHERE rn = 1 "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ),
+}

@@ -69,6 +69,28 @@ def q26c_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("k", "side"))
 
 
+def q26d_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each nation key survives min(count in
+    customer, count in supplier) times. Folded to (key, multiplicity) so
+    the result is compact; the multiplicities are what distinguish ALL from
+    the distinct set op."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (c.intersectAll(s)
+            .groupBy("k").agg(F.count("*").alias("mult"))
+            .orderBy("k"))
+
+
+def q26e_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: customer nation keys surviving with
+    multiplicity count(cust) - count(supp) where positive."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (c.exceptAll(s)
+            .groupBy("k").agg(F.count("*").alias("mult"))
+            .orderBy("k"))
+
+
 QUERIES = {
     "q26_intersect": (
         q26_intersect,
@@ -97,5 +119,19 @@ QUERIES = {
         "SELECT c_nationkey AS k, 'cust' AS side FROM customer "
         "UNION ALL SELECT s_nationkey AS k, 'supp' AS side FROM supplier) t "
         "GROUP BY k, side ORDER BY k, side",
+    ),
+    "q26d_intersect_all": (
+        q26d_intersect_all,
+        "SELECT k, COUNT(*) AS mult FROM ("
+        "SELECT c_nationkey AS k FROM customer INTERSECT ALL "
+        "SELECT s_nationkey AS k FROM supplier) t "
+        "GROUP BY k ORDER BY k",
+    ),
+    "q26e_except_all": (
+        q26e_except_all,
+        "SELECT k, COUNT(*) AS mult FROM ("
+        "SELECT c_nationkey AS k FROM customer EXCEPT ALL "
+        "SELECT s_nationkey AS k FROM supplier) t "
+        "GROUP BY k ORDER BY k",
     ),
 }

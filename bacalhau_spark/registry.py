@@ -14,14 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bacalhau_spark.functions import udfs
 from bacalhau_spark.operators import (aggregates, asof, dedup, filters, joins,
-                                      multimodal, scalar, scans, setops, sort,
-                                      similarity, text, tpch, windows)
+                                      multimodal, pipeline, scalar, scans,
+                                      setops, sort, similarity, text, tpch,
+                                      windows)
 from bacalhau_spark.sources import sinks
 from bacalhau_spark.streaming import events as streaming_events
 
 _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
             asof, dedup, similarity, text, multimodal, sinks, streaming_events,
-            udfs, tpch)
+            udfs, tpch, pipeline)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

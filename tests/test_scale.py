@@ -14,6 +14,16 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _formatted_plan(df) -> str:
+    """Formatted explain — unlike executedPlan().toString(), scan node
+    detail (full PushedFilters list) is not width-truncated."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return qe.explainString(mode)
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Two tables bucketed+sorted on the join key must sort-merge join with
     ZERO exchanges — the co-located join that makes repeated fact-fact joins
@@ -93,6 +103,27 @@ def test_q3_filters_are_pushed(spark, sf_dir):
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
     assert "GreaterThan(l_shipdate" in plan
     assert "LessThan(o_orderdate" in plan
+
+
+def test_q6_whole_predicate_is_pushed(spark, sf_dir):
+    """Q6 is a pure filter+sum: every conjunct (date range, discount band,
+    quantity cap) must reach the parquet reader as a PushedFilter — at
+    100 TB this query is row-group skipping or it is nothing."""
+    from bacalhau_spark.operators.tpch import tpch_q6_forecast
+    plan = _formatted_plan(tpch_q6_forecast(spark, sf_dir))
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount,0.05)",
+                 "LessThanOrEqual(l_discount,0.07)",
+                 "LessThan(l_quantity,24.0)"):
+        assert frag in plan, frag
+
+
+def test_q7_nation_joins_broadcast(spark, sf_dir):
+    """Q7 joins nation twice (supplier role, customer role); both dim joins
+    must be broadcasts — no shuffle for 25-row tables."""
+    from bacalhau_spark.operators.tpch import tpch_q7_volume
+    plan = _executed_plan(tpch_q7_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
