@@ -23,12 +23,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bacalhau_spark.catalog import table
-from bacalhau_spark.functions import seeded_hash, shingles, words
+from bacalhau_spark.functions import shingles, words
 
 N_HASHES = 16   # minhash signature length
 N_BANDS = 4     # LSH bands (4 rows per band)
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.5
+
+# Universal-hash family for minhash: ONE md5 per shingle (the expensive
+# part), then h_s(x) = (a_s*x + b_s) mod p over its 60-bit integer prefix —
+# 16 cheap long-arithmetic permutations instead of 16 md5 calls. Constants
+# are fixed (seeded LCG) so both engines compute identical signatures.
+MH_PRIME = 2147483647  # 2^31 - 1; a*x stays < 2^62 (no bigint overflow)
+MH_AB = tuple(
+    ((1103515245 * s + 12345) % MH_PRIME or 1,
+     (69069 * s + 1013904223) % MH_PRIME)
+    for s in range(N_HASHES)
+)
 
 
 def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,31 +77,34 @@ def _shingle_table(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 
 def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs. 16 seeded minhashes per doc, banded 4×4;
-    docs sharing any full band signature are candidates. Returns distinct
-    (a_id < b_id) pairs."""
-    sh = _shingle_table(spark, sf_dir, 5)
-    hashed = sh.select(
-        "doc_id", "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
-    ).select(
-        "doc_id", "seed",
-        seeded_hash(F.col("seed"), F.col("shingle")).alias("h"),
-    )
-    mh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    sig = (
-        mh.withColumn("band", F.floor(F.col("seed") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s.getField("mh"),
-                ),
-                ",",
-            ).alias("sig")
-        )
-    )
+    """MinHash+LSH candidate pairs. 16 minhashes per doc (universal-hash
+    family over one md5 per shingle), banded 4×4; docs sharing any full
+    band signature are candidates. Returns distinct (a_id < b_id) pairs."""
+    # No .distinct() on the shingle stream: min() is idempotent over
+    # duplicate shingles, so the dedup shuffle _shingle_table pays (needed
+    # for Jaccard counting) is pure waste here.
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(words("text"), 5)).alias("shingle"))
+    # All 16 minhashes as wide min-aggregates in ONE groupBy pass: no
+    # 16x row explosion, no (doc_id, seed) shuffle — each shingle row
+    # evaluates one md5 + 16 affine maps in codegen and map-side combine
+    # carries one 16-column row per doc per partition.
+    x = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+         .cast("long") % MH_PRIME)
+    mins = [
+        F.min((F.lit(a) * x + F.lit(b)) % MH_PRIME).alias(f"mh{s}")
+        for s, (a, b) in enumerate(MH_AB)
+    ]
+    sig_wide = sh.groupBy("doc_id").agg(*mins)
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
+                           for r in range(ROWS_PER_BAND)])
+        for b in range(N_BANDS)
+    ]
+    sig = sig_wide.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band", "sig"))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -158,15 +172,21 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_AB_VALUES = ", ".join(f"({s}, {a}::BIGINT, {b}::BIGINT)"
+                          for s, (a, b) in enumerate(MH_AB))
+
 _MINHASH_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
 e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 4, 0))) AS i FROM w),
-sh AS (SELECT DISTINCT doc_id, array_to_string(ws[(i+1):(i+5)], ' ') AS shingle FROM e),
-mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-       FROM sh CROSS JOIN (SELECT unnest(range({N_HASHES})) AS seed) s
+sh AS (SELECT doc_id,
+              CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+5)], ' ')), 1, 15)
+                   AS BIGINT) % {MH_PRIME} AS x
+       FROM e),
+mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
+       FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
 sig AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-               string_agg(mh, ',' ORDER BY seed) AS sig
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
         FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND})
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

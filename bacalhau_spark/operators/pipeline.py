@@ -100,6 +100,40 @@ def nd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap fill): per user, an hourly bucket
+    sequence spanning their activity window, left-joined to the actual
+    hourly aggregates — missing hours materialize as zero rows (the
+    hypertable-rollup / resample primitive). The bucket spine is generated
+    distributively with sequence()+explode per user row (no driver loop, no
+    cross join against a global calendar); bounded to 20 users here, at
+    scale the spine is ~users x hours rows and partitions on user_id."""
+    ev = (table(spark, sf_dir, "events")
+          .where(F.col("user_id") < 20)
+          .select("user_id", "ts", "value"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+             F.date_trunc("hour", F.max("ts")).alias("h1"))
+        .select("user_id",
+                F.explode(F.sequence("h0", "h1", F.expr(
+                    "INTERVAL 1 HOUR"))).alias("hour"))
+    )
+    actual = (
+        ev.groupBy("user_id", hour.alias("hour"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 3).alias("sum_value"))
+    )
+    return (
+        spine.join(actual, ["user_id", "hour"], "left")
+        .select("user_id", "hour",
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"))
+        .orderBy("user_id", "hour")
+    )
+
+
 QUERIES = {
     "nd_hash_sample": (
         nd_hash_sample,
@@ -138,5 +172,22 @@ QUERIES = {
         "SELECT o_orderstatus, COUNT(*) AS n, "
         "ROUND(SUM(o_totalprice), 2) AS total FROM merged WHERE rn = 1 "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ),
+    "nd_gap_fill": (
+        nd_gap_fill,
+        "WITH ev AS (SELECT user_id, ts, value FROM events "
+        "WHERE user_id < 20), "
+        "b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS h0, "
+        "date_trunc('hour', MAX(ts)) AS h1 FROM ev GROUP BY user_id), "
+        "spine AS (SELECT user_id, unnest(generate_series(h0, h1, "
+        "INTERVAL 1 HOUR)) AS hour FROM b), "
+        "actual AS (SELECT user_id, date_trunc('hour', ts) AS hour, "
+        "COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value "
+        "FROM ev GROUP BY user_id, hour) "
+        "SELECT s.user_id, s.hour, COALESCE(a.n_events, 0) AS n_events, "
+        "COALESCE(a.sum_value, 0.0) AS sum_value "
+        "FROM spine s LEFT JOIN actual a "
+        "ON s.user_id = a.user_id AND s.hour = a.hour "
+        "ORDER BY s.user_id, s.hour",
     ),
 }

@@ -165,6 +165,26 @@ def nd_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting over a 50-doc slice: one explode for term
+    frequencies, one distinct-count aggregate for document frequencies,
+    joined back on the term. Two shuffles (doc_id x word, then word); at
+    corpus scale the df side is the small relation and broadcasts. idf =
+    ln(N/df), rounded — engines agree to 4 decimals on libm ln."""
+    w = (table(spark, sf_dir, "documents")
+         .where(F.col("doc_id") < 50)
+         .select("doc_id", F.explode(words("text")).alias("word")))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = w.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("doc_freq"))
+    tfidf = F.round(F.col("tf") * F.log(F.lit(50.0) / F.col("doc_freq")), 4)
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .select("doc_id", "word", "tf", tfidf.alias("tfidf"))
+        .orderBy("doc_id", "word")
+    )
+
+
 def nd_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup on a bounded slice: pairwise levenshtein over
     the first 40 chars of a 30-doc window. Quadratic by nature — at scale
@@ -241,6 +261,19 @@ QUERIES = {
         "FROM d CROSS JOIN LATERAL (SELECT unnest(range(0, "
         f"CAST(ceil(len(w) / {CHUNK_STRIDE}.0) AS BIGINT))) AS k) ks "
         "ORDER BY doc_id, chunk_idx",
+    ),
+    "nd_tfidf": (
+        nd_tfidf,
+        "WITH w AS (SELECT doc_id, "
+        "unnest(string_split(lower(text), ' ')) AS word "
+        "FROM documents WHERE doc_id < 50), "
+        "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w "
+        "GROUP BY doc_id, word), "
+        "dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS doc_freq "
+        "FROM w GROUP BY word) "
+        "SELECT doc_id, word, tf, "
+        "ROUND(tf * ln(50.0 / doc_freq), 4) AS tfidf "
+        "FROM tf JOIN dfreq USING (word) ORDER BY doc_id, word",
     ),
     "nd_levenshtein": (
         nd_levenshtein,

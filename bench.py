@@ -28,6 +28,10 @@ BENCH_QUERIES = (
     "q28_tumbling_window", # 1-hour tumbling window aggregate
     "q3_shipping_priority",# filtered 3-way join + agg + top-10 (TPC-H Q3)
     "nd_asof_join",        # as-of join (union + running window)
+    "tpch_q6_forecast",    # pure pushed-filter scan + 1-row sum (TPC-H Q6)
+    "tpch_q7_volume",      # 6-way join, nation in two roles (TPC-H Q7)
+    "tpch_q18_large_orders",# grouped-HAVING semi join + re-agg (TPC-H Q18)
+    "nd_minhash_lsh",      # near-dup: shingle -> minhash -> band join
 )
 
 WARMUP_RUNS = 1
