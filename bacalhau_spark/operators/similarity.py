@@ -264,6 +264,23 @@ def nd_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics (first 8 dimensions): component mean +
+    stddev per (label, dim) — the E-step building block of distributed
+    k-means and the per-class embedding-drift audit. posexplode turns the
+    vector column into (dim, value) rows; the aggregate shuffles one row
+    per (label, dim) after map-side combine, independent of corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .where(F.col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"),
+             F.round(F.stddev_samp("v"), 6).alias("sd_v"))
+        .orderBy("label", "dim")
+    )
+
+
 def nd_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding hygiene scan: dimension count and L2 norm per vector (the
     pre-index validation pass — catches zero/denormal vectors before they
@@ -310,6 +327,14 @@ QUERIES = {
     ),
     "nd_ann_lsh": (nd_ann_lsh, None),
     "nd_ann_ivf": (nd_ann_ivf, None),
+    "nd_centroids": (
+        nd_centroids,
+        "SELECT label, CAST(i - 1 AS INTEGER) AS dim, "
+        "ROUND(AVG(embedding[i]), 6) AS mean_v, "
+        "ROUND(STDDEV_SAMP(embedding[i]), 6) AS sd_v "
+        "FROM embeddings CROSS JOIN (SELECT unnest(range(1, 9)) AS i) idx "
+        "GROUP BY label, dim ORDER BY label, dim",
+    ),
     "nd_vector_norm": (
         nd_vector_norm,
         "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, "
