@@ -147,9 +147,19 @@ def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (similarity >= 0.5). Candidate
-    generation is an inverted-index equi join on the shingle — only docs
-    sharing at least one shingle are ever compared."""
-    sh = _shingle_table(spark, sf_dir, 3)
+    generation is an inverted-index equi join — only docs sharing at least
+    one shingle are ever compared. The index keys on the shingle's 60-bit
+    md5 prefix, not the string: the dedup shuffle and the self-join move
+    8-byte longs instead of arbitrary-length text (both engines compute
+    identical hashes, so the oracle sees the same pairs; a 60-bit collision
+    across a corpus needs ~2^30 distinct shingles)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = (docs.select("doc_id",
+                      F.explode(shingles(words("text"), 3)).alias("s"))
+          .select("doc_id",
+                  F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                  .cast("long").alias("shingle"))
+          .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -212,7 +222,9 @@ FROM c GROUP BY doc_id ORDER BY doc_id
 _JACCARD_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
 e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w),
-sh AS (SELECT DISTINCT doc_id, array_to_string(ws[(i+1):(i+3)], ' ') AS shingle FROM e),
+sh AS (SELECT DISTINCT doc_id,
+              CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+3)], ' ')), 1, 15)
+                   AS BIGINT) AS shingle FROM e),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

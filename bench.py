@@ -32,6 +32,7 @@ BENCH_QUERIES = (
     "tpch_q7_volume",      # 6-way join, nation in two roles (TPC-H Q7)
     "tpch_q18_large_orders",# grouped-HAVING semi join + re-agg (TPC-H Q18)
     "nd_minhash_lsh",      # near-dup: shingle -> minhash -> band join
+    "nd_grouped_python",   # Python plane: repartition + mapInPandas OLS
 )
 
 WARMUP_RUNS = 1
