@@ -100,6 +100,57 @@ def nd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-ES / exponential-sort-key): per
+    language, keep the 3 documents with the largest ln(u)/w key, where u is
+    a content-hash pseudo-uniform in (0,1] and w = n_chars — longer docs
+    proportionally likelier, yet the draw is a pure function of content
+    (same sample on any cluster layout / rerun). One window rank per
+    stratum; no RNG state, no driver involvement."""
+    docs = table(spark, sf_dir, "documents")
+    u = ((F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+          .cast("double") + 1.0) / float(16 ** 15))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(F.col("wkey").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("wkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("lang", "rn", "doc_id", "n_chars")
+        .orderBy("lang", "rn")
+    )
+
+
+def nd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k buckets): the binning
+    primitive behind distribution audits. floor-division bucketing is one
+    codegen expression; the aggregate shuffles one row per bucket."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 50000).cast("int")
+                 .alias("bucket"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.min("o_totalprice"), 2).alias("lo"),
+             F.round(F.max("o_totalprice"), 2).alias("hi"))
+        .orderBy("bucket")
+    )
+
+
+def nd_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows above their group's average (the correlated-aggregate filter):
+    per-user mean via a window aggregate — no self-join, one shuffle on
+    user_id shared by the window and nothing else."""
+    w = Window.partitionBy("user_id")
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_avg", F.avg("value").over(w))
+        .where(F.col("value") > F.col("user_avg"))
+        .select("event_id", "user_id", "value",
+                F.round("user_avg", 6).alias("user_avg"))
+        .orderBy("event_id")
+    )
+
+
 def nd_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification (gap fill): per user, an hourly bucket
     sequence spanning their activity window, left-joined to the actual
@@ -172,6 +223,31 @@ QUERIES = {
         "SELECT o_orderstatus, COUNT(*) AS n, "
         "ROUND(SUM(o_totalprice), 2) AS total FROM merged WHERE rn = 1 "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ),
+    "nd_weighted_sample": (
+        nd_weighted_sample,
+        "WITH k AS (SELECT doc_id, lang, n_chars, "
+        "ln((CAST(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) "
+        "AS DOUBLE) + 1.0) / 1152921504606846976.0) "
+        "/ CAST(n_chars AS DOUBLE) AS wkey FROM documents) "
+        "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, n_chars FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY wkey DESC, doc_id) AS rn FROM k) t "
+        "WHERE rn <= 3 ORDER BY lang, rn",
+    ),
+    "nd_histogram": (
+        nd_histogram,
+        "SELECT CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS bucket, "
+        "COUNT(*) AS n, ROUND(MIN(o_totalprice), 2) AS lo, "
+        "ROUND(MAX(o_totalprice), 2) AS hi "
+        "FROM orders GROUP BY bucket ORDER BY bucket",
+    ),
+    "nd_above_group_avg": (
+        nd_above_group_avg,
+        "SELECT event_id, user_id, value, ROUND(user_avg, 6) AS user_avg "
+        "FROM (SELECT event_id, user_id, value, "
+        "AVG(value) OVER (PARTITION BY user_id) AS user_avg FROM events) t "
+        "WHERE value > user_avg ORDER BY event_id",
     ),
     "nd_gap_fill": (
         nd_gap_fill,
