@@ -148,6 +148,42 @@ def nd_grouped_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COGROUP_SCHEMA = ("user_id bigint, n_events bigint, n_orders bigint, "
+                  "sum_value double, sum_orders double")
+
+
+def nd_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped Python merge via cogroup().applyInPandas — the
+    'arbitrary program over BOTH sides of one key' surface (custom join
+    logic Spark's join operators can't express). Each key's events and
+    orders partitions arrive as two pandas frames; keys present on either
+    side appear (full-outer semantics). Bounded to 300 keys — the group-map
+    per-key overhead story of nd_applyinpandas applies unchanged."""
+
+    def merge(key, ev, od):
+        import pandas as _pd
+
+        (k,) = key
+        ne, no = len(ev), len(od)
+        sv = float(ev["value"].sum()) if ne else 0.0
+        so = float(od["o_totalprice"].sum()) if no else 0.0
+        return _pd.DataFrame({
+            "user_id": [int(k)], "n_events": [ne], "n_orders": [no],
+            "sum_value": [round(sv, 3)], "sum_orders": [round(so, 2)],
+        })
+
+    ev = (table(spark, sf_dir, "events")
+          .where(F.col("user_id") < 300).select("user_id", "value"))
+    od = (table(spark, sf_dir, "orders")
+          .where(F.col("o_custkey") < 300)
+          .select(F.col("o_custkey").alias("user_id"), "o_totalprice"))
+    return (
+        ev.groupBy("user_id").cogroup(od.groupBy("user_id"))
+        .applyInPandas(merge, COGROUP_SCHEMA)
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "nd_pandas_udf": (
         nd_pandas_udf,
@@ -166,5 +202,21 @@ QUERIES = {
         "SELECT user_id, COUNT(*) AS n, "
         "ROUND(regr_slope(value, event_id), 6) AS slope "
         "FROM events GROUP BY user_id ORDER BY user_id",
+    ),
+    "nd_cogroup": (
+        nd_cogroup,
+        "WITH e AS (SELECT user_id, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 3) AS sum_value FROM events "
+        "WHERE user_id < 300 GROUP BY user_id), "
+        "o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_orders FROM orders "
+        "WHERE o_custkey < 300 GROUP BY o_custkey) "
+        "SELECT COALESCE(e.user_id, o.user_id) AS user_id, "
+        "COALESCE(n_events, 0) AS n_events, "
+        "COALESCE(n_orders, 0) AS n_orders, "
+        "COALESCE(sum_value, 0.0) AS sum_value, "
+        "COALESCE(sum_orders, 0.0) AS sum_orders "
+        "FROM e FULL OUTER JOIN o ON e.user_id = o.user_id "
+        "ORDER BY user_id",
     ),
 }
