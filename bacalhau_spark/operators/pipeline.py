@@ -151,6 +151,21 @@ def nd_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization: z-score of document length within
+    its language (the normalize-before-threshold step of quality
+    filtering). Group mean/stddev via window aggregates — one shuffle on
+    lang, no self-join, no driver-side stats pass."""
+    w = Window.partitionBy("lang")
+    docs = table(spark, sf_dir, "documents")
+    z = ((F.col("n_chars") - F.avg("n_chars").over(w))
+         / F.stddev_samp("n_chars").over(w))
+    return (
+        docs.select("doc_id", "lang", "n_chars", F.round(z, 6).alias("z"))
+        .orderBy("doc_id")
+    )
+
+
 def nd_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification (gap fill): per user, an hourly bucket
     sequence spanning their activity window, left-joined to the actual
@@ -248,6 +263,13 @@ QUERIES = {
         "FROM (SELECT event_id, user_id, value, "
         "AVG(value) OVER (PARTITION BY user_id) AS user_avg FROM events) t "
         "WHERE value > user_avg ORDER BY event_id",
+    ),
+    "nd_zscore": (
+        nd_zscore,
+        "SELECT doc_id, lang, n_chars, ROUND("
+        "(n_chars - AVG(n_chars) OVER (PARTITION BY lang)) "
+        "/ STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6) AS z "
+        "FROM documents ORDER BY doc_id",
     ),
     "nd_gap_fill": (
         nd_gap_fill,
