@@ -76,27 +76,32 @@ def _shingle_table(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     )
 
 
-def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs. 16 minhashes per doc (universal-hash
-    family over one md5 per shingle), banded 4×4; docs sharing any full
-    band signature are candidates. Returns distinct (a_id < b_id) pairs."""
-    # No .distinct() on the shingle stream: min() is idempotent over
-    # duplicate shingles, so the dedup shuffle _shingle_table pays (needed
-    # for Jaccard counting) is pure waste here.
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide minhash signature table: (doc_id, mh0..mh15).
+
+    No .distinct() on the shingle stream: min() is idempotent over
+    duplicate shingles, so the dedup shuffle _shingle_table pays (needed
+    for Jaccard counting) is pure waste here. All 16 minhashes as wide
+    min-aggregates in ONE groupBy pass: no 16x row explosion, no
+    (doc_id, seed) shuffle — each shingle row evaluates one md5 + 16
+    affine maps in codegen and map-side combine carries one 16-column row
+    per doc per partition. At corpus scale this table is the persisted
+    index artifact (write once, band-join and estimate many times)."""
     docs = table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(shingles(words("text"), 5)).alias("shingle"))
-    # All 16 minhashes as wide min-aggregates in ONE groupBy pass: no
-    # 16x row explosion, no (doc_id, seed) shuffle — each shingle row
-    # evaluates one md5 + 16 affine maps in codegen and map-side combine
-    # carries one 16-column row per doc per partition.
     x = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
          .cast("long") % MH_PRIME)
     mins = [
         F.min((F.lit(a) * x + F.lit(b)) % MH_PRIME).alias(f"mh{s}")
         for s, (a, b) in enumerate(MH_AB)
     ]
-    sig_wide = sh.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _band_candidates(sig_wide: DataFrame) -> DataFrame:
+    """LSH band join over the wide signatures: distinct (a_id < b_id) pairs
+    sharing at least one full 4-row band."""
     band_cols = [
         F.concat_ws(",", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
                            for r in range(ROWS_PER_BAND)])
@@ -115,6 +120,38 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
+    )
+
+
+def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs. 16 minhashes per doc (universal-hash
+    family over one md5 per shingle), banded 4×4; docs sharing any full
+    band signature are candidates. Returns distinct (a_id < b_id) pairs."""
+    return (_band_candidates(_minhash_signatures(spark, sf_dir))
+            .orderBy("a_id", "b_id"))
+
+
+def nd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard estimation from signature agreement: for each LSH candidate
+    pair, est = (#agreeing minhash positions)/16 — the verify step between
+    candidate generation and (expensive) exact comparison. Joins the wide
+    signature table back to both pair sides; the per-pair estimate is 16
+    equality checks in codegen, never touching the shingle sets again."""
+    sig_wide = _minhash_signatures(spark, sf_dir)
+    cand = _band_candidates(sig_wide)
+    amh = sig_wide.select(F.col("doc_id").alias("a_id"),
+                          *[F.col(f"mh{s}").alias(f"amh{s}")
+                            for s in range(N_HASHES)])
+    bmh = sig_wide.select(F.col("doc_id").alias("b_id"),
+                          *[F.col(f"mh{s}").alias(f"bmh{s}")
+                            for s in range(N_HASHES)])
+    matches = sum(
+        F.when(F.col(f"amh{s}") == F.col(f"bmh{s}"), 1).otherwise(0)
+        for s in range(N_HASHES))
+    return (
+        cand.join(amh, "a_id").join(bmh, "b_id")
+        .select("a_id", "b_id",
+                (matches.cast("double") / N_HASHES).alias("est_jaccard"))
         .orderBy("a_id", "b_id")
     )
 
@@ -251,6 +288,31 @@ QUERIES = {
         "GROUP BY md5(text) ORDER BY doc_id",
     ),
     "nd_minhash_lsh": (nd_minhash_lsh, _MINHASH_ORACLE),
+    "nd_minhash_estimate": (nd_minhash_estimate, f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 4, 0))) AS i FROM w),
+sh AS (SELECT doc_id,
+              CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+5)], ' ')), 1, 15)
+                   AS BIGINT) % {MH_PRIME} AS x
+       FROM e),
+mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
+       FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
+       GROUP BY doc_id, seed),
+sig AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+        FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM sig a JOIN sig b
+         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT c.a_id, c.b_id,
+       SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / {N_HASHES}.0
+       AS est_jaccard
+FROM cand c
+JOIN mh ma ON ma.doc_id = c.a_id
+JOIN mh mb ON mb.doc_id = c.b_id AND mb.seed = ma.seed
+GROUP BY c.a_id, c.b_id
+ORDER BY a_id, b_id
+"""),
     "nd_simhash": (nd_simhash, _SIMHASH_ORACLE),
     "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
 }
