@@ -20,7 +20,9 @@ TABLES = (
 # DataFrame handles are immutable lazy plans over read-only fixture paths, so
 # they are safe to reuse across queries — this skips repeated file listing +
 # parquet footer reads (the catalog/metastore role; statistics stay cached).
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed by applicationId, not id(spark): CPython reuses object ids after GC,
+# which could hand a new session a DataFrame bound to a stopped one.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,7 +36,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _CACHE.get(key)
     if cached is not None:
         return cached

@@ -43,6 +43,12 @@ class JobRejectedError(RuntimeError):
     path, `pkg/computenode/computenode.go:348-405`)."""
 
 
+class ResultsRejectedError(RuntimeError):
+    """Replica manifests disagreed — the results-rejected path
+    (`pkg/controller/controller.go:211-241`). Raised so callers get a hard
+    failure signal instead of having to poll state(); nothing is published."""
+
+
 @dataclass
 class JobSpec:
     """Declarative job document (the `testdata/job.yaml` shape, re-typed for
@@ -59,8 +65,14 @@ class JobSpec:
         # Validate + sanitize at construction (the reference validates specs
         # at submit: resources `pkg/capacitymanager/capacitymanager.go:61-179`,
         # labels `pkg/job/util.go:8-23`). Bad resource strings raise here.
-        from bacalhau_spark.resources import sanitize_annotation, to_spark_conf
+        from bacalhau_spark.resources import (sanitize_annotation,
+                                              to_local_properties,
+                                              to_spark_conf)
+        # Two-tier resource application: executor sizing keys go into
+        # session construction (cli.py threads them into the builder);
+        # the scheduler pool is applied per-job at submit time.
         self.spark_conf = to_spark_conf(self.resources)
+        self.local_properties = to_local_properties(self.resources)
         self.annotations = [sanitize_annotation(str(a))
                             for a in self.annotations]
 
@@ -167,32 +179,55 @@ class Engine:
                 raise JobRejectedError(
                     f"job declined by policy "
                     f"{getattr(policy, '__name__', 'policy')!r}")
+        # Job-scoped runtime conf: tag every Spark job this run launches
+        # (group id + description for the UI/event log) and route it to the
+        # scheduler pool its resource request maps to. Local properties are
+        # inherited by all actions triggered below and restored on exit, so
+        # concurrent/subsequent runs don't leak each other's pool.
+        sc = self.spark.sparkContext
+        props = {"spark.jobGroup.id": run_id,
+                 "spark.job.description": f"bacalhau-spark:{spec.query}",
+                 **spec.local_properties}
+        prev = {k: sc.getLocalProperty(k) for k in props}
+        for k, v in props.items():
+            sc.setLocalProperty(k, v)
         try:
             fn = self.registry[spec.query]
             sf_dir = spec.inputs.get("sf_dir", "/root/testdata/sf0.001")
             df = fn(self.spark, sf_dir)
             if spec.verified:
                 assert_deterministic(df)
-            self._emit(run_id, EVT_RUNNING)
-            manifests = []
-            for _ in range(max(1, spec.replicas)):
-                if spec.verified or spec.replicas > 1:
-                    manifests.append(result_manifest(df))
-                else:
-                    df.count()  # execute once
+            self._emit(run_id, EVT_RUNNING,
+                       spec.local_properties.get("spark.scheduler.pool", ""))
             out = spec.outputs.get("path")
+            # Verify BEFORE publish (the reference gates publishing on
+            # results acceptance): replica manifests are compared first and
+            # a mismatch aborts the run with nothing written.
+            manifests = []
+            if spec.verified or spec.replicas > 1:
+                manifests = [result_manifest(df)
+                             for _ in range(max(1, spec.replicas))]
+                if len(set(manifests)) != 1:
+                    self._emit(run_id, EVT_RESULTS_REJECTED,
+                               ";".join(manifests))
+                    raise ResultsRejectedError(
+                        f"run {run_id}: replica manifests disagree: "
+                        f"{sorted(set(manifests))}")
+            elif not out:
+                df.count()  # no sink — execute once for its side effects
             if out:
                 df.write.mode("overwrite").format(
                     spec.outputs.get("format", "parquet")).save(out)
             self._emit(run_id, EVT_COMPLETED,
                        manifests[0] if manifests else "")
             if manifests:
-                if len(set(manifests)) == 1:
-                    self._emit(run_id, EVT_RESULTS_ACCEPTED, manifests[0])
-                else:
-                    self._emit(run_id, EVT_RESULTS_REJECTED,
-                               ";".join(manifests))
+                self._emit(run_id, EVT_RESULTS_ACCEPTED, manifests[0])
+        except ResultsRejectedError:
+            raise  # already recorded as ResultsRejected — terminal state
         except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
             self._emit(run_id, EVT_ERROR, repr(exc))
             raise
+        finally:
+            for k, v in prev.items():
+                sc.setLocalProperty(k, v)
         return run_id

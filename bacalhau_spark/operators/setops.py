@@ -51,10 +51,13 @@ def q27b_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q26b_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT: order keys with no lineitem, as a set difference (the set-op
-    spelling of q14's anti join — same shuffle-semi physical shape)."""
+    spelling of q14's anti join — same shuffle-semi physical shape).
+    `subtract` is EXCEPT DISTINCT — a key on both sides is dropped whatever
+    its left multiplicity (exceptAll().distinct() would wrongly keep keys
+    whose left count exceeds their right count)."""
     o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
     li = table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
-    return o.exceptAll(li).distinct().orderBy("k")
+    return o.subtract(li).orderBy("k")
 
 
 def q26c_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -201,7 +201,7 @@ def pair_cosine_udf():
     return pandas_udf(fn, "double")
 
 
-_CENTROID_CACHE: dict[tuple[int, str], list[tuple[int, list[float]]]] = {}
+_CENTROID_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
@@ -217,7 +217,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
     model state on every query would be like re-training KMeans per
     lookup. Inputs are immutable fixture files, so the cache never goes
     stale within a session."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached

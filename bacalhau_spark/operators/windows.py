@@ -102,14 +102,21 @@ def nd_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trailing_1h_window() -> Window:
+    """Per-user trailing-1-hour RANGE frame at microsecond precision."""
+    return (Window.partitionBy("user_id")
+            .orderBy(F.unix_micros("ts"))
+            .rangeBetween(-3600 * 1_000_000, 0))
+
+
 def nd_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE frame: per user, each event's trailing-1-hour value
     sum — the value-range frame (vs q23's ROWS frame). Ordering on epoch
-    seconds with rangeBetween(-3600, 0); rows whose ts falls in the window
-    contribute regardless of row position."""
-    w = (Window.partitionBy("user_id")
-         .orderBy(F.col("ts").cast("long"))
-         .rangeBetween(-3600, 0))
+    MICROseconds (full ts precision) so frame membership matches the
+    oracle's RANGE INTERVAL '1 hour' exactly: fixture timestamps carry
+    sub-second micros, and ordering on whole seconds would admit pairs
+    whose true gap is in (3600s, 3601s)."""
+    w = trailing_1h_window()
     return (
         table(spark, sf_dir, "events")
         .select("event_id", "user_id",

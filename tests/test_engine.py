@@ -56,6 +56,49 @@ def test_verified_mode_rejects_nondeterministic_plan(engine, spark):
     assert engine.state(run_id) == EVT_ERROR
 
 
+def test_resources_applied_as_job_scoped_conf(engine, spark):
+    """A spec with resources observably changes the job-scoped config: the
+    scheduler pool + job group are set as local properties while the run's
+    Spark jobs execute, and restored afterwards (capacitymanager analog)."""
+    captured = {}
+
+    def probing_query(spark_, sf_dir):
+        sc = spark_.sparkContext
+        captured["pool"] = sc.getLocalProperty("spark.scheduler.pool")
+        captured["group"] = sc.getLocalProperty("spark.jobGroup.id")
+        from bacalhau_spark.catalog import table
+        return table(spark_, sf_dir, "nation")
+
+    engine.registry["probe"] = probing_query
+    rid = engine.submit(JobSpec(query="probe", inputs={"sf_dir": SF_DIR},
+                                resources={"cpu": "8", "memory": "2Gb"}))
+    assert captured["pool"] == "bacalhau-heavy"
+    assert captured["group"] == rid
+    # restored after the run — no leak into subsequent work
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+    # gpu requests route to the gpu pool; submit-time keys still computed
+    spec = JobSpec(query="probe", resources={"gpu": 1, "cpu": "500m"})
+    assert spec.local_properties["spark.scheduler.pool"] == "bacalhau-gpu"
+    assert spec.spark_conf["spark.task.resource.gpu.amount"] == "1"
+
+
+def test_results_rejected_blocks_publish(engine, tmp_path, monkeypatch):
+    """Verify-then-publish: disagreeing replica manifests must abort BEFORE
+    the sink write and raise (results acceptance gates publishing in the
+    reference controller)."""
+    import bacalhau_spark.engine as eng_mod
+    seq = iter(["manifest-a", "manifest-b"])
+    monkeypatch.setattr(eng_mod, "result_manifest", lambda _df: next(seq))
+    out = tmp_path / "rejected_out"
+    with pytest.raises(eng_mod.ResultsRejectedError):
+        engine.submit(JobSpec(query="q01_scan_projection",
+                              inputs={"sf_dir": SF_DIR}, replicas=2,
+                              outputs={"path": str(out)}))
+    (rid,) = list(engine.list_runs())
+    assert engine.state(rid) == "ResultsRejected"
+    assert not out.exists()
+
+
 def test_unknown_query_rejected(engine):
     with pytest.raises(KeyError):
         engine.submit(JobSpec(query="nope"))

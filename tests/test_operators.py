@@ -128,3 +128,26 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     exact = q18_count_distinct(spark, sf_dir).collect()[0]["exact_cnt"]
     approx = q18b_approx_distinct(spark, sf_dir).collect()[0]["approx_cnt"]
     assert abs(approx - exact) <= 0.05 * exact
+
+
+def test_trailing_window_microsecond_boundary(spark):
+    """Frame membership is decided at full microsecond precision: a pair
+    whose true gap is 3600.05s must be OUTSIDE the trailing-1h frame even
+    though their whole-second floors differ by exactly 3600 (the
+    seconds-granularity bug would include it)."""
+    from pyspark.sql import functions as F
+    from bacalhau_spark.operators.windows import trailing_1h_window
+
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 1, TIMESTAMP '2024-01-01 00:00:00.900', 10.0), "
+        "(2, 1, TIMESTAMP '2024-01-01 00:00:01.000', 2.0), "
+        "(3, 1, TIMESTAMP '2024-01-01 01:00:00.950', 5.0) "
+        "AS t(event_id, user_id, ts, value)")
+    got = {r["event_id"]: r["trailing"] for r in df.select(
+        "event_id",
+        F.sum("value").over(trailing_1h_window()).alias("trailing"),
+    ).collect()}
+    # event 3: gap to event 1 is 3600.050s (out), to event 2 is 3599.950s (in)
+    assert got[3] == 7.0
+    assert got[1] == 10.0 and got[2] == 12.0
