@@ -20,9 +20,11 @@ import sys
 from pyspark.sql import SparkSession
 
 
-def _get_spark(cpus: int) -> SparkSession:
+def _get_spark(cpus: int,
+               extra_conf: dict[str, str] | None = None) -> SparkSession:
     from bacalhau_spark.session import get_session
-    return get_session("bacalhau-spark-cli", master=f"local[{cpus}]")
+    return get_session("bacalhau-spark-cli", master=f"local[{cpus}]",
+                       extra_conf=extra_conf)
 
 
 def cmd_list_queries(_args) -> int:
@@ -65,7 +67,10 @@ def cmd_apply(args) -> int:
     from bacalhau_spark import registry
     from bacalhau_spark.engine import Engine, JobSpec
     spec = JobSpec.load(args.file)
-    spark = _get_spark(args.cpus)
+    # Executor-sizing keys from the spec's resources are submit-time-only in
+    # Spark, so they go into session construction here (the spec's
+    # scheduler-pool routing is applied per-job inside Engine.submit).
+    spark = _get_spark(args.cpus, extra_conf=spec.spark_conf)
     engine = Engine(spark, registry.queries())
     run_id = engine.submit(spec)
     print(f"run {run_id}: {engine.state(run_id)}")

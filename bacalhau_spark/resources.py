@@ -63,6 +63,25 @@ def sanitize_annotation(s: str) -> str:
     return _ANNOTATION_RE.sub("", s)
 
 
+def to_local_properties(resources: dict) -> dict[str, str]:
+    """ResourceUsageConfig -> per-job runtime properties. Executor sizing is
+    submit-time-only in Spark (`to_spark_conf`), but the scheduler pool IS a
+    runtime, job-scoped knob (`spark.sparkContext.setLocalProperty`) — the
+    engine routes jobs to a pool by requested size class, the fair-scheduler
+    restatement of the reference's capacity manager
+    (`pkg/capacitymanager/capacitymanager.go:185-264`)."""
+    cores = parse_cpu(resources.get("cpu", 0))
+    if resources.get("gpu"):
+        pool = "gpu"
+    elif cores >= 4:
+        pool = "heavy"
+    elif cores > 0 or resources.get("memory") or resources.get("disk"):
+        pool = "default"
+    else:
+        return {}
+    return {"spark.scheduler.pool": f"bacalhau-{pool}"}
+
+
 def to_spark_conf(resources: dict) -> dict[str, str]:
     """ResourceUsageConfig -> Spark conf fragment. Unknown keys rejected so
     bad specs fail at submit, not at cluster hand-off."""
