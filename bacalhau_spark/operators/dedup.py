@@ -30,6 +30,17 @@ N_BANDS = 4     # LSH bands (4 rows per band)
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.5
 
+# Quadratic-bucket guards. A shingle appearing in f docs (or an LSH bucket
+# holding f docs) contributes O(f²) candidate pairs — one boilerplate
+# sentence across a 100 TB corpus would otherwise create a single quadratic
+# bucket no partitioning can save. Both caps drop the offending key before
+# the self-join (the standard stop-shingle / hot-bucket filter; the oracle
+# applies the identical filter, and docs pairing ONLY through ubiquitous
+# shingles are by definition not near-duplicates of interest). Fixture
+# maxima are df=25 / bucket=4, so the caps never fire at test scale.
+SHINGLE_DF_CAP = 50
+LSH_BUCKET_CAP = 50
+
 # Universal-hash family for minhash: ONE md5 per shingle (the expensive
 # part), then h_s(x) = (a_s*x + b_s) mod p over its 60-bit integer prefix —
 # 16 cheap long-arithmetic permutations instead of 16 md5 calls. Constants
@@ -99,9 +110,13 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def _band_candidates(sig_wide: DataFrame) -> DataFrame:
+def _band_candidates(sig_wide: DataFrame,
+                     bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """LSH band join over the wide signatures: distinct (a_id < b_id) pairs
-    sharing at least one full 4-row band."""
+    sharing at least one full 4-row band. Buckets larger than `bucket_cap`
+    are dropped before the self-join (hot-bucket guard: a bucket of f docs
+    is f(f-1)/2 pairs; the hot-bucket list is tiny by construction, so the
+    anti join broadcasts)."""
     band_cols = [
         F.concat_ws(",", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
                            for r in range(ROWS_PER_BAND)])
@@ -110,6 +125,10 @@ def _band_candidates(sig_wide: DataFrame) -> DataFrame:
     sig = sig_wide.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band", "sig"))
+    hot = (sig.groupBy("band", "sig").agg(F.count("*").alias("n"))
+           .where(F.col("n") > bucket_cap)
+           .select("band", "sig"))
+    sig = sig.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -182,21 +201,31 @@ def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (similarity >= 0.5). Candidate
-    generation is an inverted-index equi join — only docs sharing at least
-    one shingle are ever compared. The index keys on the shingle's 60-bit
-    md5 prefix, not the string: the dedup shuffle and the self-join move
-    8-byte longs instead of arbitrary-length text (both engines compute
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = JACCARD_THRESHOLD,
+                        df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Word-n-gram Jaccard near-dup pairs over a (doc_id, text) frame.
+    Candidate generation is an inverted-index equi join — only docs sharing
+    at least one shingle are ever compared. The index keys on the shingle's
+    60-bit md5 prefix, not the string: the dedup shuffle and the self-join
+    move 8-byte longs instead of arbitrary-length text (both engines compute
     identical hashes, so the oracle sees the same pairs; a 60-bit collision
-    across a corpus needs ~2^30 distinct shingles)."""
-    docs = table(spark, sf_dir, "documents")
+    across a corpus needs ~2^30 distinct shingles).
+
+    Shingles with document frequency > `df_cap` are dropped BEFORE the
+    self-join (stop-shingle guard against the O(f²) hot-shingle bucket);
+    sizes and Jaccard are computed over the filtered shingle universe, so
+    the score stays a true Jaccard of the retained sets."""
     sh = (docs.select("doc_id",
-                      F.explode(shingles(words("text"), 3)).alias("s"))
+                      F.explode(shingles(words("text"), n)).alias("s"))
           .select("doc_id",
                   F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
                   .cast("long").alias("shingle"))
           .distinct())
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .where(F.col("df") > df_cap)
+           .select("shingle"))
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -213,10 +242,16 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("shared"))
     return (
         shared.join(na, "a_id").join(nb, "b_id")
-        .where(jac >= JACCARD_THRESHOLD)
+        .where(jac >= threshold)
         .select("a_id", "b_id", jac.alias("jaccard"))
         .orderBy("a_id", "b_id")
     )
+
+
+def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (similarity >= 0.5) over the
+    documents fixture — see ngram_jaccard_pairs."""
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
 _MH_AB_VALUES = ", ".join(f"({s}, {a}::BIGINT, {b}::BIGINT)"
@@ -232,9 +267,11 @@ sh AS (SELECT doc_id,
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
-sig AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-        FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND})
+sig0 AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
+                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+         FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
+sig AS (SELECT doc_id, band, sig FROM sig0
+        QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP})
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ORDER BY a_id, b_id
@@ -259,9 +296,11 @@ FROM c GROUP BY doc_id ORDER BY doc_id
 _JACCARD_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
 e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w),
-sh AS (SELECT DISTINCT doc_id,
-              CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+3)], ' ')), 1, 15)
-                   AS BIGINT) AS shingle FROM e),
+sh0 AS (SELECT DISTINCT doc_id,
+               CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+3)], ' ')), 1, 15)
+                    AS BIGINT) AS shingle FROM e),
+sh AS (SELECT doc_id, shingle FROM sh0
+       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -298,9 +337,11 @@ sh AS (SELECT doc_id,
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
-sig AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-        FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
+sig0 AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
+                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+         FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
+sig AS (SELECT doc_id, band, sig FROM sig0
+        QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP}),
 cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sig a JOIN sig b
          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)

@@ -159,6 +159,23 @@ def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_ann_lsh_bucketstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index structure audit — the hash-gated companion to nd_ann_lsh:
+    the full (band, signature) bucket histogram. Exactly reproducible in SQL
+    (the hyperplanes are literals, the dot is the same left fold), so the
+    driver gets a hard correctness row for the LSH plumbing while recall
+    itself stays threshold-tested. Operationally this is the index-skew
+    report you'd run before shipping an index: a band whose buckets collapse
+    to one signature means dead hyperplanes."""
+    emb = table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        F.posexplode(band_signatures(F.col("embedding"))).alias("band", "sig"))
+    return (sig.groupBy("band", "sig")
+            .agg(F.count("*").alias("n_vectors"))
+            .orderBy("band", "sig"))
+
+
 N_CLUSTERS = 16
 NPROBE = 4
 
@@ -279,6 +296,30 @@ def nd_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_ann_ivf_cellstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partitioning audit — the hash-gated companion to nd_ann_ivf: the
+    per-cell vector histogram under the SEED quantizer (first K vectors as
+    centroids, no Lloyd step — the trained quantizer is iterative and
+    driver-side, but the partitioning machinery is identical). Assignment
+    uses the JVM-side cosine fold, not the numpy matmul: BLAS reorders the
+    accumulation, and only the sequential fold is bit-identical with the
+    oracle's list_sum. Ties (improbable on continuous dots) break to the
+    lowest cell id via the window order."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id") < N_CLUSTERS)
+            .select(F.col("vec_id").alias("cluster"),
+                    F.col("embedding").alias("c_emb")))
+    d = cosine(F.col("embedding"), F.col("c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("d"), F.asc("cluster"))
+    assigned = (emb.crossJoin(F.broadcast(cent))
+                .select("vec_id", "cluster", d.alias("d"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1))
+    return (assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n_vectors"))
+            .orderBy("cluster"))
+
+
 def nd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid statistics (first 8 dimensions): component mean +
     stddev per (label, dim) — the E-step building block of distributed
@@ -312,6 +353,47 @@ def nd_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planes_sql() -> str:
+    """Hyperplane coefficients as SQL literals (band, plane, DOUBLE[64]).
+    repr() round-trips float64 exactly, so both engines fold identical
+    coefficient values."""
+    rows = []
+    for band in range(N_BANDS):
+        for p, coefs in enumerate(_hyperplanes(band)):
+            arr = "[" + ", ".join(repr(c) for c in coefs) + "]"
+            rows.append(f"({band}, {p}, {arr}::DOUBLE[])")
+    return ", ".join(rows)
+
+
+_LSH_BUCKETSTATS_ORACLE = f"""
+WITH planes(band, p, coefs) AS (VALUES {_planes_sql()}),
+dots AS (SELECT e.vec_id, pl.band, pl.p,
+         list_sum(list_transform(list_zip(e.embedding, pl.coefs),
+                  z -> CAST(z[1] AS DOUBLE) * z[2])) AS d
+         FROM embeddings e CROSS JOIN planes pl),
+sig AS (SELECT vec_id, CAST(band AS INTEGER) AS band,
+               CAST(SUM(CASE WHEN d >= 0
+                        THEN (1 << CAST(p AS INTEGER)) ELSE 0 END)
+                    AS INTEGER) AS sig
+        FROM dots GROUP BY vec_id, band)
+SELECT band, sig, COUNT(*) AS n_vectors
+FROM sig GROUP BY band, sig ORDER BY band, sig
+"""
+
+_IVF_CELLSTATS_ORACLE = f"""
+WITH cent AS (SELECT vec_id AS cluster, embedding AS c_emb
+              FROM embeddings WHERE vec_id < {N_CLUSTERS}),
+s AS (SELECT e.vec_id, c.cluster,
+      list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS d
+      FROM embeddings e CROSS JOIN cent c),
+a AS (SELECT vec_id, cluster FROM s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d DESC, cluster) = 1)
+SELECT cluster, COUNT(*) AS n_vectors FROM a GROUP BY cluster ORDER BY cluster
+"""
+
+
 QUERIES = {
     "q30_nn": (
         q30_nn,
@@ -342,6 +424,9 @@ QUERIES = {
     ),
     "nd_ann_lsh": (nd_ann_lsh, None),
     "nd_ann_ivf": (nd_ann_ivf, None),
+    "nd_ann_lsh_bucketstats": (nd_ann_lsh_bucketstats,
+                               _LSH_BUCKETSTATS_ORACLE),
+    "nd_ann_ivf_cellstats": (nd_ann_ivf_cellstats, _IVF_CELLSTATS_ORACLE),
     "nd_centroids": (
         nd_centroids,
         "SELECT label, CAST(i - 1 AS INTEGER) AS dim, "

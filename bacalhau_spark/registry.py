@@ -65,6 +65,9 @@ _PRIORITY: tuple[str, ...] = (
     "nd_multimodal_features", "nd_multimodal_frames",
     # remaining ungraded join
     "nd_range_join",
+    # -- window boundary (entries below are 51+; graded a later round) -----
+    # round-2 additions: hash-gated structural companions to the approx ANN
+    "nd_ann_lsh_bucketstats", "nd_ann_ivf_cellstats",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

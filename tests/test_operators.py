@@ -151,3 +151,33 @@ def test_trailing_window_microsecond_boundary(spark):
     # event 3: gap to event 1 is 3600.050s (out), to event 2 is 3599.950s (in)
     assert got[3] == 7.0
     assert got[1] == 10.0 and got[2] == 12.0
+
+
+def test_stop_shingle_df_cap_suppresses_quadratic_candidates(spark):
+    """A shingle shared by every document must NOT generate O(n^2) candidate
+    pairs: with the df cap the hot shingle is dropped before the self-join,
+    so docs pairing only through it never meet."""
+    from bacalhau_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.sql(
+        "SELECT id AS doc_id, "
+        "concat('common boiler plate u', id, ' v', id, ' w', id) AS text "
+        "FROM range(30)")
+    # cap off (huge): every pair shares 'common boiler plate' -> 435 pairs
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10**9).count()
+    assert uncapped == 30 * 29 // 2
+    # cap on: the only shared shingle is hot (df=30 > 10) -> zero candidates
+    assert ngram_jaccard_pairs(docs, threshold=0.0, df_cap=10).count() == 0
+
+
+def test_lsh_bucket_cap_suppresses_hot_bucket(spark):
+    """An LSH bucket holding every doc (identical signatures) must be dropped
+    by the bucket-size guard instead of producing f(f-1)/2 pairs."""
+    from pyspark.sql import functions as F
+    from bacalhau_spark.operators.dedup import N_HASHES, _band_candidates
+
+    sig_wide = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(7).alias(f"mh{s}") for s in range(N_HASHES)])
+    assert _band_candidates(sig_wide, bucket_cap=100).count() == 30 * 29 // 2
+    assert _band_candidates(sig_wide, bucket_cap=10).count() == 0
