@@ -79,6 +79,55 @@ def cmd_apply(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Daemon mode: engine + REST API on one Spark driver — the
+    `bacalhau serve` analog (`cmd/bacalhau/serve.go:108-271`)."""
+    from bacalhau_spark import registry
+    from bacalhau_spark.api import ApiServer
+    from bacalhau_spark.engine import Engine
+    spark = _get_spark(args.cpus)
+    server = ApiServer(Engine(spark, registry.queries()),
+                       host=args.host, port=args.port)
+    print(f"serving on {server.url}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+def cmd_describe(args) -> int:
+    """`bacalhau describe` analog: state + event history + manifest of a
+    prior run, fetched from a serve daemon."""
+    from bacalhau_spark.api import ApiClient
+    desc = ApiClient(args.url).describe(args.run_id)
+    print(f"run {desc['run_id']}: {desc['state']} (query={desc['query']}, "
+          f"replicas={desc['replicas']}, verified={desc['verified']})")
+    if desc["manifest"]:
+        print(f"manifest: {desc['manifest']}")
+    if desc["outputs"]:
+        print(f"outputs: {desc['outputs']}")
+    for evt in desc["events"]:
+        print(f"  [{evt['ordinal']}] {evt['name']} {evt['detail'][:60]}")
+    return 0
+
+
+def cmd_get(args) -> int:
+    """`bacalhau get` analog: fetch a run's published results."""
+    import json as _json
+    from bacalhau_spark.api import ApiClient
+    for row in ApiClient(args.url).results(args.run_id, limit=args.limit):
+        print(_json.dumps(row, default=str))
+    return 0
+
+
+def cmd_list_runs(args) -> int:
+    from bacalhau_spark.api import ApiClient
+    for run_id, state in sorted(ApiClient(args.url).list_runs().items()):
+        print(f"{run_id}\t{state}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bacalhau_spark",
                                 description="PySpark-native analytics engine")
@@ -103,6 +152,26 @@ def build_parser() -> argparse.ArgumentParser:
     ap = sub.add_parser("apply", help="submit a declarative job spec")
     ap.add_argument("-f", "--file", required=True)
     ap.set_defaults(fn=cmd_apply)
+
+    sv = sub.add_parser("serve", help="run the engine REST API daemon")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8338)
+    sv.set_defaults(fn=cmd_serve)
+
+    de = sub.add_parser("describe", help="describe a run on a serve daemon")
+    de.add_argument("--url", default="http://127.0.0.1:8338")
+    de.add_argument("run_id")
+    de.set_defaults(fn=cmd_describe)
+
+    ge = sub.add_parser("get", help="fetch a run's results from a daemon")
+    ge.add_argument("--url", default="http://127.0.0.1:8338")
+    ge.add_argument("--limit", type=int, default=100)
+    ge.add_argument("run_id")
+    ge.set_defaults(fn=cmd_get)
+
+    lr = sub.add_parser("list-runs", help="list runs on a serve daemon")
+    lr.add_argument("--url", default="http://127.0.0.1:8338")
+    lr.set_defaults(fn=cmd_list_runs)
     return p
 
 

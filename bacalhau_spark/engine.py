@@ -31,11 +31,51 @@ from bacalhau_spark.sources.sinks import result_manifest
 # Event names follow `pkg/executor/constants.go:44-89`.
 EVT_CREATED = "Created"
 EVT_RUNNING = "Running"
+EVT_METRICS = "Metrics"  # execution telemetry (OTel-span analog)
 EVT_COMPLETED = "Completed"
 EVT_ERROR = "Error"
 EVT_RESULTS_ACCEPTED = "ResultsAccepted"
 EVT_RESULTS_REJECTED = "ResultsRejected"
 EVT_REJECTED = "Rejected"
+
+
+def build_context_archive(context_dir: str,
+                          max_bytes: int = 10 << 20) -> str:
+    """Package a working directory for shipping to executors — the
+    `run python` context-upload analog (`cmd/bacalhau/run_python.go:145-167`
+    tars ≤10 MiB of CWD; the server pins it, `pkg/publicapi/server.go:470-535`).
+
+    The zip is named by a hash of its CONTENT (relative paths + bytes), the
+    CID-pinning story: identical contexts map to the same artifact, so
+    re-submits re-register the same path instead of colliding on Spark's
+    one-basename-one-file rule. Returns the archive path for
+    `sparkContext.addPyFile`."""
+    import hashlib
+    import os
+    import pathlib
+    import zipfile
+
+    from bacalhau_spark.scratch import scratch_root
+
+    base = pathlib.Path(context_dir)
+    if not base.is_dir():
+        raise ValueError(f"context {context_dir!r} is not a directory")
+    files = sorted(p for p in base.rglob("*") if p.is_file())
+    total = sum(p.stat().st_size for p in files)
+    if total > max_bytes:
+        raise ValueError(
+            f"context {context_dir!r} is {total} bytes; max {max_bytes}")
+    digest = hashlib.sha256()
+    for p in files:
+        digest.update(str(p.relative_to(base)).encode())
+        digest.update(b"\0")
+        digest.update(p.read_bytes())
+    out = os.path.join(scratch_root(), f"ctx-{digest.hexdigest()[:16]}.zip")
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for p in files:
+                zf.write(p, arcname=str(p.relative_to(base)))
+    return out
 
 
 class JobRejectedError(RuntimeError):
@@ -60,6 +100,7 @@ class JobSpec:
     verified: bool = False          # enforce deterministic plan + manifest compare
     annotations: list = field(default_factory=list)
     resources: dict = field(default_factory=dict)  # {"cpu": "500m", "memory": "2Gb", ...}
+    context: str | None = None      # dir shipped to executors (run-python context analog)
 
     def __post_init__(self) -> None:
         # Validate + sanitize at construction (the reference validates specs
@@ -80,7 +121,7 @@ class JobSpec:
     def from_dict(cls, doc: dict) -> "JobSpec":
         known = {k: doc[k] for k in
                  ("query", "inputs", "outputs", "replicas", "verified",
-                  "annotations", "resources") if k in doc}
+                  "annotations", "resources", "context") if k in doc}
         if "query" not in known:
             raise ValueError("job spec requires a 'query' field")
         return cls(**known)
@@ -125,6 +166,7 @@ class Engine:
         self.policies = list(policies or [])
         self._events: list[JobEvent] = []
         self._ordinals: dict[str, int] = {}
+        self._specs: dict[str, JobSpec] = {}
 
     # -- event log ---------------------------------------------------------
     def _emit(self, run_id: str, name: str, detail: str = "") -> None:
@@ -164,6 +206,44 @@ class Engine:
                 .groupBy("run_id")
                 .agg(F.max_by("name", "ordinal").alias("state")))
 
+    def describe(self, run_id: str) -> dict:
+        """Full run description: spec, state, event history, result manifest
+        — the `bacalhau describe` view (`cmd/bacalhau/describe.go:73-176`)."""
+        evts = sorted(self.events(run_id), key=lambda e: e.ordinal)
+        if not evts:
+            raise KeyError(f"unknown run {run_id}")
+        spec = self._specs.get(run_id)
+        manifest = next(
+            (e.detail for e in reversed(evts)
+             if e.name in (EVT_RESULTS_ACCEPTED, EVT_COMPLETED) and e.detail),
+            "")
+        return {
+            "run_id": run_id,
+            "query": spec.query if spec else None,
+            "state": evts[-1].name,
+            "replicas": spec.replicas if spec else 1,
+            "verified": spec.verified if spec else False,
+            "outputs": dict(spec.outputs) if spec else {},
+            "annotations": list(spec.annotations) if spec else [],
+            "manifest": manifest,
+            "events": [{"ordinal": e.ordinal, "name": e.name, "ts": e.ts,
+                        "detail": e.detail} for e in evts],
+        }
+
+    def fetch_results(self, run_id: str, limit: int = 100) -> list[dict]:
+        """Read back a completed run's published output — the
+        `bacalhau get` analog (`cmd/bacalhau/get.go:36-129`): results come
+        from the run's sink, not from re-executing the plan."""
+        spec = self._specs.get(run_id)
+        if spec is None:
+            raise KeyError(f"unknown run {run_id}")
+        path = spec.outputs.get("path")
+        if not path:
+            raise ValueError(f"run {run_id} has no output sink to fetch")
+        df = self.spark.read.format(
+            spec.outputs.get("format", "parquet")).load(path)
+        return [row.asDict(recursive=True) for row in df.limit(limit).collect()]
+
     # -- submit / run ------------------------------------------------------
     def submit(self, spec: JobSpec) -> str:
         """Run a spec to completion; returns the run id. Replicated,
@@ -171,6 +251,7 @@ class Engine:
         if spec.query not in self.registry:
             raise KeyError(f"unknown query {spec.query!r}")
         run_id = uuid.uuid4().hex[:12]
+        self._specs[run_id] = spec
         self._emit(run_id, EVT_CREATED, spec.query)
         for policy in self.policies:
             if not policy(spec):
@@ -192,6 +273,11 @@ class Engine:
         for k, v in props.items():
             sc.setLocalProperty(k, v)
         try:
+            if spec.context:
+                # Ship the job's working-dir modules to driver + executors
+                # before the query builds any UDF that imports them.
+                archive = build_context_archive(spec.context)
+                self.spark.sparkContext.addPyFile(archive)
             fn = self.registry[spec.query]
             sf_dir = spec.inputs.get("sf_dir", "/root/testdata/sf0.001")
             df = fn(self.spark, sf_dir)
@@ -200,13 +286,17 @@ class Engine:
             self._emit(run_id, EVT_RUNNING,
                        spec.local_properties.get("spark.scheduler.pool", ""))
             out = spec.outputs.get("path")
+            t_exec = time.time()
+            run_metrics: dict = {}
             # Verify BEFORE publish (the reference gates publishing on
             # results acceptance): replica manifests are compared first and
             # a mismatch aborts the run with nothing written.
             manifests = []
             if spec.verified or spec.replicas > 1:
-                manifests = [result_manifest(df)
-                             for _ in range(max(1, spec.replicas))]
+                manifests = [
+                    result_manifest(df,
+                                    metrics_out=run_metrics if i == 0 else None)
+                    for i in range(max(1, spec.replicas))]
                 if len(set(manifests)) != 1:
                     self._emit(run_id, EVT_RESULTS_REJECTED,
                                ";".join(manifests))
@@ -214,10 +304,15 @@ class Engine:
                         f"run {run_id}: replica manifests disagree: "
                         f"{sorted(set(manifests))}")
             elif not out:
-                df.count()  # no sink — execute once for its side effects
+                # no sink — execute once, harvesting the plan's SQLMetrics
+                from bacalhau_spark.plans.telemetry import execute_and_measure
+                run_metrics.update(execute_and_measure(df))
             if out:
                 df.write.mode("overwrite").format(
                     spec.outputs.get("format", "parquet")).save(out)
+            run_metrics["wall_s"] = round(time.time() - t_exec, 3)
+            self._emit(run_id, EVT_METRICS,
+                       json.dumps(run_metrics, sort_keys=True))
             self._emit(run_id, EVT_COMPLETED,
                        manifests[0] if manifests else "")
             if manifests:
