@@ -19,12 +19,16 @@ from bacalhau_spark.catalog import table
 from bacalhau_spark.functions import row_fingerprint
 
 
-def result_manifest(df: DataFrame) -> str:
+def result_manifest(df: DataFrame, metrics_out: dict | None = None) -> str:
     """Order- and partitioning-independent content hash of a DataFrame.
 
     Per-row sha256 fingerprints are reduced with a commutative sum, so no
     global sort is needed — each partition folds locally and the driver
     merges one row per partition. The reference's results CID analog.
+
+    When `metrics_out` is given, the executed plan's SQLMetrics (scan bytes,
+    shuffle bytes, spill) are folded into it — the manifest pass IS a full
+    execution of the query, so its metrics describe the run.
     """
     fp = row_fingerprint([F.col(c) for c in df.columns])
     # fold the 256-bit hash as 4 xor-reduced bigints — keeps everything JVM-side
@@ -33,13 +37,18 @@ def result_manifest(df: DataFrame) -> str:
         for i in range(4)
     ]
     hashed = df.select(fp.alias("fp"), *[c.alias(f"c{i}") for i, c in enumerate(chunks)])
-    agg = hashed.agg(
+    agg_df = hashed.agg(
         F.count("*").alias("n"),
         # coalesce: SUM over zero rows is NULL — an empty result must still
         # manifest (as "0-0-0-0-0"), not crash the verifier.
         *[F.coalesce(F.sum(f"c{i}"), F.lit(0)).cast("decimal(38,0)")
           .alias(f"s{i}") for i in range(4)],
-    ).collect()[0]
+    )
+    agg = agg_df.collect()[0]
+    if metrics_out is not None:
+        from bacalhau_spark.plans.telemetry import plan_metrics
+        metrics_out.update(plan_metrics(agg_df))
+        metrics_out["result_rows"] = int(agg["n"])
     return f"{agg['n']}-" + "-".join(f"{int(agg[f's{i}']):x}" for i in range(4))
 
 
@@ -56,9 +65,9 @@ def q12_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem to a scratch sink, read it back, aggregate (Q12) —
     proves the write→read round trip is lossless (the reference's
     publish-then-Get loop, `cmd/bacalhau/docker_run.go:220-292`)."""
-    import tempfile
+    from bacalhau_spark.scratch import scratch_dir
     li = table(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="bacalhau_spark_q12_") + "/lineitem"
+    out = scratch_dir("q12") + "/lineitem"
     li.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.agg(
@@ -73,10 +82,10 @@ def nd_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's data plane is textual (CSV sensor files,
     `testdata/awk_file.txt:1`); this is that plane done engine-side.
     Doubles survive via Spark's shortest-round-trip CSV formatting."""
-    import tempfile
+    from bacalhau_spark.scratch import scratch_dir
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    out = tempfile.mkdtemp(prefix="bacalhau_spark_csv_") + "/orders"
+    out = scratch_dir("csv") + "/orders"
     orders.write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.schema(
         "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
@@ -94,10 +103,10 @@ def nd_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     job documents travel as JSON, `pkg/transport/libp2p/libp2p.go:214-233`).
     Explicit schema on re-read; the embedded `props` JSON string survives
     as an opaque field and stays queryable (get_json_object)."""
-    import tempfile
+    from bacalhau_spark.scratch import scratch_dir
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props")
-    out = tempfile.mkdtemp(prefix="bacalhau_spark_json_") + "/events"
+    out = scratch_dir("json") + "/events"
     ev.write.mode("overwrite").json(out)
     back = spark.read.schema(
         "event_id BIGINT, user_id BIGINT, event_type STRING, "
