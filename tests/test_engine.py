@@ -88,7 +88,8 @@ def test_results_rejected_blocks_publish(engine, tmp_path, monkeypatch):
     reference controller)."""
     import bacalhau_spark.engine as eng_mod
     seq = iter(["manifest-a", "manifest-b"])
-    monkeypatch.setattr(eng_mod, "result_manifest", lambda _df: next(seq))
+    monkeypatch.setattr(eng_mod, "result_manifest",
+                        lambda _df, metrics_out=None: next(seq))
     out = tmp_path / "rejected_out"
     with pytest.raises(eng_mod.ResultsRejectedError):
         engine.submit(JobSpec(query="q01_scan_projection",
@@ -153,6 +154,69 @@ def test_policy_hooks(spark):
                            inputs={"sf_dir": SF_DIR},
                            annotations=["blocked"]))
     assert "Rejected" in {e.name for e in eng.events()}
+
+
+def test_metrics_event_carries_execution_telemetry(engine):
+    """Every run logs a Metrics event with real SQLMetrics from the executed
+    plan (the per-job tracing analog): wall clock always; scan/result
+    counters whenever the engine controls the execution."""
+    rid = engine.submit(JobSpec(query="q01_scan_projection",
+                                inputs={"sf_dir": SF_DIR}))
+    (metrics_evt,) = [e for e in engine.events(rid) if e.name == "Metrics"]
+    m = json.loads(metrics_evt.detail)
+    assert m["wall_s"] >= 0
+    assert m["result_rows"] == 25
+    # >= 25: the global sort's range partitioner samples the scan before
+    # shuffling, so the scan's row counter sees two passes
+    assert m["scan_rows"] >= 25 and m["scan_bytes"] > 0
+    # verified path: telemetry comes from the manifest execution
+    rid2 = engine.submit(JobSpec(query="q13_join_agg",
+                                 inputs={"sf_dir": SF_DIR},
+                                 replicas=2, verified=True))
+    (mevt2,) = [e for e in engine.events(rid2) if e.name == "Metrics"]
+    m2 = json.loads(mevt2.detail)
+    assert m2["result_rows"] == 25 and m2["scan_bytes"] > 0
+    # and the run log exposes them as queryable rows
+    assert engine.events_df().where("name = 'Metrics'").count() == 2
+
+
+def test_context_shipped_module_runs_in_udf(spark, tmp_path):
+    """Context-upload analog: a module that exists ONLY in the job's context
+    dir must be importable inside a UDF executing on workers (the reference
+    tars the CWD into the job and mounts it at /job)."""
+    from bacalhau_spark.engine import Engine
+
+    (tmp_path / "ctxmod.py").write_text("def triple(x):\n    return 3 * x\n")
+
+    def ctx_query(spark_, sf_dir):
+        from pyspark.sql.functions import pandas_udf
+        from bacalhau_spark.catalog import table
+
+        @pandas_udf("long")
+        def triple_udf(s):
+            import ctxmod
+            return s.map(ctxmod.triple)
+
+        return (table(spark_, sf_dir, "nation")
+                .select(triple_udf(F.col("n_nationkey")).alias("t")))
+
+    eng = Engine(spark, {"ctx": ctx_query})
+    rid = eng.submit(JobSpec(query="ctx", inputs={"sf_dir": SF_DIR},
+                             context=str(tmp_path)))
+    assert eng.state(rid) == EVT_COMPLETED
+    got = ctx_query(spark, SF_DIR).agg(F.sum("t").alias("s")).collect()[0]["s"]
+    assert got == 3 * sum(range(25))
+
+
+def test_context_archive_size_cap(tmp_path):
+    from bacalhau_spark.engine import build_context_archive
+    (tmp_path / "big.bin").write_bytes(b"x" * 4096)
+    with pytest.raises(ValueError, match="max"):
+        build_context_archive(str(tmp_path), max_bytes=1024)
+    # identical content -> identical (content-addressed) archive path
+    a1 = build_context_archive(str(tmp_path))
+    a2 = build_context_archive(str(tmp_path))
+    assert a1 == a2
 
 
 def test_error_event_recorded_on_failure(spark):
