@@ -6,11 +6,12 @@ Reference capability: opaque binary inputs processed by containers
 runs as Arrow-batched ``mapInPandas`` — the one place Python is the right
 tool, amortized over whole record batches.
 
-The actual image/audio decode is STUBBED (libs not in this container):
-``decode_image_real`` raises NotImplementedError; the shipping path uses a
-deterministic fake decoder so the Spark-side plumbing — schema, batching,
-partitioning, UDF signature — is real and oracle-checkable (the fake features
-are md5-derived, which DuckDB can reproduce).
+The image decode is capability-probed: when PIL is importable,
+``decode_image_real`` decodes actual bytes; without it, it raises a declared
+NotImplementedError. The ORACLE-checked queries always use the deterministic
+fake decoder (fixture payloads are text bytes, not images) so the Spark-side
+plumbing — schema, batching, partitioning, UDF signature — is hash-checkable
+against DuckDB in any environment.
 """
 
 from __future__ import annotations
@@ -28,11 +29,30 @@ FEATURE_SCHEMA = ("doc_id bigint, n_bytes int, width int, height int, "
                   "phash string")
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decoder entry point — requires an image library not present in
-    this container. Deliberately stubbed (see module docstring)."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not available in this environment")
+def image_codec_available() -> bool:
+    """Capability probe: can this environment decode real image bytes?"""
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, str]:
+    """Real decoder: (width, height, content hash) from actual image bytes
+    via PIL when present. Environments without an image library get the
+    declared NotImplementedError — callers choose the fake-decode path
+    (the oracle queries always do; see module docstring)."""
+    if not image_codec_available():
+        raise NotImplementedError(
+            "image decode requires PIL; not available in this environment")
+    import hashlib
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    return width, height, hashlib.md5(img.tobytes()).hexdigest()
 
 
 def nd_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +90,52 @@ def nd_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload"))
     return docs.mapInPandas(decode_batches, FEATURE_SCHEMA).orderBy("doc_id")
+
+
+def multimodal_features_real(docs: DataFrame) -> DataFrame:
+    """Capability-probed feature extraction over a (doc_id, payload binary)
+    frame: payloads PIL can decode yield true dimensions + pixel hash;
+    everything else (no codec installed, corrupt/non-image bytes) falls back
+    to the deterministic fake PER PAYLOAD — the production posture for a
+    100 TB media corpus, where one bad blob must never fail the batch. The
+    probe runs inside the worker closure so executors decide from their own
+    environment."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import io as _io
+
+        import pandas as _pd
+        try:
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def fake_decode(payload: bytes) -> tuple[int, int, str]:
+            h = _hashlib.md5(payload).hexdigest()
+            return (int(h[0:2], 16) % 512) + 16, (int(h[2:4], 16) % 512) + 16, h
+
+        def best_decode(payload: bytes) -> tuple[int, int, str]:
+            if _Image is None:
+                return fake_decode(payload)
+            try:
+                img = _Image.open(_io.BytesIO(payload))
+                width, height = img.size
+                return width, height, _hashlib.md5(img.tobytes()).hexdigest()
+            except Exception:  # not decodable — deterministic fallback
+                return fake_decode(payload)
+
+        for pdf in batches:
+            decoded = [best_decode(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "phash": [d[2] for d in decoded],
+            })
+
+    return docs.mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
 N_FRAMES = 3

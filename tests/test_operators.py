@@ -181,3 +181,41 @@ def test_lsh_bucket_cap_suppresses_hot_bucket(spark):
         *[F.lit(7).alias(f"mh{s}") for s in range(N_HASHES)])
     assert _band_candidates(sig_wide, bucket_cap=100).count() == 30 * 29 // 2
     assert _band_candidates(sig_wide, bucket_cap=10).count() == 0
+
+
+def _make_bmp(w: int, h: int) -> bytes:
+    """Minimal valid 24bpp BMP built with struct — no image library needed."""
+    import struct
+    row = (w * 3 + 3) // 4 * 4
+    data = bytes(row * h)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                            2835, 2835, 0, 0))
+    return header + data
+
+
+def test_image_decode_capability_probe(spark):
+    """decode_image_real decodes true dimensions when PIL exists and raises
+    the declared NotImplementedError when it doesn't; the mapInPandas real
+    path never fails a batch — undecodable payloads fall back to the
+    deterministic fake per payload."""
+    from bacalhau_spark.operators.multimodal import (decode_image_real,
+                                                     image_codec_available,
+                                                     multimodal_features_real)
+
+    bmp = _make_bmp(4, 2)
+    if image_codec_available():
+        w, h, phash = decode_image_real(bmp)
+        assert (w, h) == (4, 2) and phash
+    else:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image_real(bmp)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"definitely not an image"))],
+        "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in multimodal_features_real(df).collect()}
+    assert rows[1]["n_bytes"] == len(bmp)
+    if image_codec_available():
+        assert (rows[1]["width"], rows[1]["height"]) == (4, 2)
+    assert rows[2]["width"] >= 16 and rows[2]["phash"]  # fake fallback
