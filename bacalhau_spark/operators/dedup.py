@@ -51,6 +51,10 @@ MH_AB = tuple(
      (69069 * s + 1013904223) % MH_PRIME)
     for s in range(N_HASHES)
 )
+# Polynomial combiner for rolling word-window shingle keys (see
+# _rolling_shingle_keys). < 2^31 so acc*C stays under 2^62.
+MH_ROLL_C = 1_000_003
+MH_SHINGLE_N = 5
 
 
 def q29_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,6 +91,44 @@ def _shingle_table(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     )
 
 
+def _word_hashes(text_col) -> "F.Column":
+    """Per-word 60-bit hashes: one md5 per WORD (not per shingle)."""
+    return F.transform(
+        words(text_col),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10)
+        .cast("long") % MH_PRIME)
+
+
+def _rolling_shingle_keys(wh_col) -> "F.Column":
+    """Integer shingle keys from rolling word-hash windows — no shingle
+    string is ever materialized: each 5-word window key is a polynomial
+    fold of the 5 word hashes mod MH_PRIME (4 multiply-adds per shingle,
+    all in codegen). Replacing the concat-5-words-then-md5 scheme cut the
+    signature stage 1.58s → 0.60s at sf0.1: the shingle string build +
+    long-input md5 was the dominant cost in both engines. DuckDB computes
+    the identical keys (same md5 prefix, same polynomial), so hash-gating
+    is unaffected.
+
+    `wh_col` MUST be a projected column of _word_hashes output, not the
+    raw expression: the window fold indexes it 5 times per shingle, and
+    inlining the per-word md5 transform into every access makes Catalyst
+    re-evaluate the whole array per term — measured 50x slower (53s vs
+    1.0s at sf0.1)."""
+
+    def poly(arr, i):
+        acc = arr[i]
+        for k in range(1, MH_SHINGLE_N):
+            acc = (acc * MH_ROLL_C + arr[i + F.lit(k)]) % MH_PRIME
+        return acc
+
+    n = F.size(wh_col)
+    return F.when(
+        n >= MH_SHINGLE_N,
+        F.transform(F.sequence(F.lit(0), n - MH_SHINGLE_N),
+                    lambda i: poly(wh_col, i)),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide minhash signature table: (doc_id, mh0..mh15).
 
@@ -94,15 +136,17 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate shingles, so the dedup shuffle _shingle_table pays (needed
     for Jaccard counting) is pure waste here. All 16 minhashes as wide
     min-aggregates in ONE groupBy pass: no 16x row explosion, no
-    (doc_id, seed) shuffle — each shingle row evaluates one md5 + 16
-    affine maps in codegen and map-side combine carries one 16-column row
-    per doc per partition. At corpus scale this table is the persisted
-    index artifact (write once, band-join and estimate many times)."""
+    (doc_id, seed) shuffle — each shingle-key row evaluates 16 affine maps
+    in codegen and map-side combine carries one 16-column row per doc per
+    partition. Shingle keys come from rolling word-hash windows
+    (_rolling_shingle_keys) — strings never materialize. At corpus scale
+    this table is the persisted index artifact (write once, band-join and
+    estimate many times)."""
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(shingles(words("text"), 5)).alias("shingle"))
-    x = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-         .cast("long") % MH_PRIME)
+    wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
+    sh = wh.select(
+        "doc_id", F.explode(_rolling_shingle_keys(F.col("wh"))).alias("x"))
+    x = F.col("x")
     mins = [
         F.min((F.lit(a) * x + F.lit(b)) % MH_PRIME).alias(f"mh{s}")
         for s, (a, b) in enumerate(MH_AB)
@@ -257,13 +301,23 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_AB_VALUES = ", ".join(f"({s}, {a}::BIGINT, {b}::BIGINT)"
                           for s, (a, b) in enumerate(MH_AB))
 
+# Rolling word-hash shingle keys, mirroring _rolling_shingle_keys exactly:
+# md5 prefix per word, then the same polynomial fold (DuckDB lists are
+# 1-indexed, hence wh[i+1]..wh[i+5] for 0-based window start i).
+_MH_POLY = "wh[i+1]"
+for _k in range(2, MH_SHINGLE_N + 1):
+    _MH_POLY = f"(({_MH_POLY}) * {MH_ROLL_C} + wh[i+{_k}]) % {MH_PRIME}"
+
+_MH_SH_CTES = f"""
+WITH w AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+           t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % {MH_PRIME})
+           AS wh FROM documents),
+e AS (SELECT doc_id, wh,
+      unnest(range(greatest(len(wh) - {MH_SHINGLE_N - 1}, 0))) AS i FROM w),
+sh AS (SELECT doc_id, ({_MH_POLY}) AS x FROM e)"""
+
 _MINHASH_ORACLE = f"""
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 4, 0))) AS i FROM w),
-sh AS (SELECT doc_id,
-              CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+5)], ' ')), 1, 15)
-                   AS BIGINT) % {MH_PRIME} AS x
-       FROM e),
+{_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
@@ -328,12 +382,7 @@ QUERIES = {
     ),
     "nd_minhash_lsh": (nd_minhash_lsh, _MINHASH_ORACLE),
     "nd_minhash_estimate": (nd_minhash_estimate, f"""
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 4, 0))) AS i FROM w),
-sh AS (SELECT doc_id,
-              CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+5)], ' ')), 1, 15)
-                   AS BIGINT) % {MH_PRIME} AS x
-       FROM e),
+{_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
