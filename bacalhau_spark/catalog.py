@@ -29,10 +29,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy scan of one fixture table. No schema inference at read time —
     parquet footers carry the authoritative schema (FIXTURES.md §2).
 
-    events.ts is physically TIMESTAMP(NANOS) in the fixtures, which Spark's
-    parquet reader rejects; it is read as raw nanos (legacy nanosAsLong) and
-    rebuilt as a microsecond timestamp — same floor-truncation DuckDB applies
-    when normalizing ns→µs, so the oracle sees identical instants.
+    events.ts is physically TIMESTAMP(NANOS) in the fixtures. Older Spark
+    parquet readers reject it unless legacy nanosAsLong is set (read as raw
+    nanos, rebuilt as a µs timestamp); Spark ≥4.1 reads it natively as a
+    µs-truncated TIMESTAMP_NTZ and ignores that flag. Both paths normalize
+    to TimestampType — the same floor-truncation DuckDB applies when
+    normalizing ns→µs, so the oracle sees identical instants.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -43,7 +45,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":  # legacy nanosAsLong honored (Spark <4.1)
+            df = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        else:  # native nanos read (timestamp_ntz, already µs-truncated)
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _CACHE[key] = df

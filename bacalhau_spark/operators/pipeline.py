@@ -77,14 +77,23 @@ def nd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE INTO pattern without a table format: one shuffle on the merge
     key; at 100 TB the same plan applies per partition of a date-
     partitioned base, touching only affected partitions. Returns the
-    post-merge per-status audit aggregate."""
+    post-merge per-status audit aggregate.
+
+    The audit is carried in integer CENTS (bigint), never doubles: prices
+    have exactly 2 decimals, so ``ROUND(price*100)`` is exact, and the 10%
+    bump is integer arithmetic (``cents*11 DIV 10``). A double SUM is
+    summation-order-dependent in its last bits, and ROUNDing it at a .005
+    boundary made Spark and DuckDB disagree — bigint sums are associative
+    and hash identically regardless of partitioning."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     base = (table(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .select("o_orderkey", "o_orderstatus", cents.alias("cents"))
             .withColumn("version", F.lit(0)))
     updates = (table(spark, sf_dir, "orders")
                .where(F.col("o_orderkey") % 7 == 0)
                .select("o_orderkey", "o_orderstatus",
-                       (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+                       F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+                              "* 11 DIV 10").alias("cents"))
                .withColumn("version", F.lit(1)))
     w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
     merged = (
@@ -95,7 +104,7 @@ def nd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
+             F.sum("cents").alias("total_cents"))
         .orderBy("o_orderstatus")
     )
 
@@ -227,16 +236,21 @@ QUERIES = {
     ),
     "nd_upsert": (
         nd_upsert,
-        "WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, "
+        # Integer-cents audit: bigint sums are order-independent, unlike
+        # ROUND(SUM(double), 2) which the fixture prices push onto a .005
+        # boundary (see nd_upsert docstring). DuckDB's // on positive
+        # bigints matches Spark's DIV exactly.
+        "WITH base AS (SELECT o_orderkey, o_orderstatus, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, "
         "0 AS version FROM orders), "
         "updates AS (SELECT o_orderkey, o_orderstatus, "
-        "o_totalprice * 1.1 AS o_totalprice, 1 AS version "
-        "FROM orders WHERE o_orderkey % 7 = 0), "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 // 10 AS cents, "
+        "1 AS version FROM orders WHERE o_orderkey % 7 = 0), "
         "merged AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey "
         "ORDER BY version DESC) AS rn FROM "
         "(SELECT * FROM base UNION ALL SELECT * FROM updates)) "
         "SELECT o_orderstatus, COUNT(*) AS n, "
-        "ROUND(SUM(o_totalprice), 2) AS total FROM merged WHERE rn = 1 "
+        "CAST(SUM(cents) AS BIGINT) AS total_cents FROM merged WHERE rn = 1 "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus",
     ),
     "nd_weighted_sample": (

@@ -270,11 +270,14 @@ QUERIES = {
     ),
     "tpch_q12_conditional": (
         tpch_q12_conditional,
+        # CAST .. AS BIGINT: DuckDB's SUM over INTEGER yields HUGEINT, which
+        # fetchdf() materializes as float64 (7973.0) while Spark's bigint
+        # stays 7973 — the driver's exact value-hash would diverge.
         "SELECT l_returnflag, "
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS high_line_count, "
-        "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS low_line_count "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY l_returnflag ORDER BY l_returnflag",
     ),

@@ -16,10 +16,15 @@ from pyspark.sql import functions as F
 
 from bacalhau_spark.catalog import table
 
-# ts declared bigint: the fixture stores TIMESTAMP(NANOS), read as raw nanos
-# (legacy nanosAsLong, see catalog.py) and rebuilt as a µs timestamp below.
-EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
-                 "event_type string, value double, props string")
+# The fixture stores ts as TIMESTAMP(NANOS). Older Spark readers honor
+# legacy nanosAsLong (raw-nanos bigint, rebuilt as a µs timestamp); Spark
+# ≥4.1 reads nanos natively as a µs-truncated TIMESTAMP_NTZ and ignores the
+# flag. The stream source must declare a schema, so probe the batch reader
+# once per (session, dir) to pick the matching declaration — see catalog.py.
+_EVENTS_SCHEMA_LEGACY = ("event_id bigint, ts bigint, user_id bigint, "
+                         "event_type string, value double, props string")
+_EVENTS_SCHEMA_NATIVE = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                         "event_type string, value double, props string")
 
 
 def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,16 +45,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str,
     Late rows beyond the watermark are dropped — the policy surface the
     batch query doesn't need. Returns the streaming DataFrame; callers
     attach a sink (tests use a memory sink in complete mode)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file stream source monitors a *directory*; the fixture is a single
-    # file, so stream the parent dir with a glob (the production shape is an
-    # append-only event-log directory anyway).
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _event_stream(spark, sf_dir)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -91,13 +87,26 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the event-log dir (see stream_tumbling_window note)."""
+    """readStream over the event-log dir. The file stream source monitors a
+    *directory*; the fixture is a single file, so stream the parent dir with
+    a glob (the production shape is an append-only event-log directory
+    anyway). The declared schema must match what THIS Spark's parquet reader
+    produces for TIMESTAMP(NANOS) — probe via a one-off batch read (schema
+    resolution only, no data scan; the catalog caches the handle)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(probe.dtypes)["ts"] == "bigint":  # legacy raw-nanos read
+        return (
+            spark.readStream.schema(_EVENTS_SCHEMA_LEGACY)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+    return (  # native µs-truncated TIMESTAMP_NTZ read (Spark ≥4.1)
+        spark.readStream.schema(_EVENTS_SCHEMA_NATIVE)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 

@@ -7,7 +7,11 @@ DuckDB running the declared oracle SQL — row count, schema shape, and values.
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -49,6 +53,38 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _cell(v) -> str:
+    if v is None or v is pd.NaT:
+        return "\\N"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "\\N" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    """Exact, representation-sensitive hash of a *normalized* frame.
+
+    This is the driver-gate rehearsal the tolerance compare cannot be:
+    `check_dtype=False, rtol=1e-9` hides an int-vs-float drift (DuckDB
+    HUGEINT -> float64: 7973.0 vs 7973) and a ROUND at a .005 boundary
+    (….79 vs …*.80) — both of which the round-2 driver flagged as hash
+    FAILs while this suite stayed green. Cells are stringified with no
+    tolerance, so any representation difference fails locally first.
+    """
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update("\x1f".join(_cell(v) for v in row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 ORACLE_CASES = sorted(n for n, (_, sql) in ALL_QUERIES.items() if sql)
 NO_ORACLE_CASES = sorted(n for n, (_, sql) in ALL_QUERIES.items() if not sql)
 
@@ -65,6 +101,15 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=1e-9, atol=1e-12,
                                   obj=name)
+    gh, wh = _value_hash(got), _value_hash(want)
+    assert gh == wh, (
+        f"{name}: exact value-hash mismatch ({gh[:12]} vs {wh[:12]}) — "
+        "values agree within tolerance but their representations differ "
+        "(int-vs-float dtype drift, or a ROUND on an order-dependent "
+        "double sum); the driver's hash gate WILL flag this. Make the "
+        "checked columns representation-stable (CAST oracle sums to "
+        "BIGINT, audit in integer cents / DECIMAL, never "
+        "ROUND(SUM(double)) at a data-engineered boundary).")
 
 
 @pytest.mark.parametrize("name", NO_ORACLE_CASES)
