@@ -347,6 +347,28 @@ SELECT doc_id,
 FROM c GROUP BY doc_id ORDER BY doc_id
 """
 
+def nd_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination: drop training docs whose exact content
+    hash appears in a held-out benchmark slice (here: doc_id % 10 == 0
+    stands in for the eval set). The anti-join key is md5(text) — 16 bytes
+    per row regardless of document size — and the benchmark fingerprint set
+    is tiny relative to the corpus, so it BROADCASTS: the 100 TB side is
+    never shuffled at all, one codegen pass with a broadcast hash probe.
+    Returns the per-language audit (corpus size, surviving count)."""
+    docs = table(spark, sf_dir, "documents")
+    bench = (docs.where(F.col("doc_id") % 10 == 0)
+             .select(F.md5("text").alias("bfp")).distinct())
+    corpus = (docs.where(F.col("doc_id") % 10 != 0)
+              .select("lang", F.md5("text").alias("fp")))
+    return (
+        corpus.join(F.broadcast(bench), F.col("fp") == F.col("bfp"), "left")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.col("bfp").isNull().cast("long")).alias("n_clean"))
+        .orderBy("lang")
+    )
+
+
 _JACCARD_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
 e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w),
@@ -369,6 +391,18 @@ ORDER BY a_id, b_id
 """
 
 QUERIES = {
+    "nd_cross_dedup": (
+        nd_cross_dedup,
+        "WITH bench AS (SELECT DISTINCT md5(text) AS bfp FROM documents "
+        "WHERE doc_id % 10 = 0), "
+        "corpus AS (SELECT lang, md5(text) AS fp FROM documents "
+        "WHERE doc_id % 10 <> 0) "
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN bfp IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_clean "
+        "FROM corpus LEFT JOIN bench ON fp = bfp "
+        "GROUP BY lang ORDER BY lang",
+    ),
     "q29_exact_dedup": (
         q29_exact_dedup,
         "SELECT lang, COUNT(*) AS docs FROM "

@@ -33,6 +33,38 @@ def nd_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATUM_FRAC = 0.2
+
+
+def nd_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas: within each
+    language keep the ceil(n_lang * 0.2) documents that rank first by
+    md5(doc_id) — a deterministic uniform draw (hash order is independent
+    of any document property), reproducible on any cluster layout. Unlike
+    nd_hash_sample's fixed-probability filter, every stratum lands exactly
+    its quota — the guarantee dataset-balance specs need.
+
+    Plan: one shuffle on the stratum key, then rank-within-stratum. For a
+    100 TB corpus with FEW strata this window would serialize each stratum
+    through one task; the scale variant samples a per-stratum hash
+    THRESHOLD from an approx quantile of the 60-bit hash space instead
+    (constant memory, same determinism, quota exact to ±approx-error).
+    Strata here are languages (many, small) so the exact form is right."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.col("doc_id").cast("string"))
+    rank_w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    cnt_w = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.row_number().over(rank_w).alias("rn"),
+            F.count("*").over(cnt_w).alias("n_lang"))
+        .where(F.col("rn") <= F.ceil(F.col("n_lang") * F.lit(STRATUM_FRAC)))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def nd_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (~75/12.5/12.5) by the first hex
     digit of md5(doc_id): 0-b -> train, c-d -> val, e-f -> test. Keying on
@@ -214,6 +246,16 @@ QUERIES = {
         nd_hash_sample,
         "SELECT doc_id, lang FROM documents "
         "WHERE substring(md5(text), 1, 1) = '0' ORDER BY doc_id",
+    ),
+    "nd_stratified_sample": (
+        nd_stratified_sample,
+        "WITH ranked AS (SELECT doc_id, lang, "
+        "ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM documents) "
+        f"SELECT lang, doc_id FROM ranked "
+        f"WHERE rn <= CEIL(n_lang * {STRATUM_FRAC}) "
+        "ORDER BY lang, doc_id",
     ),
     "nd_train_split": (
         nd_train_split,

@@ -128,6 +128,93 @@ def nd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "vector")
+BM25_TOPK = 20
+
+
+def nd_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking: top-20 documents for a fixed two-term query.
+
+    Per-doc term frequencies and length are one codegen pass over the token
+    array; the corpus stats (N, avgdl, per-term df) are ONE tiny aggregate
+    broadcast back — so the whole ranker is two narrow passes + a broadcast,
+    no wide shuffle, and scales linearly with corpus bytes. idf uses the raw
+    odds form (N - df + 0.5)/(df + 0.5) rather than its log: the monotone
+    transform preserves the ranking while keeping every operation (+ * /)
+    correctly-rounded IEEE, so Spark and DuckDB produce bit-identical
+    scores (ln differs in last-ulp between libm implementations)."""
+    docs = table(spark, sf_dir, "documents")
+    w = words("text")
+
+    def tf_of(term):
+        # One-arg lambda on purpose: F.filter treats a 2-arg lambda as
+        # (element, index), so a `t=term` default would bind the index.
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id", F.size(w).alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)])
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(BM25_TERMS))])
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        dfreq = F.col(f"df{i}").cast("double")
+        idf = ((F.col("n_docs").cast("double") - dfreq + F.lit(0.5))
+               / (dfreq + F.lit(0.5)))
+        norm = (tf + F.lit(BM25_K1)
+                * (F.lit(1 - BM25_B)
+                   + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)))
+        term = idf * ((tf * F.lit(BM25_K1 + 1)) / norm)
+        score = term if score is None else score + term
+    return (
+        joined.select(
+            "doc_id",
+            *[F.col(f"tf{i}").cast("int").alias(f"tf_{t}")
+              for i, t in enumerate(BM25_TERMS)],
+            score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+NGRAM_TOPK = 20
+
+
+def nd_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: per-doc adjacent word pairs (one codegen
+    transform over the token array — no self-join, no string re-tokenize),
+    exploded into a (bigram -> count) aggregate. Map-side combine collapses
+    within-partition repeats, so the shuffle carries at most
+    |distinct bigrams| rows per partition; the final top-k is a
+    TakeOrdered, never a global sort. Ties break on the bigram text, so the
+    cut at k is deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    # Reference the PROJECTED token array ("ws"), not the raw tokenize
+    # expression — inlining it would make Catalyst re-split the text per
+    # access (see dedup._rolling_shingle_keys note).
+    bigrams = F.when(
+        F.size(F.col("ws")) >= 2,
+        F.expr("transform(sequence(1, size(ws) - 1), "
+               "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(words("text").alias("ws"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "bigram")
+        .limit(NGRAM_TOPK)
+    )
+
+
 def _sql_marker_hits(markers: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{m}'" for m in markers)
     return (f"len(list_filter(string_split(lower(text), ' '), "
@@ -290,5 +377,45 @@ QUERIES = {
         "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
         "string_split(lower(text), ' '))), ' ')) AS fp "
         "FROM documents ORDER BY doc_id",
+    ),
+    "nd_bm25": (
+        nd_bm25,
+        # Identical raw-idf BM25 arithmetic (+ * / only — see nd_bm25
+        # docstring): bit-identical scores, so the exact hash gate holds.
+        "WITH base AS (SELECT doc_id, "
+        "len(string_split(lower(text), ' ')) AS dl, "
+        + ", ".join(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"x -> x = '{t}')) AS tf{i}"
+            for i, t in enumerate(BM25_TERMS))
+        + " FROM documents), "
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, "
+        "CAST(SUM(dl) AS DOUBLE) AS sum_dl, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+            f"AS df{i}" for i in range(len(BM25_TERMS)))
+        + " FROM base) "
+        "SELECT doc_id, "
+        + ", ".join(f"CAST(tf{i} AS INTEGER) AS tf_{t}"
+                    for i, t in enumerate(BM25_TERMS))
+        + ", "
+        + " + ".join(
+            f"(((n_docs - CAST(df{i} AS DOUBLE) + 0.5) / "
+            f"(CAST(df{i} AS DOUBLE) + 0.5)) * "
+            f"((CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1!r}) / "
+            f"(CAST(tf{i} AS DOUBLE) + {BM25_K1!r} * ({1 - BM25_B!r} + "
+            f"{BM25_B!r} * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))))"
+            for i in range(len(BM25_TERMS)))
+        + " AS score FROM base, stats "
+        f"ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}",
+    ),
+    "nd_ngram_topk": (
+        nd_ngram_topk,
+        "WITH d AS (SELECT string_split(lower(text), ' ') AS ws "
+        "FROM documents), "
+        "bg AS (SELECT unnest(list_transform(range(1, len(ws)), "
+        "i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM d) "
+        "SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram "
+        f"ORDER BY c DESC, bigram LIMIT {NGRAM_TOPK}",
     ),
 }
