@@ -14,28 +14,47 @@ Routes:
   GET  /events?run_id=X             — full event history of one run
   GET  /describe?run_id=X           — spec + state + events + manifest
   GET  /results?run_id=X&limit=N    — rows read back from the run's sink
-  POST /submit   {"spec": {...}}    — run a JobSpec document; returns run_id
+  POST /submit   {"spec": {...}}    — admit a JobSpec; returns run_id
 
-Submit is synchronous: the engine executes on the single Spark driver, so
-the response carries the terminal state (the reference returns early and
-clients poll /states; both polling and the immediate answer work here).
-Submits are serialized by a lock — concurrent Spark actions on one driver
-would contend for the same scheduler anyway, and the engine's event
-bookkeeping is plain Python state.
+Submit is ASYNCHRONOUS (the reference's model, `pkg/publicapi/server.go:329`):
+the engine validates, runs the policy hooks, and admits the run to the
+capacity manager's bounded FIFO backlog, then replies immediately with the
+run id and its current state + queue position; clients poll /states. Pass
+`?wait=1` to block until the terminal state instead (convenience for small
+jobs and the CLI).
+
+If the server is constructed with a shared secret, /submit requires the
+client to sign the request body: `X-Bacalhau-Client-Id` names the caller
+and `X-Bacalhau-Signature` carries HMAC-SHA256(secret, client_id || "\\n"
+|| body) hex — the single-key restatement of the reference's per-client RSA
+signature + client-ID↔pubkey binding (`pkg/publicapi/server.go:329-407`);
+mismatch or missing headers → 401.
 """
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib import request as _urlrequest
 from urllib.error import HTTPError
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, urlencode, urlparse
 
 from bacalhau_spark import __version__
 from bacalhau_spark.engine import (Engine, JobRejectedError, JobSpec,
-                                   ResultsRejectedError)
+                                   ResultsRejectedError, RunNotCompleteError)
+
+
+def _sign(secret: str, client_id: str, body: bytes) -> str:
+    return hmac.new(secret.encode(),
+                    client_id.encode() + b"\n" + body,
+                    hashlib.sha256).hexdigest()
+
+
+class AuthError(RuntimeError):
+    """Submit signature missing or invalid (mapped to 401)."""
 
 
 class ApiServer:
@@ -43,9 +62,9 @@ class ApiServer:
     port (tests); `start_background()` returns once the socket is live."""
 
     def __init__(self, engine: Engine, host: str = "127.0.0.1",
-                 port: int = 8338):
+                 port: int = 8338, secret: str | None = None):
         self.engine = engine
-        self._submit_lock = threading.Lock()
+        self.secret = secret
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -129,6 +148,10 @@ class ApiServer:
                 limit = int(qs.get("limit", ["100"])[0])
                 rows = self.engine.fetch_results(rid, limit=limit)
                 self._reply(handler, 200, {"run_id": rid, "rows": rows},)
+            elif parsed.path == "/resultfiles":
+                rid = self._run_id(qs)
+                files = self.engine.result_files(rid)
+                self._reply(handler, 200, {"run_id": rid, "files": files})
             else:
                 self._reply(handler, 404,
                             {"error": f"no route {parsed.path}"})
@@ -136,8 +159,23 @@ class ApiServer:
             self._reply(handler, 404, {"error": str(exc)})
         except ValueError as exc:
             self._reply(handler, 400, {"error": str(exc)})
+        except RunNotCompleteError as exc:  # results not (yet) readable
+            self._reply(handler, 409, {"error": str(exc)})
         except Exception as exc:  # noqa: BLE001 — surface as 500, keep serving
             self._reply(handler, 500, {"error": repr(exc)})
+
+    def _check_auth(self, handler: BaseHTTPRequestHandler,
+                    body: bytes) -> None:
+        if self.secret is None:
+            return
+        client_id = handler.headers.get("X-Bacalhau-Client-Id", "")
+        signature = handler.headers.get("X-Bacalhau-Signature", "")
+        if not client_id or not signature:
+            raise AuthError("submit requires X-Bacalhau-Client-Id and "
+                            "X-Bacalhau-Signature headers")
+        want = _sign(self.secret, client_id, body)
+        if not hmac.compare_digest(signature, want):
+            raise AuthError(f"bad signature for client {client_id!r}")
 
     def _handle_post(self, handler: BaseHTTPRequestHandler) -> None:
         parsed = urlparse(handler.path)
@@ -145,13 +183,27 @@ class ApiServer:
             self._reply(handler, 404, {"error": f"no route {parsed.path}"})
             return
         try:
+            qs = parse_qs(parsed.query)
             length = int(handler.headers.get("Content-Length", "0"))
-            doc = json.loads(handler.rfile.read(length) or b"{}")
+            body = handler.rfile.read(length) or b"{}"
+            self._check_auth(handler, body)
+            doc = json.loads(body)
             spec = JobSpec.from_dict(doc.get("spec", doc))
-            with self._submit_lock:
-                run_id = self.engine.submit(spec)
-            self._reply(handler, 200, {"run_id": run_id,
-                                       "state": self.engine.state(run_id)})
+            run_id = self.engine.submit_async(spec)
+            if qs.get("wait", ["0"])[0] in ("1", "true"):
+                try:
+                    self.engine.wait(run_id)
+                except (JobRejectedError, ResultsRejectedError):
+                    raise
+                except Exception:  # noqa: BLE001 — state carries the story
+                    pass
+            pos = self.engine.capacity.queue_position(run_id)
+            out = {"run_id": run_id, "state": self.engine.state(run_id)}
+            if pos is not None:
+                out["queue_position"] = pos
+            self._reply(handler, 200, out)
+        except AuthError as exc:
+            self._reply(handler, 401, {"error": str(exc)})
         except (ValueError, json.JSONDecodeError) as exc:
             self._reply(handler, 400, {"error": str(exc)})
         except KeyError as exc:  # unknown query name
@@ -170,18 +222,28 @@ class ApiError(RuntimeError):
 
 class ApiClient:
     """Typed client over the REST surface (`pkg/publicapi/client.go:64-208`
-    analog)."""
+    analog). Pass `client_id` + `secret` to sign submits for a server
+    constructed with the matching shared secret."""
 
-    def __init__(self, base_url: str, timeout: float = 300.0):
+    def __init__(self, base_url: str, timeout: float = 300.0,
+                 client_id: str | None = None, secret: str | None = None):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.client_id = client_id
+        self.secret = secret
 
-    def _request(self, path: str, payload: dict | None = None) -> dict:
+    def _request(self, path: str, params: dict | None = None,
+                 payload: dict | None = None) -> dict:
+        if params:
+            path = f"{path}?{urlencode(params)}"
         url = self.base_url + path
         data = json.dumps(payload).encode() if payload is not None else None
-        req = _urlrequest.Request(
-            url, data=data,
-            headers={"Content-Type": "application/json"} if data else {})
+        headers = {"Content-Type": "application/json"} if data else {}
+        if data is not None and self.secret is not None:
+            cid = self.client_id or "anonymous"
+            headers["X-Bacalhau-Client-Id"] = cid
+            headers["X-Bacalhau-Signature"] = _sign(self.secret, cid, data)
+        req = _urlrequest.Request(url, data=data, headers=headers)
         try:
             with _urlrequest.urlopen(req, timeout=self.timeout) as resp:
                 return json.loads(resp.read())
@@ -198,20 +260,50 @@ class ApiClient:
     def version(self) -> str:
         return self._request("/version")["version"]
 
-    def submit(self, spec: dict) -> str:
-        return self._request("/submit", {"spec": spec})["run_id"]
+    def submit(self, spec: dict, wait: bool = True) -> str:
+        """Submit a spec. `wait=True` (default) blocks until the terminal
+        state — the small-job convenience; `wait=False` returns as soon as
+        the run is admitted (the reference's poll model)."""
+        params = {"wait": "1"} if wait else None
+        return self._request("/submit", params, {"spec": spec})["run_id"]
+
+    def submit_async(self, spec: dict) -> dict:
+        """Non-blocking submit; returns {run_id, state[, queue_position]}."""
+        return self._request("/submit", None, {"spec": spec})
 
     def list_runs(self) -> dict[str, str]:
         return self._request("/list")["runs"]
 
     def states(self, run_id: str) -> str:
-        return self._request(f"/states?run_id={run_id}")["state"]
+        return self._request("/states", {"run_id": run_id})["state"]
 
     def events(self, run_id: str) -> list[dict]:
-        return self._request(f"/events?run_id={run_id}")["events"]
+        return self._request("/events", {"run_id": run_id})["events"]
 
     def describe(self, run_id: str) -> dict:
-        return self._request(f"/describe?run_id={run_id}")
+        return self._request("/describe", {"run_id": run_id})
 
     def results(self, run_id: str, limit: int = 100) -> list[dict]:
-        return self._request(f"/results?run_id={run_id}&limit={limit}")["rows"]
+        return self._request("/results",
+                             {"run_id": run_id, "limit": limit})["rows"]
+
+    def download(self, run_id: str, output_dir: str) -> list[str]:
+        """Fetch the run's published result FILES into output_dir — the
+        `bacalhau get --output-dir` analog. Returns the written paths."""
+        import base64
+        import os
+
+        files = self._request("/resultfiles", {"run_id": run_id})["files"]
+        written = []
+        for f in files:
+            dest = os.path.join(output_dir, f["path"])
+            if os.path.commonpath(
+                    [os.path.abspath(dest),
+                     os.path.abspath(output_dir)]) != os.path.abspath(
+                         output_dir):
+                raise ValueError(f"refusing path escape: {f['path']!r}")
+            os.makedirs(os.path.dirname(dest) or output_dir, exist_ok=True)
+            with open(dest, "wb") as out:
+                out.write(base64.b64decode(f["b64"]))
+            written.append(dest)
+        return written

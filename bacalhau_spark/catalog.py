@@ -38,7 +38,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    # Evict entries from other (stopped) sessions: only one SparkSession is
+    # live per process, so any foreign applicationId is dead weight that
+    # would otherwise accumulate across many short-lived sessions.
+    stale = [k for k in _CACHE if k[0] != app_id]
+    for k in stale:
+        del _CACHE[k]
+    key = (app_id, sf_dir, name)
     cached = _CACHE.get(key)
     if cached is not None:
         return cached

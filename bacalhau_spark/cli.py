@@ -87,7 +87,8 @@ def cmd_serve(args) -> int:
     from bacalhau_spark.engine import Engine
     spark = _get_spark(args.cpus)
     server = ApiServer(Engine(spark, registry.queries()),
-                       host=args.host, port=args.port)
+                       host=args.host, port=args.port,
+                       secret=args.secret)
     print(f"serving on {server.url}")
     try:
         server.serve_forever()
@@ -113,10 +114,17 @@ def cmd_describe(args) -> int:
 
 
 def cmd_get(args) -> int:
-    """`bacalhau get` analog: fetch a run's published results."""
+    """`bacalhau get` analog: fetch a run's published results — rows to
+    stdout by default, or the result FILES into --output-dir
+    (`cmd/bacalhau/get.go:36-129`)."""
     import json as _json
     from bacalhau_spark.api import ApiClient
-    for row in ApiClient(args.url).results(args.run_id, limit=args.limit):
+    client = ApiClient(args.url)
+    if args.output_dir:
+        for path in client.download(args.run_id, args.output_dir):
+            print(path)
+        return 0
+    for row in client.results(args.run_id, limit=args.limit):
         print(_json.dumps(row, default=str))
     return 0
 
@@ -156,6 +164,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv = sub.add_parser("serve", help="run the engine REST API daemon")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8338)
+    sv.add_argument("--secret", default=None,
+                    help="require HMAC-signed submits with this shared key")
     sv.set_defaults(fn=cmd_serve)
 
     de = sub.add_parser("describe", help="describe a run on a serve daemon")
@@ -166,6 +176,8 @@ def build_parser() -> argparse.ArgumentParser:
     ge = sub.add_parser("get", help="fetch a run's results from a daemon")
     ge.add_argument("--url", default="http://127.0.0.1:8338")
     ge.add_argument("--limit", type=int, default=100)
+    ge.add_argument("--output-dir", default=None,
+                    help="download result files here instead of printing rows")
     ge.add_argument("run_id")
     ge.set_defaults(fn=cmd_get)
 

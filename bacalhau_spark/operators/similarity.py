@@ -234,7 +234,10 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
     model state on every query would be like re-training KMeans per
     lookup. Inputs are immutable fixture files, so the cache never goes
     stale within a session."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _CENTROID_CACHE if k[0] != app_id]:
+        del _CENTROID_CACHE[k]  # evict stopped sessions' model state
+    key = (app_id, sf_dir)
     cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached

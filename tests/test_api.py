@@ -4,6 +4,8 @@ probes, submit → poll states → fetch events/results, and error mapping."""
 
 from __future__ import annotations
 
+import time
+
 import pytest
 
 from bacalhau_spark import __version__
@@ -33,7 +35,7 @@ def test_submit_states_events_roundtrip(api):
                          "inputs": {"sf_dir": SF_DIR}})
     assert api.states(run_id) == "Completed"
     evts = api.events(run_id)
-    assert [e["name"] for e in evts][:2] == ["Created", "Running"]
+    assert [e["name"] for e in evts][:3] == ["Created", "Bid", "Running"]
     assert evts[-1]["name"] == "Completed"
     assert api.list_runs()[run_id] == "Completed"
 
@@ -74,3 +76,87 @@ def test_results_without_sink_is_400(api):
     with pytest.raises(ApiError) as exc:
         api.results(run_id)
     assert exc.value.status == 400
+
+
+def test_download_result_files(api, tmp_path, spark):
+    """`get --output-dir` analog: the run's published sink files round-trip
+    over /resultfiles and are readable parquet on the client side."""
+    out = str(tmp_path / "sink")
+    run_id = api.submit({"query": "q01_scan_projection",
+                         "inputs": {"sf_dir": SF_DIR},
+                         "outputs": {"path": out, "format": "parquet"}})
+    dest = str(tmp_path / "downloaded")
+    written = api.download(run_id, dest)
+    assert written and all(p.startswith(dest) for p in written)
+    assert spark.read.parquet(dest).count() == 25
+
+
+def test_async_submit_returns_before_completion_then_polls(api):
+    out = api.submit_async({"query": "q01_scan_projection",
+                            "inputs": {"sf_dir": SF_DIR}})
+    rid = out["run_id"]
+    assert out["state"] in ("Created", "Bid", "Running", "Completed")
+    deadline = time.time() + 60
+    while api.states(rid) != "Completed":
+        assert time.time() < deadline, "run did not complete in 60s"
+        time.sleep(0.1)
+    assert api.list_runs()[rid] == "Completed"
+
+
+@pytest.fixture()
+def authed(spark):
+    server = ApiServer(Engine(spark, queries()), port=0,
+                       secret="s3kr1t").start_background()
+    try:
+        yield server
+    finally:
+        server.shutdown()
+
+
+def test_submit_auth_good_and_bad_signature(authed):
+    """The submit-signature analog (`pkg/publicapi/server.go:329-407`):
+    a correctly signed body is accepted; a missing or wrong signature is
+    401; GET views stay open (the reference only signs submits)."""
+    spec = {"query": "q01_scan_projection", "inputs": {"sf_dir": SF_DIR}}
+    good = ApiClient(authed.url, client_id="alice", secret="s3kr1t")
+    rid = good.submit(spec)
+    assert good.states(rid) == "Completed"
+
+    unsigned = ApiClient(authed.url)
+    with pytest.raises(ApiError) as exc:
+        unsigned.submit(spec)
+    assert exc.value.status == 401
+
+    wrong_key = ApiClient(authed.url, client_id="alice", secret="wrong")
+    with pytest.raises(ApiError) as exc:
+        wrong_key.submit(spec)
+    assert exc.value.status == 401
+
+
+def test_results_conflict_while_running(spark, tmp_path):
+    """/results on a not-yet-finished run maps RunNotCompleteError to 409
+    instead of 500-on-missing-path or stale reads."""
+    import threading
+
+    eng = Engine(spark, queries())
+    gate = threading.Event()
+    base = queries()["q01_scan_projection"]
+
+    def slow_query(s, d):
+        gate.wait(30)
+        return base(s, d)
+
+    eng.registry["slow_q01"] = slow_query
+    server = ApiServer(eng, port=0).start_background()
+    try:
+        client = ApiClient(server.url)
+        out = client.submit_async(
+            {"query": "slow_q01", "inputs": {"sf_dir": SF_DIR},
+             "outputs": {"path": str(tmp_path / "out")}})
+        with pytest.raises(ApiError) as exc:
+            client.results(out["run_id"])
+        assert exc.value.status == 409
+        gate.set()
+    finally:
+        gate.set()
+        server.shutdown()

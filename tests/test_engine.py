@@ -130,8 +130,8 @@ def test_events_and_states_df(engine):
     rid = engine.submit(JobSpec(query="q01_scan_projection",
                                 inputs={"sf_dir": SF_DIR}))
     evts = engine.events_df().where(f"run_id = '{rid}'").collect()
-    assert [e["name"] for e in sorted(evts, key=lambda e: e["ordinal"])][:2] \
-        == ["Created", "Running"]
+    assert [e["name"] for e in sorted(evts, key=lambda e: e["ordinal"])][:3] \
+        == ["Created", "Bid", "Running"]
     states = {r["run_id"]: r["state"] for r in engine.states_df().collect()}
     assert states[rid] == "Completed"
 
@@ -217,6 +217,37 @@ def test_context_archive_size_cap(tmp_path):
     a1 = build_context_archive(str(tmp_path))
     a2 = build_context_archive(str(tmp_path))
     assert a1 == a2
+
+
+def test_context_module_collision_rejected(spark, tmp_path):
+    """Two jobs shipping DIFFERENT code under the same module name must not
+    silently share the first archive (addPyFile has no un-register; import
+    cache + sys.path precedence would pin version 1). The engine rejects
+    the collision; re-shipping the identical context stays fine."""
+    from bacalhau_spark.engine import Engine
+
+    ctx1 = tmp_path / "c1"
+    ctx1.mkdir()
+    (ctx1 / "dupmod.py").write_text("VERSION = 1\n")
+    ctx2 = tmp_path / "c2"
+    ctx2.mkdir()
+    (ctx2 / "dupmod.py").write_text("VERSION = 2\n")
+
+    def noop(spark_, sf_dir):
+        from bacalhau_spark.catalog import table
+        return table(spark_, sf_dir, "region")
+
+    eng = Engine(spark, {"noop": noop})
+    first = eng.submit(JobSpec(query="noop", inputs={"sf_dir": SF_DIR},
+                               context=str(ctx1)))
+    assert eng.state(first) == EVT_COMPLETED
+    # identical content re-ships cleanly (content-addressed: same archive)
+    again = eng.submit(JobSpec(query="noop", inputs={"sf_dir": SF_DIR},
+                               context=str(ctx1)))
+    assert eng.state(again) == EVT_COMPLETED
+    with pytest.raises(ValueError, match="collides"):
+        eng.submit(JobSpec(query="noop", inputs={"sf_dir": SF_DIR},
+                           context=str(ctx2)))
 
 
 def test_error_event_recorded_on_failure(spark):
