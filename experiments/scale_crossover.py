@@ -1,0 +1,172 @@
+"""Scale-crossover experiment: Spark vs DuckDB as data grows past one
+row group.
+
+BASELINE.md documents why the sf0.1 bench ratios overstate Spark's cost:
+every fixture file is a SINGLE parquet row group, so each Spark scan is one
+task (parallelism starts only after the first shuffle) and the 150-250 ms
+plan/codegen constant is a large fraction of sub-second queries. Both
+effects are constant in data size. This experiment measures the actual
+crossover: the same query shapes on N× replicas of the sf0.1 fixtures,
+written with PRODUCTION row-group sizing (~64k rows per group) so Spark
+gets the input splits a real 100 TB layout would give it.
+
+Usage:
+    python experiments/scale_crossover.py [--mult 10] [--scratch DIR]
+
+Writes nothing outside --scratch (default /tmp/bacalhau_spark_scale) and
+prints one JSON line per (query, engine, scale) plus a summary table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+ROW_GROUP_ROWS = 64 * 1024
+
+
+def build_scaled(scratch: str, mult: int) -> str:
+    """Replicate lineitem/orders/documents mult× with shifted keys, written
+    in ~64k-row groups (the layout a real ingest produces)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(scratch, f"x{mult}")
+    marker = os.path.join(out_dir, "_READY")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    specs = {
+        # table -> (key columns to shift so replicas don't collide)
+        "lineitem": ("l_orderkey",),
+        "orders": ("o_orderkey",),
+        "documents": ("doc_id",),
+    }
+    for name, keys in specs.items():
+        src = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        n_key = {k: pc.max(src[k]).as_py() + 1 for k in keys}
+        parts = []
+        for i in range(mult):
+            t = src
+            for k in keys:
+                t = t.set_column(t.schema.get_field_index(k), k,
+                                 pc.add(t[k], i * n_key[k]))
+            parts.append(t)
+        big = pa.concat_tables(parts)
+        pq.write_table(big, f"{out_dir}/{name}.parquet",
+                       row_group_size=ROW_GROUP_ROWS)
+    open(marker, "w").close()
+    return out_dir
+
+
+# Query shapes: the same three plans the sf0.1 bench leans on, expressed
+# once for each engine. (Self-contained SQL on purpose — this experiment
+# measures engine execution, not the registry plumbing.)
+SHAPES = {
+    "scan_agg": {  # q17_hash_agg / TPC-H Q1 shape
+        "sql": "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sq, "
+               "AVG(l_extendedprice) AS ap, COUNT(*) AS n "
+               "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "tables": ("lineitem",),
+    },
+    "join_agg": {  # q13_join_agg shape
+        "sql": "SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS sq "
+               "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+               "GROUP BY o_orderpriority",
+        "tables": ("lineitem", "orders"),
+    },
+    "text_hash": {  # minhash signature stage shape: md5 per word + fold
+        "sql": None,  # engine-specific below (md5/list functions differ)
+        "tables": ("documents",),
+    },
+}
+
+TEXT_HASH_DUCK = """
+SELECT SUM(h) AS total FROM (
+  SELECT doc_id,
+         list_sum(list_transform(string_split(lower(text), ' '),
+                  t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                       % 2147483647)) AS h
+  FROM documents) t
+"""
+
+
+def spark_text_hash(spark, d):
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(f"{d}/documents.parquet")
+    h = F.aggregate(
+        F.transform(F.split(F.lower("text"), " "),
+                    lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                    .cast("long") % 2147483647),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.select(F.sum(h).alias("total"))
+
+
+def time_runs(fn, n=3):
+    fn()  # warm
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--scratch", default="/tmp/bacalhau_spark_scale")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from bacalhau_spark.session import get_session
+
+    spark = get_session("scale-crossover")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for label, mult in (("sf0.1", 1), (f"sf0.1x{args.mult}", args.mult)):
+        d = SF_DIR if mult == 1 else build_scaled(args.scratch, args.mult)
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "documents"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet')")
+        views = {t: spark.read.parquet(f"{d}/{t}.parquet")
+                 for t in ("lineitem", "orders", "documents")}
+        for t, df in views.items():
+            df.createOrReplaceTempView(t)
+        for shape, spec in SHAPES.items():
+            if shape == "text_hash":
+                s_fn = (lambda d=d: spark_text_hash(spark, d)
+                        .write.mode("overwrite").format("noop").save())
+                d_fn = lambda con=con: con.execute(TEXT_HASH_DUCK).fetchall()
+            else:
+                sql = spec["sql"]
+                s_fn = (lambda sql=sql: spark.sql(sql)
+                        .write.mode("overwrite").format("noop").save())
+                d_fn = lambda con=con, sql=sql: con.execute(sql).fetchall()
+            row = {"scale": label, "shape": shape,
+                   "spark_s": time_runs(s_fn), "duckdb_s": time_runs(d_fn)}
+            row["ratio"] = round(row["spark_s"] / row["duckdb_s"], 2) \
+                if row["duckdb_s"] else None
+            results.append(row)
+            print(json.dumps(row))
+        con.close()
+
+    print("\nshape        scale        spark_s  duckdb_s  ratio")
+    for r in results:
+        print(f"{r['shape']:<12} {r['scale']:<12} {r['spark_s']:>7} "
+              f"{r['duckdb_s']:>9} {r['ratio']:>6}")
+
+
+if __name__ == "__main__":
+    main()
