@@ -193,6 +193,142 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _revenue_e4() -> "F.Column":
+    """Line revenue in EXACT integer 1e-4-dollar units:
+    cents(l_extendedprice) × (100 − pct(l_discount)). Fixture prices have 2
+    decimals and discounts are whole percents, so both ROUNDs are exact and
+    the per-group SUM is an associative bigint — hash-stable under any
+    partitioning (the nd_upsert lesson; a double revenue sum is
+    order-dependent in its last bits and ROUNDing it risks .005
+    boundaries)."""
+    return (F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+
+
+_REV_E4_SQL = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+               "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))")
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (market share): of all EUROPE-customer revenue on ECONOMY
+    parts, the share supplied by NATION_1, per order year. Seven relations:
+    region→nation filters the customer side, a SECOND nation role prices
+    the supplier side, part filters the fact — every dim broadcasts, the
+    share is a double division of two exact bigint sums (deterministic;
+    see _revenue_e4)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        _revenue_e4().alias("rev_e4"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat_c = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"))
+    region = (table(spark, sf_dir, "region")
+              .where(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat_s = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    part = (table(spark, sf_dir, "part")
+            .where(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    is_target = (F.col("supp_nation") == "NATION_1").cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("o_year")
+        .agg(F.sum(is_target * F.col("rev_e4")).alias("target_rev_e4"),
+             F.sum("rev_e4").alias("total_rev_e4"))
+        .select("o_year",
+                (F.col("target_rev_e4").cast("double")
+                 / F.col("total_rev_e4").cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation and year), adapted: the
+    fixtures carry no partsupp, so profit degenerates to line revenue —
+    the six-relation join topology (part-name filter → lineitem → supplier
+    → nation, order-year derivation) is what's exercised. Exact bigint
+    revenue units (see _revenue_e4)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        _revenue_e4().alias("rev_e4"))
+    part = (table(spark, sf_dir, "part")
+            .where(F.col("p_name").like("%widget%")).select("p_partkey"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation"))
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.sum("rev_e4").alias("profit_e4"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter — selective order-date window, returnflag filter on the fact,
+    customer/nation enrichment, exact bigint revenue, deterministic top-k
+    (revenue desc, custkey asc tiebreak)."""
+    orders = (table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1996-04-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", _revenue_e4().alias("rev_e4")))
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_key"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "nation")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (supplier count per part attribute), adapted: partsupp is
+    absent, so the part↔supplier relation comes from observed lineitem
+    pairs — distinct-count of suppliers per (brand, type, size) for
+    non-STANDARD parts, excluding below-par suppliers (acctbal < 0, the
+    complaints-exclusion analog as an anti join)."""
+    pairs = (table(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    part = (table(spark, sf_dir, "part")
+            .where(F.col("p_type") != "STANDARD")
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (table(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey,
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
 def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape: customer order-count distribution — left outer join
     (customers with zero orders survive as count 0) feeding a second
@@ -347,6 +483,61 @@ QUERIES = {
         "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping "
         "GROUP BY supp_nation, cust_nation, l_year "
         "ORDER BY supp_nation, cust_nation, l_year",
+    ),
+    "tpch_q8_market_share": (
+        tpch_q8_market_share,
+        "WITH j AS (SELECT year(o_orderdate) AS o_year, n2.n_name AS sn, "
+        f"{_REV_E4_SQL} AS rev_e4 "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE' "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey) "
+        "SELECT CAST(o_year AS INTEGER) AS o_year, "
+        "CAST(SUM(CASE WHEN sn = 'NATION_1' THEN rev_e4 ELSE 0 END) "
+        "AS DOUBLE) / CAST(SUM(rev_e4) AS DOUBLE) AS mkt_share "
+        "FROM j GROUP BY o_year ORDER BY o_year",
+    ),
+    "tpch_q9_profit": (
+        tpch_q9_profit,
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) "
+        f"AS o_year, CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS profit_e4 "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%' "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        # group by the base column: a bare `nation` in GROUP BY binds to the
+        # TABLE name, not the alias, in DuckDB
+        "GROUP BY n_name, o_year ORDER BY nation, o_year DESC",
+    ),
+    "tpch_q10_returns": (
+        tpch_q10_returns,
+        "SELECT c_custkey, c_name, c_acctbal, n_name AS nation, "
+        f"CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS revenue_e4 "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01' "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20",
+    ),
+    "tpch_q16_supplier_cnt": (
+        tpch_q16_supplier_cnt,
+        "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM pairs "
+        "JOIN part ON l_partkey = p_partkey AND p_type <> 'STANDARD' "
+        "WHERE l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
     ),
     "tpch_q13_custdist": (
         tpch_q13_custdist,

@@ -50,6 +50,8 @@ _PRIORITY: tuple[str, ...] = (
     "nd_ann_lsh", "nd_ann_ivf",
     # 3. round-3 additions
     "nd_bm25", "nd_ngram_topk", "nd_cross_dedup", "nd_stratified_sample",
+    "nd_stream_tumbling", "tpch_q8_market_share", "tpch_q9_profit",
+    "tpch_q10_returns", "tpch_q16_supplier_cnt",
     # 4. events-table read path changed (Spark 4.1 native nanos)
     "q28_tumbling_window", "nd_sliding_window", "nd_json_roundtrip",
     "nd_applyinpandas", "nd_grouped_python", "nd_cogroup",
@@ -62,8 +64,6 @@ _PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority", "q16_theta_join", "q14_anti_join",
     "q13b_semi_join", "q14b_left_join_agg", "qj_full_outer",
     "q19_rollup", "q19b_cube", "q19c_grouping_sets", "nd_pivot",
-    "q18_count_distinct", "q01_scan_projection", "q09_like_filter",
-    "q26_intersect", "q27_scalar_subquery",
     # -- window boundary: everything below already has a green row over
     # unchanged code (r1 or r2) and follows in module order ------------
 )

@@ -364,9 +364,28 @@ def run_stream_foreach_batch(spark: SparkSession, sf_dir: str,
     return seen
 
 
+def nd_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q28 aggregate executed THROUGH Structured Streaming end-to-end
+    (readStream file source → watermark → windowed agg → memory sink,
+    availableNow) and returned as the materialized result — so the
+    streaming plane gets a hard oracle-hashed driver row, not just the
+    local batch≡stream equivalence test. With the finite fixture in one
+    micro-batch nothing is late, so the result must equal the batch
+    aggregate exactly."""
+    return run_stream_to_memory(spark, sf_dir, table_name="stream_q28_gate")
+
+
 QUERIES = {
     "q28_tumbling_window": (
         q28_tumbling_window,
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, "
+        "COUNT(*) AS c, ROUND(SUM(value), 3) AS s "
+        "FROM events GROUP BY 1, 2 ORDER BY ws, event_type",
+    ),
+    "nd_stream_tumbling": (
+        nd_stream_tumbling,
+        # identical contract to the batch q28 — the stream must converge to
+        # the same rows once the (finite) source is exhausted
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, "
         "COUNT(*) AS c, ROUND(SUM(value), 3) AS s "
         "FROM events GROUP BY 1, 2 ORDER BY ws, event_type",
