@@ -67,3 +67,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql users)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_compute(spark: SparkSession, df: DataFrame,
+                   *keys: str) -> DataFrame:
+    """Spread CPU-heavy per-row work across all cores when the SCAN's
+    parallelism is below them. A parquet file splits only at row-group
+    boundaries, so a single-row-group input pins every narrow stage after
+    it (explodes, per-word hashing, array folds) to ONE task while the
+    other cores idle. The exchange moves the raw rows once — worth it
+    exactly when the downstream per-row CPU dwarfs the row bytes, which is
+    the profile of the text/dedup operators that call this.
+
+    Conditional on purpose: at corpus scale the scan already has ≥cores
+    input splits and this is a no-op — an unconditional repartition would
+    shuffle the whole corpus for nothing."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *keys) if keys \
+            else df.repartition(target)
+    return df

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bacalhau_spark.catalog import table
+from bacalhau_spark.catalog import spread_compute, table
 from bacalhau_spark.functions import shingles, words
 
 N_HASHES = 16   # minhash signature length
@@ -129,21 +129,6 @@ def _rolling_shingle_keys(wh_col) -> "F.Column":
     ).otherwise(F.array().cast("array<long>"))
 
 
-def _spread_compute(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Spread CPU-heavy per-row work across all cores when the SCAN's
-    parallelism is below them. A parquet file splits only at row-group
-    boundaries, so a single-row-group input pins every narrow stage after
-    it to ONE task — md5-per-word over millions of words on one core while
-    31 idle. The exchange moves raw text once (bytes ≪ the hash work it
-    unlocks). Conditional on purpose: at corpus scale the scan already has
-    ≥cores input splits and this is a no-op — an unconditional repartition
-    would shuffle the whole corpus for nothing."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, "doc_id")
-    return df
-
-
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide minhash signature table: (doc_id, mh0..mh15).
 
@@ -157,8 +142,8 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_rolling_shingle_keys) — strings never materialize. At corpus scale
     this table is the persisted index artifact (write once, band-join and
     estimate many times)."""
-    docs = _spread_compute(spark, table(spark, sf_dir, "documents")
-                           .select("doc_id", "text"))
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
     wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
     sh = wh.select(
         "doc_id", F.explode(_rolling_shingle_keys(F.col("wh"))).alias("x"))
@@ -250,7 +235,8 @@ def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bits come from the first 4 hex chars of md5(word) — identical bytes in
     the oracle. Near-dups collide on the signature; bucketing on it is the
     O(n) grouping stage of simhash dedup."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
     wordsdf = docs.select("doc_id", F.explode(words("text")).alias("word"))
     bits = wordsdf.select(
         "doc_id", "word",

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bacalhau_spark.catalog import table
+from bacalhau_spark.catalog import spread_compute, table
 from bacalhau_spark.functions import words
 
 # Tiny stopword marker sets for the language-ID heuristic. A production
@@ -34,11 +34,22 @@ def _marker_hits(w, markers):
     return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread across cores (catalog.spread_compute) — used
+    ONLY by the operators whose per-row CPU measurably dwarfs the exchange
+    (tokenize-explode, 4-language marker scans, BM25 term filters; A/B'd at
+    sf0.1). The cheap per-row ops (quality ratios, fingerprint, chunking,
+    token counts) keep the plain scan: their work doesn't buy back the
+    shuffle."""
+    return spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
+
+
 def q11_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize + word count (Q11) — the UDTF-shaped explode. At scale the
     groupBy key (doc_id, word) is high-cardinality and well-spread; map-side
     combine collapses within-partition repeats before the shuffle."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("doc_id", F.explode(words("text")).alias("word"))
         .groupBy("doc_id", "word")
@@ -51,7 +62,7 @@ def nd_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID. One pass over the token array per doc;
     argmax over per-language hit counts (ties -> first language in fixed
     order, deterministic)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     w = words("text")
     scored = docs.select(
         "doc_id",
@@ -145,7 +156,7 @@ def nd_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform preserves the ranking while keeping every operation (+ * /)
     correctly-rounded IEEE, so Spark and DuckDB produce bit-identical
     scores (ln differs in last-ulp between libm implementations)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     w = words("text")
 
     def tf_of(term):
