@@ -148,6 +148,14 @@ class ApiServer:
                 limit = int(qs.get("limit", ["100"])[0])
                 rows = self.engine.fetch_results(rid, limit=limit)
                 self._reply(handler, 200, {"run_id": rid, "rows": rows},)
+            elif parsed.path == "/local_events":
+                # the node-local event view (single node ⇒ all events),
+                # pkg/publicapi/server.go /local_events analog
+                evts = self.engine.events()
+                self._reply(handler, 200, {"events": [
+                    {"run_id": e.run_id, "ordinal": e.ordinal,
+                     "name": e.name, "ts": e.ts, "detail": e.detail}
+                    for e in evts]})
             elif parsed.path == "/resultfiles":
                 rid = self._run_id(qs)
                 files = self.engine.result_files(rid)
@@ -279,6 +287,9 @@ class ApiClient:
 
     def events(self, run_id: str) -> list[dict]:
         return self._request("/events", {"run_id": run_id})["events"]
+
+    def local_events(self) -> list[dict]:
+        return self._request("/local_events")["events"]
 
     def describe(self, run_id: str) -> dict:
         return self._request("/describe", {"run_id": run_id})

@@ -108,6 +108,11 @@ class JobSpec:
     annotations: list = field(default_factory=list)
     resources: dict = field(default_factory=dict)  # {"cpu": "500m", "memory": "2Gb", ...}
     context: str | None = None      # dir shipped to executors (run-python context analog)
+    # Max execution wall-clock. The reference bounds every job-adjacent
+    # operation (volume probe 120 s, CID/URL fetch 300 s,
+    # `pkg/config/config.go:42-82`); here the whole run is the unit: on
+    # expiry the run's Spark job group is cancelled and the run errors.
+    timeout_s: float | None = None
 
     def __post_init__(self) -> None:
         # Validate + sanitize at construction (the reference validates specs
@@ -128,7 +133,8 @@ class JobSpec:
     def from_dict(cls, doc: dict) -> "JobSpec":
         known = {k: doc[k] for k in
                  ("query", "inputs", "outputs", "replicas", "verified",
-                  "annotations", "resources", "context") if k in doc}
+                  "annotations", "resources", "context", "timeout_s")
+                 if k in doc}
         if "query" not in known:
             raise ValueError("job spec requires a 'query' field")
         return cls(**known)
@@ -155,6 +161,12 @@ class JobEvent:
     name: str
     ts: float
     detail: str = ""
+
+
+class JobTimeoutError(RuntimeError):
+    """The run exceeded its spec's timeout_s; its Spark job group was
+    cancelled (the engine-level analog of the reference's per-operation
+    timeouts, `pkg/config/config.go:42-82`)."""
 
 
 class RunNotCompleteError(RuntimeError):
@@ -436,6 +448,25 @@ class Engine:
         prev = {k: sc.getLocalProperty(k) for k in props}
         for k, v in props.items():
             sc.setLocalProperty(k, v)
+        # Timeout watchdog: on expiry, cancel THIS run's job group — every
+        # Spark action the run launched carries the group id set above, so
+        # in-flight tasks are killed and the blocked action below raises.
+        expired = threading.Event()
+        watchdog: threading.Timer | None = None
+        if spec.timeout_s:
+            done = self._done[run_id]
+
+            def _expire() -> None:
+                expired.set()
+                # Re-cancel until the run ends: a single cancel can land in
+                # the gap before the (next) Spark job registers under the
+                # group and silently no-op ("cannot find active jobs").
+                while not done.is_set():
+                    sc.cancelJobGroup(run_id)
+                    done.wait(1.0)
+            watchdog = threading.Timer(spec.timeout_s, _expire)
+            watchdog.daemon = True
+            watchdog.start()
         try:
             if spec.context:
                 # Ship the job's working-dir modules to driver + executors
@@ -484,8 +515,16 @@ class Engine:
         except ResultsRejectedError:
             raise  # already recorded as ResultsRejected — terminal state
         except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
+            if expired.is_set():
+                err = JobTimeoutError(
+                    f"run {run_id} exceeded timeout_s={spec.timeout_s}; "
+                    "job group cancelled")
+                self._emit(run_id, EVT_ERROR, repr(err))
+                raise err from exc
             self._emit(run_id, EVT_ERROR, repr(exc))
             raise
         finally:
+            if watchdog is not None:
+                watchdog.cancel()
             for k, v in prev.items():
                 sc.setLocalProperty(k, v)

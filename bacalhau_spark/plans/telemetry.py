@@ -78,9 +78,17 @@ def execute_and_measure(df: DataFrame) -> dict[str, int]:
     try:
         jqe = df._jdf.queryExecution()
         n = jqe.executedPlan().execute().count()
-        metrics = {"result_rows": int(n)}
-        _walk(jqe.executedPlan(), metrics)
-        return metrics
-    except Exception:  # noqa: BLE001 — fall back to the plain action
+    except Exception as exc:  # noqa: BLE001
+        # Job cancellation (the engine's timeout watchdog) must propagate —
+        # the fallback below would RE-RUN the query the watchdog just
+        # killed. Only plan-shape surprises take the plain-action fallback.
+        if "CANCELLED" in str(exc).upper():
+            raise
         df.count()
         return {}
+    metrics = {"result_rows": int(n)}
+    try:
+        _walk(jqe.executedPlan(), metrics)
+    except Exception:  # noqa: BLE001 — telemetry never fails a run
+        pass
+    return metrics

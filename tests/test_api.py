@@ -40,6 +40,15 @@ def test_submit_states_events_roundtrip(api):
     assert api.list_runs()[run_id] == "Completed"
 
 
+def test_local_events_spans_runs(api):
+    r1 = api.submit({"query": "q01_scan_projection",
+                     "inputs": {"sf_dir": SF_DIR}})
+    r2 = api.submit({"query": "q01_scan_projection",
+                     "inputs": {"sf_dir": SF_DIR}})
+    evts = api.local_events()
+    assert {r1, r2} <= {e["run_id"] for e in evts}
+
+
 def test_describe_and_get_results(api, tmp_path):
     out = str(tmp_path / "api_out")
     run_id = api.submit({"query": "q01_scan_projection",

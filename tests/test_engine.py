@@ -219,6 +219,35 @@ def test_context_archive_size_cap(tmp_path):
     assert a1 == a2
 
 
+def test_timeout_cancels_job_group(spark):
+    """A run past its timeout_s must be cancelled (its job group killed)
+    and surface JobTimeoutError + an Error event — the engine analog of the
+    reference's per-operation timeouts (pkg/config/config.go:42-82)."""
+    import time as _time
+
+    from bacalhau_spark.engine import Engine, JobTimeoutError
+
+    def slow(spark_, sf_dir):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def nap(s):
+            import time
+            time.sleep(30)
+            return s
+
+        return spark_.range(8, numPartitions=8).select(nap("id").alias("x"))
+
+    eng = Engine(spark, {"slow": slow})
+    t0 = _time.time()
+    with pytest.raises(JobTimeoutError, match="timeout_s"):
+        eng.submit(JobSpec(query="slow", timeout_s=2.0))
+    assert _time.time() - t0 < 25  # cancelled, not run to completion
+    (rid,) = list(eng.list_runs())
+    assert eng.state(rid) == "Error"
+    assert "JobTimeoutError" in eng.events(rid)[-1].detail
+
+
 def test_context_module_collision_rejected(spark, tmp_path):
     """Two jobs shipping DIFFERENT code under the same module name must not
     silently share the first archive (addPyFile has no un-register; import

