@@ -390,6 +390,45 @@ QUERIES = {
         "COUNT(*) AS c, ROUND(SUM(value), 3) AS s "
         "FROM events GROUP BY 1, 2 ORDER BY ws, event_type",
     ),
+    "nd_stream_static_join": (
+        lambda spark, sf_dir: run_stream_static_join(
+            spark, sf_dir, table_name="gate_ssj_static"),
+        # stream-static enrichment counts must equal the batch join's
+        "SELECT c_mktsegment, COUNT(*) AS n "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    ),
+    "nd_stream_stream_join": (
+        lambda spark, sf_dir: run_stream_stream_join(
+            spark, sf_dir, table_name="gate_ssj"),
+        # the append-mode pair SET is deterministic (order is not; the gate
+        # hashes order-insensitively)
+        "SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id "
+        "FROM events p JOIN events c ON p.user_id = c.user_id "
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' "
+        "AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR",
+    ),
+    # Rows-only driver rows (no oracle): first-arrival order inside a batch
+    # (dedup) and double accumulation order (stateful fold) are
+    # engine-specific, and session bounds come from state-store semantics —
+    # all three are equivalence/recall-tested in tests/test_streaming.py;
+    # the driver row proves they execute end-to-end in the driver's plain
+    # session/foreign cwd.
+    "nd_stream_dedup": (
+        lambda spark, sf_dir: run_stream_dedup(
+            spark, sf_dir, table_name="gate_dedup"),
+        None,
+    ),
+    "nd_stream_sessions": (
+        lambda spark, sf_dir: run_stream_session_to_memory(
+            spark, sf_dir, table_name="gate_sessions"),
+        None,
+    ),
+    "nd_stream_stateful": (
+        lambda spark, sf_dir: run_stateful_fold(
+            spark, sf_dir, table_name="gate_state"),
+        None,
+    ),
     "nd_sliding_window": (
         sliding_window,
         "SELECT ws, event_type, COUNT(*) AS c FROM ("
