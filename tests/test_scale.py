@@ -194,3 +194,59 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got.get("10:00") == 2          # both on-time rows
     assert "08:00" not in got             # late row dropped
     assert got.get("12:00") == 1 and got.get("13:00") == 1
+
+
+def test_cross_dedup_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination must probe a BROADCAST fingerprint set — the corpus
+    side (100 TB at scale) is never shuffled for the anti-join."""
+    from bacalhau_spark.operators.dedup import nd_cross_dedup
+
+    df = nd_cross_dedup(spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_stats_broadcast_no_wide_shuffle(spark, sf_dir):
+    """BM25's corpus stats (1 row) must reach the per-doc scorer via a
+    broadcast nested-loop/cross join — the fact side stays unshuffled; the
+    only exchange in the plan belongs to the final top-k."""
+    from bacalhau_spark.operators.text import nd_bm25
+
+    df = nd_bm25(spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
+        plan
+
+
+def test_stratified_sample_exact_quotas(spark, sf_dir):
+    """Every stratum receives exactly ceil(n_lang * frac) rows — the quota
+    guarantee that distinguishes this from probabilistic sampling."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bacalhau_spark.operators.pipeline import (STRATUM_FRAC,
+                                                   nd_stratified_sample)
+
+    totals = {r["lang"]: r["n"] for r in
+              table(spark, sf_dir, "documents")
+              .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           nd_stratified_sample(spark, sf_dir)
+           .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {lang: math.ceil(n * STRATUM_FRAC)
+                   for lang, n in totals.items()}
+
+
+def test_spread_compute_is_noop_when_scan_is_parallel(spark, sf_dir):
+    """spread_compute must NOT add an exchange when the input already has
+    >= defaultParallelism partitions — at corpus scale it is a no-op, never
+    a corpus-wide shuffle."""
+    from bacalhau_spark.catalog import spread_compute
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism + 4)
+    out = spread_compute(spark, docs, "doc_id")
+    assert out is docs  # unchanged plan object: no exchange appended
