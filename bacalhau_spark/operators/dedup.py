@@ -205,6 +205,52 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("a_id", "b_id"))
 
 
+CC_MAX_ITERS = 12
+
+
+def nd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate
+    pairs, labeling every involved doc with its component's min doc_id —
+    the step that turns pairwise candidates into dedup groups (keep the
+    canonical min-id doc, drop the rest).
+
+    Distributed min-label propagation: each iteration joins the (tiny
+    relative to the corpus) edge set to the current labels and takes the
+    neighborhood minimum; convergence in O(component diameter) rounds —
+    near-dup components are shallow in practice (dup clusters are
+    near-cliques from the band join), so iterations are few and each is a
+    bounded equi join, never an all-pairs pass. The driver reads ONE
+    aggregate per iteration (Σ labels, strictly decreasing) to detect the
+    fixpoint — constant bytes, not data.
+    """
+    pairs = _band_candidates(_minhash_signatures(spark, sf_dir))
+    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("b_id").alias("src"),
+                     F.col("a_id").alias("dst"))).persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("label")).persist())
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        nbr = (edges.join(labels, edges.dst == labels.id)
+               .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select("id", F.least(
+                "label", F.coalesce("nbr_label", "label")).alias("label"))
+            .persist())
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return (labels.select(F.col("id").alias("doc_id"),
+                          F.col("label").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
 def nd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard estimation from signature agreement: for each LSH candidate
     pair, est = (#agreeing minhash positions)/16 — the verify step between
@@ -349,6 +395,34 @@ FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_
 ORDER BY a_id, b_id
 """
 
+# Connected components via transitive closure: `reach(id, r)` = every node
+# r reachable from id over the symmetric candidate edges; the component
+# label is MIN(reach). Closure is fine at oracle scale (the candidate edge
+# set is tiny); the Spark side uses iterative min-label propagation.
+_CLUSTERS_ORACLE = f"""
+{_MH_SH_CTES.replace("WITH w AS", "WITH RECURSIVE w AS", 1)},
+mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
+       FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
+       GROUP BY doc_id, seed),
+sig0 AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
+                ({_MH_BAND_POLY.replace('ml', 'list(mh ORDER BY seed)')}) AS sig
+         FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
+sig AS (SELECT doc_id, band, sig FROM sig0
+        QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP}),
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+ORDER BY doc_id
+"""
+
 _SIMHASH_ORACLE = """
 WITH wds AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
              FROM documents),
@@ -433,6 +507,7 @@ QUERIES = {
         "GROUP BY md5(text) ORDER BY doc_id",
     ),
     "nd_minhash_lsh": (nd_minhash_lsh, _MINHASH_ORACLE),
+    "nd_dedup_clusters": (nd_dedup_clusters, _CLUSTERS_ORACLE),
     "nd_minhash_estimate": (nd_minhash_estimate, f"""
 {_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh

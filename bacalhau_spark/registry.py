@@ -50,6 +50,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_ann_lsh", "nd_ann_ivf",
     # 3. round-3 additions
     "nd_bm25", "nd_ngram_topk", "nd_cross_dedup", "nd_stratified_sample",
+    "nd_dedup_clusters",
     "nd_stream_tumbling", "nd_stream_static_join", "nd_stream_stream_join",
     "nd_stream_dedup", "nd_stream_sessions", "nd_stream_stateful",
     "tpch_q8_market_share", "tpch_q9_profit",
@@ -64,7 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     # 5. r1-row refreshes (headline plans)
     "q15_multiway_join", "q17_hash_agg", "q13_join_agg", "q25_topk",
     "q3_shipping_priority", "q16_theta_join", "q14_anti_join",
-    "q13b_semi_join", "q14b_left_join_agg",
+    "q13b_semi_join",
     # -- window boundary: everything below already has a green row over
     # unchanged code (r1 or r2) and follows in module order ------------
 )
