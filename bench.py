@@ -35,8 +35,11 @@ BENCH_QUERIES = (
     "nd_grouped_python",   # Python plane: repartition + mapInPandas OLS
 )
 
-WARMUP_RUNS = 1
-TIMED_RUNS = 3
+# 2 warm-ups (first run pays codegen+JIT, second still sees JIT tail) and
+# median of 5: local timings vary ±20-40% run-to-run; a 3-run median at
+# this scale regularly moved totals by 15% between invocations.
+WARMUP_RUNS = 2
+TIMED_RUNS = 5
 
 
 def materialize(df) -> None:
