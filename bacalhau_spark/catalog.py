@@ -9,6 +9,8 @@ reference's lazy FUSE mount (`pkg/storage/ipfs_fusedocker/storage.go:114`).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,6 +25,10 @@ TABLES = (
 # Keyed by applicationId, not id(spark): CPython reuses object ids after GC,
 # which could hand a new session a DataFrame bound to a stopped one.
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Engine workers call table() from parallel threads (capacity-managed async
+# submit); eviction iterates while other threads insert, so all cache
+# access goes through this lock.
+_CACHE_LOCK = threading.Lock()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,14 +45,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     app_id = spark.sparkContext.applicationId
-    # Evict entries from other (stopped) sessions: only one SparkSession is
-    # live per process, so any foreign applicationId is dead weight that
-    # would otherwise accumulate across many short-lived sessions.
-    stale = [k for k in _CACHE if k[0] != app_id]
-    for k in stale:
-        del _CACHE[k]
     key = (app_id, sf_dir, name)
-    cached = _CACHE.get(key)
+    with _CACHE_LOCK:
+        # Evict entries from other (stopped) sessions: only one
+        # SparkSession is live per process, so any foreign applicationId is
+        # dead weight accumulating across many short-lived sessions.
+        for k in [k for k in _CACHE if k[0] != app_id]:
+            _CACHE.pop(k, None)
+        cached = _CACHE.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -59,7 +65,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _CACHE[key] = df
+    with _CACHE_LOCK:
+        _CACHE[key] = df
     return df
 
 

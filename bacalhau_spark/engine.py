@@ -128,6 +128,17 @@ class JobSpec:
         self.local_properties = to_local_properties(self.resources)
         self.annotations = [sanitize_annotation(str(a))
                             for a in self.annotations]
+        if self.timeout_s is not None:
+            # A string from a JSON spec would silently break the watchdog
+            # (truthy, but Timer/Event.wait would fail in the daemon
+            # thread); a non-positive value would cancel every run at start.
+            if not isinstance(self.timeout_s, (int, float)) \
+                    or isinstance(self.timeout_s, bool) \
+                    or not self.timeout_s > 0:
+                raise ValueError(
+                    f"timeout_s must be a positive number, "
+                    f"got {self.timeout_s!r}")
+            self.timeout_s = float(self.timeout_s)
 
     @classmethod
     def from_dict(cls, doc: dict) -> "JobSpec":
@@ -275,24 +286,29 @@ class Engine:
                         "detail": e.detail} for e in evts],
         }
 
-    def fetch_results(self, run_id: str, limit: int = 100) -> list[dict]:
-        """Read back a completed run's published output — the
-        `bacalhau get` analog (`cmd/bacalhau/get.go:36-129`): results come
-        from the run's sink, not from re-executing the plan."""
+    def _readable_sink(self, run_id: str) -> tuple[JobSpec, str]:
+        """Shared gate for the two result-read verbs: the run must exist,
+        be in a results-readable terminal state (reading the sink of an
+        Error/Rejected/still-running run would 500 on a missing path or
+        return stale bytes from an earlier run), and have a sink."""
         spec = self._specs.get(run_id)
         if spec is None:
             raise KeyError(f"unknown run {run_id}")
         state = self.state(run_id)
         if state not in TERMINAL_OK_STATES:
-            # Don't read the sink for an Error/Rejected/ResultsRejected (or
-            # still-running) run: the path is either missing or holds stale
-            # bytes from an earlier run at the same location.
             raise RunNotCompleteError(
                 f"run {run_id} is {state}; results are readable only after "
                 f"{'/'.join(TERMINAL_OK_STATES)}")
         path = spec.outputs.get("path")
         if not path:
             raise ValueError(f"run {run_id} has no output sink to fetch")
+        return spec, path
+
+    def fetch_results(self, run_id: str, limit: int = 100) -> list[dict]:
+        """Read back a completed run's published output — the
+        `bacalhau get` analog (`cmd/bacalhau/get.go:36-129`): results come
+        from the run's sink, not from re-executing the plan."""
+        spec, path = self._readable_sink(run_id)
         df = self.spark.read.format(
             spec.outputs.get("format", "parquet")).load(path)
         return [row.asDict(recursive=True) for row in df.limit(limit).collect()]
@@ -307,17 +323,7 @@ class Engine:
         import base64
         import os
 
-        spec = self._specs.get(run_id)
-        if spec is None:
-            raise KeyError(f"unknown run {run_id}")
-        state = self.state(run_id)
-        if state not in TERMINAL_OK_STATES:
-            raise RunNotCompleteError(
-                f"run {run_id} is {state}; results are readable only after "
-                f"{'/'.join(TERMINAL_OK_STATES)}")
-        root = spec.outputs.get("path")
-        if not root:
-            raise ValueError(f"run {run_id} has no output sink to fetch")
+        _spec, root = self._readable_sink(run_id)
         out, total = [], 0
         for dirpath, _dirs, files in sorted(os.walk(root)):
             for fname in sorted(files):
@@ -423,6 +429,11 @@ class Engine:
         with zipfile.ZipFile(archive) as zf:
             tops = {n.split("/", 1)[0] for n in zf.namelist()}
         modules = {t[:-3] if t.endswith(".py") else t for t in tops}
+        # Hold the lock across addPyFile: ownership is recorded only AFTER
+        # the ship succeeds (a failed ship must not block later contexts),
+        # and two concurrent ships of colliding archives must not both pass
+        # the pre-check. Context shipping is rare and fast; serializing it
+        # is fine.
         with self._lock:
             for mod in modules:
                 owner = self._ctx_modules.get(mod)
@@ -431,9 +442,9 @@ class Engine:
                         f"context module {mod!r} collides with an archive "
                         f"already shipped this session ({owner}); rename "
                         "the module or reuse the original context")
+            self.spark.sparkContext.addPyFile(archive)
             for mod in modules:
                 self._ctx_modules[mod] = basename
-        self.spark.sparkContext.addPyFile(archive)
 
     def _execute(self, run_id: str, spec: JobSpec) -> None:
         # Job-scoped runtime conf: tag every Spark job this run launches

@@ -179,15 +179,23 @@ def _band_candidates(sig_wide: DataFrame,
     sig = sig_wide.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band", "sig"))
-    # Bucket-and-expand instead of a self-join: ONE shuffle groups each
-    # (band, sig) bucket's members; the ≤cap filter IS the hot-bucket guard
-    # (no separate count + broadcast anti join); the a<b pairs are generated
-    # in codegen over the sorted member list. 2 shuffles total (bucket,
-    # distinct) vs 4 for the self-join form — and per-bucket memory is
-    # bounded by the cap, so collect_list cannot blow up on a hot key.
+    # Hot-bucket guard BEFORE any per-bucket list exists: a degenerate hot
+    # signature would otherwise be materialized whole inside a collect_list
+    # aggregation buffer (executor OOM at corpus scale). The count
+    # aggregate carries only (band, sig, n) with map-side combine, and the
+    # hot list is tiny by construction, so the anti join broadcasts.
+    hot = (sig.groupBy("band", "sig").agg(F.count("*").alias("n"))
+           .where(F.col("n") > bucket_cap)
+           .select("band", "sig"))
+    sig = sig.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    # Bucket-and-expand instead of a self-join: one shuffle groups each
+    # surviving (band, sig) bucket's members — now provably ≤ cap elements
+    # — and the a<b pairs are generated in codegen over the sorted list.
+    # 3 shuffles total (hot count, bucket, distinct) vs 4 for the self-join
+    # form, and the join-side row explosion never happens.
     buckets = (sig.groupBy("band", "sig")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .where((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap)))
+               .where(F.size("ids") >= 2))
     pairs = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
@@ -230,7 +238,7 @@ def nd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("a_id").alias("dst"))).persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .select("id", F.col("id").alias("label")).persist())
-    prev_sum = None
+    prev_sum, converged = None, False
     for _ in range(CC_MAX_ITERS):
         nbr = (edges.join(labels, edges.dst == labels.id)
                .groupBy("src").agg(F.min("label").alias("nbr_label")))
@@ -243,12 +251,29 @@ def nd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Partial labels are WRONG labels (docs merged with the wrong
+        # canonical id); fail loudly rather than return them. Components
+        # needing >12 rounds mean a propagation-distance-12 chain — raise
+        # CC_MAX_ITERS or switch to large-star/small-star doubling.
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"nd_dedup_clusters did not converge in {CC_MAX_ITERS} "
+            "min-label rounds; component diameter exceeds the cap")
+    # localCheckpoint materializes the converged labels and cuts the
+    # iterative lineage, so the per-iteration caches can be dropped before
+    # returning (they would otherwise sit in executor storage for the
+    # session's lifetime).
+    out = (labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+           .localCheckpoint(eager=True))
+    labels.unpersist()
     edges.unpersist()
-    return (labels.select(F.col("id").alias("doc_id"),
-                          F.col("label").alias("cluster_id"))
-            .orderBy("doc_id"))
+    return out.orderBy("doc_id")
 
 
 def nd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,6 +17,7 @@ All dot products use functions.dot_double — a JVM-side left fold, no UDFs.
 from __future__ import annotations
 
 import hashlib
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -219,6 +220,7 @@ def pair_cosine_udf():
 
 
 _CENTROID_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
+_CENTROID_LOCK = threading.Lock()  # concurrent engine workers share this
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
@@ -235,10 +237,11 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
     lookup. Inputs are immutable fixture files, so the cache never goes
     stale within a session."""
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _CENTROID_CACHE if k[0] != app_id]:
-        del _CENTROID_CACHE[k]  # evict stopped sessions' model state
     key = (app_id, sf_dir)
-    cached = _CENTROID_CACHE.get(key)
+    with _CENTROID_LOCK:
+        for k in [k for k in _CENTROID_CACHE if k[0] != app_id]:
+            _CENTROID_CACHE.pop(k, None)  # evict stopped sessions' state
+        cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached
     emb = table(spark, sf_dir, "embeddings")
@@ -261,7 +264,8 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
         norm = sum(v * v for v in vec) ** 0.5 or 1.0
         out.append((row["cluster"], [v / norm for v in vec]))
     result = sorted(out)
-    _CENTROID_CACHE[key] = result
+    with _CENTROID_LOCK:
+        _CENTROID_CACHE[key] = result
     return result
 
 

@@ -248,6 +248,15 @@ def test_timeout_cancels_job_group(spark):
     assert "JobTimeoutError" in eng.events(rid)[-1].detail
 
 
+def test_timeout_spec_validation():
+    """A JSON spec's string/negative timeout must fail at construction —
+    a string is truthy but would break the watchdog thread silently."""
+    for bad in ("60", -1, 0, True):
+        with pytest.raises(ValueError, match="timeout_s"):
+            JobSpec(query="q01_scan_projection", timeout_s=bad)
+    assert JobSpec(query="q01_scan_projection", timeout_s=5).timeout_s == 5.0
+
+
 def test_context_module_collision_rejected(spark, tmp_path):
     """Two jobs shipping DIFFERENT code under the same module name must not
     silently share the first archive (addPyFile has no un-register; import
