@@ -184,15 +184,17 @@ def _band_candidates(sig_wide: DataFrame,
     # aggregation buffer (executor OOM at corpus scale). The count
     # aggregate carries only (band, sig, n) with map-side combine, and the
     # hot list is tiny by construction, so the anti join broadcasts.
+    # (An explicit repartition to share one exchange between this count and
+    # the bucket agg was A/B'd: AQE plans it as MORE exchanges and ~1.7x
+    # slower at sf0.1 — don't re-try.)
     hot = (sig.groupBy("band", "sig").agg(F.count("*").alias("n"))
            .where(F.col("n") > bucket_cap)
            .select("band", "sig"))
     sig = sig.join(F.broadcast(hot), ["band", "sig"], "left_anti")
-    # Bucket-and-expand instead of a self-join: one shuffle groups each
-    # surviving (band, sig) bucket's members — now provably ≤ cap elements
-    # — and the a<b pairs are generated in codegen over the sorted list.
-    # 3 shuffles total (hot count, bucket, distinct) vs 4 for the self-join
-    # form, and the join-side row explosion never happens.
+    # Bucket-and-expand instead of a self-join: the surviving buckets —
+    # now provably ≤ cap elements — collect their member lists and the
+    # a<b pairs are generated in codegen over the sorted list. The
+    # join-side row explosion of the self-join form never happens.
     buckets = (sig.groupBy("band", "sig")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .where(F.size("ids") >= 2))
