@@ -142,6 +142,72 @@ def test_submit_auth_good_and_bad_signature(authed):
     assert exc.value.status == 401
 
 
+def test_submit_auth_rejects_tampered_body(authed):
+    """A signature computed over a DIFFERENT body must not authorize this
+    one (the integrity half of the submit-signature contract)."""
+    import json as _json
+    from urllib import request as _rq
+    from urllib.error import HTTPError
+
+    from bacalhau_spark.api import _sign
+
+    good_body = _json.dumps({"spec": {"query": "q01_scan_projection",
+                                      "inputs": {"sf_dir": SF_DIR}}}).encode()
+    evil_body = _json.dumps({"spec": {"query": "q01_scan_projection",
+                                      "inputs": {"sf_dir": SF_DIR},
+                                      "replicas": 3}}).encode()
+    sig = _sign("s3kr1t", "alice", good_body)
+    req = _rq.Request(authed.url + "/submit", data=evil_body, headers={
+        "Content-Type": "application/json",
+        "X-Bacalhau-Client-Id": "alice",
+        "X-Bacalhau-Signature": sig})
+    try:
+        _rq.urlopen(req, timeout=30)
+        raise AssertionError("tampered body accepted")
+    except HTTPError as exc:
+        assert exc.code == 401
+
+
+def test_submit_reports_queue_position(spark):
+    """An async submit into a busy engine reports its backlog position so
+    clients can implement queue-aware waiting."""
+    import threading
+
+    from bacalhau_spark.capacity import CapacityManager, ResourceUsage
+
+    cm = CapacityManager(total=ResourceUsage(cpu=1.0), max_backlog=4)
+    eng = Engine(spark, queries(), capacity=cm)
+    gate = threading.Event()
+    base = queries()["q01_scan_projection"]
+    eng.registry["slow_q01"] = lambda s, d: (gate.wait(30), base(s, d))[1]
+    server = ApiServer(eng, port=0).start_background()
+    try:
+        client = ApiClient(server.url)
+        first = client.submit_async({"query": "slow_q01",
+                                     "inputs": {"sf_dir": SF_DIR}})
+        second = client.submit_async({"query": "q01_scan_projection",
+                                      "inputs": {"sf_dir": SF_DIR}})
+        assert "queue_position" not in first or first["state"] != "Created"
+        assert second["state"] == "Created"
+        assert second["queue_position"] == 0
+        gate.set()
+        eng.wait(second["run_id"], timeout=60)
+    finally:
+        gate.set()
+        server.shutdown()
+
+
+def test_submit_bad_resources_is_400(api):
+    with pytest.raises(ApiError) as exc:
+        api.submit({"query": "q01_scan_projection",
+                    "resources": {"cpu": "not-a-number"}})
+    assert exc.value.status == 400
+    with pytest.raises(ApiError) as exc:
+        api.submit({"query": "q01_scan_projection",
+                    "resources": {"flux_capacitors": 1}})
+    assert exc.value.status == 400
+
+
 def test_results_conflict_while_running(spark, tmp_path):
     """/results on a not-yet-finished run maps RunNotCompleteError to 409
     instead of 500-on-missing-path or stale reads."""
