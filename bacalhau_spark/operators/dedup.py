@@ -159,9 +159,8 @@ def _band_candidates(sig_wide: DataFrame,
                      bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """LSH band join over the wide signatures: distinct (a_id < b_id) pairs
     sharing at least one full 4-row band. Buckets larger than `bucket_cap`
-    are dropped before the self-join (hot-bucket guard: a bucket of f docs
-    is f(f-1)/2 pairs; the hot-bucket list is tiny by construction, so the
-    anti join broadcasts)."""
+    are dropped before pair expansion (hot-bucket guard: a bucket of f docs
+    is f(f-1)/2 pairs)."""
     # Integer band keys: the same polynomial fold as the shingle keys
     # (4 multiply-adds in codegen) instead of concat_ws string building —
     # the shuffle key is 8 bytes, not a ~40-char string, and the band
@@ -179,18 +178,21 @@ def _band_candidates(sig_wide: DataFrame,
     sig = sig_wide.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band", "sig"))
-    # Hot-bucket guard BEFORE any per-bucket list exists: a degenerate hot
-    # signature would otherwise be materialized whole inside a collect_list
-    # aggregation buffer (executor OOM at corpus scale). The count
-    # aggregate carries only (band, sig, n) with map-side combine, and the
-    # hot list is tiny by construction, so the anti join broadcasts.
-    # (An explicit repartition to share one exchange between this count and
-    # the bucket agg was A/B'd: AQE plans it as MORE exchanges and ~1.7x
-    # slower at sf0.1 — don't re-try.)
-    hot = (sig.groupBy("band", "sig").agg(F.count("*").alias("n"))
-           .where(F.col("n") > bucket_cap)
-           .select("band", "sig"))
-    sig = sig.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    # Hot-bucket guard as a WINDOW count over (band, sig) — not a separate
+    # count-aggregate + anti join. The r3 two-branch form recomputed the
+    # entire signature lineage TWICE (Spark does not share subplans across
+    # DataFrame branches); measured at sf0.1 the band stage cost ~2x the
+    # signature stage for that reason alone. The window form is single-
+    # lineage: ONE exchange hash-partitions on (band, sig), the window
+    # count runs over sorted runs, and the bucket aggregation below reuses
+    # the same partitioning (no second exchange). Degenerate hot buckets
+    # are bounded by the window exec's spill path (disk, not an
+    # in-memory aggregation buffer), then dropped before any per-bucket
+    # list exists.
+    from pyspark.sql.window import Window
+    bucket_n = F.count("*").over(Window.partitionBy("band", "sig"))
+    sig = (sig.withColumn("n", bucket_n)
+           .where(F.col("n") <= bucket_cap).drop("n"))
     # Bucket-and-expand instead of a self-join: the surviving buckets —
     # now provably ≤ cap elements — collect their member lists and the
     # a<b pairs are generated in codegen over the sorted list. The
@@ -234,10 +236,13 @@ def nd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint — constant bytes, not data.
     """
     pairs = _band_candidates(_minhash_signatures(spark, sf_dir))
-    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    edges = fwd.union(
-        pairs.select(F.col("b_id").alias("src"),
-                     F.col("a_id").alias("dst"))).persist()
+    # Symmetrize via explode, not union-of-two-selects: the union form is
+    # two branches over the same lineage, which Spark evaluates twice when
+    # the persist below first materializes (no subplan sharing).
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+        F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+    )).alias("e")).select("e.src", "e.dst")).persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .select("id", F.col("id").alias("label")).persist())
     prev_sum, converged = None, False
@@ -283,8 +288,14 @@ def nd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, est = (#agreeing minhash positions)/16 — the verify step between
     candidate generation and (expensive) exact comparison. Joins the wide
     signature table back to both pair sides; the per-pair estimate is 16
-    equality checks in codegen, never touching the shingle sets again."""
-    sig_wide = _minhash_signatures(spark, sf_dir)
+    equality checks in codegen, never touching the shingle sets again.
+
+    The signature table feeds THREE consumers (candidate generation + both
+    join sides); localCheckpoint materializes it once instead of Spark
+    re-deriving the full shingle/minhash lineage per branch — the
+    bench-scale form of "write the signature index once, join it many
+    times" (at corpus scale it would be a persisted parquet artifact)."""
+    sig_wide = _minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     cand = _band_candidates(sig_wide)
     amh = sig_wide.select(F.col("doc_id").alias("a_id"),
                           *[F.col(f"mh{s}").alias(f"amh{s}")

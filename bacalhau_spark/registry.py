@@ -30,44 +30,46 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # accumulates a hard driver-side correctness row — the analog of the
 # reference grading every scenario (pkg/test/scenario/test_scenarios.go:17).
 #
-# Round-3 window, in order of why a fresh row is needed:
-#   1. the two round-2 hash-FAILs, re-proven after their representation
-#      fixes (tpch_q12 CAST-to-BIGINT, upsert integer-cents audit);
-#   2. the five entries with no driver row yet (ANN bucket/cell audits,
-#      csv round trip, and rows-only rows for the approx ANN pair);
-#   3. queries added this round (bm25, ngram_topk, cross_dedup,
-#      stratified_sample);
-#   4. every events-table query: the container's Spark moved to 4.1, which
-#      reads the fixture's TIMESTAMP(NANOS) natively (catalog.py), so the
-#      events read path changed under their r1/r2 green rows;
-#   5. refreshes of the oldest (r1) rows for the headline join/agg/window
-#      plans, oldest-first by value.
+# Standing rule (adopted round 4, per the round-3 verdict): any query whose
+# Spark code or oracle SQL changed since its last green driver row goes
+# inside the next 50-entry window — a green row only certifies the code it
+# graded (the reference grades every scenario every run,
+# pkg/test/scenario/test_scenarios.go:17-171).
+#
+# Round-4 window, in order of why a fresh row is needed:
+#   1. STALE rows: the r3 minhash/simhash/ngram rewrites changed both the
+#      Spark plans AND the oracle SQL after their r2 green rows, and the
+#      q11/langid read path moved to the _docs spread; additionally the
+#      round-4 perf work rewrote the LSH hot-bucket guard (window count
+#      replacing count+anti-join) and the estimate/cluster lineages.
+#   2. queries added or touched in round 4.
+#   3. re-certify the r3 greens for the headline bench set (perf-tuned
+#      session configs change their runtime plans via AQE knobs).
+#   4. oldest-green refreshes (r1/r2 rows over unchanged code), oldest
+#      first.
 _PRIORITY: tuple[str, ...] = (
-    # 1. re-prove the round-2 reds
-    "tpch_q12_conditional", "nd_upsert",
-    # 2. previously ungraded
-    "nd_ann_lsh_bucketstats", "nd_ann_ivf_cellstats", "nd_csv_roundtrip",
-    "nd_ann_lsh", "nd_ann_ivf",
-    # 3. round-3 additions
-    "nd_bm25", "nd_ngram_topk", "nd_cross_dedup", "nd_stratified_sample",
-    "nd_dedup_clusters",
-    "nd_stream_tumbling", "nd_stream_static_join", "nd_stream_stream_join",
-    "nd_stream_dedup", "nd_stream_sessions", "nd_stream_stateful",
-    "tpch_q8_market_share", "tpch_q9_profit",
-    "tpch_q10_returns", "tpch_q16_supplier_cnt",
-    # 4. events-table read path changed (Spark 4.1 native nanos)
-    "q28_tumbling_window", "nd_sliding_window", "nd_json_roundtrip",
-    "nd_applyinpandas", "nd_grouped_python", "nd_cogroup",
-    "nd_above_group_avg", "nd_gap_fill", "q08_json_funcs", "nd_salted_join",
-    "q20_last_state", "q21_first_n", "q22_distinct", "q23_running_sum",
-    "q24_lag_delta", "nd_moving_window", "nd_analytic_suite",
-    "nd_sessionize", "nd_asof_join", "q05_date_funcs",
-    # 5. r1-row refreshes (headline plans)
-    "q15_multiway_join", "q17_hash_agg", "q13_join_agg", "q25_topk",
-    "q3_shipping_priority", "q16_theta_join", "q14_anti_join",
-    "q13b_semi_join",
-    # -- window boundary: everything below already has a green row over
-    # unchanged code (r1 or r2) and follows in module order ------------
+    # 1. stale rows — code and/or oracle changed since last green row
+    "nd_minhash_lsh", "nd_minhash_estimate", "nd_dedup_clusters",
+    "nd_simhash", "nd_ngram_jaccard", "q11_tokenize_count", "nd_langid",
+    # 2. round-4 additions / touched queries (appended as implemented)
+    # 3. headline bench set (session-config changes re-plan these)
+    "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",
+    "q28_tumbling_window", "q3_shipping_priority", "nd_asof_join",
+    "tpch_q6_forecast", "tpch_q7_volume", "tpch_q18_large_orders",
+    "nd_grouped_python",
+    # 4. oldest-green refreshes: r1 rows over unchanged code
+    "q01_scan_projection", "q02_project_rename", "q09_like_filter",
+    "q10_regex_filter", "q03_string_funcs", "q04_math_funcs",
+    "q06_conditional", "q07_array_funcs", "q14b_left_join_agg",
+    "q18_count_distinct", "q19_rollup", "q19b_cube", "q19c_grouping_sets",
+    "q26_intersect", "q26b_except", "q26c_union_all", "q26d_intersect_all",
+    "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
+    # then r2 rows over unchanged code
+    "nd_dedup_exact", "q29_exact_dedup", "q30_nn", "nd_ann_topk",
+    "nd_cosine_neardup", "nd_vector_norm", "nd_centroids",
+    "nd_quality", "nd_token_count", "nd_fingerprint",
+    "nd_chunking", "nd_tfidf",
+    # -- window boundary: first 50 graded per round -------------------
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -54,7 +54,10 @@ def main() -> None:
     spark = get_session("bacalhau-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import pyspark
+
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         fn, _ = ALL_QUERIES[name]
         for _ in range(WARMUP_RUNS):
@@ -65,12 +68,23 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # Per-query spread makes a loaded run self-identifying: ambient load
+        # inflates max (and usually min) uniformly across queries, so a
+        # reader can separate environment noise from a real regression
+        # without re-running on an idle machine.
+        spreads[name] = {
+            "min": round(min(runs), 3),
+            "median": timings[name],
+            "max": round(max(runs), 3),
+        }
 
     print(json.dumps({
         "metric": "bench_headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spreads": spreads,
+        "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))
 
