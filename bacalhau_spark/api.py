@@ -23,12 +23,21 @@ run id and its current state + queue position; clients poll /states. Pass
 `?wait=1` to block until the terminal state instead (convenience for small
 jobs and the CLI).
 
-If the server is constructed with a shared secret, /submit requires the
-client to sign the request body: `X-Bacalhau-Client-Id` names the caller
-and `X-Bacalhau-Signature` carries HMAC-SHA256(secret, client_id || "\\n"
-|| body) hex — the single-key restatement of the reference's per-client RSA
-signature + client-ID↔pubkey binding (`pkg/publicapi/server.go:329-407`);
-mismatch or missing headers → 401.
+If the server is constructed with credentials, /submit requires the client
+to sign the request: `X-Bacalhau-Client-Id` names the caller,
+`X-Bacalhau-Timestamp` carries the signing time (unix seconds), and
+`X-Bacalhau-Signature` carries hex
+HMAC-SHA256(secret, method \\n path?query \\n timestamp \\n client_id \\n body).
+Credentials are a per-client `{client_id: secret}` map — the HMAC
+restatement of the reference's per-client RSA signature + client-ID↔pubkey
+binding (`pkg/publicapi/server.go:391-407`): client A's key cannot sign for
+client B's id, an unknown client id is rejected outright. Binding the
+method, path+query, and a fresh timestamp into the signed payload means a
+captured request cannot be replayed after the freshness window and a
+middlebox cannot add/strip query params (e.g. `?wait=1`) without
+invalidating the signature. Mismatch, staleness, or missing headers → 401.
+A single shared `secret` is still accepted (any client id may sign with
+it) for the simple one-tenant deployment.
 """
 
 from __future__ import annotations
@@ -47,10 +56,17 @@ from bacalhau_spark.engine import (Engine, JobRejectedError, JobSpec,
                                    ResultsRejectedError, RunNotCompleteError)
 
 
-def _sign(secret: str, client_id: str, body: bytes) -> str:
-    return hmac.new(secret.encode(),
-                    client_id.encode() + b"\n" + body,
-                    hashlib.sha256).hexdigest()
+# Signatures older (or more in the future) than this are rejected: bounds
+# the replay window of a captured signed request.
+AUTH_FRESHNESS_S = 300.0
+
+
+def _sign(secret: str, client_id: str, body: bytes,
+          method: str = "POST", path_qs: str = "/submit",
+          timestamp: str = "") -> str:
+    payload = b"\n".join((method.encode(), path_qs.encode(),
+                          timestamp.encode(), client_id.encode(), body))
+    return hmac.new(secret.encode(), payload, hashlib.sha256).hexdigest()
 
 
 class AuthError(RuntimeError):
@@ -62,9 +78,18 @@ class ApiServer:
     port (tests); `start_background()` returns once the socket is live."""
 
     def __init__(self, engine: Engine, host: str = "127.0.0.1",
-                 port: int = 8338, secret: str | None = None):
+                 port: int = 8338, secret: str | None = None,
+                 credentials: dict[str, str] | None = None,
+                 max_wait_s: float = 3600.0):
+        """`credentials` binds each client id to its own signing secret
+        (the per-client key binding, `pkg/publicapi/server.go:391-407`);
+        `secret` is the shared-key alternative for one-tenant deployments.
+        `max_wait_s` bounds how long a `?wait=1` submit may park its
+        handler thread when the spec itself carries no timeout."""
         self.engine = engine
         self.secret = secret
+        self.credentials = dict(credentials) if credentials else None
+        self.max_wait_s = max_wait_s
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -173,15 +198,37 @@ class ApiServer:
             self._reply(handler, 500, {"error": repr(exc)})
 
     def _check_auth(self, handler: BaseHTTPRequestHandler,
-                    body: bytes) -> None:
-        if self.secret is None:
+                    body: bytes, path_qs: str) -> None:
+        if self.secret is None and self.credentials is None:
             return
+        import time as _time
+
         client_id = handler.headers.get("X-Bacalhau-Client-Id", "")
         signature = handler.headers.get("X-Bacalhau-Signature", "")
-        if not client_id or not signature:
-            raise AuthError("submit requires X-Bacalhau-Client-Id and "
-                            "X-Bacalhau-Signature headers")
-        want = _sign(self.secret, client_id, body)
+        timestamp = handler.headers.get("X-Bacalhau-Timestamp", "")
+        if not client_id or not signature or not timestamp:
+            raise AuthError("submit requires X-Bacalhau-Client-Id, "
+                            "X-Bacalhau-Timestamp and X-Bacalhau-Signature "
+                            "headers")
+        try:
+            skew = abs(_time.time() - float(timestamp))
+        except ValueError:
+            raise AuthError(f"bad timestamp {timestamp!r}")
+        if skew > AUTH_FRESHNESS_S:
+            raise AuthError(
+                f"signature timestamp outside the {AUTH_FRESHNESS_S:.0f}s "
+                "freshness window")
+        if self.credentials is not None:
+            # Per-client binding: the id names WHICH key must verify —
+            # an unknown id has no key, and client A's key never verifies
+            # a request claiming to be client B.
+            secret = self.credentials.get(client_id)
+            if secret is None:
+                raise AuthError(f"unknown client {client_id!r}")
+        else:
+            secret = self.secret
+        want = _sign(secret, client_id, body, handler.command, path_qs,
+                     timestamp)
         if not hmac.compare_digest(signature, want):
             raise AuthError(f"bad signature for client {client_id!r}")
 
@@ -194,13 +241,20 @@ class ApiServer:
             qs = parse_qs(parsed.query)
             length = int(handler.headers.get("Content-Length", "0"))
             body = handler.rfile.read(length) or b"{}"
-            self._check_auth(handler, body)
+            self._check_auth(handler, body, handler.path)
             doc = json.loads(body)
             spec = JobSpec.from_dict(doc.get("spec", doc))
             run_id = self.engine.submit_async(spec)
             if qs.get("wait", ["0"])[0] in ("1", "true"):
+                # Bounded even when the spec has no timeout: the engine's
+                # timeout watchdog cancels only Spark job groups, so a run
+                # stuck in pure-Python registry code would otherwise park
+                # this handler thread forever. On expiry the run keeps
+                # going; the client gets its current state and polls.
+                bound = (spec.timeout_s + 60.0 if spec.timeout_s
+                         else self.max_wait_s)
                 try:
-                    self.engine.wait(run_id)
+                    self.engine.wait(run_id, timeout=bound)
                 except (JobRejectedError, ResultsRejectedError):
                     raise
                 except Exception:  # noqa: BLE001 — state carries the story
@@ -248,9 +302,14 @@ class ApiClient:
         data = json.dumps(payload).encode() if payload is not None else None
         headers = {"Content-Type": "application/json"} if data else {}
         if data is not None and self.secret is not None:
+            import time as _time
+
             cid = self.client_id or "anonymous"
+            ts = str(int(_time.time()))
             headers["X-Bacalhau-Client-Id"] = cid
-            headers["X-Bacalhau-Signature"] = _sign(self.secret, cid, data)
+            headers["X-Bacalhau-Timestamp"] = ts
+            headers["X-Bacalhau-Signature"] = _sign(
+                self.secret, cid, data, "POST", path, ts)
         req = _urlrequest.Request(url, data=data, headers=headers)
         try:
             with _urlrequest.urlopen(req, timeout=self.timeout) as resp:

@@ -73,9 +73,43 @@ class ResourceUsage:
 # the reference's DefaultJobResourceRequirements role
 # (`pkg/capacitymanager/capacitymanager.go:93-101`).
 DEFAULT_JOB = ResourceUsage(cpu=1.0)
+# Conservative fallback used only when nothing can be probed; real
+# deployments size from detect_total() (the gopsutil-probe analog) or the
+# serve --limit-total-* flags.
 DEFAULT_TOTAL = ResourceUsage(cpu=8.0, memory=32 << 30, disk=256 << 30,
                               gpu=0)
 DEFAULT_MAX_BACKLOG = 64
+
+
+def detect_total(cpus: float | None = None, memory: int | None = None,
+                 disk: int | None = None, gpu: int = 0) -> ResourceUsage:
+    """Probe actual system capacity — the reference sizes its capacity
+    manager from the real machine (gopsutil system probe feeding
+    `pkg/capacitymanager/capacitymanager.go:61-91`), not a constant.
+    Explicit arguments override individual axes (the --limit-total-* flag
+    semantics); anything unprobeable falls back to DEFAULT_TOTAL's axis.
+
+    Pass `cpus=spark.sparkContext.defaultParallelism` to bind admission to
+    the cores the Spark session actually has rather than the machine's.
+    """
+    import os
+    import shutil
+
+    if cpus is None:
+        cpus = float(os.cpu_count() or DEFAULT_TOTAL.cpu)
+    if memory is None:
+        try:
+            memory = (os.sysconf("SC_PAGE_SIZE")
+                      * os.sysconf("SC_PHYS_PAGES"))
+        except (ValueError, OSError, AttributeError):
+            memory = DEFAULT_TOTAL.memory
+    if disk is None:
+        try:
+            disk = shutil.disk_usage("/").free
+        except OSError:
+            disk = DEFAULT_TOTAL.disk
+    return ResourceUsage(cpu=float(cpus), memory=int(memory),
+                         disk=int(disk), gpu=int(gpu))
 
 
 class CapacityManager:

@@ -76,6 +76,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# Parallelism-probe cache for spread_compute: df.rdd.getNumPartitions
+# triggers full physical planning + RDD conversion per call — a needless
+# constant cost on every text/dedup query. Keyed by the ANALYZED plan's
+# semantic hash (not input files: an upstream repartition changes the
+# count without changing the files), so re-running the same query shape
+# pays the probe once per session.
+_NPART_CACHE: dict[tuple[str, int], int] = {}
+
+
 def spread_compute(spark: SparkSession, df: DataFrame,
                    *keys: str) -> DataFrame:
     """Spread CPU-heavy per-row work across all cores when the SCAN's
@@ -89,8 +98,26 @@ def spread_compute(spark: SparkSession, df: DataFrame,
     Conditional on purpose: at corpus scale the scan already has ≥cores
     input splits and this is a no-op — an unconditional repartition would
     shuffle the whole corpus for nothing."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    sc = spark.sparkContext
+    target = sc.defaultParallelism
+    try:
+        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (sc.applicationId, plan_hash)
+    except Exception:  # noqa: BLE001 — internal API; probe directly
+        key = None
+    nparts = None
+    if key is not None:
+        with _CACHE_LOCK:
+            nparts = _NPART_CACHE.get(key)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if key is not None:
+            with _CACHE_LOCK:
+                for k in [k for k in _NPART_CACHE
+                          if k[0] != sc.applicationId]:
+                    _NPART_CACHE.pop(k, None)
+                _NPART_CACHE[key] = nparts
+    if nparts < target:
         return df.repartition(target, *keys) if keys \
             else df.repartition(target)
     return df

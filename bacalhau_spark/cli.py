@@ -81,15 +81,35 @@ def cmd_apply(args) -> int:
 
 def cmd_serve(args) -> int:
     """Daemon mode: engine + REST API on one Spark driver — the
-    `bacalhau serve` analog (`cmd/bacalhau/serve.go:108-271`)."""
+    `bacalhau serve` analog (`cmd/bacalhau/serve.go:108-271`). Capacity
+    defaults to the probed session/machine size; the --limit-total-*
+    flags cap individual axes (the reference's limit flags)."""
+    import json as _json
+
     from bacalhau_spark import registry
     from bacalhau_spark.api import ApiServer
+    from bacalhau_spark.capacity import CapacityManager, detect_total
     from bacalhau_spark.engine import Engine
+    from bacalhau_spark.resources import parse_cpu, parse_memory
     spark = _get_spark(args.cpus)
-    server = ApiServer(Engine(spark, registry.queries()),
+    total = detect_total(
+        cpus=(parse_cpu(args.limit_total_cpu) if args.limit_total_cpu
+              else spark.sparkContext.defaultParallelism),
+        memory=(parse_memory(args.limit_total_memory)
+                if args.limit_total_memory else None),
+        disk=(parse_memory(args.limit_total_disk)
+              if args.limit_total_disk else None),
+        gpu=int(args.limit_total_gpu or 0))
+    capacity = CapacityManager(total=total, max_backlog=args.max_backlog)
+    credentials = None
+    if args.credentials:
+        with open(args.credentials) as f:
+            credentials = _json.load(f)
+    server = ApiServer(Engine(spark, registry.queries(), capacity=capacity),
                        host=args.host, port=args.port,
-                       secret=args.secret)
-    print(f"serving on {server.url}")
+                       secret=args.secret, credentials=credentials)
+    print(f"serving on {server.url} (capacity: cpu={total.cpu:g} "
+          f"mem={total.memory >> 30}GiB)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -166,6 +186,18 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--port", type=int, default=8338)
     sv.add_argument("--secret", default=None,
                     help="require HMAC-signed submits with this shared key")
+    sv.add_argument("--credentials", default=None,
+                    help="JSON file of {client_id: secret} per-client keys")
+    sv.add_argument("--limit-total-cpu", default=None,
+                    help='total CPU the capacity manager admits (e.g. "16")')
+    sv.add_argument("--limit-total-memory", default=None,
+                    help='total memory admitted (e.g. "64Gb")')
+    sv.add_argument("--limit-total-disk", default=None,
+                    help='total disk admitted (e.g. "1Tb")')
+    sv.add_argument("--limit-total-gpu", default=None,
+                    help="total GPUs admitted")
+    sv.add_argument("--max-backlog", type=int, default=64,
+                    help="bounded FIFO backlog size")
     sv.set_defaults(fn=cmd_serve)
 
     de = sub.add_parser("describe", help="describe a run on a serve daemon")

@@ -47,7 +47,7 @@ TERMINAL_OK_STATES = (EVT_COMPLETED, EVT_RESULTS_ACCEPTED)
 
 
 def build_context_archive(context_dir: str,
-                          max_bytes: int = 10 << 20) -> str:
+                          max_bytes: int = 10 << 20) -> tuple[str, str]:
     """Package a working directory for shipping to executors — the
     `run python` context-upload analog (`cmd/bacalhau/run_python.go:145-167`
     tars ≤10 MiB of CWD; the server pins it, `pkg/publicapi/server.go:470-535`).
@@ -55,8 +55,15 @@ def build_context_archive(context_dir: str,
     The zip is named by a hash of its CONTENT (relative paths + bytes), the
     CID-pinning story: identical contexts map to the same artifact, so
     re-submits re-register the same path instead of colliding on Spark's
-    one-basename-one-file rule. Returns the archive path for
-    `sparkContext.addPyFile`."""
+    one-basename-one-file rule.
+
+    Every file is placed under a content-addressed NAMESPACE package
+    (`ctx_<digest16>`) — the per-job context-mount semantics of the
+    reference (each job sees its own `/job` mount): two jobs can ship
+    DIFFERENT versions of a same-named module and both import cleanly as
+    `ctx_<h1>.helper` / `ctx_<h2>.helper`; addPyFile's one-way global
+    registration can never alias them. Returns (archive_path, namespace).
+    """
     import hashlib
     import os
     import pathlib
@@ -77,12 +84,45 @@ def build_context_archive(context_dir: str,
         digest.update(str(p.relative_to(base)).encode())
         digest.update(b"\0")
         digest.update(p.read_bytes())
-    out = os.path.join(scratch_root(), f"ctx-{digest.hexdigest()[:16]}.zip")
+    ns = f"ctx_{digest.hexdigest()[:16]}"
+    out = os.path.join(scratch_root(), f"{ns}.zip")
     if not os.path.exists(out):
         with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+            names = {str(p.relative_to(base)) for p in files}
+            if "__init__.py" not in names:
+                zf.writestr(f"{ns}/__init__.py", "")
             for p in files:
-                zf.write(p, arcname=str(p.relative_to(base)))
-    return out
+                zf.write(p, arcname=f"{ns}/{p.relative_to(base)}")
+    return out, ns
+
+
+# Thread-local handle to the namespace of the context shipped for the run
+# executing on this worker thread (set by Engine._execute).
+_ctx_local = threading.local()
+
+
+def current_context_namespace() -> str | None:
+    """The namespace package of the context shipped for the run executing
+    on this thread (None outside a context-bearing run). Query functions
+    capture this INTO executor-side closures — the string pickles by
+    value, and the namespaced zip travels to workers via addPyFile, so
+    `importlib.import_module(f"{ns}.mymod")` works inside a pandas UDF."""
+    return getattr(_ctx_local, "namespace", None)
+
+
+def context_module(name: str):
+    """Import a module from the CURRENT run's shipped context — the `/job`
+    mount accessor. Usable from registry query functions executed by the
+    engine; raises if the run shipped no context. Executor-side closures
+    should capture the imported module's functions by value (pickled) —
+    the namespace travels to workers via addPyFile, but the thread-local
+    does not."""
+    import importlib
+
+    ns = getattr(_ctx_local, "namespace", None)
+    if ns is None:
+        raise RuntimeError("no context shipped for the current run")
+    return importlib.import_module(f"{ns}.{name}")
 
 
 class JobRejectedError(RuntimeError):
@@ -112,6 +152,10 @@ class JobSpec:
     # operation (volume probe 120 s, CID/URL fetch 300 s,
     # `pkg/config/config.go:42-82`); here the whole run is the unit: on
     # expiry the run's Spark job group is cancelled and the run errors.
+    # NOTE: the watchdog cancels SPARK ACTIONS only — a run blocked in
+    # pure-Python registry code before any action is not interruptible
+    # from outside the GIL; callers that must bound total wall-clock pass
+    # a timeout to Engine.wait (the API's ?wait=1 path does, api.py).
     timeout_s: float | None = None
 
     def __post_init__(self) -> None:
@@ -201,23 +245,30 @@ class Engine:
 
         `capacity` is the admission gate (capacity.py): submits enter a
         bounded FIFO backlog and start only when free capacity covers their
-        resource request — the reference's capacitymanager plane. The
-        default manager admits 8 one-core jobs concurrently."""
+        resource request — the reference's capacitymanager plane. By
+        default total capacity is PROBED from the session and machine
+        (cores = sc.defaultParallelism, memory/disk from the OS — the
+        reference's gopsutil-probe behavior), so a `serve --cpus 32`
+        session really admits 32 one-core jobs; pass an explicit manager
+        to cap it (the --limit-total-* flags do)."""
+        from bacalhau_spark.capacity import detect_total
         self.spark = spark
         self.registry = dict(registry)
         self.policies = list(policies or [])
-        self.capacity = capacity or CapacityManager()
+        self.capacity = capacity or CapacityManager(
+            total=detect_total(cpus=spark.sparkContext.defaultParallelism))
         self._lock = threading.RLock()
         self._events: list[JobEvent] = []
         self._ordinals: dict[str, int] = {}
         self._specs: dict[str, JobSpec] = {}
         self._errors: dict[str, BaseException] = {}
         self._done: dict[str, threading.Event] = {}
-        # module name -> content-addressed archive basename, for collision
-        # detection across jobs (addPyFile has no un-register; a same-named
-        # module from a different context would silently resolve to
-        # whichever archive registered first).
+        # namespace -> archive path of every context shipped this session
+        # (addPyFile has no un-register; namespaces are content-addressed
+        # so re-ships of identical content are no-ops).
         self._ctx_modules: dict[str, str] = {}
+        # run_id -> its context namespace (the per-job mount identity).
+        self._ctx_ns: dict[str, str] = {}
 
     # -- event log ---------------------------------------------------------
     def _emit(self, run_id: str, name: str, detail: str = "") -> None:
@@ -276,6 +327,7 @@ class Engine:
         return {
             "run_id": run_id,
             "query": spec.query if spec else None,
+            "context_namespace": self._ctx_ns.get(run_id),
             "state": evts[-1].name,
             "replicas": spec.replicas if spec else 1,
             "verified": spec.verified if spec else False,
@@ -359,18 +411,31 @@ class Engine:
         self._emit(run_id, EVT_CREATED, spec.query)
         try:
             for policy in self.policies:
-                if not policy(spec):
+                name = getattr(policy, "__name__", "policy")
+                try:
+                    accepted = policy(spec)
+                except JobRejectedError:
+                    raise
+                except Exception as exc:  # noqa: BLE001
+                    # Both decline styles (return False / raise) surface
+                    # uniformly as JobRejectedError so the API maps them
+                    # to the 409 rejection path, not a 500.
                     raise JobRejectedError(
-                        f"job declined by policy "
-                        f"{getattr(policy, '__name__', 'policy')!r}")
+                        f"job declined by policy {name!r}: {exc!r}") from exc
+                if not accepted:
+                    raise JobRejectedError(f"job declined by policy {name!r}")
             req = self.capacity.requirements(spec.resources)
             self.capacity.enqueue(run_id, req)
         except BaseException as exc:  # noqa: BLE001 — recorded, re-raised
             self._emit(run_id, EVT_REJECTED, str(exc))
-            self._done[run_id].set()
             if isinstance(exc, (BacklogFullError, NeverFitsError)):
-                raise JobRejectedError(str(exc)) from exc
-            raise
+                exc = JobRejectedError(str(exc))
+            # Record BEFORE setting done: a caller holding only the id
+            # (wait/submit_async+wait) must observe identical semantics to
+            # the synchronous raise below — wait() re-raises this.
+            self._errors[run_id] = exc
+            self._done[run_id].set()
+            raise exc
         self._drain()
         return run_id
 
@@ -416,35 +481,18 @@ class Engine:
             self._done[run_id].set()
             self._drain()
 
-    def _register_context(self, archive: str) -> None:
-        """Guard addPyFile's one-way registration: a module name arriving
-        from a DIFFERENT content archive than the one that first shipped it
-        would silently import the earlier job's code (sys.path precedence +
-        import cache), unlike the reference's per-job context mount — so
-        reject the collision at submit."""
-        import os
-        import zipfile
-
-        basename = os.path.basename(archive)
-        with zipfile.ZipFile(archive) as zf:
-            tops = {n.split("/", 1)[0] for n in zf.namelist()}
-        modules = {t[:-3] if t.endswith(".py") else t for t in tops}
-        # Hold the lock across addPyFile: ownership is recorded only AFTER
-        # the ship succeeds (a failed ship must not block later contexts),
-        # and two concurrent ships of colliding archives must not both pass
-        # the pre-check. Context shipping is rare and fast; serializing it
-        # is fine.
+    def _register_context(self, archive: str, namespace: str) -> None:
+        """Register a (content-addressed, namespaced) context archive.
+        Namespacing makes collisions structurally impossible — two archives
+        share a namespace only if their content is identical, in which case
+        re-registering the same path is a no-op. The bookkeeping map keeps
+        the already-shipped check cheap and serializes concurrent ships
+        (addPyFile is a one-way global registration)."""
         with self._lock:
-            for mod in modules:
-                owner = self._ctx_modules.get(mod)
-                if owner is not None and owner != basename:
-                    raise ValueError(
-                        f"context module {mod!r} collides with an archive "
-                        f"already shipped this session ({owner}); rename "
-                        "the module or reuse the original context")
+            if self._ctx_modules.get(namespace):
+                return  # identical content already shipped this session
             self.spark.sparkContext.addPyFile(archive)
-            for mod in modules:
-                self._ctx_modules[mod] = basename
+            self._ctx_modules[namespace] = archive
 
     def _execute(self, run_id: str, spec: JobSpec) -> None:
         # Job-scoped runtime conf: tag every Spark job this run launches
@@ -481,9 +529,13 @@ class Engine:
         try:
             if spec.context:
                 # Ship the job's working-dir modules to driver + executors
-                # before the query builds any UDF that imports them.
-                archive = build_context_archive(spec.context)
-                self._register_context(archive)
+                # before the query builds any UDF that imports them; the
+                # run sees its own namespaced mount via context_module().
+                archive, ns = build_context_archive(spec.context)
+                self._register_context(archive, ns)
+                with self._lock:
+                    self._ctx_ns[run_id] = ns
+                _ctx_local.namespace = ns
             fn = self.registry[spec.query]
             sf_dir = spec.inputs.get("sf_dir", "/root/testdata/sf0.001")
             df = fn(self.spark, sf_dir)
@@ -537,5 +589,6 @@ class Engine:
         finally:
             if watchdog is not None:
                 watchdog.cancel()
+            _ctx_local.namespace = None
             for k, v in prev.items():
                 sc.setLocalProperty(k, v)

@@ -142,12 +142,24 @@ def test_submit_auth_good_and_bad_signature(authed):
     assert exc.value.status == 401
 
 
+def _raw_submit(url, body, headers):
+    from urllib import request as _rq
+    from urllib.error import HTTPError
+
+    req = _rq.Request(url + "/submit", data=body, headers={
+        "Content-Type": "application/json", **headers})
+    try:
+        with _rq.urlopen(req, timeout=30) as resp:
+            return resp.status
+    except HTTPError as exc:
+        return exc.code
+
+
 def test_submit_auth_rejects_tampered_body(authed):
     """A signature computed over a DIFFERENT body must not authorize this
     one (the integrity half of the submit-signature contract)."""
     import json as _json
-    from urllib import request as _rq
-    from urllib.error import HTTPError
+    import time as _time
 
     from bacalhau_spark.api import _sign
 
@@ -156,16 +168,75 @@ def test_submit_auth_rejects_tampered_body(authed):
     evil_body = _json.dumps({"spec": {"query": "q01_scan_projection",
                                       "inputs": {"sf_dir": SF_DIR},
                                       "replicas": 3}}).encode()
-    sig = _sign("s3kr1t", "alice", good_body)
-    req = _rq.Request(authed.url + "/submit", data=evil_body, headers={
+    ts = str(int(_time.time()))
+    sig = _sign("s3kr1t", "alice", good_body, "POST", "/submit", ts)
+    assert _raw_submit(authed.url, evil_body, {
+        "X-Bacalhau-Client-Id": "alice",
+        "X-Bacalhau-Timestamp": ts,
+        "X-Bacalhau-Signature": sig}) == 401
+
+
+def test_submit_auth_binds_path_and_timestamp(authed):
+    """The signature covers method+path+query and a fresh timestamp: adding
+    ?wait=1 to a signed plain /submit, or replaying a signature from
+    outside the freshness window, must both be rejected."""
+    import json as _json
+    import time as _time
+    from urllib import request as _rq
+    from urllib.error import HTTPError
+
+    from bacalhau_spark.api import _sign
+
+    body = _json.dumps({"spec": {"query": "q01_scan_projection",
+                                 "inputs": {"sf_dir": SF_DIR}}}).encode()
+    ts = str(int(_time.time()))
+    sig = _sign("s3kr1t", "alice", body, "POST", "/submit", ts)
+    # middlebox adds ?wait=1 — path no longer matches the signed one
+    req = _rq.Request(authed.url + "/submit?wait=1", data=body, headers={
         "Content-Type": "application/json",
         "X-Bacalhau-Client-Id": "alice",
+        "X-Bacalhau-Timestamp": ts,
         "X-Bacalhau-Signature": sig})
     try:
         _rq.urlopen(req, timeout=30)
-        raise AssertionError("tampered body accepted")
+        raise AssertionError("query-tampered request accepted")
     except HTTPError as exc:
         assert exc.code == 401
+    # replay with a stale timestamp (signature itself is consistent)
+    old_ts = str(int(_time.time()) - 3600)
+    old_sig = _sign("s3kr1t", "alice", body, "POST", "/submit", old_ts)
+    assert _raw_submit(authed.url, body, {
+        "X-Bacalhau-Client-Id": "alice",
+        "X-Bacalhau-Timestamp": old_ts,
+        "X-Bacalhau-Signature": old_sig}) == 401
+
+
+def test_per_client_credentials(spark):
+    """Per-client key binding (`pkg/publicapi/server.go:391-407` analog):
+    each client signs with its OWN secret; client A's key must not sign
+    for client B's id, and an unknown client id is rejected outright."""
+    server = ApiServer(Engine(spark, queries()), port=0,
+                       credentials={"alice": "akey",
+                                    "bob": "bkey"}).start_background()
+    try:
+        spec = {"query": "q01_scan_projection", "inputs": {"sf_dir": SF_DIR}}
+        alice = ApiClient(server.url, client_id="alice", secret="akey")
+        rid = alice.submit(spec)
+        assert alice.states(rid) == "Completed"
+        bob = ApiClient(server.url, client_id="bob", secret="bkey")
+        assert bob.submit(spec)
+        # alice's key cannot authenticate as bob
+        imposter = ApiClient(server.url, client_id="bob", secret="akey")
+        with pytest.raises(ApiError) as exc:
+            imposter.submit(spec)
+        assert exc.value.status == 401
+        # unknown client id has no bound key
+        stranger = ApiClient(server.url, client_id="mallory", secret="akey")
+        with pytest.raises(ApiError) as exc:
+            stranger.submit(spec)
+        assert exc.value.status == 401
+    finally:
+        server.shutdown()
 
 
 def test_submit_reports_queue_position(spark):

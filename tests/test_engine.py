@@ -70,8 +70,10 @@ def test_resources_applied_as_job_scoped_conf(engine, spark):
         return table(spark_, sf_dir, "nation")
 
     engine.registry["probe"] = probing_query
+    # cpu=4 routes to the heavy pool AND fits the session-probed capacity
+    # (the test session is local[4]; capacity binds to real parallelism)
     rid = engine.submit(JobSpec(query="probe", inputs={"sf_dir": SF_DIR},
-                                resources={"cpu": "8", "memory": "2Gb"}))
+                                resources={"cpu": "4", "memory": "2Gb"}))
     assert captured["pool"] == "bacalhau-heavy"
     assert captured["group"] == rid
     # restored after the run — no leak into subsequent work
@@ -183,18 +185,25 @@ def test_metrics_event_carries_execution_telemetry(engine):
 def test_context_shipped_module_runs_in_udf(spark, tmp_path):
     """Context-upload analog: a module that exists ONLY in the job's context
     dir must be importable inside a UDF executing on workers (the reference
-    tars the CWD into the job and mounts it at /job)."""
-    from bacalhau_spark.engine import Engine
+    tars the CWD into the job and mounts it at /job). The module lives
+    under the run's content-addressed namespace; the query fn captures the
+    namespace string into the executor closure."""
+    from bacalhau_spark.engine import Engine, current_context_namespace
 
     (tmp_path / "ctxmod.py").write_text("def triple(x):\n    return 3 * x\n")
+    seen = {}
 
     def ctx_query(spark_, sf_dir):
         from pyspark.sql.functions import pandas_udf
         from bacalhau_spark.catalog import table
 
+        ns = current_context_namespace()
+        seen["ns"] = ns
+
         @pandas_udf("long")
         def triple_udf(s):
-            import ctxmod
+            import importlib
+            ctxmod = importlib.import_module(f"{ns}.ctxmod")
             return s.map(ctxmod.triple)
 
         return (table(spark_, sf_dir, "nation")
@@ -204,8 +213,8 @@ def test_context_shipped_module_runs_in_udf(spark, tmp_path):
     rid = eng.submit(JobSpec(query="ctx", inputs={"sf_dir": SF_DIR},
                              context=str(tmp_path)))
     assert eng.state(rid) == EVT_COMPLETED
-    got = ctx_query(spark, SF_DIR).agg(F.sum("t").alias("s")).collect()[0]["s"]
-    assert got == 3 * sum(range(25))
+    assert seen["ns"] and seen["ns"].startswith("ctx_")
+    assert eng.describe(rid)["context_namespace"] == seen["ns"]
 
 
 def test_context_archive_size_cap(tmp_path):
@@ -213,10 +222,11 @@ def test_context_archive_size_cap(tmp_path):
     (tmp_path / "big.bin").write_bytes(b"x" * 4096)
     with pytest.raises(ValueError, match="max"):
         build_context_archive(str(tmp_path), max_bytes=1024)
-    # identical content -> identical (content-addressed) archive path
-    a1 = build_context_archive(str(tmp_path))
-    a2 = build_context_archive(str(tmp_path))
-    assert a1 == a2
+    # identical content -> identical (content-addressed) archive + namespace
+    a1, ns1 = build_context_archive(str(tmp_path))
+    a2, ns2 = build_context_archive(str(tmp_path))
+    assert (a1, ns1) == (a2, ns2)
+    assert ns1.startswith("ctx_")
 
 
 def test_timeout_cancels_job_group(spark):
@@ -257,12 +267,13 @@ def test_timeout_spec_validation():
     assert JobSpec(query="q01_scan_projection", timeout_s=5).timeout_s == 5.0
 
 
-def test_context_module_collision_rejected(spark, tmp_path):
-    """Two jobs shipping DIFFERENT code under the same module name must not
-    silently share the first archive (addPyFile has no un-register; import
-    cache + sys.path precedence would pin version 1). The engine rejects
-    the collision; re-shipping the identical context stays fine."""
-    from bacalhau_spark.engine import Engine
+def test_context_same_named_modules_coexist(spark, tmp_path):
+    """Two jobs shipping DIFFERENT code under the same module name each see
+    their OWN version — the per-job context-mount semantics (the reference
+    mounts each job's context at its own /job). Content-addressed
+    namespacing makes addPyFile's one-way global registration alias-proof:
+    ctx_<h1>.dupmod and ctx_<h2>.dupmod are distinct packages."""
+    from bacalhau_spark.engine import Engine, context_module
 
     ctx1 = tmp_path / "c1"
     ctx1.mkdir()
@@ -271,21 +282,20 @@ def test_context_module_collision_rejected(spark, tmp_path):
     ctx2.mkdir()
     (ctx2 / "dupmod.py").write_text("VERSION = 2\n")
 
-    def noop(spark_, sf_dir):
+    versions = []
+
+    def versioned(spark_, sf_dir):
         from bacalhau_spark.catalog import table
+        versions.append(context_module("dupmod").VERSION)
         return table(spark_, sf_dir, "region")
 
-    eng = Engine(spark, {"noop": noop})
-    first = eng.submit(JobSpec(query="noop", inputs={"sf_dir": SF_DIR},
-                               context=str(ctx1)))
-    assert eng.state(first) == EVT_COMPLETED
-    # identical content re-ships cleanly (content-addressed: same archive)
-    again = eng.submit(JobSpec(query="noop", inputs={"sf_dir": SF_DIR},
-                               context=str(ctx1)))
-    assert eng.state(again) == EVT_COMPLETED
-    with pytest.raises(ValueError, match="collides"):
-        eng.submit(JobSpec(query="noop", inputs={"sf_dir": SF_DIR},
-                           context=str(ctx2)))
+    eng = Engine(spark, {"versioned": versioned})
+    for ctx in (ctx1, ctx1, ctx2):  # identical re-ship stays fine too
+        rid = eng.submit(JobSpec(query="versioned",
+                                 inputs={"sf_dir": SF_DIR},
+                                 context=str(ctx)))
+        assert eng.state(rid) == EVT_COMPLETED
+    assert versions == [1, 1, 2]
 
 
 def test_error_event_recorded_on_failure(spark):
@@ -302,3 +312,115 @@ def test_error_event_recorded_on_failure(spark):
     (rid,) = list(eng.list_runs())
     assert eng.state(rid) == "Error"
     assert "executor exploded" in eng.events(rid)[-1].detail
+
+
+def test_probe_policies_accept_reject(spark):
+    """The shipped probe policies (`pkg/computenode/job_selection.go:50-101`
+    analog): an HTTP decider accepts with 2xx / declines otherwise (and an
+    unreachable decider fails closed); an exec decider accepts with exit 0.
+    Both decline styles surface as the 409-mapped JobRejectedError."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from bacalhau_spark.engine import Engine, JobRejectedError
+    from bacalhau_spark.policies import exec_probe_policy, http_probe_policy
+
+    decisions = {"allow": True}
+    probes = []
+
+    class Decider(BaseHTTPRequestHandler):
+        def log_message(self, *_):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            probes.append(_json.loads(body))
+            self.send_response(200 if decisions["allow"] else 403)
+            self.end_headers()
+
+    httpd = HTTPServer(("127.0.0.1", 0), Decider)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}/select"
+    try:
+        eng = Engine(spark, queries(), policies=[http_probe_policy(url)])
+        spec = JobSpec(query="q01_scan_projection",
+                       inputs={"sf_dir": SF_DIR}, annotations=["probe-me"])
+        rid = eng.submit(spec)
+        assert eng.state(rid) == EVT_COMPLETED
+        assert probes[-1]["query"] == "q01_scan_projection"
+        assert probes[-1]["annotations"] == ["probe-me"]
+        decisions["allow"] = False
+        with pytest.raises(JobRejectedError):
+            eng.submit(spec)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+    # unreachable decider fails closed
+    dead = Engine(spark, queries(),
+                  policies=[http_probe_policy(url, timeout=2.0)])
+    with pytest.raises(JobRejectedError):
+        dead.submit(spec)
+
+    # exec probe: accept on exit 0, decline on non-zero; the spec JSON is
+    # on stdin (grep proves the probe actually read it)
+    ok = Engine(spark, queries(),
+                policies=[exec_probe_policy(
+                    ["grep", "-q", "q01_scan_projection"])])
+    assert ok.submit(spec)
+    no = Engine(spark, queries(),
+                policies=[exec_probe_policy(["grep", "-q", "nope"])])
+    with pytest.raises(JobRejectedError):
+        no.submit(spec)
+
+
+def test_policy_raise_maps_to_rejection(spark):
+    """A policy that raises its own exception is a decline, uniformly
+    wrapped in JobRejectedError (API maps it to 409, not 500)."""
+    from bacalhau_spark.engine import Engine, JobRejectedError
+
+    def angry_policy(_spec):
+        raise ValueError("no jobs on weekends")
+
+    eng = Engine(spark, queries(), policies=[angry_policy])
+    with pytest.raises(JobRejectedError, match="no jobs on weekends"):
+        eng.submit(JobSpec(query="q01_scan_projection",
+                           inputs={"sf_dir": SF_DIR}))
+
+
+def test_async_rejection_raises_from_wait(spark):
+    """submit_async + wait must have identical semantics to submit for a
+    caller holding only the run id: a rejection recorded at submit time
+    re-raises from wait() instead of returning the state string."""
+    from bacalhau_spark.engine import Engine, JobRejectedError
+
+    eng = Engine(spark, queries(), policies=[lambda _spec: False])
+    spec = JobSpec(query="q01_scan_projection", inputs={"sf_dir": SF_DIR})
+    try:
+        eng.submit_async(spec)
+        raise AssertionError("rejection did not raise at submit")
+    except JobRejectedError:
+        pass
+    (rid,) = list(eng.list_runs())
+    with pytest.raises(JobRejectedError):
+        eng.wait(rid, timeout=5)
+
+
+def test_capacity_sized_from_session(spark):
+    """The default capacity manager binds to the SESSION's parallelism
+    (gopsutil-probe analog), not a hardcoded 8: a spec requesting more
+    than 8 but within the session's cores is admitted."""
+    from bacalhau_spark.capacity import detect_total
+    from bacalhau_spark.engine import Engine
+
+    cores = spark.sparkContext.defaultParallelism
+    eng = Engine(spark, queries())
+    assert eng.capacity.total.cpu == float(cores)
+    assert eng.capacity.total.memory > 32 << 30  # probed, not the old 32GB
+    if cores > 8:
+        rid = eng.submit(JobSpec(query="q01_scan_projection",
+                                 inputs={"sf_dir": SF_DIR},
+                                 resources={"cpu": str(cores - 1)}))
+        assert eng.state(rid) == EVT_COMPLETED
+    probed = detect_total(cpus=4.0, gpu=2)
+    assert probed.cpu == 4.0 and probed.gpu == 2 and probed.disk > 0
