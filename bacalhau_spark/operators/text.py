@@ -127,6 +127,83 @@ def nd_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real merge-table BPE (Sennrich-style): merges applied in rank order,
+# each replacing all non-overlapping occurrences left-to-right. The table
+# is fixed (rank = English pair frequency, with second-order merges like
+# th+e, an+d, in+g over earlier outputs) so both engines compute identical
+# tokenizations. A production pipeline swaps in a learned table; the
+# mechanism — ranked pair merges over an initial character segmentation —
+# is the real algorithm, not the regex estimate nd_token_count keeps for
+# cheap corpus sizing.
+BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"), ("e", "n"),
+    ("o", "r"), ("t", "e"), ("an", "d"), ("a", "r"), ("o", "u"),
+    ("i", "s"), ("i", "t"), ("a", "l"), ("l", "e"), ("c", "h"),
+    ("r", "o"), ("in", "g"), ("s", "e"), ("u", "e"), ("u", "r"),
+    ("l", "o"), ("a", "s"), ("o", "w"), ("the", "r"), ("m", "e"),
+    ("d", "e"), ("c", "o"), ("l", "a"), ("h", "a"), ("v", "e"),
+    ("b", "a"), ("s", "c"), ("f", "a"), ("g", "r"), ("p", "a"),
+)
+_BPE_SEP = "\x01"
+
+
+def nd_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-table BPE token counting. Tokenization state is the text with
+    every token terminated by a separator byte; applying merge (a, b) is a
+    LITERAL string replace of 'a<SEP>b<SEP>' with 'ab<SEP>' — plain
+    replace() is non-overlapping left-to-right in both engines, which is
+    exactly the within-rank application order of BPE. The whole ranked
+    chain compiles to one whole-stage-codegen projection: no Python, no
+    broadcast state, no shuffle before the output sort — strictly better
+    at 100 TB than a Pandas-UDF merge loop shipping rank tables to
+    workers. Spaces are single tokens by construction (no merge contains
+    one) and are subtracted from the count."""
+    docs = table(spark, sf_dir, "documents")
+    state = F.regexp_replace(F.lower(F.col("text")), "([\\s\\S])",
+                             "$1" + _BPE_SEP)
+    for a, b in BPE_MERGES:
+        state = F.replace(state, F.lit(f"{a}{_BPE_SEP}{b}{_BPE_SEP}"),
+                          F.lit(f"{a}{b}{_BPE_SEP}"))
+    n_sep = F.length(state) - F.length(
+        F.replace(state, F.lit(_BPE_SEP), F.lit("")))
+    n_space = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    bpe = (n_sep - n_space).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words("text")).alias("n_words"),
+            bpe.alias("n_bpe_tokens"),
+            # chars-per-token: int/int division is bit-identical cross-engine
+            (n_chars.cast("double") / (n_sep - n_space))
+            .alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    expr = "regexp_replace(lower(text), '([\\s\\S])', '\\1' || chr(1), 'g')"
+    for a, b in BPE_MERGES:
+        expr = (f"replace({expr}, '{a}' || chr(1) || '{b}' || chr(1), "
+                f"'{a}{b}' || chr(1))")
+    return (
+        f"WITH s AS (SELECT doc_id, text, {expr} AS st FROM documents) "
+        "SELECT doc_id, "
+        "CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words, "
+        "CAST((length(st) - length(replace(st, chr(1), ''))) "
+        "- (length(text) - length(replace(text, ' ', ''))) AS INTEGER) "
+        "AS n_bpe_tokens, "
+        "CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+        "((length(st) - length(replace(st, chr(1), ''))) "
+        "- (length(text) - length(replace(text, ' ', '')))) "
+        "AS chars_per_token "
+        "FROM s ORDER BY doc_id"
+    )
+
+
 def nd_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Two docs with the same vocabulary collide — the cheap
@@ -338,6 +415,7 @@ QUERIES = {
         "/ len(string_split(lower(text), ' ')) AS mean_wlen "
         "FROM documents ORDER BY doc_id",
     ),
+    "nd_bpe_count": (nd_bpe_count, _bpe_oracle_sql()),
     "nd_token_count": (
         nd_token_count,
         "SELECT doc_id, "

@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_minhash_lsh", "nd_minhash_estimate", "nd_dedup_clusters",
     "nd_simhash", "nd_ngram_jaccard", "q11_tokenize_count", "nd_langid",
     # 2. round-4 additions / touched queries (appended as implemented)
+    "nd_bpe_count",
     # 3. headline bench set (session-config changes re-plan these)
     "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",
     "q28_tumbling_window", "q3_shipping_priority", "nd_asof_join",
