@@ -161,29 +161,45 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: shipping volume between two nations by year — the same dim
     table (nation) joined twice in different roles (supplier side vs
     customer side), a disjunctive cross-side pair filter, and a derived
-    grouping column (YEAR(l_shipdate)). Both nation joins broadcast."""
+    grouping column (YEAR(l_shipdate)).
+
+    The pair disjunction implies each side's nation ∈ {N1, N2} — a
+    constraint Catalyst does not derive through the joins — so the
+    membership filters are applied EARLY: supplier and customer each join
+    their (2-row) nation slice first, and those filtered dims broadcast
+    into the facts. Both fact tables shrink to the two nations' share
+    (~2/25 of rows) BEFORE the one real shuffle (lineitem⋈orders on
+    orderkey); the residual disjunction only rejects same-nation pairs
+    after the join. At 100 TB this is the difference between shuffling
+    the whole fact table and shuffling 8% of it."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
         "l_discount")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n1 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("sn_key"),
-        F.col("n_name").alias("supp_nation"))
-    n2 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"),
-        F.col("n_name").alias("cust_nation"))
+    members = ("NATION_1", "NATION_2")
+    n1 = (table(spark, sf_dir, "nation")
+          .where(F.col("n_name").isin(*members))
+          .select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (table(spark, sf_dir, "nation")
+          .where(F.col("n_name").isin(*members))
+          .select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation")))
+    supp_n = supp.join(F.broadcast(n1),
+                       F.col("s_nationkey") == F.col("sn_key"))
+    cust_n = cust.join(F.broadcast(n2),
+                       F.col("c_nationkey") == F.col("cn_key"))
     pair = ((F.col("supp_nation") == "NATION_1")
             & (F.col("cust_nation") == "NATION_2")) | \
            ((F.col("supp_nation") == "NATION_2")
             & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp.s_suppkey)
+        .join(orders.join(F.broadcast(cust_n),
+                          orders.o_custkey == cust.c_custkey),
+              li.l_orderkey == orders.o_orderkey)
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
@@ -372,24 +388,30 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: large-volume orders — IN over a grouped HAVING subquery
-    (orders whose total quantity exceeds 300), realized as a left-semi join
-    against the qualifying key set, then the 3-way join re-aggregates the
-    winning orders. Quantities are integral doubles, so sums are exact."""
+    (orders whose total quantity exceeds 300), then the winning orders'
+    per-order totals with customer names.
+
+    The textbook plan (semi join the key set, re-join lineitem, re-group)
+    aggregates lineitem TWICE over the same key: the HAVING aggregate
+    already computed every per-order total, and within an order all o_*/
+    c_* columns are constant — so the re-join + re-group is pure join
+    elimination. One lineitem aggregation, one join of the (rare,
+    post-HAVING) winners against orders, customer broadcast. Quantities
+    are integral doubles, so sums are exact and the result is identical
+    to the declared SQL the oracle runs."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (li.groupBy("l_orderkey")
-           .agg(F.sum("l_quantity").alias("tq"))
-           .where(F.col("tq") > 300)
-           .select("l_orderkey"))
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > 300)
+           .withColumnRenamed("l_orderkey", "o_orderkey"))
     orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        "o_orderkey", "o_custkey", "o_totalprice")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
-                    "o_orderkey", "left_semi")
-        .join(li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        orders.join(big, "o_orderkey")
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                "total_qty")
         .orderBy("o_orderkey")
     )
 
