@@ -256,6 +256,40 @@ def nd_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nd_bpe_pair_count -------------------------------------------------------
+PAIR_TOP_K = 20
+
+
+def nd_bpe_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge step of BPE tokenizer TRAINING: the corpus-wide adjacent
+    character-pair frequencies whose argmax becomes the next merge rule
+    (complement of nd_bpe_count, which APPLIES a trained merge table).
+
+    The classic scale trick: aggregate the corpus to its word-frequency
+    vocabulary first — pairs are then counted over DISTINCT words weighted
+    by their corpus counts, so the expensive pair explosion runs over the
+    (tiny) vocab, not the corpus. The corpus-side shuffle is word-keyed
+    with map-side combine; at 100 TB the vocab table is the persisted
+    artifact each merge iteration re-reads. Top-K with a total tie-break
+    (count desc, pair asc) keeps the output deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.transform(F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        vocab.select("cnt", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair").agg(F.sum("cnt").cast("int").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(PAIR_TOP_K)
+    )
+
+
 # --- DuckDB oracles ----------------------------------------------------------
 _AUG_SQL = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
@@ -367,8 +401,20 @@ SELECT r.source, CAST(r.n_docs AS INTEGER) AS n_docs,
 FROM r LEFT JOIN s ON r.source = s.source ORDER BY r.source
 """
 
+_PAIR_COUNT_ORACLE = f"""
+WITH v AS (SELECT word, COUNT(*) AS cnt FROM
+  (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+  GROUP BY word),
+p AS (SELECT cnt, substring(word, CAST(i AS INTEGER), 2) AS pair
+      FROM (SELECT word, cnt, unnest(range(1, length(word))) AS i
+            FROM v WHERE length(word) >= 2) u)
+SELECT pair, CAST(SUM(cnt) AS INTEGER) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair LIMIT {PAIR_TOP_K}
+"""
+
 QUERIES = {
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),
+    "nd_bpe_pair_count": (nd_bpe_pair_count, _PAIR_COUNT_ORACLE),
     "nd_gopher_filter": (nd_gopher_filter, _GOPHER_ORACLE),
     "nd_repetition": (nd_repetition, _REPETITION_ORACLE),
     "nd_seq_pack": (nd_seq_pack, _SEQ_PACK_ORACLE),

@@ -241,7 +241,66 @@ def nd_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax")
+
+
+def nd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profiling over the numeric lineitem columns — the
+    engine-side ANALYZE TABLE analog feeding Catalyst-style size/selectivity
+    estimates (the reference's closest cousin is the input-size probe used
+    for admission, `pkg/storage/ipfs_apicopy/storage.go:67-85`).
+
+    ONE scan computes every per-column aggregate; the per-column rows are
+    unpivoted from that single aggregate row with inline() (driver never
+    sees the data). The exact COUNT(DISTINCT) per column goes through
+    Spark's expand operator (one duplicated stream per distinct column) —
+    acceptable for a profiling pass; a 100 TB nightly profile swaps in
+    approx_count_distinct per column (HLL, one pass, no expand) at the
+    cost of hash-checkability. min/max are stored values, never arithmetic,
+    so doubles hash identically cross-engine."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__n").cast("long").alias("n"),
+            F.col(f"{c}__nulls").cast("long").alias("n_null"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in _PROFILE_COLS
+    ])
+    return (
+        one.select(F.inline(structs))
+        .orderBy("col_name")
+    )
+
+
+_PROFILE_ORACLE = "SELECT col_name, n, n_null, n_distinct, min_v, max_v FROM (" + \
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, "
+        f"CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v "
+        f"FROM lineitem"
+        for c in _PROFILE_COLS
+    ) + ") t ORDER BY col_name"
+
+
 QUERIES = {
+    "nd_profile": (nd_profile, _PROFILE_ORACLE),
     "nd_hash_sample": (
         nd_hash_sample,
         "SELECT doc_id, lang FROM documents "

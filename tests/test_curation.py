@@ -75,6 +75,38 @@ def test_seq_pack_bins_respect_token_arithmetic(spark, sf_dir):
         assert all(b.n_docs >= 1 for b in bins)
 
 
+def test_bpe_pair_count_weights_by_corpus_frequency(spark, sf_dir):
+    """Pair counts must be corpus-weighted (vocab count times per-word
+    occurrences), not distinct-word counts: the top pair's n must exceed
+    the number of distinct words containing it."""
+    rows = curation.nd_bpe_pair_count(spark, sf_dir).collect()
+    assert len(rows) == curation.PAIR_TOP_K
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.functions import words
+    top = rows[0]
+    distinct_words_with_pair = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(words("text")).alias("w")).distinct()
+        .filter(F.col("w").contains(top.pair)).count())
+    assert top.n > distinct_words_with_pair
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The profile must read lineitem ONCE — one FileScan node even though
+    it computes five columns' stats (the expand operator duplicates rows
+    in-memory, not the scan)."""
+    from bacalhau_spark.operators.pipeline import nd_profile
+    df = nd_profile(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert plan.count("FileScan") == 1, plan
+    rows = {r.col_name: r for r in df.collect()}
+    assert rows["l_orderkey"].n_null == 0
+    assert rows["l_discount"].min_v >= 0.0
+    assert rows["l_quantity"].max_v <= 50.0
+
+
 def test_domain_mix_rates_monotone_in_target_share(spark, sf_dir):
     """Higher-share sources keep at least as large a fraction (up to coin
     noise): src19's sample must be strictly larger than src0's, and no
