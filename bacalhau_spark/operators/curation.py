@@ -219,9 +219,14 @@ def nd_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh").distinct()
     )
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    corpus_sh = shingle_keys(corpus).distinct()
+    # No distinct on the corpus shingle stream BEFORE the semi join: the
+    # broadcast probe filters each shingle in place (no shuffle), so
+    # deduplicating first would shuffle the corpus's entire shingle set
+    # only to discard most of it. Distinct runs on the (selective) hit
+    # doc_ids after the probe.
     contaminated = (
-        corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        shingle_keys(corpus)
+        .join(F.broadcast(bench_sh), "sh", "left_semi")
         .select("doc_id").distinct()
         .withColumn("hit", F.lit(1))
     )

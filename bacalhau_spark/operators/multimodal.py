@@ -174,6 +174,53 @@ def nd_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "frame_idx"))
 
 
+RESIZE_TARGET_W = 128
+RESIZE_SCHEMA = ("doc_id bigint, width int, height int, new_width int, "
+                 "new_height int, resized_hash string")
+
+
+def nd_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize to a fixed target width — the image
+    normalization step before feature extraction in a multimodal training
+    pipeline. Decode + resize happen in ONE mapInPandas pass (the payload
+    is consumed where it is read, never shuffled; only fixed-width
+    dimension/hash rows come out). The resize itself is the deterministic
+    fake (integer aspect math on the fake-decoded dims + a derived content
+    hash); a real build swaps PIL's resampling into the same closure, same
+    schema. new_height uses floor division so the oracle's integer `//`
+    matches exactly."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        target_w = 128
+
+        def fake_decode(payload: bytes) -> tuple[int, int, str]:
+            h = _hashlib.md5(payload).hexdigest()
+            return (int(h[0:2], 16) % 512) + 16, (int(h[2:4], 16) % 512) + 16, h
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "new_width": [], "new_height": [], "resized_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, phash = fake_decode(payload)
+                nh = max(1, (h * target_w) // w)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(target_w)
+                rows["new_height"].append(nh)
+                rows["resized_hash"].append(_hashlib.md5(
+                    f"{phash}:{target_w}x{nh}".encode()).hexdigest())
+            yield _pd.DataFrame(rows)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return docs.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
+
+
 _HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16"
             " + (strpos('0123456789abcdef', substring(md5(text), {b}, 1)) - 1)")
 
@@ -184,6 +231,21 @@ QUERIES = {
         f"CAST(({_HEXPAIR.format(a=1, b=2)}) % 512 + 16 AS INTEGER) AS width, "
         f"CAST(({_HEXPAIR.format(a=3, b=4)}) % 512 + 16 AS INTEGER) AS height, "
         "md5(text) AS phash FROM documents ORDER BY doc_id",
+    ),
+    "nd_multimodal_resize": (
+        nd_multimodal_resize,
+        "WITH d AS (SELECT doc_id, "
+        f"CAST(({_HEXPAIR.format(a=1, b=2)}) % 512 + 16 AS INTEGER) AS width, "
+        f"CAST(({_HEXPAIR.format(a=3, b=4)}) % 512 + 16 AS INTEGER) AS height, "
+        "md5(text) AS phash FROM documents) "
+        "SELECT doc_id, width, height, "
+        f"CAST({RESIZE_TARGET_W} AS INTEGER) AS new_width, "
+        f"CAST(greatest(1, (height * {RESIZE_TARGET_W}) // width) AS INTEGER)"
+        " AS new_height, "
+        f"md5(phash || ':' || '{RESIZE_TARGET_W}' || 'x' || "
+        f"CAST(greatest(1, (height * {RESIZE_TARGET_W}) // width) AS VARCHAR))"
+        " AS resized_hash "
+        "FROM d ORDER BY doc_id",
     ),
     "nd_multimodal_frames": (
         nd_multimodal_frames,
