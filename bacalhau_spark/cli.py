@@ -79,6 +79,40 @@ def cmd_apply(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Run a DAG-of-jobs document (`ROADMAP.md:39-41` analog): a YAML/JSON
+    list of stages ({name, after, ...jobspec}) with '@stage' hand-offs."""
+    import json as _json
+
+    from bacalhau_spark import registry
+    from bacalhau_spark.engine import Engine, PipelineError
+    with open(args.file) as f:
+        raw = f.read()
+    if args.file.endswith((".yaml", ".yml")):
+        try:
+            import yaml  # type: ignore
+            doc = yaml.safe_load(raw)
+        except ImportError:
+            print("pyyaml not installed; use JSON pipelines",
+                  file=sys.stderr)
+            return 2
+    else:
+        doc = _json.loads(raw)
+    stages = doc["stages"] if isinstance(doc, dict) else doc
+    spark = _get_spark(args.cpus)
+    engine = Engine(spark, registry.queries())
+    try:
+        statuses = engine.submit_pipeline(stages)
+        rc = 0
+    except PipelineError as exc:
+        statuses = exc.statuses
+        rc = 1
+    for name, st in statuses.items():
+        state = st if st in ("Cancelled", "Rejected") else engine.state(st)
+        print(f"stage {name}: {state}")
+    return rc
+
+
 def cmd_serve(args) -> int:
     """Daemon mode: engine + REST API on one Spark driver — the
     `bacalhau serve` analog (`cmd/bacalhau/serve.go:108-271`). Capacity
@@ -180,6 +214,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap = sub.add_parser("apply", help="submit a declarative job spec")
     ap.add_argument("-f", "--file", required=True)
     ap.set_defaults(fn=cmd_apply)
+
+    pl = sub.add_parser("pipeline", help="run a DAG-of-jobs document")
+    pl.add_argument("-f", "--file", required=True)
+    pl.set_defaults(fn=cmd_pipeline)
 
     sv = sub.add_parser("serve", help="run the engine REST API daemon")
     sv.add_argument("--host", default="127.0.0.1")

@@ -230,6 +230,16 @@ class RunNotCompleteError(RuntimeError):
     at the same path by an earlier run."""
 
 
+class PipelineError(RuntimeError):
+    """One or more pipeline stages failed or were cancelled. `.statuses`
+    maps every stage name to its run id, "Rejected", or "Cancelled" —
+    completed stages keep their published results."""
+
+    def __init__(self, msg: str, statuses: dict[str, str]):
+        super().__init__(msg)
+        self.statuses = dict(statuses)
+
+
 class Engine:
     """Single-driver engine with the reference's run-lifecycle semantics."""
 
@@ -460,6 +470,140 @@ class Engine:
         run_id = self.submit_async(spec)
         self.wait(run_id)
         return run_id
+
+    # -- pipelines (DAG of jobs) ------------------------------------------
+    def submit_pipeline(self, stages: list[dict]) -> dict[str, str]:
+        """Run a DAG of jobs — the reference's pipelines roadmap item
+        (`ROADMAP.md:39-41`: "DAGs of data pipelines"), restated for a
+        single-driver engine.
+
+        Each stage is a JobSpec document plus `name` (unique) and optional
+        `after` (list of parent stage names). Any input value or the
+        output path may be the token `"@<parent>"`, which resolves to that
+        parent's `outputs.path` at submit time — the content-addressed
+        hand-off (a parent's published result IS the child's input mount,
+        the CID-chaining the reference's design doc sketches). A token may
+        only name a stage listed in `after`: an undeclared data dependency
+        is a spec bug the engine rejects rather than races.
+
+        Execution is wave-parallel: every stage whose parents completed
+        submits through the normal admission path (policies + capacity
+        backlog), so sibling stages queue and run exactly like independent
+        jobs. A failed/rejected stage CANCELS its transitive dependents —
+        they are never submitted (no run id, status "Cancelled", the
+        requester-side cancel of `pkg/executor/constants.go:156-160`).
+
+        Returns {stage_name: run_id | "Cancelled"}. Raises PipelineError
+        (carrying .statuses) after the DAG settles if any stage failed or
+        was cancelled; stages that did complete keep their results."""
+        by_name: dict[str, dict] = {}
+        for st in stages:
+            name = st.get("name")
+            if not name or not isinstance(name, str):
+                raise ValueError("every pipeline stage needs a 'name'")
+            if name in by_name:
+                raise ValueError(f"duplicate stage name {name!r}")
+            by_name[name] = st
+        deps: dict[str, list[str]] = {}
+        for name, st in by_name.items():
+            after = st.get("after", [])
+            unknown = [p for p in after if p not in by_name]
+            if unknown:
+                raise ValueError(
+                    f"stage {name!r}: unknown parent(s) {unknown}")
+            deps[name] = list(after)
+        # Validate hand-off tokens BEFORE anything runs: a bad reference
+        # must fail the whole pipeline up front, not strand it half-run.
+        for name, st in by_name.items():
+            for v in dict(st.get("inputs", {})).values():
+                if isinstance(v, str) and v.startswith("@"):
+                    parent = v[1:]
+                    if parent not in deps[name]:
+                        raise ValueError(
+                            f"stage {name!r} references '@{parent}' but "
+                            f"does not list it in 'after' — declare the "
+                            f"dependency")
+                    if not by_name[parent].get("outputs", {}).get("path"):
+                        raise ValueError(
+                            f"stage {name!r} references '@{parent}' but "
+                            f"that stage declares no outputs.path")
+        # Kahn: any stage never reaching indegree 0 sits on a cycle.
+        order, indeg = [], {n: len(p) for n, p in deps.items()}
+        ready = sorted(n for n, d in indeg.items() if d == 0)
+        children: dict[str, list[str]] = {n: [] for n in by_name}
+        for n, ps in deps.items():
+            for p in ps:
+                children[p].append(n)
+        queue = list(ready)
+        while queue:
+            n = queue.pop(0)
+            order.append(n)
+            for c in children[n]:
+                indeg[c] -= 1
+                if indeg[c] == 0:
+                    queue.append(c)
+        if len(order) != len(by_name):
+            cyc = sorted(set(by_name) - set(order))
+            raise ValueError(f"pipeline has a dependency cycle through {cyc}")
+
+        statuses: dict[str, str] = {}
+        out_paths: dict[str, str] = {}
+        failed: dict[str, str] = {}
+
+        def resolve(stage: str, value):
+            # tokens were validated up front; parents of a submitting stage
+            # have completed, so their paths are recorded
+            if isinstance(value, str) and value.startswith("@"):
+                return out_paths[value[1:]]
+            return value
+
+        remaining = list(order)
+        while remaining:
+            wave = [n for n in remaining
+                    if all(p in statuses and p not in failed
+                           for p in deps[n])]
+            cancelled = [n for n in remaining
+                         if any(p in failed for p in deps[n])]
+            for n in cancelled:
+                # transitive: mark failed so THEIR dependents cancel too
+                statuses[n] = "Cancelled"
+                failed[n] = "cancelled: upstream failure"
+                remaining.remove(n)
+            if cancelled:
+                continue
+            if not wave:
+                break  # defensive; topological order makes this unreachable
+            run_ids: dict[str, str] = {}
+            for n in wave:
+                st = dict(by_name[n])
+                st.pop("name", None)
+                st.pop("after", None)
+                st["inputs"] = {k: resolve(n, v)
+                                for k, v in dict(st.get("inputs", {})).items()}
+                spec = JobSpec.from_dict(st)
+                try:
+                    run_ids[n] = self.submit_async(spec)
+                except Exception as exc:  # rejected at submit (policy/fit)
+                    statuses[n] = "Rejected"
+                    failed[n] = repr(exc)
+            for n in wave:
+                remaining.remove(n)
+                if n in failed:
+                    continue
+                try:
+                    self.wait(run_ids[n])
+                    statuses[n] = run_ids[n]
+                    path = by_name[n].get("outputs", {}).get("path")
+                    if path:
+                        out_paths[n] = path
+                except Exception as exc:
+                    statuses[n] = run_ids[n]
+                    failed[n] = repr(exc)
+        if failed:
+            raise PipelineError(
+                f"pipeline stages failed/cancelled: {sorted(failed)}",
+                statuses)
+        return statuses
 
     def _drain(self) -> None:
         """Start a worker for every backlogged run that fits in free

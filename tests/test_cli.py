@@ -45,3 +45,29 @@ def test_apply_spec(sf_dir, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "ResultsAccepted" in out
+
+
+def test_pipeline_document(sf_dir, tmp_path, spark, capsys):
+    """Two-stage DAG document through the CLI: q12-style write stage then a
+    stage consuming '@a' (uses registry queries only, so the document works
+    against a stock engine)."""
+    doc = {"stages": [
+        {"name": "a", "query": "q01_scan_projection",
+         "inputs": {"sf_dir": sf_dir},
+         "outputs": {"path": str(tmp_path / "nation_out")}},
+        # q01 reads "{sf_dir}/nation.parquet"; publish stage a's output dir
+        # under that name so the hand-off is a real read of stage a's files
+        {"name": "b", "query": "q01_scan_projection", "after": ["a"],
+         "inputs": {"sf_dir": str(tmp_path)},
+         "outputs": {"path": str(tmp_path / "b_out")}},
+    ]}
+    # stage b's sf_dir must contain nation.parquet -> point stage a there
+    doc["stages"][0]["outputs"]["path"] = str(tmp_path / "nation.parquet")
+    f = tmp_path / "pipeline.json"
+    f.write_text(json.dumps(doc))
+    rc = cli.main(["pipeline", "-f", str(f)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stage a:" in out and "stage b:" in out
+    assert "Cancelled" not in out and "Error" not in out
+    assert spark.read.parquet(str(tmp_path / "b_out")).count() == 25

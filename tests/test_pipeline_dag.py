@@ -1,0 +1,127 @@
+"""Pipeline (DAG-of-jobs) tests — the reference's pipelines roadmap item
+(`ROADMAP.md:39-41`) on the engine's submit/admission machinery: output →
+input hand-off, wave parallelism through the capacity backlog, failure
+cancellation of transitive dependents, and spec validation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacalhau_spark.engine import Engine, PipelineError
+from bacalhau_spark.registry import queries
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def dag_engine(spark):
+    """Engine with a registry extended by path-reading stage functions:
+    `filter_docs` publishes a filtered documents table; `count_by_lang`
+    consumes ANY parquet path as its input (the '@parent' hand-off)."""
+    reg = queries()
+
+    def filter_docs(spark_, sf_dir):
+        from bacalhau_spark.catalog import table
+        return table(spark_, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 0).select("doc_id", "lang", "text")
+
+    def count_by_lang(spark_, path):
+        return (spark_.read.parquet(path).groupBy("lang")
+                .agg(F.count("*").alias("n")).orderBy("lang"))
+
+    def always_fails(spark_, path):
+        raise RuntimeError("boom")
+
+    reg["p_filter_docs"] = filter_docs
+    reg["p_count_by_lang"] = count_by_lang
+    reg["p_fails"] = always_fails
+    return Engine(spark, reg)
+
+
+def test_linear_pipeline_hands_off_output(dag_engine, tmp_path, spark):
+    out_a = str(tmp_path / "filtered")
+    statuses = dag_engine.submit_pipeline([
+        {"name": "a", "query": "p_filter_docs",
+         "inputs": {"sf_dir": SF_DIR}, "outputs": {"path": out_a}},
+        {"name": "b", "query": "p_count_by_lang", "after": ["a"],
+         "inputs": {"sf_dir": "@a"},
+         "outputs": {"path": str(tmp_path / "counts")}},
+    ])
+    assert set(statuses) == {"a", "b"}
+    assert all(v not in ("Cancelled", "Rejected") for v in statuses.values())
+    counts = spark.read.parquet(str(tmp_path / "counts"))
+    total = counts.agg(F.sum("n")).first()[0]
+    expected = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .filter(F.col("doc_id") % 2 == 0).count())
+    assert total == expected
+
+
+def test_diamond_pipeline_runs_all_stages(dag_engine, tmp_path):
+    out = lambda n: str(tmp_path / n)
+    statuses = dag_engine.submit_pipeline([
+        {"name": "src", "query": "p_filter_docs",
+         "inputs": {"sf_dir": SF_DIR}, "outputs": {"path": out("src")}},
+        {"name": "left", "query": "p_count_by_lang", "after": ["src"],
+         "inputs": {"sf_dir": "@src"}, "outputs": {"path": out("left")}},
+        {"name": "right", "query": "p_count_by_lang", "after": ["src"],
+         "inputs": {"sf_dir": "@src"}, "outputs": {"path": out("right")}},
+        {"name": "join", "query": "p_count_by_lang", "after": ["left"],
+         "inputs": {"sf_dir": "@left"}},
+    ])
+    assert len(statuses) == 4
+    assert all(v not in ("Cancelled", "Rejected") for v in statuses.values())
+
+
+def test_failed_stage_cancels_transitive_dependents(dag_engine, tmp_path):
+    with pytest.raises(PipelineError) as ei:
+        dag_engine.submit_pipeline([
+            {"name": "a", "query": "p_filter_docs",
+             "inputs": {"sf_dir": SF_DIR},
+             "outputs": {"path": str(tmp_path / "a")}},
+            {"name": "bad", "query": "p_fails", "after": ["a"],
+             "inputs": {"sf_dir": "@a"},
+             "outputs": {"path": str(tmp_path / "bad")}},
+            {"name": "c", "query": "p_count_by_lang", "after": ["bad"],
+             "inputs": {"sf_dir": "@bad"}},
+            {"name": "d", "query": "p_count_by_lang", "after": ["c"],
+             "inputs": {"sf_dir": SF_DIR}},
+        ])
+    st = ei.value.statuses
+    # a completed, bad has a run id whose state is Error, c and d cancelled
+    assert st["a"] not in ("Cancelled", "Rejected")
+    assert dag_engine.state(st["bad"]) == "Error"
+    assert st["c"] == "Cancelled" and st["d"] == "Cancelled"
+
+
+def test_cycle_rejected(dag_engine):
+    with pytest.raises(ValueError, match="cycle"):
+        dag_engine.submit_pipeline([
+            {"name": "a", "query": "p_filter_docs", "after": ["b"],
+             "inputs": {"sf_dir": SF_DIR}},
+            {"name": "b", "query": "p_filter_docs", "after": ["a"],
+             "inputs": {"sf_dir": SF_DIR}},
+        ])
+
+
+def test_undeclared_reference_rejected_before_any_run(dag_engine, tmp_path):
+    with pytest.raises(ValueError, match="does not list it in 'after'"):
+        dag_engine.submit_pipeline([
+            {"name": "a", "query": "p_filter_docs",
+             "inputs": {"sf_dir": SF_DIR},
+             "outputs": {"path": str(tmp_path / "a")}},
+            {"name": "b", "query": "p_count_by_lang",
+             "inputs": {"sf_dir": "@a"}},  # no 'after': undeclared dep
+        ])
+    assert dag_engine.list_runs() == {}  # nothing was submitted
+
+
+def test_reference_to_pathless_stage_rejected(dag_engine):
+    with pytest.raises(ValueError, match="declares no outputs.path"):
+        dag_engine.submit_pipeline([
+            {"name": "a", "query": "p_filter_docs",
+             "inputs": {"sf_dir": SF_DIR}},  # no outputs.path
+            {"name": "b", "query": "p_count_by_lang", "after": ["a"],
+             "inputs": {"sf_dir": "@a"}},
+        ])
