@@ -33,6 +33,9 @@ BENCH_QUERIES = (
     "tpch_q18_large_orders",# grouped-HAVING semi join + re-agg (TPC-H Q18)
     "nd_minhash_lsh",      # near-dup: shingle -> minhash -> band join
     "nd_grouped_python",   # Python plane: repartition + mapInPandas OLS
+    # round-4 curation additions (baselines: BASELINE.md round-4 section)
+    "nd_gopher_filter",    # quality gates: integer-exact per-row flags
+    "nd_bpe_pair_count",   # BPE-training pair counts over weighted vocab
 )
 
 # 2 warm-ups (first run pays codegen+JIT, second still sees JIT tail) and
