@@ -125,11 +125,21 @@ def nd_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def nd_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (median / p90, linear interpolation) per return
-    flag. Exact percentile sorts within each group — fine for bounded group
-    counts; the approx variant (nd below / q18b pattern) is the 100 TB
-    default."""
+    flag. The input repartitions BY THE GROUP KEY first: exact percentile's
+    partial-aggregate state is the group's whole value multiset, so the
+    default partial+final plan buffers every value twice and shuffles the
+    buffers; moving the raw rows once and aggregating completely per group
+    skips the useless partial layer (A/B at sf0.1: 2.38s → 1.62s).
+    Parallelism is bounded by group count either way — which is why the
+    approx variant (q18b pattern, mergeable sketches) is the 100 TB
+    default and this exact form is for bounded-cardinality audits."""
+    from bacalhau_spark.catalog import spread_compute
     return (
-        table(spark, sf_dir, "lineitem")
+        spread_compute(
+            spark,
+            table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_extendedprice"),
+            "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),

@@ -356,22 +356,43 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     self-join (stop-shingle guard against the O(f²) hot-shingle bucket);
     sizes and Jaccard are computed over the filtered shingle universe, so
     the score stays a true Jaccard of the retained sets."""
-    sh = (docs.select("doc_id",
-                      F.explode(shingles(words("text"), n)).alias("s"))
+    # Three rewrites off the r3 form (9.1s → ~3s at sf0.1, same oracle):
+    # 1. Token array projected BEFORE shingling (HOF re-evaluation trap —
+    #    an inlined words() would re-split per window index; see
+    #    _rolling_shingle_keys).
+    # 2. ONE shingle-keyed aggregation builds the posting lists; the
+    #    stop-shingle guard is a length check on the collected list (the
+    #    r3 form paid a count-aggregate + broadcast anti join, then the
+    #    self-join shuffled the index twice more).
+    # 3. Bucket-and-expand replaces the index self-join (the
+    #    _band_candidates rewrite): surviving buckets — provably <= df_cap
+    #    members — emit their a<b pairs from a sorted member list in
+    #    codegen; no join-side row explosion, and the posting-list table
+    #    (~#distinct-shingles rows) is localCheckpoint'ed once for its two
+    #    consumers (pair stream + per-doc sizes). At corpus scale the
+    #    posting lists are the persisted inverted-index artifact.
+    sh = (docs.select("doc_id", words("text").alias("w"))
+          .select("doc_id",
+                  F.explode(shingles(F.col("w"), n)).alias("s"))
           .select("doc_id",
                   F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
                   .cast("long").alias("shingle"))
           .distinct())
-    hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-           .where(F.col("df") > df_cap)
-           .select("shingle"))
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    postings = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                .where(F.size("ids") <= df_cap)
+                .localCheckpoint(eager=True))
+    sizes = (postings.select(F.explode("ids").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n")))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS a_id, b AS b_id))))")
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        postings.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a_id").alias("a_id"),
+                 F.col("p.b_id").alias("b_id"))
         .agg(F.count("*").alias("shared"))
     )
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
@@ -390,8 +411,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
 
 def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (similarity >= 0.5) over the
-    documents fixture — see ngram_jaccard_pairs."""
-    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+    documents fixture — see ngram_jaccard_pairs. The scan is spread
+    (catalog.spread_compute): the explode + per-shingle md5 is the
+    CPU-dwarfs-row-bytes profile, and a single-row-group input would pin
+    the whole index build to one task (profiled 1.69s -> 0.35s at
+    sf0.1)."""
+    return ngram_jaccard_pairs(
+        spread_compute(spark, table(spark, sf_dir, "documents")
+                       .select("doc_id", "text"), "doc_id"))
 
 
 _MH_AB_VALUES = ", ".join(f"({s}, {a}::BIGINT, {b}::BIGINT)"

@@ -22,7 +22,7 @@ import threading
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bacalhau_spark.catalog import table
+from bacalhau_spark.catalog import spread_compute, table
 from bacalhau_spark.functions import cosine
 
 _DOT_SQL = ("list_sum(list_transform(list_zip(a.embedding, b.embedding), "
@@ -128,6 +128,30 @@ def band_signatures(emb_col: Column) -> Column:
     return F.array(*[lsh_signature(emb_col, b) for b in range(N_BANDS)])
 
 
+# Plan-construction cache for the signature expression: building it creates
+# N_BANDS x BAND_BITS x DIM literal Columns plus the fold lambdas through
+# Py4J (~2k JVM round trips, profiled ~1.7s PER QUERY CALL at the driver —
+# more than the whole execution). The tree is immutable and references only
+# F.col("embedding") + literals, so one instance is reusable across every
+# query in a session. Keyed by applicationId (same invalidation rule as
+# catalog._CACHE: a Column holds JVM refs that die with its session).
+_SIG_EXPR_CACHE: dict[str, Column] = {}
+_SIG_EXPR_LOCK = threading.Lock()
+
+
+def embedding_band_signatures(spark: SparkSession) -> Column:
+    app_id = spark.sparkContext.applicationId
+    with _SIG_EXPR_LOCK:
+        for k in [k for k in _SIG_EXPR_CACHE if k != app_id]:
+            _SIG_EXPR_CACHE.pop(k, None)
+        col = _SIG_EXPR_CACHE.get(app_id)
+    if col is None:
+        col = band_signatures(F.col("embedding"))
+        with _SIG_EXPR_LOCK:
+            _SIG_EXPR_CACHE[app_id] = col
+    return col
+
+
 def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: top-3 per query among candidates that share at least
     one (band, signature) bucket. The candidate join is an equi join on
@@ -136,23 +160,40 @@ def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product. Approximate (recall tested vs. brute force in tests/);
     no SQL oracle by design."""
     emb = table(spark, sf_dir, "embeddings")
-    with_sig = emb.select(
-        "vec_id", "embedding",
-        F.posexplode(band_signatures(F.col("embedding"))).alias("band", "sig"))
-    q = (with_sig.where(F.col("vec_id") < 20)
-         .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"), "band", "sig"))
-    c = with_sig.select(F.col("vec_id").alias("nn"),
-                        F.col("embedding").alias("c_emb"), "band", "sig")
+    # LEAN signature table: (vec_id, band, sig) only — never drag the
+    # embedding arrays through the explode and the bucket join (the r3
+    # form computed the full signature lineage twice, once per join
+    # branch, with 64-double arrays riding along; profiled 3.2s for a
+    # 20k-pair candidate join at sf0.1). The checkpointed index is tiny
+    # (#vectors x #bands x 12 bytes) and feeds both branches; embeddings
+    # are fetched per candidate PAIR via broadcast joins afterwards — at
+    # corpus scale that is the classic two-phase ANN read (index probe,
+    # then gather vectors for scoring).
+    sig = (spread_compute(spark, emb.select("vec_id", "embedding"),
+                          "vec_id")
+           .select("vec_id",
+                   F.posexplode(embedding_band_signatures(spark))
+                   .alias("band", "sig"))
+           .localCheckpoint(eager=True))
+    q_sig = (sig.where(F.col("vec_id") < 20)
+             .select(F.col("vec_id").alias("q_id"), "band", "sig"))
+    pairs = (F.broadcast(q_sig)
+             .join(sig.select(F.col("vec_id").alias("nn"), "band", "sig"),
+                   ["band", "sig"])
+             .where(F.col("q_id") != F.col("nn"))
+             # a pair colliding in several bands appears once per band;
+             # dedup before fetching vectors
+             .select("q_id", "nn").distinct())
+    q_emb = emb.select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_emb"))
+    c_emb = emb.select(F.col("vec_id").alias("nn"),
+                       F.col("embedding").alias("c_emb"))
     cos = cosine(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
     return (
-        F.broadcast(q).join(c, ["band", "sig"])
-        .where(F.col("q_id") != F.col("nn"))
+        pairs.join(F.broadcast(q_emb), "q_id")
+        .join(F.broadcast(c_emb), "nn")
         .select(F.col("q_id").alias("vec_id"), "nn", cos.alias("cos_raw"))
-        # a pair colliding in several bands appears once per band; dedup
-        # before ranking (cos is identical across duplicates)
-        .groupBy("vec_id", "nn").agg(F.max("cos_raw").alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select("vec_id", "rank", "nn", F.col("cos_raw").alias("cos"))
@@ -168,10 +209,12 @@ def nd_ann_lsh_bucketstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself stays threshold-tested. Operationally this is the index-skew
     report you'd run before shipping an index: a band whose buckets collapse
     to one signature means dead hyperplanes."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_compute(
+        spark, table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding"), "vec_id")
     sig = emb.select(
         "vec_id",
-        F.posexplode(band_signatures(F.col("embedding"))).alias("band", "sig"))
+        F.posexplode(embedding_band_signatures(spark)).alias("band", "sig"))
     return (sig.groupBy("band", "sig")
             .agg(F.count("*").alias("n_vectors"))
             .orderBy("band", "sig"))
