@@ -328,8 +328,12 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — distinct-count of suppliers per (brand, type, size) for
     non-STANDARD parts, excluding below-par suppliers (acctbal < 0, the
     complaints-exclusion analog as an anti join)."""
+    # No .distinct() on the observed pairs: the per-group countDistinct
+    # downstream dedups anyway, the broadcast joins don't care about
+    # multiplicity, and the pre-dedup was a full extra shuffle of the
+    # fact projection (A/B at sf0.1: 1.77s → 1.21s, identical output).
     pairs = (table(spark, sf_dir, "lineitem")
-             .select("l_partkey", "l_suppkey").distinct())
+             .select("l_partkey", "l_suppkey"))
     part = (table(spark, sf_dir, "part")
             .where(F.col("p_type") != "STANDARD")
             .select("p_partkey", "p_brand", "p_type", "p_size"))
