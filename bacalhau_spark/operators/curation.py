@@ -37,13 +37,35 @@ _IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 _PHONE_RE = r"\b\d{3}-\d{4}\b"
 
 
+def pii_redact_frame(docs: DataFrame, text_col=None) -> DataFrame:
+    """Core PII scrub over any frame with (doc_id, <text>): per-pattern
+    counts + ordered global redaction (emails before IPs before phones, so
+    digit-bearing replacements can't shadow each other). Pure per-row
+    codegen — composes unchanged over readStream sources."""
+    aug = text_col if text_col is not None else F.col("text")
+    n_email = F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
+    n_ip = F.size(F.regexp_extract_all(aug, F.lit(_IP_RE), 0))
+    n_phone = F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"),
+            _IP_RE, "<IP>"),
+        _PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_email.cast("int").alias("n_email"),
+        n_ip.cast("int").alias("n_ip"),
+        n_phone.cast("int").alias("n_phone"),
+        redacted.alias("redacted"),
+    )
+
+
 def nd_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: count and redact emails / IPv4 addresses / phone
     numbers. The fixture text is synthetic prose without PII, so the query
     first derives a deterministic PII-bearing variant from (text, doc_id) —
     identically in Spark and the oracle — then redacts it; the redaction
-    machinery (pattern order: emails before IPs before phones, global
-    replace) is what's under test. Pure per-row codegen; at 100 TB this is
+    machinery (pii_redact_frame) is what's under test. At 100 TB this is
     a mapper with zero shuffle."""
     from bacalhau_spark.catalog import spread_compute
     # Four Java-regex passes per row is exactly the CPU-dwarfs-row-bytes
@@ -59,38 +81,16 @@ def nd_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 250).cast("string"), F.lit(" call 555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
-    n_email = F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
-    n_ip = F.size(F.regexp_extract_all(aug, F.lit(_IP_RE), 0))
-    n_phone = F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"),
-            _IP_RE, "<IP>"),
-        _PHONE_RE, "<PHONE>")
-    return (
-        docs.select(
-            "doc_id",
-            n_email.cast("int").alias("n_email"),
-            n_ip.cast("int").alias("n_ip"),
-            n_phone.cast("int").alias("n_phone"),
-            redacted.alias("redacted"),
-        )
-        .orderBy("doc_id")
-    )
+    return pii_redact_frame(docs, aug).orderBy("doc_id")
 
 
 # --- nd_gopher_filter --------------------------------------------------------
 _STOP_MARKERS = ("the", "a", "of", "and", "to", "in", "is")
 
 
-def nd_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style heuristic quality gates (word-count bounds, mean word
-    length bounds, stopword presence, alphabetic fraction), each emitted as
-    a flag plus the conjunctive keep decision. All comparisons are integer
-    cross-multiplications (mean length 2.5..6.5 becomes
-    25*n <= 10*len <= 65*n), so no float boundary can disagree between
-    engines. Per-row codegen over the token array; zero shuffle."""
-    docs = table(spark, sf_dir, "documents")
+def gopher_flags_frame(docs: DataFrame) -> DataFrame:
+    """Core Gopher-style gates over any frame with (doc_id, text) — pure
+    per-row codegen, composes unchanged over readStream sources."""
     w = words("text")
     n_words = F.size(w)
     len_ns = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -111,8 +111,18 @@ def nd_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             f_alpha.cast("int").alias("f_alpha"),
             (f_words & f_wlen & f_stop & f_alpha).cast("int").alias("kept"),
         )
-        .orderBy("doc_id")
     )
+
+
+def nd_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gates (word-count bounds, mean word
+    length bounds, stopword presence, alphabetic fraction), each emitted as
+    a flag plus the conjunctive keep decision. All comparisons are integer
+    cross-multiplications (mean length 2.5..6.5 becomes
+    25*n <= 10*len <= 65*n), so no float boundary can disagree between
+    engines. Per-row codegen over the token array; zero shuffle."""
+    return gopher_flags_frame(
+        table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 # --- nd_repetition -----------------------------------------------------------
@@ -157,6 +167,30 @@ SEQ_LEN = 512
 PACK_SHARDS = 8
 
 
+def seq_pack_bins(docs_tok: DataFrame, shards: int = PACK_SHARDS,
+                  seq_len: int = SEQ_LEN) -> DataFrame:
+    """Core packing rule over any (doc_id, n_tok) frame: per shard
+    (doc_id % shards, ordered by doc_id), a document belongs to the bin
+    where its first token lands in the shard's concatenated token
+    stream."""
+    shard = (F.col("doc_id") % shards).cast("int")
+    from pyspark.sql.window import Window
+    win = (Window.partitionBy("shard").orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_bin = (
+        docs_tok.select("doc_id", shard.alias("shard"), "n_tok")
+        .withColumn("cum", F.sum("n_tok").over(win))
+        .withColumn("bin_id",
+                    F.floor((F.col("cum") - F.col("n_tok")) / seq_len)
+                    .cast("int"))
+    )
+    return (
+        with_bin.groupBy("shard", "bin_id")
+        .agg(F.count("*").cast("int").alias("n_docs"),
+             F.sum("n_tok").cast("int").alias("total_tokens"))
+    )
+
+
 def nd_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: documents are concatenated in
     deterministic order and cut into SEQ_LEN-token training sequences; a
@@ -167,24 +201,9 @@ def nd_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is 10^9 documents (shards ≈ output files). Token counts use the
     whitespace word count; swap in nd_bpe_count's counter for real runs."""
     docs = table(spark, sf_dir, "documents")
-    n_tok = F.size(words("text"))
-    shard = (F.col("doc_id") % PACK_SHARDS).cast("int")
-    from pyspark.sql.window import Window
-    win = (Window.partitionBy("shard").orderBy("doc_id")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    with_bin = (
-        docs.select("doc_id", shard.alias("shard"), n_tok.alias("n_tok"))
-        .withColumn("cum", F.sum("n_tok").over(win))
-        .withColumn("bin_id",
-                    F.floor((F.col("cum") - F.col("n_tok")) / SEQ_LEN)
-                    .cast("int"))
-    )
-    return (
-        with_bin.groupBy("shard", "bin_id")
-        .agg(F.count("*").cast("int").alias("n_docs"),
-             F.sum("n_tok").cast("int").alias("total_tokens"))
-        .orderBy("shard", "bin_id")
-    )
+    return seq_pack_bins(
+        docs.select("doc_id", F.size(words("text")).alias("n_tok"))
+    ).orderBy("shard", "bin_id")
 
 
 # --- nd_ngram_overlap --------------------------------------------------------

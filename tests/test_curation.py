@@ -119,3 +119,101 @@ def test_domain_mix_rates_monotone_in_target_share(spark, sf_dir):
             curation.nd_domain_mix(spark, sf_dir).collect()}
     assert all(r.n_sampled <= r.n_docs for r in rows.values())
     assert rows["src19"].n_sampled > rows["src0"].n_sampled
+
+
+# --- property-based (hypothesis) --------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_pack(rows, shards, seq_len):
+    """Pure-Python packing reference: per shard (ordered by doc_id), bin =
+    start-offset // seq_len; aggregate (n_docs, total_tokens) per bin."""
+    out = {}
+    by_shard = {}
+    for doc_id, n_tok in sorted(rows):
+        by_shard.setdefault(doc_id % shards, []).append((doc_id, n_tok))
+    for shard, docs in by_shard.items():
+        cum = 0
+        for _, n_tok in docs:
+            b = cum // seq_len
+            k = (shard, b)
+            n, tot = out.get(k, (0, 0))
+            out[k] = (n + 1, tot + n_tok)
+            cum += n_tok
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 9)),
+    min_size=1, max_size=25, unique_by=lambda r: r[0]))
+def test_seq_pack_matches_reference(spark, rows):
+    """Random (doc_id, n_tok) frames against the pure-Python packing rule —
+    tiny token counts and a small seq_len force bin-boundary straddles and
+    zero-token docs."""
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok int")
+    got = {(r.shard, r.bin_id): (r.n_docs, r.total_tokens)
+           for r in curation.seq_pack_bins(df, shards=3, seq_len=7).collect()}
+    assert got == _ref_pack(rows, shards=3, seq_len=7)
+
+
+_SAFE_WORD = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(data=st.lists(
+    st.tuples(st.lists(_SAFE_WORD, min_size=0, max_size=6),
+              st.integers(0, 3), st.integers(0, 2), st.integers(0, 2)),
+    min_size=1, max_size=6))
+def test_pii_redact_counts_match_inserted(spark, data):
+    """Random safe-alphabet prose with a KNOWN number of inserted emails /
+    IPs / phones: counts must equal insertions exactly and the redacted
+    text must contain no residual matches (safe alphabet has no '@', '.'
+    or digits, so the regexes cannot fire on the prose)."""
+    rows = []
+    for i, (prose, n_email, n_ip, n_phone) in enumerate(data):
+        toks = list(prose)
+        toks += [f"u{j}@host.com" for j in range(n_email)]
+        toks += [f"10.0.{j}.{j + 1}" for j in range(n_ip)]
+        toks += [f"555-{1000 + j}" for j in range(n_phone)]
+        rows.append((i, " ".join(toks), n_email, n_ip, n_phone))
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id bigint, text string")
+    got = {r.doc_id: r for r in curation.pii_redact_frame(df).collect()}
+    for doc_id, _, n_email, n_ip, n_phone in rows:
+        r = got[doc_id]
+        assert (r.n_email, r.n_ip, r.n_phone) == (n_email, n_ip, n_phone)
+        assert "@" not in r.redacted
+        assert "555-1" not in r.redacted
+
+
+# --- streaming composition ---------------------------------------------------
+def test_gopher_filter_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The curation gates are pure per-row expressions, so they compose
+    unchanged over readStream: the same gopher_flags_frame through a
+    parquet stream (availableNow) must equal the batch result exactly."""
+    import shutil
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet",
+                stream_dir / "part-0.parquet")
+    batch_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream_src = (spark.readStream.schema(batch_df.schema)
+                  .parquet(str(stream_dir)))
+    q = (curation.gopher_flags_frame(stream_src)
+         .writeStream.format("memory").queryName("stream_gopher")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    stream_rows = sorted(
+        tuple(r) for r in spark.table("stream_gopher").collect())
+    batch_rows = sorted(
+        tuple(r) for r in curation.gopher_flags_frame(batch_df).collect())
+    assert stream_rows == batch_rows
