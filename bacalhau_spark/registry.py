@@ -56,6 +56,9 @@ _PRIORITY: tuple[str, ...] = (
     "nd_pii_redact", "nd_gopher_filter", "nd_repetition", "nd_seq_pack",
     "nd_ngram_overlap", "nd_domain_mix", "nd_bpe_pair_count", "nd_profile",
     "nd_multimodal_resize",
+    # perf-rewritten during the round-4 sweep (oracle unchanged, plans new)
+    "nd_percentiles", "nd_ann_lsh", "nd_ann_lsh_bucketstats",
+    "tpch_q16_supplier_cnt",
     # 3. headline bench set (session-config changes re-plan these)
     "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",
     "q28_tumbling_window", "q3_shipping_priority", "nd_asof_join",
