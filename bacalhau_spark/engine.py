@@ -17,6 +17,7 @@ Mapping (SURVEY.md §1, §3):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import threading
 import time
@@ -40,6 +41,7 @@ EVT_COMPLETED = "Completed"
 EVT_ERROR = "Error"
 EVT_RESULTS_ACCEPTED = "ResultsAccepted"
 EVT_RESULTS_REJECTED = "ResultsRejected"
+EVT_RESULTS_REUSED = "ResultsReused"  # content-addressed result-cache hit
 EVT_REJECTED = "Rejected"
 
 # States a run's results may be read back in (fetch_results gate).
@@ -148,6 +150,15 @@ class JobSpec:
     annotations: list = field(default_factory=list)
     resources: dict = field(default_factory=dict)  # {"cpu": "500m", "memory": "2Gb", ...}
     context: str | None = None      # dir shipped to executors (run-python context analog)
+    # Content-addressed result reuse: when True, an identical (query,
+    # inputs) computation that already completed VERIFIED in this session
+    # is not re-executed — the run completes immediately pointing at the
+    # prior result (the reference's CID-cache semantics lifted from inputs
+    # to results: immutable inputs + deterministic job => same output,
+    # `pkg/storage/ipfs_apicopy/storage.go:116-134`). Only verified runs
+    # populate the cache: without the determinism gate + manifest, "same
+    # computation" would not imply "same result".
+    reuse: bool = False
     # Max execution wall-clock. The reference bounds every job-adjacent
     # operation (volume probe 120 s, CID/URL fetch 300 s,
     # `pkg/config/config.go:42-82`); here the whole run is the unit: on
@@ -188,7 +199,8 @@ class JobSpec:
     def from_dict(cls, doc: dict) -> "JobSpec":
         known = {k: doc[k] for k in
                  ("query", "inputs", "outputs", "replicas", "verified",
-                  "annotations", "resources", "context", "timeout_s")
+                  "annotations", "resources", "context", "timeout_s",
+                  "reuse")
                  if k in doc}
         if "query" not in known:
             raise ValueError("job spec requires a 'query' field")
@@ -279,6 +291,9 @@ class Engine:
         self._ctx_modules: dict[str, str] = {}
         # run_id -> its context namespace (the per-job mount identity).
         self._ctx_ns: dict[str, str] = {}
+        # content key -> (run_id, manifest) of verified completed runs,
+        # consulted by reuse=True submits (result-plane CID cache).
+        self._result_index: dict[str, tuple[str, str]] = {}
 
     # -- event log ---------------------------------------------------------
     def _emit(self, run_id: str, name: str, detail: str = "") -> None:
@@ -434,6 +449,19 @@ class Engine:
                         f"job declined by policy {name!r}: {exc!r}") from exc
                 if not accepted:
                     raise JobRejectedError(f"job declined by policy {name!r}")
+            if spec.reuse:
+                hit = self._result_index.get(_content_key(spec))
+                if hit and self.state(hit[0]) in TERMINAL_OK_STATES:
+                    prior_id, manifest = hit
+                    with self._lock:
+                        # the run's readable artifact IS the prior run's
+                        # sink; describe/fetch_results resolve through it
+                        self._specs[run_id] = self._specs[prior_id]
+                    self._emit(run_id, EVT_RESULTS_REUSED,
+                               f"reused {prior_id} manifest={manifest}")
+                    self._emit(run_id, EVT_COMPLETED, manifest)
+                    self._done[run_id].set()
+                    return run_id
             req = self.capacity.requirements(spec.resources)
             self.capacity.enqueue(run_id, req)
         except BaseException as exc:  # noqa: BLE001 — recorded, re-raised
@@ -719,6 +747,10 @@ class Engine:
                        manifests[0] if manifests else "")
             if manifests:
                 self._emit(run_id, EVT_RESULTS_ACCEPTED, manifests[0])
+            if spec.verified and manifests:
+                with self._lock:
+                    self._result_index[_content_key(spec)] = (
+                        run_id, manifests[0])
         except ResultsRejectedError:
             raise  # already recorded as ResultsRejected — terminal state
         except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
@@ -736,3 +768,13 @@ class Engine:
             _ctx_local.namespace = None
             for k, v in prev.items():
                 sc.setLocalProperty(k, v)
+
+
+def _content_key(spec: JobSpec) -> str:
+    """Content-addressed identity of a computation: the query name plus its
+    inputs, canonically serialized. Inputs are immutable paths (the CID
+    analog), so equal keys mean equal computations; outputs/resources/
+    annotations are execution details, not identity."""
+    doc = json.dumps({"query": spec.query, "inputs": spec.inputs},
+                     sort_keys=True)
+    return hashlib.sha256(doc.encode()).hexdigest()

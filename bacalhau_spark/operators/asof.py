@@ -85,6 +85,27 @@ def nd_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w).alias("last_purchase_id"))
 
 
+def nd_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: per event, the user's NEXT purchase at or after the
+    event — the lookahead mirror of nd_asof_join ("time-to-next-event"
+    features, next-maintenance/next-session joins). Same single-scan RANGE
+    frame shape reflected: min_by over (0, unboundedFollowing), so
+    same-timestamp purchases are visible to every same-timestamp event and
+    ties resolve to the smallest (ts, event_id) — identical semantics to a
+    correlated ASC ordered-limit lookup. One scan, one shuffle, running
+    frame; no global output sort (same contract argument as
+    nd_asof_join)."""
+    ev = table(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(0, Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.min_by(F.when(is_p, F.col("event_id")),
+                 F.when(is_p, F.struct(F.col("ts"), F.col("event_id"))))
+        .over(w).alias("next_purchase_id"))
+
+
 # Price brackets: a fixed interval dimension (the kind of tiny reference
 # table a pipeline broadcasts). Half-open [lo, hi).
 _BRACKETS = (("small", 0.0, 50_000.0), ("mid", 50_000.0, 200_000.0),
@@ -124,6 +145,14 @@ QUERIES = {
         "(SELECT p.event_id FROM events p WHERE p.user_id = e.user_id "
         "AND p.event_type = 'purchase' AND p.ts <= e.ts "
         "ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_id "
+        "FROM events e ORDER BY e.event_id",
+    ),
+    "nd_asof_forward": (
+        nd_asof_forward,
+        "SELECT e.event_id, e.user_id, "
+        "(SELECT p.event_id FROM events p WHERE p.user_id = e.user_id "
+        "AND p.event_type = 'purchase' AND p.ts >= e.ts "
+        "ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_id "
         "FROM events e ORDER BY e.event_id",
     ),
     "nd_range_join": (

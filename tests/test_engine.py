@@ -424,3 +424,49 @@ def test_capacity_sized_from_session(spark):
         assert eng.state(rid) == EVT_COMPLETED
     probed = detect_total(cpus=4.0, gpu=2)
     assert probed.cpu == 4.0 and probed.gpu == 2 and probed.disk > 0
+
+
+def test_result_reuse_skips_execution(engine):
+    """Content-addressed result reuse (the CID-cache lifted to results):
+    a verified completed run's (query, inputs) key lets an identical
+    reuse=True submit complete WITHOUT executing — no Running event, a
+    ResultsReused event pointing at the prior run, same manifest."""
+    first = engine.submit(JobSpec(query="q17_hash_agg",
+                                  inputs={"sf_dir": SF_DIR},
+                                  verified=True))
+    first_manifest = [e.detail for e in engine.events(first)
+                      if e.name == "ResultsAccepted"][0]
+    second = engine.submit(JobSpec(query="q17_hash_agg",
+                                   inputs={"sf_dir": SF_DIR},
+                                   reuse=True))
+    names = [e.name for e in engine.events(second)]
+    assert "Running" not in names
+    assert "ResultsReused" in names
+    completed = [e.detail for e in engine.events(second)
+                 if e.name == "Completed"][0]
+    assert completed == first_manifest
+    reused = [e.detail for e in engine.events(second)
+              if e.name == "ResultsReused"][0]
+    assert first in reused
+
+
+def test_result_reuse_requires_verified_prior(engine):
+    """An UNVERIFIED completed run must not populate the result cache:
+    without the determinism gate + manifest, same computation does not
+    imply same result. The reuse submit falls through to real execution."""
+    engine.submit(JobSpec(query="q13_join_agg", inputs={"sf_dir": SF_DIR}))
+    second = engine.submit(JobSpec(query="q13_join_agg",
+                                   inputs={"sf_dir": SF_DIR}, reuse=True))
+    names = [e.name for e in engine.events(second)]
+    assert "ResultsReused" not in names
+    assert "Running" in names
+
+
+def test_result_reuse_distinguishes_inputs(engine):
+    """Different inputs => different content key => no reuse."""
+    engine.submit(JobSpec(query="q25_topk", inputs={"sf_dir": SF_DIR},
+                          verified=True))
+    other = engine.submit(JobSpec(
+        query="q25_topk", inputs={"sf_dir": SF_DIR, "variant": "x"},
+        reuse=True))
+    assert "ResultsReused" not in [e.name for e in engine.events(other)]
