@@ -375,7 +375,37 @@ def nd_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(spark, sf_dir, table_name="stream_q28_gate")
 
 
+def nd_stream_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the Gopher quality gates
+    (operators.curation.gopher_flags_frame) applied THROUGH a readStream
+    file source in append mode and materialized — per-row mappers are
+    deterministic under streaming (no aggregation state, no watermark,
+    no batch-order dependence), so unlike the windowed/stateful surfaces
+    this streaming query carries a full value-hash oracle. This is the
+    ingest-time shape of a curation pipeline: documents stream in, flags
+    stream out, the same expression tree as the batch query."""
+    from bacalhau_spark.operators.curation import gopher_flags_frame
+    schema = table(spark, sf_dir, "documents").schema
+    # glob path: the file-stream source requires a directory or glob, and
+    # the fixture is a single file
+    src = (spark.readStream.schema(schema)
+           .parquet(f"{sf_dir}/documents.parqu*"))
+    q = (gopher_flags_frame(src)
+         .writeStream.format("memory").queryName("stream_gopher_gate")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table("stream_gopher_gate").orderBy("doc_id")
+
+
+from bacalhau_spark.operators.curation import _GOPHER_ORACLE  # noqa: E402
+
 QUERIES = {
+    # identical contract to the batch nd_gopher_filter — per-row mappers
+    # are stream-deterministic, so the streaming run shares its oracle
+    "nd_stream_gopher": (nd_stream_gopher, _GOPHER_ORACLE),
     "q28_tumbling_window": (
         q28_tumbling_window,
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, "
