@@ -1,0 +1,73 @@
+"""Content-store DataSource tests — the storage-provider plane
+(`pkg/storage/types.go:7-18`, api-copy driver semantics) as a native
+Spark DataSource V2: per-address partitions, planning-time locality probe,
+verified (re-hashed) reads, idempotent content-addressed writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bacalhau_spark.sources import contentstore as cs
+
+
+@pytest.fixture()
+def store(tmp_path):
+    root = str(tmp_path / "store")
+    addrs = [
+        cs.store_put_json_rows(root, [{"k": i, "v": f"row{i}-{j}"}
+                                      for j in range(5)])
+        for i in range(3)
+    ]
+    return root, addrs
+
+
+def test_round_trip_and_partition_per_address(spark, store):
+    root, addrs = store
+    df = cs.read_addresses(spark, root, addrs)
+    assert df.count() == 15
+    # one InputPartition per mounted address
+    assert df.rdd.getNumPartitions() == len(addrs)
+    # payload is opaque JSONL; the query interprets it (reference: opaque
+    # mounted files interpreted by the container)
+    parsed = df.select("address", F.get_json_object("value", "$.k").alias("k"))
+    assert parsed.where(F.col("k").isNull()).count() == 0
+
+
+def test_store_put_idempotent(store):
+    root, addrs = store
+    again = cs.store_put_json_rows(root, [{"k": 0, "v": "row0-0"}])
+    # different content -> different address; same content -> same address
+    a1 = cs.store_put(root, b"hello")
+    a2 = cs.store_put(root, b"hello")
+    assert a1 == a2 and again not in (a1, a2)
+    assert cs.store_size(root, a1) == 5
+
+
+def test_missing_address_fails_at_planning(spark, store):
+    root, addrs = store
+    with pytest.raises(Exception, match="not in store"):
+        cs.read_addresses(spark, root, addrs + ["f" * 32]).collect()
+
+
+def test_corrupted_blob_fails_verified_read(spark, store):
+    root, addrs = store
+    # tamper with one blob: its content no longer matches its address
+    with open(os.path.join(root, addrs[0]), "ab") as f:
+        f.write(b"\ntampered")
+    with pytest.raises(Exception, match="integrity"):
+        cs.read_addresses(spark, root, [addrs[0]]).collect()
+
+
+def test_reads_compose_with_sql(spark, store):
+    """A mounted store behaves like any other DataFrame source: filters,
+    JSON extraction and aggregation run through the normal planner."""
+    root, addrs = store
+    df = cs.read_addresses(spark, root, addrs)
+    agg = (df.select(F.get_json_object("value", "$.k").cast("int").alias("k"))
+           .groupBy("k").agg(F.count("*").alias("n")).orderBy("k"))
+    rows = agg.collect()
+    assert [(r.k, r.n) for r in rows] == [(0, 5), (1, 5), (2, 5)]
