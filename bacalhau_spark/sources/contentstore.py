@@ -31,7 +31,11 @@ import hashlib
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 
 
 def store_put(root: str, content: bytes) -> str:
@@ -66,6 +70,9 @@ class ContentStoreDataSource(DataSource):
 
     def reader(self, schema) -> "ContentStoreReader":
         return ContentStoreReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "ContentStoreWriter":
+        return ContentStoreWriter(self.options)
 
 
 class ContentStoreReader(DataSourceReader):
@@ -104,6 +111,78 @@ class ContentStoreReader(DataSourceReader):
                 f"content integrity failure for {addr}: hash {actual}")
         for i, line in enumerate(content.decode("utf-8").splitlines()):
             yield (addr, i, line)
+
+
+@dataclass
+class _BlobCommit(WriterCommitMessage):
+    """One published blob per task: its address + row count. Picklable —
+    travels task -> driver for the commit fold."""
+    address: str
+    n_rows: int
+
+
+class ContentStoreWriter(DataSourceWriter):
+    """The publisher analog (`pkg/verifier/ipfs/verifier.go:37-43`:
+    `ipfs add -r` results -> CID, broadcast in the Completed event):
+    each task serializes its partition to canonical JSONL and publishes
+    ONE content-addressed blob; the driver-side commit folds the task
+    addresses into a deterministic manifest blob (sorted, so the manifest
+    address is layout-invariant for identical partition contents) and
+    publishes THAT — the result "CID" a client fetches.
+
+    Write rows as (value string); anything richer should be serialized by
+    the query first (to_json), mirroring the reference's opaque results
+    dir."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("contentstore requires option 'path'")
+
+    def write(self, iterator) -> _BlobCommit:
+        import hashlib as _hashlib
+        import os as _os
+
+        lines = []
+        for row in iterator:
+            lines.append(str(row[0]))
+        content = "\n".join(lines).encode("utf-8")
+        addr = _hashlib.md5(content).hexdigest()
+        _os.makedirs(self.root, exist_ok=True)
+        path = _os.path.join(self.root, addr)
+        if not _os.path.exists(path):
+            tmp = f"{path}.tmp.{_os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(content)
+            _os.replace(tmp, path)
+        return _BlobCommit(address=addr, n_rows=len(lines))
+
+    def commit(self, messages) -> None:
+        # Deterministic manifest: sorted unique (address, n_rows) pairs.
+        # Identical logical results produce the identical manifest address
+        # regardless of task scheduling — the layout-invariance rule the
+        # engine's result_manifest also follows.
+        entries = sorted({(m.address, m.n_rows) for m in messages if m})
+        manifest = "\n".join(f"{a} {n}" for a, n in entries).encode("utf-8")
+        addr = store_put(self.root, manifest)
+        with open(os.path.join(self.root, "MANIFEST"), "w") as f:
+            f.write(addr)
+
+    def abort(self, messages) -> None:
+        # Blobs are content-addressed and immutable; orphans from a failed
+        # write are harmless (unreferenced by any manifest) and reusable.
+        pass
+
+
+def last_manifest(root: str) -> tuple[str, list[tuple[str, int]]]:
+    """Return (manifest_address, [(blob_address, n_rows), ...]) of the
+    store's most recent committed write — the `get` verb's starting point."""
+    with open(os.path.join(root, "MANIFEST")) as f:
+        addr = f.read().strip()
+    with open(os.path.join(root, addr)) as f:
+        entries = [(a, int(n)) for a, n in
+                   (ln.split() for ln in f.read().splitlines() if ln)]
+    return addr, entries
 
 
 def register(spark) -> None:

@@ -71,3 +71,28 @@ def test_reads_compose_with_sql(spark, store):
            .groupBy("k").agg(F.count("*").alias("n")).orderBy("k"))
     rows = agg.collect()
     assert [(r.k, r.n) for r in rows] == [(0, 5), (1, 5), (2, 5)]
+
+
+def test_writer_publishes_content_addressed_manifest(spark, tmp_path):
+    """The publisher analog: each task publishes one blob, commit publishes
+    a sorted manifest whose address is layout-invariant — repartitioning
+    the same rows differently yields the SAME blob set and manifest."""
+    root = str(tmp_path / "out_store")
+    rows = [(f"r{i:03d}",) for i in range(20)]
+
+    def write(n_parts):
+        df = (spark.createDataFrame(rows, "value string")
+              .repartitionByRange(n_parts, "value"))
+        cs.register(spark)
+        (df.write.format("contentstore").option("path", root)
+         .mode("append").save())
+        return cs.last_manifest(root)
+
+    addr1, entries1 = write(4)
+    addr2, entries2 = write(4)
+    assert addr1 == addr2 and entries1 == entries2
+    assert sum(n for _, n in entries1) == len(rows)
+    # every published blob passes the verified read
+    df = cs.read_addresses(spark, root, [a for a, _ in entries1])
+    assert df.count() == len(rows)
+    assert sorted(r.value for r in df.collect()) == [r[0] for r in rows]
