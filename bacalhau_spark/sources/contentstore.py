@@ -35,6 +35,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceWriter, InputPartition,
+                                    SimpleDataSourceStreamReader,
                                     WriterCommitMessage)
 
 
@@ -73,6 +74,71 @@ class ContentStoreDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "ContentStoreWriter":
         return ContentStoreWriter(self.options)
+
+    def simpleStreamReader(self, schema) -> "ContentStoreStreamReader":
+        return ContentStoreStreamReader(self.options)
+
+
+def _is_address(name: str) -> bool:
+    return len(name) == 32 and all(c in "0123456789abcdef" for c in name)
+
+
+class ContentStoreStreamReader(SimpleDataSourceStreamReader):
+    """Streaming mounts: `spark.readStream.format("contentstore")` emits
+    every NEWLY PINNED blob's rows exactly once — the ingest-time analog
+    of the reference's "new CID appears, run the job on it" loop, with
+    Structured Streaming's offset log replacing the engine's own
+    bookkeeping.
+
+    Offsets are the set of addresses already delivered (content-addressed
+    blobs are immutable, so set difference IS the new data — no mtime
+    races, and readBetweenOffsets replays any batch deterministically for
+    failure recovery). The Simple reader reads on the driver: right for
+    control-plane-rate ingest; a high-throughput store would use the
+    partitioned DataSourceStreamReader with one partition per new address,
+    exactly like the batch reader."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("contentstore requires option 'path'")
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def _addresses(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(a for a in os.listdir(self.root) if _is_address(a))
+
+    def _rows(self, addrs):
+        # A LIST iterator, not a generator: the runtime both iterates the
+        # result (prefetch cache) and PICKLES it for batch replay —
+        # generators don't pickle, bare lists aren't iterators; a list
+        # iterator is both. Materializing is fine at the Simple reader's
+        # control-plane rate by definition.
+        import hashlib as _hashlib
+
+        out: list[tuple] = []
+        for addr in addrs:
+            with open(os.path.join(self.root, addr), "rb") as f:
+                content = f.read()
+            if _hashlib.md5(content).hexdigest() != addr:
+                raise IOError(f"content integrity failure for {addr}")
+            for i, line in enumerate(content.decode("utf-8").splitlines()):
+                out.append((addr, i, line))
+        return iter(out)
+
+    def read(self, start: dict):
+        seen = dict(start.get("seen", {}))
+        new = [a for a in self._addresses() if a not in seen]
+        end = {"seen": {**seen, **{a: True for a in new}}}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        s = start.get("seen", {})
+        return self._rows(sorted(a for a in end.get("seen", {})
+                                 if a not in s))
 
 
 class ContentStoreReader(DataSourceReader):

@@ -96,3 +96,36 @@ def test_writer_publishes_content_addressed_manifest(spark, tmp_path):
     df = cs.read_addresses(spark, root, [a for a, _ in entries1])
     assert df.count() == len(rows)
     assert sorted(r.value for r in df.collect()) == [r[0] for r in rows]
+
+
+def test_stream_reader_emits_new_blobs_exactly_once(spark, tmp_path):
+    """Streaming mounts: newly pinned blobs flow through readStream exactly
+    once; already-delivered addresses never re-emit (offset = delivered
+    address set; immutability makes set difference the new data)."""
+    import time as _time
+
+    root = str(tmp_path / "stream_store")
+    a1 = cs.store_put_json_rows(root, [{"k": 1}, {"k": 2}])
+    cs.register(spark)
+    q = (spark.readStream.format("contentstore").option("path", root).load()
+         .writeStream.format("memory").queryName("cs_stream")
+         .trigger(processingTime="250 milliseconds").start())
+
+    def wait_rows(n, timeout=60):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            if spark.table("cs_stream").count() >= n:
+                return spark.table("cs_stream").count()
+            _time.sleep(0.3)
+        return spark.table("cs_stream").count()
+
+    try:
+        assert wait_rows(2) == 2
+        a2 = cs.store_put_json_rows(root, [{"k": 3}, {"k": 4}, {"k": 5}])
+        assert wait_rows(5) == 5
+        rows = spark.table("cs_stream").collect()
+        assert {r.address for r in rows} == {a1, a2}
+        # exactly once: no duplicates across micro-batches
+        assert len({(r.address, r.line_no) for r in rows}) == 5
+    finally:
+        q.stop()
