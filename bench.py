@@ -90,12 +90,17 @@ def main() -> None:
             "max": round(max(runs), 3),
         }
 
+    # The headline set grew from 12 to 14 queries in round 4; the r3-set
+    # subtotal keeps the BENCH_r{N} total series directly comparable.
+    r3_set = [n for n in BENCH_QUERIES
+              if n not in ("nd_gopher_filter", "nd_bpe_pair_count")]
     print(json.dumps({
         "metric": "bench_headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "spreads": spreads,
+        "r3_comparable_total": round(sum(timings[n] for n in r3_set), 3),
         "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))
