@@ -39,6 +39,40 @@ def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# State-store sizing for the FINITE fixture runs: a stateful streaming
+# query materializes one state-store instance per shuffle partition per
+# micro-batch; at fixture scale the state is kilobytes, so 32 instances
+# are pure commit/snapshot overhead (A/B: the stream-stream join dropped
+# 6.0s -> 2.0s at 4 partitions, identical rows). This is the same
+# deployment knob a real job sizes to its key cardinality — NOT a
+# correctness setting; results are partitioning-invariant (append/complete
+# rows are compared order-insensitively). The helpers scope the conf to
+# the query's lifetime and restore the session value after.
+STREAM_STATE_PARTITIONS = 4
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _stream_state_conf(spark: SparkSession):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+
+def _start_scoped(spark: SparkSession, writer):
+    """Start a streaming query with fixture-sized state partitioning
+    (STREAM_STATE_PARTITIONS) — the conf is captured at analysis time, so
+    scoping the context manager around start() is sufficient."""
+    with _stream_state_conf(spark):
+        return writer.start()
+
+
 def stream_tumbling_window(spark: SparkSession, sf_dir: str,
                            watermark: str = "2 hours") -> DataFrame:
     """The same aggregate through readStream (file source) with a watermark.
@@ -59,14 +93,13 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str,
                          timeout_sec: int = 120) -> DataFrame:
     """Run the streaming aggregate to completion over the (finite) fixture
     dir and return the materialized result for batch comparison."""
-    q = (
+    q = _start_scoped(spark, (
         stream_tumbling_window(spark, sf_dir)
         .writeStream.format("memory")
         .queryName(table_name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
-    )
+    ))
     try:
         q.awaitTermination(timeout_sec)
     finally:
@@ -134,14 +167,13 @@ def run_stream_session_to_memory(spark: SparkSession, sf_dir: str,
                                  timeout_sec: int = 120) -> DataFrame:
     """Run the streaming sessionization over the finite fixture dir; returns
     the materialized sessions for comparison with the batch nd_sessionize."""
-    q = (
+    q = _start_scoped(spark, (
         stream_session_window(spark, sf_dir)
         .writeStream.format("memory")
         .queryName(table_name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
-    )
+    ))
     try:
         q.awaitTermination(timeout_sec)
     finally:
@@ -194,14 +226,13 @@ def run_stateful_fold(spark: SparkSession, sf_dir: str,
                       timeout_sec: int = 120) -> DataFrame:
     """Run the stateful fold over the finite fixture; the last update per
     user is the final state (single micro-batch with availableNow)."""
-    q = (
+    q = _start_scoped(spark, (
         stateful_user_fold(spark, sf_dir)
         .writeStream.format("memory")
         .queryName(table_name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
-    )
+    ))
     try:
         q.awaitTermination(timeout_sec)
     finally:
@@ -257,14 +288,13 @@ def batch_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_stream_stream_join(spark: SparkSession, sf_dir: str,
                            table_name: str = "stream_ssj",
                            timeout_sec: int = 120) -> DataFrame:
-    q = (
+    q = _start_scoped(spark, (
         stream_stream_join(spark, sf_dir)
         .writeStream.format("memory")
         .queryName(table_name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
-    )
+    ))
     try:
         q.awaitTermination(timeout_sec)
     finally:
@@ -290,14 +320,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_stream_static_join(spark: SparkSession, sf_dir: str,
                            table_name: str = "stream_ssj_static",
                            timeout_sec: int = 120) -> DataFrame:
-    q = (
+    q = _start_scoped(spark, (
         stream_static_join(spark, sf_dir)
         .writeStream.format("memory")
         .queryName(table_name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
-    )
+    ))
     try:
         q.awaitTermination(timeout_sec)
     finally:
@@ -323,14 +352,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str,
 def run_stream_dedup(spark: SparkSession, sf_dir: str,
                      table_name: str = "stream_dedup",
                      timeout_sec: int = 120) -> DataFrame:
-    q = (
+    q = _start_scoped(spark, (
         stream_dedup(spark, sf_dir)
         .writeStream.format("memory")
         .queryName(table_name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
-    )
+    ))
     try:
         q.awaitTermination(timeout_sec)
     finally:
@@ -350,13 +378,12 @@ def run_stream_foreach_batch(spark: SparkSession, sf_dir: str,
         seen.append(batch_id)
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    q = (
+    q = _start_scoped(spark, (
         stream_tumbling_window(spark, sf_dir)
         .writeStream.foreachBatch(sink)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
-    )
+    ))
     try:
         q.awaitTermination(timeout_sec)
     finally:
@@ -390,9 +417,10 @@ def nd_stream_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture is a single file
     src = (spark.readStream.schema(schema)
            .parquet(f"{sf_dir}/documents.parqu*"))
-    q = (gopher_flags_frame(src)
-         .writeStream.format("memory").queryName("stream_gopher_gate")
-         .outputMode("append").trigger(availableNow=True).start())
+    q = _start_scoped(spark, gopher_flags_frame(src)
+                      .writeStream.format("memory")
+                      .queryName("stream_gopher_gate")
+                      .outputMode("append").trigger(availableNow=True))
     try:
         q.awaitTermination(120)
     finally:
