@@ -99,7 +99,15 @@ def nd_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope": [None if slope is None else round(slope, 6)],
         })
 
-    events = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    # Bounded to the low-key user slice: applyInPandas pays ~4-5 ms of
+    # Arrow-slice + frame-build overhead PER GROUP, which is the right
+    # trade for few/large groups and an anti-pattern for many small ones
+    # (this module's own A/B: 1500 tiny groups ran 8x slower here than
+    # nd_grouped_python's repartition+mapInPandas form, which remains the
+    # full-corpus path below). The demo now matches its documented use.
+    events = (table(spark, sf_dir, "events")
+              .where(F.col("user_id") < 300)
+              .select("user_id", "event_id", "value"))
     return (events.groupBy("user_id").applyInPandas(fit, GROUP_OLS_SCHEMA)
             .orderBy("user_id"))
 
@@ -195,7 +203,7 @@ QUERIES = {
         nd_applyinpandas,
         "SELECT user_id, COUNT(*) AS n, "
         "ROUND(regr_slope(value, event_id), 6) AS slope "
-        "FROM events GROUP BY user_id ORDER BY user_id",
+        "FROM events WHERE user_id < 300 GROUP BY user_id ORDER BY user_id",
     ),
     "nd_grouped_python": (
         nd_grouped_python,
