@@ -340,6 +340,38 @@ def nd_bpe_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nd_corpus_stats ---------------------------------------------------------
+def nd_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card report: per language — document count, distinct
+    sources, token/char totals, and document-length bounds. The one-pass
+    summary a dataset card or mixing stage reads before training; all
+    integer outputs, one groupBy(lang) shuffle carrying counters only."""
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.size(words("text"))
+    return (
+        docs.select("lang", "source", "n_chars", n_words.alias("n_words"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("int").alias("n_docs"),
+             F.countDistinct("source").cast("int").alias("n_sources"),
+             F.sum("n_words").cast("int").alias("total_words"),
+             F.sum("n_chars").cast("int").alias("total_chars"),
+             F.min("n_words").cast("int").alias("min_words"),
+             F.max("n_words").cast("int").alias("max_words"))
+        .orderBy("lang")
+    )
+
+
+_CORPUS_STATS_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS INTEGER) AS n_docs,
+  CAST(COUNT(DISTINCT source) AS INTEGER) AS n_sources,
+  CAST(SUM(len(string_split(lower(text), ' '))) AS INTEGER) AS total_words,
+  CAST(SUM(n_chars) AS INTEGER) AS total_chars,
+  CAST(MIN(len(string_split(lower(text), ' '))) AS INTEGER) AS min_words,
+  CAST(MAX(len(string_split(lower(text), ' '))) AS INTEGER) AS max_words
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --- DuckDB oracles ----------------------------------------------------------
 _AUG_SQL = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
@@ -470,4 +502,5 @@ QUERIES = {
     "nd_seq_pack": (nd_seq_pack, _SEQ_PACK_ORACLE),
     "nd_ngram_overlap": (nd_ngram_overlap, _NGRAM_OVERLAP_ORACLE),
     "nd_domain_mix": (nd_domain_mix, _DOMAIN_MIX_ORACLE),
+    "nd_corpus_stats": (nd_corpus_stats, _CORPUS_STATS_ORACLE),
 }

@@ -444,7 +444,65 @@ SELECT cluster, COUNT(*) AS n_vectors FROM a GROUP BY cluster ORDER BY cluster
 """
 
 
+def nd_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8-style quantization (min/max affine, 0..255 codes)
+    with reconstruction-error audit — the storage-compression step before
+    an ANN index ships (4x smaller than float32; IVF/LSH probe the codes,
+    rerank on floats). Quantization params (lo/hi/scale) are PROJECTED
+    before the per-element transform references them — the HOF
+    re-evaluation trap again: inlined array_min/array_max would recompute
+    per element. Every arithmetic step is an identical double-op sequence
+    in both engines, so codes AND the max-error doubles hash exactly.
+    Per-row codegen; zero shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding",
+        F.array_min("embedding").cast("double").alias("lo"),
+        F.array_max("embedding").cast("double").alias("hi"),
+    ).withColumn("scale", (F.col("hi") - F.col("lo")) / F.lit(255.0))
+    lo, scale = F.col("lo"), F.col("scale")
+    coded = base.withColumn(
+        "codes",
+        F.when(F.col("hi") > F.col("lo"),
+               F.transform("embedding",
+                           lambda v: F.floor((v.cast("double") - lo) / scale
+                                             + F.lit(0.5)).cast("int")))
+        .otherwise(F.transform("embedding", lambda v: F.lit(0))))
+    err = F.array_max(F.zip_with(
+        "codes", "embedding",
+        lambda c, v: F.abs(lo + c.cast("double") * scale
+                           - v.cast("double"))))
+    return (
+        coded.select(
+            "vec_id", "lo", "hi",
+            F.aggregate("codes", F.lit(0).cast("long"),
+                        lambda a, v: a + v).cast("int").alias("q_sum"),
+            F.col("codes")[0].alias("q0"),
+            err.alias("max_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QUANTIZE_ORACLE = """
+WITH b AS (SELECT vec_id, embedding,
+  CAST(list_min(embedding) AS DOUBLE) AS lo,
+  CAST(list_max(embedding) AS DOUBLE) AS hi FROM embeddings),
+s AS (SELECT *, (hi - lo) / 255.0 AS scale FROM b),
+c AS (SELECT vec_id, lo, hi, scale, embedding,
+  CASE WHEN hi > lo THEN list_transform(embedding,
+    v -> CAST(floor((CAST(v AS DOUBLE) - lo) / scale + 0.5) AS INTEGER))
+  ELSE list_transform(embedding, v -> 0) END AS codes FROM s)
+SELECT vec_id, lo, hi,
+  CAST(list_sum(codes) AS INTEGER) AS q_sum,
+  codes[1] AS q0,
+  list_max(list_transform(list_zip(codes, embedding),
+    p -> abs(lo + p[1] * scale - CAST(p[2] AS DOUBLE)))) AS max_err
+FROM c ORDER BY vec_id
+"""
+
 QUERIES = {
+    "nd_embedding_quantize": (nd_embedding_quantize, _QUANTIZE_ORACLE),
     "q30_nn": (
         q30_nn,
         "SELECT a.vec_id AS vec_id, "
