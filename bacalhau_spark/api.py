@@ -15,6 +15,9 @@ Routes:
   GET  /describe?run_id=X           — spec + state + events + manifest
   GET  /results?run_id=X&limit=N    — rows read back from the run's sink
   POST /submit   {"spec": {...}}    — admit a JobSpec; returns run_id
+  POST /pipeline {"stages": [...]}  — run a DAG-of-jobs document; returns
+                                      per-stage terminal statuses (409 if
+                                      any stage failed/cancelled)
 
 Submit is ASYNCHRONOUS (the reference's model, `pkg/publicapi/server.go:329`):
 the engine validates, runs the policy hooks, and admits the run to the
@@ -232,8 +235,41 @@ class ApiServer:
         if not hmac.compare_digest(signature, want):
             raise AuthError(f"bad signature for client {client_id!r}")
 
+    def _handle_pipeline(self, handler: BaseHTTPRequestHandler,
+                         parsed) -> None:
+        """POST /pipeline: run a DAG-of-jobs document SYNCHRONOUSLY (waves
+        already parallelize inside the engine; the response carries every
+        stage's terminal status). Signed like /submit."""
+        from bacalhau_spark.engine import PipelineError
+        try:
+            length = int(handler.headers.get("Content-Length", "0"))
+            body = handler.rfile.read(length) or b"{}"
+            self._check_auth(handler, body, handler.path)
+            doc = json.loads(body)
+            stages = doc["stages"] if isinstance(doc, dict) else doc
+            try:
+                statuses = self.engine.submit_pipeline(stages)
+                failed = False
+            except PipelineError as exc:
+                statuses, failed = exc.statuses, True
+            out = {"stages": {
+                n: (st if st in ("Cancelled", "Rejected")
+                    else self.engine.state(st))
+                for n, st in statuses.items()},
+                "run_ids": statuses, "failed": failed}
+            self._reply(handler, 409 if failed else 200, out)
+        except AuthError as exc:
+            self._reply(handler, 401, {"error": str(exc)})
+        except (ValueError, json.JSONDecodeError, KeyError) as exc:
+            self._reply(handler, 400, {"error": repr(exc)})
+        except Exception as exc:  # noqa: BLE001
+            self._reply(handler, 500, {"error": repr(exc)})
+
     def _handle_post(self, handler: BaseHTTPRequestHandler) -> None:
         parsed = urlparse(handler.path)
+        if parsed.path == "/pipeline":
+            self._handle_pipeline(handler, parsed)
+            return
         if parsed.path != "/submit":
             self._reply(handler, 404, {"error": f"no route {parsed.path}"})
             return
@@ -277,9 +313,10 @@ class ApiServer:
 
 
 class ApiError(RuntimeError):
-    def __init__(self, status: int, message: str):
+    def __init__(self, status: int, message: str, body: dict | None = None):
         super().__init__(f"HTTP {status}: {message}")
         self.status = status
+        self.body = body or {}
 
 
 class ApiClient:
@@ -316,10 +353,11 @@ class ApiClient:
                 return json.loads(resp.read())
         except HTTPError as exc:
             try:
-                msg = json.loads(exc.read()).get("error", "")
+                body = json.loads(exc.read())
+                msg = body.get("error", "")
             except Exception:  # noqa: BLE001
-                msg = exc.reason
-            raise ApiError(exc.code, msg) from None
+                body, msg = {}, exc.reason
+            raise ApiError(exc.code, msg, body) from None
 
     def healthz(self) -> bool:
         return self._request("/healthz").get("status") == "OK"
@@ -337,6 +375,18 @@ class ApiClient:
     def submit_async(self, spec: dict) -> dict:
         """Non-blocking submit; returns {run_id, state[, queue_position]}."""
         return self._request("/submit", None, {"spec": spec})
+
+    def pipeline(self, stages: list[dict]) -> dict:
+        """Run a DAG-of-jobs document; returns {stages, run_ids, failed}.
+        A pipeline with failed/cancelled stages surfaces as HTTP 409 whose
+        body still carries every stage's status — re-shaped here so the
+        caller always gets the status map."""
+        try:
+            return self._request("/pipeline", None, {"stages": stages})
+        except ApiError as exc:
+            if exc.status == 409 and "stages" in exc.body:
+                return exc.body
+            raise
 
     def list_runs(self) -> dict[str, str]:
         return self._request("/list")["runs"]

@@ -306,3 +306,39 @@ def test_results_conflict_while_running(spark, tmp_path):
     finally:
         gate.set()
         server.shutdown()
+
+
+def test_pipeline_endpoint_success(api, tmp_path):
+    out = api.pipeline([
+        {"name": "a", "query": "q01_scan_projection",
+         "inputs": {"sf_dir": SF_DIR},
+         "outputs": {"path": str(tmp_path / "nation.parquet")}},
+        {"name": "b", "query": "q01_scan_projection", "after": ["a"],
+         "inputs": {"sf_dir": str(tmp_path)}},
+    ])
+    assert out["failed"] is False
+    assert set(out["stages"]) == {"a", "b"}
+    assert all(s in ("Completed", "ResultsAccepted")
+               for s in out["stages"].values())
+
+
+def test_pipeline_endpoint_failure_carries_statuses(api):
+    out = api.pipeline([
+        {"name": "a", "query": "no_such_query",
+         "inputs": {"sf_dir": SF_DIR}},
+        {"name": "b", "query": "q01_scan_projection", "after": ["a"],
+         "inputs": {"sf_dir": SF_DIR}},
+    ])
+    assert out["failed"] is True
+    assert out["stages"]["b"] == "Cancelled"
+
+
+def test_pipeline_endpoint_rejects_cycle(api):
+    with pytest.raises(ApiError) as ei:
+        api.pipeline([
+            {"name": "a", "query": "q01_scan_projection", "after": ["b"],
+             "inputs": {"sf_dir": SF_DIR}},
+            {"name": "b", "query": "q01_scan_projection", "after": ["a"],
+             "inputs": {"sf_dir": SF_DIR}},
+        ])
+    assert ei.value.status == 400
