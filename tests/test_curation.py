@@ -217,3 +217,31 @@ def test_gopher_filter_stream_equals_batch(spark, sf_dir, tmp_path):
     batch_rows = sorted(
         tuple(r) for r in curation.gopher_flags_frame(batch_df).collect())
     assert stream_rows == batch_rows
+
+
+def test_embedding_quantize_is_pure_mapper(spark, sf_dir):
+    """Quantization must stay a per-row mapper: no Python nodes, and the
+    only exchange is the final sort's rangepartitioning."""
+    from bacalhau_spark.operators.similarity import nd_embedding_quantize
+    df = nd_embedding_quantize(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert "Python" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) <= 1, plan
+    assert all("rangepartitioning" in ln for ln in exchanges), plan
+    rows = df.collect()
+    assert all(0 <= r.q0 <= 255 for r in rows)
+    # max reconstruction error bounded by half a quantization step
+    assert all(r.max_err <= (r.hi - r.lo) / 255.0 * 0.5 + 1e-12
+               for r in rows)
+
+
+def test_corpus_stats_totals_consistent(spark, sf_dir):
+    from bacalhau_spark.operators.curation import nd_corpus_stats
+    from bacalhau_spark.catalog import table
+    rows = nd_corpus_stats(spark, sf_dir).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.min_words <= r.max_words
+        assert r.n_docs * r.min_words <= r.total_words <= r.n_docs * r.max_words
