@@ -34,7 +34,8 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceWriter, InputPartition,
+                                    DataSourceStreamWriter, DataSourceWriter,
+                                    InputPartition,
                                     SimpleDataSourceStreamReader,
                                     WriterCommitMessage)
 
@@ -77,6 +78,9 @@ class ContentStoreDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "ContentStoreStreamReader":
         return ContentStoreStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "ContentStoreStreamWriter":
+        return ContentStoreStreamWriter(self.options)
 
 
 def _is_address(name: str) -> bool:
@@ -238,6 +242,63 @@ class ContentStoreWriter(DataSourceWriter):
         # Blobs are content-addressed and immutable; orphans from a failed
         # write are harmless (unreferenced by any manifest) and reusable.
         pass
+
+
+class ContentStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming publish: every micro-batch's tasks publish their rows as
+    content-addressed blobs (same canonical-JSONL-per-partition shape as
+    the batch writer) and the driver-side commit publishes one manifest
+    blob PER BATCH, recorded as MANIFEST-<batchId> — so a stream into the
+    store is an append-only chain of verifiable manifests (the continuous
+    form of the reference's publish-results-per-job loop). Exactly-once:
+    Spark replays a failed batch with the same batchId, and identical rows
+    re-publish to identical addresses — the re-write is a no-op and the
+    manifest overwrite is idempotent."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("contentstore requires option 'path'")
+
+    def write(self, iterator) -> _BlobCommit:
+        import hashlib as _hashlib
+        import os as _os
+
+        lines = [str(row[0]) for row in iterator]
+        content = "\n".join(lines).encode("utf-8")
+        addr = _hashlib.md5(content).hexdigest()
+        _os.makedirs(self.root, exist_ok=True)
+        path = _os.path.join(self.root, addr)
+        if not _os.path.exists(path):
+            tmp = f"{path}.tmp.{_os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(content)
+            _os.replace(tmp, path)
+        return _BlobCommit(address=addr, n_rows=len(lines))
+
+    def commit(self, messages, batchId: int) -> None:
+        entries = sorted({(m.address, m.n_rows) for m in messages if m})
+        manifest = "\n".join(f"{a} {n}" for a, n in entries).encode("utf-8")
+        addr = store_put(self.root, manifest)
+        with open(os.path.join(self.root, f"MANIFEST-{batchId}"), "w") as f:
+            f.write(addr)
+
+    def abort(self, messages, batchId: int) -> None:
+        pass  # orphaned blobs are unreferenced and reusable (see batch)
+
+
+def batch_manifests(root: str) -> dict[int, list[tuple[str, int]]]:
+    """All committed streaming batches: {batchId: [(addr, n_rows), ...]}."""
+    out: dict[int, list[tuple[str, int]]] = {}
+    for name in os.listdir(root):
+        if name.startswith("MANIFEST-"):
+            with open(os.path.join(root, name)) as f:
+                addr = f.read().strip()
+            with open(os.path.join(root, addr)) as f:
+                out[int(name.split("-", 1)[1])] = [
+                    (a, int(n)) for a, n in
+                    (ln.split() for ln in f.read().splitlines() if ln)]
+    return out
 
 
 def last_manifest(root: str) -> tuple[str, list[tuple[str, int]]]:

@@ -129,3 +129,34 @@ def test_stream_reader_emits_new_blobs_exactly_once(spark, tmp_path):
         assert len({(r.address, r.line_no) for r in rows}) == 5
     finally:
         q.stop()
+
+
+def test_stream_writer_publishes_per_batch_manifests(spark, tmp_path):
+    """Streaming publish: a file-stream source written to the contentstore
+    yields per-batch manifests whose blobs all pass the verified read and
+    whose row total equals the source."""
+    import shutil
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                src_dir / "d.parquet")
+    out_root = str(tmp_path / "stream_out")
+    schema = spark.read.parquet(str(src_dir)).schema
+    cs.register(spark)
+    q = (spark.readStream.schema(schema).parquet(str(src_dir))
+         .selectExpr("to_json(struct(*)) AS value")
+         .writeStream.format("contentstore").option("path", out_root)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    batches = cs.batch_manifests(out_root)
+    assert batches, "no streaming batch manifests published"
+    total = sum(n for entries in batches.values() for _, n in entries)
+    assert total == 500
+    addrs = [a for entries in batches.values() for a, _ in entries]
+    df = cs.read_addresses(spark, out_root, addrs)
+    assert df.count() == 500
