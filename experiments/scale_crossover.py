@@ -87,7 +87,42 @@ SHAPES = {
         "sql": None,  # engine-specific below (md5/list functions differ)
         "tables": ("documents",),
     },
+    "curation_gates": {  # nd_gopher_filter shape: per-row array gates
+        "sql": None,  # engine-specific below (array function names differ)
+        "tables": ("documents",),
+    },
 }
+
+# The Gopher-gate conjunction reduced to one number, so the full per-row
+# expression tree evaluates end-to-end (the round-4 curation plane's
+# dominant shape: token-array stats + integer threshold gates, no shuffle).
+CURATION_GATES_DUCK = """
+SELECT SUM(CAST(n_words BETWEEN 15 AND 90
+  AND len_ns * 10 BETWEEN n_words * 25 AND n_words * 65
+  AND n_stop >= 2 AND n_alpha * 10 >= n_words * 8 AS INTEGER)) AS kept
+FROM (SELECT
+  len(string_split(lower(text), ' ')) AS n_words,
+  length(replace(text, ' ', '')) AS len_ns,
+  len(list_filter(string_split(lower(text), ' '),
+      x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop,
+  len(list_filter(string_split(lower(text), ' '),
+      x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha
+FROM documents) t
+"""
+
+CURATION_GATES_SPARK = """
+SELECT SUM(CAST(n_words BETWEEN 15 AND 90
+  AND len_ns * 10 BETWEEN n_words * 25 AND n_words * 65
+  AND n_stop >= 2 AND n_alpha * 10 >= n_words * 8 AS INT)) AS kept
+FROM (SELECT
+  size(split(lower(text), ' ')) AS n_words,
+  length(replace(text, ' ', '')) AS len_ns,
+  size(filter(split(lower(text), ' '),
+      x -> array_contains(array('the','a','of','and','to','in','is'), x)))
+      AS n_stop,
+  size(filter(split(lower(text), ' '), x -> x rlike '^[a-z]+$')) AS n_alpha
+FROM documents) t
+"""
 
 TEXT_HASH_DUCK = """
 SELECT SUM(h) AS total FROM (
@@ -149,6 +184,11 @@ def main() -> None:
                 s_fn = (lambda d=d: spark_text_hash(spark, d)
                         .write.mode("overwrite").format("noop").save())
                 d_fn = lambda con=con: con.execute(TEXT_HASH_DUCK).fetchall()
+            elif shape == "curation_gates":
+                s_fn = (lambda: spark.sql(CURATION_GATES_SPARK)
+                        .write.mode("overwrite").format("noop").save())
+                d_fn = (lambda con=con:
+                        con.execute(CURATION_GATES_DUCK).fetchall())
             else:
                 sql = spec["sql"]
                 s_fn = (lambda sql=sql: spark.sql(sql)
