@@ -384,6 +384,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                 .localCheckpoint(eager=True))
     sizes = (postings.select(F.explode("ids").alias("doc_id"))
              .groupBy("doc_id").agg(F.count("*").alias("n")))
+    # Struct pair keys on purpose: packing (a,b) into one long (a<<32|b)
+    # is ~13% faster at sf0.1 (A/B'd, identical output) but caps doc ids
+    # at 2^32 — a corpus-scale pipeline keys documents by 64-bit hashes,
+    # so the general form wins the design call.
     pair_expr = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
