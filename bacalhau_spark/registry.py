@@ -61,6 +61,10 @@ _PRIORITY: tuple[str, ...] = (
     # perf-rewritten during the round-4 sweep (oracle unchanged, plans new)
     "nd_percentiles", "nd_ann_lsh", "nd_ann_lsh_bucketstats",
     "tpch_q16_supplier_cnt",
+    # streaming helpers re-planned (scoped state partitioning) — fresh
+    # rows per the changed-code-goes-first rule
+    "nd_stream_tumbling", "nd_stream_stream_join", "nd_stream_static_join",
+    "nd_stream_dedup", "nd_stream_sessions", "nd_stream_stateful",
     # 3. headline bench set (session-config changes re-plan these)
     "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",
     "q28_tumbling_window", "q3_shipping_priority", "nd_asof_join",
