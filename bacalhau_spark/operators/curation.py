@@ -361,6 +361,35 @@ def nd_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate report: per language, how many documents survive exact
+    text dedup and how many duplicate copies would be dropped — the
+    before/after numbers a curation run publishes alongside its output
+    (complements nd_dedup_exact, which emits the survivors themselves).
+    Shuffles 16-byte fingerprints, never text; two narrow aggregations."""
+    docs = table(spark, sf_dir, "documents")
+    groups = (docs.select("lang", F.md5("text").alias("fp"))
+              .groupBy("lang", "fp").agg(F.count("*").alias("copies")))
+    return (
+        groups.groupBy("lang")
+        .agg(F.count("*").cast("int").alias("n_unique"),
+             F.sum("copies").cast("int").alias("n_docs"),
+             (F.sum("copies") - F.count("*")).cast("int")
+             .alias("n_dropped"))
+        .orderBy("lang")
+    )
+
+
+_DEDUP_STATS_ORACLE = """
+WITH g AS (SELECT lang, md5(text) AS fp, COUNT(*) AS copies
+           FROM documents GROUP BY lang, fp)
+SELECT lang, CAST(COUNT(*) AS INTEGER) AS n_unique,
+  CAST(SUM(copies) AS INTEGER) AS n_docs,
+  CAST(SUM(copies) - COUNT(*) AS INTEGER) AS n_dropped
+FROM g GROUP BY lang ORDER BY lang
+"""
+
+
 _CORPUS_STATS_ORACLE = """
 SELECT lang, CAST(COUNT(*) AS INTEGER) AS n_docs,
   CAST(COUNT(DISTINCT source) AS INTEGER) AS n_sources,
@@ -503,4 +532,5 @@ QUERIES = {
     "nd_ngram_overlap": (nd_ngram_overlap, _NGRAM_OVERLAP_ORACLE),
     "nd_domain_mix": (nd_domain_mix, _DOMAIN_MIX_ORACLE),
     "nd_corpus_stats": (nd_corpus_stats, _CORPUS_STATS_ORACLE),
+    "nd_dedup_stats": (nd_dedup_stats, _DEDUP_STATS_ORACLE),
 }

@@ -57,7 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_ngram_overlap", "nd_domain_mix", "nd_bpe_pair_count", "nd_profile",
     "nd_multimodal_resize",
     "nd_asof_forward", "nd_stream_gopher", "nd_applyinpandas",
-    "nd_corpus_stats", "nd_embedding_quantize",
+    "nd_corpus_stats", "nd_embedding_quantize", "nd_dedup_stats",
     # perf-rewritten during the round-4 sweep (oracle unchanged, plans new)
     "nd_percentiles", "nd_ann_lsh", "nd_ann_lsh_bucketstats",
     "tpch_q16_supplier_cnt",
