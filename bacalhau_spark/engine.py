@@ -453,15 +453,26 @@ class Engine:
                 hit = self._result_index.get(_content_key(spec))
                 if hit and self.state(hit[0]) in TERMINAL_OK_STATES:
                     prior_id, manifest = hit
-                    with self._lock:
-                        # the run's readable artifact IS the prior run's
-                        # sink; describe/fetch_results resolve through it
-                        self._specs[run_id] = self._specs[prior_id]
-                    self._emit(run_id, EVT_RESULTS_REUSED,
-                               f"reused {prior_id} manifest={manifest}")
-                    self._emit(run_id, EVT_COMPLETED, manifest)
-                    self._done[run_id].set()
-                    return run_id
+                    prior_path = self._specs[prior_id].outputs.get("path")
+                    declared = spec.outputs.get("path")
+                    # A hit only short-circuits when this run's declared
+                    # sink is satisfied by the prior artifact: either no
+                    # sink was declared (the run just points at the prior
+                    # result) or it is the SAME path the prior run wrote.
+                    # A different declared path must execute for real —
+                    # otherwise it is never written and a dependent
+                    # pipeline stage reads a missing (or stale) path.
+                    if not declared or declared == prior_path:
+                        with self._lock:
+                            # the run's readable artifact IS the prior
+                            # run's sink; describe/fetch_results resolve
+                            # through it
+                            self._specs[run_id] = self._specs[prior_id]
+                        self._emit(run_id, EVT_RESULTS_REUSED,
+                                   f"reused {prior_id} manifest={manifest}")
+                        self._emit(run_id, EVT_COMPLETED, manifest)
+                        self._done[run_id].set()
+                        return run_id
             req = self.capacity.requirements(spec.resources)
             self.capacity.enqueue(run_id, req)
         except BaseException as exc:  # noqa: BLE001 — recorded, re-raised
@@ -621,7 +632,12 @@ class Engine:
                 try:
                     self.wait(run_ids[n])
                     statuses[n] = run_ids[n]
-                    path = by_name[n].get("outputs", {}).get("path")
+                    # Resolve the hand-off through the run's EFFECTIVE
+                    # spec, not the stage document: a reuse cache hit
+                    # swaps the run's spec to the prior run's, and that
+                    # prior sink is the artifact the child must read.
+                    path = self._specs[run_ids[n]].outputs.get("path") \
+                        or by_name[n].get("outputs", {}).get("path")
                     if path:
                         out_paths[n] = path
                 except Exception as exc:
@@ -774,7 +790,18 @@ def _content_key(spec: JobSpec) -> str:
     """Content-addressed identity of a computation: the query name plus its
     inputs, canonically serialized. Inputs are immutable paths (the CID
     analog), so equal keys mean equal computations; outputs/resources/
-    annotations are execution details, not identity."""
-    doc = json.dumps({"query": spec.query, "inputs": spec.inputs},
+    annotations are execution details, not identity.
+
+    A shipped context dir IS identity: query closures can import its code
+    via context_module(), so the same (query, inputs) over different
+    context contents is a different computation. The archive's content
+    digest (the namespace build_context_archive derives) is folded in —
+    editing a context file changes the key, so reuse never serves a result
+    computed with stale code."""
+    ctx = ""
+    if spec.context:
+        _, ctx = build_context_archive(spec.context)
+    doc = json.dumps({"query": spec.query, "inputs": spec.inputs,
+                      "context": ctx},
                      sort_keys=True)
     return hashlib.sha256(doc.encode()).hexdigest()

@@ -59,6 +59,18 @@ def store_size(root: str, addr: str) -> int:
     return os.stat(os.path.join(root, addr)).st_size
 
 
+def _publish_pointer(root: str, name: str, addr: str) -> None:
+    """Publish a mutable pointer file (MANIFEST / MANIFEST-<batchId>) with
+    the same tmp + os.replace discipline as blobs: a concurrent
+    last_manifest()/batch_manifests() reader never observes a truncated or
+    half-overwritten address."""
+    path = os.path.join(root, name)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(addr)
+    os.replace(tmp, path)
+
+
 class ContentStoreDataSource(DataSource):
     """`spark.read.format("contentstore").option("path", root)
     .option("addresses", "h1,h2,...").load()`"""
@@ -74,13 +86,29 @@ class ContentStoreDataSource(DataSource):
         return ContentStoreReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "ContentStoreWriter":
+        _check_write_schema(schema)
         return ContentStoreWriter(self.options)
 
     def simpleStreamReader(self, schema) -> "ContentStoreStreamReader":
         return ContentStoreStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> "ContentStoreStreamWriter":
+        _check_write_schema(schema)
         return ContentStoreStreamWriter(self.options)
+
+
+def _check_write_schema(schema) -> None:
+    """Enforce the documented (value string) write contract at PLANNING
+    time. Task-side `str(row[0])` would otherwise silently drop every
+    column after the first, and str() of a non-string value changes the
+    bytes — and thus the published address — without warning."""
+    from pyspark.sql.types import StringType
+    fields = schema.fields
+    if len(fields) != 1 or not isinstance(fields[0].dataType, StringType):
+        raise ValueError(
+            "contentstore writes exactly one string column (value string); "
+            f"got schema {schema.simpleString()} — serialize richer rows "
+            "with to_json first")
 
 
 def _is_address(name: str) -> bool:
@@ -235,8 +263,7 @@ class ContentStoreWriter(DataSourceWriter):
         entries = sorted({(m.address, m.n_rows) for m in messages if m})
         manifest = "\n".join(f"{a} {n}" for a, n in entries).encode("utf-8")
         addr = store_put(self.root, manifest)
-        with open(os.path.join(self.root, "MANIFEST"), "w") as f:
-            f.write(addr)
+        _publish_pointer(self.root, "MANIFEST", addr)
 
     def abort(self, messages) -> None:
         # Blobs are content-addressed and immutable; orphans from a failed
@@ -280,8 +307,7 @@ class ContentStoreStreamWriter(DataSourceStreamWriter):
         entries = sorted({(m.address, m.n_rows) for m in messages if m})
         manifest = "\n".join(f"{a} {n}" for a, n in entries).encode("utf-8")
         addr = store_put(self.root, manifest)
-        with open(os.path.join(self.root, f"MANIFEST-{batchId}"), "w") as f:
-            f.write(addr)
+        _publish_pointer(self.root, f"MANIFEST-{batchId}", addr)
 
     def abort(self, messages, batchId: int) -> None:
         pass  # orphaned blobs are unreferenced and reusable (see batch)
@@ -291,7 +317,7 @@ def batch_manifests(root: str) -> dict[int, list[tuple[str, int]]]:
     """All committed streaming batches: {batchId: [(addr, n_rows), ...]}."""
     out: dict[int, list[tuple[str, int]]] = {}
     for name in os.listdir(root):
-        if name.startswith("MANIFEST-"):
+        if name.startswith("MANIFEST-") and ".tmp." not in name:
             with open(os.path.join(root, name)) as f:
                 addr = f.read().strip()
             with open(os.path.join(root, addr)) as f:

@@ -98,6 +98,42 @@ def test_writer_publishes_content_addressed_manifest(spark, tmp_path):
     assert sorted(r.value for r in df.collect()) == [r[0] for r in rows]
 
 
+def test_writer_rejects_multi_column_and_non_string(spark, tmp_path):
+    """The (value string) write contract is enforced at planning time:
+    a multi-column frame would silently lose every column after the
+    first, and str() of a non-string value changes the published bytes
+    (and thus the address) without warning."""
+    root = str(tmp_path / "bad_store")
+    cs.register(spark)
+    two_cols = spark.createDataFrame([("a", 1)], "value string, n int")
+    with pytest.raises(Exception, match="one string column"):
+        (two_cols.write.format("contentstore").option("path", root)
+         .mode("append").save())
+    ints = spark.createDataFrame([(1,), (2,)], "value int")
+    with pytest.raises(Exception, match="one string column"):
+        (ints.write.format("contentstore").option("path", root)
+         .mode("append").save())
+    assert not os.path.exists(root)  # nothing was published
+
+
+def test_manifest_pointers_published_atomically(spark, tmp_path):
+    """Pointer files get the blob discipline (tmp + os.replace): no tmp
+    residue after a commit, and a stale crash-leftover tmp pointer is
+    ignored by batch_manifests instead of crashing it."""
+    root = str(tmp_path / "ptr_store")
+    cs.register(spark)
+    df = spark.createDataFrame([("x",), ("y",)], "value string")
+    (df.write.format("contentstore").option("path", root)
+     .mode("append").save())
+    assert not [n for n in os.listdir(root) if ".tmp." in n]
+    addr, entries = cs.last_manifest(root)
+    assert sum(n for _, n in entries) == 2
+    # simulate a crashed writer's leftover tmp pointer
+    with open(os.path.join(root, "MANIFEST-7.tmp.999"), "w") as f:
+        f.write("garbage")
+    assert cs.batch_manifests(root) == {}  # no committed stream batches
+
+
 def test_stream_reader_emits_new_blobs_exactly_once(spark, tmp_path):
     """Streaming mounts: newly pinned blobs flow through readStream exactly
     once; already-delivered addresses never re-emit (offset = delivered

@@ -470,3 +470,46 @@ def test_result_reuse_distinguishes_inputs(engine):
         query="q25_topk", inputs={"sf_dir": SF_DIR, "variant": "x"},
         reuse=True))
     assert "ResultsReused" not in [e.name for e in engine.events(other)]
+
+
+def test_result_reuse_bypassed_for_fresh_output_path(engine, spark, tmp_path):
+    """A reuse=True submit whose declared outputs.path differs from the
+    cached run's must execute for real: short-circuiting would leave the
+    declared path unwritten (and a '@parent' pipeline hand-off reading a
+    missing — or stale — path)."""
+    path_a = str(tmp_path / "a")
+    engine.submit(JobSpec(query="q25_topk", inputs={"sf_dir": SF_DIR},
+                          outputs={"path": path_a}, verified=True))
+    path_b = str(tmp_path / "b")
+    second = engine.submit(JobSpec(query="q25_topk",
+                                   inputs={"sf_dir": SF_DIR},
+                                   outputs={"path": path_b}, reuse=True))
+    names = [e.name for e in engine.events(second)]
+    assert "ResultsReused" not in names and "Running" in names
+    assert spark.read.parquet(path_b).count() > 0
+    # …but the SAME declared path is satisfied by the prior artifact:
+    third = engine.submit(JobSpec(query="q25_topk",
+                                  inputs={"sf_dir": SF_DIR},
+                                  outputs={"path": path_a}, reuse=True))
+    assert "ResultsReused" in [e.name for e in engine.events(third)]
+
+
+def test_result_reuse_distinguishes_context(engine, tmp_path):
+    """spec.context is part of a computation's identity: query closures
+    can import shipped context code, so same (query, inputs) over a
+    DIFFERENT context dir must not hit the result cache."""
+    ctx1 = tmp_path / "ctx1"
+    ctx1.mkdir()
+    (ctx1 / "helper.py").write_text("K = 1\n")
+    ctx2 = tmp_path / "ctx2"
+    ctx2.mkdir()
+    (ctx2 / "helper.py").write_text("K = 2\n")
+    engine.submit(JobSpec(query="q25_topk", inputs={"sf_dir": SF_DIR},
+                          context=str(ctx1), verified=True))
+    other = engine.submit(JobSpec(query="q25_topk", inputs={"sf_dir": SF_DIR},
+                                  context=str(ctx2), reuse=True))
+    assert "ResultsReused" not in [e.name for e in engine.events(other)]
+    # identical context content => identical key => reuse
+    same = engine.submit(JobSpec(query="q25_topk", inputs={"sf_dir": SF_DIR},
+                                 context=str(ctx1), reuse=True))
+    assert "ResultsReused" in [e.name for e in engine.events(same)]

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from bacalhau_spark.engine import Engine, PipelineError
+from bacalhau_spark.engine import Engine, JobSpec, PipelineError
 from bacalhau_spark.registry import queries
 
 from tests.conftest import SF_DIR
@@ -93,6 +93,45 @@ def test_failed_stage_cancels_transitive_dependents(dag_engine, tmp_path):
     assert st["a"] not in ("Cancelled", "Rejected")
     assert dag_engine.state(st["bad"]) == "Error"
     assert st["c"] == "Cancelled" and st["d"] == "Cancelled"
+
+
+def test_reuse_parent_hand_off_reads_real_data(dag_engine, tmp_path, spark):
+    """The ADVICE regression: a parent stage with reuse:true whose content
+    key already sits in the result cache but whose declared outputs.path is
+    FRESH must still produce readable data at the path '@parent' resolves
+    to — either by executing for real (fresh path bypasses the cache) or by
+    resolving the hand-off through the effective spec."""
+    prior = str(tmp_path / "prior")
+    dag_engine.submit(JobSpec(query="p_filter_docs",
+                              inputs={"sf_dir": SF_DIR},
+                              outputs={"path": prior}, verified=True))
+    fresh = str(tmp_path / "fresh")
+    statuses = dag_engine.submit_pipeline([
+        {"name": "a", "query": "p_filter_docs",
+         "inputs": {"sf_dir": SF_DIR}, "outputs": {"path": fresh},
+         "verified": True, "reuse": True},
+        {"name": "b", "query": "p_count_by_lang", "after": ["a"],
+         "inputs": {"sf_dir": "@a"},
+         "outputs": {"path": str(tmp_path / "counts")}},
+    ])
+    assert all(v not in ("Cancelled", "Rejected") for v in statuses.values())
+    counts = spark.read.parquet(str(tmp_path / "counts"))
+    assert counts.agg(F.sum("n")).first()[0] > 0
+    # same-path reuse (the cache now points at the run that wrote `fresh`)
+    # still short-circuits and hands off the cached artifact
+    statuses2 = dag_engine.submit_pipeline([
+        {"name": "a", "query": "p_filter_docs",
+         "inputs": {"sf_dir": SF_DIR}, "outputs": {"path": fresh},
+         "verified": True, "reuse": True},
+        {"name": "b", "query": "p_count_by_lang", "after": ["a"],
+         "inputs": {"sf_dir": "@a"},
+         "outputs": {"path": str(tmp_path / "counts2")}},
+    ])
+    assert all(v not in ("Cancelled", "Rejected")
+               for v in statuses2.values())
+    reused = [e.name for e in dag_engine.events(statuses2["a"])]
+    assert "ResultsReused" in reused
+    assert spark.read.parquet(str(tmp_path / "counts2")).count() > 0
 
 
 def test_cycle_rejected(dag_engine):
