@@ -474,6 +474,16 @@ class Engine:
                         self._done[run_id].set()
                         return run_id
             req = self.capacity.requirements(spec.resources)
+            vol = _input_volume_bytes(spec)
+            if vol > req.disk:
+                # GetVolumeSize-based admission: content-addressed inputs
+                # size the job's disk requirement the way the reference
+                # sums volume sizes at SelectJob before bidding
+                # (`pkg/computenode/computenode.go:348-405`). A mount set
+                # bigger than the node's disk rejects here, not mid-run.
+                from bacalhau_spark.capacity import ResourceUsage
+                req = ResourceUsage(cpu=req.cpu, memory=req.memory,
+                                    disk=vol, gpu=req.gpu)
             self.capacity.enqueue(run_id, req)
         except BaseException as exc:  # noqa: BLE001 — recorded, re-raised
             self._emit(run_id, EVT_REJECTED, str(exc))
@@ -784,6 +794,33 @@ class Engine:
             _ctx_local.namespace = None
             for k, v in prev.items():
                 sc.setLocalProperty(k, v)
+
+
+def _input_volume_bytes(spec: JobSpec) -> int:
+    """Sum the on-disk size of a spec's content-addressed input mounts.
+
+    Convention: `inputs.store` names the store root and `inputs.addresses`
+    the mounted address list (list or comma-string) — the StorageSpec CID
+    list. Each address is probed with store_size (the GetVolumeSize analog,
+    `pkg/storage/ipfs_apicopy/storage.go:67-85`); a missing blob raises at
+    submit time, the HasStorageLocally planning-time probe. Specs without
+    contentstore inputs cost 0."""
+    root = spec.inputs.get("store")
+    raw = spec.inputs.get("addresses")
+    if not root or not raw:
+        return 0
+    from bacalhau_spark.sources.contentstore import store_size
+    addrs = raw.split(",") if isinstance(raw, str) else list(raw)
+    total = 0
+    for addr in addrs:
+        if addr:
+            try:
+                total += store_size(root, addr)
+            except OSError as exc:
+                raise JobRejectedError(
+                    f"input address {addr!r} not in store {root!r}: "
+                    f"{exc}") from exc
+    return total
 
 
 def _content_key(spec: JobSpec) -> str:

@@ -472,6 +472,36 @@ def test_result_reuse_distinguishes_inputs(engine):
     assert "ResultsReused" not in [e.name for e in engine.events(other)]
 
 
+def test_contentstore_inputs_size_disk_admission(spark, tmp_path):
+    """GetVolumeSize-based admission: a spec mounting content-addressed
+    inputs bigger than the node's disk limit is rejected at submit (the
+    SelectJob volume-size probe, `pkg/computenode/computenode.go:348-405`),
+    and a fitting mount is admitted; an unknown address rejects too (the
+    HasStorageLocally planning-time probe)."""
+    from bacalhau_spark.capacity import CapacityManager, ResourceUsage
+    from bacalhau_spark.engine import JobRejectedError
+    from bacalhau_spark.sources import contentstore as cs
+
+    root = str(tmp_path / "store")
+    big = cs.store_put(root, b"x" * 4096)
+    small = cs.store_put(root, b"y" * 16)
+    cap = CapacityManager(total=ResourceUsage(cpu=8.0, memory=32 << 30,
+                                              disk=1024, gpu=0))
+    eng = Engine(spark, queries(), capacity=cap)
+    with pytest.raises(JobRejectedError, match="exceeds total capacity"):
+        eng.submit(JobSpec(query="q01_scan_projection",
+                           inputs={"sf_dir": SF_DIR, "store": root,
+                                   "addresses": [big]}))
+    rid = eng.submit(JobSpec(query="q01_scan_projection",
+                             inputs={"sf_dir": SF_DIR, "store": root,
+                                     "addresses": [small]}))
+    assert eng.state(rid) == EVT_COMPLETED
+    with pytest.raises(JobRejectedError, match="not in store"):
+        eng.submit(JobSpec(query="q01_scan_projection",
+                           inputs={"sf_dir": SF_DIR, "store": root,
+                                   "addresses": ["f" * 32]}))
+
+
 def test_result_reuse_bypassed_for_fresh_output_path(engine, spark, tmp_path):
     """A reuse=True submit whose declared outputs.path differs from the
     cached run's must execute for real: short-circuiting would leave the
