@@ -71,7 +71,7 @@ def cmd_apply(args) -> int:
     # Spark, so they go into session construction here (the spec's
     # scheduler-pool routing is applied per-job inside Engine.submit).
     spark = _get_spark(args.cpus, extra_conf=spec.spark_conf)
-    engine = Engine(spark, registry.queries())
+    engine = Engine(spark, registry.engine_registry())
     run_id = engine.submit(spec)
     print(f"run {run_id}: {engine.state(run_id)}")
     for evt in engine.events(run_id):
@@ -100,7 +100,7 @@ def cmd_pipeline(args) -> int:
         doc = _json.loads(raw)
     stages = doc["stages"] if isinstance(doc, dict) else doc
     spark = _get_spark(args.cpus)
-    engine = Engine(spark, registry.queries())
+    engine = Engine(spark, registry.engine_registry())
     try:
         statuses = engine.submit_pipeline(stages)
         rc = 0
@@ -139,7 +139,7 @@ def cmd_serve(args) -> int:
     if args.credentials:
         with open(args.credentials) as f:
             credentials = _json.load(f)
-    server = ApiServer(Engine(spark, registry.queries(), capacity=capacity),
+    server = ApiServer(Engine(spark, registry.engine_registry(), capacity=capacity),
                        host=args.host, port=args.port,
                        secret=args.secret, credentials=credentials)
     print(f"serving on {server.url} (capacity: cpu={total.cpu:g} "

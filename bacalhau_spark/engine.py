@@ -699,6 +699,17 @@ class Engine:
         # per-thread (pinned-thread mode) and restored on exit, so
         # concurrent/subsequent runs don't leak each other's pool.
         sc = self.spark.sparkContext
+        # Bind the JVM thread-local active session: run workers are fresh
+        # Python threads whose pinned JVM twins have none, and Python
+        # DataSource lookup (among other resolution paths) goes through it
+        # — a registered source like "contentstore" would otherwise fail
+        # with DATA_SOURCE_NOT_FOUND only when run through the engine.
+        try:
+            self.spark._jvm.org.apache.spark.sql.classic.SparkSession \
+                .setActiveSession(self.spark._jsparkSession)
+        except Exception:  # noqa: BLE001 — non-classic builds
+            self.spark._jvm.org.apache.spark.sql.SparkSession \
+                .setActiveSession(self.spark._jsparkSession)
         props = {"spark.jobGroup.id": run_id,
                  "spark.job.description": f"bacalhau-spark:{spec.query}",
                  **spec.local_properties}

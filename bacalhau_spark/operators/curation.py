@@ -88,9 +88,11 @@ def nd_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_MARKERS = ("the", "a", "of", "and", "to", "in", "is")
 
 
-def gopher_flags_frame(docs: DataFrame) -> DataFrame:
-    """Core Gopher-style gates over any frame with (doc_id, text) — pure
-    per-row codegen, composes unchanged over readStream sources."""
+def _gopher_flag_exprs():
+    """The four gate predicates (plus the word count) as Column
+    expressions over a `text` column. All comparisons are integer
+    cross-multiplications, so no float boundary can disagree between
+    engines; pure per-row codegen."""
     w = words("text")
     n_words = F.size(w)
     len_ns = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -101,6 +103,20 @@ def gopher_flags_frame(docs: DataFrame) -> DataFrame:
     f_wlen = (len_ns * 10 >= n_words * 25) & (len_ns * 10 <= n_words * 65)
     f_stop = n_stop >= 2
     f_alpha = n_alpha * 10 >= n_words * 8
+    return n_words, f_words, f_wlen, f_stop, f_alpha
+
+
+def gopher_keep(docs: DataFrame) -> DataFrame:
+    """Rows passing all four Gopher gates, original columns preserved —
+    the filtering (rather than auditing) form, used as a pipeline stage."""
+    _, f_words, f_wlen, f_stop, f_alpha = _gopher_flag_exprs()
+    return docs.where(f_words & f_wlen & f_stop & f_alpha)
+
+
+def gopher_flags_frame(docs: DataFrame) -> DataFrame:
+    """Core Gopher-style gates over any frame with (doc_id, text) — pure
+    per-row codegen, composes unchanged over readStream sources."""
+    n_words, f_words, f_wlen, f_stop, f_alpha = _gopher_flag_exprs()
     return (
         docs.select(
             "doc_id",

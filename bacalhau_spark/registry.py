@@ -112,3 +112,18 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in ALL_QUERIES.items()
             if sql is not None}
+
+
+def engine_registry() -> dict[str, QueryFn]:
+    """The full job registry the engine/CLI/API serve: every oracle-graded
+    query PLUS the path-reading pipeline stages (stages.py), which take a
+    parent stage's output path instead of an sf_dir and therefore cannot
+    sit in queries() (the sf-driven oracle harness would mis-invoke
+    them)."""
+    from bacalhau_spark.stages import STAGES
+    reg = queries()
+    for name, fn in STAGES.items():
+        if name in reg:
+            raise RuntimeError(f"stage name {name} collides with a query")
+        reg[name] = fn
+    return reg

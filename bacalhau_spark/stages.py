@@ -1,0 +1,93 @@
+"""Path-reading pipeline stages: the corpus-curation verbs as engine jobs.
+
+The oracle-graded queries in `operators/` read the fixture tables by
+scale-factor directory. A DAG-of-jobs pipeline instead hands a PARENT
+STAGE'S PUBLISHED OUTPUT to the child via the '@parent' token
+(`engine.submit_pipeline`), so these stage functions take a plain path —
+each reads whatever parquet its parent wrote, applies one curation verb
+(reusing the same core frame functions the graded queries exercise), and
+returns the frame the engine publishes to the stage's declared sink.
+
+The flagship chain (examples/pipeline_curation.yaml, tested end-to-end in
+tests/test_pipeline_dag.py) is the reference's ROADMAP pipelines item
+(`ROADMAP.md:39-41`) instantiated as a real training-data flow:
+
+    gopher_keep -> pii_redact -> dedup -> seq_pack (publish to contentstore)
+
+The final stage publishes through the contentstore DataSource writer, so
+the pipeline's end artifact is a content-addressed manifest whose address
+is RUN-INVARIANT: re-running the whole DAG over the same fixture produces
+the identical manifest address — the determinism contract the reference
+states per-job (`pkg/executor/python_wasm/executor.go:48-73`), extended
+across an entire DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+from bacalhau_spark.functions import words
+from bacalhau_spark.operators.curation import (gopher_keep, pii_redact_frame,
+                                               seq_pack_bins)
+
+
+def stage_gopher_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry stage: fixture documents filtered through the Gopher gates.
+    Per-row codegen, zero shuffle; the only stage that reads by sf_dir."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_keep(docs)
+
+
+def stage_pii_redact(spark: SparkSession, path: str) -> DataFrame:
+    """Scrub emails / IPv4 / phone numbers from a parent's (doc_id, text)
+    output; emits the redacted text under the same column name so stages
+    compose positionally. Zero shuffle."""
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    return (pii_redact_frame(docs)
+            .select("doc_id", F.col("redacted").alias("text")))
+
+
+def stage_dedup(spark: SparkSession, path: str) -> DataFrame:
+    """Keep-first exact dedup over a parent's (doc_id, text) output:
+    survivor = lowest doc_id per content hash. One shuffle keyed by
+    md5(text) — constant-width key regardless of document size; the text
+    travels once (it must: survivors' text is the stage's output)."""
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    win = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (docs.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def stage_seq_pack(spark: SparkSession, path: str) -> DataFrame:
+    """Terminal stage: pack the surviving documents into SEQ_LEN-token
+    training bins (per-shard windows — no global order materialized) and
+    serialize the bin table as canonical sorted JSONL in ONE partition, so
+    the contentstore writer publishes a single deterministic blob and a
+    run-invariant manifest address. The single-partition sort is over the
+    BIN SUMMARY (thousands of rows at any corpus size), not the corpus;
+    at larger outputs, repartitionByRange over (shard, bin_id) keeps the
+    same determinism with parallel blobs."""
+    from bacalhau_spark.sources import contentstore
+
+    contentstore.register(spark)
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    bins = seq_pack_bins(
+        docs.select("doc_id", F.size(words("text")).alias("n_tok")))
+    return (bins.repartition(1)
+            .sortWithinPartitions("shard", "bin_id")
+            .select(F.to_json(F.struct("shard", "bin_id", "n_docs",
+                                       "total_tokens")).alias("value")))
+
+
+# Engine-registry stages: runnable via `cli apply` / `cli pipeline` and
+# the HTTP API, but NOT part of registry.queries() — they take a parent
+# output path, not an sf_dir, so the sf-driven oracle harness cannot
+# grade them (their cores are oracle-graded through the nd_* queries).
+STAGES = {
+    "stage_gopher_keep": stage_gopher_keep,
+    "stage_pii_redact": stage_pii_redact,
+    "stage_dedup": stage_dedup,
+    "stage_seq_pack": stage_seq_pack,
+}

@@ -95,6 +95,72 @@ def test_failed_stage_cancels_transitive_dependents(dag_engine, tmp_path):
     assert st["c"] == "Cancelled" and st["d"] == "Cancelled"
 
 
+def _curation_stages(base: str, store: str) -> list[dict]:
+    return [
+        {"name": "gopher", "query": "stage_gopher_keep",
+         "inputs": {"sf_dir": SF_DIR},
+         "outputs": {"path": f"{base}/gopher_kept"}},
+        {"name": "pii", "query": "stage_pii_redact", "after": ["gopher"],
+         "inputs": {"sf_dir": "@gopher"},
+         "outputs": {"path": f"{base}/pii_clean"}},
+        {"name": "dedup", "query": "stage_dedup", "after": ["pii"],
+         "inputs": {"sf_dir": "@pii"},
+         "outputs": {"path": f"{base}/deduped"}},
+        {"name": "pack", "query": "stage_seq_pack", "after": ["dedup"],
+         "inputs": {"sf_dir": "@dedup"},
+         "outputs": {"path": store, "format": "contentstore"}},
+    ]
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """Flagship DAG (examples/pipeline_curation.yaml): gopher -> pii ->
+    dedup -> pack with '@parent' hand-offs, terminal publish through the
+    contentstore writer. Checks stage semantics against direct
+    computation AND that the final manifest address is RUN-INVARIANT
+    across two full executions."""
+    from bacalhau_spark.operators.curation import gopher_keep
+    from bacalhau_spark.registry import engine_registry
+    from bacalhau_spark.sources import contentstore as cs
+
+    eng = Engine(spark, engine_registry())
+
+    def run(tag):
+        base = str(tmp_path / tag)
+        store = f"{base}/store"
+        statuses = eng.submit_pipeline(_curation_stages(base, store))
+        assert all(v not in ("Cancelled", "Rejected")
+                   for v in statuses.values())
+        return base, store
+
+    base, store = run("run1")
+    # stage 1: exactly the Gopher-kept documents survived
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected_kept = gopher_keep(docs.select("doc_id", "text")).count()
+    kept = spark.read.parquet(f"{base}/gopher_kept")
+    assert kept.count() == expected_kept
+    # stage 2: same rows, text scrubbed (schema preserved for composition)
+    clean = spark.read.parquet(f"{base}/pii_clean")
+    assert clean.count() == expected_kept
+    assert set(clean.columns) == {"doc_id", "text"}
+    # stage 3: dedup keeps one survivor per distinct text
+    deduped = spark.read.parquet(f"{base}/deduped")
+    assert deduped.count() == clean.select("text").distinct().count()
+    # stage 4: the published bins account for every surviving token
+    _, entries = cs.last_manifest(store)
+    bins = (spark.read.json(
+        spark.sparkContext.parallelize(
+            [ln for a, _ in entries
+             for ln in open(f"{store}/{a}").read().splitlines()])))
+    total = bins.agg(F.sum("total_tokens")).first()[0]
+    from bacalhau_spark.functions import words
+    expected_tokens = (deduped.select(F.size(words("text")).alias("n"))
+                       .agg(F.sum("n")).first()[0])
+    assert total == expected_tokens
+    # run-invariance: the whole DAG re-run publishes the SAME address
+    _, store2 = run("run2")
+    assert cs.last_manifest(store2)[0] == cs.last_manifest(store)[0]
+
+
 def test_reuse_parent_hand_off_reads_real_data(dag_engine, tmp_path, spark):
     """The ADVICE regression: a parent stage with reuse:true whose content
     key already sits in the result cache but whose declared outputs.path is
