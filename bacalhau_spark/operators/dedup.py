@@ -161,15 +161,21 @@ def _band_candidates(sig_wide: DataFrame,
     sharing at least one full 4-row band. Buckets larger than `bucket_cap`
     are dropped before pair expansion (hot-bucket guard: a bucket of f docs
     is f(f-1)/2 pairs)."""
-    # Integer band keys: the same polynomial fold as the shingle keys
-    # (4 multiply-adds in codegen) instead of concat_ws string building —
-    # the shuffle key is 8 bytes, not a ~40-char string, and the band
-    # equi-join compares longs. The oracle folds identically.
+    # ONE long bucket key with the band INDEX folded in as the leading
+    # polynomial term — not a (band, sig) pair. The bucket stream then
+    # shuffles/sorts/aggregates a single 8-byte key: A/B at sf0.1, the
+    # window-guard plan dropped 1.13 s -> 1.00 s median (interleaved, 7
+    # runs), and the guard's window sort became free relative to the
+    # post-collect-filter form (0.996 vs 0.993 — the two-key sort was the
+    # entire guard cost). Cross-band key collisions merge buckets in
+    # principle, but the 60-bit fold makes that as (im)probable as the
+    # intra-band signature collisions the scheme already accepts, and the
+    # oracle folds IDENTICALLY, so the gate compares like for like.
     def band_key(b: int):
-        # cast: the fold must run in LONG (acc*C nears 2^62); an int-typed
-        # signature column would overflow (ANSI ArithmeticException).
-        acc = F.col(f"mh{b * ROWS_PER_BAND}").cast("long")
-        for r in range(1, ROWS_PER_BAND):
+        # lit(b).cast long: the fold must run in LONG (acc*C nears 2^62);
+        # int-typed inputs would overflow (ANSI ArithmeticException).
+        acc = F.lit(b).cast("long")
+        for r in range(ROWS_PER_BAND):
             acc = (acc * MH_ROLL_C
                    + F.col(f"mh{b * ROWS_PER_BAND + r}")) % MH_PRIME
         return acc
@@ -177,27 +183,26 @@ def _band_candidates(sig_wide: DataFrame,
     band_cols = [band_key(b) for b in range(N_BANDS)]
     sig = sig_wide.select(
         "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band", "sig"))
-    # Hot-bucket guard as a WINDOW count over (band, sig) — not a separate
+        F.explode(F.array(*band_cols)).alias("bkey"))
+    # Hot-bucket guard as a WINDOW count over bkey — not a separate
     # count-aggregate + anti join. The r3 two-branch form recomputed the
     # entire signature lineage TWICE (Spark does not share subplans across
     # DataFrame branches); measured at sf0.1 the band stage cost ~2x the
     # signature stage for that reason alone. The window form is single-
-    # lineage: ONE exchange hash-partitions on (band, sig), the window
-    # count runs over sorted runs, and the bucket aggregation below reuses
-    # the same partitioning (no second exchange). Degenerate hot buckets
-    # are bounded by the window exec's spill path (disk, not an
-    # in-memory aggregation buffer), then dropped before any per-bucket
-    # list exists.
+    # lineage: ONE exchange hash-partitions on bkey, the window count runs
+    # over sorted runs, and the bucket aggregation below reuses the same
+    # partitioning (no second exchange). Degenerate hot buckets are
+    # bounded by the window exec's spill path (disk, not an in-memory
+    # aggregation buffer), then dropped before any per-bucket list exists.
     from pyspark.sql.window import Window
-    bucket_n = F.count("*").over(Window.partitionBy("band", "sig"))
+    bucket_n = F.count("*").over(Window.partitionBy("bkey"))
     sig = (sig.withColumn("n", bucket_n)
            .where(F.col("n") <= bucket_cap).drop("n"))
     # Bucket-and-expand instead of a self-join: the surviving buckets —
     # now provably ≤ cap elements — collect their member lists and the
     # a<b pairs are generated in codegen over the sorted list. The
     # join-side row explosion of the self-join form never happens.
-    buckets = (sig.groupBy("band", "sig")
+    buckets = (sig.groupBy("bkey")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .where(F.size("ids") >= 2))
     pairs = F.expr(
@@ -435,11 +440,23 @@ _MH_POLY = "wh[i+1]"
 for _k in range(2, MH_SHINGLE_N + 1):
     _MH_POLY = f"(({_MH_POLY}) * {MH_ROLL_C} + wh[i+{_k}]) % {MH_PRIME}"
 
-# Integer band signature, mirroring _band_candidates.band_key: polynomial
-# fold over the band's ROWS_PER_BAND ordered minhashes.
-_MH_BAND_POLY = "ml[1]"
-for _k in range(2, ROWS_PER_BAND + 1):
+# Folded band-bucket key, mirroring _band_candidates.band_key: the band
+# index (seed // ROWS_PER_BAND) is the leading polynomial term, then the
+# band's ROWS_PER_BAND ordered minhashes fold in — ONE long key per band,
+# identical in both engines.
+_MH_BAND_POLY = f"(seed // {ROWS_PER_BAND})"
+for _k in range(1, ROWS_PER_BAND + 1):
     _MH_BAND_POLY = f"(({_MH_BAND_POLY}) * {MH_ROLL_C} + ml[{_k}]) % {MH_PRIME}"
+
+# Shared bucket CTEs over the per-(doc, seed) minhash table `mh`: the
+# folded key per (doc, band), then the hot-bucket guard.
+_MH_SIG_CTES = f"""
+sig0 AS (SELECT doc_id,
+                ({_MH_BAND_POLY.replace('ml', 'list(mh ORDER BY seed)')})
+                AS bkey
+         FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
+sig AS (SELECT doc_id, bkey FROM sig0
+        QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= {LSH_BUCKET_CAP})"""
 
 _MH_SH_CTES = f"""
 WITH w AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
@@ -454,13 +471,9 @@ _MINHASH_ORACLE = f"""
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
-sig0 AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-                ({_MH_BAND_POLY.replace('ml', 'list(mh ORDER BY seed)')}) AS sig
-         FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
-sig AS (SELECT doc_id, band, sig FROM sig0
-        QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP})
+{_MH_SIG_CTES}
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+FROM sig a JOIN sig b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 ORDER BY a_id, b_id
 """
 
@@ -473,14 +486,10 @@ _CLUSTERS_ORACLE = f"""
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
-sig0 AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-                ({_MH_BAND_POLY.replace('ml', 'list(mh ORDER BY seed)')}) AS sig
-         FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
-sig AS (SELECT doc_id, band, sig FROM sig0
-        QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP}),
+{_MH_SIG_CTES},
 pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
           FROM sig a JOIN sig b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
 edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
           UNION SELECT b_id, a_id FROM pairs),
 reach(id, r) AS (
@@ -582,14 +591,10 @@ QUERIES = {
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
        FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
        GROUP BY doc_id, seed),
-sig0 AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INTEGER) AS band,
-                ({_MH_BAND_POLY.replace('ml', 'list(mh ORDER BY seed)')}) AS sig
-         FROM mh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
-sig AS (SELECT doc_id, band, sig FROM sig0
-        QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP}),
+{_MH_SIG_CTES},
 cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM sig a JOIN sig b
-         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
 SELECT c.a_id, c.b_id,
        SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / {N_HASHES}.0
        AS est_jaccard

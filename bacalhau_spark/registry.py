@@ -36,52 +36,38 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-4 window, in order of why a fresh row is needed:
-#   1. STALE rows: the r3 minhash/simhash/ngram rewrites changed both the
-#      Spark plans AND the oracle SQL after their r2 green rows, and the
-#      q11/langid read path moved to the _docs spread; additionally the
-#      round-4 perf work rewrote the LSH hot-bucket guard (window count
-#      replacing count+anti-join) and the estimate/cluster lineages.
-#   2. queries added or touched in round 4.
-#   3. re-certify the r3 greens for the headline bench set (perf-tuned
-#      session configs change their runtime plans via AQE knobs).
-#   4. oldest-green refreshes (r1/r2 rows over unchanged code), oldest
-#      first.
+# Round-5 window, in order of why a fresh row is needed:
+#   1. code/oracle changed THIS round (the standing rule): the LSH family
+#      moved to the folded single-long band-bucket key (dedup.py — Spark
+#      plan AND all three oracles), the streaming sessions/stateful
+#      queries were determinized and gained full oracles
+#      (streaming/events.py), and the Gopher gates were factored into
+#      _gopher_flag_exprs (plan-identical refactor, re-certified anyway —
+#      a green row only certifies the code it graded).
+#   2. oldest-green refreshes: every remaining r1 row, then the oldest
+#      r2 rows, in their r4 listing order. With this window, no entry's
+#      latest row predates round 4's ansi/AQE session change except the
+#      r2/r3 remainder queued for round 6 (11 r2 + 31 r3 entries).
 _PRIORITY: tuple[str, ...] = (
-    # 1. stale rows — code and/or oracle changed since last green row
-    "nd_minhash_lsh", "nd_minhash_estimate", "nd_dedup_clusters",
-    "nd_simhash", "nd_ngram_jaccard", "q11_tokenize_count", "nd_langid",
-    # 2. round-4 additions / touched queries (appended as implemented)
-    "nd_bpe_count",
-    "nd_pii_redact", "nd_gopher_filter", "nd_repetition", "nd_seq_pack",
-    "nd_ngram_overlap", "nd_domain_mix", "nd_bpe_pair_count", "nd_profile",
-    "nd_multimodal_resize",
-    "nd_asof_forward", "nd_stream_gopher", "nd_applyinpandas",
-    "nd_corpus_stats", "nd_embedding_quantize", "nd_dedup_stats",
-    # perf-rewritten during the round-4 sweep (oracle unchanged, plans new)
-    "nd_percentiles", "nd_ann_lsh", "nd_ann_lsh_bucketstats",
-    "tpch_q16_supplier_cnt",
-    # streaming helpers re-planned (scoped state partitioning) — fresh
-    # rows per the changed-code-goes-first rule
-    "nd_stream_tumbling", "nd_stream_stream_join", "nd_stream_static_join",
-    "nd_stream_dedup", "nd_stream_sessions", "nd_stream_stateful",
-    # 3. headline bench set (session-config changes re-plan these)
-    "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",
-    "q28_tumbling_window", "q3_shipping_priority", "nd_asof_join",
-    "tpch_q6_forecast", "tpch_q7_volume", "tpch_q18_large_orders",
-    "nd_grouped_python",
-    # 4. oldest-green refreshes: r1 rows over unchanged code
-    "q01_scan_projection", "q02_project_rename", "q09_like_filter",
-    "q10_regex_filter", "q03_string_funcs", "q04_math_funcs",
+    # 1. changed this round
+    "nd_minhash_lsh", "nd_dedup_clusters", "nd_minhash_estimate",
+    "nd_stream_sessions", "nd_stream_stateful",
+    "nd_gopher_filter", "nd_stream_gopher",
+    # 2a. r1 rows over unchanged code (all 23 that remain)
     "q06_conditional", "q07_array_funcs", "q14b_left_join_agg",
     "q18_count_distinct", "q19_rollup", "q19b_cube", "q19c_grouping_sets",
     "q26_intersect", "q26b_except", "q26c_union_all", "q26d_intersect_all",
     "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
-    # then r2 rows over unchanged code
+    "qj_full_outer", "q18b_approx_distinct", "nd_approx_percentiles",
+    "nd_filtered_agg", "nd_listagg", "q17b_having", "nd_pivot",
+    "nd_stats_agg", "nd_ranking_suite",
+    # 2b. oldest r2 rows over unchanged code
     "nd_dedup_exact", "q29_exact_dedup", "q30_nn", "nd_ann_topk",
     "nd_cosine_neardup", "nd_vector_norm", "nd_centroids",
     "nd_quality", "nd_token_count", "nd_fingerprint",
-    "nd_chunking", "nd_tfidf",
+    "nd_chunking", "nd_tfidf", "nd_range_join", "nd_levenshtein",
+    "nd_multimodal_features", "nd_multimodal_frames", "q12_roundtrip",
+    "nd_pandas_udf", "tpch_q4_exists", "tpch_q14_ratio",
     # -- window boundary: first 50 graded per round -------------------
 )
 

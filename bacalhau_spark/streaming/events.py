@@ -11,7 +11,7 @@ the streaming aggregate must equal the batch aggregate over the same data
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bacalhau_spark.catalog import table
@@ -428,7 +428,40 @@ def nd_stream_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_gopher_gate").orderBy("doc_id")
 
 
+def nd_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization, oracle-gated: the finite fixture is one
+    parquet file, so availableNow processes it as a single micro-batch and
+    the complete-mode session table must equal the batch session_window
+    exactly (bounds included — end = last ts + gap; proven by
+    tests/test_streaming.py::test_stream_session_equals_batch). The final
+    orderBy re-sorts the memory sink's engine-ordered rows, so the output
+    is batch-order independent and shares nd_sessionize's oracle."""
+    return run_stream_session_to_memory(spark, sf_dir,
+                                        table_name="gate_sessions")
+
+
+def nd_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful fold, oracle-gated: n / last_type are exact; `total` is a
+    float fold whose accumulation order is engine-specific, so it is
+    rounded to 3 decimals on both sides — the q28 convention (fixture
+    values carry ≤3 decimals, so every per-user sum sits maximally far
+    from a rounding boundary; verified at sf0.01). Update-mode re-emits a
+    key's row each micro-batch; the max-n row per user is the final state
+    (n is monotone), making the result multi-batch-safe even though the
+    single-file fixture runs as one batch."""
+    raw = run_stateful_fold(spark, sf_dir, table_name="gate_state")
+    win = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (raw.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "n", F.round("total", 3).alias("total"),
+                    "last_type")
+            .orderBy("user_id"))
+
+
 from bacalhau_spark.operators.curation import _GOPHER_ORACLE  # noqa: E402
+from bacalhau_spark.operators.windows import QUERIES as _WIN_QUERIES  # noqa: E402
+
+_SESSIONIZE_ORACLE = _WIN_QUERIES["nd_sessionize"][1]
 
 QUERIES = {
     # identical contract to the batch nd_gopher_filter — per-row mappers
@@ -466,26 +499,26 @@ QUERIES = {
         "AND p.event_type = 'purchase' AND c.event_type = 'click' "
         "AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR",
     ),
-    # Rows-only driver rows (no oracle): first-arrival order inside a batch
-    # (dedup) and double accumulation order (stateful fold) are
-    # engine-specific, and session bounds come from state-store semantics —
-    # all three are equivalence/recall-tested in tests/test_streaming.py;
-    # the driver row proves they execute end-to-end in the driver's plain
-    # session/foreign cwd.
+    # Rows-only driver row (no oracle): first-arrival order INSIDE a batch
+    # decides which duplicate survives — engine-specific by design;
+    # equivalence-tested in tests/test_streaming.py. The driver row proves
+    # it executes end-to-end in the driver's plain session/foreign cwd.
     "nd_stream_dedup": (
         lambda spark, sf_dir: run_stream_dedup(
             spark, sf_dir, table_name="gate_dedup"),
         None,
     ),
-    "nd_stream_sessions": (
-        lambda spark, sf_dir: run_stream_session_to_memory(
-            spark, sf_dir, table_name="gate_sessions"),
-        None,
-    ),
+    # Determinized round 5: the single-file fixture runs as one
+    # availableNow micro-batch, a final batch re-sort removes sink order,
+    # and the one float fold is rounded on both sides — so both formerly
+    # rows-only queries now carry full value-hash oracles.
+    "nd_stream_sessions": (nd_stream_sessions, _SESSIONIZE_ORACLE),
     "nd_stream_stateful": (
-        lambda spark, sf_dir: run_stateful_fold(
-            spark, sf_dir, table_name="gate_state"),
-        None,
+        nd_stream_stateful,
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(SUM(value), 3) AS total, "
+        "arg_max(event_type, event_id) AS last_type "
+        "FROM events GROUP BY user_id ORDER BY user_id",
     ),
     "nd_sliding_window": (
         sliding_window,
