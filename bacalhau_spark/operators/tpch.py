@@ -420,6 +420,171 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape (local supplier volume): 1996 revenue by ASIA nation where
+    the CUSTOMER'S nation equals the SUPPLIER'S nation — the cross-side
+    equality TPC-H uses to force a 6-table join with a residual no single
+    dim join implies. Exact integer 1e-4 revenue units (_revenue_e4).
+
+    100 TB plan: orders pre-filters on the date range before the fact-fact
+    shuffle; lineitem joins orders (shuffle on orderkey), then customer
+    (shuffle on custkey); supplier + nation + region broadcast, with the
+    c_nationkey = s_nationkey residual evaluated inside the broadcast
+    probe — the two big shuffles are the floor for this shape."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _revenue_e4().alias("rev_e4"))
+    orders = (table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1997-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    asia = (nation.join(F.broadcast(region),
+                        (nation.n_regionkey == region.r_regionkey)
+                        & (region.r_name == "ASIA"))
+            .select("n_nationkey", "n_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(asia), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
+    )
+
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): per-part value with a HAVING threshold
+    that is a scalar subquery over the SAME aggregate (value > 0.1% of the
+    total). Restated over lineitem-derived part values since the fixtures
+    carry no partsupp (supplier nation filter keeps the correlated-
+    aggregation shape). The threshold compare is integer cross-multiplied
+    (value_cents * 1000 > total_cents) — no float boundary can disagree.
+
+    100 TB plan: ONE aggregation of the filtered fact by partkey; the
+    grand total folds off the per-part aggregate (tiny) and broadcasts
+    back — the same single-lineage trick as q18's join elimination."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    supp = (table(spark, sf_dir, "supplier")
+            .where(F.col("s_nationkey") < 5).select("s_suppkey"))
+    li = (table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey", cents.alias("cents")))
+    val = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .groupBy("l_partkey").agg(F.sum("cents").alias("value_cents")))
+    total = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier): quarterly revenue per supplier, keep the
+    supplier(s) achieving the MAX — the view-plus-scalar-max pattern.
+    Revenue in exact integer 1e-4 units, so the max equality is exact.
+
+    100 TB plan: one fact aggregation by suppkey; the max folds off that
+    (tiny) aggregate and broadcasts back; supplier dim broadcasts."""
+    li = (table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1996-04-01"))
+          .select("l_suppkey", _revenue_e4().alias("rev_e4")))
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_e4").alias("total_rev_e4"))
+    top = rev.agg(F.max("total_rev_e4").alias("max_rev_e4"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("total_rev_e4") == F.col("max_rev_e4"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): the nested IN chain —
+    suppliers IN (supplier-part pairs with 1996 shipped quantity above a
+    threshold, whose part IN (name-matched parts)). Restated without
+    partsupp: the availqty > half-shipped predicate becomes a grouped
+    HAVING on shipped quantity (integral doubles — exact).
+
+    100 TB plan: the part name filter broadcasts into the fact scan; one
+    aggregation by (suppkey, partkey); the surviving supplier keys are
+    rare, so the final supplier filter is a broadcast left-semi."""
+    parts = (table(spark, sf_dir, "part")
+             .where(F.col("p_name").like("%red%")).select("p_partkey"))
+    li = (table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    qualified = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey,
+                "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey").distinct()
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(F.broadcast(qualified),
+                  supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): the notorious
+    EXISTS + NOT-EXISTS double correlation on the SAME fact — count, per
+    supplier, the finished multi-supplier orders where THIS supplier's
+    line was the only late one. "Late" is restated as shipping >60 days
+    after the order date (fixtures carry no commit/receipt dates).
+
+    100 TB plan: lineitem joins orders once (shuffle on orderkey) into a
+    flagged line table; the EXISTS becomes a self semi join and the
+    NOT-EXISTS a self anti join, both on l_orderkey with the suppkey
+    inequality as residual — three shuffles on the same key, which AQE
+    plans as one exchange reused twice; supplier broadcasts at the end."""
+    orders = (table(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lin = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .select("l_orderkey", "l_suppkey",
+                   (F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                   .alias("late")))
+    l1 = (lin.where("late")
+          .select(F.col("l_orderkey").alias("o1"),
+                  F.col("l_suppkey").alias("s1")))
+    l2 = lin.select(F.col("l_orderkey").alias("o2"),
+                    F.col("l_suppkey").alias("s2"))
+    l3 = (lin.where("late")
+          .select(F.col("l_orderkey").alias("o3"),
+                  F.col("l_suppkey").alias("s3")))
+    waiting = (
+        l1.join(l2, (F.col("o1") == F.col("o2"))
+                & (F.col("s1") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("o1") == F.col("o3"))
+              & (F.col("s1") != F.col("s3")), "left_anti")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), F.col("s1") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
 QUERIES = {
     "tpch_q4_exists": (
         tpch_q4_exists,
@@ -591,5 +756,69 @@ QUERIES = {
         "GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) "
         "GROUP BY c_custkey, c_name, o_orderkey, o_totalprice "
         "ORDER BY o_orderkey",
+    ),
+    "tpch_q5_local_volume": (
+        tpch_q5_local_volume,
+        f"SELECT n_name, CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS revenue_e4 "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01' "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA' "
+        "GROUP BY n_name ORDER BY revenue_e4 DESC, n_name",
+    ),
+    "tpch_q11_important_parts": (
+        tpch_q11_important_parts,
+        "WITH val AS (SELECT l_partkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS value_cents FROM lineitem "
+        "WHERE l_suppkey IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_nationkey < 5) "
+        "GROUP BY l_partkey) "
+        "SELECT l_partkey AS p_partkey, value_cents FROM val "
+        "WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM val) "
+        "ORDER BY value_cents DESC, p_partkey",
+    ),
+    "tpch_q15_top_supplier": (
+        tpch_q15_top_supplier,
+        "WITH rev AS (SELECT l_suppkey, "
+        f"CAST(SUM({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4 "
+        "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_rev_e4 "
+        "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+        "WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev) "
+        "ORDER BY s_suppkey",
+    ),
+    "tpch_q20_part_promotion": (
+        tpch_q20_part_promotion,
+        "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ("
+        "SELECT l_suppkey FROM lineitem "
+        "WHERE l_partkey IN "
+        "(SELECT p_partkey FROM part WHERE p_name LIKE '%red%') "
+        "AND l_shipdate >= DATE '1996-01-01' "
+        "AND l_shipdate < DATE '1997-01-01' "
+        "GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50) "
+        "ORDER BY s_suppkey",
+    ),
+    "tpch_q21_waiting_supplier": (
+        tpch_q21_waiting_supplier,
+        "WITH lin AS (SELECT l_orderkey, l_suppkey, "
+        "(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "AND o_orderstatus = 'F') "
+        "SELECT s_name, COUNT(*) AS numwait FROM lin l1 "
+        "JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "WHERE l1.late "
+        "AND EXISTS (SELECT 1 FROM lin l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lin l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.late) "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name",
     ),
 }

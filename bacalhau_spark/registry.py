@@ -47,12 +47,16 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 #   2. oldest-green refreshes: every remaining r1 row, then the oldest
 #      r2 rows, in their r4 listing order. With this window, no entry's
 #      latest row predates round 4's ansi/AQE session change except the
-#      r2/r3 remainder queued for round 6 (11 r2 + 31 r3 entries).
+#      r2/r3 remainder queued for round 6 (16 r2 + 31 r3 entries).
 _PRIORITY: tuple[str, ...] = (
     # 1. changed this round
     "nd_minhash_lsh", "nd_dedup_clusters", "nd_minhash_estimate",
     "nd_stream_sessions", "nd_stream_stateful",
     "nd_gopher_filter", "nd_stream_gopher",
+    # 1b. NEW this round (never graded): the TPC-H suite completion
+    "tpch_q5_local_volume", "tpch_q11_important_parts",
+    "tpch_q15_top_supplier", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
     # 2a. r1 rows over unchanged code (all 23 that remain)
     "q06_conditional", "q07_array_funcs", "q14b_left_join_agg",
     "q18_count_distinct", "q19_rollup", "q19b_cube", "q19c_grouping_sets",
@@ -66,8 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_cosine_neardup", "nd_vector_norm", "nd_centroids",
     "nd_quality", "nd_token_count", "nd_fingerprint",
     "nd_chunking", "nd_tfidf", "nd_range_join", "nd_levenshtein",
-    "nd_multimodal_features", "nd_multimodal_frames", "q12_roundtrip",
-    "nd_pandas_udf", "tpch_q4_exists", "tpch_q14_ratio",
+    "nd_multimodal_features",
     # -- window boundary: first 50 graded per round -------------------
 )
 
