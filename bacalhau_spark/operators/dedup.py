@@ -517,6 +517,61 @@ SELECT doc_id,
 FROM c GROUP BY doc_id ORDER BY doc_id
 """
 
+CHUNK_WORDS = 10
+
+
+def nd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact-dedup audit: split every document into
+    disjoint CHUNK_WORDS-word chunks (the fixture text has no paragraph
+    breaks, so fixed word windows stand in for paragraphs), hash each
+    chunk, and report per document how many of its chunks also occur
+    elsewhere in the corpus — the corpus-wide repeated-span measurement
+    behind paragraph/boilerplate removal (the suffix-array dedup
+    families' cheap first pass).
+
+    Scale shape: chunks explode to ~n_words/CHUNK_WORDS rows per doc
+    keyed by a 60-bit integer hash; the corpus-wide frequency is a WINDOW
+    count over that single long key (the LSH lesson: one exchange,
+    reused by nothing downstream needing a second lineage), then one
+    doc-keyed aggregation. The text itself never shuffles."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
+    # token array projected before the HOF (re-evaluation trap)
+    w = docs.select("doc_id", words("text").alias("w"))
+    n_chunks = F.ceil(F.size("w") / CHUNK_WORDS).cast("int")
+    chunk_hash = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.conv(F.substring(F.md5(F.concat_ws(
+            " ", F.slice(F.col("w"), i * CHUNK_WORDS + 1, CHUNK_WORDS))),
+            1, 15), 16, 10).cast("long"))
+    chunks = w.select("doc_id", F.explode(chunk_hash).alias("ch"))
+    from pyspark.sql.window import Window
+    freq = F.count("*").over(Window.partitionBy("ch"))
+    return (
+        chunks.withColumn("f", freq)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum((F.col("f") > 1).cast("long")).alias("dup_chunks"))
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+c AS (SELECT doc_id,
+             CAST('0x' || substring(md5(array_to_string(
+                 ws[(i * {CHUNK_WORDS} + 1):(i * {CHUNK_WORDS} + {CHUNK_WORDS})],
+                 ' ')), 1, 15) AS BIGINT) AS ch
+      FROM w CROSS JOIN LATERAL (SELECT unnest(range(
+          CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS INTEGER))) AS i) t),
+f AS (SELECT ch, COUNT(*) AS f FROM c GROUP BY ch)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+FROM c JOIN f USING (ch) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def nd_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus decontamination: drop training docs whose exact content
     hash appears in a held-out benchmark slice (here: doc_id % 10 == 0
@@ -605,5 +660,6 @@ GROUP BY c.a_id, c.b_id
 ORDER BY a_id, b_id
 """),
     "nd_simhash": (nd_simhash, _SIMHASH_ORACLE),
+    "nd_chunk_dedup": (nd_chunk_dedup, _CHUNK_DEDUP_ORACLE),
     "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
 }

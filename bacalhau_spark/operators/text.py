@@ -380,6 +380,46 @@ def nd_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal proxy per document — the cheap stand-in for
+    perplexity-based quality filtering (the CCNet/KenLM gate) that stays
+    integer-exact: each word scores total_words DIV corpus_freq(word)
+    (rare words score high), summed per document. Integer division keeps
+    the sum associative, so it is shuffle-order stable and hash-gatable
+    where a float log-prob sum would not be.
+
+    Scale shape: the exploded word stream gets its corpus frequency from
+    a WINDOW count over the word key (one exchange), then one doc-keyed
+    aggregation; the grand total is a scalar off a cheap second scan of
+    the projected size column (no second pass over the word stream)."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
+    wordsdf = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    total = (docs.select(F.size(words("text")).alias("n"))
+             .agg(F.sum("n").cast("long").alias("t")))
+    from pyspark.sql.window import Window
+    freq = F.count("*").over(Window.partitionBy("word"))
+    return (
+        wordsdf.withColumn("f", freq)
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"),
+             F.sum(F.expr("t div f")).alias("rarity_sum"))
+        .orderBy("doc_id")
+    )
+
+
+_WORD_RARITY_ORACLE = """
+WITH wds AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+             FROM documents),
+wf AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY word) AS f FROM wds),
+t AS (SELECT COUNT(*) AS t FROM wds)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(t // f) AS BIGINT) AS rarity_sum
+FROM wf CROSS JOIN t GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _LANGID_ORACLE = (
     "WITH s AS (SELECT doc_id, "
     + ", ".join(f"{_sql_marker_hits(m)} AS hits_{lang}"
@@ -402,6 +442,7 @@ QUERIES = {
         "GROUP BY doc_id, word ORDER BY doc_id, word",
     ),
     "nd_langid": (nd_langid, _LANGID_ORACLE),
+    "nd_word_rarity": (nd_word_rarity, _WORD_RARITY_ORACLE),
     "nd_quality": (
         nd_quality,
         "SELECT doc_id, "
