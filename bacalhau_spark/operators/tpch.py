@@ -474,8 +474,13 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("s_nationkey") < 5).select("s_suppkey"))
     li = (table(spark, sf_dir, "lineitem")
           .select("l_partkey", "l_suppkey", cents.alias("cents")))
+    # localCheckpoint: the per-part aggregate feeds TWO consumers (the
+    # threshold filter and the grand total) and Spark shares no subplans
+    # across DataFrame branches — without it the whole fact lineage runs
+    # twice (plan-asserted in tests/test_scale.py).
     val = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-           .groupBy("l_partkey").agg(F.sum("cents").alias("value_cents")))
+           .groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
+           .localCheckpoint(eager=True))
     total = val.agg(F.sum("value_cents").alias("total_cents"))
     return (
         val.crossJoin(F.broadcast(total))
@@ -496,7 +501,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           .where((F.col("l_shipdate") >= "1996-01-01")
                  & (F.col("l_shipdate") < "1996-04-01"))
           .select("l_suppkey", _revenue_e4().alias("rev_e4")))
-    rev = li.groupBy("l_suppkey").agg(F.sum("rev_e4").alias("total_rev_e4"))
+    # checkpoint: two consumers (max + equality filter), see q11 note
+    rev = (li.groupBy("l_suppkey").agg(F.sum("rev_e4").alias("total_rev_e4"))
+           .localCheckpoint(eager=True))
     top = rev.agg(F.max("total_rev_e4").alias("max_rev_e4"))
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -126,6 +126,58 @@ def test_q7_nation_joins_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_q5_dims_broadcast_and_date_pushed(spark, sf_dir):
+    """Q5's supplier/nation/region joins must broadcast (only the two
+    fact-fact joins shuffle) and the order-date range must reach the
+    orders scan as pushed filters."""
+    from bacalhau_spark.operators.tpch import tpch_q5_local_volume
+    df = tpch_q5_local_volume(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q11_q15_single_fact_aggregation(spark, sf_dir):
+    """Q11/Q15: the scalar threshold (total / max) must fold off the
+    per-group aggregate, not re-scan lineitem — exactly one scan of the
+    fact table in each plan."""
+    from bacalhau_spark.operators.tpch import (tpch_q11_important_parts,
+                                               tpch_q15_top_supplier)
+    for fn in (tpch_q11_important_parts, tpch_q15_top_supplier):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        # the per-group aggregate is localCheckpoint'ed (its single fact
+        # scan runs at build), so the consumer plan re-reads the
+        # checkpoint for BOTH branches and must not touch the fact again
+        assert plan.count("lineitem.parquet") == 0, \
+            f"{fn.__name__} re-scans the fact side past the checkpoint"
+
+
+def test_q21_self_correlation_is_semi_and_anti(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS double correlation must plan as one semi
+    and one anti join (no row-exploding inner self join)."""
+    from bacalhau_spark.operators.tpch import tpch_q21_waiting_supplier
+    plan = _formatted_plan(tpch_q21_waiting_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_chunk_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """Every ENSURE_REQUIREMENTS exchange (the real shuffles: chunk
+    frequency, doc re-aggregation, output sort) must carry only long
+    keys/counters — the document text never shuffles. (The one
+    REPARTITION_BY_NUM exchange is spread_compute's fixture-scale scan
+    spreading, a no-op on a production multi-split layout.)"""
+    import re
+
+    from bacalhau_spark.operators.dedup import nd_chunk_dedup
+    plan = _formatted_plan(nd_chunk_dedup(spark, sf_dir))
+    shuffles = re.findall(
+        r"\(\d+\) Exchange\nInput.*\nArguments:.*ENSURE_REQUIREMENTS.*",
+        plan)
+    assert shuffles, "expected at least one shuffle in the plan"
+    for s in shuffles:
+        assert "text#" not in s, f"text column crosses a shuffle: {s}"
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Hive-style partitioned layout + a partition-key filter must prune at
     planning time (PartitionFilters in the scan, non-matching dirs never
