@@ -21,7 +21,9 @@ from bacalhau_spark.session import get_session
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NAMES = ("nd_pii_redact", "nd_gopher_filter", "nd_repetition", "nd_seq_pack",
          "nd_ngram_overlap", "nd_domain_mix", "nd_bpe_pair_count",
-         "nd_profile")
+         "nd_profile",
+         # round-5 additions
+         "nd_chunk_dedup", "nd_word_rarity")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 

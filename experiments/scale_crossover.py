@@ -83,6 +83,16 @@ SHAPES = {
                "GROUP BY o_orderpriority",
         "tables": ("lineitem", "orders"),
     },
+    "multiway_join": {  # q15/q3/q7 family: two fact shuffles + dim probe
+        # customer stays UNscaled (replicas shift only o_orderkey, so
+        # o_custkey still joins the original dim — exactly how a real
+        # scale-up grows facts faster than dims)
+        "sql": "SELECT c_mktsegment, COUNT(*) AS n, SUM(l_quantity) AS sq "
+               "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+               "JOIN customer ON o_custkey = c_custkey "
+               "GROUP BY c_mktsegment",
+        "tables": ("lineitem", "orders", "customer"),
+    },
     "text_hash": {  # minhash signature stage shape: md5 per word + fold
         "sql": None,  # engine-specific below (md5/list functions differ)
         "tables": ("documents",),
@@ -175,8 +185,12 @@ def main() -> None:
         for t in ("lineitem", "orders", "documents"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{d}/{t}.parquet')")
+        # dims are never replicated — facts grow faster than dims
+        con.execute("CREATE VIEW customer AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/customer.parquet')")
         views = {t: spark.read.parquet(f"{d}/{t}.parquet")
                  for t in ("lineitem", "orders", "documents")}
+        views["customer"] = spark.read.parquet(f"{SF_DIR}/customer.parquet")
         for t, df in views.items():
             df.createOrReplaceTempView(t)
         for shape, spec in SHAPES.items():
