@@ -190,6 +190,26 @@ def cmd_list_runs(args) -> int:
     return 0
 
 
+def cmd_version(args) -> int:
+    """Client/server version report (`cmd/bacalhau/version.go` analog:
+    prints the client version, and the server's when a daemon URL is
+    given — mismatches are the operator's upgrade signal)."""
+    import json as _json
+
+    import pyspark
+
+    from bacalhau_spark import __version__
+    out = {"client": __version__, "pyspark": pyspark.__version__}
+    if getattr(args, "url", None):
+        from bacalhau_spark.api import ApiClient
+        try:
+            out["server"] = ApiClient(args.url).version()
+        except Exception as exc:  # noqa: BLE001 — daemon may be down
+            out["server_error"] = repr(exc)
+    print(_json.dumps(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="bacalhau_spark",
                                 description="PySpark-native analytics engine")
@@ -254,6 +274,11 @@ def build_parser() -> argparse.ArgumentParser:
     lr = sub.add_parser("list-runs", help="list runs on a serve daemon")
     lr.add_argument("--url", default="http://127.0.0.1:8338")
     lr.set_defaults(fn=cmd_list_runs)
+
+    ver = sub.add_parser("version", help="client (and server) version")
+    ver.add_argument("--url", default=None,
+                     help="daemon URL; omit for client-only")
+    ver.set_defaults(fn=cmd_version)
     return p
 
 

@@ -17,6 +17,20 @@ def test_list_queries(capsys):
     assert "nd_ann_lsh\trows-only" in out
 
 
+def test_version(capsys):
+    """`version` prints client + pyspark versions as one JSON line
+    (cmd/bacalhau/version.go analog); with a dead --url the server
+    error is reported without failing the command."""
+    assert cli.main(["version"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["client"] and doc["pyspark"]
+    assert "server" not in doc
+    assert cli.main(["version", "--url",
+                     "http://127.0.0.1:1"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert "server_error" in doc
+
+
 def test_run_unknown_query():
     assert cli.main(["run", "--query", "nope"]) == 2
 
