@@ -292,6 +292,56 @@ def test_stratified_sample_exact_quotas(spark, sf_dir):
                    for lang, n in totals.items()}
 
 
+def test_queries_run_on_directory_layout(spark, sf_dir, tmp_path):
+    """Production inputs are DIRECTORIES of parquet parts, not single
+    files. The catalog's `{sf_dir}/{table}.parquet` path convention must
+    work when that path is a multi-part directory — same results as the
+    single-file fixture."""
+    import shutil
+
+    from bacalhau_spark.operators.aggregates import q17_hash_agg
+    from bacalhau_spark.operators.curation import nd_gopher_filter
+    from bacalhau_spark.operators.dedup import nd_chunk_dedup
+
+    d = tmp_path / "dirsf"
+    d.mkdir()
+    for t in ("lineitem", "documents"):
+        (spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(4)
+         .write.parquet(str(d / f"{t}.parquet")))
+    for fn in (q17_hash_agg,):
+        assert (fn(spark, str(d)).collect()
+                == fn(spark, sf_dir).collect())
+    for fn in (nd_gopher_filter, nd_chunk_dedup):
+        assert (fn(spark, str(d)).collect()
+                == fn(spark, sf_dir).collect())
+
+
+def test_chunk_dedup_counts_duplicated_spans(spark, sf_dir, tmp_path):
+    """Semantics, not just oracle parity: appending an exact copy of a
+    document (fresh doc_id) must mark ALL of both copies' chunks as
+    duplicated, and leave other documents' counts unchanged."""
+    from bacalhau_spark.operators.dedup import nd_chunk_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    clone_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    clone = spark.createDataFrame(
+        [(clone_id, first["text"])], "doc_id bigint, text string")
+    aug = tmp_path / "aug"
+    aug.mkdir()
+    (docs.select("doc_id", "text").unionByName(clone)
+     .write.parquet(str(aug / "documents.parquet")))
+    base = {r["doc_id"]: (r["n_chunks"], r["dup_chunks"])
+            for r in nd_chunk_dedup(spark, sf_dir).collect()}
+    got = {r["doc_id"]: (r["n_chunks"], r["dup_chunks"])
+           for r in nd_chunk_dedup(spark, str(aug)).collect()}
+    n0 = base[first["doc_id"]][0]
+    assert got[first["doc_id"]] == (n0, n0)   # every chunk now recurs
+    assert got[clone_id] == (n0, n0)
+    unchanged = [d for d in base if d != first["doc_id"]]
+    assert all(got[d] == base[d] for d in unchanged)
+
+
 def test_spread_compute_is_noop_when_scan_is_parallel(spark, sf_dir):
     """spread_compute must NOT add an exchange when the input already has
     >= defaultParallelism partitions — at corpus scale it is a no-op, never
