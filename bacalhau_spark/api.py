@@ -18,6 +18,10 @@ Routes:
   POST /pipeline {"stages": [...]}  — run a DAG-of-jobs document; returns
                                       per-stage terminal statuses (409 if
                                       any stage failed/cancelled)
+  POST /cancel?run_id=X             — requester-side cancel (signed like
+                                      /submit): queued runs end Cancelled
+                                      immediately, running runs once their
+                                      job group dies
 
 Submit is ASYNCHRONOUS (the reference's model, `pkg/publicapi/server.go:329`):
 the engine validates, runs the policy hooks, and admits the run to the
@@ -270,6 +274,26 @@ class ApiServer:
         if parsed.path == "/pipeline":
             self._handle_pipeline(handler, parsed)
             return
+        if parsed.path == "/cancel":
+            # requester-side cancel (JobStateCancelled analog). Signed
+            # like /submit: an unauthenticated caller must not be able
+            # to kill another client's runs.
+            try:
+                length = int(handler.headers.get("Content-Length", "0"))
+                body = handler.rfile.read(length) or b"{}"
+                self._check_auth(handler, body, handler.path)
+                qs = parse_qs(parsed.query)
+                run_id = qs.get("run_id", [""])[0]
+                state = self.engine.cancel(run_id)
+                self._reply(handler, 200, {"run_id": run_id,
+                                           "state": state})
+            except AuthError as exc:
+                self._reply(handler, 401, {"error": str(exc)})
+            except KeyError as exc:
+                self._reply(handler, 404, {"error": str(exc)})
+            except Exception as exc:  # noqa: BLE001
+                self._reply(handler, 500, {"error": repr(exc)})
+            return
         if parsed.path != "/submit":
             self._reply(handler, 404, {"error": f"no route {parsed.path}"})
             return
@@ -387,6 +411,12 @@ class ApiClient:
             if exc.status == 409 and "stages" in exc.body:
                 return exc.body
             raise
+
+    def cancel(self, run_id: str) -> str:
+        """Cancel a queued or running run; returns its state after the
+        call (Cancelled immediately for queued runs; running runs drain
+        to Cancelled once their job group dies)."""
+        return self._request("/cancel", {"run_id": run_id}, {})["state"]
 
     def list_runs(self) -> dict[str, str]:
         return self._request("/list")["runs"]

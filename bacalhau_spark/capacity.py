@@ -194,6 +194,17 @@ class CapacityManager:
             self._backlog = remaining
         return admitted
 
+    def remove_backlogged(self, item_id: str) -> bool:
+        """Remove a still-queued item from the backlog (the requester-side
+        cancel of a job that never got a bid). Returns False if the item is
+        not in the backlog (already active or unknown)."""
+        with self._lock:
+            for entry in self._backlog:
+                if entry[0] == item_id:
+                    self._backlog.remove(entry)
+                    return True
+        return False
+
     def release(self, item_id: str) -> None:
         """Return an active item's resources (Remove); no-op if unknown so
         error paths can call it unconditionally."""

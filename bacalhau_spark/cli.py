@@ -190,6 +190,14 @@ def cmd_list_runs(args) -> int:
     return 0
 
 
+def cmd_cancel(args) -> int:
+    """Cancel a run on a serve daemon (the JobStateCancelled verb)."""
+    from bacalhau_spark.api import ApiClient
+    state = ApiClient(args.url).cancel(args.run_id)
+    print(f"run {args.run_id}: {state}")
+    return 0
+
+
 def cmd_version(args) -> int:
     """Client/server version report (`cmd/bacalhau/version.go` analog:
     prints the client version, and the server's when a daemon URL is
@@ -274,6 +282,11 @@ def build_parser() -> argparse.ArgumentParser:
     lr = sub.add_parser("list-runs", help="list runs on a serve daemon")
     lr.add_argument("--url", default="http://127.0.0.1:8338")
     lr.set_defaults(fn=cmd_list_runs)
+
+    ca = sub.add_parser("cancel", help="cancel a run on a serve daemon")
+    ca.add_argument("--run-id", required=True)
+    ca.add_argument("--url", default="http://127.0.0.1:8338")
+    ca.set_defaults(fn=cmd_cancel)
 
     ver = sub.add_parser("version", help="client (and server) version")
     ver.add_argument("--url", default=None,

@@ -43,6 +43,7 @@ EVT_RESULTS_ACCEPTED = "ResultsAccepted"
 EVT_RESULTS_REJECTED = "ResultsRejected"
 EVT_RESULTS_REUSED = "ResultsReused"  # content-addressed result-cache hit
 EVT_REJECTED = "Rejected"
+EVT_CANCELLED = "Cancelled"  # requester-side cancel (JobStateCancelled)
 
 # States a run's results may be read back in (fetch_results gate).
 TERMINAL_OK_STATES = (EVT_COMPLETED, EVT_RESULTS_ACCEPTED)
@@ -236,6 +237,13 @@ class JobTimeoutError(RuntimeError):
     timeouts, `pkg/config/config.go:42-82`)."""
 
 
+class JobCancelledError(RuntimeError):
+    """The run was cancelled by the requester (Engine.cancel) — the
+    JobStateCancelled terminal state (`pkg/executor/constants.go:151,223`).
+    wait() re-raises this so a caller blocked on the run observes the
+    cancellation rather than a generic error."""
+
+
 class RunNotCompleteError(RuntimeError):
     """fetch_results on a run that has not (successfully) finished — reading
     the sink would 500 on a missing path or, worse, return stale bytes left
@@ -294,6 +302,9 @@ class Engine:
         # content key -> (run_id, manifest) of verified completed runs,
         # consulted by reuse=True submits (result-plane CID cache).
         self._result_index: dict[str, tuple[str, str]] = {}
+        # runs cancelled by the requester (Engine.cancel); _execute's
+        # error path consults this to classify its failure as Cancelled.
+        self._cancel_requested: set[str] = set()
 
     # -- event log ---------------------------------------------------------
     def _emit(self, run_id: str, name: str, detail: str = "") -> None:
@@ -519,6 +530,39 @@ class Engine:
         run_id = self.submit_async(spec)
         self.wait(run_id)
         return run_id
+
+    def cancel(self, run_id: str) -> str:
+        """Requester-side cancel (JobStateCancelled,
+        `pkg/executor/constants.go:151,223`). A still-backlogged run is
+        removed before it ever bids; a running run has its Spark job
+        group cancelled (re-issued until the run ends, same race handling
+        as the timeout watchdog — a single cancel can land before the
+        next job registers under the group). Terminal runs are left
+        untouched. Returns the run's state after the call; like the
+        watchdog, a run parked in pure-Python registry code before any
+        Spark action cannot be interrupted and ends Cancelled only when
+        its next action fails."""
+        state = self.state(run_id)  # raises KeyError on unknown
+        done = self._done.get(run_id)
+        if done is None or done.is_set():
+            return state
+        if self.capacity.remove_backlogged(run_id):
+            # never bid: terminal immediately, nothing is running
+            err = JobCancelledError(f"run {run_id} cancelled while queued")
+            self._errors[run_id] = err
+            self._emit(run_id, EVT_CANCELLED, "cancelled while queued")
+            done.set()
+            return EVT_CANCELLED
+        self._cancel_requested.add(run_id)
+        sc = self.spark.sparkContext
+
+        def _reap() -> None:
+            while not done.is_set():
+                sc.cancelJobGroup(run_id)
+                done.wait(1.0)
+        threading.Thread(target=_reap, daemon=True,
+                         name=f"bacalhau-cancel-{run_id}").start()
+        return self.state(run_id)
 
     # -- pipelines (DAG of jobs) ------------------------------------------
     def submit_pipeline(self, stages: list[dict]) -> dict[str, str]:
@@ -791,6 +835,12 @@ class Engine:
         except ResultsRejectedError:
             raise  # already recorded as ResultsRejected — terminal state
         except Exception as exc:  # noqa: BLE001 — recorded, then re-raised
+            if run_id in self._cancel_requested:
+                err = JobCancelledError(
+                    f"run {run_id} cancelled by requester; "
+                    "job group cancelled")
+                self._emit(run_id, EVT_CANCELLED, repr(err))
+                raise err from exc
             if expired.is_set():
                 err = JobTimeoutError(
                     f"run {run_id} exceeded timeout_s={spec.timeout_s}; "

@@ -40,6 +40,17 @@ def test_submit_states_events_roundtrip(api):
     assert api.list_runs()[run_id] == "Completed"
 
 
+def test_cancel_endpoint(api):
+    """POST /cancel: a completed run reports its real state (no-op); an
+    unknown run id maps to 404."""
+    run_id = api.submit({"query": "q01_scan_projection",
+                         "inputs": {"sf_dir": SF_DIR}})
+    assert api.cancel(run_id) == "Completed"
+    with pytest.raises(ApiError) as ei:
+        api.cancel("nope")
+    assert ei.value.status == 404
+
+
 def test_local_events_spans_runs(api):
     r1 = api.submit({"query": "q01_scan_projection",
                      "inputs": {"sf_dir": SF_DIR}})

@@ -502,6 +502,67 @@ def test_contentstore_inputs_size_disk_admission(spark, tmp_path):
                                    "addresses": ["f" * 32]}))
 
 
+def test_cancel_queued_run(spark):
+    """A still-backlogged run cancels immediately: removed before it ever
+    bids, terminal state Cancelled, wait() raises JobCancelledError, and
+    the slot it never took is unaffected."""
+    import time
+
+    from bacalhau_spark.capacity import CapacityManager, ResourceUsage
+    from bacalhau_spark.engine import JobCancelledError
+
+    reg = queries()
+
+    def slow(spark_, sf_dir):
+        time.sleep(3)
+        from bacalhau_spark.catalog import table
+        return table(spark_, sf_dir, "nation")
+
+    reg["p_slow"] = slow
+    eng = Engine(spark, reg,
+                 capacity=CapacityManager(total=ResourceUsage(cpu=1.0)))
+    running = eng.submit_async(JobSpec(query="p_slow",
+                                       inputs={"sf_dir": SF_DIR},
+                                       resources={"cpu": "1"}))
+    queued = eng.submit_async(JobSpec(query="q01_scan_projection",
+                                      inputs={"sf_dir": SF_DIR},
+                                      resources={"cpu": "1"}))
+    assert eng.capacity.queue_position(queued) == 0
+    assert eng.cancel(queued) == "Cancelled"
+    with pytest.raises(JobCancelledError):
+        eng.wait(queued, timeout=5)
+    eng.wait(running, timeout=60)
+    assert eng.state(running) == EVT_COMPLETED
+    # cancelling a terminal run is a no-op reporting its real state
+    assert eng.cancel(running) == EVT_COMPLETED
+
+
+def test_cancel_running_run(spark):
+    """Cancelling a RUNNING run kills its Spark job group: the run ends
+    Cancelled (not Error) and wait() raises JobCancelledError."""
+    from bacalhau_spark.engine import JobCancelledError
+
+    reg = queries()
+
+    def heavy(spark_, sf_dir):
+        from pyspark.sql import functions as F
+        return spark_.range(50_000_000_000).agg(F.sum("id").alias("s"))
+
+    reg["p_heavy"] = heavy
+    eng = Engine(spark, reg)
+    rid = eng.submit_async(JobSpec(query="p_heavy",
+                                   inputs={"sf_dir": SF_DIR}))
+    # let the action start so the job group is registered
+    deadline = __import__("time").time() + 30
+    while eng.state(rid) not in ("Running",) and \
+            __import__("time").time() < deadline:
+        __import__("time").sleep(0.1)
+    eng.cancel(rid)
+    with pytest.raises(JobCancelledError):
+        eng.wait(rid, timeout=60)
+    assert eng.state(rid) == "Cancelled"
+
+
 def test_result_reuse_bypassed_for_fresh_output_path(engine, spark, tmp_path):
     """A reuse=True submit whose declared outputs.path differs from the
     cached run's must execute for real: short-circuiting would leave the
