@@ -9,6 +9,10 @@ This module is the single-driver analog: a stdlib ThreadingHTTPServer over an
 Routes:
   GET  /healthz /livez /readyz      — health probes (server_health.go analog)
   GET  /version                     — engine version
+  GET  /id /peers                   — node identity (Spark app id) / peer
+                                      table (empty: single-driver, SURVEY §4)
+  GET  /varz /logz?n=N /metrics     — runtime vars (capacity + confs) /
+                                      event-log tail / Prometheus text
   GET  /list                        — {run_id: state} for every run
   GET  /states?run_id=X             — current state of one run
   GET  /events?run_id=X             — full event history of one run
@@ -192,6 +196,66 @@ class ApiServer:
                 rid = self._run_id(qs)
                 files = self.engine.result_files(rid)
                 self._reply(handler, 200, {"run_id": rid, "files": files})
+            elif parsed.path == "/id":
+                # node identity (/id, server.go:76): the single driver's
+                # stable identity is its Spark application id
+                self._reply(handler, 200, {
+                    "id": self.engine.spark.sparkContext.applicationId})
+            elif parsed.path == "/peers":
+                # /peers (server.go:77) — the libp2p peer table collapses
+                # to empty on the single-driver engine (SURVEY §4); the
+                # route exists so clients probing topology get a typed
+                # answer instead of a 404
+                self._reply(handler, 200, {"peers": []})
+            elif parsed.path == "/varz":
+                # /varz (server.go:82): runtime variables — capacity
+                # totals/free and the session's scale-relevant confs
+                cap = self.engine.capacity
+                free, total = cap.free(), cap.total
+                conf = self.engine.spark.conf
+                keys = ("spark.sql.shuffle.partitions",
+                        "spark.sql.adaptive.enabled",
+                        "spark.sql.session.timeZone")
+                self._reply(handler, 200, {
+                    "capacity": {
+                        "total": {"cpu": total.cpu, "memory": total.memory,
+                                  "disk": total.disk, "gpu": total.gpu},
+                        "free": {"cpu": free.cpu, "memory": free.memory,
+                                 "disk": free.disk, "gpu": free.gpu},
+                        "backlog": cap.backlog_len(),
+                        "active": len(cap.active_ids())},
+                    "spark": {k: conf.get(k, None) for k in keys}})
+            elif parsed.path == "/logz":
+                # /logz (server.go:81): the engine's event log tail as
+                # plain text lines, newest last
+                n = int(qs.get("n", ["100"])[0])
+                lines = [f"{e.ts:.3f} {e.run_id} [{e.ordinal}] "
+                         f"{e.name} {e.detail}"
+                         for e in self.engine.events()[-n:]]
+                self._reply(handler, 200, {"lines": lines})
+            elif parsed.path == "/metrics":
+                # /metrics (server.go:85): minimal Prometheus text
+                # exposition — run states and capacity axes
+                from collections import Counter
+                states = Counter(self.engine.list_runs().values())
+                cap = self.engine.capacity
+                free = cap.free()
+                out = ["# TYPE bacalhau_runs_total counter"]
+                out += [f'bacalhau_runs_total{{state="{s}"}} {n}'
+                        for s, n in sorted(states.items())]
+                out += ["# TYPE bacalhau_capacity_free gauge",
+                        f'bacalhau_capacity_free{{axis="cpu"}} {free.cpu}',
+                        f'bacalhau_capacity_free{{axis="memory"}} '
+                        f'{free.memory}',
+                        "# TYPE bacalhau_backlog_len gauge",
+                        f"bacalhau_backlog_len {cap.backlog_len()}"]
+                body = ("\n".join(out) + "\n").encode()
+                handler.send_response(200)
+                handler.send_header("Content-Type",
+                                    "text/plain; version=0.0.4")
+                handler.send_header("Content-Length", str(len(body)))
+                handler.end_headers()
+                handler.wfile.write(body)
             else:
                 self._reply(handler, 404,
                             {"error": f"no route {parsed.path}"})
@@ -411,6 +475,25 @@ class ApiClient:
             if exc.status == 409 and "stages" in exc.body:
                 return exc.body
             raise
+
+    def node_id(self) -> str:
+        return self._request("/id")["id"]
+
+    def peers(self) -> list:
+        return self._request("/peers")["peers"]
+
+    def varz(self) -> dict:
+        return self._request("/varz")
+
+    def logz(self, n: int = 100) -> list[str]:
+        return self._request("/logz", {"n": n})["lines"]
+
+    def metrics(self) -> str:
+        """Prometheus text exposition (not JSON)."""
+        url = self.base_url + "/metrics"
+        with _urlrequest.urlopen(
+                _urlrequest.Request(url), timeout=self.timeout) as resp:
+            return resp.read().decode()
 
     def cancel(self, run_id: str) -> str:
         """Cancel a queued or running run; returns its state after the

@@ -40,6 +40,23 @@ def test_submit_states_events_roundtrip(api):
     assert api.list_runs()[run_id] == "Completed"
 
 
+def test_introspection_routes(api):
+    """/id /peers /varz /logz /metrics — the reference's node
+    introspection plane (server.go:72-85) on the single-driver engine."""
+    assert api.node_id()  # spark application id, non-empty
+    assert api.peers() == []  # single driver: no peer table
+    run_id = api.submit({"query": "q01_scan_projection",
+                         "inputs": {"sf_dir": SF_DIR}})
+    v = api.varz()
+    assert v["capacity"]["total"]["cpu"] > 0
+    assert v["spark"]["spark.sql.adaptive.enabled"] is not None
+    lines = api.logz()
+    assert any(run_id in ln and "Completed" in ln for ln in lines)
+    m = api.metrics()
+    assert 'bacalhau_runs_total{state="Completed"}' in m
+    assert "bacalhau_backlog_len 0" in m
+
+
 def test_cancel_endpoint(api):
     """POST /cancel: a completed run reports its real state (no-op); an
     unknown run id maps to 404."""
