@@ -228,10 +228,10 @@ class ApiServer:
             elif parsed.path == "/logz":
                 # /logz (server.go:81): the engine's event log tail as
                 # plain text lines, newest last
-                n = int(qs.get("n", ["100"])[0])
+                n = max(0, int(qs.get("n", ["100"])[0]))
+                tail = self.engine.events()[-n:] if n else []
                 lines = [f"{e.ts:.3f} {e.run_id} [{e.ordinal}] "
-                         f"{e.name} {e.detail}"
-                         for e in self.engine.events()[-n:]]
+                         f"{e.name} {e.detail}" for e in tail]
                 self._reply(handler, 200, {"lines": lines})
             elif parsed.path == "/metrics":
                 # /metrics (server.go:85): minimal Prometheus text

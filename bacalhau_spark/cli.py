@@ -191,9 +191,13 @@ def cmd_list_runs(args) -> int:
 
 
 def cmd_cancel(args) -> int:
-    """Cancel a run on a serve daemon (the JobStateCancelled verb)."""
+    """Cancel a run on a serve daemon (the JobStateCancelled verb).
+    /cancel is signed like /submit, so a secured daemon needs
+    --client-id/--secret here — without them the verb would be unusable
+    exactly where cancel authorization matters."""
     from bacalhau_spark.api import ApiClient
-    state = ApiClient(args.url).cancel(args.run_id)
+    state = ApiClient(args.url, client_id=args.client_id,
+                      secret=args.secret).cancel(args.run_id)
     print(f"run {args.run_id}: {state}")
     return 0
 
@@ -286,6 +290,10 @@ def build_parser() -> argparse.ArgumentParser:
     ca = sub.add_parser("cancel", help="cancel a run on a serve daemon")
     ca.add_argument("--run-id", required=True)
     ca.add_argument("--url", default="http://127.0.0.1:8338")
+    ca.add_argument("--client-id", default=None,
+                    help="signing identity for a secured daemon")
+    ca.add_argument("--secret", default=None,
+                    help="signing secret for a secured daemon")
     ca.set_defaults(fn=cmd_cancel)
 
     ver = sub.add_parser("version", help="client (and server) version")

@@ -440,6 +440,17 @@ class Engine:
         worker thread once the capacity manager admits the run."""
         if spec.query not in self.registry:
             raise KeyError(f"unknown query {spec.query!r}")
+        if spec.inputs and "sf_dir" not in spec.inputs:
+            # The query's data input rides the `sf_dir` key (pipeline
+            # '@parent' hand-offs included). A spec that sets OTHER input
+            # keys but not this one has almost certainly misspelled it
+            # (e.g. `path:`) — silently running over the default fixture
+            # dir is wrong-but-plausible output, so reject loudly. A
+            # fully-empty inputs dict still means "the default fixture"
+            # (the small-job convenience).
+            raise ValueError(
+                f"spec inputs {sorted(spec.inputs)} carry no 'sf_dir' — "
+                "the query's data path/hand-off key; did you misspell it?")
         run_id = uuid.uuid4().hex[:12]
         with self._lock:
             self._specs[run_id] = spec
@@ -780,6 +791,7 @@ class Engine:
             watchdog.daemon = True
             watchdog.start()
         try:
+            ctx_ns = ""
             if spec.context:
                 # Ship the job's working-dir modules to driver + executors
                 # before the query builds any UDF that imports them; the
@@ -789,6 +801,7 @@ class Engine:
                 with self._lock:
                     self._ctx_ns[run_id] = ns
                 _ctx_local.namespace = ns
+                ctx_ns = ns
             fn = self.registry[spec.query]
             sf_dir = spec.inputs.get("sf_dir", "/root/testdata/sf0.001")
             df = fn(self.spark, sf_dir)
@@ -830,7 +843,12 @@ class Engine:
                 self._emit(run_id, EVT_RESULTS_ACCEPTED, manifests[0])
             if spec.verified and manifests:
                 with self._lock:
-                    self._result_index[_content_key(spec)] = (
+                    # Key on the context SHIPPED at run start (ctx_ns),
+                    # not the live dir: an edit landing mid-run would
+                    # otherwise index this (old-code) result under the
+                    # NEW content digest, and a later reuse submit with
+                    # the new context would be served stale output.
+                    self._result_index[_content_key(spec, ctx_ns)] = (
                         run_id, manifests[0])
         except ResultsRejectedError:
             raise  # already recorded as ResultsRejected — terminal state
@@ -884,7 +902,7 @@ def _input_volume_bytes(spec: JobSpec) -> int:
     return total
 
 
-def _content_key(spec: JobSpec) -> str:
+def _content_key(spec: JobSpec, ctx: str | None = None) -> str:
     """Content-addressed identity of a computation: the query name plus its
     inputs, canonically serialized. Inputs are immutable paths (the CID
     analog), so equal keys mean equal computations; outputs/resources/
@@ -895,10 +913,16 @@ def _content_key(spec: JobSpec) -> str:
     context contents is a different computation. The archive's content
     digest (the namespace build_context_archive derives) is folded in —
     editing a context file changes the key, so reuse never serves a result
-    computed with stale code."""
-    ctx = ""
-    if spec.context:
-        _, ctx = build_context_archive(spec.context)
+    computed with stale code.
+
+    `ctx` overrides the digest when the caller already knows WHICH
+    archive the computation actually used (the execute path passes the
+    namespace it shipped at run start — re-walking the live dir at
+    completion would key a result under code it was not computed with)."""
+    if ctx is None:
+        ctx = ""
+        if spec.context:
+            _, ctx = build_context_archive(spec.context)
     doc = json.dumps({"query": spec.query, "inputs": spec.inputs,
                       "context": ctx},
                      sort_keys=True)

@@ -54,6 +54,14 @@ MH_AB = tuple(
 # Polynomial combiner for rolling word-window shingle keys (see
 # _rolling_shingle_keys). < 2^31 so acc*C stays under 2^62.
 MH_ROLL_C = 1_000_003
+# Modulus for the folded band-BUCKET keys (not the minhash values, which
+# stay mod MH_PRIME): largest prime < 2^43, the widest the polynomial
+# fold can run without long overflow (acc*C < 2^63 needs acc < 2^43 with
+# C ~ 2^20). A 31-bit bucket space would birthday-collide at ~10^5
+# (doc, band) rows — merging unrelated buckets and corrupting clusters
+# at corpus scale; 43 bits pushes the first expected collision past
+# ~4M rows and keeps spurious merges ~1e-6 at 10^7.
+BKEY_PRIME = 8_796_093_022_151
 MH_SHINGLE_N = 5
 
 
@@ -167,17 +175,19 @@ def _band_candidates(sig_wide: DataFrame,
     # window-guard plan dropped 1.13 s -> 1.00 s median (interleaved, 7
     # runs), and the guard's window sort became free relative to the
     # post-collect-filter form (0.996 vs 0.993 — the two-key sort was the
-    # entire guard cost). Cross-band key collisions merge buckets in
-    # principle, but the 60-bit fold makes that as (im)probable as the
-    # intra-band signature collisions the scheme already accepts, and the
-    # oracle folds IDENTICALLY, so the gate compares like for like.
+    # entire guard cost). The fold runs mod BKEY_PRIME (43-bit — see its
+    # comment for the collision budget; the r5 review caught the first
+    # cut folding mod the 31-bit MH_PRIME, which would birthday-merge
+    # buckets from ~1e5 rows). Cross-band key collisions remain possible
+    # in principle; the oracle folds IDENTICALLY, so the gate compares
+    # like for like.
     def band_key(b: int):
-        # lit(b).cast long: the fold must run in LONG (acc*C nears 2^62);
+        # lit(b).cast long: the fold must run in LONG (acc*C nears 2^63);
         # int-typed inputs would overflow (ANSI ArithmeticException).
         acc = F.lit(b).cast("long")
         for r in range(ROWS_PER_BAND):
             acc = (acc * MH_ROLL_C
-                   + F.col(f"mh{b * ROWS_PER_BAND + r}")) % MH_PRIME
+                   + F.col(f"mh{b * ROWS_PER_BAND + r}")) % BKEY_PRIME
         return acc
 
     band_cols = [band_key(b) for b in range(N_BANDS)]
@@ -209,8 +219,13 @@ def _band_candidates(sig_wide: DataFrame,
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
         "b -> struct(a AS a_id, b AS b_id))))")
+    # a_id < b_id filter: if one DOC's two band keys collide, its doc_id
+    # sits twice in the sorted member list and the expansion emits a
+    # (x, x) self-pair — which the oracle's a.doc_id < b.doc_id self-join
+    # never produces. The strict inequality drops it in codegen.
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.a_id", "p.b_id")
+            .where(F.col("a_id") < F.col("b_id"))
             .distinct())
 
 
@@ -443,10 +458,11 @@ for _k in range(2, MH_SHINGLE_N + 1):
 # Folded band-bucket key, mirroring _band_candidates.band_key: the band
 # index (seed // ROWS_PER_BAND) is the leading polynomial term, then the
 # band's ROWS_PER_BAND ordered minhashes fold in — ONE long key per band,
-# identical in both engines.
+# mod the 43-bit BKEY_PRIME, identical in both engines.
 _MH_BAND_POLY = f"(seed // {ROWS_PER_BAND})"
 for _k in range(1, ROWS_PER_BAND + 1):
-    _MH_BAND_POLY = f"(({_MH_BAND_POLY}) * {MH_ROLL_C} + ml[{_k}]) % {MH_PRIME}"
+    _MH_BAND_POLY = (f"(({_MH_BAND_POLY}) * {MH_ROLL_C} + ml[{_k}]) "
+                     f"% {BKEY_PRIME}")
 
 # Shared bucket CTEs over the per-(doc, seed) minhash table `mh`: the
 # folded key per (doc, band), then the hot-bucket guard.

@@ -477,10 +477,14 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the per-part aggregate feeds TWO consumers (the
     # threshold filter and the grand total) and Spark shares no subplans
     # across DataFrame branches — without it the whole fact lineage runs
-    # twice (plan-asserted in tests/test_scale.py).
+    # twice (plan-asserted in tests/test_scale.py). eager=False keeps the
+    # BUILDER lazy (an eager checkpoint executes the fact aggregation
+    # just to construct the DataFrame — explain/verified-gate paths would
+    # pay a full Spark job before any action); the checkpoint
+    # materializes once when the first consumer executes.
     val = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
            .groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     total = val.agg(F.sum("value_cents").alias("total_cents"))
     return (
         val.crossJoin(F.broadcast(total))
@@ -501,9 +505,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           .where((F.col("l_shipdate") >= "1996-01-01")
                  & (F.col("l_shipdate") < "1996-04-01"))
           .select("l_suppkey", _revenue_e4().alias("rev_e4")))
-    # checkpoint: two consumers (max + equality filter), see q11 note
+    # lazy checkpoint: two consumers (max + equality filter), q11 note
     rev = (li.groupBy("l_suppkey").agg(F.sum("rev_e4").alias("total_rev_e4"))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     top = rev.agg(F.max("total_rev_e4").alias("max_rev_e4"))
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -52,6 +52,8 @@ def test_introspection_routes(api):
     assert v["spark"]["spark.sql.adaptive.enabled"] is not None
     lines = api.logz()
     assert any(run_id in ln and "Completed" in ln for ln in lines)
+    assert api.logz(n=0) == []  # n=0 is an empty tail, not the full log
+    assert api.logz(n=-5) == []
     m = api.metrics()
     assert 'bacalhau_runs_total{state="Completed"}' in m
     assert "bacalhau_backlog_len 0" in m
