@@ -50,6 +50,54 @@ def test_gopher_kept_is_conjunction(spark, sf_dir):
     assert 0 < kept < total, "thresholds must split the fixture corpus"
 
 
+def test_pii_redact_is_idempotent(spark, sf_dir):
+    """Scrubbing already-scrubbed text is a fixed point: the placeholder
+    tokens must not re-match any pattern, so a second pass counts zero
+    and changes nothing — the property that makes re-running a curation
+    stage over partially-processed data safe."""
+    once = (curation.nd_pii_redact(spark, sf_dir)
+            .select("doc_id", F.col("redacted").alias("text")).limit(50))
+    twice = curation.pii_redact_frame(once)
+    rows = twice.collect()
+    assert rows
+    for r in rows:
+        assert (r.n_email, r.n_ip, r.n_phone) == (0, 0, 0)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.redacted for r in rows}
+    assert a == b
+
+
+def test_gopher_keep_matches_flag_audit(spark, sf_dir):
+    """The filtering form (gopher_keep — the pipeline stage core) and the
+    auditing form (gopher_flags_frame) must agree exactly: keep = rows
+    the audit marks kept=1. Guards the round-5 predicate factoring."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    kept_ids = {r.doc_id for r in
+                curation.gopher_keep(docs).select("doc_id").collect()}
+    audit_ids = {r.doc_id for r in
+                 curation.gopher_flags_frame(docs)
+                 .where(F.col("kept") == 1).select("doc_id").collect()}
+    assert kept_ids == audit_ids and kept_ids
+
+
+def test_word_rarity_invariants(spark, sf_dir):
+    """Per-doc word counts must tile the corpus total, and every word
+    contributes at least 1 (t DIV f >= 1 since f <= t) — so rarity_sum
+    >= n_words, with equality only if every word had corpus-dominating
+    frequency."""
+    from bacalhau_spark.operators.text import nd_word_rarity
+    df = nd_word_rarity(spark, sf_dir)
+    agg = df.agg(F.sum("n_words").alias("tw"),
+                 F.sum((F.col("rarity_sum") < F.col("n_words"))
+                       .cast("int")).alias("bad")).first()
+    total_words = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select(F.size(F.split(F.lower("text"), " ")).alias("n"))
+                   .agg(F.sum("n")).first()[0])
+    assert agg["tw"] == total_words
+    assert agg["bad"] == 0
+
+
 def test_ngram_overlap_broadcasts_benchmark_side(spark, sf_dir):
     """The benchmark shingle set must broadcast into a semi join — the
     corpus side never shuffles its shingles for the decontamination check."""
