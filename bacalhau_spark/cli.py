@@ -202,6 +202,26 @@ def cmd_cancel(args) -> int:
     return 0
 
 
+def cmd_devstack(args) -> int:
+    """N-node local stack (`cmd/bacalhau/devstack.go` analog): one API
+    server per logical node, env exports printed, serve until ^C."""
+    from bacalhau_spark import registry
+    from bacalhau_spark.devstack import DevStack
+    spark = _get_spark(args.cpus)
+    stack = DevStack(spark, registry.engine_registry(),
+                     n_nodes=args.nodes, start_api=True)
+    for line in stack.env_exports():
+        print(line)
+    print(f"devstack: {args.nodes} nodes up; ^C to stop", flush=True)
+    try:
+        import time as _time
+        while True:
+            _time.sleep(3600)
+    except KeyboardInterrupt:
+        stack.shutdown()
+    return 0
+
+
 def cmd_version(args) -> int:
     """Client/server version report (`cmd/bacalhau/version.go` analog:
     prints the client version, and the server's when a daemon URL is
@@ -295,6 +315,11 @@ def build_parser() -> argparse.ArgumentParser:
     ca.add_argument("--secret", default=None,
                     help="signing secret for a secured daemon")
     ca.set_defaults(fn=cmd_cancel)
+
+    dv = sub.add_parser("devstack",
+                        help="N-node local stack with per-node APIs")
+    dv.add_argument("--nodes", type=int, default=3)
+    dv.set_defaults(fn=cmd_devstack)
 
     ver = sub.add_parser("version", help="client (and server) version")
     ver.add_argument("--url", default=None,

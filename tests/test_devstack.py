@@ -1,0 +1,94 @@
+"""Devstack tests — the reference's multi-node integration harness
+(`pkg/devstack/devstack.go:54-258`, `pkg/test/devstack/*_test.go`) on the
+single-process N-engine stack: first-bidder routing, overflow to the
+least-backlogged node, federation-level rejection, per-node APIs.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from bacalhau_spark.devstack import DevStack
+from bacalhau_spark.engine import JobRejectedError, JobSpec
+from bacalhau_spark.registry import queries
+
+from tests.conftest import SF_DIR
+
+
+def _slow_registry():
+    reg = queries()
+
+    def slow(spark_, sf_dir):
+        time.sleep(2)
+        from bacalhau_spark.catalog import table
+        return table(spark_, sf_dir, "nation")
+
+    reg["d_slow"] = slow
+    return reg
+
+
+def test_jobs_spread_across_nodes(spark):
+    """Two node-saturating jobs must land on DIFFERENT nodes (first-bidder
+    over free capacity), and the aggregated view sees both complete."""
+    stack = DevStack(spark, _slow_registry(), n_nodes=3)
+    per_node_cpu = stack.nodes[0].capacity.total.cpu
+    spec = {"query": "d_slow", "inputs": {"sf_dir": SF_DIR},
+            "resources": {"cpu": str(int(per_node_cpu))}}
+    n1, r1 = stack.submit_async(JobSpec.from_dict(spec))
+    n2, r2 = stack.submit_async(JobSpec.from_dict(spec))
+    assert n1 != n2, "second saturating job must bid on another node"
+    stack.nodes[n1].wait(r1, timeout=60)
+    stack.nodes[n2].wait(r2, timeout=60)
+    runs = stack.list_runs()
+    assert runs[r1] == (n1, "Completed") and runs[r2] == (n2, "Completed")
+
+
+def test_saturated_stack_queues_on_least_backlogged(spark):
+    """When every node is busy, the job QUEUES (never vanishes) on the
+    least-backlogged node and still completes once capacity frees."""
+    stack = DevStack(spark, _slow_registry(), n_nodes=2)
+    cpu = str(int(stack.nodes[0].capacity.total.cpu))
+    spec = JobSpec.from_dict({"query": "d_slow",
+                              "inputs": {"sf_dir": SF_DIR},
+                              "resources": {"cpu": cpu}})
+    ids = [stack.submit_async(spec) for _ in range(3)]
+    # third job found no free node: it must be backlogged somewhere
+    assert sum(n.capacity.backlog_len() for n in stack.nodes) >= 1
+    for i, rid in ids:
+        stack.nodes[i].wait(rid, timeout=120)
+        assert stack.nodes[i].state(rid) == "Completed"
+
+
+def test_federation_rejects_only_when_every_node_does(spark):
+    """A job bigger than any single node's total capacity is rejected at
+    the stack level (NeverFits on every node)."""
+    stack = DevStack(spark, queries(), n_nodes=2)
+    too_big = str(int(stack.nodes[0].capacity.total.cpu * 4))
+    with pytest.raises(JobRejectedError, match="no devstack node"):
+        stack.submit_async(JobSpec.from_dict(
+            {"query": "q01_scan_projection", "inputs": {"sf_dir": SF_DIR},
+             "resources": {"cpu": too_big}}))
+
+
+def test_per_node_apis_and_env_exports(spark):
+    """start_api binds one live API per node; env_exports prints one
+    export line per node (the devstack printout)."""
+    from bacalhau_spark.api import ApiClient
+    stack = DevStack(spark, queries(), n_nodes=2, start_api=True)
+    try:
+        exports = stack.env_exports()
+        assert len(exports) == 2
+        assert all(e.startswith("export BACALHAU_SPARK_API_")
+                   for e in exports)
+        for s in stack.servers:
+            assert ApiClient(s.url).healthz()
+        # nodes are distinct control planes: a run on node 0 is not
+        # visible on node 1's API
+        rid = ApiClient(stack.servers[0].url).submit(
+            {"query": "q01_scan_projection", "inputs": {"sf_dir": SF_DIR}})
+        assert rid in ApiClient(stack.servers[0].url).list_runs()
+        assert rid not in ApiClient(stack.servers[1].url).list_runs()
+    finally:
+        stack.shutdown()
