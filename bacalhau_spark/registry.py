@@ -51,7 +51,7 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 _PRIORITY: tuple[str, ...] = (
     # 1. changed this round
     "nd_minhash_lsh", "nd_dedup_clusters", "nd_minhash_estimate",
-    "nd_stream_sessions", "nd_stream_stateful",
+    "nd_stream_sessions", "nd_stream_stateful", "nd_stream_dedup",
     "nd_gopher_filter", "nd_stream_gopher",
     # 1b. NEW this round (never graded): the TPC-H suite completion plus
     # two curation additions (chunk-level dedup audit, unigram rarity)
@@ -71,7 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_dedup_exact", "q29_exact_dedup", "q30_nn", "nd_ann_topk",
     "nd_cosine_neardup", "nd_vector_norm", "nd_centroids",
     "nd_quality", "nd_token_count", "nd_fingerprint",
-    "nd_chunking", "nd_tfidf", "nd_range_join",
+    "nd_chunking", "nd_tfidf",
     # -- window boundary: first 50 graded per round -------------------
 )
 

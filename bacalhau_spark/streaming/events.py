@@ -499,14 +499,19 @@ QUERIES = {
         "AND p.event_type = 'purchase' AND c.event_type = 'click' "
         "AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR",
     ),
-    # Rows-only driver row (no oracle): first-arrival order INSIDE a batch
-    # decides which duplicate survives — engine-specific by design;
-    # equivalence-tested in tests/test_streaming.py. The driver row proves
-    # it executes end-to-end in the driver's plain session/foreign cwd.
+    # First-arrival order INSIDE a batch decides which duplicate's
+    # event_id survives — engine-specific by design (exercised in
+    # tests/test_streaming.py). The deduped KEY SET, however, is fully
+    # deterministic, so the registry row gates on the key projection
+    # re-sorted after the sink (determinized round 5, same recipe as
+    # sessions/stateful).
     "nd_stream_dedup": (
-        lambda spark, sf_dir: run_stream_dedup(
-            spark, sf_dir, table_name="gate_dedup"),
-        None,
+        lambda spark, sf_dir: (
+            run_stream_dedup(spark, sf_dir, table_name="gate_dedup")
+            .select("user_id", "event_type")
+            .orderBy("user_id", "event_type")),
+        "SELECT DISTINCT user_id, event_type FROM events "
+        "ORDER BY user_id, event_type",
     ),
     # Determinized round 5: the single-file fixture runs as one
     # availableNow micro-batch, a final batch re-sort removes sink order,
