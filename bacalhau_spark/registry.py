@@ -58,7 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_volume", "tpch_q11_important_parts",
     "tpch_q15_top_supplier", "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier",
-    "nd_chunk_dedup", "nd_word_rarity",
+    "nd_chunk_dedup", "nd_word_rarity", "nd_xml_roundtrip",
     # 2a. r1 rows over unchanged code (all 23 that remain)
     "q06_conditional", "q07_array_funcs", "q14b_left_join_agg",
     "q18_count_distinct", "q19_rollup", "q19b_cube", "q19c_grouping_sets",
@@ -71,7 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_dedup_exact", "q29_exact_dedup", "q30_nn", "nd_ann_topk",
     "nd_cosine_neardup", "nd_vector_norm", "nd_centroids",
     "nd_quality", "nd_token_count", "nd_fingerprint",
-    "nd_chunking", "nd_tfidf",
+    "nd_chunking",
     # -- window boundary: first 50 graded per round -------------------
 )
 

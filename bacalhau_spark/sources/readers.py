@@ -18,7 +18,9 @@ import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
 
-_FORMATS = ("parquet", "csv", "json", "text", "orc", "binaryFile")
+# xml is native in Spark 4 (rowTag option); avro stays out — it ships as
+# an external module this offline container does not carry.
+_FORMATS = ("parquet", "csv", "json", "text", "orc", "binaryFile", "xml")
 
 
 def read(spark: SparkSession, fmt: str, path: str, schema: str | None = None,

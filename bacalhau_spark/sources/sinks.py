@@ -120,7 +120,34 @@ def nd_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink→source round trip (Spark 4 native xml format, rowTag
+    records): the nation dim written as XML rows, re-read with an
+    explicit schema, joined back into a per-region count — the
+    interchange format enterprise feeds still arrive in."""
+    from bacalhau_spark.scratch import scratch_dir
+    nat = table(spark, sf_dir, "nation")
+    out = scratch_dir("xml") + "/nation"
+    (nat.write.mode("overwrite").format("xml")
+     .option("rootTag", "nations").option("rowTag", "nation").save(out))
+    back = (spark.read.schema(
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .option("rowTag", "nation").format("xml").load(out))
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"),
+             F.min("n_name").alias("first_nation"))
+        .orderBy("n_regionkey")
+    )
+
+
 QUERIES = {
+    "nd_xml_roundtrip": (
+        nd_xml_roundtrip,
+        "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+        "MIN(n_name) AS first_nation FROM nation "
+        "GROUP BY n_regionkey ORDER BY n_regionkey",
+    ),
     "q12_roundtrip": (
         q12_roundtrip,
         "SELECT COUNT(*) AS n_rows, ROUND(SUM(l_extendedprice), 2) AS total "
