@@ -86,6 +86,24 @@ class DevStack:
         self.nodes[i].wait(run_id)
         return i, run_id
 
+    def submit_pipeline(self, stages: list[dict]) -> dict[str, str]:
+        """Run a DAG of jobs ACROSS the stack: each stage routes through
+        the first-bidder scheduler when its wave submits, so sibling
+        stages land on different nodes and run concurrently, while
+        '@parent' hand-offs cross nodes through the shared filesystem
+        (one machine — the devstack premise). Statuses render as
+        'node<i>:<run_id>'."""
+        from bacalhau_spark.engine import run_pipeline_dag
+        return run_pipeline_dag(
+            stages,
+            submit_async=self.submit_async,
+            wait=lambda h: self.nodes[h[0]].wait(h[1]),
+            effective_output=lambda h, declared:
+                self.nodes[h[0]]._specs[h[1]].outputs.get("path")
+                or declared,
+            handle_str=lambda h: f"node{h[0]}:{h[1]}",
+        )
+
     # -- views --------------------------------------------------------------
     def list_runs(self) -> dict[str, tuple[int, str]]:
         """{run_id: (node_index, state)} across every node."""

@@ -600,119 +600,17 @@ class Engine:
         Returns {stage_name: run_id | "Cancelled"}. Raises PipelineError
         (carrying .statuses) after the DAG settles if any stage failed or
         was cancelled; stages that did complete keep their results."""
-        by_name: dict[str, dict] = {}
-        for st in stages:
-            name = st.get("name")
-            if not name or not isinstance(name, str):
-                raise ValueError("every pipeline stage needs a 'name'")
-            if name in by_name:
-                raise ValueError(f"duplicate stage name {name!r}")
-            by_name[name] = st
-        deps: dict[str, list[str]] = {}
-        for name, st in by_name.items():
-            after = st.get("after", [])
-            unknown = [p for p in after if p not in by_name]
-            if unknown:
-                raise ValueError(
-                    f"stage {name!r}: unknown parent(s) {unknown}")
-            deps[name] = list(after)
-        # Validate hand-off tokens BEFORE anything runs: a bad reference
-        # must fail the whole pipeline up front, not strand it half-run.
-        for name, st in by_name.items():
-            for v in dict(st.get("inputs", {})).values():
-                if isinstance(v, str) and v.startswith("@"):
-                    parent = v[1:]
-                    if parent not in deps[name]:
-                        raise ValueError(
-                            f"stage {name!r} references '@{parent}' but "
-                            f"does not list it in 'after' — declare the "
-                            f"dependency")
-                    if not by_name[parent].get("outputs", {}).get("path"):
-                        raise ValueError(
-                            f"stage {name!r} references '@{parent}' but "
-                            f"that stage declares no outputs.path")
-        # Kahn: any stage never reaching indegree 0 sits on a cycle.
-        order, indeg = [], {n: len(p) for n, p in deps.items()}
-        ready = sorted(n for n, d in indeg.items() if d == 0)
-        children: dict[str, list[str]] = {n: [] for n in by_name}
-        for n, ps in deps.items():
-            for p in ps:
-                children[p].append(n)
-        queue = list(ready)
-        while queue:
-            n = queue.pop(0)
-            order.append(n)
-            for c in children[n]:
-                indeg[c] -= 1
-                if indeg[c] == 0:
-                    queue.append(c)
-        if len(order) != len(by_name):
-            cyc = sorted(set(by_name) - set(order))
-            raise ValueError(f"pipeline has a dependency cycle through {cyc}")
-
-        statuses: dict[str, str] = {}
-        out_paths: dict[str, str] = {}
-        failed: dict[str, str] = {}
-
-        def resolve(stage: str, value):
-            # tokens were validated up front; parents of a submitting stage
-            # have completed, so their paths are recorded
-            if isinstance(value, str) and value.startswith("@"):
-                return out_paths[value[1:]]
-            return value
-
-        remaining = list(order)
-        while remaining:
-            wave = [n for n in remaining
-                    if all(p in statuses and p not in failed
-                           for p in deps[n])]
-            cancelled = [n for n in remaining
-                         if any(p in failed for p in deps[n])]
-            for n in cancelled:
-                # transitive: mark failed so THEIR dependents cancel too
-                statuses[n] = "Cancelled"
-                failed[n] = "cancelled: upstream failure"
-                remaining.remove(n)
-            if cancelled:
-                continue
-            if not wave:
-                break  # defensive; topological order makes this unreachable
-            run_ids: dict[str, str] = {}
-            for n in wave:
-                st = dict(by_name[n])
-                st.pop("name", None)
-                st.pop("after", None)
-                st["inputs"] = {k: resolve(n, v)
-                                for k, v in dict(st.get("inputs", {})).items()}
-                spec = JobSpec.from_dict(st)
-                try:
-                    run_ids[n] = self.submit_async(spec)
-                except Exception as exc:  # rejected at submit (policy/fit)
-                    statuses[n] = "Rejected"
-                    failed[n] = repr(exc)
-            for n in wave:
-                remaining.remove(n)
-                if n in failed:
-                    continue
-                try:
-                    self.wait(run_ids[n])
-                    statuses[n] = run_ids[n]
-                    # Resolve the hand-off through the run's EFFECTIVE
-                    # spec, not the stage document: a reuse cache hit
-                    # swaps the run's spec to the prior run's, and that
-                    # prior sink is the artifact the child must read.
-                    path = self._specs[run_ids[n]].outputs.get("path") \
-                        or by_name[n].get("outputs", {}).get("path")
-                    if path:
-                        out_paths[n] = path
-                except Exception as exc:
-                    statuses[n] = run_ids[n]
-                    failed[n] = repr(exc)
-        if failed:
-            raise PipelineError(
-                f"pipeline stages failed/cancelled: {sorted(failed)}",
-                statuses)
-        return statuses
+        return run_pipeline_dag(
+            stages,
+            submit_async=self.submit_async,
+            wait=self.wait,
+            # Resolve the hand-off through the run's EFFECTIVE spec, not
+            # the stage document: a reuse cache hit swaps the run's spec
+            # to the prior run's, and that prior sink is the artifact the
+            # child must read.
+            effective_output=lambda rid, declared:
+                self._specs[rid].outputs.get("path") or declared,
+        )
 
     def _drain(self) -> None:
         """Start a worker for every backlogged run that fits in free
@@ -873,6 +771,132 @@ class Engine:
             _ctx_local.namespace = None
             for k, v in prev.items():
                 sc.setLocalProperty(k, v)
+
+
+def run_pipeline_dag(stages: list[dict], submit_async, wait,
+                     effective_output, handle_str=str) -> dict[str, str]:
+    """Generic wave-parallel DAG runner behind `Engine.submit_pipeline`
+    and `DevStack.submit_pipeline`: validation (names, deps, '@' tokens,
+    cycles), Kahn ordering, per-wave submit-then-wait, transitive
+    cancellation. Pluggable scheduling:
+
+    - submit_async(spec: JobSpec) -> handle (a run id, or (node, run_id))
+    - wait(handle) — blocks; raises on failure
+    - effective_output(handle, declared_path) -> the path a '@stage'
+      token must resolve to after the stage completed
+    - handle_str(handle) — how a handle renders in the status map
+
+    Returns {stage_name: handle_str | "Cancelled" | "Rejected"}; raises
+    PipelineError carrying that map if any stage failed/was cancelled."""
+    by_name: dict[str, dict] = {}
+    for st in stages:
+        name = st.get("name")
+        if not name or not isinstance(name, str):
+            raise ValueError("every pipeline stage needs a 'name'")
+        if name in by_name:
+            raise ValueError(f"duplicate stage name {name!r}")
+        by_name[name] = st
+    deps: dict[str, list[str]] = {}
+    for name, st in by_name.items():
+        after = st.get("after", [])
+        unknown = [p for p in after if p not in by_name]
+        if unknown:
+            raise ValueError(
+                f"stage {name!r}: unknown parent(s) {unknown}")
+        deps[name] = list(after)
+    # Validate hand-off tokens BEFORE anything runs: a bad reference
+    # must fail the whole pipeline up front, not strand it half-run.
+    for name, st in by_name.items():
+        for v in dict(st.get("inputs", {})).values():
+            if isinstance(v, str) and v.startswith("@"):
+                parent = v[1:]
+                if parent not in deps[name]:
+                    raise ValueError(
+                        f"stage {name!r} references '@{parent}' but "
+                        f"does not list it in 'after' — declare the "
+                        f"dependency")
+                if not by_name[parent].get("outputs", {}).get("path"):
+                    raise ValueError(
+                        f"stage {name!r} references '@{parent}' but "
+                        f"that stage declares no outputs.path")
+    # Kahn: any stage never reaching indegree 0 sits on a cycle.
+    order, indeg = [], {n: len(p) for n, p in deps.items()}
+    ready = sorted(n for n, d in indeg.items() if d == 0)
+    children: dict[str, list[str]] = {n: [] for n in by_name}
+    for n, ps in deps.items():
+        for p in ps:
+            children[p].append(n)
+    queue = list(ready)
+    while queue:
+        n = queue.pop(0)
+        order.append(n)
+        for c in children[n]:
+            indeg[c] -= 1
+            if indeg[c] == 0:
+                queue.append(c)
+    if len(order) != len(by_name):
+        cyc = sorted(set(by_name) - set(order))
+        raise ValueError(f"pipeline has a dependency cycle through {cyc}")
+
+    statuses: dict[str, str] = {}
+    out_paths: dict[str, str] = {}
+    failed: dict[str, str] = {}
+
+    def resolve(stage: str, value):
+        # tokens were validated up front; parents of a submitting stage
+        # have completed, so their paths are recorded
+        if isinstance(value, str) and value.startswith("@"):
+            return out_paths[value[1:]]
+        return value
+
+    remaining = list(order)
+    while remaining:
+        wave = [n for n in remaining
+                if all(p in statuses and p not in failed
+                       for p in deps[n])]
+        cancelled = [n for n in remaining
+                     if any(p in failed for p in deps[n])]
+        for n in cancelled:
+            # transitive: mark failed so THEIR dependents cancel too
+            statuses[n] = "Cancelled"
+            failed[n] = "cancelled: upstream failure"
+            remaining.remove(n)
+        if cancelled:
+            continue
+        if not wave:
+            break  # defensive; topological order makes this unreachable
+        handles: dict[str, object] = {}
+        for n in wave:
+            st = dict(by_name[n])
+            st.pop("name", None)
+            st.pop("after", None)
+            st["inputs"] = {k: resolve(n, v)
+                            for k, v in dict(st.get("inputs", {})).items()}
+            spec = JobSpec.from_dict(st)
+            try:
+                handles[n] = submit_async(spec)
+            except Exception as exc:  # rejected at submit (policy/fit)
+                statuses[n] = "Rejected"
+                failed[n] = repr(exc)
+        for n in wave:
+            remaining.remove(n)
+            if n in failed:
+                continue
+            try:
+                wait(handles[n])
+                statuses[n] = handle_str(handles[n])
+                path = effective_output(
+                    handles[n], by_name[n].get("outputs", {}).get("path"))
+                if path:
+                    out_paths[n] = path
+            except Exception as exc:
+                statuses[n] = handle_str(handles[n])
+                failed[n] = repr(exc)
+    if failed:
+        raise PipelineError(
+            f"pipeline stages failed/cancelled: {sorted(failed)}",
+            statuses)
+    return statuses
 
 
 def _input_volume_bytes(spec: JobSpec) -> int:

@@ -72,6 +72,49 @@ def test_federation_rejects_only_when_every_node_does(spark):
              "resources": {"cpu": too_big}}))
 
 
+def test_pipeline_spreads_sibling_stages_across_nodes(spark, tmp_path):
+    """A diamond DAG through the stack: sibling stages in one wave land
+    on different nodes (each saturates a node), hand-offs cross nodes via
+    the shared filesystem, and the join stage completes."""
+    import re
+
+    reg = _slow_registry()
+
+    def passthrough(spark_, path):
+        return spark_.read.parquet(path)
+
+    def write_src(spark_, sf_dir):
+        from bacalhau_spark.catalog import table
+        return table(spark_, sf_dir, "nation")
+
+    reg["d_src"] = write_src
+    reg["d_pass"] = passthrough
+    stack = DevStack(spark, reg, n_nodes=3)
+    cpu = str(int(stack.nodes[0].capacity.total.cpu))
+    out = lambda n: str(tmp_path / n)
+    statuses = stack.submit_pipeline([
+        {"name": "src", "query": "d_src", "inputs": {"sf_dir": SF_DIR},
+         "outputs": {"path": out("src")}},
+        {"name": "left", "query": "d_slow", "after": ["src"],
+         "inputs": {"sf_dir": SF_DIR}, "resources": {"cpu": cpu},
+         "outputs": {"path": out("left")}},
+        {"name": "right", "query": "d_slow", "after": ["src"],
+         "inputs": {"sf_dir": SF_DIR}, "resources": {"cpu": cpu},
+         "outputs": {"path": out("right")}},
+        {"name": "join", "query": "d_pass", "after": ["left"],
+         "inputs": {"sf_dir": "@left"},
+         "outputs": {"path": out("join")}},
+    ])
+    assert all(not v.startswith(("Cancelled", "Rejected"))
+               for v in statuses.values())
+    node_of = {n: int(re.match(r"node(\d+):", v).group(1))
+               for n, v in statuses.items()}
+    assert node_of["left"] != node_of["right"], \
+        "node-saturating siblings must spread"
+    assert spark.read.parquet(out("join")).count() == \
+        spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+
 def test_per_node_apis_and_env_exports(spark):
     """start_api binds one live API per node; env_exports prints one
     export line per node (the devstack printout)."""
