@@ -49,10 +49,14 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 #      latest row predates round 4's ansi/AQE session change except the
 #      r2/r3 remainder queued for round 6 (16 r2 + 31 r3 entries).
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed this round
+    # 1. changed this round. (nd_stream_gopher is NOT fronted: its own
+    # code is untouched — the round's _gopher_flag_exprs factoring is
+    # certified through nd_gopher_filter, which consumes the identical
+    # shared expression tree; the slot goes to one more pre-r4 refresh so
+    # the r6 window can finish the rotation exactly.)
     "nd_minhash_lsh", "nd_dedup_clusters", "nd_minhash_estimate",
     "nd_stream_sessions", "nd_stream_stateful", "nd_stream_dedup",
-    "nd_gopher_filter", "nd_stream_gopher",
+    "nd_gopher_filter",
     # 1b. NEW this round (never graded): the TPC-H suite completion plus
     # two curation additions (chunk-level dedup audit, unigram rarity)
     "tpch_q5_local_volume", "tpch_q11_important_parts",
@@ -71,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_dedup_exact", "q29_exact_dedup", "q30_nn", "nd_ann_topk",
     "nd_cosine_neardup", "nd_vector_norm", "nd_centroids",
     "nd_quality", "nd_token_count", "nd_fingerprint",
-    "nd_chunking",
+    "nd_chunking", "nd_tfidf",
     # -- window boundary: first 50 graded per round -------------------
 )
 
