@@ -221,10 +221,71 @@ def nd_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
 
 
+AUDIO_WINDOW = 256
+AUDIO_SCHEMA = ("doc_id bigint, n_windows int, total_energy bigint, "
+                "peak_energy bigint")
+
+
+def nd_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-analysis plumbing: treat the payload as 8-bit PCM, compute
+    per-window energy (sum of squared centered samples over fixed
+    AUDIO_WINDOW-byte windows) and report per clip the window count,
+    total and peak energy — the VAD/silence-screen shape of an audio
+    curation pipeline. Unlike the image ops this needs NO fake decode:
+    byte arithmetic IS the DSP for 8-bit PCM, so the whole computation is
+    integer-exact over the real payload bytes and hash-gated.
+
+    The executor side is the real scale pattern for media: numpy over
+    Arrow batches inside mapInPandas (vectorized square/reshape/sum per
+    batch — no per-sample Python), payload consumed where it is read,
+    only fixed-width stats rows come out."""
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        w = 256
+        for pdf in batches:
+            rows = {"doc_id": [], "n_windows": [], "total_energy": [],
+                    "peak_energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = (_np.frombuffer(payload, dtype=_np.uint8)
+                     .astype(_np.int64) - 128)
+                nw = max(1, -(-len(x) // w))
+                padded = _np.zeros(nw * w, dtype=_np.int64)
+                padded[:len(x)] = x  # zero pad AFTER centering: no energy
+                e = (padded * padded).reshape(nw, w).sum(axis=1)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_windows"].append(nw)
+                rows["total_energy"].append(int(e.sum()))
+                rows["peak_energy"].append(int(e.max()))
+            yield _pd.DataFrame(rows)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return docs.mapInPandas(energy_batches, AUDIO_SCHEMA).orderBy("doc_id")
+
+
+_AUDIO_ORACLE = f"""
+WITH b AS (SELECT doc_id, i,
+                  ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) - 128
+                  AS v
+           FROM documents CROSS JOIN LATERAL
+               (SELECT unnest(range(length(text))) AS i) t),
+w AS (SELECT doc_id, i // {AUDIO_WINDOW} AS widx, SUM(v * v) AS e
+      FROM b GROUP BY doc_id, i // {AUDIO_WINDOW})
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_windows,
+       CAST(SUM(e) AS BIGINT) AS total_energy,
+       CAST(MAX(e) AS BIGINT) AS peak_energy
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16"
             " + (strpos('0123456789abcdef', substring(md5(text), {b}, 1)) - 1)")
 
 QUERIES = {
+    "nd_multimodal_audio": (nd_multimodal_audio, _AUDIO_ORACLE),
     "nd_multimodal_features": (
         nd_multimodal_features,
         "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes, "
