@@ -533,6 +533,83 @@ SELECT doc_id,
 FROM c GROUP BY doc_id ORDER BY doc_id
 """
 
+def nd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a NEW batch deduped (a) within itself
+    (keep-first by content hash) and (b) against the EXISTING corpus's
+    fingerprint set — the shape every recurring ingest runs, distinct
+    from one-shot corpus dedup. Reports per-language counts of batch
+    size, within-batch survivors, and truly-new documents.
+
+    The fixture corpus carries no exact duplicate texts, so the batch is
+    synthesized deterministically (the nd_pii_redact recipe): fresh docs
+    (doc_id % 5 == 4) plus TWO re-keyed "re-crawl" copies of corpus docs
+    (doc_id % 10 == 1) — the second re-crawl copy exercises within-batch
+    dedup, and both are corpus duplicates the anti join must drop.
+
+    Scale shape: both sides reduce to 16-byte md5 fingerprints before
+    any join; the corpus side aggregates to DISTINCT fingerprints (the
+    persisted dedup index at 100 TB — built once, anti-joined by every
+    increment), and the anti join keys on the constant-width hash, so
+    neither side ever shuffles text. The corpus fp set does NOT
+    broadcast at scale — this is deliberately the shuffle anti-join,
+    unlike nd_cross_dedup's small broadcast benchmark set."""
+    docs = table(spark, sf_dir, "documents")
+    fresh = (docs.where(F.col("doc_id") % 5 == 4)
+             .select("doc_id", "lang", F.md5("text").alias("fp")))
+    recrawl = docs.where(F.col("doc_id") % 10 == 1).select(
+        "doc_id", "lang", F.md5("text").alias("fp"))
+    batch = (fresh
+             .unionByName(recrawl.select(
+                 (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                 "lang", "fp"))
+             .unionByName(recrawl.select(
+                 (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                 "lang", "fp")))
+    corpus_fps = (docs.where(F.col("doc_id") % 5 != 4)
+                  .select(F.md5("text").alias("cfp")).distinct())
+    within = (batch.groupBy("fp")
+              .agg(F.min("doc_id").alias("doc_id"),
+                   # survivor's lang, deterministically: the min-doc_id
+                   # copy's (duplicate texts can in principle span langs)
+                   F.min_by("lang", "doc_id").alias("lang")))
+    new = within.join(corpus_fps, within.fp == corpus_fps.cfp, "left_anti")
+    per_lang_batch = batch.groupBy("lang").agg(
+        F.count("*").alias("batch_docs"))
+    per_lang_within = within.groupBy("lang").agg(
+        F.count("*").alias("batch_unique"))
+    per_lang_new = new.groupBy("lang").agg(F.count("*").alias("truly_new"))
+    return (per_lang_batch
+            .join(per_lang_within, "lang")
+            .join(per_lang_new, "lang")
+            .orderBy("lang"))
+
+
+_INCREMENTAL_ORACLE = """
+WITH batch AS (
+    SELECT doc_id, lang, md5(text) AS fp FROM documents
+    WHERE doc_id % 5 = 4
+    UNION ALL
+    SELECT doc_id + 1000000, lang, md5(text) FROM documents
+    WHERE doc_id % 10 = 1
+    UNION ALL
+    SELECT doc_id + 2000000, lang, md5(text) FROM documents
+    WHERE doc_id % 10 = 1),
+corpus AS (SELECT DISTINCT md5(text) AS cfp FROM documents
+           WHERE doc_id % 5 <> 4),
+within AS (SELECT fp, MIN(doc_id) AS doc_id,
+                  arg_min(lang, doc_id) AS lang
+           FROM batch GROUP BY fp),
+new AS (SELECT * FROM within WHERE fp NOT IN (SELECT cfp FROM corpus))
+SELECT b.lang, CAST(b.n AS BIGINT) AS batch_docs,
+       CAST(w.n AS BIGINT) AS batch_unique,
+       CAST(nw.n AS BIGINT) AS truly_new
+FROM (SELECT lang, COUNT(*) AS n FROM batch GROUP BY lang) b
+JOIN (SELECT lang, COUNT(*) AS n FROM within GROUP BY lang) w USING (lang)
+JOIN (SELECT lang, COUNT(*) AS n FROM new GROUP BY lang) nw USING (lang)
+ORDER BY lang
+"""
+
+
 CHUNK_WORDS = 10
 
 
@@ -677,5 +754,6 @@ ORDER BY a_id, b_id
 """),
     "nd_simhash": (nd_simhash, _SIMHASH_ORACLE),
     "nd_chunk_dedup": (nd_chunk_dedup, _CHUNK_DEDUP_ORACLE),
+    "nd_incremental_dedup": (nd_incremental_dedup, _INCREMENTAL_ORACLE),
     "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
 }

@@ -63,7 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q15_top_supplier", "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier",
     "nd_chunk_dedup", "nd_word_rarity", "nd_xml_roundtrip",
-    "nd_multimodal_audio",
+    "nd_multimodal_audio", "nd_incremental_dedup",
     # 2a. r1 rows over unchanged code (all 23 that remain)
     "q06_conditional", "q07_array_funcs", "q14b_left_join_agg",
     "q18_count_distinct", "q19_rollup", "q19b_cube", "q19c_grouping_sets",
@@ -76,12 +76,11 @@ _PRIORITY: tuple[str, ...] = (
     "nd_dedup_exact", "q29_exact_dedup", "q30_nn", "nd_ann_topk",
     "nd_cosine_neardup", "nd_vector_norm", "nd_centroids",
     "nd_quality", "nd_token_count", "nd_fingerprint",
-    "nd_chunking",
     # -- window boundary: first 50 graded per round --------------------
-    # Remainder for round 6: 51 pre-r4 rows (never-graded-new in THIS
-    # round displaced one refresh slot). If round 6 itself changes any
-    # query, the overflow rolls to round 7 — changed/new always outrank
-    # re-grades.
+    # Remainder for round 6: 52 pre-r4 rows (never-graded-new queries in
+    # THIS round displaced two refresh slots). If round 6 itself changes
+    # any query, the overflow rolls to round 7 — changed/new always
+    # outrank re-grades.
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
