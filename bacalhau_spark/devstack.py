@@ -62,6 +62,7 @@ class DevStack:
         every node rejects (too big for any node / all backlogs full)."""
         req = None
         last_err: Exception | None = None
+        rejected: set[int] = set()
         for i, node in enumerate(self.nodes):
             req = node.capacity.requirements(spec.resources)
             if req.fits_in(node.capacity.free()):
@@ -70,7 +71,11 @@ class DevStack:
                 except (JobRejectedError, BacklogFullError,
                         NeverFitsError) as exc:
                     last_err = exc  # policy said no / raced full
-        order = sorted(range(len(self.nodes)),
+                    rejected.add(i)  # don't re-offer below: each failed
+                    # submit_async mints a run_id + Rejected event, so a
+                    # retry would leave duplicate Rejected entries
+        order = sorted((i for i in range(len(self.nodes))
+                        if i not in rejected),
                        key=lambda i: self.nodes[i].capacity.backlog_len())
         for i in order:
             try:

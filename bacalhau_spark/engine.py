@@ -440,17 +440,23 @@ class Engine:
         worker thread once the capacity manager admits the run."""
         if spec.query not in self.registry:
             raise KeyError(f"unknown query {spec.query!r}")
-        if spec.inputs and "sf_dir" not in spec.inputs:
-            # The query's data input rides the `sf_dir` key (pipeline
-            # '@parent' hand-offs included). A spec that sets OTHER input
-            # keys but not this one has almost certainly misspelled it
-            # (e.g. `path:`) — silently running over the default fixture
-            # dir is wrong-but-plausible output, so reject loudly. A
-            # fully-empty inputs dict still means "the default fixture"
-            # (the small-job convenience).
+        # Recognised input keys: `sf_dir` (the query's data path /
+        # pipeline '@parent' hand-off) and the contentstore mount pair
+        # `store`/`addresses` (the StorageSpec CID list that
+        # _input_volume_bytes sizes — a mount-only spec is valid and costs
+        # disk, not sf_dir). Any OTHER key without one of these has almost
+        # certainly misspelled `sf_dir` (e.g. `path:`) — silently running
+        # over the default fixture dir is wrong-but-plausible output, so
+        # reject loudly. A fully-empty inputs dict still means "the
+        # default fixture" (the small-job convenience).
+        if (spec.inputs and "sf_dir" not in spec.inputs
+                and not ("store" in spec.inputs
+                         and "addresses" in spec.inputs)):
             raise ValueError(
-                f"spec inputs {sorted(spec.inputs)} carry no 'sf_dir' — "
-                "the query's data path/hand-off key; did you misspell it?")
+                f"spec inputs {sorted(spec.inputs)} carry neither 'sf_dir' "
+                "(the query's data path/hand-off key) nor a "
+                "'store'/'addresses' contentstore mount; did you misspell "
+                "'sf_dir'?")
         run_id = uuid.uuid4().hex[:12]
         with self._lock:
             self._specs[run_id] = spec

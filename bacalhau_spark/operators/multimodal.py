@@ -266,12 +266,27 @@ def nd_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(energy_batches, AUDIO_SCHEMA).orderBy("doc_id")
 
 
+# Byte-based oracle: iterate the UTF-8 ENCODING of the text (hex() of the
+# blob, two hex digits per byte), exactly what the Spark side's
+# F.encode("utf-8") + np.frombuffer(uint8) sees — character-based ascii()
+# would silently diverge on any non-ASCII fixture. greatest(n, 1) plus the
+# CASE-pad mirrors the Spark side's empty-payload convention (one
+# zero-energy window) and its zero-pad-after-centering of the last window.
 _AUDIO_ORACLE = f"""
-WITH b AS (SELECT doc_id, i,
-                  ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) - 128
-                  AS v
-           FROM documents CROSS JOIN LATERAL
-               (SELECT unnest(range(length(text))) AS i) t),
+WITH enc AS (SELECT doc_id, hex(encode(text)) AS h,
+                    octet_length(encode(text)) AS n
+             FROM documents),
+b AS (SELECT doc_id, i,
+             CASE WHEN i < n THEN
+                 (strpos('0123456789ABCDEF',
+                         substring(h, CAST(2 * i + 1 AS INTEGER), 1)) - 1)
+                 * 16
+                 + (strpos('0123456789ABCDEF',
+                           substring(h, CAST(2 * i + 2 AS INTEGER), 1)) - 1)
+                 - 128
+             ELSE 0 END AS v
+      FROM enc CROSS JOIN LATERAL
+          (SELECT unnest(range(greatest(n, 1))) AS i) t),
 w AS (SELECT doc_id, i // {AUDIO_WINDOW} AS widx, SUM(v * v) AS e
       FROM b GROUP BY doc_id, i // {AUDIO_WINDOW})
 SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_windows,

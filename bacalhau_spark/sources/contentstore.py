@@ -30,6 +30,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
+import uuid
 
 from dataclasses import dataclass
 
@@ -65,7 +67,11 @@ def _publish_pointer(root: str, name: str, addr: str) -> None:
     last_manifest()/batch_manifests() reader never observes a truncated or
     half-overwritten address."""
     path = os.path.join(root, name)
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # pid alone is not unique inside one driver process: two concurrent
+    # commits (e.g. two streaming batches, or batch + stream into the same
+    # root) would share one tmp path and race the os.replace. Thread id +
+    # uuid make the tmp name unique per commit.
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(addr)
     os.replace(tmp, path)
