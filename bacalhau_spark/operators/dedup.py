@@ -622,11 +622,17 @@ def nd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind paragraph/boilerplate removal (the suffix-array dedup
     families' cheap first pass).
 
-    Scale shape: chunks explode to ~n_words/CHUNK_WORDS rows per doc
-    keyed by a 60-bit integer hash; the corpus-wide frequency is a WINDOW
-    count over that single long key (the LSH lesson: one exchange,
-    reused by nothing downstream needing a second lineage), then one
-    doc-keyed aggregation. The text itself never shuffles."""
+    Scale shape (de-skewed): chunks explode to ~n_words/CHUNK_WORDS rows
+    per doc keyed by a 60-bit integer hash. A window count over the raw
+    chunk key would serialize the hot chunks — which are exactly the
+    boilerplate being measured, each potentially appearing in a constant
+    fraction of the corpus. Instead the stream reduces to per-(doc,
+    chunk) counts first (partial aggregation combines hot chunks
+    map-side), the corpus frequency rolls up from those counts (the
+    (doc_id, ch) exchange is shared via ReuseExchange), and the join back
+    is at doc granularity — the hot key is bounded by n_docs and AQE's
+    skew-join split handles the residue. The text itself never
+    shuffles."""
     docs = spread_compute(spark, table(spark, sf_dir, "documents")
                           .select("doc_id", "text"), "doc_id")
     # token array projected before the HOF (re-evaluation trap)
@@ -638,13 +644,14 @@ def nd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("w"), i * CHUNK_WORDS + 1, CHUNK_WORDS))),
             1, 15), 16, 10).cast("long"))
     chunks = w.select("doc_id", F.explode(chunk_hash).alias("ch"))
-    from pyspark.sql.window import Window
-    freq = F.count("*").over(Window.partitionBy("ch"))
+    dc = chunks.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    freq = dc.groupBy("ch").agg(F.sum("c").alias("f"))
     return (
-        chunks.withColumn("f", freq)
+        dc.join(freq, "ch")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_chunks"),
-             F.sum((F.col("f") > 1).cast("long")).alias("dup_chunks"))
+        .agg(F.sum("c").cast("long").alias("n_chunks"),
+             F.sum(F.when(F.col("f") > 1, F.col("c")).otherwise(0))
+             .cast("long").alias("dup_chunks"))
         .orderBy("doc_id")
     )
 

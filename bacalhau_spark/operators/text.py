@@ -388,23 +388,31 @@ def nd_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sum associative, so it is shuffle-order stable and hash-gatable
     where a float log-prob sum would not be.
 
-    Scale shape: the exploded word stream gets its corpus frequency from
-    a WINDOW count over the word key (one exchange), then one doc-keyed
-    aggregation; the grand total is a scalar off a cheap second scan of
-    the projected size column (no second pass over the word stream)."""
+    Scale shape (de-skewed): a window count partitioned by the raw word
+    key would funnel every occurrence of each Zipf-head word ("the" is
+    percents of any real corpus) into one partition. Instead the token
+    stream first reduces to per-(doc, word) counts — partial aggregation
+    combines the head words map-side, so the shuffle carries at most one
+    row per document per word. The corpus frequency is then a rollup of
+    those counts by word (both aggregations share one exchange via
+    ReuseExchange — the (doc_id, word) shuffle is planned once), attached
+    back at doc granularity where the hot key is bounded by n_docs and
+    AQE's skew-join split handles the residue. The grand total is a
+    scalar off a cheap second scan of the projected size column (no
+    second pass over the word stream)."""
     docs = spread_compute(spark, table(spark, sf_dir, "documents")
                           .select("doc_id", "text"), "doc_id")
     wordsdf = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    dw = wordsdf.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    freq = dw.groupBy("word").agg(F.sum("c").alias("f"))
     total = (docs.select(F.size(words("text")).alias("n"))
              .agg(F.sum("n").cast("long").alias("t")))
-    from pyspark.sql.window import Window
-    freq = F.count("*").over(Window.partitionBy("word"))
     return (
-        wordsdf.withColumn("f", freq)
+        dw.join(freq, "word")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_words"),
-             F.sum(F.expr("t div f")).alias("rarity_sum"))
+        .agg(F.sum("c").cast("long").alias("n_words"),
+             F.sum(F.col("c") * F.expr("t div f")).alias("rarity_sum"))
         .orderBy("doc_id")
     )
 

@@ -178,6 +178,33 @@ def test_chunk_dedup_shuffles_hashes_not_text(spark, sf_dir):
         assert "text#" not in s, f"text column crosses a shuffle: {s}"
 
 
+def test_zipf_key_queries_have_no_skewed_window(spark, sf_dir):
+    """nd_word_rarity and nd_chunk_dedup both need a corpus-wide frequency
+    per Zipf-distributed key (words / boilerplate chunks). A window count
+    partitioned by the raw key would funnel every occurrence of each head
+    key into one partition — a constant fraction of a 100 TB token stream.
+    The de-skewed shape must show in the plan: NO Window exec anywhere,
+    and a partial_count keyed aggregation (map-side combine collapses the
+    head keys before the shuffle)."""
+    from bacalhau_spark.operators.dedup import nd_chunk_dedup
+    from bacalhau_spark.operators.text import nd_word_rarity
+
+    for fn in (nd_word_rarity, nd_chunk_dedup):
+        df = fn(spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert ") Window" not in plan, (
+            f"{fn.__name__} still windows over a Zipf-skewed key")
+        assert "partial_count" in plan, (
+            f"{fn.__name__} lost its map-side partial aggregation")
+        # the (doc, key) exchange feeds both the frequency rollup and the
+        # join probe; AQE must plan it ONCE (the docstrings' ReuseExchange
+        # claim, visible only in the post-execution adaptive plan)
+        df.collect()
+        final = _executed_plan(df)
+        assert "ReusedExchange" in final, (
+            f"{fn.__name__} recomputes the shared (doc, key) exchange")
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Hive-style partitioned layout + a partition-key filter must prune at
     planning time (PartitionFilters in the scan, non-matching dirs never
