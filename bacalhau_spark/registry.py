@@ -36,51 +36,51 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-5 window, in order of why a fresh row is needed:
-#   1. code/oracle changed THIS round (the standing rule): the LSH family
-#      moved to the folded single-long band-bucket key (dedup.py — Spark
-#      plan AND all three oracles), the streaming sessions/stateful
-#      queries were determinized and gained full oracles
-#      (streaming/events.py), and the Gopher gates were factored into
-#      _gopher_flag_exprs (plan-identical refactor, re-certified anyway —
-#      a green row only certifies the code it graded).
-#   2. oldest-green refreshes: every remaining r1 row, then the oldest
-#      r2 rows, in their r4 listing order. With this window, no entry's
-#      latest row predates round 4's ansi/AQE session change except the
-#      r2/r3 remainder queued for round 6 (16 r2 + 31 r3 entries).
+# Round-6 window — the rotation's closing leg. 52 entries' latest green
+# rows predate round 4's session-config change (ansi.enabled=false + AQE
+# retune); this window re-grades 47 of them plus the 3 queries whose
+# code/oracle changed THIS round (the standing rule: changed/new always
+# outrank re-grades):
+#   1. changed round 6: nd_word_rarity and nd_chunk_dedup were de-skewed
+#      (Zipf-key window -> per-(doc, key) partial counts + frequency
+#      rollup + doc-granular join; same values, new plan), and
+#      nd_multimodal_audio's ORACLE moved from character-based ascii()
+#      to byte-based hex(encode(text)) parsing with an aligned
+#      empty-payload convention (same values on the fixture; the gate no
+#      longer silently depends on ASCII-only non-empty text).
+#   2. the pre-r4 remainder, oldest green first: all 21 r2 rows, then
+#      26 of the 31 r3 rows.
+# The 5 displaced r3 rows (nd_above_group_avg, nd_moving_window,
+# nd_csv_roundtrip, nd_json_roundtrip, nd_gap_fill) roll to round 7;
+# each has an in-window family sibling certifying the same module paths
+# under current config (q20–q24 + nd_analytic_suite for the two window
+# queries; q12_roundtrip + the r5-green nd_xml_roundtrip for the sinks
+# roundtrips; nd_upsert/nd_sessionize for the time-grid family), and all
+# five stay value-exact in every pytest run.
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed this round. (nd_stream_gopher is NOT fronted: its own
-    # code is untouched — the round's _gopher_flag_exprs factoring is
-    # certified through nd_gopher_filter, which consumes the identical
-    # shared expression tree; the slot goes to one more pre-r4 refresh so
-    # the r6 window can finish the rotation exactly.)
-    "nd_minhash_lsh", "nd_dedup_clusters", "nd_minhash_estimate",
-    "nd_stream_sessions", "nd_stream_stateful", "nd_stream_dedup",
-    "nd_gopher_filter",
-    # 1b. NEW this round (never graded): the TPC-H suite completion plus
-    # two curation additions (chunk-level dedup audit, unigram rarity)
-    "tpch_q5_local_volume", "tpch_q11_important_parts",
-    "tpch_q15_top_supplier", "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "nd_chunk_dedup", "nd_word_rarity", "nd_xml_roundtrip",
-    "nd_multimodal_audio", "nd_incremental_dedup",
-    # 2a. r1 rows over unchanged code (all 23 that remain)
-    "q06_conditional", "q07_array_funcs", "q14b_left_join_agg",
-    "q18_count_distinct", "q19_rollup", "q19b_cube", "q19c_grouping_sets",
-    "q26_intersect", "q26b_except", "q26c_union_all", "q26d_intersect_all",
-    "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
-    "qj_full_outer", "q18b_approx_distinct", "nd_approx_percentiles",
-    "nd_filtered_agg", "nd_listagg", "q17b_having", "nd_pivot",
-    "nd_stats_agg", "nd_ranking_suite",
-    # 2b. oldest r2 rows over unchanged code
-    "nd_dedup_exact", "q29_exact_dedup", "q30_nn", "nd_ann_topk",
-    "nd_cosine_neardup", "nd_vector_norm", "nd_centroids",
-    "nd_quality", "nd_token_count", "nd_fingerprint",
+    # 1. changed this round (standing rule)
+    "nd_word_rarity", "nd_chunk_dedup", "nd_multimodal_audio",
+    # 2a. r2 rows over unchanged code (all 21 that remain)
+    "nd_chunking", "nd_hash_sample", "nd_histogram", "nd_levenshtein",
+    "nd_multimodal_features", "nd_multimodal_frames", "nd_pandas_udf",
+    "nd_range_join", "nd_tfidf", "nd_train_split", "nd_unpivot",
+    "nd_weighted_sample", "nd_zscore", "q12_roundtrip",
+    "tpch_q2_min_per_group", "tpch_q4_exists", "tpch_q13_custdist",
+    "tpch_q14_ratio", "tpch_q17_small_qty", "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
+    # 2b. r3 rows over unchanged code (26 of 31)
+    "q05_date_funcs", "q08_json_funcs", "q13b_semi_join", "q14_anti_join",
+    "q16_theta_join", "q20_last_state", "q21_first_n", "q22_distinct",
+    "q23_running_sum", "q24_lag_delta",
+    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q10_returns",
+    "tpch_q12_conditional",
+    "nd_analytic_suite", "nd_ann_ivf", "nd_ann_ivf_cellstats", "nd_bm25",
+    "nd_cogroup", "nd_cross_dedup", "nd_ngram_topk", "nd_salted_join",
+    "nd_sessionize", "nd_sliding_window", "nd_stratified_sample",
+    "nd_upsert",
     # -- window boundary: first 50 graded per round --------------------
-    # Remainder for round 6: 52 pre-r4 rows (never-graded-new queries in
-    # THIS round displaced two refresh slots). If round 6 itself changes
-    # any query, the overflow rolls to round 7 — changed/new always
-    # outrank re-grades.
+    # Round 7 completes the rotation with the 5 displaced r3 rows above
+    # (plus any round-7 code changes, which as always outrank re-grades).
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
