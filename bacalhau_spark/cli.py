@@ -209,10 +209,12 @@ def cmd_devstack(args) -> int:
     from bacalhau_spark.devstack import DevStack
     spark = _get_spark(args.cpus)
     stack = DevStack(spark, registry.engine_registry(),
-                     n_nodes=args.nodes, start_api=True)
+                     n_nodes=args.nodes, start_api=True,
+                     bad_actors=args.bad_actors)
     for line in stack.env_exports():
         print(line)
-    print(f"devstack: {args.nodes} nodes up; ^C to stop", flush=True)
+    bad = f" ({args.bad_actors} bad)" if args.bad_actors else ""
+    print(f"devstack: {args.nodes} nodes up{bad}; ^C to stop", flush=True)
     try:
         import time as _time
         while True:
@@ -319,6 +321,9 @@ def build_parser() -> argparse.ArgumentParser:
     dv = sub.add_parser("devstack",
                         help="N-node local stack with per-node APIs")
     dv.add_argument("--nodes", type=int, default=3)
+    dv.add_argument("--bad-actors", type=int, default=0,
+                    help="last N nodes publish corrupted result digests "
+                         "(the reference devstack's badActors arg)")
     dv.set_defaults(fn=cmd_devstack)
 
     ver = sub.add_parser("version", help="client (and server) version")

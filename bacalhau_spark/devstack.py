@@ -22,21 +22,51 @@ node rejects does the submit fail — the federation-level reject.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import SparkSession
 
 from bacalhau_spark.capacity import (BacklogFullError, CapacityManager,
                                      NeverFitsError, detect_total)
-from bacalhau_spark.engine import Engine, JobRejectedError, JobSpec
+from bacalhau_spark.engine import (EVT_RESULTS_REJECTED, Engine,
+                                   JobRejectedError, JobSpec,
+                                   ResultsRejectedError)
+
+
+class BadActorEngine(Engine):
+    """A dishonest devstack node: it takes jobs, RUNS them for real, then
+    publishes a corrupted result digest — the reference devstack's
+    bad-actor count (`pkg/devstack/devstack.go:54-258`, exercised by the
+    harness's `test-badactors` target, `Makefile:149-153`). The
+    corruption is deterministic and salted per node, so the node is
+    internally self-consistent (its own replica comparison passes — a
+    liar tells the same lie twice) and two bad actors do not accidentally
+    corroborate each other; only federation-level manifest comparison
+    across nodes can catch it."""
+
+    def __init__(self, *args, salt: str = "", **kwargs):
+        super().__init__(*args, **kwargs)
+        self._bad_salt = salt
+
+    def _result_manifest(self, df, metrics_out: dict | None = None) -> str:
+        honest = super()._result_manifest(df, metrics_out=metrics_out)
+        return "bad-" + hashlib.md5(
+            f"{honest}:{self._bad_salt}".encode()).hexdigest()
 
 
 class DevStack:
     """N logical nodes over one SparkSession. `start_api=True` also binds
-    one ApiServer per node on ephemeral ports (the devstack printout)."""
+    one ApiServer per node on ephemeral ports (the devstack printout).
+    `bad_actors=K` makes the LAST K nodes dishonest (BadActorEngine) —
+    the reference devstack's badActors argument."""
 
     def __init__(self, spark: SparkSession, registry,
-                 n_nodes: int = 3, start_api: bool = False):
+                 n_nodes: int = 3, start_api: bool = False,
+                 bad_actors: int = 0):
         if n_nodes < 1:
             raise ValueError("devstack needs at least one node")
+        if not 0 <= bad_actors <= n_nodes:
+            raise ValueError("bad_actors must be within [0, n_nodes]")
         total = detect_total(cpus=spark.sparkContext.defaultParallelism)
         # Each node owns an equal slice of the machine — the devstack
         # shape where N nodes share one box's resources.
@@ -45,9 +75,15 @@ class DevStack:
                                memory=total.memory // n_nodes,
                                disk=total.disk // n_nodes,
                                gpu=total.gpu // n_nodes)
-        self.nodes = [Engine(spark, dict(registry),
-                             capacity=CapacityManager(total=slice_))
-                      for _ in range(n_nodes)]
+        self.nodes = []
+        for i in range(n_nodes):
+            cap = CapacityManager(total=slice_)
+            if i >= n_nodes - bad_actors:
+                self.nodes.append(BadActorEngine(
+                    spark, dict(registry), capacity=cap, salt=f"node{i}"))
+            else:
+                self.nodes.append(Engine(spark, dict(registry),
+                                         capacity=cap))
         self.servers = []
         if start_api:
             from bacalhau_spark.api import ApiServer
@@ -90,6 +126,90 @@ class DevStack:
         i, run_id = self.submit_async(spec)
         self.nodes[i].wait(run_id)
         return i, run_id
+
+    def submit_replicated(self, spec: JobSpec,
+                          concurrency: int = 3) -> dict:
+        """Deal.Concurrency ACROSS NODES: run the same verified spec on
+        `concurrency` distinct nodes, compare their published manifests
+        federation-wide, accept the strict-majority manifest, and
+        quarantine every dissenting run with a ResultsRejected event —
+        the requester-side verification loop the reference's bad-actor
+        devstack exercises (`pkg/devstack/devstack.go:54-258`,
+        `Makefile:149-153` test-badactors). No strict majority ⇒ the
+        whole job is rejected on every node (an unverifiable result is
+        not a result).
+
+        Quarantine composes with the rest of the plane for free: the
+        ResultsRejected event is the run's new max-ordinal state, so
+        fetch_results refuses the run and the within-node reuse cache's
+        TERMINAL_OK_STATES check stops serving it.
+
+        The spec must be `verified` (manifests are the comparable result
+        identity) and must not declare an output path — the nodes share
+        one filesystem here, so N replicas would clobber one sink; the
+        accepted manifest is the result identity, and a follow-up
+        normal submit materializes it (reuse serves honest runs only).
+        """
+        if not 2 <= concurrency <= len(self.nodes):
+            raise ValueError(
+                f"concurrency must be in [2, {len(self.nodes)}]")
+        if not spec.verified:
+            raise ValueError("replicated submit requires a verified spec "
+                             "(manifests are the compared result identity)")
+        if spec.outputs.get("path"):
+            raise ValueError("replicated specs must not declare an output "
+                             "path: N nodes sharing one filesystem would "
+                             "clobber a single sink")
+        # Distinct-node placement: fitting nodes first (first-bidder),
+        # then the least-backlogged remainder — same order as
+        # submit_async, but never the same node twice (a replica on the
+        # liar's own second slot proves nothing).
+        fitting, rest = [], []
+        for i, node in enumerate(self.nodes):
+            req = node.capacity.requirements(spec.resources)
+            (fitting if req.fits_in(node.capacity.free()) else rest).append(i)
+        rest.sort(key=lambda i: self.nodes[i].capacity.backlog_len())
+        handles: list[tuple[int, str]] = []
+        last_err: Exception | None = None
+        for i in fitting + rest:
+            if len(handles) == concurrency:
+                break
+            try:
+                handles.append((i, self.nodes[i].submit_async(spec)))
+            except (JobRejectedError, BacklogFullError,
+                    NeverFitsError) as exc:
+                last_err = exc
+        if len(handles) < concurrency:
+            raise JobRejectedError(
+                f"only {len(handles)}/{concurrency} nodes accepted the "
+                f"replicated job: {last_err!r}")
+        for i, rid in handles:
+            self.nodes[i].wait(rid)
+        manifests = {(i, rid): self.nodes[i].describe(rid)["manifest"]
+                     for i, rid in handles}
+        from collections import Counter
+        top, votes = Counter(manifests.values()).most_common(1)[0]
+        if votes <= concurrency // 2:
+            for (i, rid), m in manifests.items():
+                self.nodes[i]._emit(
+                    rid, EVT_RESULTS_REJECTED,
+                    f"federation verification: no strict majority among "
+                    f"{concurrency} replicas")
+            raise ResultsRejectedError(
+                f"replicated job has no strict-majority manifest among "
+                f"{concurrency} nodes: {sorted(set(manifests.values()))}")
+        accepted, rejected = [], []
+        for (i, rid), m in manifests.items():
+            if m == top:
+                accepted.append((i, rid))
+            else:
+                self.nodes[i]._emit(
+                    rid, EVT_RESULTS_REJECTED,
+                    f"federation verification: manifest {m[:20]}… "
+                    f"disagrees with the {votes}/{concurrency} majority")
+                rejected.append((i, rid))
+        return {"manifest": top, "accepted": accepted,
+                "rejected": rejected}
 
     def submit_pipeline(self, stages: list[dict]) -> dict[str, str]:
         """Run a DAG of jobs ACROSS the stack: each stage routes through

@@ -349,6 +349,16 @@ class Engine:
                 .groupBy("run_id")
                 .agg(F.max_by("name", "ordinal").alias("state")))
 
+    def _result_manifest(self, df: DataFrame,
+                         metrics_out: dict | None = None) -> str:
+        """How THIS node fingerprints a result it is about to publish.
+        The hook exists for the devstack's bad-actor nodes
+        (`devstack.py`): a dishonest node overrides it to publish a
+        corrupted — but internally self-consistent — digest, which
+        within-node replica comparison cannot catch and federation-level
+        verification must."""
+        return result_manifest(df, metrics_out=metrics_out)
+
     def describe(self, run_id: str) -> dict:
         """Full run description: spec, state, event history, result manifest
         — the `bacalhau describe` view (`cmd/bacalhau/describe.go:73-176`)."""
@@ -722,8 +732,8 @@ class Engine:
             manifests = []
             if spec.verified or spec.replicas > 1:
                 manifests = [
-                    result_manifest(df,
-                                    metrics_out=run_metrics if i == 0 else None)
+                    self._result_manifest(
+                        df, metrics_out=run_metrics if i == 0 else None)
                     for i in range(max(1, spec.replicas))]
                 if len(set(manifests)) != 1:
                     self._emit(run_id, EVT_RESULTS_REJECTED,
