@@ -81,6 +81,88 @@ def stage_seq_pack(spark: SparkSession, path: str) -> DataFrame:
                                        "total_tokens")).alias("value")))
 
 
+# ---------------------------------------------------------------------------
+# Contentstore-edged variants: EVERY DAG edge routed through the verified
+# store (the round-5 verdict's item 6). The plain stages above hand off via
+# shared-filesystem parquet — fine on the one-box devstack premise, but the
+# reference mounts every input content-addressed (StorageSpec CIDs), so each
+# edge here publishes canonical JSONL through the contentstore writer and
+# the child reads it back through the verified source: a blob whose bytes no
+# longer match its address fails the CHILD'S read task, making every
+# stage-to-stage hand-off integrity-checked, not just the terminal manifest.
+# ---------------------------------------------------------------------------
+
+_DOC_SCHEMA = "doc_id bigint, text string"
+_EDGE_PARTITIONS = 4  # fixed hash-partition count => deterministic blobs
+
+
+def _publish_doc_rows(docs: DataFrame) -> DataFrame:
+    """Serialize a (doc_id, text) frame to the store's (value string)
+    contract as canonical JSONL, deterministically partitioned: fixed-n
+    hash repartition by doc_id + within-partition sort makes every blob's
+    bytes — and therefore its content address — a pure function of the
+    data, so intermediate manifests are run-invariant too, not just the
+    terminal one."""
+    from bacalhau_spark.sources import contentstore
+
+    contentstore.register(docs.sparkSession)  # idempotent; the engine's
+    # sink write needs the format resolvable even on an entry stage
+    return (docs.repartition(_EDGE_PARTITIONS, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .select(F.to_json(F.struct("doc_id", "text")).alias("value")))
+
+
+def _read_doc_store(spark: SparkSession, root: str) -> DataFrame:
+    """Mount the parent stage's published output via the VERIFIED
+    contentstore source: the MANIFEST pointer names the blob set, every
+    blob is re-hashed against its address at read (the HasStorageLocally
+    probe plans it, the task-side check enforces it)."""
+    from bacalhau_spark.sources import contentstore
+
+    _, entries = contentstore.last_manifest(root)
+    rows = contentstore.read_addresses(spark, root,
+                                       [a for a, _ in entries])
+    return (rows.select(F.from_json("value", _DOC_SCHEMA).alias("d"))
+            .select("d.doc_id", "d.text"))
+
+
+def stage_gopher_keep_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry stage, store-published: gopher-gated fixture documents as
+    canonical (value) rows for the contentstore writer."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _publish_doc_rows(gopher_keep(docs))
+
+
+def stage_pii_redact_cs(spark: SparkSession, root: str) -> DataFrame:
+    """PII scrub over a verified store mount; republishes to the store."""
+    docs = _read_doc_store(spark, root)
+    return _publish_doc_rows(
+        pii_redact_frame(docs).select("doc_id",
+                                      F.col("redacted").alias("text")))
+
+
+def stage_dedup_cs(spark: SparkSession, root: str) -> DataFrame:
+    """Keep-first exact dedup over a verified store mount (same one-shuffle
+    md5-key plan as stage_dedup); republishes to the store."""
+    docs = _read_doc_store(spark, root)
+    win = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return _publish_doc_rows(
+        docs.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def stage_seq_pack_cs(spark: SparkSession, root: str) -> DataFrame:
+    """Terminal stage over a verified store mount — same bin packing and
+    single-blob canonical serialization as stage_seq_pack."""
+    docs = _read_doc_store(spark, root)
+    bins = seq_pack_bins(
+        docs.select("doc_id", F.size(words("text")).alias("n_tok")))
+    return (bins.repartition(1)
+            .sortWithinPartitions("shard", "bin_id")
+            .select(F.to_json(F.struct("shard", "bin_id", "n_docs",
+                                       "total_tokens")).alias("value")))
+
+
 # Engine-registry stages: runnable via `cli apply` / `cli pipeline` and
 # the HTTP API, but NOT part of registry.queries() — they take a parent
 # output path, not an sf_dir, so the sf-driven oracle harness cannot
@@ -90,4 +172,8 @@ STAGES = {
     "stage_pii_redact": stage_pii_redact,
     "stage_dedup": stage_dedup,
     "stage_seq_pack": stage_seq_pack,
+    "stage_gopher_keep_cs": stage_gopher_keep_cs,
+    "stage_pii_redact_cs": stage_pii_redact_cs,
+    "stage_dedup_cs": stage_dedup_cs,
+    "stage_seq_pack_cs": stage_seq_pack_cs,
 }

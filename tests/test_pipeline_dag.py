@@ -230,3 +230,85 @@ def test_reference_to_pathless_stage_rejected(dag_engine):
             {"name": "b", "query": "p_count_by_lang", "after": ["a"],
              "inputs": {"sf_dir": "@a"}},
         ])
+
+
+def _verified_curation_stages(base: str) -> list[dict]:
+    return [
+        {"name": "gopher", "query": "stage_gopher_keep_cs",
+         "inputs": {"sf_dir": SF_DIR},
+         "outputs": {"path": f"{base}/s_gopher", "format": "contentstore"}},
+        {"name": "pii", "query": "stage_pii_redact_cs", "after": ["gopher"],
+         "inputs": {"sf_dir": "@gopher"},
+         "outputs": {"path": f"{base}/s_pii", "format": "contentstore"}},
+        {"name": "dedup", "query": "stage_dedup_cs", "after": ["pii"],
+         "inputs": {"sf_dir": "@pii"},
+         "outputs": {"path": f"{base}/s_dedup", "format": "contentstore"}},
+        {"name": "pack", "query": "stage_seq_pack_cs", "after": ["dedup"],
+         "inputs": {"sf_dir": "@dedup"},
+         "outputs": {"path": f"{base}/s_pack", "format": "contentstore"}},
+    ]
+
+
+def test_verified_pipeline_every_edge_through_store(spark, tmp_path):
+    """Round-5 verdict item 6: the curation DAG with EVERY edge routed
+    through the contentstore (examples/pipeline_curation_verified.yaml) —
+    each stage publishes content-addressed blobs, each child mounts its
+    parent through the verified source. The terminal manifest must equal
+    a run-invariant address across two executions AND match the plain
+    (parquet-edged) pipeline's packing result."""
+    from bacalhau_spark.registry import engine_registry
+    from bacalhau_spark.sources import contentstore as cs
+
+    eng = Engine(spark, engine_registry())
+
+    def run(tag):
+        base = str(tmp_path / tag)
+        statuses = eng.submit_pipeline(_verified_curation_stages(base))
+        assert all(v not in ("Cancelled", "Rejected")
+                   for v in statuses.values())
+        return base
+
+    b1 = run("v1")
+    b2 = run("v2")
+    # every stage (not just the terminal one) published a manifest, and
+    # every stage's address is run-invariant
+    for stage in ("s_gopher", "s_pii", "s_dedup", "s_pack"):
+        a1 = cs.last_manifest(f"{b1}/{stage}")[0]
+        a2 = cs.last_manifest(f"{b2}/{stage}")[0]
+        assert a1 == a2, f"{stage} manifest is not run-invariant"
+    # cross-check against the plain parquet-edged flagship: identical
+    # terminal bins (same curation semantics, different transport)
+    b3 = str(tmp_path / "plain")
+    eng.submit_pipeline(_curation_stages(b3, f"{b3}/store"))
+    plain_bins = sorted(
+        ln for a, _ in cs.last_manifest(f"{b3}/store")[1]
+        for ln in open(f"{b3}/store/{a}").read().splitlines())
+    cs_bins = sorted(
+        ln for a, _ in cs.last_manifest(f"{b1}/s_pack")[1]
+        for ln in open(f"{b1}/s_pack/{a}").read().splitlines())
+    assert plain_bins == cs_bins
+
+
+def test_verified_edge_detects_tampered_blob(spark, tmp_path):
+    """The property the store-routed edges BUY: corrupt one intermediate
+    blob between two stages and the CHILD'S read fails (address/content
+    mismatch) instead of silently propagating poisoned bytes."""
+    import pytest
+
+    from bacalhau_spark.registry import engine_registry
+    from bacalhau_spark.sources import contentstore as cs
+    from bacalhau_spark.stages import stage_pii_redact_cs
+
+    eng = Engine(spark, engine_registry())
+    base = str(tmp_path / "t")
+    root = f"{base}/s_gopher"
+    eng.submit(JobSpec.from_dict(
+        {"query": "stage_gopher_keep_cs", "inputs": {"sf_dir": SF_DIR},
+         "outputs": {"path": root, "format": "contentstore"}}))
+    addr = cs.last_manifest(root)[1][0][0]
+    blob = f"{root}/{addr}"
+    data = open(blob, "rb").read()
+    with open(blob, "wb") as f:
+        f.write(data[:-1] + bytes([data[-1] ^ 1]))
+    with pytest.raises(Exception, match="(?i)integrity"):
+        stage_pii_redact_cs(spark, root).collect()
