@@ -11,16 +11,21 @@ documents with shifted doc_ids, ~64k-row groups).
 Run: python experiments/registry_crossover.py [--mult 10]
 Prints one JSON line per (query, scale).
 
-CAVEAT for multipliers beyond ~10: build_scaled replicates documents
-with shifted doc_ids but IDENTICAL text, so every replica is an exact
-near-dup of its original and the LSH candidate-pair OUTPUT grows
-quadratically with the multiplier (m copies per bucket → m(m-1)/2
-pairs). At 10× that inflation applies equally to both engines and the
-scan/aggregation path still dominates; at 30× the pair explosion is the
-workload (measured: Spark 10.8 s vs DuckDB 8.3 s — DuckDB's radix agg
-absorbs the quadratic output better, Spark pays the bigger distinct
-shuffle). A real 30× corpus would not be 97% duplicates; treat >10×
-multipliers as a pair-explosion stress test, not corpus scaling.
+CAVEAT for multipliers beyond ~10 with the PLAIN fixture: build_scaled
+replicates documents with shifted doc_ids but IDENTICAL text, so every
+replica is an exact near-dup of its original and the LSH candidate-pair
+OUTPUT grows quadratically with the multiplier (m copies per bucket →
+m(m-1)/2 pairs). At 10× that inflation applies equally to both engines
+and the scan/aggregation path still dominates; at 30× the pair explosion
+is the workload (measured: Spark 10.8 s vs DuckDB 8.3 s — DuckDB's radix
+agg absorbs the quadratic output better, Spark pays the bigger distinct
+shuffle). A real 30× corpus would not be 97% duplicates.
+
+`--perturb` (round 6) fixes that: build_scaled_perturbed suffixes every
+word of replica i with 'r{i}' — deterministic, no RNG — so replicas are
+NOT near-dups of each other, candidate pairs grow linearly, and a >10×
+multiplier measures CORPUS scaling instead of pair explosion. Recorded
+run: experiments/registry_crossover_r6_30x.txt.
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from experiments.scale_crossover import SF_DIR, build_scaled
+from experiments.scale_crossover import (SF_DIR, build_scaled,
+                                         build_scaled_perturbed)
 
 QUERIES = ("nd_gopher_filter", "nd_minhash_lsh")
 
@@ -53,6 +59,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--scratch", default="/tmp/bacalhau_spark_scale")
+    ap.add_argument("--perturb", action="store_true",
+                    help="per-replica deterministic text perturbation: "
+                         "replicas are not near-dups, candidate growth "
+                         "stays linear (the honest >10x fixture)")
     args = ap.parse_args()
 
     import duckdb
@@ -63,8 +73,10 @@ def main() -> None:
     spark = get_session("registry-crossover")
     spark.sparkContext.setLogLevel("ERROR")
 
-    for label, mult in (("sf0.1", 1), (f"sf0.1x{args.mult}", args.mult)):
-        d = SF_DIR if mult == 1 else build_scaled(args.scratch, args.mult)
+    tag = f"sf0.1x{args.mult}" + ("p" if args.perturb else "")
+    build = build_scaled_perturbed if args.perturb else build_scaled
+    for label, mult in (("sf0.1", 1), (tag, args.mult)):
+        d = SF_DIR if mult == 1 else build(args.scratch, args.mult)
         con = duckdb.connect()
         con.execute("CREATE VIEW documents AS SELECT * FROM "
                     f"read_parquet('{d}/documents.parquet')")

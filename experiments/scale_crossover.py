@@ -67,6 +67,45 @@ def build_scaled(scratch: str, mult: int) -> str:
     return out_dir
 
 
+def build_scaled_perturbed(scratch: str, mult: int) -> str:
+    """documents replicated mult× with DETERMINISTIC per-replica text
+    perturbation: replica i>0 suffixes every word with 'r{i}' (a pure
+    function of (text, i) — no RNG, stable across runs). Every shingle of
+    a perturbed replica differs from the original's, so replicas are NOT
+    near-dups of each other and LSH candidate pairs grow LINEARLY with
+    the multiplier (each replica reproduces the base corpus's own
+    near-dup pairs, nothing cross-replica) — the honest >10× scaling
+    fixture the plain build_scaled cannot provide (identical-text
+    replicas make every copy a near-dup and pair output quadratic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(scratch, f"x{mult}_perturbed")
+    marker = os.path.join(out_dir, "_READY")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    base_max = src["doc_id"].combine_chunks().to_numpy().max() + 1
+    texts = src["text"].to_pylist()
+    parts = [src]
+    for i in range(1, mult):
+        suffix = f"r{i}"
+        perturbed = pa.array(
+            [" ".join(w + suffix for w in t.split(" ")) for t in texts])
+        t = src.set_column(src.schema.get_field_index("text"), "text",
+                           perturbed)
+        ids = pa.array((src["doc_id"].combine_chunks().to_numpy()
+                        + i * base_max))
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts),
+                   f"{out_dir}/documents.parquet",
+                   row_group_size=ROW_GROUP_ROWS)
+    open(marker, "w").close()
+    return out_dir
+
+
 # Query shapes: the same three plans the sf0.1 bench leans on, expressed
 # once for each engine. (Self-contained SQL on purpose — this experiment
 # measures engine execution, not the registry plumbing.)
