@@ -715,6 +715,220 @@ WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
 """
 
+def _mh_sig_frame(docs: DataFrame) -> DataFrame:
+    """Wide minhash signatures for an ARBITRARY (doc_id, text) frame —
+    the frame-parameterized form of _minhash_signatures (which is bound
+    to the fixture documents table): same rolling word-hash shingles,
+    same 16 affine min-aggregates in one groupBy pass. Docs shorter than
+    the shingle width produce no signature row (no shingles) on either
+    engine."""
+    wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
+    sh = wh.select(
+        "doc_id", F.explode(_rolling_shingle_keys(F.col("wh"))).alias("x"))
+    x = F.col("x")
+    return sh.groupBy("doc_id").agg(*[
+        F.min((F.lit(a) * x + F.lit(b)) % MH_PRIME).alias(f"mh{s}")
+        for s, (a, b) in enumerate(MH_AB)])
+
+
+def _band_key_exprs() -> list["F.Column"]:
+    """The folded single-long band-bucket keys over a wide signature row —
+    identical fold to _band_candidates.band_key (band index leads the
+    polynomial, mod the 43-bit BKEY_PRIME)."""
+    cols = []
+    for b in range(N_BANDS):
+        acc = F.lit(b).cast("long")
+        for r in range(ROWS_PER_BAND):
+            acc = (acc * MH_ROLL_C
+                   + F.col(f"mh{b * ROWS_PER_BAND + r}")) % BKEY_PRIME
+        cols.append(acc)
+    return cols
+
+
+def nd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest: a new batch screened against the
+    EXISTING corpus's LSH band index — the minhash counterpart of
+    nd_incremental_dedup's exact-hash anti join, and the production shape
+    for recurring crawls (exact fingerprints catch re-crawls byte-for-
+    byte; this catches re-crawls with small edits). Batch synthesis is
+    deterministic: genuinely-unseen docs (doc_id % 5 == 4, excluded from
+    the corpus) plus per-doc EDITED re-crawls of corpus docs
+    (doc_id % 10 == 1 with two words appended — most shingles survive,
+    so the re-crawl still shares bands with its original).
+
+    Emits each batch doc that hits the corpus index with how many of its
+    bands matched. Scale shape: the corpus side reduces to the DISTINCT
+    band-key set — the persisted LSH index at 100 TB, built once with
+    the same hot-bucket cap as _band_candidates and probed by every
+    increment — and the join keys on the single folded 8-byte key;
+    text never shuffles on either side. Deliberately the shuffle
+    semi-join form (a 100 TB corpus's band set does not broadcast).
+
+    Reference intent: the recurring-ingest loop (new CID appears → job
+    runs on it) of pkg/requesternode — here the job is the near-dup
+    screen itself."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 4)
+    batch = (docs.where(F.col("doc_id") % 5 == 4)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+             .unionByName(
+                 docs.where(F.col("doc_id") % 10 == 1).select(
+                     (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     F.concat(F.col("text"),
+                              F.lit(" nearvariant edit")).alias("text"))))
+    band = F.explode(F.array(*_band_key_exprs())).alias("bkey")
+    corpus_keys = _mh_sig_frame(corpus).select(band)
+    # hot-bucket cap mirrors the index build: buckets that _band_candidates
+    # would drop as degenerate are not probe targets either
+    from pyspark.sql.window import Window
+    corpus_idx = (corpus_keys
+                  .withColumn("n", F.count("*").over(
+                      Window.partitionBy("bkey")))
+                  .where(F.col("n") <= LSH_BUCKET_CAP)
+                  .select("bkey").distinct())
+    batch_keys = _mh_sig_frame(batch).select("doc_id", band).distinct()
+    return (batch_keys.join(corpus_idx, "bkey")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("bands_hit"))
+            .orderBy("doc_id"))
+
+
+def _mh_bkeys_sql(src_cte: str, out: str, capped: bool) -> str:
+    """DuckDB CTE chain: (doc_id, text) source CTE -> per-(doc, band)
+    folded bucket keys, mirroring _mh_sig_frame + _band_key_exprs (and
+    the index-build bucket cap when `capped`)."""
+    chain = f"""
+{out}_w AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+            t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+            % {MH_PRIME}) AS wh FROM {src_cte}),
+{out}_e AS (SELECT doc_id, wh,
+            unnest(range(greatest(len(wh) - {MH_SHINGLE_N - 1}, 0))) AS i
+            FROM {out}_w),
+{out}_sh AS (SELECT doc_id, ({_MH_POLY}) AS x FROM {out}_e),
+{out}_mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
+             FROM {out}_sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
+             GROUP BY doc_id, seed),
+{out}0 AS (SELECT doc_id,
+                  ({_MH_BAND_POLY.replace('ml', 'list(mh ORDER BY seed)')})
+                  AS bkey
+           FROM {out}_mh GROUP BY doc_id, seed // {ROWS_PER_BAND})"""
+    if capped:
+        chain += f""",
+{out} AS (SELECT doc_id, bkey FROM {out}0
+          QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= {LSH_BUCKET_CAP})"""
+    else:
+        chain += f""",
+{out} AS (SELECT doc_id, bkey FROM {out}0)"""
+    return chain
+
+
+_INCREMENTAL_MH_ORACLE = f"""
+WITH corpus_docs AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 5 <> 4),
+batch_docs AS (
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 5 = 4
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' nearvariant edit' FROM documents
+    WHERE doc_id % 10 = 1),{_mh_bkeys_sql('corpus_docs', 'csig', True)},{_mh_bkeys_sql('batch_docs', 'bsig', False)},
+cidx AS (SELECT DISTINCT bkey FROM csig),
+bkeys AS (SELECT DISTINCT doc_id, bkey FROM bsig)
+SELECT b.doc_id, CAST(COUNT(*) AS INTEGER) AS bands_hit
+FROM bkeys b JOIN cidx USING (bkey)
+GROUP BY b.doc_id ORDER BY doc_id
+"""
+
+
+BOILER_CHUNK_WORDS = 10
+
+
+def nd_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate REMOVAL — nd_chunk_dedup upgraded from
+    audit to transformation: every corpus-duplicated chunk is dropped
+    except its single globally-first occurrence (min (doc_id, idx) per
+    chunk hash — the keep-first convention of the exact-dedup family,
+    applied at span granularity), and the document's cleaned text is
+    rebuilt from its surviving chunks. The suffix-array dedup families'
+    trim step, at fixed-chunk granularity.
+
+    Emits fixed-width rows only: (doc_id, n_chunks, n_kept,
+    clean_md5) — the cleaned text itself is hashed where it is built, so
+    nothing wider than 16 bytes leaves the executor. Scale shape: the
+    chunk stream (doc_id, idx, 60-bit hash) reduces per chunk hash to
+    its min (doc_id, idx) occurrence — map-side partial min collapses
+    the hot boilerplate chunks exactly like the de-skewed frequency
+    plans — then joins back at (doc, chunk) granularity; the rebuild
+    happens in the doc's own partition via a kept-index array join on
+    doc_id (co-partitioned/bucketed by doc_id at 100 TB: shuffle-free)."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
+    w = docs.select("doc_id", "text", words("text").alias("w"))
+    n_chunks = F.ceil(F.size("w") / BOILER_CHUNK_WORDS).cast("int")
+    chunk_hash = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.conv(F.substring(F.md5(F.concat_ws(
+            " ", F.slice(F.col("w"), i * BOILER_CHUNK_WORDS + 1,
+                         BOILER_CHUNK_WORDS))), 1, 15), 16, 10)
+        .cast("long"))
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(chunk_hash).alias("idx", "ch"))
+    first = chunks.groupBy("ch").agg(
+        F.min(F.struct("doc_id", "idx")).alias("m"))
+    kept = (chunks.join(first, "ch")
+            .where((F.col("doc_id") == F.col("m.doc_id"))
+                   & (F.col("idx") == F.col("m.idx")))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("idx")).alias("kept")))
+    # LEFT join + empty-array default: a doc whose every chunk is a
+    # duplicate first seen elsewhere keeps nothing and must still emit a
+    # row (n_kept=0, md5 of the empty string) — the oracle's LEFT JOIN.
+    rebuilt = (w.join(kept, "doc_id", "left")
+               .withColumn("kept", F.coalesce(
+                   F.col("kept"), F.array().cast("array<int>")))
+               .withColumn("clean", F.concat_ws(" ", F.flatten(F.transform(
+                   F.col("kept"),
+                   lambda i: F.slice(F.col("w"),
+                                     i * BOILER_CHUNK_WORDS + 1,
+                                     BOILER_CHUNK_WORDS))))))
+    return (rebuilt.select(
+        "doc_id", n_chunks.alias("n_chunks"),
+        F.size("kept").cast("int").alias("n_kept"),
+        F.md5("clean").alias("clean_md5"))
+        .orderBy("doc_id"))
+
+
+_BOILER_ORACLE = f"""
+WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+           FROM documents),
+c AS (SELECT doc_id, i AS idx,
+             array_to_string(ws[(i * {BOILER_CHUNK_WORDS} + 1):
+                 (i * {BOILER_CHUNK_WORDS} + {BOILER_CHUNK_WORDS})], ' ')
+             AS chunk_str,
+             CAST('0x' || substring(md5(array_to_string(
+                 ws[(i * {BOILER_CHUNK_WORDS} + 1):
+                    (i * {BOILER_CHUNK_WORDS} + {BOILER_CHUNK_WORDS})],
+                 ' ')), 1, 15) AS BIGINT) AS ch
+      FROM w CROSS JOIN LATERAL (SELECT unnest(range(
+          CAST(ceil(len(ws) / {BOILER_CHUNK_WORDS}.0) AS INTEGER))) AS i) t),
+kept AS (SELECT doc_id, idx, chunk_str FROM c
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY ch
+                                    ORDER BY doc_id, idx) = 1),
+stats AS (SELECT doc_id,
+                 CAST(COUNT(*) AS INTEGER) AS n_kept,
+                 md5(string_agg(chunk_str, ' ' ORDER BY idx)) AS clean_md5
+          FROM kept GROUP BY doc_id),
+nch AS (SELECT doc_id,
+               CAST(ceil(len(ws) / {BOILER_CHUNK_WORDS}.0) AS INTEGER)
+               AS n_chunks FROM w)
+SELECT n.doc_id, n.n_chunks,
+       COALESCE(s.n_kept, 0) AS n_kept,
+       COALESCE(s.clean_md5, md5('')) AS clean_md5
+FROM nch n LEFT JOIN stats s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "nd_cross_dedup": (
         nd_cross_dedup,
@@ -762,5 +976,8 @@ ORDER BY a_id, b_id
     "nd_simhash": (nd_simhash, _SIMHASH_ORACLE),
     "nd_chunk_dedup": (nd_chunk_dedup, _CHUNK_DEDUP_ORACLE),
     "nd_incremental_dedup": (nd_incremental_dedup, _INCREMENTAL_ORACLE),
+    "nd_incremental_minhash": (nd_incremental_minhash,
+                               _INCREMENTAL_MH_ORACLE),
+    "nd_boilerplate_strip": (nd_boilerplate_strip, _BOILER_ORACLE),
     "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
 }

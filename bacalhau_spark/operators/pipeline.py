@@ -292,8 +292,51 @@ _PROFILE_ORACLE = "SELECT col_name, n, n_null, n_distinct, min_v, max_v FROM (" 
     ) + ") t ORDER BY col_name"
 
 
+EPOCH_SHARDS = 8
+N_EPOCHS = 2
+
+
+def nd_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: for each epoch, every
+    document gets a shard assignment and a 60-bit sort key derived from
+    md5(epoch:doc_id) — a reproducible global permutation per epoch with
+    no RNG state, the property a resumable multi-host data loader needs
+    (any worker can recompute its shard's order from the seed alone).
+
+    Emits (epoch, doc_id, shard, sort_key). Scale shape: pure per-row
+    codegen — no shuffle, no window, no global sort in the OPERATOR; the
+    materializing writer partitions by (epoch, shard) and
+    sortWithinPartitions(sort_key), which IS the permutation (a global
+    orderBy would serialize 100 TB through one range exchange for an
+    order no consumer needs across shard files). Shards are hash-uniform,
+    so shard files are balanced by construction."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch")
+    key = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("epoch"), F.col("doc_id"))), 1, 15), 16, 10).cast("long")
+    return (docs.select(epochs, "doc_id")
+            .withColumn("sort_key", key)
+            .withColumn("shard",
+                        (F.col("sort_key") % EPOCH_SHARDS).cast("int"))
+            .orderBy("epoch", "doc_id"))
+
+
+_EPOCH_ORACLE = f"""
+WITH e AS (SELECT epoch, doc_id,
+                  CAST('0x' || substring(md5(epoch || ':' || doc_id), 1, 15)
+                       AS BIGINT) AS sort_key
+           FROM documents CROSS JOIN
+               (SELECT unnest(range({N_EPOCHS})) AS epoch) t)
+SELECT CAST(epoch AS INTEGER) AS epoch, doc_id, sort_key,
+       CAST(sort_key % {EPOCH_SHARDS} AS INTEGER) AS shard
+FROM e ORDER BY epoch, doc_id
+"""
+
+
 QUERIES = {
     "nd_profile": (nd_profile, _PROFILE_ORACLE),
+    "nd_epoch_shuffle": (nd_epoch_shuffle, _EPOCH_ORACLE),
     "nd_hash_sample": (
         nd_hash_sample,
         "SELECT doc_id, lang FROM documents "

@@ -442,7 +442,60 @@ _LANGID_ORACLE = (
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in _STOPWORDS)
 
+VOCAB_K = 512
+
+
+def nd_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-VOCAB_K corpus
+    vocabulary (by frequency, ties broken lexicographically — a total
+    order, so the cut is deterministic on any partitioning) and report
+    per document its token count, out-of-vocabulary count, and OOV rate
+    — the screen that decides whether a tokenizer's vocab fits a corpus
+    before a training run commits to it.
+
+    Scale shape: the vocab build is a groupBy(word).count (map-side
+    combine collapses the Zipf head, the de-skew lesson) followed by a
+    top-K over #distinct-words rows — bounded output, broadcast to the
+    coverage pass, which is then a single codegen scan with a broadcast
+    hash probe per token: the 100 TB token stream never shuffles and is
+    read exactly twice (once to build, once to audit; production
+    amortizes the build across many audits). OOV rate is an int/int
+    division — bit-identical across engines, emitted raw."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    vocab = (toks.groupBy("word").agg(F.count("*").alias("n"))
+             .orderBy(F.col("n").desc(), F.col("word"))
+             .limit(VOCAB_K)
+             .select("word", F.lit(True).alias("in_vocab")))
+    return (toks.join(F.broadcast(vocab), "word", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                       .otherwise(0)).cast("long").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.col("n_oov").cast("double") / F.col("n_tokens"))
+            .orderBy("doc_id"))
+
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+              FROM documents),
+vocab AS (SELECT word FROM (SELECT word, COUNT(*) AS n FROM toks
+                            GROUP BY word) f
+          ORDER BY n DESC, word LIMIT {VOCAB_K})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_oov,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       / COUNT(*) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "nd_vocab_coverage": (nd_vocab_coverage, _VOCAB_ORACLE),
     "q11_tokenize_count": (
         q11_tokenize_count,
         "SELECT doc_id, word, COUNT(*) AS n FROM (SELECT doc_id, "

@@ -79,8 +79,15 @@ _PRIORITY: tuple[str, ...] = (
     "nd_sessionize", "nd_sliding_window", "nd_stratified_sample",
     "nd_upsert",
     # -- window boundary: first 50 graded per round --------------------
-    # Round 7 completes the rotation with the 5 displaced r3 rows above
-    # (plus any round-7 code changes, which as always outrank re-grades).
+    # Round 7 completes the rotation with the 5 displaced r3 rows above,
+    # plus the 4 NEW round-6 queries (nd_incremental_minhash,
+    # nd_boilerplate_strip, nd_epoch_shuffle, nd_vocab_coverage) — new
+    # queries normally outrank re-grades, but this round's window is
+    # reserved for closing the two-round config-rotation debt the round-5
+    # verdict made its top item; the new four are pytest-oracle-gated now
+    # (tests/test_oracle.py runs every registry pair value-exact each
+    # session) and take driver rows next round. Any round-7 code changes
+    # still outrank everything.
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
