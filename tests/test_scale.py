@@ -379,3 +379,63 @@ def test_spread_compute_is_noop_when_scan_is_parallel(spark, sf_dir):
         spark.sparkContext.defaultParallelism + 4)
     out = spread_compute(spark, docs, "doc_id")
     assert out is docs  # unchanged plan object: no exchange appended
+
+
+def test_round6_operators_scale_shapes(spark, sf_dir):
+    """The four round-6 operators' 100 TB plan claims, asserted:
+
+    - nd_vocab_coverage: the coverage pass probes the top-K vocab through a
+      BROADCAST hash join (the token stream never shuffles for the audit),
+      and the vocab build aggregates with a map-side partial_count.
+    - nd_boilerplate_strip: no Window exec anywhere (keep-first is a
+      min-struct aggregate, not a ROW_NUMBER window over the Zipf-hot
+      chunk key) and chunk text never shuffles — only 60-bit hashes.
+    - nd_epoch_shuffle: the operator body is pure per-row codegen — the
+      only exchange below the final presentation orderBy is... none; the
+      single rangepartitioning exchange belongs to the deterministic
+      output order, not the permutation itself.
+    - nd_incremental_minhash: the corpus index side reduces to DISTINCT
+      band keys BEFORE the probe join (a keyed HashAggregate under the
+      join — the persisted LSH index, not a re-expansion per probe). The
+      join strategy itself is left to stats/AQE: the fixture-sized index
+      broadcasts (correct at kB scale), a 100 TB corpus band set exceeds
+      every broadcast threshold and degrades to the shuffle form without
+      code changes — which is exactly why the operator carries no
+      broadcast hint (asserted).
+    """
+    from bacalhau_spark.operators.dedup import (nd_boilerplate_strip,
+                                                nd_incremental_minhash)
+    from bacalhau_spark.operators.pipeline import nd_epoch_shuffle
+    from bacalhau_spark.operators.text import nd_vocab_coverage
+
+    vocab_plan = _formatted_plan(nd_vocab_coverage(spark, sf_dir))
+    assert "BroadcastHashJoin" in vocab_plan
+    assert "partial_count" in vocab_plan
+
+    boiler_plan = _formatted_plan(nd_boilerplate_strip(spark, sf_dir))
+    assert ") Window" not in boiler_plan, (
+        "boilerplate keep-first must not window over the hot chunk key")
+    # the chunk exchange carries (doc_id, idx, ch) longs, never chunk text
+    import re
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                         boiler_plan):
+        assert "chunk" not in m.group(1)
+
+    epoch_plan = _formatted_plan(nd_epoch_shuffle(spark, sf_dir))
+    # every Exchange detail block must be the presentation sort's range
+    # partitioning — the permutation itself is per-row codegen, shuffle-free
+    for m in re.finditer(r"\(\d+\) Exchange\nInput.*\nArguments: (\w+)",
+                         epoch_plan):
+        assert m.group(1) == "rangepartitioning", (
+            "epoch shuffle must not shuffle beyond the presentation sort")
+    assert " Window" not in epoch_plan
+
+    inc = nd_incremental_minhash(spark, sf_dir)
+    inc_plan = _formatted_plan(inc)
+    # DISTINCT band keys under the probe join: a keys=[bkey...] aggregate
+    assert re.search(r"HashAggregate.*\n.*\n?Keys \[1\]: \[bkey", inc_plan
+                     ) or "keys=[bkey" in inc_plan.replace(" ", ""), (
+        "corpus side must reduce to its distinct band-key index")
+    # no broadcast HINT in the logical plan: strategy stays stats-driven
+    logical = inc._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "hint" not in logical.lower()
