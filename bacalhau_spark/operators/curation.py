@@ -539,7 +539,62 @@ SELECT pair, CAST(SUM(cnt) AS INTEGER) AS n FROM p GROUP BY pair
 ORDER BY n DESC, pair LIMIT {PAIR_TOP_K}
 """
 
+def nd_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (α=0.5) source mixing for a training run: each
+    source's sampling weight is n_tokens^α — the multilingual/multi-domain
+    rebalance that upsamples the tail without letting the head dominate.
+    Emits per source its exact doc/token counts, its weight relative to
+    the heaviest source (sqrt(n)/sqrt(n_max)), and the boost factor over
+    natural sampling ((sqrt(n)/sqrt(n_max)) / (n/n_max)) — tail sources
+    get boost > 1, the head gets exactly 1.
+
+    Every emitted double is a composition of correctly-rounded IEEE ops
+    (sqrt, divide) applied in the SAME order on both engines — hash-exact
+    without rounding (the q04 rule: identical double-op chains agree
+    bit-for-bit; only ROUND diverges). The relative-to-max form exists
+    precisely to avoid a Σ over per-source doubles, whose summation order
+    would differ between engines.
+
+    Scale shape: one corpus scan → groupBy(source) with map-side combine
+    (the token count per doc is computed where the text lives; only
+    (source, count) pairs shuffle), then the max attaches via an
+    unpartitioned window over the ~#sources-row aggregate — never a
+    second corpus scan."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source",
+                                                    "text")
+    per = (docs
+           .select("source", F.size(words("text")).alias("toks"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("toks").cast("long").alias("n_tokens")))
+    from pyspark.sql.window import Window
+    n_max = F.max("n_tokens").over(Window.partitionBy())
+    w_rel = F.sqrt(F.col("n_tokens")) / F.sqrt(F.col("n_max"))
+    nat = F.col("n_tokens") / F.col("n_max")
+    return (per.withColumn("n_max", n_max)
+            .select("source", "n_docs", "n_tokens",
+                    w_rel.alias("weight_rel"),
+                    (w_rel / nat).alias("boost"))
+            .orderBy("source"))
+
+
+_MIX_TEMP_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+         AS n_tokens
+  FROM documents GROUP BY source),
+m AS (SELECT per.*, MAX(n_tokens) OVER () AS n_max FROM per)
+SELECT source, n_docs, n_tokens,
+       sqrt(n_tokens) / sqrt(n_max) AS weight_rel,
+       (sqrt(n_tokens) / sqrt(n_max)) /
+       (CAST(n_tokens AS DOUBLE) / n_max) AS boost
+FROM m ORDER BY source
+"""
+
+
 QUERIES = {
+    "nd_mix_temperature": (nd_mix_temperature, _MIX_TEMP_ORACLE),
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),
     "nd_bpe_pair_count": (nd_bpe_pair_count, _PAIR_COUNT_ORACLE),
     "nd_gopher_filter": (nd_gopher_filter, _GOPHER_ORACLE),

@@ -501,7 +501,77 @@ SELECT vec_id, lo, hi,
 FROM c ORDER BY vec_id
 """
 
+SEMDEDUP_SIGN_BITS = 8
+SEMDEDUP_TAU = 0.3
+
+
+def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-space dedup: coarse-partition the corpus
+    into deterministic sign-pattern buckets (the sign of the first
+    SEMDEDUP_SIGN_BITS dims folded into one int — a data-independent
+    hyperplane LSH whose planes are the coordinate axes), then screen
+    WITHIN each bucket: a vector is dropped when any lower-id bucket-mate
+    has cosine >= SEMDEDUP_TAU with it (greedy keep-first against all
+    earlier ids — deterministic and non-recursive, unlike connected
+    components; nd_dedup_clusters is the transitive variant for the text
+    families). Emits (vec_id, bucket, kept).
+
+    Scale shape: ONE bucketed equi self-join on an int key — never
+    all-pairs; the pairwise dot products run only inside buckets, and the
+    bit count is the width knob (each added bit halves expected bucket
+    size, so candidate pairs stay linear as the corpus grows; production
+    SemDeDup uses k-means cells the same way — the IVF cells of
+    nd_ann_ivf would slot in here, sign buckets are the
+    deterministic/oracle-able stand-in). The dot product is the
+    bit-identical left fold (_DOT_SQL), so kept flags are hash-exact.
+
+    Reference intent: the dedup job family run over bacalhau-style
+    embedding shards (docs/examples analog), re-expressed as one
+    declarative plan."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = sum(
+        (F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
+         .otherwise(F.lit(0)) for i in range(SEMDEDUP_SIGN_BITS)),
+        start=F.lit(0)).cast("int")
+    b = emb.select("vec_id", bucket.alias("bucket"), "embedding")
+    left = b.select(F.col("vec_id").alias("a_id"), "bucket",
+                    F.col("embedding").alias("a_emb"))
+    right = b.select(F.col("vec_id").alias("b_id"), "bucket",
+                     F.col("embedding").alias("b_emb"))
+    dropped = (left.join(right, "bucket")
+               .where(F.col("a_id") < F.col("b_id"))
+               .where(cosine(F.col("a_emb"), F.col("b_emb"))
+                      >= SEMDEDUP_TAU)
+               .select(F.col("b_id").alias("vec_id")).distinct()
+               .withColumn("hit", F.lit(True)))
+    return (b.select("vec_id", "bucket")
+            .join(dropped, "vec_id", "left")
+            .select("vec_id", "bucket",
+                    F.col("hit").isNull().alias("kept"))
+            .orderBy("vec_id"))
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(range({SEMDEDUP_SIGN_BITS}), i ->
+             CASE WHEN embedding[i+1] >= 0 THEN 1 << i ELSE 0 END))
+              AS INTEGER) AS bucket
+  FROM embeddings),
+dropped AS (
+  SELECT DISTINCT b2.vec_id
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE list_sum(list_transform(list_zip(a.embedding, b2.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        >= {SEMDEDUP_TAU})
+SELECT b.vec_id, b.bucket, d.vec_id IS NULL AS kept
+FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+ORDER BY b.vec_id
+"""
+
+
 QUERIES = {
+    "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
     "nd_embedding_quantize": (nd_embedding_quantize, _QUANTIZE_ORACLE),
     "q30_nn": (
         q30_nn,

@@ -80,8 +80,9 @@ _PRIORITY: tuple[str, ...] = (
     "nd_upsert",
     # -- window boundary: first 50 graded per round --------------------
     # Round 7 completes the rotation with the 5 displaced r3 rows above,
-    # plus the 4 NEW round-6 queries (nd_incremental_minhash,
-    # nd_boilerplate_strip, nd_epoch_shuffle, nd_vocab_coverage) — new
+    # plus the 6 NEW round-6 queries (nd_incremental_minhash,
+    # nd_boilerplate_strip, nd_epoch_shuffle, nd_vocab_coverage,
+    # nd_semantic_dedup, nd_mix_temperature) — new
     # queries normally outrank re-grades, but this round's window is
     # reserved for closing the two-round config-rotation debt the round-5
     # verdict made its top item; the new four are pytest-oracle-gated now
