@@ -439,3 +439,25 @@ def test_round6_operators_scale_shapes(spark, sf_dir):
     # no broadcast HINT in the logical plan: strategy stays stats-driven
     logical = inc._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical and "hint" not in logical.lower()
+
+
+def test_semantic_dedup_and_mix_scale_shapes(spark, sf_dir):
+    """nd_semantic_dedup must screen within sign buckets via ONE equi
+    join on the bucket key — no cartesian/broadcast-nested-loop anywhere
+    (the all-pairs shape it exists to avoid). nd_mix_temperature must
+    scan the corpus once: the max attaches through a window over the
+    per-source aggregate, not a second scan or a driver collect."""
+    from bacalhau_spark.operators.curation import nd_mix_temperature
+    from bacalhau_spark.operators.similarity import nd_semantic_dedup
+
+    sd_plan = _formatted_plan(nd_semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in sd_plan
+    assert "BroadcastNestedLoopJoin" not in sd_plan
+    assert "bucket" in sd_plan
+
+    mix_plan = _formatted_plan(nd_mix_temperature(spark, sf_dir))
+    # formatted explain names the file once per scan NODE (in its
+    # Location detail) — exactly one documents scan in the whole plan
+    assert mix_plan.count("documents.parquet") == 1, (
+        "mix temperature must not re-scan the corpus for the max")
+    assert "partial_count" in mix_plan or "partial" in mix_plan
