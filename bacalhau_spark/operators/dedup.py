@@ -929,7 +929,74 @@ ORDER BY doc_id
 """
 
 
+OVERLAP_PREFIX_WORDS = 8
+
+
+def nd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — dedup PROVENANCE: which crawls/
+    feeds duplicate each other, measured as Jaccard over each source's
+    set of document-prefix fingerprints (md5 of the first
+    OVERLAP_PREFIX_WORDS words — the template/boilerplate-sensitive key;
+    whole-text md5 finds only byte-exact cross-source copies, which real
+    multi-crawl corpora rarely share while templated heads are common).
+    Emits one row per source pair that shares at least one fingerprint:
+    (source_a, source_b, shared, jacc) with jacc = shared/(na+nb−shared),
+    an int/int division — bit-exact, emitted raw.
+
+    Scale shape: the corpus collapses to DISTINCT (fp, source) pairs
+    (16-byte key + small dim value; text never leaves its scan), the
+    self-join keys on fp where each bucket is bounded by #sources, and
+    the pair aggregate is #sources² rows at most. The per-source set
+    sizes attach through a broadcast of the ~#sources-row aggregate.
+
+    Reference intent: the job-provenance summaries the requester node
+    keeps per input CID set, re-expressed as corpus analytics."""
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    fp = F.md5(F.concat_ws(
+        " ", F.slice(words("text"), 1, OVERLAP_PREFIX_WORDS)))
+    ps = docs.select("source", fp.alias("fp")).distinct()
+    per_src = ps.groupBy("source").agg(F.count("*").alias("n_fps"))
+    a = ps.select(F.col("source").alias("source_a"), "fp")
+    b = ps.select(F.col("source").alias("source_b"), "fp")
+    shared = (a.join(b, "fp")
+              .where(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count("*").cast("long").alias("shared")))
+    na = F.broadcast(per_src.select(F.col("source").alias("source_a"),
+                                    F.col("n_fps").alias("na")))
+    nb = F.broadcast(per_src.select(F.col("source").alias("source_b"),
+                                    F.col("n_fps").alias("nb")))
+    return (shared.join(na, "source_a").join(nb, "source_b")
+            .select("source_a", "source_b", "shared",
+                    (F.col("shared") /
+                     (F.col("na") + F.col("nb") - F.col("shared")))
+                    .alias("jacc"))
+            .orderBy("source_a", "source_b"))
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH ps AS (
+  SELECT DISTINCT source,
+         md5(array_to_string((string_split(lower(text), ' '))
+             [1:{OVERLAP_PREFIX_WORDS}], ' ')) AS fp
+  FROM documents),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps
+        FROM ps GROUP BY source),
+sh AS (SELECT a.source AS source_a, b.source AS source_b,
+              CAST(COUNT(*) AS BIGINT) AS shared
+       FROM ps a JOIN ps b ON a.fp = b.fp AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT sh.source_a, sh.source_b, sh.shared,
+       CAST(sh.shared AS DOUBLE) / (na.n_fps + nb.n_fps - sh.shared)
+       AS jacc
+FROM sh JOIN per na ON na.source = sh.source_a
+        JOIN per nb ON nb.source = sh.source_b
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
+    "nd_source_overlap": (nd_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "nd_cross_dedup": (
         nd_cross_dedup,
         "WITH bench AS (SELECT DISTINCT md5(text) AS bfp FROM documents "
