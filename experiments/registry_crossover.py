@@ -63,7 +63,12 @@ def main() -> None:
                     help="per-replica deterministic text perturbation: "
                          "replicas are not near-dups, candidate growth "
                          "stays linear (the honest >10x fixture)")
+    ap.add_argument("--queries", default=",".join(QUERIES),
+                    help="comma list of registered documents-table "
+                         "queries to measure (round 6: the new operator "
+                         "sweep reuses this harness)")
     args = ap.parse_args()
+    query_names = tuple(q for q in args.queries.split(",") if q)
 
     import duckdb
 
@@ -80,7 +85,7 @@ def main() -> None:
         con = duckdb.connect()
         con.execute("CREATE VIEW documents AS SELECT * FROM "
                     f"read_parquet('{d}/documents.parquet')")
-        for name in QUERIES:
+        for name in query_names:
             fn, sql = ALL_QUERIES[name]
             s = median_runs(lambda: fn(spark, d)
                             .write.mode("overwrite").format("noop").save())
