@@ -219,3 +219,99 @@ def test_image_decode_capability_probe(spark):
     if image_codec_available():
         assert (rows[1]["width"], rows[1]["height"]) == (4, 2)
     assert rows[2]["width"] >= 16 and rows[2]["phash"]  # fake fallback
+
+
+def test_boilerplate_strip_preserves_first_occurrences(spark, sf_dir):
+    """Semantic invariants the oracle hash cannot express by itself:
+    (a) across the corpus, every distinct chunk survives EXACTLY once
+    (keep-first means no chunk value disappears entirely and none keeps
+    two copies); (b) per doc, n_kept <= n_chunks; (c) a doc whose every
+    chunk is first-seen keeps everything and its cleaned text md5 equals
+    the md5 of its space-joined words (chunk rebuild is lossless)."""
+    from bacalhau_spark.operators.dedup import (BOILER_CHUNK_WORDS,
+                                                nd_boilerplate_strip)
+    out = nd_boilerplate_strip(spark, sf_dir)
+    rows = out.collect()
+    assert all(r.n_kept <= r.n_chunks for r in rows)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id", words("text").alias("w"))
+    n_chunks = F.ceil(F.size("w") / BOILER_CHUNK_WORDS).cast("int")
+    chunks = w.select("doc_id", F.posexplode(F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(
+            F.col("w"), i * BOILER_CHUNK_WORDS + 1, BOILER_CHUNK_WORDS))))
+        .alias("idx", "chunk"))
+    n_distinct = chunks.select("chunk").distinct().count()
+    total_kept = out.agg(F.sum("n_kept")).first()[0]
+    assert total_kept == n_distinct, (
+        "keep-first must retain each distinct chunk exactly once")
+
+    # an all-first doc rebuilds to its own text (doc with min doc_id whose
+    # kept == chunks): verify via the emitted md5
+    full = [r for r in rows if r.n_kept == r.n_chunks]
+    assert full, "fixture should contain at least one all-unique doc"
+    probe = {r.doc_id: r.clean_md5 for r in full}
+    expect = (w.where(F.col("doc_id").isin(*list(probe)[:20]))
+              .select("doc_id", F.md5(F.concat_ws(" ", "w")).alias("m"))
+              .collect())
+    for r in expect:
+        assert probe[r.doc_id] == r.m
+
+
+def test_epoch_shuffle_is_balanced_deterministic_permutation(spark, sf_dir):
+    """Each epoch covers every doc exactly once; shard sizes are
+    hash-uniform (no shard over 2x the mean); the permutation differs
+    between epochs (the whole point) yet is identical across runs."""
+    from bacalhau_spark.operators.pipeline import (EPOCH_SHARDS, N_EPOCHS,
+                                                   nd_epoch_shuffle)
+    out = nd_epoch_shuffle(spark, sf_dir)
+    n_docs = table(spark, sf_dir, "documents").count()
+    per_epoch = out.groupBy("epoch").agg(
+        F.countDistinct("doc_id").alias("n")).collect()
+    assert len(per_epoch) == N_EPOCHS
+    assert all(r.n == n_docs for r in per_epoch)
+    shard_sizes = [r.n for r in out.groupBy("epoch", "shard")
+                   .agg(F.count("*").alias("n")).collect()]
+    mean = n_docs / EPOCH_SHARDS
+    assert max(shard_sizes) < 2 * mean
+    # epoch orders differ: rank-by-sort_key disagrees somewhere
+    from pyspark.sql.window import Window
+    ranks = (out.withColumn("rk", F.rank().over(
+        Window.partitionBy("epoch").orderBy("sort_key")))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("rk").alias("nr")))
+    assert ranks.where(F.col("nr") > 1).count() > 0
+    # determinism across fresh plan constructions
+    a = out.collect()
+    b = nd_epoch_shuffle(spark, sf_dir).collect()
+    assert a == b
+
+
+def test_semantic_dedup_kept_is_partitioning_invariant(spark, sf_dir):
+    """The greedy keep-first screen must not depend on physical layout:
+    re-running over a repartitioned-input plan yields the identical kept
+    set, and every dropped vector really has a lower-id bucket-mate with
+    cosine >= tau."""
+    from bacalhau_spark.operators.similarity import (SEMDEDUP_TAU,
+                                                     nd_semantic_dedup)
+    base = {(r.vec_id, r.kept) for r in
+            nd_semantic_dedup(spark, sf_dir).collect()}
+    again = {(r.vec_id, r.kept) for r in
+             nd_semantic_dedup(spark, sf_dir).collect()}
+    assert base == again
+
+    out = nd_semantic_dedup(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    joined = (out.where(~F.col("kept"))
+              .join(emb, "vec_id")
+              .alias("d")
+              .join(out.join(emb, "vec_id").alias("k"),
+                    (F.col("k.bucket") == F.col("d.bucket"))
+                    & (F.col("k.vec_id") < F.col("d.vec_id")))
+              .where(cosine(F.col("d.embedding"), F.col("k.embedding"))
+                     >= SEMDEDUP_TAU)
+              .select(F.col("d.vec_id")).distinct())
+    n_dropped = out.where(~F.col("kept")).count()
+    assert joined.count() == n_dropped, (
+        "every dropped vector must have a qualifying earlier bucket-mate")
