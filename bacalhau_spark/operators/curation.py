@@ -593,7 +593,111 @@ FROM m ORDER BY source
 """
 
 
+def nd_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline's survivor funnel in ONE declarative
+    plan: total corpus → template-dedup survivors (keep-first per 8-word
+    prefix fingerprint, the nd_source_overlap key — the fixture has no
+    byte-exact duplicate texts, so whole-text md5 would make stage 1 a
+    no-op; templated heads are where real corpora duplicate) →
+    Gopher-quality survivors (the SURVIVOR's own flags — prefix-sharing
+    copies differ in body, so keep-first picks min_by(kept, doc_id), not
+    any copy's flag) → decontaminated survivors (prefix fingerprint
+    absent from the held-out benchmark slice, the nd_cross_dedup
+    convention: doc_id % 10 == 0 is the eval set and the funnel runs
+    over the training remainder). Emits one row per stage:
+    (stage, name, n_docs, frac_of_total) — frac is long/long division,
+    bit-exact.
+
+    This is the report a data-curation run publishes alongside its output
+    manifest (the per-stage counts stages.py materializes one at a time,
+    here folded into a single Catalyst plan). Scale shape: one corpus
+    scan computes the per-doc fingerprint AND the quality flags in the
+    same projection; the only shuffle carries (16-byte fp, two ints); the
+    benchmark fingerprint set broadcasts; the final stage counts fold off
+    the per-fp aggregate — nothing rescans the corpus, asserted in
+    tests/test_scale.py.
+
+    Reference intent: the summary a requester publishes per pipeline run
+    (ROADMAP.md DAG results), as corpus analytics."""
+    from bacalhau_spark.operators.dedup import OVERLAP_PREFIX_WORDS
+    docs = (table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 10 != 0).select("doc_id", "text"))
+    _, f_words, f_wlen, f_stop, f_alpha = _gopher_flag_exprs()
+    kept = (f_words & f_wlen & f_stop & f_alpha).cast("int")
+    prefix_fp = F.md5(F.concat_ws(
+        " ", F.slice(words("text"), 1, OVERLAP_PREFIX_WORDS)))
+    enriched = docs.select("doc_id", prefix_fp.alias("fp"),
+                           kept.alias("kept"))
+    bench = (table(spark, sf_dir, "documents")
+             .where(F.col("doc_id") % 10 == 0)
+             .select(prefix_fp.alias("bfp")).distinct())
+    per_fp = (enriched.groupBy("fp")
+              .agg(F.count("*").alias("n"),
+                   F.min_by("kept", "doc_id").alias("kept"))
+              .join(F.broadcast(bench), F.col("fp") == F.col("bfp"),
+                    "left"))
+    agg = per_fp.agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("exact"),
+        F.sum("kept").alias("gopher"),
+        F.sum(((F.col("kept") == 1) & F.col("bfp").isNull())
+              .cast("long")).alias("decon"))
+    stages = F.inline(F.array(
+        F.struct(F.lit(0).alias("stage"), F.lit("total").alias("name"),
+                 F.col("total").cast("long").alias("n_docs")),
+        F.struct(F.lit(1).alias("stage"),
+                 F.lit("template_dedup").alias("name"),
+                 F.col("exact").cast("long").alias("n_docs")),
+        F.struct(F.lit(2).alias("stage"), F.lit("gopher").alias("name"),
+                 F.col("gopher").cast("long").alias("n_docs")),
+        F.struct(F.lit(3).alias("stage"),
+                 F.lit("decontaminated").alias("name"),
+                 F.col("decon").cast("long").alias("n_docs"))))
+    return (agg.select(stages, F.col("total").cast("long").alias("t"))
+            .select("stage", "name", "n_docs",
+                    (F.col("n_docs") / F.col("t")).alias("frac_of_total"))
+            .orderBy("stage"))
+
+
+_FUNNEL_ORACLE = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+s AS (SELECT doc_id,
+  md5(array_to_string((string_split(lower(text), ' '))[1:8], ' ')) AS fp,
+  CAST(len(string_split(lower(text), ' ')) BETWEEN 15 AND 90
+   AND length(replace(text, ' ', '')) * 10
+       >= len(string_split(lower(text), ' ')) * 25
+   AND length(replace(text, ' ', '')) * 10
+       <= len(string_split(lower(text), ' ')) * 65
+   AND len(list_filter(string_split(lower(text), ' '),
+       x -> list_contains([{stops}], x))) >= 2
+   AND len(list_filter(string_split(lower(text), ' '),
+       x -> regexp_matches(x, '^[a-z]+$'))) * 10
+       >= len(string_split(lower(text), ' ')) * 8 AS INTEGER) AS kept
+ FROM corpus),
+per_fp AS (SELECT fp, COUNT(*) AS n, arg_min(kept, doc_id) AS kept
+           FROM s GROUP BY fp),
+bench AS (SELECT DISTINCT
+            md5(array_to_string((string_split(lower(text), ' '))[1:8], ' '))
+            AS bfp FROM documents
+          WHERE doc_id % 10 = 0),
+agg AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS exact,
+               CAST(SUM(kept) AS BIGINT) AS gopher,
+               CAST(SUM(CASE WHEN kept = 1 AND b.bfp IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS decon
+        FROM per_fp LEFT JOIN bench b ON per_fp.fp = b.bfp)
+SELECT stage, name, n_docs, CAST(n_docs AS DOUBLE) / total AS frac_of_total
+FROM (
+  SELECT 0 AS stage, 'total' AS name, total AS n_docs, total FROM agg
+  UNION ALL SELECT 1, 'template_dedup', exact, total FROM agg
+  UNION ALL SELECT 2, 'gopher', gopher, total FROM agg
+  UNION ALL SELECT 3, 'decontaminated', decon, total FROM agg)
+ORDER BY stage
+""".replace("{stops}", _STOP_LIST)
+
+
 QUERIES = {
+    "nd_curation_funnel": (nd_curation_funnel, _FUNNEL_ORACLE),
     "nd_mix_temperature": (nd_mix_temperature, _MIX_TEMP_ORACLE),
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),
     "nd_bpe_pair_count": (nd_bpe_pair_count, _PAIR_COUNT_ORACLE),
