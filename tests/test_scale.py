@@ -461,3 +461,19 @@ def test_semantic_dedup_and_mix_scale_shapes(spark, sf_dir):
     assert mix_plan.count("documents.parquet") == 1, (
         "mix temperature must not re-scan the corpus for the max")
     assert "partial_count" in mix_plan or "partial" in mix_plan
+
+
+def test_curation_funnel_single_pass(spark, sf_dir):
+    """The funnel's claims: exactly TWO document scans in the whole plan
+    (the corpus slice and the benchmark slice — stage counts fold off the
+    per-fp aggregate, never a per-stage rescan), the benchmark side joins
+    as a broadcast, and the only real shuffle carries the 16-byte
+    fingerprint key."""
+    from bacalhau_spark.operators.curation import nd_curation_funnel
+    plan = _formatted_plan(nd_curation_funnel(spark, sf_dir))
+    assert plan.count("documents.parquet") == 2, (
+        "funnel must not rescan the corpus per stage")
+    assert "BroadcastHashJoin" in plan
+    import re
+    hash_parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert all(c.startswith(("fp", "bfp")) for c in hash_parts), hash_parts
