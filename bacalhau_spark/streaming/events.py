@@ -458,6 +458,74 @@ def nd_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-stream source (glob: the file-stream source
+    requires a directory or glob and the fixture is a single file).
+    Separate from _event_stream so tests can swap in a split/paced
+    fixture to grade across real micro-batch boundaries."""
+    schema = table(spark, sf_dir, "documents").schema
+    return (spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/documents.parqu*"))
+
+
+def nd_stream_incremental_dedup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming incremental-ingest dedup screen: new documents stream in
+    (the nd_incremental_dedup batch synthesis — genuinely-fresh docs plus
+    re-crawls — expressed as filters over the readStream source) and each
+    is flagged is_new by a STREAM-STATIC left join against the persisted
+    corpus fingerprint index. Per-row hashing + a static-side join carry
+    no aggregation state, no watermark, and no batch-order dependence, so
+    like nd_stream_gopher this streaming surface takes a full value-hash
+    oracle in append mode.
+
+    Scale shape: the production ingest loop — the corpus index is built
+    ONCE as a batch frame (DISTINCT 16-byte fingerprints) and every
+    micro-batch probes it; the stream side never carries text past the
+    md5 projection. The static side broadcasts here (fixture-sized); at
+    100 TB the same plan degrades to the shuffled stream-static join
+    without code changes (no hint, stats-driven — the
+    nd_incremental_minhash convention).
+
+    Reference intent: the recurring-ingest loop of pkg/requesternode (new
+    CID appears → job screens it), as a continuous query."""
+    src = _doc_stream(spark, sf_dir)
+    fresh = (src.where(F.col("doc_id") % 5 == 4)
+             .select("doc_id", F.md5("text").alias("fp")))
+    recrawl = (src.where(F.col("doc_id") % 10 == 1)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.md5("text").alias("fp")))
+    batch = fresh.unionByName(recrawl)
+    corpus = (table(spark, sf_dir, "documents")
+              .where(F.col("doc_id") % 5 != 4)
+              .select(F.md5("text").alias("cfp")).distinct())
+    flagged = (batch.join(corpus, batch.fp == corpus.cfp, "left")
+               .select("doc_id", "fp",
+                       F.col("cfp").isNull().alias("is_new")))
+    q = _start_scoped(spark, flagged
+                      .writeStream.format("memory")
+                      .queryName("stream_incr_dedup_gate")
+                      .outputMode("append").trigger(availableNow=True))
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    return spark.table("stream_incr_dedup_gate").orderBy("doc_id")
+
+
+_STREAM_INCR_ORACLE = """
+WITH batch AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4
+  UNION ALL
+  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 10 = 1),
+corpus AS (SELECT DISTINCT md5(text) AS cfp FROM documents
+           WHERE doc_id % 5 <> 4)
+SELECT b.doc_id, b.fp, c.cfp IS NULL AS is_new
+FROM batch b LEFT JOIN corpus c ON b.fp = c.cfp
+ORDER BY doc_id
+"""
+
+
 from bacalhau_spark.operators.curation import _GOPHER_ORACLE  # noqa: E402
 from bacalhau_spark.operators.windows import QUERIES as _WIN_QUERIES  # noqa: E402
 
@@ -518,6 +586,8 @@ QUERIES = {
     # and the one float fold is rounded on both sides — so both formerly
     # rows-only queries now carry full value-hash oracles.
     "nd_stream_sessions": (nd_stream_sessions, _SESSIONIZE_ORACLE),
+    "nd_stream_incremental_dedup": (nd_stream_incremental_dedup,
+                                    _STREAM_INCR_ORACLE),
     "nd_stream_stateful": (
         nd_stream_stateful,
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "

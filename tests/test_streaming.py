@@ -201,3 +201,47 @@ def test_multibatch_stream_surfaces_equal_batch(spark, sf_dir, tmp_path,
         assert [tuple(r) for r in got.collect()] == \
             [tuple(r) for r in ref.collect()], \
             f"{name} diverged from batch across a micro-batch boundary"
+
+
+def test_multibatch_incremental_dedup_equals_batch(spark, sf_dir, tmp_path,
+                                                   monkeypatch):
+    """The streaming incremental-dedup screen across a REAL batch
+    boundary: documents split into 2 files, one file per trigger. The
+    query is stateless per-row + stream-static join, so batch boundaries
+    must be invisible — the flagged set equals the single-batch answer
+    exactly."""
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.registry import queries
+    from bacalhau_spark.streaming import events as ev
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(tmp_path / "documents-0.parquet"))
+    pq.write_table(t.slice(half), str(tmp_path / "documents-1.parquet"))
+
+    schema = table(spark, sf_dir, "documents").schema
+
+    def paced(spark_, _sf):
+        return (spark_.readStream.schema(schema)
+                .option("pathGlobFilter", "documents-*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path)))
+
+    monkeypatch.setattr(ev, "_doc_stream", paced)
+    got = queries()["nd_stream_incremental_dedup"](spark, sf_dir)
+    # batch reference: the same screen as one batch query
+    docs = table(spark, sf_dir, "documents")
+    fresh = (docs.where(F.col("doc_id") % 5 == 4)
+             .select("doc_id", F.md5("text").alias("fp")))
+    recrawl = (docs.where(F.col("doc_id") % 10 == 1)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.md5("text").alias("fp")))
+    corpus = (docs.where(F.col("doc_id") % 5 != 4)
+              .select(F.md5("text").alias("cfp")).distinct())
+    b = fresh.unionByName(recrawl)
+    expect = (b.join(corpus, b.fp == corpus.cfp, "left")
+              .select("doc_id", "fp", F.col("cfp").isNull().alias("is_new"))
+              .orderBy("doc_id"))
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in expect.collect()]
