@@ -604,3 +604,19 @@ def test_result_reuse_distinguishes_context(engine, tmp_path):
     same = engine.submit(JobSpec(query="q25_topk", inputs={"sf_dir": SF_DIR},
                                  context=str(ctx1), reuse=True))
     assert "ResultsReused" in [e.name for e in engine.events(same)]
+
+
+def test_round6_operators_run_through_engine_verified(engine):
+    """The nine round-6 queries are served by the same engine plane as
+    everything else; spot-run the composite funnel REPLICATED+VERIFIED
+    (its plan must be deterministic enough for manifest agreement — the
+    Concurrency=2 contract) and the streaming ingest screen unverified
+    (streaming queries bypass the Catalyst determinism walk)."""
+    run_id = engine.submit(JobSpec(query="nd_curation_funnel",
+                                   inputs={"sf_dir": SF_DIR},
+                                   replicas=2, verified=True))
+    assert engine.state(run_id) == EVT_RESULTS_ACCEPTED
+    run_id2 = engine.submit(JobSpec(query="nd_semantic_dedup",
+                                    inputs={"sf_dir": SF_DIR},
+                                    replicas=2, verified=True))
+    assert engine.state(run_id2) == EVT_RESULTS_ACCEPTED
