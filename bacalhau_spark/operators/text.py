@@ -494,7 +494,69 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+QUALITY_GATE_PCT = 0.4
+
+
+def nd_quality_percentile_gate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CORPUS-RELATIVE quality gating: instead of the Gopher family's
+    absolute thresholds, keep each document iff its quality score clears
+    its own LANGUAGE's 40th percentile — the perplexity-percentile filter
+    shape (score distributions differ per language, so absolute cutoffs
+    over- or under-prune the tails). The score is an integer proxy
+    (alphabetic-token density per mille, floor division, plus stopword
+    evidence) so the only doubles are the interpolated thresholds, and
+    the comparison int >= double is exact on both engines.
+
+    Scale shape: per-row codegen score → exact per-lang percentile over a
+    BOUNDED group count (the nd_percentiles form; percentile_approx is
+    the 100 TB default when group count is unbounded) → the ~#langs-row
+    threshold table broadcasts back into a second per-row pass. One
+    corpus-scan-shaped exchange total; text never shuffles."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "lang", "text"), "doc_id")
+    w = words("text")
+    n_words = F.greatest(F.size(w), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$")))
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    # floor(a/b) on positive ints this small == exact integer division
+    # (a, b < 2^30: the double quotient can't round across an integer);
+    # DuckDB's // is integer division, same values
+    scored = docs.select(
+        "doc_id", "lang",
+        (F.floor(n_alpha.cast("long") * 1000 / n_words)
+         + n_stop).cast("long").alias("score"))
+    thresholds = (scored.groupBy("lang")
+                  .agg(F.expr(f"percentile(score, {QUALITY_GATE_PCT})")
+                       .alias("thr")))
+    return (scored.join(F.broadcast(thresholds), "lang")
+            .select("doc_id", "lang", "score",
+                    (F.col("score") >= F.col("thr")).alias("kept"))
+            .orderBy("doc_id"))
+
+
+_QUALITY_GATE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST((len(list_filter(string_split(lower(text), ' '),
+                   x -> regexp_matches(x, '^[a-z]+$'))) * 1000)
+              // greatest(len(string_split(lower(text), ' ')), 1)
+              + len(list_filter(string_split(lower(text), ' '),
+                    x -> list_contains([{_STOP_LIST}], x)))
+              AS BIGINT) AS score
+  FROM documents),
+thr AS (SELECT lang, quantile_cont(score, {QUALITY_GATE_PCT}) AS thr
+        FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, s.score, s.score >= t.thr AS kept
+FROM scored s JOIN thr t ON s.lang = t.lang
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = {
+    "nd_quality_percentile_gate": (nd_quality_percentile_gate,
+                                   _QUALITY_GATE_ORACLE),
     "nd_vocab_coverage": (nd_vocab_coverage, _VOCAB_ORACLE),
     "q11_tokenize_count": (
         q11_tokenize_count,
