@@ -511,8 +511,11 @@ def nd_quality_percentile_gate(spark: SparkSession,
     Scale shape: per-row codegen score → exact per-lang percentile over a
     BOUNDED group count (the nd_percentiles form; percentile_approx is
     the 100 TB default when group count is unbounded) → the ~#langs-row
-    threshold table broadcasts back into a second per-row pass. One
-    corpus-scan-shaped exchange total; text never shuffles."""
+    threshold table broadcasts back into a second per-row pass. The
+    corpus is read twice (threshold build + gate pass — the
+    nd_vocab_coverage two-pass audit shape; production amortizes the
+    build across shards); only (lang, score) pairs ever shuffle, text
+    never does."""
     docs = spread_compute(spark, table(spark, sf_dir, "documents")
                           .select("doc_id", "lang", "text"), "doc_id")
     w = words("text")

@@ -477,3 +477,16 @@ def test_curation_funnel_single_pass(spark, sf_dir):
     import re
     hash_parts = re.findall(r"hashpartitioning\((\w+)", plan)
     assert all(c.startswith(("fp", "bfp")) for c in hash_parts), hash_parts
+
+
+def test_quality_gate_two_pass_broadcast(spark, sf_dir):
+    """The percentile gate's shape: exactly two document scans (threshold
+    build + gate pass), thresholds attach via broadcast, and every real
+    exchange carries (lang, score) — never text."""
+    from bacalhau_spark.operators.text import nd_quality_percentile_gate
+    plan = _formatted_plan(nd_quality_percentile_gate(spark, sf_dir))
+    assert plan.count("documents.parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    import re
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
