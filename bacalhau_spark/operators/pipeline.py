@@ -334,9 +334,60 @@ FROM e ORDER BY epoch, doc_id
 """
 
 
+# 31-bit Mersenne prime: per-row residues < 2^31 keep the int64 partial
+# sums exact up to ~2^32 rows per shard on the Spark side (DuckDB sums in
+# HUGEINT regardless); a 61-bit prime would overflow int64 within rows.
+EPOCH_HASH_PRIME = (1 << 31) - 1
+
+
+def nd_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resumability audit for nd_epoch_shuffle: one manifest row per
+    (epoch, shard) with its document count and an ORDER-INSENSITIVE
+    content hash (sum of the shard's sort keys mod a Mersenne prime —
+    associative and exact in int64, so any worker that recomputes its
+    shard in any partition order gets the same digest). A multi-host
+    data loader checks its shard's (n_docs, key_sum) against this
+    manifest before resuming mid-epoch — corrupted or stale shard files
+    fail the check without reading any other shard.
+
+    Scale shape: pure map-side partial aggregation over the per-row
+    epoch/shard/key codegen of the shuffle operator — EPOCH_SHARDS ×
+    N_EPOCHS output rows, one tiny exchange, no joins."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch")
+    key = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("epoch"), F.col("doc_id"))), 1, 15), 16, 10).cast("long")
+    return (docs.select(epochs, "doc_id")
+            .withColumn("sort_key", key)
+            .withColumn("shard",
+                        (F.col("sort_key") % EPOCH_SHARDS).cast("int"))
+            .groupBy("epoch", "shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 (F.sum(F.col("sort_key") % EPOCH_HASH_PRIME)
+                  % EPOCH_HASH_PRIME).cast("long").alias("key_sum"))
+            .orderBy("epoch", "shard"))
+
+
+_EPOCH_MANIFEST_ORACLE = f"""
+WITH e AS (SELECT epoch, doc_id,
+                  CAST('0x' || substring(md5(epoch || ':' || doc_id), 1, 15)
+                       AS BIGINT) AS sort_key
+           FROM documents CROSS JOIN
+               (SELECT unnest(range({N_EPOCHS})) AS epoch) t)
+SELECT CAST(epoch AS INTEGER) AS epoch,
+       CAST(sort_key % {EPOCH_SHARDS} AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sort_key % {EPOCH_HASH_PRIME})
+            % {EPOCH_HASH_PRIME} AS BIGINT) AS key_sum
+FROM e GROUP BY 1, 2 ORDER BY epoch, shard
+"""
+
+
 QUERIES = {
     "nd_profile": (nd_profile, _PROFILE_ORACLE),
     "nd_epoch_shuffle": (nd_epoch_shuffle, _EPOCH_ORACLE),
+    "nd_epoch_manifest": (nd_epoch_manifest, _EPOCH_MANIFEST_ORACLE),
     "nd_hash_sample": (
         nd_hash_sample,
         "SELECT doc_id, lang FROM documents "
