@@ -315,3 +315,21 @@ def test_semantic_dedup_kept_is_partitioning_invariant(spark, sf_dir):
     n_dropped = out.where(~F.col("kept")).count()
     assert joined.count() == n_dropped, (
         "every dropped vector must have a qualifying earlier bucket-mate")
+
+
+def test_epoch_manifest_matches_shuffle_rollup(spark, sf_dir):
+    """Cross-operator coherence: nd_epoch_manifest must equal the
+    (epoch, shard) rollup of nd_epoch_shuffle's own output — counts AND
+    mod-prime key sums — so a loader validating shards against the
+    manifest is validating exactly what the shuffle wrote."""
+    from bacalhau_spark.operators.pipeline import (EPOCH_HASH_PRIME,
+                                                   nd_epoch_manifest,
+                                                   nd_epoch_shuffle)
+    rolled = (nd_epoch_shuffle(spark, sf_dir)
+              .groupBy("epoch", "shard")
+              .agg(F.count("*").cast("long").alias("n_docs"),
+                   (F.sum(F.col("sort_key") % EPOCH_HASH_PRIME)
+                    % EPOCH_HASH_PRIME).cast("long").alias("key_sum"))
+              .orderBy("epoch", "shard"))
+    assert [tuple(r) for r in nd_epoch_manifest(spark, sf_dir).collect()] \
+        == [tuple(r) for r in rolled.collect()]
