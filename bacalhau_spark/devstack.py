@@ -91,29 +91,29 @@ class DevStack:
                             for n in self.nodes]
 
     # -- scheduling ---------------------------------------------------------
+    def _placement_order(self, spec: JobSpec) -> list[int]:
+        """THE node ordering every stack submit uses: nodes whose FREE
+        capacity fits the request first (first-bidder, node order), then
+        the remainder by ascending backlog. Factored so single and
+        replicated placement cannot drift under future policy changes —
+        each caller offers each node AT MOST once (a failed
+        Engine.submit_async mints a run_id + Rejected event, so retrying
+        a node would leave duplicate Rejected entries)."""
+        fitting, rest = [], []
+        for i, node in enumerate(self.nodes):
+            req = node.capacity.requirements(spec.resources)
+            (fitting if req.fits_in(node.capacity.free())
+             else rest).append(i)
+        rest.sort(key=lambda i: self.nodes[i].capacity.backlog_len())
+        return fitting + rest
+
     def submit_async(self, spec: JobSpec) -> tuple[int, str]:
         """Route to the first node whose FREE capacity fits the request
         (first-bidder); otherwise queue on the least-backlogged node.
         Returns (node_index, run_id). Raises JobRejectedError only when
         every node rejects (too big for any node / all backlogs full)."""
-        req = None
         last_err: Exception | None = None
-        rejected: set[int] = set()
-        for i, node in enumerate(self.nodes):
-            req = node.capacity.requirements(spec.resources)
-            if req.fits_in(node.capacity.free()):
-                try:
-                    return i, node.submit_async(spec)
-                except (JobRejectedError, BacklogFullError,
-                        NeverFitsError) as exc:
-                    last_err = exc  # policy said no / raced full
-                    rejected.add(i)  # don't re-offer below: each failed
-                    # submit_async mints a run_id + Rejected event, so a
-                    # retry would leave duplicate Rejected entries
-        order = sorted((i for i in range(len(self.nodes))
-                        if i not in rejected),
-                       key=lambda i: self.nodes[i].capacity.backlog_len())
-        for i in order:
+        for i in self._placement_order(spec):
             try:
                 return i, self.nodes[i].submit_async(spec)
             except (JobRejectedError, BacklogFullError,
@@ -160,18 +160,12 @@ class DevStack:
             raise ValueError("replicated specs must not declare an output "
                              "path: N nodes sharing one filesystem would "
                              "clobber a single sink")
-        # Distinct-node placement: fitting nodes first (first-bidder),
-        # then the least-backlogged remainder — same order as
-        # submit_async, but never the same node twice (a replica on the
-        # liar's own second slot proves nothing).
-        fitting, rest = [], []
-        for i, node in enumerate(self.nodes):
-            req = node.capacity.requirements(spec.resources)
-            (fitting if req.fits_in(node.capacity.free()) else rest).append(i)
-        rest.sort(key=lambda i: self.nodes[i].capacity.backlog_len())
+        # Distinct-node placement: the shared _placement_order, but never
+        # the same node twice (a replica on the liar's own second slot
+        # proves nothing).
         handles: list[tuple[int, str]] = []
         last_err: Exception | None = None
-        for i in fitting + rest:
+        for i in self._placement_order(spec):
             if len(handles) == concurrency:
                 break
             try:

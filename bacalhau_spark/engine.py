@@ -661,6 +661,35 @@ class Engine:
             self.spark.sparkContext.addPyFile(archive)
             self._ctx_modules[namespace] = archive
 
+    def _stage_mounts(self, run_id: str, spec: JobSpec) -> str:
+        """PrepareStorage analog for mount-only specs: copy each
+        content-addressed input out of the store into a per-run staging
+        directory — verifying bytes against addresses on the way (the
+        ContentStoreReader contract: a tampered blob fails the run
+        before any Spark job launches) — and return the staging dir as
+        the query's input path. A query expecting fixture tables over an
+        arbitrary mount then fails loudly at read time; it can never
+        silently execute over the default fixture (the hazard the old
+        sf_dir fallback created)."""
+        import os
+        import tempfile
+
+        root = spec.inputs["store"]
+        addrs = list(spec.inputs["addresses"])
+        stage = os.path.join(tempfile.gettempdir(),
+                             f"bacalhau_mounts_{run_id}")
+        os.makedirs(stage, exist_ok=True)
+        for addr in addrs:
+            with open(os.path.join(root, addr), "rb") as f:
+                content = f.read()
+            if hashlib.md5(content).hexdigest() != addr:
+                raise IOError(
+                    f"content integrity failure staging {addr!r} from "
+                    f"{root!r}")
+            with open(os.path.join(stage, addr), "wb") as f:
+                f.write(content)
+        return stage
+
     def _execute(self, run_id: str, spec: JobSpec) -> None:
         # Job-scoped runtime conf: tag every Spark job this run launches
         # (group id + description for the UI/event log) and route it to the
@@ -717,7 +746,17 @@ class Engine:
                 _ctx_local.namespace = ns
                 ctx_ns = ns
             fn = self.registry[spec.query]
-            sf_dir = spec.inputs.get("sf_dir", "/root/testdata/sf0.001")
+            sf_dir = spec.inputs.get("sf_dir")
+            if (sf_dir is None and "store" in spec.inputs
+                    and "addresses" in spec.inputs):
+                # A mount-only spec's data IS its content-addressed
+                # inputs: stage them (verified) and hand the staging dir
+                # to the query. Falling back to the default fixture here
+                # would fabricate plausible output from data the user
+                # never supplied.
+                sf_dir = self._stage_mounts(run_id, spec)
+            elif sf_dir is None:
+                sf_dir = "/root/testdata/sf0.001"
             df = fn(self.spark, sf_dir)
             if spec.verified:
                 assert_deterministic(df)

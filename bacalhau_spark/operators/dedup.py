@@ -138,29 +138,16 @@ def _rolling_shingle_keys(wh_col) -> "F.Column":
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide minhash signature table: (doc_id, mh0..mh15).
-
-    No .distinct() on the shingle stream: min() is idempotent over
-    duplicate shingles, so the dedup shuffle _shingle_table pays (needed
-    for Jaccard counting) is pure waste here. All 16 minhashes as wide
-    min-aggregates in ONE groupBy pass: no 16x row explosion, no
-    (doc_id, seed) shuffle — each shingle-key row evaluates 16 affine maps
-    in codegen and map-side combine carries one 16-column row per doc per
-    partition. Shingle keys come from rolling word-hash windows
-    (_rolling_shingle_keys) — strings never materialize. At corpus scale
-    this table is the persisted index artifact (write once, band-join and
-    estimate many times)."""
-    docs = spread_compute(spark, table(spark, sf_dir, "documents")
-                          .select("doc_id", "text"), "doc_id")
-    wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
-    sh = wh.select(
-        "doc_id", F.explode(_rolling_shingle_keys(F.col("wh"))).alias("x"))
-    x = F.col("x")
-    mins = [
-        F.min((F.lit(a) * x + F.lit(b)) % MH_PRIME).alias(f"mh{s}")
-        for s, (a, b) in enumerate(MH_AB)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    """Wide minhash signature table for the fixture documents:
+    (doc_id, mh0..mh15) — the fixture-bound wrapper over _mh_sig_frame,
+    which holds the ONE implementation of the signature pipeline (the
+    incremental probe is only correct if its fold stays byte-identical
+    to the index build's, so there must be exactly one fold to edit).
+    At corpus scale this table is the persisted index artifact (write
+    once, band-join and estimate many times)."""
+    return _mh_sig_frame(spread_compute(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id"))
 
 
 def _band_candidates(sig_wide: DataFrame,
@@ -181,16 +168,10 @@ def _band_candidates(sig_wide: DataFrame,
     # buckets from ~1e5 rows). Cross-band key collisions remain possible
     # in principle; the oracle folds IDENTICALLY, so the gate compares
     # like for like.
-    def band_key(b: int):
-        # lit(b).cast long: the fold must run in LONG (acc*C nears 2^63);
-        # int-typed inputs would overflow (ANSI ArithmeticException).
-        acc = F.lit(b).cast("long")
-        for r in range(ROWS_PER_BAND):
-            acc = (acc * MH_ROLL_C
-                   + F.col(f"mh{b * ROWS_PER_BAND + r}")) % BKEY_PRIME
-        return acc
-
-    band_cols = [band_key(b) for b in range(N_BANDS)]
+    # the fold itself lives in _band_key_exprs — the ONE definition both
+    # the index build and the incremental probe share (divergence would
+    # make every probe silently miss the index's key space)
+    band_cols = _band_key_exprs()
     sig = sig_wide.select(
         "doc_id",
         F.explode(F.array(*band_cols)).alias("bkey"))
@@ -717,11 +698,16 @@ ORDER BY a_id, b_id
 
 def _mh_sig_frame(docs: DataFrame) -> DataFrame:
     """Wide minhash signatures for an ARBITRARY (doc_id, text) frame —
-    the frame-parameterized form of _minhash_signatures (which is bound
-    to the fixture documents table): same rolling word-hash shingles,
-    same 16 affine min-aggregates in one groupBy pass. Docs shorter than
-    the shingle width produce no signature row (no shingles) on either
-    engine."""
+    THE signature pipeline (_minhash_signatures is the fixture-bound
+    wrapper). No .distinct() on the shingle stream: min() is idempotent
+    over duplicate shingles. All 16 minhashes as wide min-aggregates in
+    ONE groupBy pass: no 16x row explosion, no (doc_id, seed) shuffle —
+    each shingle-key row evaluates 16 affine maps in codegen and
+    map-side combine carries one 16-column row per doc per partition.
+    Shingle keys come from rolling word-hash windows
+    (_rolling_shingle_keys) — strings never materialize. Docs shorter
+    than the shingle width produce no signature row (no shingles) on
+    either engine."""
     wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
     sh = wh.select(
         "doc_id", F.explode(_rolling_shingle_keys(F.col("wh"))).alias("x"))
@@ -732,9 +718,12 @@ def _mh_sig_frame(docs: DataFrame) -> DataFrame:
 
 
 def _band_key_exprs() -> list["F.Column"]:
-    """The folded single-long band-bucket keys over a wide signature row —
-    identical fold to _band_candidates.band_key (band index leads the
-    polynomial, mod the 43-bit BKEY_PRIME)."""
+    """THE folded single-long band-bucket keys over a wide signature row
+    (band index leads the polynomial, mod the 43-bit BKEY_PRIME) — the
+    one definition shared by _band_candidates' index build and the
+    incremental probe. lit(b).cast long: the fold must run in LONG
+    (acc*C nears 2^63); int-typed inputs would overflow (ANSI
+    ArithmeticException)."""
     cols = []
     for b in range(N_BANDS):
         acc = F.lit(b).cast("long")
@@ -777,7 +766,11 @@ def nd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.concat(F.col("text"),
                               F.lit(" nearvariant edit")).alias("text"))))
     band = F.explode(F.array(*_band_key_exprs())).alias("bkey")
-    corpus_keys = _mh_sig_frame(corpus).select(band)
+    # spread_compute: the signature build is the CPU-dense stage and a
+    # single-row-group fixture would otherwise pin it to one task (the
+    # _minhash_signatures lesson — profiled 1.69s -> 0.35s at sf0.1)
+    corpus_keys = _mh_sig_frame(
+        spread_compute(spark, corpus, "doc_id")).select(band)
     # hot-bucket cap mirrors the index build: buckets that _band_candidates
     # would drop as degenerate are not probe targets either
     from pyspark.sql.window import Window
@@ -786,7 +779,8 @@ def nd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       Window.partitionBy("bkey")))
                   .where(F.col("n") <= LSH_BUCKET_CAP)
                   .select("bkey").distinct())
-    batch_keys = _mh_sig_frame(batch).select("doc_id", band).distinct()
+    batch_keys = (_mh_sig_frame(spread_compute(spark, batch, "doc_id"))
+                  .select("doc_id", band).distinct())
     return (batch_keys.join(corpus_idx, "bkey")
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("bands_hit"))

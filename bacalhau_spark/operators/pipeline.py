@@ -296,6 +296,31 @@ EPOCH_SHARDS = 8
 N_EPOCHS = 2
 
 
+def _epoch_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE per-epoch permutation derivation — (epoch, doc_id, sort_key,
+    shard) from md5(epoch:doc_id) — shared by nd_epoch_shuffle and
+    nd_epoch_manifest so the permutation and its resumability audit
+    cannot drift (a manifest validating keys the shuffle no longer
+    produces is exactly the corruption the manifest exists to catch).
+    The oracles share _EPOCH_CTE the same way."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch")
+    key = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("epoch"), F.col("doc_id"))), 1, 15), 16, 10).cast("long")
+    return (docs.select(epochs, "doc_id")
+            .withColumn("sort_key", key)
+            .withColumn("shard",
+                        (F.col("sort_key") % EPOCH_SHARDS).cast("int")))
+
+
+_EPOCH_CTE = f"""e AS (SELECT epoch, doc_id,
+                  CAST('0x' || substring(md5(epoch || ':' || doc_id), 1, 15)
+                       AS BIGINT) AS sort_key
+           FROM documents CROSS JOIN
+               (SELECT unnest(range({N_EPOCHS})) AS epoch) t)"""
+
+
 def nd_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle: for each epoch, every
     document gets a shard assignment and a 60-bit sort key derived from
@@ -310,24 +335,11 @@ def nd_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy would serialize 100 TB through one range exchange for an
     order no consumer needs across shard files). Shards are hash-uniform,
     so shard files are balanced by construction."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    epochs = F.explode(
-        F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch")
-    key = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.col("epoch"), F.col("doc_id"))), 1, 15), 16, 10).cast("long")
-    return (docs.select(epochs, "doc_id")
-            .withColumn("sort_key", key)
-            .withColumn("shard",
-                        (F.col("sort_key") % EPOCH_SHARDS).cast("int"))
-            .orderBy("epoch", "doc_id"))
+    return _epoch_frame(spark, sf_dir).orderBy("epoch", "doc_id")
 
 
 _EPOCH_ORACLE = f"""
-WITH e AS (SELECT epoch, doc_id,
-                  CAST('0x' || substring(md5(epoch || ':' || doc_id), 1, 15)
-                       AS BIGINT) AS sort_key
-           FROM documents CROSS JOIN
-               (SELECT unnest(range({N_EPOCHS})) AS epoch) t)
+WITH {_EPOCH_CTE}
 SELECT CAST(epoch AS INTEGER) AS epoch, doc_id, sort_key,
        CAST(sort_key % {EPOCH_SHARDS} AS INTEGER) AS shard
 FROM e ORDER BY epoch, doc_id
@@ -370,11 +382,7 @@ def nd_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EPOCH_MANIFEST_ORACLE = f"""
-WITH e AS (SELECT epoch, doc_id,
-                  CAST('0x' || substring(md5(epoch || ':' || doc_id), 1, 15)
-                       AS BIGINT) AS sort_key
-           FROM documents CROSS JOIN
-               (SELECT unnest(range({N_EPOCHS})) AS epoch) t)
+WITH {_EPOCH_CTE}
 SELECT CAST(epoch AS INTEGER) AS epoch,
        CAST(sort_key % {EPOCH_SHARDS} AS INTEGER) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -501,21 +501,26 @@ def nd_quality_percentile_gate(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """CORPUS-RELATIVE quality gating: instead of the Gopher family's
     absolute thresholds, keep each document iff its quality score clears
-    its own LANGUAGE's 40th percentile — the perplexity-percentile filter
-    shape (score distributions differ per language, so absolute cutoffs
-    over- or under-prune the tails). The score is an integer proxy
-    (alphabetic-token density per mille, floor division, plus stopword
-    evidence) so the only doubles are the interpolated thresholds, and
-    the comparison int >= double is exact on both engines.
+    its own LANGUAGE's 40th-percentile score — the perplexity-percentile
+    filter shape (score distributions differ per language, so absolute
+    cutoffs over- or under-prune the tails). The score is an integer
+    proxy (alphabetic-token density per mille, floor division, plus
+    stopword evidence), and the threshold is the DISCRETE percentile —
+    the actual score at ascending rank floor(p·(n−1))+1, the
+    quantile_disc lower convention — so the whole gate is integer
+    arithmetic end to end. An interpolated percentile_cont threshold
+    would hang the kept flag on the two engines' interpolation formulas
+    agreeing to the last ulp (a+f·(b−a) vs (1−f)·a+f·b differ in IEEE),
+    which the identical-op-chain rule cannot guarantee across engines.
 
-    Scale shape: per-row codegen score → exact per-lang percentile over a
-    BOUNDED group count (the nd_percentiles form; percentile_approx is
-    the 100 TB default when group count is unbounded) → the ~#langs-row
-    threshold table broadcasts back into a second per-row pass. The
-    corpus is read twice (threshold build + gate pass — the
-    nd_vocab_coverage two-pass audit shape; production amortizes the
-    build across shards); only (lang, score) pairs ever shuffle, text
-    never does."""
+    Scale shape: per-row codegen score → per-lang rank window over a
+    BOUNDED group count to pick the threshold row (the exact form for
+    bounded-cardinality audits; percentile_approx is the 100 TB default
+    when groups are unbounded) → the ~#langs-row threshold table
+    broadcasts back into a second per-row pass. The corpus is read twice
+    (threshold build + gate pass — the nd_vocab_coverage two-pass audit
+    shape; production amortizes the build across shards); only
+    (lang, score) pairs ever shuffle, text never does."""
     docs = spread_compute(spark, table(spark, sf_dir, "documents")
                           .select("doc_id", "lang", "text"), "doc_id")
     w = words("text")
@@ -530,9 +535,16 @@ def nd_quality_percentile_gate(spark: SparkSession,
         "doc_id", "lang",
         (F.floor(n_alpha.cast("long") * 1000 / n_words)
          + n_stop).cast("long").alias("score"))
-    thresholds = (scored.groupBy("lang")
-                  .agg(F.expr(f"percentile(score, {QUALITY_GATE_PCT})")
-                       .alias("thr")))
+    from pyspark.sql.window import Window
+    rank_w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    cnt_w = Window.partitionBy("lang")
+    cut = (F.floor(F.lit(QUALITY_GATE_PCT)
+                   * (F.count("*").over(cnt_w) - 1)).cast("long") + 1)
+    thresholds = (scored
+                  .withColumn("rn", F.row_number().over(rank_w))
+                  .withColumn("cut", cut)
+                  .where(F.col("rn") == F.col("cut"))
+                  .select("lang", F.col("score").alias("thr")))
     return (scored.join(F.broadcast(thresholds), "lang")
             .select("doc_id", "lang", "score",
                     (F.col("score") >= F.col("thr")).alias("kept"))
@@ -549,8 +561,14 @@ WITH scored AS (
                     x -> list_contains([{_STOP_LIST}], x)))
               AS BIGINT) AS score
   FROM documents),
-thr AS (SELECT lang, quantile_cont(score, {QUALITY_GATE_PCT}) AS thr
-        FROM scored GROUP BY lang)
+ranked AS (
+  SELECT lang, score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score, doc_id) AS rn,
+         CAST(floor({QUALITY_GATE_PCT} * (COUNT(*) OVER (PARTITION BY lang)
+              - 1)) AS BIGINT) + 1 AS cut
+  FROM scored),
+thr AS (SELECT lang, score AS thr FROM ranked WHERE rn = cut)
 SELECT s.doc_id, s.lang, s.score, s.score >= t.thr AS kept
 FROM scored s JOIN thr t ON s.lang = t.lang
 ORDER BY s.doc_id

@@ -90,7 +90,12 @@ _PRIORITY: tuple[str, ...] = (
     # verdict made its top item; the new eleven are pytest-oracle-gated now
     # (tests/test_oracle.py runs every registry pair value-exact each
     # session) and take driver rows next round. Any round-7 code changes
-    # still outrank everything.
+    # still outrank everything. ALSO changed late in round 6 (the
+    # code-review dedup of the signature/band-key folds — pure
+    # delegation to _mh_sig_frame/_band_key_exprs, identical
+    # expressions, pytest-verified value-exact): nd_minhash_lsh,
+    # nd_dedup_clusters, nd_minhash_estimate join the round-7 window
+    # under the standing rule.
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -620,3 +620,56 @@ def test_round6_operators_run_through_engine_verified(engine):
                                     inputs={"sf_dir": SF_DIR},
                                     replicas=2, verified=True))
     assert engine.state(run_id2) == EVT_RESULTS_ACCEPTED
+
+
+def test_mount_only_spec_stages_inputs_never_default_fixture(spark,
+                                                             tmp_path):
+    """A spec whose inputs are ONLY a contentstore mount must execute
+    over the STAGED (verified) mount contents, never silently over the
+    default fixture dir: (a) a mount-reading query sees exactly the
+    mounted bytes; (b) a fixture-table query over a mount ERRORS instead
+    of completing with fabricated fixture results; (c) a tampered blob
+    fails the run at staging."""
+    import os
+    from bacalhau_spark.sources import contentstore as cs
+
+    root = str(tmp_path / "store")
+    a1 = cs.store_put(root, b"alpha\nbeta")
+    a2 = cs.store_put(root, b"gamma")
+
+    def mount_reader(spark_, path):
+        rows = []
+        for name in sorted(os.listdir(path)):
+            with open(os.path.join(path, name), "rb") as f:
+                rows.append((name, f.read().decode()))
+        return spark_.createDataFrame(rows, "addr string, body string")
+
+    eng = Engine(spark, {"mount_reader": mount_reader,
+                         **{"q01_scan_projection":
+                            queries()["q01_scan_projection"]}})
+    rid = eng.submit(JobSpec(query="mount_reader",
+                             inputs={"store": root,
+                                     "addresses": [a1, a2]},
+                             outputs={"path": str(tmp_path / "out")}))
+    assert eng.state(rid) == EVT_COMPLETED
+    got = {r["addr"]: r["body"] for r in eng.fetch_results(rid)}
+    assert got == {a1: "alpha\nbeta", a2: "gamma"}
+
+    # (b) fixture-table query over a mount: fails loudly (PATH_NOT_FOUND
+    # on the staged dir), never completes over the default fixture
+    before = set(eng.list_runs())
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        eng.submit(JobSpec(query="q01_scan_projection",
+                           inputs={"store": root, "addresses": [a1]}))
+    (rid2,) = set(eng.list_runs()) - before
+    assert eng.state(rid2) == EVT_ERROR
+
+    # (c) tampered blob: staging itself fails the run
+    with open(os.path.join(root, a2), "wb") as f:
+        f.write(b"evil")
+    before = set(eng.list_runs())
+    with pytest.raises(Exception, match="integrity"):
+        eng.submit(JobSpec(query="mount_reader",
+                           inputs={"store": root, "addresses": [a2]}))
+    (rid3,) = set(eng.list_runs()) - before
+    assert eng.state(rid3) == EVT_ERROR
