@@ -664,30 +664,27 @@ class Engine:
     def _stage_mounts(self, run_id: str, spec: JobSpec) -> str:
         """PrepareStorage analog for mount-only specs: copy each
         content-addressed input out of the store into a per-run staging
-        directory — verifying bytes against addresses on the way (the
-        ContentStoreReader contract: a tampered blob fails the run
-        before any Spark job launches) — and return the staging dir as
-        the query's input path. A query expecting fixture tables over an
-        arbitrary mount then fails loudly at read time; it can never
-        silently execute over the default fixture (the hazard the old
-        sf_dir fallback created)."""
+        directory — through the verified store_get read (a tampered blob
+        fails the run before any Spark job launches) — and return the
+        staging dir as the query's input path. A query expecting fixture
+        tables over an arbitrary mount then fails loudly at read time;
+        it can never silently execute over the default fixture (the
+        hazard the old sf_dir fallback created). Staging lives under the
+        managed scratch root (removed atexit), never raw /tmp."""
         import os
-        import tempfile
+
+        from bacalhau_spark.scratch import scratch_dir
+        from bacalhau_spark.sources.contentstore import store_get
 
         root = spec.inputs["store"]
-        addrs = list(spec.inputs["addresses"])
-        stage = os.path.join(tempfile.gettempdir(),
-                             f"bacalhau_mounts_{run_id}")
-        os.makedirs(stage, exist_ok=True)
+        raw = spec.inputs["addresses"]
+        # both declared forms: a list, or the comma-string
+        # _input_volume_bytes documents and admission already accepts
+        addrs = raw.split(",") if isinstance(raw, str) else list(raw)
+        stage = scratch_dir(f"mounts-{run_id}")
         for addr in addrs:
-            with open(os.path.join(root, addr), "rb") as f:
-                content = f.read()
-            if hashlib.md5(content).hexdigest() != addr:
-                raise IOError(
-                    f"content integrity failure staging {addr!r} from "
-                    f"{root!r}")
             with open(os.path.join(stage, addr), "wb") as f:
-                f.write(content)
+                f.write(store_get(root, addr))
         return stage
 
     def _execute(self, run_id: str, spec: JobSpec) -> None:

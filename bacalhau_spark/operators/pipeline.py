@@ -365,15 +365,7 @@ def nd_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure map-side partial aggregation over the per-row
     epoch/shard/key codegen of the shuffle operator — EPOCH_SHARDS ×
     N_EPOCHS output rows, one tiny exchange, no joins."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    epochs = F.explode(
-        F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch")
-    key = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.col("epoch"), F.col("doc_id"))), 1, 15), 16, 10).cast("long")
-    return (docs.select(epochs, "doc_id")
-            .withColumn("sort_key", key)
-            .withColumn("shard",
-                        (F.col("sort_key") % EPOCH_SHARDS).cast("int"))
+    return (_epoch_frame(spark, sf_dir)
             .groupBy("epoch", "shard")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  (F.sum(F.col("sort_key") % EPOCH_HASH_PRIME)

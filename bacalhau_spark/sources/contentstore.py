@@ -61,6 +61,21 @@ def store_size(root: str, addr: str) -> int:
     return os.stat(os.path.join(root, addr)).st_size
 
 
+def store_get(root: str, addr: str) -> bytes:
+    """VERIFIED read: the blob's bytes, after re-hashing them against the
+    address — the one driver-side definition of the integrity contract
+    (ContentStoreReader.read / ContentStoreStreamReader inline the same
+    check because they execute where the package may not be importable —
+    foreign-cwd executor tasks — and must stay dependency-free)."""
+    with open(os.path.join(root, addr), "rb") as f:
+        content = f.read()
+    actual = hashlib.md5(content).hexdigest()
+    if actual != addr:
+        raise IOError(
+            f"content integrity failure for {addr}: hash {actual}")
+    return content
+
+
 def _publish_pointer(root: str, name: str, addr: str) -> None:
     """Publish a mutable pointer file (MANIFEST / MANIFEST-<batchId>) with
     the same tmp + os.replace discipline as blobs: a concurrent

@@ -507,7 +507,11 @@ def nd_stream_incremental_dedup(spark: SparkSession,
                       .queryName("stream_incr_dedup_gate")
                       .outputMode("append").trigger(availableNow=True))
     try:
-        q.awaitTermination(120)
+        # fail LOUDLY on timeout: returning the memory sink after a
+        # mid-batch stop would serve a silently truncated result
+        if not q.awaitTermination(120):
+            raise TimeoutError(
+                "incremental-dedup stream did not finish within 120s")
     finally:
         q.stop()
     return spark.table("stream_incr_dedup_gate").orderBy("doc_id")

@@ -607,7 +607,7 @@ def test_result_reuse_distinguishes_context(engine, tmp_path):
 
 
 def test_round6_operators_run_through_engine_verified(engine):
-    """The nine round-6 queries are served by the same engine plane as
+    """The round-6 queries are served by the same engine plane as
     everything else; spot-run the composite funnel REPLICATED+VERIFIED
     (its plan must be deterministic enough for manifest agreement — the
     Concurrency=2 contract) and the streaming ingest screen unverified
