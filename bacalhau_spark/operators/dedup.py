@@ -854,8 +854,16 @@ def nd_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans — then joins back at (doc, chunk) granularity; the rebuild
     happens in the doc's own partition via a kept-index array join on
     doc_id (co-partitioned/bucketed by doc_id at 100 TB: shuffle-free)."""
-    docs = spread_compute(spark, table(spark, sf_dir, "documents")
-                          .select("doc_id", "text"), "doc_id")
+    return boilerplate_strip_frame(
+        spread_compute(spark, table(spark, sf_dir, "documents")
+                       .select("doc_id", "text"), "doc_id"))
+
+
+def boilerplate_strip_frame(docs: DataFrame) -> DataFrame:
+    """The chunk keep-first strip over an ARBITRARY (doc_id, text) frame
+    (nd_boilerplate_strip is the fixture-bound wrapper); also the
+    property-test surface — hypothesis corpora exercise chunk-boundary
+    and all-duplicate edge cases the fixture can't."""
     w = docs.select("doc_id", "text", words("text").alias("w"))
     n_chunks = F.ceil(F.size("w") / BOILER_CHUNK_WORDS).cast("int")
     chunk_hash = F.transform(

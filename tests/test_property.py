@@ -113,3 +113,59 @@ def test_capacity_never_oversubscribes_and_preserves_fifo(reqs, data):
         cm.release(victim)
     # everything admitted exactly once
     assert sorted(admitted) == sorted(f"j{i}" for i in range(len(reqs)))
+
+
+# Tiny word alphabet forces chunk collisions across documents; doc word
+# counts straddle the 10-word chunk boundary (0..25 words) to exercise
+# short tails, exact-boundary docs, and all-duplicate documents.
+_DOC_WORDS = st.lists(st.sampled_from(["aa", "bb", "cc"]),
+                      min_size=0, max_size=25)
+
+
+def _ref_boiler_strip(doc_words: list[list[str]], chunk: int):
+    """Pure-Python keep-first chunk dedup + rebuild (the
+    boilerplate_strip_frame contract): chunks in (doc_id, idx) order,
+    first occurrence of each chunk string survives; cleaned text is the
+    surviving chunks space-joined in idx order."""
+    seen: set[str] = set()
+    out = {}
+    for doc_id, raw in enumerate(doc_words):
+        # the engines' split convention: splitting "" on " " yields [""]
+        # (one empty token), so an empty document has ONE empty chunk —
+        # hypothesis found this; Python's "".split(" ") == [''] models it
+        ws = " ".join(raw).split(" ")
+        n_chunks = (len(ws) + chunk - 1) // chunk
+        kept_parts = []
+        for i in range(n_chunks):
+            c = " ".join(ws[i * chunk:(i + 1) * chunk])
+            if c not in seen:
+                seen.add(c)
+                kept_parts.append(c)
+        out[doc_id] = (n_chunks, len(kept_parts), " ".join(kept_parts))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(_DOC_WORDS, min_size=1, max_size=6))
+def test_boilerplate_strip_matches_reference(spark, docs):
+    """Randomized corpora against the pure-Python keep-first reference:
+    counts AND rebuilt-text md5 must agree for every document, including
+    empty docs, exact-boundary docs, and docs whose every chunk was
+    first seen elsewhere."""
+    import hashlib
+
+    from bacalhau_spark.operators.dedup import (BOILER_CHUNK_WORDS,
+                                                boilerplate_strip_frame)
+    frame = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_chunks, r.n_kept, r.clean_md5)
+           for r in boilerplate_strip_frame(frame).collect()}
+    ref = _ref_boiler_strip(docs, BOILER_CHUNK_WORDS)
+    assert got.keys() == ref.keys()
+    for d, (nc, nk, clean) in ref.items():
+        assert got[d] == (nc, nk,
+                          hashlib.md5(clean.encode()).hexdigest()), (
+            d, docs[d], got[d], (nc, nk, clean))
