@@ -38,28 +38,38 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 #
 # Round-6 window — the rotation's closing leg. 52 entries' latest green
 # rows predate round 4's session-config change (ansi.enabled=false + AQE
-# retune); this window re-grades 47 of them plus the 3 queries whose
-# code/oracle changed THIS round (the standing rule: changed/new always
-# outrank re-grades):
+# retune); this window re-grades 44 of them plus the 6 queries whose
+# code/oracle changed THIS round (the standing rule: changed always
+# outranks re-grades):
 #   1. changed round 6: nd_word_rarity and nd_chunk_dedup were de-skewed
 #      (Zipf-key window -> per-(doc, key) partial counts + frequency
 #      rollup + doc-granular join; same values, new plan), and
 #      nd_multimodal_audio's ORACLE moved from character-based ascii()
 #      to byte-based hex(encode(text)) parsing with an aligned
 #      empty-payload convention (same values on the fixture; the gate no
-#      longer silently depends on ASCII-only non-empty text).
+#      longer silently depends on ASCII-only non-empty text); late in
+#      the round the code-review fold dedup delegated nd_minhash_lsh /
+#      nd_dedup_clusters / nd_minhash_estimate to the shared
+#      _mh_sig_frame/_band_key_exprs definitions (expression-identical,
+#      pytest value-exact — fronted anyway: a green row certifies code).
 #   2. the pre-r4 remainder, oldest green first: all 21 r2 rows, then
-#      26 of the 31 r3 rows.
-# The 5 displaced r3 rows (nd_above_group_avg, nd_moving_window,
-# nd_csv_roundtrip, nd_json_roundtrip, nd_gap_fill) roll to round 7;
-# each has an in-window family sibling certifying the same module paths
-# under current config (q20–q24 + nd_analytic_suite for the two window
-# queries; q12_roundtrip + the r5-green nd_xml_roundtrip for the sinks
-# roundtrips; nd_upsert/nd_sessionize for the time-grid family), and all
-# five stay value-exact in every pytest run.
+#      23 of the 31 r3 rows.
+# The 8 displaced r3 rows (nd_above_group_avg, nd_moving_window,
+# nd_csv_roundtrip, nd_json_roundtrip, nd_gap_fill, and — displaced by
+# the late minhash-refactor fronting — q21_first_n, q22_distinct,
+# q23_running_sum) roll to round 7; each has an in-window family sibling
+# certifying the same module paths under current config (q20/q24 +
+# nd_analytic_suite for the window queries; q12_roundtrip + the r5-green
+# nd_xml_roundtrip for the sinks roundtrips; nd_upsert/nd_sessionize for
+# the time-grid family), and all eight stay value-exact in every pytest
+# run.
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed this round (standing rule)
+    # 1. changed this round (standing rule) — the first three by design;
+    #    the minhash trio joined late (the code-review fold dedup changed
+    #    their code, value-identically, but a green row only certifies
+    #    the code it graded), displacing q21/q22/q23 (siblings below)
     "nd_word_rarity", "nd_chunk_dedup", "nd_multimodal_audio",
+    "nd_minhash_lsh", "nd_dedup_clusters", "nd_minhash_estimate",
     # 2a. r2 rows over unchanged code (all 21 that remain)
     "nd_chunking", "nd_hash_sample", "nd_histogram", "nd_levenshtein",
     "nd_multimodal_features", "nd_multimodal_frames", "nd_pandas_udf",
@@ -70,8 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q22_idle_customers",
     # 2b. r3 rows over unchanged code (26 of 31)
     "q05_date_funcs", "q08_json_funcs", "q13b_semi_join", "q14_anti_join",
-    "q16_theta_join", "q20_last_state", "q21_first_n", "q22_distinct",
-    "q23_running_sum", "q24_lag_delta",
+    "q16_theta_join", "q20_last_state", "q24_lag_delta",
     "tpch_q8_market_share", "tpch_q9_profit", "tpch_q10_returns",
     "tpch_q12_conditional",
     "nd_analytic_suite", "nd_ann_ivf", "nd_ann_ivf_cellstats", "nd_bm25",
@@ -79,7 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_sessionize", "nd_sliding_window", "nd_stratified_sample",
     "nd_upsert",
     # -- window boundary: first 50 graded per round --------------------
-    # Round 7 completes the rotation with the 5 displaced r3 rows above,
+    # Round 7 completes the rotation with the 8 displaced r3 rows above,
     # plus the 11 NEW round-6 queries (nd_incremental_minhash,
     # nd_boilerplate_strip, nd_epoch_shuffle, nd_epoch_manifest,
     # nd_vocab_coverage, nd_semantic_dedup, nd_mix_temperature,
@@ -90,12 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     # verdict made its top item; the new eleven are pytest-oracle-gated now
     # (tests/test_oracle.py runs every registry pair value-exact each
     # session) and take driver rows next round. Any round-7 code changes
-    # still outrank everything. ALSO changed late in round 6 (the
-    # code-review dedup of the signature/band-key folds — pure
-    # delegation to _mh_sig_frame/_band_key_exprs, identical
-    # expressions, pytest-verified value-exact): nd_minhash_lsh,
-    # nd_dedup_clusters, nd_minhash_estimate join the round-7 window
-    # under the standing rule.
+    # still outrank everything.
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
