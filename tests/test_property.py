@@ -169,3 +169,69 @@ def test_boilerplate_strip_matches_reference(spark, docs):
         assert got[d] == (nc, nk,
                           hashlib.md5(clean.encode()).hexdigest()), (
             d, docs[d], got[d], (nc, nk, clean))
+
+
+def _ref_minhash_bands(doc_words: dict[int, list[str]]):
+    """Independent pure-Python reimplementation of the minhash pipeline
+    (word md5 -> rolling polynomial shingle keys -> 16 affine mins ->
+    folded band keys) from the published constants alone — NOT a
+    transliteration of the Spark expressions, so a bug in the shared
+    column-expression builders cannot cancel out."""
+    import hashlib
+
+    from bacalhau_spark.operators import dedup as dd
+
+    out = {}
+    for doc_id, ws in doc_words.items():
+        wh = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+              % dd.MH_PRIME for w in ws]
+        shingles = []
+        for i in range(len(wh) - dd.MH_SHINGLE_N + 1):
+            acc = wh[i]
+            for k in range(1, dd.MH_SHINGLE_N):
+                acc = (acc * dd.MH_ROLL_C + wh[i + k]) % dd.MH_PRIME
+            shingles.append(acc)
+        if not shingles:
+            continue  # no signature row on either engine
+        sig = [min((a * x + b) % dd.MH_PRIME for x in shingles)
+               for a, b in dd.MH_AB]
+        bands = []
+        for b in range(dd.N_BANDS):
+            acc = b
+            for r in range(dd.ROWS_PER_BAND):
+                acc = (acc * dd.MH_ROLL_C
+                       + sig[b * dd.ROWS_PER_BAND + r]) % dd.BKEY_PRIME
+            bands.append(acc)
+        out[doc_id] = (sig, bands)
+    return out
+
+
+_MH_DOC = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                   min_size=0, max_size=12)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(_MH_DOC, min_size=1, max_size=5))
+def test_minhash_signature_and_bands_match_reference(spark, docs):
+    """The flagship family's signature pipeline and band-key fold against
+    the independent Python model: every (doc, mh0..mh15) and every folded
+    band key must agree, including docs too short to shingle (no row)."""
+    from bacalhau_spark.operators.dedup import (_band_key_exprs,
+                                                _mh_sig_frame)
+    frame = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string")
+    sig = _mh_sig_frame(frame)
+    got_sig = {r.doc_id: [r[f"mh{i}"] for i in range(16)]
+               for r in sig.collect()}
+    got_bands = {r.doc_id: sorted(r.bands) for r in sig.select(
+        "doc_id", F.array(*_band_key_exprs()).alias("bands")).collect()}
+    # model the engines' split convention: "" splits to [""]
+    ref = _ref_minhash_bands(
+        {i: " ".join(ws).split(" ") for i, ws in enumerate(docs)})
+    assert got_sig.keys() == ref.keys()
+    for d, (sig_ref, bands_ref) in ref.items():
+        assert got_sig[d] == sig_ref, (d, docs[d])
+        assert got_bands[d] == sorted(bands_ref), (d, docs[d])
