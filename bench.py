@@ -1,10 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Protocol (BASELINE.md §2): AQE on, parquet inputs, warm JVM — 1 warm-up run
-then median of 3 timed runs per query; results are fully materialized via a
-noop-format write (no driver collect, no display cost). Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Protocol (BASELINE.md §2): AQE on, parquet inputs, warm JVM — a global
+warm-up pre-pass over the whole set, then WARMUP_RUNS warm-ups + median of
+TIMED_RUNS timed runs per query; results are fully materialized via a
+noop-format write (no driver collect, no display cost). The scheduler-floor
+probe runs before and after the timed sweep (floor_s / floor_end_s) so any
+two runs compare load-adjusted (BASELINE.md §5 reading rules). Prints ONE
+JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "floor_s": ..., "sf": ...}
 """
 
 from __future__ import annotations
