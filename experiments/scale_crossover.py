@@ -106,6 +106,56 @@ def build_scaled_perturbed(scratch: str, mult: int) -> str:
     return out_dir
 
 
+def build_scaled_embeddings(scratch: str, mult: int) -> str:
+    """embeddings replicated mult× with shifted vec_ids AND a
+    deterministic per-replica sign perturbation: replica i negates the
+    bucketed dimensions j (j < SEMDEDUP_SIGN_BITS) whose bit is set in
+    i — a pure function of i, no RNG — so replica i's sign bucket is
+    base_bucket XOR i and, for mult < 2^SIGN_BITS, every replica of a
+    vector occupies a DIFFERENT bucket: bucket sizes stay at base level
+    and within-bucket pairs grow linearly. (Identical replicas — or
+    flips of only non-bucketed dims — would multiply bucket occupancy by
+    mult and grow pairs quadratically: the same degenerate-fixture trap
+    the perturbed documents build fixes for LSH.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(scratch, f"emb_x{mult}")
+    marker = os.path.join(out_dir, "_READY")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    base_max = src["vec_id"].combine_chunks().to_numpy().max() + 1
+    emb = np.array(src["embedding"].to_pylist(), dtype=np.float32)
+    dim = emb.shape[1]
+    parts = []
+    from bacalhau_spark.operators.similarity import SEMDEDUP_SIGN_BITS
+    if mult >= (1 << SEMDEDUP_SIGN_BITS):
+        raise ValueError("mult must stay below 2^SIGN_BITS for the "
+                         "distinct-bucket guarantee")
+    for i in range(mult):
+        e = emb.copy()
+        for j in range(SEMDEDUP_SIGN_BITS):
+            if (i >> j) & 1:
+                e[:, j] = -e[:, j]
+        ids = pa.array(src["vec_id"].combine_chunks().to_numpy()
+                       + i * base_max)
+        t = pa.table({
+            "vec_id": ids,
+            "embedding": pa.array(list(e),
+                                  type=pa.list_(pa.float32())),
+            "label": src["label"].combine_chunks(),
+        })
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts),
+                   f"{out_dir}/embeddings.parquet",
+                   row_group_size=ROW_GROUP_ROWS)
+    open(marker, "w").close()
+    return out_dir
+
+
 # Query shapes: the same three plans the sf0.1 bench leans on, expressed
 # once for each engine. (Self-contained SQL on purpose — this experiment
 # measures engine execution, not the registry plumbing.)
