@@ -528,6 +528,16 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference intent: the dedup job family run over bacalhau-style
     embedding shards (docs/examples analog), re-expressed as one
     declarative plan."""
+    return _semantic_dedup_plan(
+        spark, sf_dir,
+        lambda a, b: cosine(a, b))
+
+
+def _semantic_dedup_plan(spark: SparkSession, sf_dir: str,
+                         cos_fn) -> DataFrame:
+    """The bucketed keep-first screen with a pluggable pairwise-cosine
+    kernel: the exact left fold (oracle-able) or the Arrow-batched numpy
+    einsum (the production inner loop)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bucket = sum(
         (F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
@@ -540,7 +550,7 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("embedding").alias("b_emb"))
     dropped = (left.join(right, "bucket")
                .where(F.col("a_id") < F.col("b_id"))
-               .where(cosine(F.col("a_emb"), F.col("b_emb"))
+               .where(cos_fn(F.col("a_emb"), F.col("b_emb"))
                       >= SEMDEDUP_TAU)
                .select(F.col("b_id").alias("vec_id")).distinct()
                .withColumn("hit", F.lit(True)))
@@ -549,6 +559,23 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "bucket",
                     F.col("hit").isNull().alias("kept"))
             .orderBy("vec_id"))
+
+
+def nd_semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic screen's PRODUCTION inner loop: the identical
+    bucketed keep-first plan as nd_semantic_dedup with the pairwise dot
+    computed by the Arrow-batched numpy einsum (pair_cosine_udf) instead
+    of the per-element codegen fold — semantic_crossover_r6 measured the
+    fold as the stable ~4x one-box gap, and this kernel is the same one
+    the IVF/ANN family uses for dense scoring. No SQL oracle BY DESIGN:
+    numpy's pairwise summation order differs from the left fold in the
+    last bits, so a cosine landing within float noise of SEMDEDUP_TAU
+    could flag differently — tests assert kept-set equivalence with the
+    exact screen plus a threshold-margin check that makes the
+    equivalence principled rather than lucky."""
+    return _semantic_dedup_plan(
+        spark, sf_dir,
+        lambda a, b: pair_cosine_udf()(a, b))
 
 
 _SEMDEDUP_ORACLE = f"""
@@ -572,6 +599,7 @@ ORDER BY b.vec_id
 
 QUERIES = {
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
+    "nd_semantic_dedup_fast": (nd_semantic_dedup_fast, None),
     "nd_embedding_quantize": (nd_embedding_quantize, _QUANTIZE_ORACLE),
     "q30_nn": (
         q30_nn,

@@ -333,3 +333,39 @@ def test_epoch_manifest_matches_shuffle_rollup(spark, sf_dir):
               .orderBy("epoch", "shard"))
     assert [tuple(r) for r in nd_epoch_manifest(spark, sf_dir).collect()] \
         == [tuple(r) for r in rolled.collect()]
+
+
+def test_semantic_dedup_fast_equals_exact(spark, sf_dir):
+    """The Arrow-batched numpy screen must produce the identical kept set
+    as the exact-fold screen — and the equivalence must be principled:
+    no same-bucket candidate's cosine sits within float noise of the
+    threshold (where numpy's summation order could legitimately flag
+    differently from the left fold)."""
+    from bacalhau_spark.operators.similarity import (SEMDEDUP_SIGN_BITS,
+                                                     SEMDEDUP_TAU,
+                                                     nd_semantic_dedup,
+                                                     nd_semantic_dedup_fast)
+    exact = [(r.vec_id, r.bucket, r.kept)
+             for r in nd_semantic_dedup(spark, sf_dir).collect()]
+    fast = [(r.vec_id, r.bucket, r.kept)
+            for r in nd_semantic_dedup_fast(spark, sf_dir).collect()]
+    assert fast == exact
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = sum(
+        (F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
+         .otherwise(F.lit(0)) for i in range(SEMDEDUP_SIGN_BITS)),
+        start=F.lit(0)).cast("int")
+    b = emb.select("vec_id", bucket.alias("bucket"), "embedding")
+    a_side = b.select(F.col("vec_id").alias("a_id"), "bucket",
+                      F.col("embedding").alias("a_emb"))
+    b_side = b.select(F.col("vec_id").alias("b_id"), "bucket",
+                      F.col("embedding").alias("b_emb"))
+    margin = (a_side.join(b_side, "bucket")
+              .where(F.col("a_id") < F.col("b_id"))
+              .select(F.abs(cosine(F.col("a_emb"), F.col("b_emb"))
+                            - F.lit(SEMDEDUP_TAU)).alias("m"))
+              .agg(F.min("m")).first()[0])
+    assert margin > 1e-6, (
+        f"a candidate cosine sits {margin} from tau — kernel equivalence "
+        "would be luck, not guarantee")
