@@ -679,8 +679,12 @@ class Engine:
         root = spec.inputs["store"]
         raw = spec.inputs["addresses"]
         # both declared forms: a list, or the comma-string
-        # _input_volume_bytes documents and admission already accepts
-        addrs = raw.split(",") if isinstance(raw, str) else list(raw)
+        # _input_volume_bytes documents and admission already accepts —
+        # with the SAME falsy-segment filter (admission skips "a,b,"'s
+        # trailing empty; staging must not then open(join(stage, "")))
+        addrs = [a for a in
+                 (raw.split(",") if isinstance(raw, str) else list(raw))
+                 if a]
         stage = scratch_dir(f"mounts-{run_id}")
         for addr in addrs:
             with open(os.path.join(stage, addr), "wb") as f:

@@ -78,7 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q2_min_per_group", "tpch_q4_exists", "tpch_q13_custdist",
     "tpch_q14_ratio", "tpch_q17_small_qty", "tpch_q19_disjunctive",
     "tpch_q22_idle_customers",
-    # 2b. r3 rows over unchanged code (26 of 31)
+    # 2b. r3 rows over unchanged code (23 of 31)
     "q05_date_funcs", "q08_json_funcs", "q13b_semi_join", "q14_anti_join",
     "q16_theta_join", "q20_last_state", "q24_lag_delta",
     "tpch_q8_market_share", "tpch_q9_profit", "tpch_q10_returns",

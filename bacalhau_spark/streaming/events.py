@@ -468,6 +468,22 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{sf_dir}/documents.parqu*"))
 
 
+def _await_or_raise(q, timeout_sec: int) -> None:
+    """Await an availableNow query and fail LOUDLY on timeout: stopping a
+    query mid-batch and then reading its memory sink would serve a
+    silently truncated result. New streaming surfaces route through this;
+    the eight pre-round-6 sites still await-then-stop inline and migrate
+    here when their queries next enter a grading window (changing their
+    code now would displace rotation re-grades — the standing-rule
+    bookkeeping in registry.py)."""
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream did not finish within {timeout_sec}s")
+    finally:
+        q.stop()
+
+
 def nd_stream_incremental_dedup(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Streaming incremental-ingest dedup screen: new documents stream in
@@ -506,14 +522,7 @@ def nd_stream_incremental_dedup(spark: SparkSession,
                       .writeStream.format("memory")
                       .queryName("stream_incr_dedup_gate")
                       .outputMode("append").trigger(availableNow=True))
-    try:
-        # fail LOUDLY on timeout: returning the memory sink after a
-        # mid-batch stop would serve a silently truncated result
-        if not q.awaitTermination(120):
-            raise TimeoutError(
-                "incremental-dedup stream did not finish within 120s")
-    finally:
-        q.stop()
+    _await_or_raise(q, 120)
     return spark.table("stream_incr_dedup_gate").orderBy("doc_id")
 
 

@@ -139,7 +139,12 @@ def build_scaled_embeddings(scratch: str, mult: int) -> str:
         e = emb.copy()
         for j in range(SEMDEDUP_SIGN_BITS):
             if (i >> j) & 1:
-                e[:, j] = -e[:, j]
+                # robust bit flip: negating 0.0 gives -0.0, and the bucket
+                # test (x >= 0) is true for BOTH zeros — an exact-zero
+                # component would silently break the distinct-bucket
+                # guarantee, so zeros flip to a small negative instead
+                col = e[:, j]
+                e[:, j] = np.where(col == 0.0, np.float32(-1e-6), -col)
         ids = pa.array(src["vec_id"].combine_chunks().to_numpy()
                        + i * base_max)
         t = pa.table({

@@ -15,23 +15,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from experiments.registry_crossover import median_runs
 from experiments.scale_crossover import (SF_DIR, build_scaled_embeddings)
-
-
-def median_runs(fn, n=3):
-    fn()  # warm
-    runs = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        fn()
-        runs.append(time.perf_counter() - t0)
-    return round(statistics.median(runs), 3)
 
 
 def main() -> None:
