@@ -494,6 +494,50 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+GIBBERISH_CPT_X100 = 580  # flag docs averaging > 5.80 chars per token
+
+
+def nd_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chars-per-token compression proxy: n_chars / n_tokens per document
+    plus a gibberish flag when the ratio exceeds GIBBERISH_CPT_X100/100 —
+    the cheap screen for base64 blobs, minified code, and
+    tokenizer-hostile text that blows up sequence budgets (tokenizers
+    emit ~4-5 chars/token on clean prose; far more on noise — a real
+    corpus gates at ~12; the fixture threshold sits inside the
+    synthetic-prose distribution, 465-605 cpt_x100, so BOTH flag
+    branches execute and are hash-gated). The ratio
+    is emitted in EXACT integer centi-chars-per-token (cpt_x100 =
+    100*n_chars DIV n_tokens) so the flag comparison and the hash gate
+    are integer end to end; per-source aggregation is the
+    nd_mix_temperature shape and is left to it.
+
+    Scale shape: pure per-row codegen over (length, token count) — zero
+    shuffle beyond the presentation sort."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.greatest(F.size(words("text")), F.lit(1)).cast("long")
+    n_chars = F.length("text").cast("long")
+    cpt = (n_chars * 100 / n_tok).cast("long")
+    return (docs.select(
+        "doc_id", n_chars.alias("n_chars"), n_tok.alias("n_tokens"),
+        cpt.alias("cpt_x100"),
+        (cpt > GIBBERISH_CPT_X100).alias("gibberish"))
+        .orderBy("doc_id"))
+
+
+_COMPRESSION_ORACLE = f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(greatest(len(string_split(lower(text), ' ')), 1) AS BIGINT)
+       AS n_tokens,
+       CAST(length(text) * 100
+            // greatest(len(string_split(lower(text), ' ')), 1)
+            AS BIGINT) AS cpt_x100,
+       (length(text) * 100
+        // greatest(len(string_split(lower(text), ' ')), 1))
+       > {GIBBERISH_CPT_X100} AS gibberish
+FROM documents ORDER BY doc_id
+"""
+
+
 QUALITY_GATE_PCT = 0.4
 
 
@@ -576,6 +620,7 @@ ORDER BY s.doc_id
 
 
 QUERIES = {
+    "nd_compression_ratio": (nd_compression_ratio, _COMPRESSION_ORACLE),
     "nd_quality_percentile_gate": (nd_quality_percentile_gate,
                                    _QUALITY_GATE_ORACLE),
     "nd_vocab_coverage": (nd_vocab_coverage, _VOCAB_ORACLE),

@@ -89,14 +89,15 @@ _PRIORITY: tuple[str, ...] = (
     "nd_upsert",
     # -- window boundary: first 50 graded per round --------------------
     # Round 7 completes the rotation with the 8 displaced r3 rows above,
-    # plus the 11 NEW round-6 queries (nd_incremental_minhash,
+    # plus the 13 NEW round-6 queries (nd_incremental_minhash,
     # nd_boilerplate_strip, nd_epoch_shuffle, nd_epoch_manifest,
-    # nd_vocab_coverage, nd_semantic_dedup, nd_mix_temperature,
-    # nd_source_overlap, nd_curation_funnel,
-    # nd_stream_incremental_dedup, nd_quality_percentile_gate) — new
+    # nd_vocab_coverage, nd_semantic_dedup, nd_semantic_dedup_fast,
+    # nd_mix_temperature, nd_source_overlap, nd_curation_funnel,
+    # nd_stream_incremental_dedup, nd_quality_percentile_gate,
+    # nd_compression_ratio) — new
     # queries normally outrank re-grades, but this round's window is
     # reserved for closing the two-round config-rotation debt the round-5
-    # verdict made its top item; the new eleven are pytest-oracle-gated now
+    # verdict made its top item; the new thirteen are pytest-oracle-gated now
     # (tests/test_oracle.py runs every registry pair value-exact each
     # session) and take driver rows next round. Any round-7 code changes
     # still outrank everything.
