@@ -864,7 +864,12 @@ def boilerplate_strip_frame(docs: DataFrame) -> DataFrame:
     (nd_boilerplate_strip is the fixture-bound wrapper); also the
     property-test surface — hypothesis corpora exercise chunk-boundary
     and all-duplicate edge cases the fixture can't."""
-    w = docs.select("doc_id", "text", words("text").alias("w"))
+    # project ONLY (doc_id, w): the raw text column is never used past
+    # tokenization, and carrying it through the doc_id-keyed kept join
+    # doubles the width of the one sort/join over full documents — the
+    # 100x single-box run's GC thrash traced to exactly that width
+    # (registry_crossover_r6_100x_text.txt)
+    w = docs.select("doc_id", words("text").alias("w"))
     n_chunks = F.ceil(F.size("w") / BOILER_CHUNK_WORDS).cast("int")
     chunk_hash = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
