@@ -958,7 +958,14 @@ def nd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference intent: the job-provenance summaries the requester node
     keeps per input CID set, re-expressed as corpus analytics."""
-    docs = table(spark, sf_dir, "documents").select("source", "text")
+    return source_overlap_frame(
+        table(spark, sf_dir, "documents").select("source", "text"))
+
+
+def source_overlap_frame(docs: DataFrame) -> DataFrame:
+    """The duplication matrix over an ARBITRARY (source, text) frame
+    (nd_source_overlap is the fixture-bound wrapper; also the
+    property-test surface)."""
     fp = F.md5(F.concat_ws(
         " ", F.slice(words("text"), 1, OVERLAP_PREFIX_WORDS)))
     ps = docs.select("source", fp.alias("fp")).distinct()

@@ -235,3 +235,46 @@ def test_minhash_signature_and_bands_match_reference(spark, docs):
     for d, (sig_ref, bands_ref) in ref.items():
         assert got_sig[d] == sig_ref, (d, docs[d])
         assert got_bands[d] == sorted(bands_ref), (d, docs[d])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+              st.lists(st.sampled_from(["aa", "bb", "cc"]),
+                       min_size=0, max_size=12)),
+    min_size=1, max_size=10))
+def test_source_overlap_matches_reference(spark, docs):
+    """Cross-source duplication matrix vs a pure-Python model: per-source
+    prefix-fingerprint sets, pairwise shared counts, and exact Jaccard
+    must agree (tiny alphabet + short docs force cross-source prefix
+    collisions and sub-prefix-length documents)."""
+    from bacalhau_spark.operators.dedup import (OVERLAP_PREFIX_WORDS,
+                                                source_overlap_frame)
+
+    frame = spark.createDataFrame(
+        [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(docs)],
+        "doc_id long, source string, text string")
+    got = {(r.source_a, r.source_b): (r.shared, r.jacc)
+           for r in source_overlap_frame(
+               frame.select("source", "text")).collect()}
+
+    sets: dict[str, set] = {}
+    for src, ws in docs:
+        toks = " ".join(ws).split(" ")
+        fp = " ".join(toks[:OVERLAP_PREFIX_WORDS])
+        sets.setdefault(src, set()).add(fp)
+    want = {}
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(sets[a] & sets[b])
+            if shared:
+                want[(a, b)] = (shared,
+                                shared / (len(sets[a]) + len(sets[b])
+                                          - shared))
+    assert got.keys() == want.keys()
+    for k, (sh, jc) in want.items():
+        assert got[k][0] == sh
+        assert abs(got[k][1] - jc) < 1e-12
