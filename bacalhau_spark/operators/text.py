@@ -461,8 +461,16 @@ def nd_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     read exactly twice (once to build, once to audit; production
     amortizes the build across many audits). OOV rate is an int/int
     division — bit-identical across engines, emitted raw."""
-    docs = spread_compute(spark, table(spark, sf_dir, "documents")
-                          .select("doc_id", "text"), "doc_id")
+    return vocab_coverage_frame(
+        spread_compute(spark, table(spark, sf_dir, "documents")
+                       .select("doc_id", "text"), "doc_id"))
+
+
+def vocab_coverage_frame(docs: DataFrame) -> DataFrame:
+    """The coverage audit over an ARBITRARY (doc_id, text) frame
+    (nd_vocab_coverage is the fixture-bound wrapper; also the
+    property-test surface — hypothesis corpora pin the top-K tie-break
+    and the all-OOV edge)."""
     toks = docs.select("doc_id", F.explode(words("text")).alias("word"))
     vocab = (toks.groupBy("word").agg(F.count("*").alias("n"))
              .orderBy(F.col("n").desc(), F.col("word"))

@@ -278,3 +278,38 @@ def test_source_overlap_matches_reference(spark, docs):
     for k, (sh, jc) in want.items():
         assert got[k][0] == sh
         assert abs(got[k][1] - jc) < 1e-12
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd",
+                                               "ee"]),
+                              min_size=1, max_size=10),
+                     min_size=1, max_size=8),
+       k=st.integers(1, 4))
+def test_vocab_coverage_matches_reference(spark, docs, k):
+    """Coverage audit vs a pure-Python model with the SAME top-K rule
+    (count desc, word asc) at a hypothesis-chosen small K — frequency
+    ties at the cut boundary are exactly where a wrong tie-break order
+    silently flips OOV flags."""
+    import collections
+
+    from unittest import mock
+
+    import bacalhau_spark.operators.text as tx
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string")
+    with mock.patch.object(tx, "VOCAB_K", k):
+        got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+               for r in tx.vocab_coverage_frame(frame).collect()}
+
+    counts = collections.Counter(w for ws in docs for w in ws)
+    vocab = {w for w, _ in sorted(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:k]}
+    for i, ws in enumerate(docs):
+        n_oov = sum(1 for w in ws if w not in vocab)
+        assert got[i] == (len(ws), n_oov, n_oov / len(ws)), (
+            i, ws, sorted(vocab))
