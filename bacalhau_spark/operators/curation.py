@@ -560,8 +560,15 @@ def nd_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, count) pairs shuffle), then the max attaches via an
     unpartitioned window over the ~#sources-row aggregate — never a
     second corpus scan."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source",
-                                                    "text")
+    return mix_temperature_frame(
+        table(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text"))
+
+
+def mix_temperature_frame(docs: DataFrame) -> DataFrame:
+    """The reweighting over an ARBITRARY (doc_id, source, text) frame
+    (nd_mix_temperature is the fixture-bound wrapper; also the
+    property-test surface)."""
     per = (docs
            .select("source", F.size(words("text")).alias("toks"))
            .groupBy("source")

@@ -313,3 +313,38 @@ def test_vocab_coverage_matches_reference(spark, docs, k):
         n_oov = sum(1 for w in ws if w not in vocab)
         assert got[i] == (len(ws), n_oov, n_oov / len(ws)), (
             i, ws, sorted(vocab))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(
+    st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+              st.lists(st.sampled_from(["aa", "bb"]),
+                       min_size=1, max_size=6)),
+    min_size=1, max_size=10))
+def test_mix_temperature_matches_reference(spark, docs):
+    """Temperature weights vs Python: exact counts, and the
+    relative-to-max sqrt weights / boosts reproduced with the identical
+    IEEE op chain (math.sqrt + divides) — bit-equal, no tolerance."""
+    import math
+
+    from bacalhau_spark.operators.curation import mix_temperature_frame
+
+    frame = spark.createDataFrame(
+        [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(docs)],
+        "doc_id long, source string, text string")
+    got = {r.source: (r.n_docs, r.n_tokens, r.weight_rel, r.boost)
+           for r in mix_temperature_frame(frame).collect()}
+
+    agg: dict[str, list[int]] = {}
+    for src, ws in docs:
+        n_tok = len(" ".join(ws).split(" "))
+        d = agg.setdefault(src, [0, 0])
+        d[0] += 1
+        d[1] += n_tok
+    n_max = max(v[1] for v in agg.values())
+    for src, (nd, nt) in agg.items():
+        w_rel = math.sqrt(nt) / math.sqrt(n_max)
+        boost = w_rel / (nt / n_max)
+        assert got[src] == (nd, nt, w_rel, boost), (src, got[src])
