@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import threading
 import time
 import uuid
@@ -677,18 +678,18 @@ class Engine:
         from bacalhau_spark.sources.contentstore import store_get
 
         root = spec.inputs["store"]
-        raw = spec.inputs["addresses"]
-        # both declared forms: a list, or the comma-string
-        # _input_volume_bytes documents and admission already accepts —
-        # with the SAME falsy-segment filter (admission skips "a,b,"'s
-        # trailing empty; staging must not then open(join(stage, "")))
-        addrs = [a for a in
-                 (raw.split(",") if isinstance(raw, str) else list(raw))
-                 if a]
+        # Re-validate here even though admission already did: staging is
+        # the layer that turns an address into a filesystem write, so it
+        # must not trust that every caller went through submit admission.
+        addrs = _mount_addrs(spec.inputs["addresses"])
         stage = scratch_dir(f"mounts-{run_id}")
         for addr in addrs:
+            # Verified fetch FIRST, open the staging destination only
+            # after it succeeds — a missing or tampered blob must not
+            # create (or worse, truncate) anything on disk.
+            content = store_get(root, addr)
             with open(os.path.join(stage, addr), "wb") as f:
-                f.write(store_get(root, addr))
+                f.write(content)
         return stage
 
     def _execute(self, run_id: str, spec: JobSpec) -> None:
@@ -955,6 +956,31 @@ def run_pipeline_dag(stages: list[dict], submit_async, wait,
     return statuses
 
 
+# Contentstore blob names are md5 hex (store_put's format) — nothing else.
+_ADDR_RE = re.compile(r"[0-9a-f]{32}")
+
+
+def _mount_addrs(raw: str | list[str]) -> list[str]:
+    """Parse AND validate a spec's contentstore address list (list or
+    comma-string; empty segments skipped, matching the declared
+    'a,b,'-tolerant form). Every address must be a bare 32-char lowercase
+    md5-hex blob name. Anything else — '../x', an absolute path, a
+    separator — is rejected before ANY filesystem operation: addresses are
+    untrusted spec input reachable via the HTTP /submit API, and a
+    traversal address joined into the staging dir would otherwise name an
+    arbitrary writable file (the reference validates CIDs at the storage
+    layer for the same reason, `pkg/storage/util.go`)."""
+    addrs = [a for a in
+             (raw.split(",") if isinstance(raw, str) else list(raw))
+             if a]
+    bad = [a for a in addrs if not _ADDR_RE.fullmatch(a)]
+    if bad:
+        raise ValueError(
+            f"malformed contentstore address(es) {bad!r}: expected "
+            "32-char lowercase hex (the store_put blob-name format)")
+    return addrs
+
+
 def _input_volume_bytes(spec: JobSpec) -> int:
     """Sum the on-disk size of a spec's content-addressed input mounts.
 
@@ -969,16 +995,21 @@ def _input_volume_bytes(spec: JobSpec) -> int:
     if not root or not raw:
         return 0
     from bacalhau_spark.sources.contentstore import store_size
-    addrs = raw.split(",") if isinstance(raw, str) else list(raw)
+    try:
+        # Submit-time admission is the FIRST gate every mount spec passes,
+        # so format validation lives here too: a traversal/absolute-path
+        # address is a rejection, not a stat target.
+        addrs = _mount_addrs(raw)
+    except ValueError as exc:
+        raise JobRejectedError(str(exc)) from exc
     total = 0
     for addr in addrs:
-        if addr:
-            try:
-                total += store_size(root, addr)
-            except OSError as exc:
-                raise JobRejectedError(
-                    f"input address {addr!r} not in store {root!r}: "
-                    f"{exc}") from exc
+        try:
+            total += store_size(root, addr)
+        except OSError as exc:
+            raise JobRejectedError(
+                f"input address {addr!r} not in store {root!r}: "
+                f"{exc}") from exc
     return total
 
 

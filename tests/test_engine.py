@@ -673,3 +673,52 @@ def test_mount_only_spec_stages_inputs_never_default_fixture(spark,
                            inputs={"store": root, "addresses": [a2]}))
     (rid3,) = set(eng.list_runs()) - before
     assert eng.state(rid3) == EVT_ERROR
+
+
+def test_malformed_mount_address_rejected_before_any_file_op(spark,
+                                                             tmp_path):
+    """Addresses are untrusted spec input (reachable via HTTP /submit):
+    anything that is not a bare 32-char md5-hex blob name — an absolute
+    path, a '../' traversal, a separator — must reject at submit
+    admission, BEFORE any stat/open. Regression for the staging
+    path-traversal hole where open(join(stage, addr), 'wb') with an
+    absolute address truncated an arbitrary writable file."""
+    import os
+
+    from bacalhau_spark.engine import JobRejectedError
+
+    victim = tmp_path / "victim_secret.txt"
+    victim.write_bytes(b"precious")
+    root = str(tmp_path / "store")
+    os.makedirs(root, exist_ok=True)
+
+    eng = Engine(spark, queries())
+    for evil in ([str(victim)],              # absolute path
+                 [f"../{victim.name}"],      # traversal
+                 ["a" * 31], ["A" * 32],     # wrong length / case
+                 f"{'a' * 32},{victim}"):    # comma-string form
+        with pytest.raises(JobRejectedError, match="malformed"):
+            eng.submit(JobSpec(query="q01_scan_projection",
+                               inputs={"store": root, "addresses": evil}))
+    assert victim.read_bytes() == b"precious"
+
+    # Defense in depth: _stage_mounts re-validates even when called
+    # without going through submit admission — and a verified-read
+    # failure (missing blob) must not leave a created/truncated file.
+    with pytest.raises(ValueError, match="malformed"):
+        eng._stage_mounts("rid-direct",
+                          JobSpec(query="q01_scan_projection",
+                                  inputs={"store": root,
+                                          "addresses": [str(victim)]}))
+    assert victim.read_bytes() == b"precious"
+    missing = "0" * 32
+    with pytest.raises(OSError):
+        eng._stage_mounts("rid-missing",
+                          JobSpec(query="q01_scan_projection",
+                                  inputs={"store": root,
+                                          "addresses": [missing]}))
+    # nothing staged for the failed fetch anywhere under the scratch root
+    from bacalhau_spark.scratch import scratch_root
+    leftovers = [p for p, _, files in os.walk(scratch_root())
+                 for f in files if f == missing]
+    assert leftovers == []
