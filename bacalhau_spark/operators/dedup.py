@@ -772,13 +772,15 @@ def nd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_keys = _mh_sig_frame(
         spread_compute(spark, corpus, "doc_id")).select(band)
     # hot-bucket cap mirrors the index build: buckets that _band_candidates
-    # would drop as degenerate are not probe targets either
-    from pyspark.sql.window import Window
-    corpus_idx = (corpus_keys
-                  .withColumn("n", F.count("*").over(
-                      Window.partitionBy("bkey")))
+    # would drop as degenerate are not probe targets either. groupBy-count
+    # (map-side partial agg), NOT a count-over-window: the capped LSH
+    # buckets are exactly the hot keys that would serialize a skewed-key
+    # window partition — the same de-skew convention as nd_word_rarity /
+    # nd_chunk_dedup.
+    corpus_idx = (corpus_keys.groupBy("bkey")
+                  .agg(F.count("*").alias("n"))
                   .where(F.col("n") <= LSH_BUCKET_CAP)
-                  .select("bkey").distinct())
+                  .select("bkey"))
     batch_keys = (_mh_sig_frame(spread_compute(spark, batch, "doc_id"))
                   .select("doc_id", band).distinct())
     return (batch_keys.join(corpus_idx, "bkey")

@@ -439,6 +439,11 @@ def test_round6_operators_scale_shapes(spark, sf_dir):
     # no broadcast HINT in the logical plan: strategy stays stats-driven
     logical = inc._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in logical and "hint" not in logical.lower()
+    # the hot-bucket cap is a groupBy-count (map-side partial agg), never
+    # a count-over-window on the Zipf-hot band key — capped LSH buckets
+    # ARE the hot keys that would serialize one window partition
+    assert " Window" not in inc_plan, (
+        "incremental minhash must not window over the skewed bucket key")
 
 
 def test_semantic_dedup_and_mix_scale_shapes(spark, sf_dir):
