@@ -36,71 +36,61 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-6 window — the rotation's closing leg. 52 entries' latest green
-# rows predate round 4's session-config change (ansi.enabled=false + AQE
-# retune); this window re-grades 44 of them plus the 6 queries whose
-# code/oracle changed THIS round (the standing rule: changed always
-# outranks re-grades):
-#   1. changed round 6: nd_word_rarity and nd_chunk_dedup were de-skewed
-#      (Zipf-key window -> per-(doc, key) partial counts + frequency
-#      rollup + doc-granular join; same values, new plan), and
-#      nd_multimodal_audio's ORACLE moved from character-based ascii()
-#      to byte-based hex(encode(text)) parsing with an aligned
-#      empty-payload convention (same values on the fixture; the gate no
-#      longer silently depends on ASCII-only non-empty text); late in
-#      the round the code-review fold dedup delegated nd_minhash_lsh /
-#      nd_dedup_clusters / nd_minhash_estimate to the shared
-#      _mh_sig_frame/_band_key_exprs definitions (expression-identical,
-#      pytest value-exact — fronted anyway: a green row certifies code).
-#   2. the pre-r4 remainder, oldest green first: all 21 r2 rows, then
-#      23 of the 31 r3 rows.
-# The 8 displaced r3 rows (nd_above_group_avg, nd_moving_window,
-# nd_csv_roundtrip, nd_json_roundtrip, nd_gap_fill, and — displaced by
-# the late minhash-refactor fronting — q21_first_n, q22_distinct,
-# q23_running_sum) roll to round 7; each has an in-window family sibling
-# certifying the same module paths under current config (q20/q24 +
-# nd_analytic_suite for the window queries; q12_roundtrip + the r5-green
-# nd_xml_roundtrip for the sinks roundtrips; nd_upsert/nd_sessionize for
-# the time-grid family), and all eight stay value-exact in every pytest
-# run.
+# Round-7 window — the rotation's final debt closes here. After round 6,
+# every entry EXCEPT 21 has a green driver row under the current session
+# config: the 13 round-6 queries (new then, pytest-oracle-gated but
+# driver-rowless) and the 8 r3 rows the late minhash fronting displaced.
+# This window grades all 21, then new round-7 operators, then back-fills
+# with the OLDEST current-config rows (round-4 greens, freshness
+# re-grades — every one of these is already certified under current
+# config, so they carry no debt; they just age):
+#   1. changed round 7: nd_incremental_minhash (the hot-bucket cap moved
+#      from a count-over-window on the Zipf-hot band key to a
+#      groupBy-count — same capped key set, map-side partial agg; the
+#      standing rule fronts it, and it is also one of the 13).
+#   2. the remaining 12 round-6 queries (first driver rows).
+#   3. the 8 displaced r3 rows (last pre-r4-config greens anywhere).
+#   4. new round-7 operators as they land (first driver rows).
+#   5. round-4 freshness re-grades, headline/bench queries first.
+# After this round the rotation is debt-free: every registered query's
+# latest green row is r4+ (current config), and the per-round window
+# simply cycles oldest-first.
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed this round (standing rule) — the first three by design;
-    #    the minhash trio joined late (the code-review fold dedup changed
-    #    their code, value-identically, but a green row only certifies
-    #    the code it graded), displacing q21/q22/q23 (siblings below)
-    "nd_word_rarity", "nd_chunk_dedup", "nd_multimodal_audio",
-    "nd_minhash_lsh", "nd_dedup_clusters", "nd_minhash_estimate",
-    # 2a. r2 rows over unchanged code (all 21 that remain)
-    "nd_chunking", "nd_hash_sample", "nd_histogram", "nd_levenshtein",
-    "nd_multimodal_features", "nd_multimodal_frames", "nd_pandas_udf",
-    "nd_range_join", "nd_tfidf", "nd_train_split", "nd_unpivot",
-    "nd_weighted_sample", "nd_zscore", "q12_roundtrip",
-    "tpch_q2_min_per_group", "tpch_q4_exists", "tpch_q13_custdist",
-    "tpch_q14_ratio", "tpch_q17_small_qty", "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers",
-    # 2b. r3 rows over unchanged code (23 of 31)
-    "q05_date_funcs", "q08_json_funcs", "q13b_semi_join", "q14_anti_join",
-    "q16_theta_join", "q20_last_state", "q24_lag_delta",
-    "tpch_q8_market_share", "tpch_q9_profit", "tpch_q10_returns",
-    "tpch_q12_conditional",
-    "nd_analytic_suite", "nd_ann_ivf", "nd_ann_ivf_cellstats", "nd_bm25",
-    "nd_cogroup", "nd_cross_dedup", "nd_ngram_topk", "nd_salted_join",
-    "nd_sessionize", "nd_sliding_window", "nd_stratified_sample",
-    "nd_upsert",
+    # 1+2. round-7 changed (nd_incremental_minhash) + the 12 other new
+    #      round-6 queries taking their first driver rows
+    "nd_incremental_minhash", "nd_boilerplate_strip", "nd_epoch_shuffle",
+    "nd_epoch_manifest", "nd_vocab_coverage", "nd_semantic_dedup",
+    "nd_semantic_dedup_fast", "nd_mix_temperature", "nd_source_overlap",
+    "nd_curation_funnel", "nd_stream_incremental_dedup",
+    "nd_quality_percentile_gate", "nd_compression_ratio",
+    # 3. the 8 displaced r3 rows — the rotation debt's tail
+    "nd_above_group_avg", "nd_moving_window", "nd_csv_roundtrip",
+    "nd_json_roundtrip", "nd_gap_fill", "q21_first_n", "q22_distinct",
+    "q23_running_sum",
+    # 4. new round-7 operators (uncommented here as each lands; each
+    #    displaces one tail re-grade below past the window boundary)
+    # "nd_bloom_prefilter", "nd_kmeans", "nd_dataset_card",
+    # "nd_scd2_history", "nd_mad_outlier", "nd_stream_topk",
+    # 5. round-4 freshness re-grades (oldest current-config rows),
+    #    bench/headline queries first
+    "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",
+    "q28_tumbling_window", "q3_shipping_priority", "tpch_q6_forecast",
+    "tpch_q7_volume", "tpch_q18_large_orders", "nd_grouped_python",
+    "nd_bpe_pair_count", "nd_asof_join", "nd_asof_forward",
+    "nd_seq_pack", "nd_pii_redact", "nd_repetition", "nd_simhash",
+    "nd_ngram_jaccard", "nd_langid", "nd_stream_tumbling",
+    "nd_stream_static_join", "nd_stream_stream_join", "nd_stream_gopher",
     # -- window boundary: first 50 graded per round --------------------
-    # Round 7 completes the rotation with the 8 displaced r3 rows above,
-    # plus the 13 NEW round-6 queries (nd_incremental_minhash,
-    # nd_boilerplate_strip, nd_epoch_shuffle, nd_epoch_manifest,
-    # nd_vocab_coverage, nd_semantic_dedup, nd_semantic_dedup_fast,
-    # nd_mix_temperature, nd_source_overlap, nd_curation_funnel,
-    # nd_stream_incremental_dedup, nd_quality_percentile_gate,
-    # nd_compression_ratio) — new
-    # queries normally outrank re-grades, but this round's window is
-    # reserved for closing the two-round config-rotation debt the round-5
-    # verdict made its top item; the new thirteen are pytest-oracle-gated now
-    # (tests/test_oracle.py runs every registry pair value-exact each
-    # session) and take driver rows next round. Any round-7 code changes
-    # still outrank everything.
+    "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
+    "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
+    "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
+    "nd_ngram_overlap", "nd_percentiles", "nd_profile",
+    "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
+    "q04_math_funcs", "q09_like_filter", "q10_regex_filter",
+    "q11_tokenize_count", "tpch_q16_supplier_cnt",
+    # (r4 rows past the boundary roll to round 8's freshness cycle; all
+    # are already current-config-certified and stay value-exact in every
+    # pytest oracle run.)
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
