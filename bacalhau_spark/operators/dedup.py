@@ -1011,8 +1011,150 @@ ORDER BY source_a, source_b
 """
 
 
+# Bloom-prefilter geometry. M bits packed into M/64 longs; k=3 positions
+# per fingerprint derived from ONE md5 via the universal-hash family above
+# (no extra md5 calls). M is deliberately small at fixture scale so false
+# positives actually occur (~450 corpus keys x 3 bits into 2048 -> fill
+# ~0.5 -> fpr ~0.1) and the false-positive accounting is a live code path;
+# production sizing is ~10-14 bits/key. At 100 TB the plan-literal bitmap
+# stops at the 8 MB broadcast-literal ceiling (~3.5M corpus keys); past
+# that the same admission/verify split swaps the literal for Spark's
+# runtime join bloom (spark.sql.optimizer.runtimeFilter.bloomFilter.
+# enabled) or a partitioned bitmap join — the operator's shape (cheap
+# bitmap probe admits, exact join verifies hits only) is unchanged.
+BLOOM_BITS = 2048
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 3
+BLOOM_AB = tuple(
+    ((2654435761 * (s + 1) + 40503) % MH_PRIME or 1,
+     (97781 * (s + 1) + 7919) % MH_PRIME)
+    for s in range(BLOOM_K)
+)
+
+
+def _bloom_pos_cols(fp):
+    """The k bit positions of a 60-bit fingerprint Column: fold to
+    mod-P first so a*x stays under 2^62 (both engines, no overflow)."""
+    xm = fp % MH_PRIME
+    return [((F.lit(a) * xm + F.lit(b)) % MH_PRIME) % BLOOM_BITS
+            for a, b in BLOOM_AB]
+
+
+def nd_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup admission: the corpus's exact
+    fingerprint set is folded into a BLOOM_BITS-bit packed-long bitmap;
+    an incoming batch probes the bitmap in pure codegen and only bloom
+    HITS reach the exact verification join. No false negatives (every
+    true duplicate hits), so misses are admitted join-free — at 100 TB
+    that's the difference between anti-joining every increment against
+    a ~10^10-row fingerprint index and joining only the ~dup-rate+fpr
+    fraction of it.
+
+    The bitmap build is a constant-size collect (BLOOM_WORDS=32 packed
+    longs — the IVF model-state pattern), re-broadcast as a literal
+    array; the probe is three element_at/shift/AND expressions inside
+    one codegen stage, zero extra shuffle on the batch side. Batch
+    synthesis mirrors nd_incremental_dedup: fresh docs (doc_id%7==0)
+    plus re-keyed re-crawl copies of corpus docs (doc_id%9==1) so true
+    duplicates exist. Output: per-language admission audit
+    (batch size, bloom hits, verified dups, false positives).
+
+    Reference intent: pkg/computenode's bid admission — a cheap local
+    check gates the expensive path; re-expressed for the dedup plane."""
+    docs = table(spark, sf_dir, "documents")
+    fp60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    corpus_fp = (docs.where(F.col("doc_id") % 7 != 0)
+                 .select(fp60.alias("cfp")).distinct())
+    # 1) bitmap build: k positions per DISTINCT corpus fp, OR-folded into
+    #    BLOOM_WORDS packed longs (constant-size collect).
+    rows = (corpus_fp
+            .select(F.explode(F.array(
+                *_bloom_pos_cols(F.col("cfp")))).alias("p"))
+            .distinct()
+            .select(F.shiftright("p", 6).alias("w"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(p % 64 AS INT))").alias("m"))
+            .groupBy("w").agg(F.expr("bit_or(m)").alias("m"))
+            .collect())
+    bitmap = [0] * BLOOM_WORDS
+    for r in rows:
+        bitmap[r["w"]] = r["m"]
+    bloom = F.array(*[F.lit(int(v)).cast("long") for v in bitmap])
+    # 2) batch probes the literal bitmap in codegen.
+    batch = (docs.where(F.col("doc_id") % 7 == 0)
+             .select("lang", fp60.alias("fp"))
+             .unionByName(
+                 docs.where((F.col("doc_id") % 7 != 0)
+                            & (F.col("doc_id") % 9 == 1))
+                 .select("lang", fp60.alias("fp"))))
+    probed = batch.withColumn("bloom", bloom)
+    for i, p in enumerate(_bloom_pos_cols(F.col("fp"))):
+        probed = probed.withColumn(f"p{i}", p)
+    hit = F.lit(True)
+    for i in range(BLOOM_K):
+        hit = hit & F.expr(
+            f"(element_at(bloom, CAST(shiftright(p{i}, 6) AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 64 AS INT)))"
+            " != 0")
+    probed = probed.withColumn("hit", hit).select("lang", "fp", "hit")
+    # 3) exact verification join over bloom HITS only; misses are
+    #    admitted without touching the fingerprint index.
+    hits = (probed.where("hit")
+            .join(corpus_fp, F.col("fp") == F.col("cfp"), "left")
+            .select("lang", F.lit(True).alias("hit"),
+                    F.col("cfp").isNotNull().alias("dup")))
+    miss = (probed.where(~F.col("hit"))
+            .select("lang", F.lit(False).alias("hit"),
+                    F.lit(False).alias("dup")))
+    return (hits.unionByName(miss)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_batch"),
+                 F.sum(F.col("hit").cast("long")).alias("n_bloom_hits"),
+                 F.sum(F.col("dup").cast("long")).alias("n_dup"),
+                 F.sum((F.col("hit") & ~F.col("dup")).cast("long"))
+                 .alias("n_false_pos"))
+            .orderBy("lang"))
+
+
+def _bloom_pos_sql(x: str, i: int) -> str:
+    a, b = BLOOM_AB[i]
+    return (f"((({a} * (({x}) % {MH_PRIME}) + {b}) % {MH_PRIME})"
+            f" % {BLOOM_BITS})")
+
+
+_BLOOM_ORACLE = f"""
+WITH corpus AS (SELECT DISTINCT
+         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fp
+     FROM documents WHERE doc_id % 7 <> 0),
+pos AS (SELECT DISTINCT p FROM (
+    SELECT unnest([{_bloom_pos_sql('fp', 0)}, {_bloom_pos_sql('fp', 1)},
+                   {_bloom_pos_sql('fp', 2)}]) AS p FROM corpus) t),
+batch AS (
+    SELECT lang, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fp
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT lang, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+    FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 9 = 1),
+flag AS (SELECT lang,
+                ({_bloom_pos_sql('fp', 0)} IN (SELECT p FROM pos)
+                 AND {_bloom_pos_sql('fp', 1)} IN (SELECT p FROM pos)
+                 AND {_bloom_pos_sql('fp', 2)} IN (SELECT p FROM pos))
+                AS hit,
+                fp IN (SELECT fp FROM corpus) AS dup
+         FROM batch)
+SELECT lang, COUNT(*) AS n_batch,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_bloom_hits,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN hit AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_false_pos
+FROM flag GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "nd_source_overlap": (nd_source_overlap, _SOURCE_OVERLAP_ORACLE),
+    "nd_bloom_prefilter": (nd_bloom_prefilter, _BLOOM_ORACLE),
     "nd_cross_dedup": (
         nd_cross_dedup,
         "WITH bench AS (SELECT DISTINCT md5(text) AS bfp FROM documents "

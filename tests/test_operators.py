@@ -369,3 +369,14 @@ def test_semantic_dedup_fast_equals_exact(spark, sf_dir):
     assert margin > 1e-6, (
         f"a candidate cosine sits {margin} from tau — kernel equivalence "
         "would be luck, not guarantee")
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Bloom admission must never miss a true duplicate: every verified
+    dup is a bloom hit, and false positives are exactly hits minus dups."""
+    from bacalhau_spark.operators.dedup import nd_bloom_prefilter
+    rows = nd_bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_dup"] <= r["n_bloom_hits"] <= r["n_batch"]
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_dup"]
