@@ -597,8 +597,102 @@ ORDER BY b.vec_id
 """
 
 
+# Deterministic k-means geometry. Embeddings are quantized to integers
+# (floor(x*1000) + offset, offset keeps every value nonnegative so integer
+# division is portable: Spark DIV == DuckDB // on nonnegatives) so every
+# arithmetic step — distances, centroid updates, inertia — is exact 64-bit
+# integer math, order-independent, and hash-gatable where float k-means
+# never is. Seeds are the K smallest vec_ids; a fixed iteration count
+# replaces a convergence test so the oracle is a finite CTE unroll.
+KM_K = 4
+KM_ITERS = 2
+KM_SCALE = 1000.0
+KM_OFF = 1024
+KM_DIMS = 64
+
+
+def nd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column, the
+    canonical Spark shape: centroids are a K*dims-row broadcast (tiny at
+    any corpus size), the E-step is one broadcast join + map-side-combined
+    groupBy per iteration (shuffles one (vec_id, cid, dist) row per
+    vector-centroid pair after partial aggregation), the M-step one
+    groupBy(cid, dim) whose width is K*dims regardless of corpus size.
+    Nothing driver-side ever holds more than the centroid table; the
+    exploded quantized matrix is checkpointed once and reused across
+    iterations instead of re-scanning parquet per step.
+
+    Integer quantization (module constants) makes the whole computation
+    exact, so unlike textbook float k-means this one is value-hash-gated
+    against an unrolled SQL oracle. Output: per-cluster size + exact
+    integer inertia after KM_ITERS assignment rounds."""
+    emb = table(spark, sf_dir, "embeddings")
+    qcol = (F.floor(F.col("v").cast("double") * F.lit(KM_SCALE))
+            .cast("long") + F.lit(KM_OFF))
+    e = (emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+         .select("vec_id", "dim", qcol.alias("q"))
+         .localCheckpoint(eager=True))
+    cent = (e.where(F.col("vec_id") < KM_K)
+            .select(F.col("vec_id").cast("int").alias("cid"),
+                    "dim", F.col("q").alias("cq")))
+    assign = None
+    for it in range(KM_ITERS):
+        dist = (e.join(F.broadcast(cent), "dim")
+                .groupBy("vec_id", "cid")
+                .agg(F.sum((F.col("q") - F.col("cq"))
+                           * (F.col("q") - F.col("cq"))).alias("d")))
+        assign = (dist.groupBy("vec_id")
+                  .agg(F.min(F.struct("d", "cid")).alias("m"))
+                  .select("vec_id", F.col("m.d").alias("d"),
+                          F.col("m.cid").alias("cid")))
+        if it < KM_ITERS - 1:
+            cent = (e.join(assign.select("vec_id", "cid"), "vec_id")
+                    .groupBy("cid", "dim")
+                    .agg(F.expr("sum(q) DIV count(*)").alias("cq")))
+    return (assign.groupBy("cid")
+            .agg(F.count("*").alias("n_points"),
+                 F.sum("d").alias("inertia"))
+            .select(F.col("cid").alias("cluster_id"), "n_points", "inertia")
+            .orderBy("cluster_id"))
+
+
+def _km_round(prev_cent: str, tag: str) -> str:
+    """One unrolled Lloyd iteration of the oracle (distance + argmin)."""
+    return f"""
+d{tag} AS (SELECT e.vec_id, c.cid,
+                  CAST(SUM((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d
+           FROM e JOIN {prev_cent} c ON e.dim = c.dim
+           GROUP BY e.vec_id, c.cid),
+a{tag} AS (SELECT vec_id, cid, d FROM
+           (SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM d{tag}) t WHERE rn = 1)"""
+
+
+_KMEANS_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * {KM_SCALE})
+              AS BIGINT) + {KM_OFF} AS q
+  FROM (SELECT vec_id, embedding, unnest(range({KM_DIMS})) AS i
+        FROM embeddings) t),
+c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, dim, q AS cq
+       FROM e WHERE vec_id < {KM_K}),
+{_km_round('c0', '1')},
+c1 AS (SELECT a.cid, e.dim, SUM(e.q) // COUNT(*) AS cq
+       FROM e JOIN a1 a ON e.vec_id = a.vec_id
+       GROUP BY a.cid, e.dim),
+{_km_round('c1', '2')}
+SELECT cid AS cluster_id, COUNT(*) AS n_points,
+       CAST(SUM(d) AS BIGINT) AS inertia
+FROM a2 GROUP BY cid ORDER BY cluster_id
+"""
+
+
 QUERIES = {
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
+    "nd_kmeans": (nd_kmeans, _KMEANS_ORACLE),
     "nd_semantic_dedup_fast": (nd_semantic_dedup_fast, None),
     "nd_embedding_quantize": (nd_embedding_quantize, _QUANTIZE_ORACLE),
     "q30_nn": (

@@ -380,3 +380,15 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     for r in rows:
         assert r["n_dup"] <= r["n_bloom_hits"] <= r["n_batch"]
         assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_dup"]
+
+
+def test_kmeans_partitions_corpus(spark, sf_dir):
+    """K-means must assign every vector exactly once, keep all K clusters
+    non-empty at fixture scale, and report strictly positive inertia."""
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.operators.similarity import KM_K, nd_kmeans
+    rows = nd_kmeans(spark, sf_dir).collect()
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == KM_K
+    assert sum(r["n_points"] for r in rows) == n_vecs
+    assert all(r["n_points"] > 0 and r["inertia"] > 0 for r in rows)
