@@ -219,7 +219,83 @@ def nd_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_SIGMA = 3.0  # outlier gate: |x - median| > MAD_SIGMA * MAD
+
+
+def nd_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (MAD), the standard robust spread estimate for telemetry where a few
+    broken readings would wreck mean/stddev gates. Both medians are the
+    DISCRETE rank statistic (value at ascending rank floor((n-1)/2)+1) —
+    interpolated percentiles are not ulp-portable across engines, so a
+    `> sigma*mad` gate on them can flip on the last bit; rank selection
+    keeps the gate exact end to end (abs/sub/one multiply are
+    bit-identical both engines).
+
+    Plan: rows move ONCE to their group (window partitionBy shuffles by
+    event_type), each median is a rank-filter over the sorted group, and
+    the two per-group scalars broadcast back onto the stream — the fact
+    table is never shuffled again. Exact per-group selection serializes
+    on group size, so like nd_percentiles this exact form is the
+    bounded-cardinality audit (event_type is a small fixed enum); the
+    100 TB default for high-cardinality keys is the mergeable
+    approx-percentile sketch (nd_approx_percentiles)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    rank_w = Window.partitionBy("event_type").orderBy("value")
+    grp_w = Window.partitionBy("event_type")
+    med_rank = (F.floor((F.col("n") - 1) / 2) + 1)
+    med = (ev.withColumn("rn", F.row_number().over(rank_w))
+           .withColumn("n", F.count("*").over(grp_w))
+           .where(F.col("rn") == med_rank)
+           .select("event_type", F.col("value").alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    rank_w2 = Window.partitionBy("event_type").orderBy("adev")
+    mad = (dev.withColumn("rn", F.row_number().over(rank_w2))
+           .withColumn("n", F.count("*").over(grp_w))
+           .where(F.col("rn") == med_rank)
+           .select("event_type", F.col("adev").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("med").alias("med"),
+                 F.min("mad").alias("mad"),
+                 F.sum((F.col("adev") > MAD_SIGMA * F.col("mad"))
+                       .cast("long")).alias("n_outliers"))
+            .orderBy("event_type"))
+
+
+_MAD_ORACLE = f"""
+WITH ev AS (SELECT event_type, value FROM events),
+med AS (SELECT event_type, value AS med FROM
+        (SELECT event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM ev) t
+        WHERE rn = CAST(FLOOR((n - 1) / 2) AS BIGINT) + 1),
+dev AS (SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+        FROM ev e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, adev AS mad FROM
+        (SELECT event_type, adev,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY adev) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM dev) t
+        WHERE rn = CAST(FLOOR((n - 1) / 2) AS BIGINT) + 1)
+SELECT d.event_type, COUNT(*) AS n_events,
+       MIN(d.med) AS med, MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {MAD_SIGMA} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
 QUERIES = {
+    "nd_mad_outlier": (nd_mad_outlier, _MAD_ORACLE),
     "q17_hash_agg": (
         q17_hash_agg,
         "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
