@@ -169,7 +169,57 @@ def nd_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nd_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build: collapse each
+    user's event stream into versioned state intervals — a row per state
+    CHANGE carrying [valid_from, valid_to) and an is_current flag, the
+    standard warehouse shape for tracking attribute history. Two window
+    passes over the same (user_id; ts, event_id) ordering: lag() marks
+    run starts, then row_number/lead() on the change rows assign version
+    numbers and close each interval with its successor's start.
+
+    Scale: both windows partition on user_id — high-cardinality and
+    uniform (no Zipf head), so groups distribute evenly; Spark plans the
+    two same-keyed windows into ONE exchange (the sort reuses the
+    partitioning), and the stream never moves again. The event_id
+    tie-break makes equal-timestamp runs deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    changes = (ev.withColumn("prev", F.lag("event_type").over(w))
+               .where(F.col("prev").isNull()
+                      | (F.col("prev") != F.col("event_type"))))
+    return (changes
+            .withColumn("version", F.row_number().over(w))
+            .withColumn("valid_to", F.lead("ts").over(w))
+            .select("user_id", "version",
+                    F.col("event_type").alias("state"),
+                    F.col("ts").alias("valid_from"), "valid_to",
+                    F.col("valid_to").isNull().alias("is_current"))
+            .orderBy("user_id", "version"))
+
+
+_SCD2_ORACLE = """
+WITH m AS (SELECT user_id, ts, event_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+ch AS (SELECT user_id, ts, event_id, event_type FROM m
+       WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS version,
+       event_type AS state, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL AS is_current
+FROM ch ORDER BY user_id, version
+"""
+
+
 QUERIES = {
+    "nd_scd2_history": (nd_scd2_history, _SCD2_ORACLE),
     "q20_last_state": (
         q20_last_state,
         "SELECT user_id, max_by(event_type, event_id) AS last_type "
