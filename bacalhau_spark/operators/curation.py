@@ -703,7 +703,52 @@ ORDER BY stage
 """.replace("{stops}", _STOP_LIST)
 
 
+def nd_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: the per-source summary block a training
+    corpus ships with (datasheet / model-card provenance table) — doc and
+    language counts, size in chars and whitespace tokens, exact-duplicate
+    rate — plus the corpus-wide TOTAL row via ROLLUP (one aggregation
+    pass computes both grains, map-side combined; grouping() tells the
+    rows apart portably). All counters are integers; the only double is
+    dup_rate, an int/int division (bit-identical cross-engine). One scan,
+    one shuffle of per-group counters, no text ever moves — the shuffle
+    payload per 100 TB source is a handful of longs.
+
+    Reference intent: the job-summary datacards the requester keeps per
+    input CID set (results provenance), recast as corpus analytics."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", F.md5("text").alias("fp"),
+        F.size(words("text")).cast("long").alias("n_words"))
+    return (
+        docs.rollup("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("lang").alias("n_langs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.sum("n_words").alias("total_words"),
+             F.countDistinct("fp").alias("uniq_texts"),
+             ((F.count("*") - F.countDistinct("fp")) / F.count("*"))
+             .alias("dup_rate"))
+        .select(F.coalesce(F.col("source"), F.lit("TOTAL")).alias("source"),
+                "n_docs", "n_langs", "total_chars", "total_words",
+                "uniq_texts", "dup_rate")
+        .orderBy("source"))
+
+
+_DATASET_CARD_ORACLE = """
+SELECT COALESCE(source, 'TOTAL') AS source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+            AS BIGINT) AS total_words,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS uniq_texts,
+       (COUNT(*) - COUNT(DISTINCT md5(text))) / COUNT(*) AS dup_rate
+FROM documents GROUP BY ROLLUP (source) ORDER BY source
+"""
+
+
 QUERIES = {
+    "nd_dataset_card": (nd_dataset_card, _DATASET_CARD_ORACLE),
     "nd_curation_funnel": (nd_curation_funnel, _FUNNEL_ORACLE),
     "nd_mix_temperature": (nd_mix_temperature, _MIX_TEMP_ORACLE),
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),
