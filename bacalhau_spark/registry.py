@@ -69,9 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     "q23_running_sum",
     # 4. new round-7 operators (uncommented here as each lands; each
     #    displaces one tail re-grade below past the window boundary)
-    "nd_bloom_prefilter",
-    # "nd_kmeans", "nd_dataset_card",
-    # "nd_scd2_history", "nd_mad_outlier", "nd_stream_topk",
+    "nd_bloom_prefilter", "nd_kmeans", "nd_scd2_history",
+    "nd_mad_outlier", "nd_dataset_card", "nd_stream_topk",
     # 5. round-4 freshness re-grades (oldest current-config rows),
     #    bench/headline queries first
     "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",

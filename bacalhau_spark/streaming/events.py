@@ -544,10 +544,78 @@ from bacalhau_spark.operators.windows import QUERIES as _WIN_QUERIES  # noqa: E4
 
 _SESSIONIZE_ORACLE = _WIN_QUERIES["nd_sessionize"][1]
 
+TOPK_K = 10
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k leaderboard: per-user running totals with sort +
+    limit ON the stream — legal only after an aggregation in complete
+    output mode, which is exactly this shape (the leaderboard the
+    requester's /metrics endpoint would serve live). State is one row
+    per user in the aggregation store; the sort+limit runs over the
+    aggregate's output each trigger, never over raw events.
+
+    Totals accumulate in exact integer milli-units (fixture values carry
+    ≤3 decimals; one multiply+round per row is cross-engine identical —
+    the nd_stream_stateful convention, moved from output-rounding into
+    the accumulator), so the ranking has no float-accumulation
+    nondeterminism and the top-k SET equals the batch oracle's exactly;
+    user_id breaks exact-total ties deterministically."""
+    mv = F.expr("CAST(ROUND(value * 1000) AS BIGINT)")
+    return (
+        _event_stream(spark, sf_dir)
+        .select("user_id", mv.alias("mv"))
+        .groupBy("user_id")
+        .agg(F.sum("mv").alias("total_mv"), F.count("*").alias("n"))
+        .orderBy(F.col("total_mv").desc(), "user_id")
+        .limit(TOPK_K)
+    )
+
+
+def run_stream_topk(spark: SparkSession, sf_dir: str,
+                    table_name: str = "stream_topk",
+                    timeout_sec: int = 120) -> DataFrame:
+    q = _start_scoped(spark, (
+        stream_topk(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+    ))
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return (spark.table(table_name)
+            .select("user_id", "n", "total_mv",
+                    (F.col("total_mv") / F.lit(1000.0)).alias("total"))
+            .orderBy(F.col("total_mv").desc(), "user_id"))
+
+
+def nd_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k, oracle-gated: integer accumulation makes the
+    set + ordering deterministic (see stream_topk); the one double in
+    the output is a single int/1000.0 division, bit-identical across
+    engines."""
+    return run_stream_topk(spark, sf_dir, table_name="gate_topk")
+
+
+_TOPK_ORACLE = f"""
+SELECT user_id, n, total_mv, total_mv / 1000.0 AS total FROM (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+         AS total_mv,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id) t
+ORDER BY total_mv DESC, user_id LIMIT {TOPK_K}
+"""
+
+
 QUERIES = {
     # identical contract to the batch nd_gopher_filter — per-row mappers
     # are stream-deterministic, so the streaming run shares its oracle
     "nd_stream_gopher": (nd_stream_gopher, _GOPHER_ORACLE),
+    "nd_stream_topk": (nd_stream_topk, _TOPK_ORACLE),
     "q28_tumbling_window": (
         q28_tumbling_window,
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, "
