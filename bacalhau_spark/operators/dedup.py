@@ -1065,6 +1065,20 @@ def nd_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
     corpus_fp = (docs.where(F.col("doc_id") % 7 != 0)
                  .select(fp60.alias("cfp")).distinct())
+    batch = (docs.where(F.col("doc_id") % 7 == 0)
+             .select("lang", fp60.alias("fp"))
+             .unionByName(
+                 docs.where((F.col("doc_id") % 7 != 0)
+                            & (F.col("doc_id") % 9 == 1))
+                 .select("lang", fp60.alias("fp"))))
+    return bloom_admit_frame(corpus_fp, batch)
+
+
+def bloom_admit_frame(corpus_fp: DataFrame, batch: DataFrame) -> DataFrame:
+    """The bloom-admission core over ARBITRARY frames — corpus_fp holds
+    distinct 60-bit fingerprints as `cfp`, batch holds (lang, fp) rows;
+    also the property-test surface (tests/test_property.py pins bitmap,
+    probe, and audit counts against a pure-Python model)."""
     # 1) bitmap build: k positions per DISTINCT corpus fp, OR-folded into
     #    BLOOM_WORDS packed longs (constant-size collect).
     rows = (corpus_fp
@@ -1081,12 +1095,6 @@ def nd_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         bitmap[r["w"]] = r["m"]
     bloom = F.array(*[F.lit(int(v)).cast("long") for v in bitmap])
     # 2) batch probes the literal bitmap in codegen.
-    batch = (docs.where(F.col("doc_id") % 7 == 0)
-             .select("lang", fp60.alias("fp"))
-             .unionByName(
-                 docs.where((F.col("doc_id") % 7 != 0)
-                            & (F.col("doc_id") % 9 == 1))
-                 .select("lang", fp60.alias("fp"))))
     probed = batch.withColumn("bloom", bloom)
     for i, p in enumerate(_bloom_pos_cols(F.col("fp"))):
         probed = probed.withColumn(f"p{i}", p)

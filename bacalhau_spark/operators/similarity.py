@@ -626,17 +626,25 @@ def nd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, so unlike textbook float k-means this one is value-hash-gated
     against an unrolled SQL oracle. Output: per-cluster size + exact
     integer inertia after KM_ITERS assignment rounds."""
-    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_frame(table(spark, sf_dir, "embeddings"))
+
+
+def kmeans_frame(emb: DataFrame, k: int = KM_K,
+                 iters: int = KM_ITERS) -> DataFrame:
+    """The k-means core over an ARBITRARY (vec_id, embedding) frame —
+    seeds are the k smallest vec_ids (assumed 0-based contiguous); also
+    the property-test surface (tests/test_property.py pins it against a
+    pure-Python integer model)."""
     qcol = (F.floor(F.col("v").cast("double") * F.lit(KM_SCALE))
             .cast("long") + F.lit(KM_OFF))
     e = (emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
          .select("vec_id", "dim", qcol.alias("q"))
          .localCheckpoint(eager=True))
-    cent = (e.where(F.col("vec_id") < KM_K)
+    cent = (e.where(F.col("vec_id") < k)
             .select(F.col("vec_id").cast("int").alias("cid"),
                     "dim", F.col("q").alias("cq")))
     assign = None
-    for it in range(KM_ITERS):
+    for it in range(iters):
         dist = (e.join(F.broadcast(cent), "dim")
                 .groupBy("vec_id", "cid")
                 .agg(F.sum((F.col("q") - F.col("cq"))
@@ -645,7 +653,7 @@ def nd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.min(F.struct("d", "cid")).alias("m"))
                   .select("vec_id", F.col("m.d").alias("d"),
                           F.col("m.cid").alias("cid")))
-        if it < KM_ITERS - 1:
+        if it < iters - 1:
             cent = (e.join(assign.select("vec_id", "cid"), "vec_id")
                     .groupBy("cid", "dim")
                     .agg(F.expr("sum(q) DIV count(*)").alias("cq")))

@@ -348,3 +348,110 @@ def test_mix_temperature_matches_reference(spark, docs):
         w_rel = math.sqrt(nt) / math.sqrt(n_max)
         boost = w_rel / (nt / n_max)
         assert got[src] == (nd, nt, w_rel, boost), (src, got[src])
+
+
+# ---------------------------------------------------------------------------
+# round 7: bloom admission + integer k-means vs pure-Python models
+# ---------------------------------------------------------------------------
+
+def _ref_bloom(corpus_fps, batch):
+    """Pure-Python bloom admission: bitmap = union of k positions per
+    corpus fp; hit = all positions set; dup = exact membership."""
+    from bacalhau_spark.operators.dedup import (BLOOM_AB, BLOOM_BITS,
+                                                MH_PRIME)
+
+    def pos(fp):
+        xm = fp % MH_PRIME
+        return [((a * xm + b) % MH_PRIME) % BLOOM_BITS for a, b in BLOOM_AB]
+
+    cset = set(corpus_fps)
+    bits = {p for fp in cset for p in pos(fp)}
+    audit = {}
+    for lang, fp in batch:
+        hit = all(p in bits for p in pos(fp))
+        dup = fp in cset
+        n, h, d, f = audit.get(lang, (0, 0, 0, 0))
+        audit[lang] = (n + 1, h + hit, d + dup, f + (hit and not dup))
+    return audit
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(corpus=st.lists(st.integers(0, 2**60 - 1), min_size=1, max_size=12),
+       batch=st.lists(st.tuples(st.sampled_from(["en", "de"]),
+                                st.integers(0, 40)),
+                      min_size=1, max_size=12),
+       overlap=st.lists(st.integers(0, 11), max_size=4))
+def test_bloom_admission_matches_reference(spark, corpus, batch, overlap):
+    """Bloom bitmap build + codegen probe + hits-only verification vs the
+    pure-Python model: per-language batch/hit/dup/false-positive counts
+    must agree exactly. `overlap` injects corpus fps into the batch so
+    true duplicates (guaranteed hits) are always exercised; small batch
+    fps make bloom false positives likely at 2048 bits."""
+    from bacalhau_spark.operators.dedup import bloom_admit_frame
+
+    batch = list(batch) + [("en", corpus[i % len(corpus)])
+                           for i in overlap]
+    cdf = spark.createDataFrame([(f,) for f in set(corpus)], "cfp long")
+    bdf = spark.createDataFrame(batch, "lang string, fp long")
+    got = {r["lang"]: (r["n_batch"], r["n_bloom_hits"], r["n_dup"],
+                       r["n_false_pos"])
+           for r in bloom_admit_frame(cdf, bdf).collect()}
+    assert got == _ref_bloom(corpus, batch)
+
+
+def _ref_kmeans(vectors, k, iters):
+    """Pure-Python integer Lloyd's: quantize, assign by (dist, cid)
+    lexicographic argmin, floored-mean centroid update; empty clusters
+    drop out exactly as Spark's join-groupBy drops them."""
+    import math
+
+    from bacalhau_spark.operators.similarity import KM_OFF, KM_SCALE
+
+    q = [[math.floor(x * KM_SCALE) + KM_OFF for x in v] for v in vectors]
+    cent = {c: list(q[c]) for c in range(k)}
+    assign = {}
+    for it in range(iters):
+        assign = {
+            vid: min((sum((a - b) * (a - b) for a, b in zip(vq, cent[c])),
+                      c) for c in cent)
+            for vid, vq in enumerate(q)}
+        if it < iters - 1:
+            cent = {}
+            for vid, (_, cid) in assign.items():
+                cent.setdefault(cid, []).append(q[vid])
+            cent = {c: [sum(col) // len(ms) for col in zip(*ms)]
+                    for c, ms in cent.items()}
+    out = {}
+    for _, (d, cid) in assign.items():
+        n, inertia = out.get(cid, (0, 0))
+        out[cid] = (n + 1, inertia + d)
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(data=st.data())
+def test_kmeans_matches_reference(spark, data):
+    """Integer k-means vs the pure-Python model: identical quantization,
+    argmin tie-break, floored-mean updates, and exact inertia — including
+    degenerate inputs (k=1, duplicate points, clusters that empty out)."""
+    from bacalhau_spark.operators.similarity import kmeans_frame
+
+    k = data.draw(st.integers(1, 3))
+    n = data.draw(st.integers(k, 7))
+    dims = data.draw(st.integers(2, 4))
+    coord = st.floats(-1, 1, allow_nan=False, allow_infinity=False,
+                      width=64)
+    vecs = data.draw(st.lists(
+        st.lists(coord, min_size=dims, max_size=dims),
+        min_size=n, max_size=n))
+    iters = data.draw(st.integers(1, 3))
+    frame = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r["cluster_id"]: (r["n_points"], r["inertia"])
+           for r in kmeans_frame(frame, k=k, iters=iters).collect()}
+    assert got == _ref_kmeans(vecs, k, iters)

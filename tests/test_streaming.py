@@ -195,6 +195,18 @@ def test_multibatch_stream_surfaces_equal_batch(spark, sf_dir, tmp_path,
         "nd_stream_dedup": (
             ev_batch.select("user_id", "event_type").distinct()
             .orderBy("user_id", "event_type")),
+        # complete-mode sort+limit re-runs each trigger; the FINAL
+        # leaderboard must equal the batch top-k exactly
+        "nd_stream_topk": (
+            ev_batch.select(
+                "user_id",
+                F.expr("CAST(ROUND(value * 1000) AS BIGINT)").alias("mv"))
+            .groupBy("user_id")
+            .agg(F.sum("mv").alias("total_mv"), F.count("*").alias("n"))
+            .orderBy(F.col("total_mv").desc(), "user_id")
+            .limit(10)
+            .select("user_id", "n", "total_mv",
+                    (F.col("total_mv") / F.lit(1000.0)).alias("total"))),
     }
     for name, ref in batch_refs.items():
         got = q[name](spark, split_dir)
