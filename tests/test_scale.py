@@ -495,3 +495,56 @@ def test_quality_gate_two_pass_broadcast(spark, sf_dir):
     import re
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_round7_operators_scale_shapes(spark, sf_dir):
+    """The round-7 operators' 100 TB plan claims, asserted:
+
+    - nd_kmeans: the E-step probes the K×dims centroid table through a
+      BROADCAST hash join (the exploded matrix never shuffles to meet
+      centroids), and nothing in the plan is a cartesian product.
+    - nd_bloom_prefilter: the bitmap probe is pure codegen (element_at
+      over a literal array — no join anywhere on the probe path), and no
+      exchange ever carries document text, only fingerprints.
+    - nd_scd2_history: both window passes share ONE user_id exchange —
+      the event stream moves exactly once.
+    - nd_mad_outlier: the per-group median/MAD scalars return to the
+      stream via broadcast joins, never a sort-merge join (the fact
+      side would re-shuffle twice).
+    - nd_dataset_card: both grains come from the one ROLLUP pass — a
+      single documents scan, no window, no cartesian product.
+    """
+    import re
+
+    from bacalhau_spark.operators.aggregates import nd_mad_outlier
+    from bacalhau_spark.operators.curation import nd_dataset_card
+    from bacalhau_spark.operators.dedup import nd_bloom_prefilter
+    from bacalhau_spark.operators.similarity import nd_kmeans
+    from bacalhau_spark.operators.windows import nd_scd2_history
+
+    km_plan = _formatted_plan(nd_kmeans(spark, sf_dir))
+    assert "BroadcastHashJoin" in km_plan
+    assert "CartesianProduct" not in km_plan
+
+    bloom_plan = _formatted_plan(nd_bloom_prefilter(spark, sf_dir))
+    assert "element_at" in bloom_plan  # the literal-bitmap codegen probe
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                         bloom_plan):
+        assert "text" not in m.group(1)
+    assert "CartesianProduct" not in bloom_plan
+
+    scd_plan = _formatted_plan(nd_scd2_history(spark, sf_dir))
+    hash_exchanges = re.findall(
+        r"Arguments: hashpartitioning\(([^)]*)\)", scd_plan)
+    assert len(hash_exchanges) == 1 and "user_id" in hash_exchanges[0], (
+        "both SCD2 windows must reuse one user_id exchange")
+
+    mad_plan = _formatted_plan(nd_mad_outlier(spark, sf_dir))
+    assert "BroadcastHashJoin" in mad_plan
+    assert "SortMergeJoin" not in mad_plan
+
+    card_plan = _formatted_plan(nd_dataset_card(spark, sf_dir))
+    assert card_plan.count("documents.parquet") <= 2, (  # one scan NODE
+        "dataset card must compute both grains in one scan")
+    assert " Window" not in card_plan
+    assert "CartesianProduct" not in card_plan
