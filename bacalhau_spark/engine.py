@@ -968,8 +968,11 @@ def _mount_addrs(raw: str | list[str]) -> list[str]:
     separator — is rejected before ANY filesystem operation: addresses are
     untrusted spec input reachable via the HTTP /submit API, and a
     traversal address joined into the staging dir would otherwise name an
-    arbitrary writable file (the reference validates CIDs at the storage
-    layer for the same reason, `pkg/storage/util.go`)."""
+    arbitrary writable file (the reference's analog: storage volumes are
+    stat'ed through the IPFS client by CID before any local path is
+    formed from them, `pkg/storage/ipfs_apicopy/storage.go:91-117` — an
+    address that isn't a resolvable CID fails at the client, never as a
+    filesystem path)."""
     addrs = [a for a in
              (raw.split(",") if isinstance(raw, str) else list(raw))
              if a]

@@ -1078,7 +1078,14 @@ def bloom_admit_frame(corpus_fp: DataFrame, batch: DataFrame) -> DataFrame:
     """The bloom-admission core over ARBITRARY frames — corpus_fp holds
     distinct 60-bit fingerprints as `cfp`, batch holds (lang, fp) rows;
     also the property-test surface (tests/test_property.py pins bitmap,
-    probe, and audit counts against a pure-Python model)."""
+    probe, and audit counts against a pure-Python model). `cfp`
+    distinctness is semantically required (a duplicated cfp would
+    multiply verification-join hit rows and inflate every audit
+    counter), so it is enforced here rather than assumed: the
+    `.distinct()` is a no-op shuffle-wise for compliant callers (the
+    aggregation collapses map-side) and cheap relative to the bitmap
+    collect for non-compliant ones."""
+    corpus_fp = corpus_fp.distinct()
     # 1) bitmap build: k positions per DISTINCT corpus fp, OR-folded into
     #    BLOOM_WORDS packed longs (constant-size collect).
     rows = (corpus_fp

@@ -626,7 +626,8 @@ def nd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, so unlike textbook float k-means this one is value-hash-gated
     against an unrolled SQL oracle. Output: per-cluster size + exact
     integer inertia after KM_ITERS assignment rounds."""
-    return kmeans_frame(table(spark, sf_dir, "embeddings"))
+    return kmeans_frame(table(spark, sf_dir, "embeddings"),
+                        k=KM_K, iters=KM_ITERS)
 
 
 def kmeans_frame(emb: DataFrame, k: int = KM_K,
@@ -634,12 +635,32 @@ def kmeans_frame(emb: DataFrame, k: int = KM_K,
     """The k-means core over an ARBITRARY (vec_id, embedding) frame —
     seeds are the k smallest vec_ids (assumed 0-based contiguous); also
     the property-test surface (tests/test_property.py pins it against a
-    pure-Python integer model)."""
+    pure-Python integer model). Deterministic min-vec_id seeding keeps
+    the oracle finite; a production run that doesn't need hash-exactness
+    would seed with k-means|| (sample-by-cost rounds) for quality on
+    adversarial inputs — the loop body is seeding-agnostic.
+
+    Durability: the exploded quantized matrix is persisted DISK_ONLY,
+    not localCheckpoint'ed — persist keeps the lineage, so on a real
+    cluster an executor loss mid-iteration recomputes the lost
+    partitions instead of failing the job (localCheckpoint truncates
+    lineage and dies with the executor)."""
+    from pyspark.storagelevel import StorageLevel
+
     qcol = (F.floor(F.col("v").cast("double") * F.lit(KM_SCALE))
             .cast("long") + F.lit(KM_OFF))
+    # `sum(q) DIV count` truncates in Spark but floors in DuckDB/Python —
+    # identical ONLY on nonnegatives. KM_OFF guarantees q >= 0 for
+    # embeddings >= -KM_OFF/KM_SCALE; enforce the contract in-plan so an
+    # out-of-range vector fails loudly instead of silently desyncing the
+    # cross-engine hash. (when/otherwise so pruning can't drop the check.)
+    qsafe = F.when(qcol >= 0, qcol).otherwise(F.expr(
+        "raise_error(concat('kmeans: quantized embedding < 0 for vec_id ',"
+        " CAST(vec_id AS STRING), ' — embedding value below "
+        f"-{KM_OFF}/{KM_SCALE}; widen KM_OFF'))").cast("long"))
     e = (emb.select("vec_id", F.posexplode("embedding").alias("dim", "v"))
-         .select("vec_id", "dim", qcol.alias("q"))
-         .localCheckpoint(eager=True))
+         .select("vec_id", "dim", qsafe.alias("q"))
+         .persist(StorageLevel.DISK_ONLY))
     cent = (e.where(F.col("vec_id") < k)
             .select(F.col("vec_id").cast("int").alias("cid"),
                     "dim", F.col("q").alias("cq")))

@@ -455,3 +455,21 @@ def test_kmeans_matches_reference(spark, data):
     got = {r["cluster_id"]: (r["n_points"], r["inertia"])
            for r in kmeans_frame(frame, k=k, iters=iters).collect()}
     assert got == _ref_kmeans(vecs, k, iters)
+
+
+def test_kmeans_rejects_out_of_range_embedding(spark):
+    """The quantization-range contract is enforced, not assumed: an
+    embedding below -KM_OFF/KM_SCALE would make Spark's truncating DIV
+    disagree with the oracle's flooring // — kmeans_frame must fail
+    loudly (raise_error in-plan) instead of silently desyncing."""
+    import pytest
+
+    from bacalhau_spark.operators.similarity import (KM_OFF, KM_SCALE,
+                                                     kmeans_frame)
+
+    bad = -(KM_OFF / KM_SCALE) - 0.5
+    frame = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [bad, 0.3])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="quantized embedding < 0"):
+        kmeans_frame(frame, k=1, iters=1).collect()
