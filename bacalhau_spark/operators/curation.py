@@ -22,7 +22,7 @@ doubles), so the DuckDB oracle hashes match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bacalhau_spark.catalog import table
@@ -707,31 +707,55 @@ def nd_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card statistics: the per-source summary block a training
     corpus ships with (datasheet / model-card provenance table) — doc and
     language counts, size in chars and whitespace tokens, exact-duplicate
-    rate — plus the corpus-wide TOTAL row via ROLLUP (one aggregation
-    pass computes both grains, map-side combined; grouping() tells the
-    rows apart portably). All counters are integers; the only double is
-    dup_rate, an int/int division (bit-identical cross-engine). One scan,
-    one shuffle of per-group counters, no text ever moves — the shuffle
-    payload per 100 TB source is a handful of longs.
+    rate — plus the corpus-wide TOTAL row. All counters are integers; the
+    only double is dup_rate, an int/int division (bit-identical
+    cross-engine).
+
+    Plan shape (rewritten round 8 — the r7 form put two countDistincts
+    inside rollup(), which plans as 2 Expand nodes whose first exchange
+    carries the document stream multiplied by grains × distinct
+    branches, the exact shape the round-4 profiling rule banned): each
+    statistic family is now its own single-pass branch, and BOTH grains
+    come from a map-side explode-mirror of the grouping key
+    ([source, 'TOTAL']) — the mirror doubles rows only inside the scan
+    stage, where partial aggregation / partial distinct collapses them
+    before any exchange. The three shuffles therefore carry (a)
+    per-source counter partials (a handful of longs per source), (b)
+    distinct (grain, lang) pairs, (c) distinct (grain, fp) pairs — the
+    same payload a single countDistinct pays, never the expanded
+    stream; the TOTAL-key count-up is a map-side-combined groupBy, so
+    no hot key either. Cost moved to the scan side: three column-pruned
+    scans instead of one (text is decoded twice, for words() and
+    md5()); at production scale persist the narrow (source, lang,
+    n_chars, n_words, fp) projection to make it one — scans are
+    embarrassingly parallel and shuffle-free, the Expand was neither.
+    No Expand node anywhere, asserted for the whole curation family in
+    tests/test_scale.py.
 
     Reference intent: the job-summary datacards the requester keeps per
     input CID set (results provenance), recast as corpus analytics."""
-    docs = table(spark, sf_dir, "documents").select(
-        "source", "lang", "n_chars", F.md5("text").alias("fp"),
-        F.size(words("text")).cast("long").alias("n_words"))
-    return (
-        docs.rollup("source")
-        .agg(F.count("*").alias("n_docs"),
-             F.countDistinct("lang").alias("n_langs"),
-             F.sum("n_chars").alias("total_chars"),
-             F.sum("n_words").alias("total_words"),
-             F.countDistinct("fp").alias("uniq_texts"),
-             ((F.count("*") - F.countDistinct("fp")) / F.count("*"))
-             .alias("dup_rate"))
-        .select(F.coalesce(F.col("source"), F.lit("TOTAL")).alias("source"),
-                "n_docs", "n_langs", "total_chars", "total_words",
-                "uniq_texts", "dup_rate")
-        .orderBy("source"))
+    docs = table(spark, sf_dir, "documents")
+
+    def grain() -> Column:
+        return (F.explode(F.array(F.col("source"), F.lit("TOTAL")))
+                .alias("source"))
+
+    base = (docs.select(grain(), "n_chars",
+                        F.size(words("text")).cast("long").alias("n_words"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("n_words").alias("total_words")))
+    langs = (docs.select(grain(), "lang").distinct()
+             .groupBy("source").agg(F.count("*").alias("n_langs")))
+    fps = (docs.select(grain(), F.md5("text").alias("fp")).distinct()
+           .groupBy("source").agg(F.count("*").alias("uniq_texts")))
+    return (base.join(langs, "source").join(fps, "source")
+            .select("source", "n_docs", "n_langs", "total_chars",
+                    "total_words", "uniq_texts",
+                    ((F.col("n_docs") - F.col("uniq_texts"))
+                     / F.col("n_docs")).alias("dup_rate"))
+            .orderBy("source"))
 
 
 _DATASET_CARD_ORACLE = """

@@ -544,7 +544,29 @@ def test_round7_operators_scale_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in mad_plan
 
     card_plan = _formatted_plan(nd_dataset_card(spark, sf_dir))
-    assert card_plan.count("documents.parquet") <= 2, (  # one scan NODE
-        "dataset card must compute both grains in one scan")
+    # r8 rewrite: three single-pass branches (counters / distinct langs /
+    # distinct fps), both grains via the map-side explode-mirror — so up
+    # to three scan NODES (formatted explain names each twice), but NO
+    # Expand multiplying the document stream, no window, no cartesian.
+    assert card_plan.count("documents.parquet") <= 6, (
+        "dataset card must stay at <=3 column-pruned scans")
     assert " Window" not in card_plan
     assert "CartesianProduct" not in card_plan
+
+
+def test_curation_family_never_expands_document_stream(spark, sf_dir):
+    """The round-4 profiling rule, promoted to a standing family-wide
+    assert (round-7 verdict: nd_dataset_card's double-distinct ROLLUP
+    planned as 2 Expand nodes and shipped the document stream
+    multiplied by grains × distinct branches): NO curation query may
+    contain an Expand node. Multi-grain / multi-distinct statistics
+    must be unioned single-distinct branches or explode-mirrored keys
+    that partial aggregation collapses map-side — shapes whose
+    exchanges carry distinct pairs or counter partials, never the
+    expanded stream."""
+    from bacalhau_spark.operators import curation
+
+    for name, (fn, _) in curation.QUERIES.items():
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert "Expand" not in plan, (
+            f"{name} plans an Expand over the document stream")
