@@ -1131,6 +1131,95 @@ def bloom_admit_frame(corpus_fp: DataFrame, batch: DataFrame) -> DataFrame:
             .orderBy("lang"))
 
 
+def nd_bloom_prefilter_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom admission's scale form — the registered variant the
+    literal-bitmap docstring promises past its ~3.5M-key / 8 MB literal
+    ceiling. Identical hash family, identical audit, identical oracle
+    row as nd_bloom_prefilter (the two are additionally
+    frame-equivalence-gated in tests and pinned against the same
+    pure-Python model), but the bitmap is a TABLE, not a literal: one
+    (word, mask) row per set 64-bit word, built by the same
+    explode→distinct→bit_or fold and NEVER collected — no driver state,
+    no plan-size ceiling; a 10^10-key filter at 10 bits/key is ~1.5G
+    rows of two longs, a small fact table. The probe explodes each
+    distinct batch fingerprint to its BLOOM_K word probes and joins the
+    bitmap table on the word index: at fixture scale AQE broadcasts the
+    tiny word table; at corpus scale it is a co-partitioned shuffle
+    join on a uniformly-distributed key (bloom positions are
+    universal-hash outputs — no skew by construction). A row is a hit
+    iff all BLOOM_K probes find their bit set; only hits reach the
+    exact verification join, exactly as the literal form."""
+    docs = table(spark, sf_dir, "documents")
+    fp60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    corpus_fp = (docs.where(F.col("doc_id") % 7 != 0)
+                 .select(fp60.alias("cfp")).distinct())
+    batch = (docs.where(F.col("doc_id") % 7 == 0)
+             .select("lang", fp60.alias("fp"))
+             .unionByName(
+                 docs.where((F.col("doc_id") % 7 != 0)
+                            & (F.col("doc_id") % 9 == 1))
+                 .select("lang", fp60.alias("fp"))))
+    return bloom_admit_part_frame(corpus_fp, batch)
+
+
+def bloom_admit_part_frame(corpus_fp: DataFrame,
+                           batch: DataFrame) -> DataFrame:
+    """The partitioned-bitmap admission core over ARBITRARY frames (same
+    contract as bloom_admit_frame; cfp distinctness enforced here too).
+    The batch is pre-aggregated to (lang, fp, cnt) so each distinct
+    fingerprint probes once and the audit re-weights by cnt — probe
+    volume is bounded by distinct batch keys × BLOOM_K regardless of
+    batch duplication."""
+    corpus_fp = corpus_fp.distinct()
+    # 1) bitmap table: (w, m) — one row per set word, distributed.
+    words_tbl = (corpus_fp
+                 .select(F.explode(F.array(
+                     *_bloom_pos_cols(F.col("cfp")))).alias("p"))
+                 .distinct()
+                 .select(F.shiftright("p", 6).alias("w"),
+                         F.expr("shiftleft(CAST(1 AS BIGINT), "
+                                "CAST(p % 64 AS INT))").alias("m"))
+                 .groupBy("w").agg(F.expr("bit_or(m)").alias("m")))
+    # 2) probe join: k (w, probe-mask) rows per distinct batch key. A
+    #    duplicate position (two hash fns landing on one bit) yields two
+    #    identical probes that both succeed, so sum(ok) == BLOOM_K stays
+    #    the all-probes-set test.
+    b = batch.groupBy("lang", "fp").agg(F.count("*").alias("cnt"))
+    probes = (b.select("lang", "fp", "cnt",
+                       F.explode(F.array(
+                           *_bloom_pos_cols(F.col("fp")))).alias("p"))
+              .select("lang", "fp", "cnt",
+                      F.shiftright("p", 6).alias("w"),
+                      F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(p % 64 AS INT))").alias("pm")))
+    flags = (probes.join(words_tbl, "w", "left")
+             .withColumn("ok", F.col("m").isNotNull()
+                         & F.expr("(m & pm) != 0"))
+             .groupBy("lang", "fp", "cnt")
+             .agg((F.sum(F.col("ok").cast("int")) == F.lit(BLOOM_K))
+                  .alias("hit")))
+    # 3) exact verification join over bloom HITS only, as the literal
+    #    form; misses never touch the fingerprint index.
+    hits = (flags.where("hit")
+            .join(corpus_fp, F.col("fp") == F.col("cfp"), "left")
+            .select("lang", "cnt", F.lit(True).alias("hit"),
+                    F.col("cfp").isNotNull().alias("dup")))
+    miss = (flags.where(~F.col("hit"))
+            .select("lang", "cnt", F.lit(False).alias("hit"),
+                    F.lit(False).alias("dup")))
+    zero = F.lit(0).cast("long")
+    return (hits.unionByName(miss)
+            .groupBy("lang")
+            .agg(F.sum("cnt").alias("n_batch"),
+                 F.sum(F.when(F.col("hit"), F.col("cnt")).otherwise(zero))
+                 .alias("n_bloom_hits"),
+                 F.sum(F.when(F.col("dup"), F.col("cnt")).otherwise(zero))
+                 .alias("n_dup"),
+                 F.sum(F.when(F.col("hit") & ~F.col("dup"), F.col("cnt"))
+                       .otherwise(zero)).alias("n_false_pos"))
+            .orderBy("lang"))
+
+
 def _bloom_pos_sql(x: str, i: int) -> str:
     a, b = BLOOM_AB[i]
     return (f"((({a} * (({x}) % {MH_PRIME}) + {b}) % {MH_PRIME})"
@@ -1170,6 +1259,7 @@ FROM flag GROUP BY lang ORDER BY lang
 QUERIES = {
     "nd_source_overlap": (nd_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "nd_bloom_prefilter": (nd_bloom_prefilter, _BLOOM_ORACLE),
+    "nd_bloom_prefilter_part": (nd_bloom_prefilter_part, _BLOOM_ORACLE),
     "nd_cross_dedup": (
         nd_cross_dedup,
         "WITH bench AS (SELECT DISTINCT md5(text) AS bfp FROM documents "

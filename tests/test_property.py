@@ -388,17 +388,24 @@ def test_bloom_admission_matches_reference(spark, corpus, batch, overlap):
     pure-Python model: per-language batch/hit/dup/false-positive counts
     must agree exactly. `overlap` injects corpus fps into the batch so
     true duplicates (guaranteed hits) are always exercised; small batch
-    fps make bloom false positives likely at 2048 bits."""
-    from bacalhau_spark.operators.dedup import bloom_admit_frame
+    fps make bloom false positives likely at 2048 bits. The
+    partitioned-bitmap scale variant (bloom_admit_part_frame — bitmap
+    as a joined table, never collected) is pinned against the SAME
+    model on the same draws, which is also its frame-level equivalence
+    gate to the literal form."""
+    from bacalhau_spark.operators.dedup import (bloom_admit_frame,
+                                                bloom_admit_part_frame)
 
     batch = list(batch) + [("en", corpus[i % len(corpus)])
                            for i in overlap]
     cdf = spark.createDataFrame([(f,) for f in set(corpus)], "cfp long")
     bdf = spark.createDataFrame(batch, "lang string, fp long")
-    got = {r["lang"]: (r["n_batch"], r["n_bloom_hits"], r["n_dup"],
-                       r["n_false_pos"])
-           for r in bloom_admit_frame(cdf, bdf).collect()}
-    assert got == _ref_bloom(corpus, batch)
+    want = _ref_bloom(corpus, batch)
+    for frame_fn in (bloom_admit_frame, bloom_admit_part_frame):
+        got = {r["lang"]: (r["n_batch"], r["n_bloom_hits"], r["n_dup"],
+                           r["n_false_pos"])
+               for r in frame_fn(cdf, bdf).collect()}
+        assert got == want, frame_fn.__name__
 
 
 def _ref_kmeans(vectors, k, iters):

@@ -570,3 +570,26 @@ def test_curation_family_never_expands_document_stream(spark, sf_dir):
         plan = _formatted_plan(fn(spark, sf_dir))
         assert "Expand" not in plan, (
             f"{name} plans an Expand over the document stream")
+
+
+def test_round8_operators_scale_shapes(spark, sf_dir):
+    """Round-8 operators' 100 TB plan claims, asserted:
+
+    - nd_bloom_prefilter_part: the bitmap is built DISTRIBUTED (bit_or
+      aggregate in-plan) and probed via a join — there is no element_at
+      literal probe anywhere, i.e. nothing was collected to the driver
+      and re-broadcast as a plan literal (the 8 MB ceiling the variant
+      exists to remove); no exchange carries document text; no
+      cartesian product.
+    """
+    import re
+
+    from bacalhau_spark.operators.dedup import nd_bloom_prefilter_part
+
+    part_plan = _formatted_plan(nd_bloom_prefilter_part(spark, sf_dir))
+    assert "bit_or" in part_plan
+    assert "element_at" not in part_plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                         part_plan):
+        assert "text" not in m.group(1)
+    assert "CartesianProduct" not in part_plan
