@@ -653,6 +653,115 @@ FROM c JOIN f USING (ch) GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# Sliding-window width for the ExactSubstr-style repeated-substring
+# detector. The published form (suffix arrays over the token stream)
+# finds 50+-token shared runs; the fixture's documents are ~50 words, so
+# 8-token windows keep the statistic non-degenerate at test scale — the
+# run-length output converts window runs back to token spans, so the
+# semantics are width-parametric.
+SUBSTR_WIN = 8
+
+
+def nd_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular exact dedup (the ExactSubstr analog — the
+    standard complement to MinHash in training-data pipelines, and the
+    one dedup modality the corpus family lacked): detect token
+    SUBSTRINGS repeated anywhere in the corpus via sliding
+    SUBSTR_WIN-word windows under the family's 60-bit md5-prefix hash
+    convention, then report per document the shared-window count, the
+    longest consecutive shared RUN, and that run's span in words
+    (run + SUBSTR_WIN - 1) — the per-doc longest-shared-substring
+    statistic a removal pass would cut on.
+
+    Scale shape: the suffix-array original wants the whole corpus
+    token stream in one address space; this form is one explode to
+    ~n_tokens fixed-width (doc_id, pos, hash) rows that immediately
+    reduce to per-(doc, window) groups — positions folded into a
+    per-group list bounded by the doc's own length — so the ONE wide
+    exchange carries per-doc-DISTINCT window keys, hot windows
+    (boilerplate, the very thing being measured) collapse map-side
+    exactly as nd_chunk_dedup's chunks do, and the corpus-frequency
+    rollup + join-back operate on that bounded key set (hot key ≤
+    n_docs, AQE skew-split territory; the (doc_id, wh) exchange is
+    shared via ReuseExchange). The run detection is a per-doc window
+    function (partition bounded by document length) over shared
+    positions only. Document text never shuffles anywhere.
+
+    Reference intent: the dedup families' repeated-span measurement
+    (SURVEY §2.6 row 17), extended below chunk granularity."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
+    w = docs.select("doc_id", words("text").alias("w"))
+    n = F.size("w")
+    # Guarded sequence: F.sequence(0, n - W) DESCENDS for n < W — docs
+    # shorter than one window must contribute zero windows, not garbage.
+    win_hash = F.when(n >= SUBSTR_WIN, F.transform(
+        F.sequence(F.lit(0), n - SUBSTR_WIN),
+        lambda i: F.conv(F.substring(F.md5(F.concat_ws(
+            " ", F.slice(F.col("w"), i + 1, SUBSTR_WIN))), 1, 15),
+            16, 10).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    wins = w.select("doc_id", F.posexplode(win_hash).alias("pos", "wh"))
+    dc = (wins.groupBy("doc_id", "wh")
+          .agg(F.count("*").alias("c"),
+               F.collect_list("pos").alias("ps")))
+    freq = dc.groupBy("wh").agg(F.sum("c").alias("f"))
+    shared_pos = (dc.join(freq, "wh").where(F.col("f") > 1)
+                  .select("doc_id", F.explode("ps").alias("pos")))
+    from pyspark.sql.window import Window
+    run_w = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (shared_pos
+               .withColumn("grp",
+                           F.col("pos") - F.row_number().over(run_w))
+               .groupBy("doc_id", "grp").agg(F.count("*").alias("run"))
+               .groupBy("doc_id")
+               .agg(F.max("run").alias("max_run"),
+                    F.sum("run").alias("n_shared")))
+    base = w.select(
+        "doc_id",
+        F.greatest(n - SUBSTR_WIN + 1, F.lit(0))
+        .cast("long").alias("n_windows"))
+    return (base.join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_windows",
+                    F.coalesce("n_shared", F.lit(0)).cast("long")
+                    .alias("shared_windows"),
+                    F.coalesce("max_run", F.lit(0)).cast("long")
+                    .alias("longest_run"),
+                    F.coalesce(F.col("max_run") + (SUBSTR_WIN - 1),
+                               F.lit(0)).cast("long")
+                    .alias("longest_span_words"))
+            .orderBy("doc_id"))
+
+
+_SUBSTR_DEDUP_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+wins AS (SELECT doc_id, i AS pos,
+                CAST('0x' || substring(md5(array_to_string(
+                    ws[(i + 1):(i + {SUBSTR_WIN})], ' ')), 1, 15)
+                     AS BIGINT) AS wh
+         FROM w CROSS JOIN LATERAL (SELECT unnest(range(
+             len(ws) - {SUBSTR_WIN} + 1)) AS i) t
+         WHERE len(ws) >= {SUBSTR_WIN}),
+f AS (SELECT wh, COUNT(*) AS f FROM wins GROUP BY wh),
+ps AS (SELECT doc_id, pos FROM wins JOIN f USING (wh) WHERE f > 1),
+runs AS (SELECT doc_id, COUNT(*) AS run FROM (
+             SELECT doc_id, pos - ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS grp FROM ps) t
+         GROUP BY doc_id, grp),
+pd AS (SELECT doc_id, MAX(run) AS max_run, SUM(run) AS n_shared
+       FROM runs GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(GREATEST(len(ws) - {SUBSTR_WIN} + 1, 0) AS BIGINT)
+           AS n_windows,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS shared_windows,
+       CAST(COALESCE(max_run, 0) AS BIGINT) AS longest_run,
+       CAST(COALESCE(max_run + {SUBSTR_WIN} - 1, 0) AS BIGINT)
+           AS longest_span_words
+FROM w LEFT JOIN pd ON w.doc_id = pd.doc_id ORDER BY w.doc_id
+"""
+
+
 def nd_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus decontamination: drop training docs whose exact content
     hash appears in a held-out benchmark slice (here: doc_id % 10 == 0
@@ -1260,6 +1369,7 @@ QUERIES = {
     "nd_source_overlap": (nd_source_overlap, _SOURCE_OVERLAP_ORACLE),
     "nd_bloom_prefilter": (nd_bloom_prefilter, _BLOOM_ORACLE),
     "nd_bloom_prefilter_part": (nd_bloom_prefilter_part, _BLOOM_ORACLE),
+    "nd_substr_dedup": (nd_substr_dedup, _SUBSTR_DEDUP_ORACLE),
     "nd_cross_dedup": (
         nd_cross_dedup,
         "WITH bench AS (SELECT DISTINCT md5(text) AS bfp FROM documents "

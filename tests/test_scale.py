@@ -593,3 +593,16 @@ def test_round8_operators_scale_shapes(spark, sf_dir):
                          part_plan):
         assert "text" not in m.group(1)
     assert "CartesianProduct" not in part_plan
+
+    # nd_substr_dedup: the sliding-window repeated-substring detector
+    # must never shuffle document text (exchanges carry doc_id/window
+    # hashes/counters only), its run detection is a per-doc window (no
+    # global sort of the token stream), and there is no cartesian.
+    from bacalhau_spark.operators.dedup import nd_substr_dedup
+
+    ss_plan = _formatted_plan(nd_substr_dedup(spark, sf_dir))
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                         ss_plan):
+        assert "text" not in m.group(1)
+    assert " Window" in ss_plan
+    assert "CartesianProduct" not in ss_plan
