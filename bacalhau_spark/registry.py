@@ -36,51 +36,27 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-7 window — the rotation's final debt closes here. After round 6,
-# every entry EXCEPT 21 has a green driver row under the current session
-# config: the 13 round-6 queries (new then, pytest-oracle-gated but
-# driver-rowless) and the 8 r3 rows the late minhash fronting displaced.
-# This window grades all 21, then new round-7 operators, then back-fills
-# with the OLDEST current-config rows (round-4 greens, freshness
-# re-grades — every one of these is already certified under current
-# config, so they carry no debt; they just age):
-#   1. changed round 7: nd_incremental_minhash (the hot-bucket cap moved
-#      from a count-over-window on the Zipf-hot band key to a
-#      groupBy-count — same capped key set, map-side partial agg; the
-#      standing rule fronts it, and it is also one of the 13).
-#   2. the remaining 12 round-6 queries (first driver rows).
-#   3. the 8 displaced r3 rows (last pre-r4-config greens anywhere).
-#   4. new round-7 operators as they land (first driver rows).
-#   5. round-4 freshness re-grades, headline/bench queries first.
-# After this round the rotation is debt-free: every registered query's
-# latest green row is r4+ (current config), and the per-round window
-# simply cycles oldest-first.
+# Round-8 window — the rotation is debt-free (after round 7 every
+# registered query's latest driver row is current-config, zero FAILs in
+# the r1-r7 union), so the window now simply cycles oldest-first, with
+# the standing changed-code rule still fronting anything whose Spark
+# code or oracle SQL changed since its last green row:
+#   1. changed round 8: nd_dataset_card (the expand-multiplied ROLLUP
+#      rewritten as explode-mirrored single-pass branches), nd_kmeans
+#      (persist(DISK_ONLY) + in-plan quantization-range guard),
+#      nd_bloom_prefilter (corpus-fp distinctness enforced in-frame).
+#   2. new round-8 operators as they land (first driver rows); each
+#      addition displaces one tail r5 re-grade past the boundary.
+#   3. the 20 round-4 rows the r7 boundary displaced (oldest rows
+#      anywhere) — freshness re-grades.
+#   4. the oldest half of the round-5 rows (flagship/dedup/streaming
+#      surfaces first); the remaining r5 rows lead round 9's window.
 _PRIORITY: tuple[str, ...] = (
-    # 1+2. round-7 changed (nd_incremental_minhash) + the 12 other new
-    #      round-6 queries taking their first driver rows
-    "nd_incremental_minhash", "nd_boilerplate_strip", "nd_epoch_shuffle",
-    "nd_epoch_manifest", "nd_vocab_coverage", "nd_semantic_dedup",
-    "nd_semantic_dedup_fast", "nd_mix_temperature", "nd_source_overlap",
-    "nd_curation_funnel", "nd_stream_incremental_dedup",
-    "nd_quality_percentile_gate", "nd_compression_ratio",
-    # 3. the 8 displaced r3 rows — the rotation debt's tail
-    "nd_above_group_avg", "nd_moving_window", "nd_csv_roundtrip",
-    "nd_json_roundtrip", "nd_gap_fill", "q21_first_n", "q22_distinct",
-    "q23_running_sum",
-    # 4. new round-7 operators (uncommented here as each lands; each
-    #    displaces one tail re-grade below past the window boundary)
-    "nd_bloom_prefilter", "nd_kmeans", "nd_scd2_history",
-    "nd_mad_outlier", "nd_dataset_card", "nd_stream_topk",
-    # 5. round-4 freshness re-grades (oldest current-config rows),
-    #    bench/headline queries first
-    "q17_hash_agg", "q13_join_agg", "q15_multiway_join", "q25_topk",
-    "q28_tumbling_window", "q3_shipping_priority", "tpch_q6_forecast",
-    "tpch_q7_volume", "tpch_q18_large_orders", "nd_grouped_python",
-    "nd_bpe_pair_count", "nd_asof_join", "nd_asof_forward",
-    "nd_seq_pack", "nd_pii_redact", "nd_repetition", "nd_simhash",
-    "nd_ngram_jaccard", "nd_langid", "nd_stream_tumbling",
-    "nd_stream_static_join", "nd_stream_stream_join", "nd_stream_gopher",
-    # -- window boundary: first 50 graded per round --------------------
+    # 1. changed round 8 (standing rule)
+    "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
+    # 2. new round-8 operators
+    "nd_bloom_prefilter_part", "nd_substr_dedup",
+    # 3. round-4 freshness re-grades (oldest rows in the union)
     "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
     "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
     "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
@@ -88,9 +64,26 @@ _PRIORITY: tuple[str, ...] = (
     "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
     "q04_math_funcs", "q09_like_filter", "q10_regex_filter",
     "q11_tokenize_count", "tpch_q16_supplier_cnt",
-    # (r4 rows past the boundary roll to round 8's freshness cycle; all
-    # are already current-config-certified and stay value-exact in every
-    # pytest oracle run.)
+    # 4. round-5 freshness re-grades, flagship/dedup/streaming first
+    "nd_gopher_filter", "nd_incremental_dedup", "nd_dedup_exact",
+    "q29_exact_dedup", "nd_fingerprint", "nd_ann_topk", "q30_nn",
+    "nd_cosine_neardup", "nd_stream_dedup", "nd_stream_sessions",
+    "nd_stream_stateful", "nd_approx_percentiles", "nd_centroids",
+    "nd_filtered_agg", "nd_listagg", "nd_pivot", "nd_quality",
+    "nd_ranking_suite", "nd_stats_agg", "nd_token_count",
+    "nd_vector_norm", "nd_xml_roundtrip", "q06_conditional",
+    "q07_array_funcs", "q14b_left_join_agg",
+    # -- window boundary: first 50 graded per round --------------------
+    # (the 19 remaining r5 rows — q17b_having .. tpch_q5_local_volume —
+    # lead round 9's window; all stay value-exact in every pytest
+    # oracle run meanwhile.)
+    "q17b_having", "q18_count_distinct", "q18b_approx_distinct",
+    "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
+    "q26b_except", "q26c_union_all", "q26d_intersect_all",
+    "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
+    "qj_full_outer", "tpch_q11_important_parts",
+    "tpch_q15_top_supplier", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
