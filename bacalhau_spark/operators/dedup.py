@@ -944,6 +944,78 @@ GROUP BY b.doc_id ORDER BY doc_id
 """
 
 
+def nd_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination: the near-duplicate complement
+    of the two exact screens (nd_cross_dedup's md5 anti-join,
+    nd_ngram_overlap's 5-gram tally) — a training doc is flagged when it
+    shares at least one LSH band with any held-out benchmark doc, which
+    catches leaked eval items that were lightly EDITED before landing in
+    the crawl (exact hashes miss them; the published decontamination
+    recipes pair the n-gram screen with exactly this minhash screen).
+    Benchmark slice: doc_id % 10 == 0, as nd_cross_dedup; the train side
+    additionally carries deterministic leaked COPIES of benchmark docs
+    (doc_id % 20 == 0, re-keyed, two words appended) so true
+    contamination exists by construction — most shingles survive a
+    two-word edit, so the leak still shares bands with its original.
+
+    Scale shape — deliberately the OPPOSITE join form of
+    nd_incremental_minhash: there the index is the 100 TB corpus's own
+    band set (shuffle semi-join, cannot broadcast); here the index is
+    the benchmark suite's band set — eval suites are millions of rows
+    at most, curated and bounded — so the index BROADCASTS and the
+    100 TB train side is never shuffled at all: signatures reduce
+    map-side (one 16-column row per doc), band keys probe the broadcast
+    in codegen, and the only exchanges left are the per-doc distinct
+    and the final per-language counters. Uses THE shared signature and
+    band-key folds (_mh_sig_frame / _band_key_exprs), so this screen
+    cannot drift from the LSH index the corpus dedup builds.
+
+    Output: per-language (n_docs, n_flagged) over the train side."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                    "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    leak = (docs.where(F.col("doc_id") % 20 == 0)
+            .select((F.col("doc_id") + 3_000_000).alias("doc_id"), "lang",
+                    F.concat("text", F.lit(" leaked benchmark copy"))
+                    .alias("text")))
+    train = docs.where(F.col("doc_id") % 10 != 0).unionByName(leak)
+    band = F.explode(F.array(*_band_key_exprs())).alias("bkey")
+    bench_idx = (_mh_sig_frame(spread_compute(spark, bench, "doc_id"))
+                 .select(band).distinct())
+    train_keys = (_mh_sig_frame(
+        spread_compute(spark, train.select("doc_id", "text"), "doc_id"))
+        .select("doc_id", band).distinct())
+    flagged = (train_keys.join(F.broadcast(bench_idx), "bkey")
+               .select("doc_id").distinct().withColumn("hit", F.lit(1)))
+    return (train.select("doc_id", "lang")
+            .join(flagged, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.coalesce(F.sum("hit"), F.lit(0)).cast("long")
+                 .alias("n_flagged"))
+            .orderBy("lang"))
+
+
+_NEARDUP_DECONTAM_ORACLE = f"""
+WITH bench_docs AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 10 = 0),
+train_docs AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id + 3000000, lang, text || ' leaked benchmark copy'
+    FROM documents WHERE doc_id % 20 = 0),
+train_txt AS (SELECT doc_id, text FROM train_docs),{_mh_bkeys_sql('bench_docs', 'bsig', False)},{_mh_bkeys_sql('train_txt', 'tsig', False)},
+bidx AS (SELECT DISTINCT bkey FROM bsig),
+tkeys AS (SELECT DISTINCT doc_id, bkey FROM tsig),
+flagged AS (SELECT DISTINCT doc_id FROM tkeys JOIN bidx USING (bkey))
+SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM train_docs t LEFT JOIN flagged f ON t.doc_id = f.doc_id
+GROUP BY t.lang ORDER BY t.lang
+"""
+
+
 BOILER_CHUNK_WORDS = 10
 
 
@@ -1370,6 +1442,7 @@ QUERIES = {
     "nd_bloom_prefilter": (nd_bloom_prefilter, _BLOOM_ORACLE),
     "nd_bloom_prefilter_part": (nd_bloom_prefilter_part, _BLOOM_ORACLE),
     "nd_substr_dedup": (nd_substr_dedup, _SUBSTR_DEDUP_ORACLE),
+    "nd_neardup_decontam": (nd_neardup_decontam, _NEARDUP_DECONTAM_ORACLE),
     "nd_cross_dedup": (
         nd_cross_dedup,
         "WITH bench AS (SELECT DISTINCT md5(text) AS bfp FROM documents "

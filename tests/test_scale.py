@@ -606,3 +606,16 @@ def test_round8_operators_scale_shapes(spark, sf_dir):
         assert "text" not in m.group(1)
     assert " Window" in ss_plan
     assert "CartesianProduct" not in ss_plan
+
+    # nd_neardup_decontam: the benchmark band index must BROADCAST (the
+    # 100 TB train side is never shuffled to meet it — the opposite join
+    # form of nd_incremental_minhash's corpus-sized shuffle index), and
+    # no exchange may carry document text.
+    from bacalhau_spark.operators.dedup import nd_neardup_decontam
+
+    dec_plan = _formatted_plan(nd_neardup_decontam(spark, sf_dir))
+    assert "BroadcastHashJoin" in dec_plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                         dec_plan):
+        assert "text" not in m.group(1)
+    assert "CartesianProduct" not in dec_plan
