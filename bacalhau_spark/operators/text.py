@@ -627,7 +627,117 @@ ORDER BY s.doc_id
 """
 
 
+# Count-min sketch geometry. Depth/width are fixture-sized (DJL bound:
+# overcount <= e*N/w with prob 1-(1/e)^d); the production knob is width.
+# The affine family reuses the minhash convention (seeded constants over
+# the 60-bit md5 prefix mod MH_PRIME) so both engines compute identical
+# positions — and because every CMS counter is an exact integer SUM, the
+# whole sketch is deterministic and value-hash-gatable, unlike the HLL
+# surface (nd_approx_distinct) which is engine-specific and
+# tolerance-tested instead.
+CMS_D = 4
+CMS_W = 1024
+CMS_PRIME = 2147483647  # dedup.MH_PRIME; reimported here to keep text.py
+#                         self-contained for worker-side closures
+CMS_AB = tuple(
+    ((48271 * (s + 1) ** 2 + 16807) % CMS_PRIME or 1,
+     (69621 * (s + 1) + 907633385) % CMS_PRIME)
+    for s in range(CMS_D)
+)
+_CMS_AB_VALUES = ", ".join(f"({s}, {a}::BIGINT, {b}::BIGINT)"
+                           for s, (a, b) in enumerate(CMS_AB))
+CMS_TOP_K = 20
+
+
+def nd_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch, with the exact counts
+    alongside as the sketch-error audit — the streaming/mergeable
+    frequency summary (CMS rows are sums, so partition sketches merge by
+    addition; the same property that makes HLL registers and bloom
+    bitmaps the other two members of this sketch plane). Integer-exact
+    end to end: positions are affine maps over the 60-bit md5 prefix,
+    counters are exact SUMs, estimates are MINs over CMS_D counters —
+    so unlike textbook float sketches the whole operator value-hashes
+    against the DuckDB oracle, and the audit certifies the CMS
+    guarantee in-row (overcount >= 0 always; never undercounts).
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate
+    whose output is <= CMS_D*CMS_W rows no matter the corpus (the
+    explode-by-depth multiplies rows only inside the scan stage, same
+    pattern as nd_dataset_card's grain mirror); the probe side joins
+    distinct tokens to the CONSTANT-size sketch via broadcast. The
+    exact-count audit is the one corpus-sized token aggregate — the
+    thing the sketch exists to avoid — kept deliberately as the audit
+    at test scale; the production form reports est_count only and
+    drops that aggregate. Top-K cut is (est_count DESC, token)
+    lexicographic — total order, no ties possible."""
+    docs = table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(F.explode(words("text")).alias("tok"))
+    return cms_frame(toks).limit(CMS_TOP_K)
+
+
+def cms_frame(toks: DataFrame) -> DataFrame:
+    """The CMS core over an ARBITRARY single-column (tok) frame — all
+    distinct tokens with true/estimated counts, ordered (est DESC, tok);
+    also the property-test surface (tests/test_property.py pins
+    positions, counters, and min-estimates against a pure-Python
+    model)."""
+    t = toks.select(
+        "tok",
+        (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+         % CMS_PRIME).alias("x"))
+
+    def sp_explode():
+        return F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("seed"),
+                (((F.lit(a) * F.col("x") + F.lit(b)) % CMS_PRIME)
+                 % CMS_W).alias("p"))
+            for s, (a, b) in enumerate(CMS_AB)])).alias("sp")
+
+    counters = (t.select(sp_explode()).select("sp.seed", "sp.p")
+                .groupBy("seed", "p").agg(F.count("*").alias("c")))
+    dt = (t.groupBy("tok")
+          .agg(F.count("*").alias("true_count"), F.max("x").alias("x")))
+    est = (dt.select("tok", "true_count", sp_explode())
+           .select("tok", "true_count", "sp.seed", "sp.p")
+           .join(F.broadcast(counters), ["seed", "p"])
+           .groupBy("tok", "true_count")
+           .agg(F.min("c").alias("est_count")))
+    return (est.select("tok",
+                       F.col("true_count").cast("long").alias("true_count"),
+                       F.col("est_count").cast("long").alias("est_count"),
+                       (F.col("est_count") - F.col("true_count"))
+                       .cast("long").alias("overcount"))
+            .orderBy(F.desc("est_count"), "tok"))
+
+
+_CMS_ORACLE = f"""
+WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+tx AS (SELECT tok,
+              CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+              % {CMS_PRIME} AS x FROM t),
+counters AS (SELECT seed, ((a * x + b) % {CMS_PRIME}) % {CMS_W} AS p,
+                    COUNT(*) AS c
+             FROM tx CROSS JOIN (VALUES {_CMS_AB_VALUES}) s(seed, a, b)
+             GROUP BY seed, p),
+dt AS (SELECT tok, COUNT(*) AS true_count, MAX(x) AS x
+       FROM tx GROUP BY tok),
+est AS (SELECT tok, true_count, MIN(c) AS est_count
+        FROM dt CROSS JOIN (VALUES {_CMS_AB_VALUES}) s(seed, a, b)
+        JOIN counters ON counters.seed = s.seed
+                     AND counters.p = ((a * x + b) % {CMS_PRIME}) % {CMS_W}
+        GROUP BY tok, true_count)
+SELECT tok, CAST(true_count AS BIGINT) AS true_count,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(est_count - true_count AS BIGINT) AS overcount
+FROM est ORDER BY est_count DESC, tok LIMIT {CMS_TOP_K}
+"""
+
+
 QUERIES = {
+    "nd_heavy_hitters_cms": (nd_heavy_hitters_cms, _CMS_ORACLE),
     "nd_compression_ratio": (nd_compression_ratio, _COMPRESSION_ORACLE),
     "nd_quality_percentile_gate": (nd_quality_percentile_gate,
                                    _QUALITY_GATE_ORACLE),

@@ -480,3 +480,46 @@ def test_kmeans_rejects_out_of_range_embedding(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="quantized embedding < 0"):
         kmeans_frame(frame, k=1, iters=1).collect()
+
+
+def _ref_cms(tokens):
+    """Pure-Python count-min sketch mirroring cms_frame: 60-bit md5
+    prefix mod CMS_PRIME, CMS_D affine positions, exact counters,
+    min-of-counters estimate."""
+    import hashlib
+    from collections import Counter
+
+    from bacalhau_spark.operators.text import CMS_AB, CMS_PRIME, CMS_W
+
+    def x(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15],
+                   16) % CMS_PRIME
+
+    counters = Counter()
+    for tok in tokens:
+        for s, (a, b) in enumerate(CMS_AB):
+            counters[(s, (a * x(tok) + b) % CMS_PRIME % CMS_W)] += 1
+    true = Counter(tokens)
+    return {tok: (n, min(counters[(s, (a * x(tok) + b) % CMS_PRIME
+                                   % CMS_W)]
+                         for s, (a, b) in enumerate(CMS_AB)))
+            for tok, n in true.items()}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(tokens=st.lists(st.sampled_from(
+    ["a", "b", "cc", "dd", "e", "zipfhead", "zipfhead", "tail1", "tail2"]),
+    min_size=1, max_size=40))
+def test_cms_matches_reference(spark, tokens):
+    """The CMS core vs the pure-Python model: identical positions,
+    counters, and min-estimates — and the CMS invariant (never
+    undercounts) holds on every row."""
+    from bacalhau_spark.operators.text import cms_frame
+
+    toks = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    rows = cms_frame(toks).collect()
+    got = {r["tok"]: (r["true_count"], r["est_count"]) for r in rows}
+    assert got == _ref_cms(tokens)
+    assert all(r["overcount"] >= 0 for r in rows)

@@ -619,3 +619,16 @@ def test_round8_operators_scale_shapes(spark, sf_dir):
                          dec_plan):
         assert "text" not in m.group(1)
     assert "CartesianProduct" not in dec_plan
+
+    # nd_heavy_hitters_cms: the probe joins the constant-size sketch
+    # via BROADCAST (the sketch side is <= CMS_D*CMS_W rows at any
+    # corpus size); no exchange carries document text; no cartesian
+    # (the depth fan-out is an explode, not a VALUES join).
+    from bacalhau_spark.operators.text import nd_heavy_hitters_cms
+
+    cms_plan = _formatted_plan(nd_heavy_hitters_cms(spark, sf_dir))
+    assert "BroadcastHashJoin" in cms_plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                         cms_plan):
+        assert "text" not in m.group(1)
+    assert "CartesianProduct" not in cms_plan
