@@ -611,7 +611,84 @@ ORDER BY total_mv DESC, user_id LIMIT {TOPK_K}
 """
 
 
+def nd_stream_heavy_hitters(spark: SparkSession, sf_dir: str,
+                            table_name: str = "stream_cms") -> DataFrame:
+    """Streaming count-min-sketch maintenance: token frequencies tracked
+    over an unbounded DOCUMENT stream with BOUNDED state — the
+    complete-mode aggregation state is exactly the CMS_D × CMS_W
+    counter grid no matter how much text streams through. This is the
+    missing scale counterpart of the other stateful surfaces:
+    nd_stream_topk's one-row-per-user state assumes a bounded key set,
+    nd_stream_dedup's state grows with distinct keys; the sketch
+    assumes nothing about key cardinality, which is why CMS (not an
+    exact counter) is the production shape for ingest-time frequency
+    tracking. Counter increments are associative integer sums, so batch
+    boundaries are invisible (graded across a real 2-file micro-batch
+    boundary in tests/test_streaming.py) and the final sketch is
+    deterministic.
+
+    Output: the top-K (est_count DESC, token) heavy hitters from an
+    OFFLINE probe of the materialized sketch — estimates only, because
+    the exact counts the batch twin (nd_heavy_hitters_cms) audits
+    against are precisely what a bounded-state streaming operator
+    cannot also hold. Shares THE cms_x/cms_positions folds with the
+    batch core, so sketch and probe cannot drift; full value-hash
+    oracle."""
+    from bacalhau_spark.functions import words
+    from bacalhau_spark.operators.text import (CMS_TOP_K, cms_positions,
+                                               cms_x)
+
+    toks = (_doc_stream(spark, sf_dir)
+            .select(F.explode(words("text")).alias("tok"))
+            .select(cms_x(F.col("tok")).alias("x")))
+    counters = (toks.select(cms_positions()).select("sp.seed", "sp.p")
+                .groupBy("seed", "p").agg(F.count("*").alias("c")))
+    q = _start_scoped(spark, counters.writeStream.format("memory")
+                      .queryName(table_name).outputMode("complete")
+                      .trigger(availableNow=True))
+    try:
+        _await_or_raise(q, 120)
+    finally:
+        q.stop()
+    sketch = spark.table(table_name)
+    dt = (table(spark, sf_dir, "documents")
+          .select(F.explode(words("text")).alias("tok")).distinct()
+          .select("tok", cms_x(F.col("tok")).alias("x")))
+    return (dt.select("tok", cms_positions())
+            .select("tok", "sp.seed", "sp.p")
+            .join(F.broadcast(sketch), ["seed", "p"])
+            .groupBy("tok")
+            .agg(F.min("c").cast("long").alias("est_count"))
+            .orderBy(F.desc("est_count"), "tok").limit(CMS_TOP_K))
+
+
+def _stream_cms_oracle() -> str:
+    from bacalhau_spark.operators.text import (_CMS_AB_VALUES, CMS_PRIME,
+                                               CMS_TOP_K, CMS_W)
+    return f"""
+WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+tx AS (SELECT tok,
+              CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+              % {CMS_PRIME} AS x FROM t),
+counters AS (SELECT seed, ((a * x + b) % {CMS_PRIME}) % {CMS_W} AS p,
+                    COUNT(*) AS c
+             FROM tx CROSS JOIN (VALUES {_CMS_AB_VALUES}) s(seed, a, b)
+             GROUP BY seed, p),
+dt AS (SELECT DISTINCT tok, x FROM tx),
+est AS (SELECT tok, MIN(c) AS est_count
+        FROM dt CROSS JOIN (VALUES {_CMS_AB_VALUES}) s(seed, a, b)
+        JOIN counters ON counters.seed = s.seed
+                     AND counters.p = ((a * x + b) % {CMS_PRIME}) % {CMS_W}
+        GROUP BY tok)
+SELECT tok, CAST(est_count AS BIGINT) AS est_count
+FROM est ORDER BY est_count DESC, tok LIMIT {CMS_TOP_K}
+"""
+
+
 QUERIES = {
+    "nd_stream_heavy_hitters": (nd_stream_heavy_hitters,
+                                _stream_cms_oracle()),
     # identical contract to the batch nd_gopher_filter — per-row mappers
     # are stream-deterministic, so the streaming run shares its oracle
     "nd_stream_gopher": (nd_stream_gopher, _GOPHER_ORACLE),

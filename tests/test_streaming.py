@@ -257,3 +257,40 @@ def test_multibatch_incremental_dedup_equals_batch(spark, sf_dir, tmp_path,
               .orderBy("doc_id"))
     assert [tuple(r) for r in got.collect()] == \
         [tuple(r) for r in expect.collect()]
+
+
+def test_multibatch_stream_cms_equals_batch(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """The streaming CMS across a REAL batch boundary: documents split
+    into 2 files, one file per trigger, so the complete-mode counter
+    grid MERGES partial sketches across micro-batches. Counter
+    increments are associative sums, so the boundary must be invisible:
+    the final top-K estimates equal the batch CMS core's estimates
+    exactly (same folds, same data)."""
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.operators.text import CMS_TOP_K, cms_frame
+    from bacalhau_spark.registry import queries
+    from bacalhau_spark.streaming import events as ev
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(tmp_path / "documents-0.parquet"))
+    pq.write_table(t.slice(half), str(tmp_path / "documents-1.parquet"))
+
+    schema = table(spark, sf_dir, "documents").schema
+
+    def paced(spark_, _sf):
+        return (spark_.readStream.schema(schema)
+                .option("pathGlobFilter", "documents-*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path)))
+
+    monkeypatch.setattr(ev, "_doc_stream", paced)
+    got = queries()["nd_stream_heavy_hitters"](spark, sf_dir)
+    from bacalhau_spark.functions import words
+    expect = (cms_frame(table(spark, sf_dir, "documents")
+                        .select(F.explode(words("text")).alias("tok")))
+              .select("tok", "est_count").limit(CMS_TOP_K))
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in expect.collect()]
