@@ -719,7 +719,86 @@ FROM a2 GROUP BY cid ORDER BY cluster_id
 """
 
 
+def nd_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance sufficient statistics over the embedding
+    corpus — the X^T X / Σx accumulation pattern every classical
+    embedding post-processor (PCA projection, whitening, Mahalanobis
+    outlier gates) starts from. Reuses the k-means family's integer
+    quantization (KM_SCALE/KM_OFF) so every accumulated statistic —
+    n, per-dim sums, all upper-triangle cross-product sums — is an
+    exact 64-bit integer, order-independent, and value-hash-gatable;
+    the covariance itself is derived per row by one fixed double
+    cast/mul/div/sub sequence (identical op chain both engines, so it
+    hashes too — ROUND is the only non-portable double op, and none is
+    used).
+
+    Scale shape: pair generation happens INSIDE the scan stage in pure
+    codegen (nested sequence-transforms over the projected quantized
+    array — no self-join, the classic x-join-x formulation would
+    shuffle the matrix twice), and map-side combine collapses each
+    partition to at most D*(D+1)/2 = 2080 rows before the ONE exchange;
+    per-dim sums are a 64-row sibling branch broadcast back. Output
+    size is D^2-bounded at any corpus size — the consumer runs
+    eigh/Cholesky driver-side on the 64x64 result (the IVF-centroid
+    model-state pattern). Overflow ceiling documented: |q| <= ~2^11, so
+    sum_ij stays in int64 past 10^12 vectors; the derived cov column
+    goes through doubles and has no such ceiling."""
+    emb = table(spark, sf_dir, "embeddings")
+    # quantized array projected BEFORE the pair HOF (re-evaluation trap)
+    qd = emb.select(F.expr(
+        f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
+        f"* {KM_SCALE}) AS BIGINT) + {KM_OFF})").alias("q"))
+    d1 = KM_DIMS - 1
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {d1}), i -> "
+        f"transform(sequence(i, {d1}), j -> struct("
+        "CAST(i AS INT) AS i, CAST(j AS INT) AS j, "
+        "element_at(q, i + 1) * element_at(q, j + 1) AS xy))))")
+    cross = (qd.select(F.explode(pairs).alias("p"))
+             .select("p.i", "p.j", "p.xy")
+             .groupBy("i", "j")
+             .agg(F.count("*").alias("n"), F.sum("xy").alias("sum_ij")))
+    sums = (qd.select(F.posexplode("q").alias("dim", "qv"))
+            .groupBy("dim").agg(F.sum("qv").alias("s"))
+            .select(F.col("dim").cast("int").alias("dim"), "s"))
+    si = sums.select(F.col("dim").alias("i"), F.col("s").alias("sum_i"))
+    sj = sums.select(F.col("dim").alias("j"), F.col("s").alias("sum_j"))
+    return (cross.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+            .select("i", "j", "n", "sum_i", "sum_j", "sum_ij",
+                    ((F.col("sum_ij").cast("double")
+                      - F.col("sum_i").cast("double") * F.col("sum_j")
+                      / F.col("n")) / F.col("n")).alias("cov"))
+            .orderBy("i", "j"))
+
+
+_COVARIANCE_ORACLE = f"""
+WITH q AS (SELECT list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT)
+                    + {KM_OFF}) AS q
+           FROM embeddings),
+pairs AS (SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                 q[i + 1] * q[j + 1] AS xy
+          FROM q
+          CROSS JOIN LATERAL (SELECT unnest(range({KM_DIMS})) AS i) a
+          CROSS JOIN LATERAL (SELECT unnest(range(i, {KM_DIMS})) AS j) b),
+cross_s AS (SELECT i, j, COUNT(*) AS n, CAST(SUM(xy) AS BIGINT) AS sum_ij
+            FROM pairs GROUP BY i, j),
+sums AS (SELECT CAST(dim AS INTEGER) AS dim, CAST(SUM(qv) AS BIGINT) AS s
+         FROM (SELECT dim, q[dim + 1] AS qv FROM q
+               CROSS JOIN LATERAL
+               (SELECT unnest(range({KM_DIMS})) AS dim) d) t
+         GROUP BY dim)
+SELECT i, j, n, si.s AS sum_i, sj.s AS sum_j, sum_ij,
+       (CAST(sum_ij AS DOUBLE) - CAST(si.s AS DOUBLE) * sj.s / n) / n
+       AS cov
+FROM cross_s JOIN sums si ON si.dim = i JOIN sums sj ON sj.dim = j
+ORDER BY i, j
+"""
+
+
 QUERIES = {
+    "nd_embedding_covariance": (nd_embedding_covariance,
+                                _COVARIANCE_ORACLE),
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
     "nd_kmeans": (nd_kmeans, _KMEANS_ORACLE),
     "nd_semantic_dedup_fast": (nd_semantic_dedup_fast, None),

@@ -632,3 +632,18 @@ def test_round8_operators_scale_shapes(spark, sf_dir):
                          cms_plan):
         assert "text" not in m.group(1)
     assert "CartesianProduct" not in cms_plan
+
+    # nd_embedding_covariance: pair generation must be a Generate in the
+    # scan stage (no self-join of the exploded matrix — the x-join-x
+    # formulation would shuffle it twice), the per-dim sums return via
+    # BROADCAST, and no exchange carries the embedding array.
+    from bacalhau_spark.operators.similarity import nd_embedding_covariance
+
+    cov_plan = _formatted_plan(nd_embedding_covariance(spark, sf_dir))
+    assert "Generate" in cov_plan
+    assert "BroadcastHashJoin" in cov_plan
+    assert "SortMergeJoin" not in cov_plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                         cov_plan):
+        assert "embedding" not in m.group(1)
+    assert "CartesianProduct" not in cov_plan
