@@ -743,7 +743,12 @@ def nd_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-state pattern). Overflow ceiling documented: |q| <= ~2^11, so
     sum_ij stays in int64 past 10^12 vectors; the derived cov column
     goes through doubles and has no such ceiling."""
-    emb = table(spark, sf_dir, "embeddings")
+    return covariance_frame(table(spark, sf_dir, "embeddings"))
+
+
+def covariance_frame(emb: DataFrame) -> DataFrame:
+    """The sufficient-statistics core over an ARBITRARY
+    (vec_id, embedding) frame — also the PCA fit's input surface."""
     # quantized array projected BEFORE the pair HOF (re-evaluation trap)
     qd = emb.select(F.expr(
         f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
@@ -796,9 +801,94 @@ ORDER BY i, j
 """
 
 
+PCA_K = 8
+_PCA_CACHE: dict[tuple[str, str], tuple] = {}
+_PCA_LOCK = threading.Lock()
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    """Fit PCA driver-side from the EXACT distributed sufficient
+    statistics: collect the 2080 covariance rows (constant size, the
+    IVF-centroid model-state pattern), assemble the 64x64 matrix, eigh,
+    keep the top PCA_K eigenpairs. Eigenvector signs are canonicalized
+    (largest-|component| positive) so the model is stable across BLAS
+    builds. Cached per (applicationId, sf_dir) like the IVF coarse
+    quantizer — repeated calls must not re-collect."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _PCA_LOCK:
+        if key in _PCA_CACHE:
+            return _PCA_CACHE[key]
+    rows = covariance_frame(table(spark, sf_dir, "embeddings")).collect()
+    d = KM_DIMS
+    cov = np.zeros((d, d))
+    mu = np.zeros(d)
+    n = rows[0]["n"]
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+        if r["i"] == r["j"]:
+            mu[r["i"]] = r["sum_i"] / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    w = evecs[:, order]
+    for k in range(w.shape[1]):
+        j = int(np.argmax(np.abs(w[:, k])))
+        if w[j, k] < 0:
+            w[:, k] = -w[:, k]
+    model = (mu.tolist(), w.tolist(), evals[order].tolist(), int(n))
+    with _PCA_LOCK:
+        _PCA_CACHE[key] = model
+    return model
+
+
+def _pca_project_udf(mu: list, w: list):
+    """Arrow-batched projection: one centered (n x D) @ (D x K) matmul
+    per batch. Factory-wrapped so the function pickles by value
+    (foreign-cwd worker rule)."""
+
+    def fn(q):
+        import numpy as _np
+        import pandas as _pd
+        m = _np.asarray(mu, dtype="float64")
+        wm = _np.asarray(w, dtype="float64")
+        x = _np.stack(q.values).astype("float64")
+        return _pd.Series(list((x - m) @ wm))
+
+    from pyspark.sql.functions import pandas_udf
+    return pandas_udf(fn, "array<double>")
+
+
+def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to PCA_K components — the dimensionality-reduction
+    pass embedding pipelines run before clustering/ANN indexing, closing
+    the loop the covariance operator opens: FIT is driver-side eigh on
+    the exact 64x64 sufficient statistics (constant model state), and
+    TRANSFORM is a broadcast of (mean, components) into an Arrow-batched
+    matmul over the quantized vectors — the corpus side is one
+    map-stage, nothing shuffles, the same 'Python where it wins' kernel
+    shape as the IVF assignment UDF.
+
+    No SQL oracle BY DESIGN (eigh is iterative float; DuckDB has no
+    analog): the driver records a rows-only check, and correctness is
+    gated in tests instead — component orthonormality, descending
+    eigenvalues, per-component projection variance == eigenvalue (the
+    PCA identity, checked against the exact covariance), and the Spark
+    projection equal to a pure-numpy PCA of the same rows."""
+    mu, w, _evals, _n = _pca_model(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    qd = emb.select("vec_id", F.expr(
+        f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
+        f"* {KM_SCALE}) AS BIGINT) + {KM_OFF})").alias("q"))
+    return (qd.select("vec_id",
+                      _pca_project_udf(mu, w)(F.col("q")).alias("proj"))
+            .orderBy("vec_id"))
+
+
 QUERIES = {
     "nd_embedding_covariance": (nd_embedding_covariance,
                                 _COVARIANCE_ORACLE),
+    "nd_pca_project": (nd_pca_project, None),
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
     "nd_kmeans": (nd_kmeans, _KMEANS_ORACLE),
     "nd_semantic_dedup_fast": (nd_semantic_dedup_fast, None),

@@ -57,7 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     # 2. new round-8 operators
     "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
     "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
-    "nd_embedding_covariance",
+    "nd_embedding_covariance", "nd_pca_project",
     # 3. round-4 freshness re-grades (oldest rows in the union)
     "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
     "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
@@ -73,13 +73,12 @@ _PRIORITY: tuple[str, ...] = (
     "nd_stream_stateful", "nd_approx_percentiles", "nd_centroids",
     "nd_filtered_agg", "nd_listagg", "nd_pivot", "nd_quality",
     "nd_ranking_suite", "nd_stats_agg", "nd_token_count",
-    "nd_vector_norm",
     # -- window boundary: first 50 graded per round --------------------
-    # (the 23 remaining r5 rows — nd_xml_roundtrip ..
+    # (the 24 remaining r5 rows — nd_vector_norm ..
     # tpch_q5_local_volume — lead round 9's window; all stay value-exact
     # in every pytest oracle run meanwhile.)
-    "nd_xml_roundtrip", "q06_conditional", "q07_array_funcs",
-    "q14b_left_join_agg",
+    "nd_vector_norm", "nd_xml_roundtrip", "q06_conditional",
+    "q07_array_funcs", "q14b_left_join_agg",
     "q17b_having", "q18_count_distinct", "q18b_approx_distinct",
     "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
     "q26b_except", "q26c_union_all", "q26d_intersect_all",

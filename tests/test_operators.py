@@ -392,3 +392,35 @@ def test_kmeans_partitions_corpus(spark, sf_dir):
     assert len(rows) == KM_K
     assert sum(r["n_points"] for r in rows) == n_vecs
     assert all(r["n_points"] > 0 and r["inertia"] > 0 for r in rows)
+
+
+def test_pca_project_matches_numpy_and_identities(spark, sf_dir):
+    """The PCA surface's correctness gate (it is no_oracle by design):
+    (1) components orthonormal, (2) eigenvalues descending, (3) the
+    Spark projection equals a pure-numpy PCA of the same quantized
+    rows, (4) per-component projection variance equals its eigenvalue
+    (the PCA identity, tying the transform back to the EXACT
+    distributed covariance it was fit from)."""
+    import numpy as np
+
+    from bacalhau_spark.operators.similarity import (KM_OFF, KM_SCALE,
+                                                     _pca_model,
+                                                     nd_pca_project)
+
+    mu, w, evals, n = _pca_model(spark, sf_dir)
+    w = np.asarray(w)
+    assert np.allclose(w.T @ w, np.eye(w.shape[1]), atol=1e-9)
+    assert all(a >= b - 1e-9 for a, b in zip(evals, evals[1:]))
+
+    rows = nd_pca_project(spark, sf_dir).collect()
+    emb = {r["vec_id"]: r["embedding"]
+           for r in table(spark, sf_dir, "embeddings").collect()}
+    q = np.array([[np.floor(float(v) * KM_SCALE) + KM_OFF
+                   for v in emb[r["vec_id"]]] for r in rows])
+    want = (q - np.asarray(mu)) @ w
+    got = np.array([r["proj"] for r in rows])
+    assert np.allclose(got, want, atol=1e-6)
+    assert got.shape[1] == len(evals)
+    # population-variance identity vs the exact covariance eigenvalues
+    var = ((got - got.mean(axis=0)) ** 2).sum(axis=0) / n
+    assert np.allclose(var, np.asarray(evals), rtol=1e-6)
