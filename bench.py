@@ -41,6 +41,12 @@ BENCH_QUERIES = (
     # round-4 curation additions (baselines: BASELINE.md round-4 section)
     "nd_gopher_filter",    # quality gates: integer-exact per-row flags
     "nd_bpe_pair_count",   # BPE-training pair counts over weighted vocab
+    # round-8 additions: the two operators that cross below DuckDB at the
+    # FIRST scale step (BASELINE.md §7 crossover table) — tracked here so
+    # the per-round series records them; sf0.1 oracles: kmeans 0.169 s,
+    # substr_dedup 0.669 s (registry_crossover_r8.txt)
+    "nd_kmeans",           # integer-exact distributed Lloyd's k-means
+    "nd_substr_dedup",     # sliding-window repeated-substring detector
 )
 
 # 2 warm-ups (first run pays codegen+JIT, second still sees JIT tail) and
@@ -117,10 +123,14 @@ def main() -> None:
             "max": round(max(runs), 3),
         }
 
-    # The headline set grew from 12 to 14 queries in round 4; the r3-set
-    # subtotal keeps the BENCH_r{N} total series directly comparable.
+    # The headline set grew 12 -> 14 in round 4 and 14 -> 16 in round 8;
+    # the r3-set and r7-set subtotals keep the BENCH_r{N} total series
+    # directly comparable across those boundaries.
+    r8_added = ("nd_kmeans", "nd_substr_dedup")
     r3_set = [n for n in BENCH_QUERIES
-              if n not in ("nd_gopher_filter", "nd_bpe_pair_count")]
+              if n not in ("nd_gopher_filter", "nd_bpe_pair_count")
+              and n not in r8_added]
+    r7_set = [n for n in BENCH_QUERIES if n not in r8_added]
     floor_end = scheduler_floor(spark)
     print(json.dumps({
         "metric": "bench_headline_total",
@@ -137,6 +147,7 @@ def main() -> None:
         "floor_min_s": floor_start["min"],
         "floor_end_s": floor_end["median"],
         "r3_comparable_total": round(sum(timings[n] for n in r3_set), 3),
+        "r7_comparable_total": round(sum(timings[n] for n in r7_set), 3),
         "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))
