@@ -28,8 +28,9 @@ from pyspark.sql import SparkSession
 
 from bacalhau_spark.capacity import (BacklogFullError, CapacityManager,
                                      NeverFitsError, detect_total)
-from bacalhau_spark.engine import (EVT_RESULTS_REJECTED, Engine,
-                                   JobRejectedError, JobSpec,
+from bacalhau_spark.engine import (EVT_BID, EVT_CREATED, EVT_METRICS,
+                                   EVT_RESULTS_REJECTED, EVT_RUNNING,
+                                   Engine, JobRejectedError, JobSpec,
                                    ResultsRejectedError)
 
 
@@ -89,6 +90,10 @@ class DevStack:
             from bacalhau_spark.api import ApiServer
             self.servers = [ApiServer(n, port=0).start_background()
                             for n in self.nodes]
+        # nodes taken out by fail_node: skipped by every placement; the
+        # reroute audit maps each displaced run to its new home.
+        self.down: set[int] = set()
+        self.reroutes: dict[str, str] = {}
 
     # -- scheduling ---------------------------------------------------------
     def _placement_order(self, spec: JobSpec) -> list[int]:
@@ -101,6 +106,8 @@ class DevStack:
         a node would leave duplicate Rejected entries)."""
         fitting, rest = [], []
         for i, node in enumerate(self.nodes):
+            if i in self.down:
+                continue
             req = node.capacity.requirements(spec.resources)
             (fitting if req.fits_in(node.capacity.free())
              else rest).append(i)
@@ -222,6 +229,55 @@ class DevStack:
                 or declared,
             handle_str=lambda h: f"node{h[0]}:{h[1]}",
         )
+
+    # -- node failure -------------------------------------------------------
+    def fail_node(self, i: int) -> dict[str, str]:
+        """Take node `i` out of the stack — the devstack form of a
+        compute node dropping off the network (the reference requester's
+        view: bids stop coming, in-flight work on that node is lost).
+        Requester-side recovery, in order:
+
+        1. the node is marked DOWN: `_placement_order` skips it, so no
+           future submit/replica/pipeline stage ever offers it work;
+        2. every non-terminal run on the node (queued-or-running:
+           Created/Bid/Running/Metrics) is cancelled there — the event
+           log keeps the full history, Cancelled with the node-down
+           detail as its terminal state — and its SPEC is resubmitted
+           through the normal first-bidder scheduler onto the surviving
+           nodes (fresh run_id; the stack-level `reroutes` audit maps
+           old → 'node<j>:<new_id>'). Deterministic overwrite sinks and
+           the content-addressed result-reuse cache make the retry safe
+           and cheap respectively;
+        3. a displaced run no surviving node can hold maps to
+           'unplaced' — lost capacity is surfaced, never silently
+           dropped.
+
+        Terminal runs are left untouched: their results (and the shared
+        event log) live in the stack's single process, the devstack
+        premise. Returns this call's {old_run_id: new_home} map."""
+        if not 0 <= i < len(self.nodes):
+            raise ValueError(f"no such node {i}")
+        if i in self.down:
+            return {}
+        if len(self.down) + 1 >= len(self.nodes):
+            raise RuntimeError("cannot fail the last live node")
+        self.down.add(i)
+        node = self.nodes[i]
+        moved: dict[str, str] = {}
+        for rid, st in node.list_runs().items():
+            if st not in (EVT_CREATED, EVT_BID, EVT_RUNNING, EVT_METRICS):
+                continue
+            spec = node._specs[rid]
+            node._emit(rid, EVT_METRICS, f"node{i} down; rerouting")
+            node.cancel(rid)
+            try:
+                nj, nrid = self.submit_async(spec)
+                moved[rid] = f"node{nj}:{nrid}"
+            except (JobRejectedError, BacklogFullError,
+                    NeverFitsError):
+                moved[rid] = "unplaced"
+        self.reroutes.update(moved)
+        return moved
 
     # -- views --------------------------------------------------------------
     def list_runs(self) -> dict[str, tuple[int, str]]:

@@ -201,3 +201,62 @@ def test_replicated_pipeline_final_manifest_survives_bad_actor(spark,
             == out["manifest"])
     rows = stack.nodes[good_i].fetch_results(mat, limit=5)
     assert rows, "materialized honest results must be readable"
+
+
+def test_node_failure_reroutes_work_and_excludes_node(spark):
+    """fail_node (requester-side node-down recovery): the dead node's
+    queued/running runs are cancelled there (event log keeps the
+    node-down detail) and their specs resubmitted onto survivors via
+    the normal scheduler; the dead node receives no future work; every
+    rerouted job completes on its new home."""
+    stack = DevStack(spark, _slow_registry(), n_nodes=3)
+    cpu = str(int(stack.nodes[0].capacity.total.cpu))
+    spec = JobSpec.from_dict({"query": "d_slow",
+                              "inputs": {"sf_dir": SF_DIR},
+                              "resources": {"cpu": cpu}})
+    handles = [stack.submit_async(spec) for _ in range(4)]
+    victim = handles[0][0]
+    displaced = [rid for n, rid in handles if n == victim]
+
+    moved = stack.fail_node(victim)
+    assert set(moved) == set(displaced)
+    for new in moved.values():
+        assert new != "unplaced"
+        assert not new.startswith(f"node{victim}:")
+    assert stack.reroutes == moved
+    # repeated failure of the same node is a no-op
+    assert stack.fail_node(victim) == {}
+
+    # the dead node never receives new work
+    n_new, r_new = stack.submit_async(spec)
+    assert n_new != victim
+
+    # displaced originals reach a terminal state carrying the node-down
+    # trail. Cancel on RUNNING work is best-effort by design: a run that
+    # finishes its last action before the job-group cancel lands ends
+    # Completed — the reroute then double-executed, which deterministic
+    # overwrite sinks make safe (fail_node docstring contract). Either
+    # way the event log must show the node-down detail.
+    from bacalhau_spark.engine import JobCancelledError
+    for rid in displaced:
+        try:
+            st = stack.nodes[victim].wait(rid, timeout=30)
+        except JobCancelledError:
+            st = stack.nodes[victim].state(rid)
+        assert st in ("Cancelled", "Completed", "ResultsAccepted"), st
+        details = [e.detail for e in stack.nodes[victim].events(rid)]
+        assert any("down; rerouting" in d for d in details)
+
+    # survivors, reroutes, and the post-failure submit all complete
+    to_wait = [(n, rid) for n, rid in handles if n != victim]
+    to_wait += [tuple([int(h.split(":")[0][4:]), h.split(":")[1]])
+                for h in moved.values()]
+    to_wait.append((n_new, r_new))
+    for n, rid in to_wait:
+        assert stack.nodes[n].wait(rid, timeout=120) == "Completed"
+
+    # failing every remaining node is refused (no survivors to hold work)
+    survivors = [j for j in range(3) if j != victim]
+    stack.fail_node(survivors[0])
+    with pytest.raises(RuntimeError, match="last live node"):
+        stack.fail_node(survivors[1])
