@@ -428,6 +428,146 @@ FROM wf CROSS JOIN t GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def nd_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM conditional surprisal per document — the context-
+    sensitive half of the perplexity-style quality gate ([[nd_word_rarity]]
+    is the unigram half): each bigram occurrence scores
+    c(w1) DIV c(w1,w2), where c(w1) counts w1 as a CONTEXT (= the number
+    of bigrams starting with w1, so sum over continuations equals the
+    context count and every score is >= 1). Text whose word PAIRS are
+    improbable even when the words themselves are common — shuffled or
+    machine-mangled text that a unigram gate cannot see — scores high.
+    Integer division keeps the per-doc sum associative and therefore
+    shuffle-order stable and hash-gatable.
+
+    Scale shape (same de-skew as nd_word_rarity): bigrams reduce FIRST to
+    per-(doc, bigram) counts, so the Zipf head ("of the") is combined
+    map-side and the shuffle carries at most one row per document per
+    distinct bigram. Both corpus tables — bigram frequency and context
+    frequency — are rollups of that same reduced frame (the context key
+    is the bigram's first token, a projection, not a second pass over
+    text), and both attach back by broadcast-resistant keys whose hot
+    rows are bounded by n_docs with AQE skew-split as the residue. The
+    raw token stream is scanned once and never shuffled."""
+    docs = _docs(spark, sf_dir)
+    w = words("text")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    db = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bfreq = db.groupBy("bigram").agg(F.sum("c").alias("c12"))
+    ctx = (db.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+           .agg(F.sum("c").alias("c1")))
+    return (
+        db.join(bfreq, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_bigrams"),
+             F.sum(F.col("c") * F.expr("c1 div c12"))
+             .cast("long").alias("surprisal_sum"))
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAM_SURPRISAL_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1]))
+              AS bigram
+       FROM w),
+db AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+       GROUP BY doc_id, bigram),
+bf AS (SELECT bigram, SUM(c) AS c12 FROM db GROUP BY bigram),
+cx AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c) AS c1 FROM db
+       GROUP BY w1)
+SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+       CAST(SUM(db.c * (cx.c1 // bf.c12)) AS BIGINT) AS surprisal_sum
+FROM db JOIN bf USING (bigram)
+JOIN cx ON split_part(db.bigram, ' ', 1) = cx.w1
+GROUP BY db.doc_id ORDER BY db.doc_id
+"""
+
+
+PMI_TOP_K = 50
+PMI_MIN_COUNT = 5
+PMI_SCALE = 1000
+
+
+def nd_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide collocation mining: the top-PMI_TOP_K bigrams by
+    pointwise mutual information — the phrase-mining pass that decides
+    which word pairs a tokenizer should treat as units ("new york"-class
+    phrases). PMI = log(P(w1,w2) / (P(w1) P(w2))) is monotone in the
+    rational T * c12 / (c1 * c2), so the ranking is computed as the
+    integer (c12 * T * PMI_SCALE) DIV (c1 * c2) — no floats anywhere,
+    the order is exact, and ties break lexicographically on the bigram
+    (a total order, so the cut is deterministic on any partitioning).
+    Bigrams below PMI_MIN_COUNT occurrences are dropped first (the
+    standard support floor: a hapax pair has degenerate PMI).
+
+    Scale shape: one explode pass reduces immediately to bigram counts
+    (map-side combine collapses the Zipf head); marginals c1/c2 are
+    projections of that reduced frame, not second passes over text; the
+    support floor cuts the candidate set before the two marginal joins;
+    and the final top-K is a bounded sort over the survivors. The token
+    stream is scanned once, never shuffled."""
+    docs = _docs(spark, sf_dir)
+    w = words("text")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    bf = (docs.select(F.explode(bigrams).alias("bigram"))
+          .groupBy("bigram").agg(F.count("*").alias("c12")))
+    c1 = (bf.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+          .agg(F.sum("c12").alias("c1")))
+    c2 = (bf.groupBy(F.substring_index("bigram", " ", -1).alias("w2"))
+          .agg(F.sum("c12").alias("c2")))
+    total = bf.agg(F.sum("c12").cast("long").alias("t"))
+    return (
+        bf.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(c1, "w1").join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("bigram", F.col("c12").cast("long").alias("c12"),
+                F.expr(f"(c12 * t * {PMI_SCALE}) div (c1 * c2)")
+                .cast("long").alias("pmi_x1000"))
+        .orderBy(F.col("pmi_x1000").desc(), "bigram")
+        .limit(PMI_TOP_K)
+    )
+
+
+_PMI_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+           FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1]))
+              AS bigram
+       FROM w),
+bf AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+m1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1 FROM bf
+       GROUP BY w1),
+m2 AS (SELECT split_part(bigram, ' ', 2) AS w2, SUM(c12) AS c2 FROM bf
+       GROUP BY w2),
+t AS (SELECT SUM(c12) AS t FROM bf)
+SELECT bigram, CAST(c12 AS BIGINT) AS c12,
+       CAST((c12 * t.t * {PMI_SCALE}) // (m1.c1 * m2.c2) AS BIGINT)
+       AS pmi_x1000
+FROM bf
+JOIN m1 ON split_part(bf.bigram, ' ', 1) = m1.w1
+JOIN m2 ON split_part(bf.bigram, ' ', 2) = m2.w2
+CROSS JOIN t
+WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi_x1000 DESC, bigram LIMIT {PMI_TOP_K}
+"""
+
+
 _LANGID_ORACLE = (
     "WITH s AS (SELECT doc_id, "
     + ", ".join(f"{_sql_marker_hits(m)} AS hits_{lang}"
@@ -750,6 +890,8 @@ QUERIES = {
     ),
     "nd_langid": (nd_langid, _LANGID_ORACLE),
     "nd_word_rarity": (nd_word_rarity, _WORD_RARITY_ORACLE),
+    "nd_bigram_surprisal": (nd_bigram_surprisal, _BIGRAM_SURPRISAL_ORACLE),
+    "nd_pmi_collocations": (nd_pmi_collocations, _PMI_ORACLE),
     "nd_quality": (
         nd_quality,
         "SELECT doc_id, "

@@ -647,3 +647,45 @@ def test_round8_operators_scale_shapes(spark, sf_dir):
                          cov_plan):
         assert "embedding" not in m.group(1)
     assert "CartesianProduct" not in cov_plan
+
+
+def test_bigram_family_scale_shapes(spark, sf_dir):
+    """The two bigram-LM operators' 100 TB plan claims, asserted:
+
+    - nd_bigram_surprisal: same Zipf de-skew contract as nd_word_rarity
+      — no Window over a raw token key, partial aggregation collapses
+      the bigram head map-side, the raw text column never crosses an
+      exchange, and the shared (doc, bigram) reduction is planned ONCE
+      (ReusedExchange feeds the frequency rollup, the context rollup,
+      and the join probe).
+    - nd_pmi_collocations: same de-skew + the grand-total attaches by
+      BROADCAST (a 1-row aggregate, never a shuffle of the candidate
+      set) and there is exactly the one deliberate broadcast nested
+      loop for it — no cartesian of data-sized frames.
+    """
+    import re
+
+    from bacalhau_spark.operators.text import (nd_bigram_surprisal,
+                                               nd_pmi_collocations)
+
+    df = nd_bigram_surprisal(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert ") Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
+    df.collect()
+    assert "ReusedExchange" in _executed_plan(df), (
+        "nd_bigram_surprisal recomputes the shared (doc, bigram) exchange")
+
+    pmi = nd_pmi_collocations(spark, sf_dir)
+    pplan = _formatted_plan(pmi)
+    assert ") Window" not in pplan
+    assert "partial_count" in pplan or "partial_sum" in pplan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", pplan):
+        assert "text#" not in m.group(1)
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" in pplan  # the 1-row total attach
+    pmi.collect()
+    assert "ReusedExchange" in _executed_plan(pmi), (
+        "nd_pmi_collocations recomputes the shared bigram-count exchange")
