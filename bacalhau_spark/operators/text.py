@@ -10,7 +10,7 @@ over 100 TB of text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bacalhau_spark.catalog import spread_compute, table
@@ -816,30 +816,41 @@ def nd_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_frame(toks).limit(CMS_TOP_K)
 
 
+def cms_x(tok: Column) -> Column:
+    """The shared token → x fold: 60-bit md5 prefix mod CMS_PRIME.
+    Module-level (not nested in cms_frame) because the STREAMING sketch
+    (streaming/events.py nd_stream_heavy_hitters) must compute the
+    bit-identical x on its build side — a drifted hash would make the
+    offline probe read the wrong cells."""
+    return (F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+            % CMS_PRIME)
+
+
+def cms_positions() -> Column:
+    """Explode a row bearing column `x` into its CMS_D (seed, p) sketch
+    cells, aliased `sp` — the other shared fold between the batch core
+    and the streaming build/probe sides."""
+    return F.explode(F.array(*[
+        F.struct(
+            F.lit(s).alias("seed"),
+            (((F.lit(a) * F.col("x") + F.lit(b)) % CMS_PRIME)
+             % CMS_W).alias("p"))
+        for s, (a, b) in enumerate(CMS_AB)])).alias("sp")
+
+
 def cms_frame(toks: DataFrame) -> DataFrame:
     """The CMS core over an ARBITRARY single-column (tok) frame — all
     distinct tokens with true/estimated counts, ordered (est DESC, tok);
     also the property-test surface (tests/test_property.py pins
     positions, counters, and min-estimates against a pure-Python
     model)."""
-    t = toks.select(
-        "tok",
-        (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-         % CMS_PRIME).alias("x"))
+    t = toks.select("tok", cms_x(F.col("tok")).alias("x"))
 
-    def sp_explode():
-        return F.explode(F.array(*[
-            F.struct(
-                F.lit(s).alias("seed"),
-                (((F.lit(a) * F.col("x") + F.lit(b)) % CMS_PRIME)
-                 % CMS_W).alias("p"))
-            for s, (a, b) in enumerate(CMS_AB)])).alias("sp")
-
-    counters = (t.select(sp_explode()).select("sp.seed", "sp.p")
+    counters = (t.select(cms_positions()).select("sp.seed", "sp.p")
                 .groupBy("seed", "p").agg(F.count("*").alias("c")))
     dt = (t.groupBy("tok")
           .agg(F.count("*").alias("true_count"), F.max("x").alias("x")))
-    est = (dt.select("tok", "true_count", sp_explode())
+    est = (dt.select("tok", "true_count", cms_positions())
            .select("tok", "true_count", "sp.seed", "sp.p")
            .join(F.broadcast(counters), ["seed", "p"])
            .groupBy("tok", "true_count")
