@@ -356,6 +356,157 @@ def nd_bpe_pair_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 5
+_BPE_SEP = "\x1f"  # unit separator: cannot occur inside words (space-split)
+
+
+def nd_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training: BPE_MERGES rounds of
+    (count adjacent symbol pairs corpus-wide -> argmax -> merge), the
+    full training loop whose single step is nd_bpe_pair_count. Output
+    is the learned merge table: (step, pair, n) — the model artifact a
+    tokenizer ships. Hash-gated against a DuckDB oracle that unrolls
+    the identical loop as chained CTEs (the nd_kmeans convention for
+    iterative algorithms).
+
+    Cross-engine determinism rests on two invariants: (a) the argmax
+    tie-break is total (count DESC, pair ASC — binary string order on
+    both engines, and symbols never contain the chr(31) separator or a
+    space), and (b) the merge REWRITE preserves symbol boundaries and
+    greedy left-to-right semantics EXACTLY. A plain string
+    replace(s, 'a<US>b', 'ab') does neither — it matches where b is a
+    prefix (or a a suffix) of a longer symbol ('b<US>aa' contains
+    'b<US>a'), and boundary-guarded variants consume the shared
+    separator between adjacent matches — so the Spark side folds each
+    symbol ARRAY with F.aggregate (merge iff last(acc)=a AND cur=b;
+    after a merge last(acc)=a||b which can never equal a, so the fold
+    is provably the classic greedy scan), and the oracle selects merge
+    positions by run-parity windows (see _bpe_merges_oracle). The
+    hypothesis pin (tests/test_property.py) holds both to the
+    pure-Python model, overlap chains included.
+
+    Scale shape: the corpus is aggregated ONCE to its word-frequency
+    vocabulary (the classic BPE trick — pair explosion runs over
+    distinct words weighted by counts, not over the token stream); each
+    iteration is a map-side-combined pair count over the vocab-sized
+    frame plus a 1-row argmax collect (bounded model-state fold, the
+    kmeans/bloom convention), and the rewritten vocab is re-persisted
+    per round (MEMORY_AND_DISK — replayable on executor loss, the
+    round-8 kmeans hardening rule) so plans stay flat instead of
+    nesting M rewrites. At 100 TB the vocab table is the persisted
+    artifact; the corpus is scanned exactly once."""
+    return bpe_merge_rules(spark,
+                           table(spark, sf_dir, "documents")
+                           .select("text"))
+
+
+def bpe_merge_rules(spark: SparkSession, docs: DataFrame,
+                    merges: int = BPE_MERGES) -> DataFrame:
+    """The BPE training loop over an ARBITRARY (text) frame — also the
+    property-test surface (tests/test_property.py pins the full loop —
+    pair counting, sep-string argmax tie-break, left-to-right merge
+    rewrite — against a pure-Python model). Stops early if the corpus
+    runs out of adjacent pairs before `merges` rounds."""
+    from pyspark.storagelevel import StorageLevel
+
+    vocab = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+        .select(F.split("word", "").alias("syms"), "cnt")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    rules = []
+    for step in range(1, merges + 1):
+        pair = F.explode(F.zip_with(
+            F.slice("syms", 1, F.size("syms") - 1),
+            F.slice("syms", 2, F.size("syms") - 1),
+            lambda a, b: F.concat(a, F.lit(_BPE_SEP), b))).alias("pair")
+        top = (vocab.select("cnt", pair)
+               .groupBy("pair").agg(F.sum("cnt").cast("long").alias("n"))
+               .orderBy(F.col("n").desc(), "pair")
+               .limit(1).collect())
+        if not top:
+            break
+        a, b = top[0]["pair"].split(_BPE_SEP)
+        rules.append((step, f"{a} {b}", int(top[0]["n"])))
+        # Greedy left-to-right merge as an array fold: merge the current
+        # symbol into the accumulator tail iff (tail, cur) == (a, b).
+        # A just-merged tail is a||b, which can never equal a (b is
+        # non-empty), so a merge never chains into the next position —
+        # exactly the classic scan-and-skip. The THEN branch's slice is
+        # lazily evaluated (never on an empty acc; try_element_at keeps
+        # the condition itself ANSI-safe).
+        fold = F.aggregate(
+            "syms", F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b))))
+            .otherwise(F.concat(acc, F.array(x))))
+        nxt = (vocab.withColumn("syms", fold)
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return spark.createDataFrame(
+        rules, "step int, pair string, n long").orderBy("step")
+
+
+def _bpe_merges_oracle() -> str:
+    """The identical M-round loop unrolled as chained CTEs; the merge
+    rule flows between rounds as scalar subqueries. The greedy merge is
+    selected positionally by run-parity: a position is a CANDIDATE when
+    (sym, lead(sym)) == (a, b); candidates are only ever consecutive
+    when a == b (a candidate at i and i+1 forces s[i+1] = b = a), and
+    greedy scan-and-skip merges exactly the even offsets within each
+    maximal run of consecutive candidates (islands via the pos - cum_rn
+    gaps-and-islands key, partitioned by the cand flag so non-candidate
+    rows can't collide). A merged position emits sym || next and the
+    consumed follower (lag(hit)) is filtered out of the rebuilt list.
+    Early stop matches Spark: an exhausted r{m} is empty, its scalar
+    subqueries go NULL, no position qualifies, and its UNION arm
+    contributes no row."""
+    parts = ["""
+WITH v0 AS (SELECT word, string_split(word, '') AS l, cnt
+            FROM (SELECT word, COUNT(*) AS cnt FROM
+                  (SELECT unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents) t GROUP BY word) w)"""]
+    for m in range(1, BPE_MERGES + 1):
+        parts.append(f"""
+p{m} AS (SELECT l[i] || chr(31) || l[i + 1] AS pair, cnt
+         FROM v{m - 1}, unnest(range(1, len(l))) u(i)),
+r{m} AS (SELECT {m} AS step, pair, CAST(SUM(cnt) AS BIGINT) AS n
+         FROM p{m} GROUP BY pair ORDER BY n DESC, pair LIMIT 1),
+c{m} AS (SELECT word, cnt, i AS pos, l[i] AS sym,
+                lead(l[i]) OVER w AS nxt,
+                COALESCE(l[i] = string_split(
+                             (SELECT pair FROM r{m}), chr(31))[1]
+                         AND lead(l[i]) OVER w = string_split(
+                             (SELECT pair FROM r{m}), chr(31))[2],
+                         FALSE) AS cand
+         FROM v{m - 1}, unnest(range(1, len(l) + 1)) u(i)
+         WINDOW w AS (PARTITION BY word ORDER BY i)),
+g{m} AS (SELECT *, COUNT(*) FILTER (WHERE cand)
+                   OVER (PARTITION BY word ORDER BY pos) AS rn
+         FROM c{m}),
+s{m} AS (SELECT *, cand AND (rn - MIN(rn) OVER
+                   (PARTITION BY word, cand, pos - rn)) % 2 = 0 AS hit
+         FROM g{m}),
+k{m} AS (SELECT *, COALESCE(lag(hit) OVER
+                   (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+         FROM s{m}),
+v{m} AS (SELECT word, cnt,
+                list(CASE WHEN hit THEN sym || nxt ELSE sym END
+                     ORDER BY pos)
+                FILTER (WHERE NOT consumed) AS l
+         FROM k{m} GROUP BY word, cnt)""")
+    union = " UNION ALL ".join(
+        f"SELECT step, replace(pair, chr(31), ' ') AS pair, n FROM r{m}"
+        for m in range(1, BPE_MERGES + 1))
+    return (",".join(parts)
+            + f"\nSELECT * FROM ({union}) ORDER BY step")
+
+
 # --- nd_corpus_stats ---------------------------------------------------------
 def nd_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-card report: per language — document count, distinct
@@ -758,6 +909,106 @@ def nd_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+KS_SCALE = 1_000_000
+
+
+def nd_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: the exact two-sample
+    Kolmogorov-Smirnov statistic of each source's document-length
+    (n_chars) distribution against the REST of the corpus — the
+    monitoring gate that catches a crawl source whose content shape
+    shifted (truncation bugs, template floods, a scraper upgrade)
+    before it contaminates a training mix. Everything is integer-exact:
+    D = max|CDF_s - CDF_rest| is computed as the cross-multiplied
+    ks_num = max|cum_s * n_rest - cum_rest * n_src| (no division until
+    the final reported ks_x1e6 = ks_num * KS_SCALE DIV (n_src *
+    n_rest)), so the statistic value-hashes cross-engine.
+
+    Scale shape: the corpus collapses FIRST to per-(source, n_chars)
+    counts — one map-side-combined aggregate over the 100 TB scan.
+    That reduced frame feeds five logical branches (values, marginals,
+    cumulative totals, grid probe), so it is PERSISTED
+    (MEMORY_AND_DISK): ReuseExchange would collapse the duplicate
+    subtrees only when the planner happens to leave them as identical
+    exchanges (broadcast-side branches break the match — observed
+    config-dependent under AQE), while an explicit materialization of
+    the aggregate-sized (|sources| x |distinct lengths|) frame
+    guarantees exactly one pass over the corpus under any planner;
+    asserted in tests/test_scale.py (executed plan reads
+    documents.parquet once). The evaluation grid is sources x
+    distinct-values via a BROADCAST of the distinct-value list (the
+    value domain is bounded by max document length, not corpus size),
+    cumulative sums are windows over that bounded grid (the one
+    unpartitioned window runs over |distinct lengths| rows, not
+    documents), and the KS max is a final per-source aggregate. The
+    document stream itself never shuffles."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    sv = (table(spark, sf_dir, "documents").select("source", "n_chars")
+          .groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    vals = sv.select("n_chars").distinct()
+    srcs = sv.groupBy("source").agg(F.sum("c").alias("n_src"))
+    total = srcs.agg(F.sum("n_src").cast("long").alias("n_total"))
+    cum_all = (sv.groupBy("n_chars").agg(F.sum("c").alias("cv"))
+               .withColumn("cum_all", F.sum("cv").over(
+                   Window.orderBy("n_chars")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))))
+    grid = (srcs.crossJoin(F.broadcast(vals))
+            .join(sv, ["source", "n_chars"], "left").na.fill(0, ["c"])
+            .withColumn("cum_s", F.sum("c").over(
+                Window.partitionBy("source").orderBy("n_chars")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .join(F.broadcast(cum_all.select("n_chars", "cum_all")),
+                  "n_chars")
+            .crossJoin(F.broadcast(total)))
+    return (grid
+            .withColumn("n_rest", F.col("n_total") - F.col("n_src"))
+            .withColumn("diff", F.abs(
+                F.col("cum_s") * F.col("n_rest")
+                - (F.col("cum_all") - F.col("cum_s")) * F.col("n_src")))
+            .groupBy("source")
+            .agg(F.max("n_src").cast("long").alias("n_src"),
+                 F.max("n_rest").cast("long").alias("n_rest"),
+                 F.max("diff").cast("long").alias("ks_num"),
+                 F.expr(f"max(diff) * {KS_SCALE} div "
+                        "(max(n_src) * max(n_rest))")
+                 .cast("long").alias("ks_x1e6"))
+            .orderBy("source"))
+
+
+_KS_DRIFT_ORACLE = f"""
+WITH sv AS (SELECT source, n_chars, COUNT(*) AS c FROM documents
+            GROUP BY source, n_chars),
+vals AS (SELECT DISTINCT n_chars FROM sv),
+srcs AS (SELECT source, SUM(c) AS n_src FROM sv GROUP BY source),
+tot AS (SELECT SUM(n_src) AS n_total FROM srcs),
+ca AS (SELECT n_chars, SUM(SUM(c)) OVER (ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+       FROM sv GROUP BY n_chars),
+grid AS (SELECT s.source, s.n_src, v.n_chars,
+                SUM(COALESCE(sv.c, 0)) OVER (PARTITION BY s.source
+                    ORDER BY v.n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_s
+         FROM srcs s CROSS JOIN vals v
+         LEFT JOIN sv ON sv.source = s.source AND sv.n_chars = v.n_chars)
+SELECT g.source, CAST(MAX(g.n_src) AS BIGINT) AS n_src,
+       CAST(MAX(t.n_total - g.n_src) AS BIGINT) AS n_rest,
+       CAST(MAX(ABS(g.cum_s * (t.n_total - g.n_src)
+                    - (ca.cum_all - g.cum_s) * g.n_src)) AS BIGINT)
+       AS ks_num,
+       CAST(MAX(ABS(g.cum_s * (t.n_total - g.n_src)
+                    - (ca.cum_all - g.cum_s) * g.n_src)) * {KS_SCALE}
+            // (MAX(g.n_src) * MAX(t.n_total - g.n_src)) AS BIGINT)
+       AS ks_x1e6
+FROM grid g JOIN ca USING (n_chars) CROSS JOIN tot t
+GROUP BY g.source ORDER BY g.source
+"""
+
+
 _DATASET_CARD_ORACLE = """
 SELECT COALESCE(source, 'TOTAL') AS source,
        COUNT(*) AS n_docs,
@@ -773,10 +1024,12 @@ FROM documents GROUP BY ROLLUP (source) ORDER BY source
 
 QUERIES = {
     "nd_dataset_card": (nd_dataset_card, _DATASET_CARD_ORACLE),
+    "nd_ks_drift": (nd_ks_drift, _KS_DRIFT_ORACLE),
     "nd_curation_funnel": (nd_curation_funnel, _FUNNEL_ORACLE),
     "nd_mix_temperature": (nd_mix_temperature, _MIX_TEMP_ORACLE),
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),
     "nd_bpe_pair_count": (nd_bpe_pair_count, _PAIR_COUNT_ORACLE),
+    "nd_bpe_merges": (nd_bpe_merges, _bpe_merges_oracle()),
     "nd_gopher_filter": (nd_gopher_filter, _GOPHER_ORACLE),
     "nd_repetition": (nd_repetition, _REPETITION_ORACLE),
     "nd_seq_pack": (nd_seq_pack, _SEQ_PACK_ORACLE),

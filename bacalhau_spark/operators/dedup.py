@@ -342,6 +342,44 @@ def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_pair_stats(docs: DataFrame, n: int,
+                        df_cap: int) -> tuple[DataFrame, DataFrame]:
+    """The shared inverted-index core of ngram_jaccard_pairs and
+    containment_pairs: per-(a<b) pair shared-shingle counts plus per-doc
+    retained-set sizes, over 60-bit md5 shingle keys with the stop-
+    shingle df_cap guard. See ngram_jaccard_pairs for the full scale
+    rationale (posting-list bucket-and-expand, no index self-join)."""
+    sh = (docs.select("doc_id", words("text").alias("w"))
+          .select("doc_id",
+                  F.explode(shingles(F.col("w"), n)).alias("s"))
+          .select("doc_id",
+                  F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                  .cast("long").alias("shingle"))
+          .distinct())
+    postings = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                .where(F.size("ids") <= df_cap)
+                .localCheckpoint(eager=True))
+    sizes = (postings.select(F.explode("ids").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n")))
+    # Struct pair keys on purpose: packing (a,b) into one long (a<<32|b)
+    # is ~13% faster at sf0.1 (A/B'd, identical output) but caps doc ids
+    # at 2^32 — a corpus-scale pipeline keys documents by 64-bit hashes,
+    # so the general form wins the design call.
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS a_id, b AS b_id))))")
+    shared = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a_id").alias("a_id"),
+                 F.col("p.b_id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return shared, sizes
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = JACCARD_THRESHOLD,
                         df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
@@ -372,34 +410,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     #    (~#distinct-shingles rows) is localCheckpoint'ed once for its two
     #    consumers (pair stream + per-doc sizes). At corpus scale the
     #    posting lists are the persisted inverted-index artifact.
-    sh = (docs.select("doc_id", words("text").alias("w"))
-          .select("doc_id",
-                  F.explode(shingles(F.col("w"), n)).alias("s"))
-          .select("doc_id",
-                  F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-                  .cast("long").alias("shingle"))
-          .distinct())
-    postings = (sh.groupBy("shingle")
-                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-                .where(F.size("ids") <= df_cap)
-                .localCheckpoint(eager=True))
-    sizes = (postings.select(F.explode("ids").alias("doc_id"))
-             .groupBy("doc_id").agg(F.count("*").alias("n")))
-    # Struct pair keys on purpose: packing (a,b) into one long (a<<32|b)
-    # is ~13% faster at sf0.1 (A/B'd, identical output) but caps doc ids
-    # at 2^32 — a corpus-scale pipeline keys documents by 64-bit hashes,
-    # so the general form wins the design call.
-    pair_expr = F.expr(
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "b -> struct(a AS a_id, b AS b_id))))")
-    shared = (
-        postings.where(F.size("ids") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.a_id").alias("a_id"),
-                 F.col("p.b_id").alias("b_id"))
-        .agg(F.count("*").alias("shared"))
-    )
+    shared, sizes = _shingle_pair_stats(docs, n, df_cap)
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     # Raw division (no ROUND): numerator/denominator are identical integers
@@ -422,6 +433,54 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole index build to one task (profiled 1.69s -> 0.35s at
     sf0.1)."""
     return ngram_jaccard_pairs(
+        spread_compute(spark, table(spark, sf_dir, "documents")
+                       .select("doc_id", "text"), "doc_id"))
+
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      threshold: float = CONTAIN_THRESHOLD,
+                      df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Directed shingle-containment pairs: C(A in B) = |A∩B| / |A| —
+    the asymmetric complement of Jaccard dedup. A short document quoted
+    wholesale inside a much longer one scores near-zero Jaccard (the
+    union is dominated by the long doc) but containment ~1.0; this is
+    the screen that catches quote-embedding, boilerplate wrappers, and
+    subset-page duplication that symmetric near-dup passes miss
+    (the ExactSubstr/containment distinction in corpus-dedup practice;
+    [[nd_substr_dedup]] is the substring-granular sibling).
+
+    Emits BOTH directions of each candidate pair independently
+    (contained_id, container_id, containment >= threshold). Shares the
+    inverted-index pair core with ngram_jaccard_pairs
+    (_shingle_pair_stats): posting-list bucket-and-expand, stop-shingle
+    df_cap guard, 60-bit md5 shingle keys — so candidate generation
+    never self-joins the index and text never shuffles. The containment
+    ratio is an int/int division, bit-identical cross-engine."""
+    shared, sizes = _shingle_pair_stats(docs, n, df_cap)
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    both = shared.join(na, "a_id").join(nb, "b_id")
+    c_a = F.col("shared").cast("double") / F.col("na")
+    c_b = F.col("shared").cast("double") / F.col("nb")
+    d1 = (both.where(c_a >= threshold)
+          .select(F.col("a_id").alias("contained_id"),
+                  F.col("b_id").alias("container_id"),
+                  c_a.alias("containment")))
+    d2 = (both.where(c_b >= threshold)
+          .select(F.col("b_id").alias("contained_id"),
+                  F.col("a_id").alias("container_id"),
+                  c_b.alias("containment")))
+    return d1.unionAll(d2).orderBy("contained_id", "container_id")
+
+
+def nd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram containment pairs (C >= 0.8) over the documents
+    fixture — see containment_pairs. Spread scan for the same
+    CPU-dwarfs-row-bytes reason as nd_ngram_jaccard."""
+    return containment_pairs(
         spread_compute(spark, table(spark, sf_dir, "documents")
                        .select("doc_id", "text"), "doc_id"))
 
@@ -803,6 +862,30 @@ JOIN sizes na ON na.doc_id = a_id
 JOIN sizes nb ON nb.doc_id = b_id
 WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
+"""
+
+_CONTAINMENT_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w),
+sh0 AS (SELECT DISTINCT doc_id,
+               CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+3)], ' ')), 1, 15)
+                    AS BIGINT) AS shingle FROM e),
+sh AS (SELECT doc_id, shingle FROM sh0
+       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+SELECT * FROM (
+  SELECT a_id AS contained_id, b_id AS container_id,
+         CAST(shared AS DOUBLE) / na.n AS containment
+  FROM shared JOIN sizes na ON na.doc_id = a_id
+  WHERE CAST(shared AS DOUBLE) / na.n >= {CONTAIN_THRESHOLD}
+  UNION ALL
+  SELECT b_id, a_id, CAST(shared AS DOUBLE) / nb.n
+  FROM shared JOIN sizes nb ON nb.doc_id = b_id
+  WHERE CAST(shared AS DOUBLE) / nb.n >= {CONTAIN_THRESHOLD}
+) ORDER BY contained_id, container_id
 """
 
 def _mh_sig_frame(docs: DataFrame) -> DataFrame:
@@ -1493,4 +1576,5 @@ ORDER BY a_id, b_id
                                _INCREMENTAL_MH_ORACLE),
     "nd_boilerplate_strip": (nd_boilerplate_strip, _BOILER_ORACLE),
     "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
+    "nd_containment": (nd_containment, _CONTAINMENT_ORACLE),
 }

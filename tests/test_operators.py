@@ -424,3 +424,23 @@ def test_pca_project_matches_numpy_and_identities(spark, sf_dir):
     # population-variance identity vs the exact covariance eigenvalues
     var = ((got - got.mean(axis=0)) ** 2).sum(axis=0) / n
     assert np.allclose(var, np.asarray(evals), rtol=1e-6)
+
+
+def test_containment_catches_asymmetric_quote_embedding(spark):
+    """A short document quoted wholesale inside a much longer one:
+    Jaccard is tiny (union dominated by the long doc) so the symmetric
+    pass misses it, but containment(short in long) = 1.0. The directed
+    output must contain exactly (short -> long), never the reverse."""
+    from bacalhau_spark.operators.dedup import (containment_pairs,
+                                                ngram_jaccard_pairs)
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper())],
+        ["doc_id", "text"])
+    jac = ngram_jaccard_pairs(docs).collect()
+    assert jac == []  # symmetric pass misses the embedding
+    got = containment_pairs(docs).collect()
+    assert [(r.contained_id, r.container_id) for r in got] == [(1, 2)]
+    assert got[0].containment == 1.0

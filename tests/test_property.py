@@ -523,3 +523,61 @@ def test_cms_matches_reference(spark, tokens):
     got = {r["tok"]: (r["true_count"], r["est_count"]) for r in rows}
     assert got == _ref_cms(tokens)
     assert all(r["overcount"] >= 0 for r in rows)
+
+
+def _ref_bpe(texts: list[str], merges: int):
+    """Pure-Python BPE training: Counter vocab, (count DESC, sep-string
+    ASC) argmax, left-to-right non-overlapping merge rewrite."""
+    from collections import Counter
+
+    SEP = "\x1f"
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    rules = []
+    for step in range(1, merges + 1):
+        pc = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + SEP + kv[0][1]))
+        rules.append((step, f"{a} {b}", n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return rules
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(
+    st.lists(st.text("abc", min_size=1, max_size=4), min_size=1,
+             max_size=5).map(" ".join),
+    min_size=1, max_size=5),
+    merges=st.integers(1, 3))
+def test_bpe_merges_matches_reference(spark, docs, merges):
+    """The full BPE training loop vs the pure-Python model: identical
+    pair counts, argmax tie-break (count DESC then sep-joined pair ASC,
+    = tuple order because the separator sorts below every symbol
+    char), left-to-right merge rewrites (overlap chains like 'aaa'
+    included), and early stop when the vocab runs out of pairs."""
+    from bacalhau_spark.operators.curation import bpe_merge_rules
+
+    frame = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = [(r["step"], r["pair"], r["n"])
+           for r in bpe_merge_rules(spark, frame, merges=merges).collect()]
+    assert got == _ref_bpe(docs, merges)

@@ -689,3 +689,33 @@ def test_bigram_family_scale_shapes(spark, sf_dir):
     pmi.collect()
     assert "ReusedExchange" in _executed_plan(pmi), (
         "nd_pmi_collocations recomputes the shared bigram-count exchange")
+
+
+def test_ks_drift_scale_shape(spark, sf_dir):
+    """nd_ks_drift's 100 TB claims: the document stream reduces to
+    per-(source, n_chars) counts in ONE map-side-combined pass that is
+    explicitly persisted before fanning out to the five branches —
+    ReuseExchange alone is planner-mood-dependent (broadcast-side
+    branches break the exchange match under AQE), so the guarantee is
+    the materialization: the EXECUTED plan must read documents.parquet
+    exactly once (the cached build) and serve every other branch from
+    the cache. No cartesian of data-sized frames (the
+    BroadcastNestedLoopJoins are the 1-row total and the bounded value
+    list), no Expand (curation-family ban)."""
+    from bacalhau_spark.operators.curation import nd_ks_drift
+
+    df = nd_ks_drift(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    # the curation-family Expand ban applies here too
+    assert "Expand" not in plan
+    df.collect()
+    final = _executed_plan(df)
+    # every consumer of the reduced frame must read the CACHE (the
+    # executed-plan text reprints the cached build subtree inside each
+    # consumer, so counting FileScan lines overcounts; the contract is
+    # that all five branches are TableCacheQueryStages over the one
+    # materialization)
+    assert final.count("TableCacheQueryStage") >= 5, (
+        "a ks_drift branch bypassed the persisted (source, n_chars) frame")
