@@ -909,6 +909,66 @@ def nd_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+OUTLIER_SCALE = 1_000_000
+
+
+def nd_lang_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-consistency audit: each source's DOMINANT
+    language (mode of the lang column; ties break lang ASC — a total
+    order, deterministic on any partitioning) and the count/rate of
+    documents tagged with any OTHER language. A crawl source that is
+    supposed to be English but suddenly ships 30% machine-translated
+    boilerplate, or a scraper that started mislabeling, shows up here
+    before it skews a language-balanced training mix — the categorical
+    sibling of [[nd_ks_drift]]'s distributional gate. Rates are integer
+    parts-per-million (n_outliers * 1e6 DIV n_docs), so every column
+    value-hashes cross-engine.
+
+    Scale shape: the document stream reduces in ONE map-side-combined
+    pass to (source, lang) counts — the only exchange over corpus-
+    derived data, carrying at most |sources| x |langs| rows. The mode
+    pick is a window over that reduced frame (per-source partitions of
+    |langs| rows), and the outlier rollup is a second aggregate of the
+    same frame; the documents scan itself never shuffles."""
+    from pyspark.sql import Window
+
+    sl = (table(spark, sf_dir, "documents").select("source", "lang")
+          .groupBy("source", "lang").agg(F.count("*").alias("c")))
+    win = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    dom = (sl.withColumn("rk", F.row_number().over(win))
+           .where(F.col("rk") == 1)
+           .select("source", F.col("lang").alias("dominant_lang")))
+    return (sl.join(dom, "source")
+            .groupBy("source")
+            .agg(F.max("dominant_lang").alias("dominant_lang"),
+                 F.sum("c").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("lang") != F.col("dominant_lang"),
+                              F.col("c")).otherwise(F.lit(0)))
+                 .cast("long").alias("n_outliers"))
+            .withColumn("outlier_ppm",
+                        F.expr(f"n_outliers * {OUTLIER_SCALE} div n_docs")
+                        .cast("long"))
+            .orderBy("source"))
+
+
+_LANG_OUTLIERS_ORACLE = f"""
+WITH sl AS (SELECT source, lang, COUNT(*) AS c FROM documents
+            GROUP BY source, lang),
+dom AS (SELECT source, lang AS dominant_lang FROM sl
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY c DESC, lang) = 1)
+SELECT sl.source, MAX(dominant_lang) AS dominant_lang,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lang <> dominant_lang THEN c ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN lang <> dominant_lang THEN c ELSE 0 END)
+            * {OUTLIER_SCALE}
+            // SUM(c) AS BIGINT) AS outlier_ppm
+FROM sl JOIN dom ON sl.source = dom.source
+GROUP BY sl.source ORDER BY sl.source
+"""
+
+
 KS_SCALE = 1_000_000
 
 
@@ -1025,6 +1085,7 @@ FROM documents GROUP BY ROLLUP (source) ORDER BY source
 QUERIES = {
     "nd_dataset_card": (nd_dataset_card, _DATASET_CARD_ORACLE),
     "nd_ks_drift": (nd_ks_drift, _KS_DRIFT_ORACLE),
+    "nd_lang_outliers": (nd_lang_outliers, _LANG_OUTLIERS_ORACLE),
     "nd_curation_funnel": (nd_curation_funnel, _FUNNEL_ORACLE),
     "nd_mix_temperature": (nd_mix_temperature, _MIX_TEMP_ORACLE),
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),

@@ -437,6 +437,102 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .select("doc_id", "text"), "doc_id"))
 
 
+def weighted_jaccard_pairs(docs: DataFrame, n: int = 3,
+                           threshold: float = JACCARD_THRESHOLD,
+                           df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Rarity-weighted (idf-style) Jaccard near-dup pairs: every retained
+    shingle carries the integer weight n_docs DIV df(shingle), so two
+    documents that share their RARE shingles (the actual content) score
+    high even when their common boilerplate differs, and boilerplate-only
+    overlap (weight ~1 per shingle) scores low — the standard fix for
+    plain Jaccard's blindness to shingle informativeness. Integer weights
+    keep the score an exact long/long division (shared_w / (wa + wb -
+    shared_w)), bit-identical cross-engine, where a float idf (log) sum
+    would not hash.
+
+    Scale shape: identical to ngram_jaccard_pairs — one shingle-keyed
+    aggregation builds the posting lists, the df_cap stop-shingle guard
+    bounds every bucket, pairs expand from sorted member lists in codegen
+    (never an index self-join), and the weight is derived IN the posting
+    row from the list length it already carries (no extra df pass; the
+    corpus size rides in as a broadcast 1-row aggregate). Text never
+    shuffles; only 8-byte shingle keys and long weights move."""
+    sh = (docs.select("doc_id", words("text").alias("w"))
+          .select("doc_id",
+                  F.explode(shingles(F.col("w"), n)).alias("s"))
+          .select("doc_id",
+                  F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                  .cast("long").alias("shingle"))
+          .distinct())
+    ndocs = docs.select(F.countDistinct("doc_id").alias("nd"))
+    postings = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+                .where(F.size("ids") <= df_cap)
+                .crossJoin(F.broadcast(ndocs))
+                .withColumn("wt", F.expr("nd div size(ids)"))
+                .localCheckpoint(eager=True))
+    sizes = (postings.select(F.explode("ids").alias("doc_id"), "wt")
+             .groupBy("doc_id").agg(F.sum("wt").alias("tw")))
+    pair_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS a_id, b AS b_id))))")
+    shared = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"), "wt")
+        .groupBy(F.col("p.a_id").alias("a_id"),
+                 F.col("p.b_id").alias("b_id"))
+        .agg(F.sum("wt").cast("long").alias("shared_w"))
+    )
+    wa = sizes.select(F.col("doc_id").alias("a_id"), F.col("tw").alias("ta"))
+    wb = sizes.select(F.col("doc_id").alias("b_id"), F.col("tw").alias("tb"))
+    score = (F.col("shared_w").cast("double")
+             / (F.col("ta") + F.col("tb") - F.col("shared_w")))
+    return (shared.join(wa, "a_id").join(wb, "b_id")
+            .where(score >= threshold)
+            .select("a_id", "b_id", "shared_w",
+                    score.alias("wjaccard"))
+            .orderBy("a_id", "b_id"))
+
+
+def nd_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted word-3-gram Jaccard pairs (>= 0.5) over the
+    documents fixture — see weighted_jaccard_pairs. Spread scan for the
+    same CPU-dwarfs-row-bytes reason as nd_ngram_jaccard."""
+    return weighted_jaccard_pairs(
+        spread_compute(spark, table(spark, sf_dir, "documents")
+                       .select("doc_id", "text"), "doc_id"))
+
+
+_WEIGHTED_JACCARD_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+e AS (SELECT doc_id, ws, unnest(range(greatest(len(ws) - 2, 0))) AS i FROM w),
+sh0 AS (SELECT DISTINCT doc_id,
+               CAST('0x' || substring(md5(array_to_string(ws[(i+1):(i+3)], ' ')), 1, 15)
+                    AS BIGINT) AS shingle FROM e),
+sh AS (SELECT doc_id, shingle FROM sh0
+       QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+df AS (SELECT shingle, nd // COUNT(*) AS wt FROM sh CROSS JOIN nd
+       GROUP BY shingle, nd),
+sizes AS (SELECT doc_id, SUM(wt) AS tw FROM sh JOIN df USING (shingle)
+          GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(SUM(wt) AS BIGINT) AS shared_w
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                AND a.doc_id < b.doc_id
+           JOIN df ON df.shingle = a.shingle
+           GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id, shared_w,
+       CAST(shared_w AS DOUBLE) / (ta.tw + tb.tw - shared_w) AS wjaccard
+FROM shared JOIN sizes ta ON ta.doc_id = a_id
+            JOIN sizes tb ON tb.doc_id = b_id
+WHERE CAST(shared_w AS DOUBLE) / (ta.tw + tb.tw - shared_w)
+      >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
 CONTAIN_THRESHOLD = 0.8
 
 
@@ -1577,4 +1673,5 @@ ORDER BY a_id, b_id
     "nd_boilerplate_strip": (nd_boilerplate_strip, _BOILER_ORACLE),
     "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
     "nd_containment": (nd_containment, _CONTAINMENT_ORACLE),
+    "nd_weighted_jaccard": (nd_weighted_jaccard, _WEIGHTED_JACCARD_ORACLE),
 }

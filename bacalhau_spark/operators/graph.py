@@ -1,0 +1,147 @@
+"""Graph analytics over the relational fixtures.
+
+PageRank-style link analysis is a first-class corpus-curation input at
+100 TB: web-crawl pipelines weight documents by host-graph centrality
+(Common Crawl publishes harmonic-centrality/PageRank host ranks exactly
+for this), and the same iterate-until-converged shape covers any
+propagate-and-aggregate graph pass. The reference's closest analog is
+its DAG-of-jobs orchestration plane (pipelines with '@parent' edges);
+here the GRAPH is the data and the iteration is the operator.
+
+Exactness convention: ranks live in integer 1e-12 units with truncating
+division at every step (Spark DIV == DuckDB // on the nonnegative
+domain), so the whole iterative computation value-hashes against an
+unrolled-CTE oracle — the nd_kmeans / nd_bpe_merges convention for
+iterative algorithms. Truncation leaks a few units of probability mass
+per step; that loss is deterministic and identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bacalhau_spark.catalog import table
+
+R_SCALE = 10**12
+PR_ITERS = 3
+PR_TOP_K = 50
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+
+
+def nd_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the customer<->supplier bipartite graph
+    (distinct (o_custkey, l_suppkey) trade edges, walked in both
+    directions), PR_ITERS synchronous iterations:
+
+        r'(v) = (r0 * 15) div 100  +  (85 * sum_u r(u) div deg(u)) div 100
+
+    with r0 = R_SCALE div n_nodes. Node ids namespace the two key
+    spaces (customer k -> 2k, supplier k -> 2k+1). Output is the
+    top-PR_TOP_K nodes by (rank DESC, node ASC) — a total order, so the
+    cut is deterministic — with the namespace decoded back into
+    (kind, entity_key).
+
+    Scale shape: the edge list is built once (broadcast-joined
+    orders->lineitem projection, distinct on two ints) and is the ONLY
+    data-sized table; each iteration is one edge-keyed join against the
+    node-sized rank frame, one map-side-combined sum by destination,
+    and a broadcast of the 1-row node count — the classic Pregel
+    schedule expressed relationally. The rank frame is re-persisted
+    (MEMORY_AND_DISK, replayable on executor loss) and the previous
+    iteration unpersisted, so plans stay flat instead of nesting
+    PR_ITERS joins. On an undirected graph every node has deg >= 1 and
+    receives from its own neighbors, so no dangling-mass term is
+    needed. At web scale the ranks frame exceeds broadcast size and the
+    join becomes a co-partitioned shuffle on u — the edge table should
+    then be bucketed by u so only ranks move between iterations."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (li.join(F.broadcast(orders),
+                   li.l_orderkey == orders.o_orderkey)
+           .select((F.col("o_custkey") * 2).alias("u"),
+                   (F.col("l_suppkey") * 2 + 1).alias("v"))
+           .distinct())
+    ranks = pagerank_ranks(fwd)
+    return (ranks.select(
+        F.col("u").alias("node"),
+        F.when(F.col("u") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier")).alias("kind"),
+        F.expr("u div 2").cast("long").alias("entity_key"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("r").alias("rank_e12"))
+        .orderBy(F.col("rank_e12").desc(), "node")
+        .limit(PR_TOP_K))
+
+
+def pagerank_ranks(fwd: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """The PageRank loop over an ARBITRARY directed (u, v) edge frame,
+    walked undirected — also the property-test surface
+    (tests/test_property.py pins the loop against a pure-Python model).
+    Returns (u, deg, n_nodes, r) for every node after `iters` rounds.
+
+    CONTRACT: `fwd` must be DISTINCT edges (a duplicate row would
+    inflate both the degree and the contribution sum). This is NOT
+    enforced here — the edge frame is data-sized and a defensive
+    .distinct() would be a full extra shuffle, unlike the cheap in-frame
+    guard bloom_admit_frame applies to its bounded corpus-fp input —
+    so the one fixture caller (nd_pagerank) distincts at build time,
+    and the property pin feeds pre-deduped edges."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = fwd.union(fwd.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    ncnt = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    ranks = (deg.crossJoin(F.broadcast(ncnt))
+             .select("u", "deg", "n_nodes",
+                     F.expr(f"{R_SCALE} div n_nodes").alias("r"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    for _ in range(iters):
+        contrib = (edges.join(ranks, "u")
+                   .select(F.col("v").alias("u"),
+                           F.expr("r div deg").alias("c")))
+        nxt = (contrib.groupBy("u")
+               .agg(F.sum("c").cast("long").alias("s"))
+               .join(deg, "u")
+               .crossJoin(F.broadcast(ncnt))
+               .select("u", "deg", "n_nodes",
+                       (F.expr(f"(({R_SCALE} div n_nodes) * 15) div 100")
+                        + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"))
+                       .cast("long").alias("r"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        ranks.unpersist()
+        ranks = nxt
+    return ranks
+
+
+def _pagerank_oracle() -> str:
+    """The identical PR_ITERS-round loop unrolled as chained CTEs."""
+    parts = [f"""
+WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (SELECT u, deg, {R_SCALE} // n_nodes AS r FROM deg CROSS JOIN n)"""]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(f"""
+r{k} AS (SELECT d.u, d.deg,
+                CAST((({R_SCALE} // n.n_nodes) * 15) // 100
+                     + ({PR_DAMP_NUM} * SUM(p.r // p.deg))
+                       // {PR_DAMP_DEN} AS BIGINT) AS r
+         FROM e JOIN r{k - 1} p ON e.u = p.u
+                JOIN deg d ON d.u = e.v CROSS JOIN n
+         GROUP BY d.u, d.deg, n.n_nodes)""")
+    return (",".join(parts) + f"""
+SELECT u AS node,
+       CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       CAST(u // 2 AS BIGINT) AS entity_key,
+       CAST(deg AS BIGINT) AS deg, r AS rank_e12
+FROM r{PR_ITERS} ORDER BY rank_e12 DESC, node LIMIT {PR_TOP_K}""")
+
+
+QUERIES = {
+    "nd_pagerank": (nd_pagerank, _pagerank_oracle()),
+}

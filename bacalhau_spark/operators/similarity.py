@@ -776,6 +776,65 @@ def covariance_frame(emb: DataFrame) -> DataFrame:
             .orderBy("i", "j"))
 
 
+def nd_embedding_covariance_fast(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The covariance statistics' production inner loop — identical
+    output to nd_embedding_covariance (same quantization, same integer
+    sufficient statistics, same derived-cov double chain), so unlike
+    the float-kernel nd_semantic_dedup_fast it carries the FULL value-
+    hash oracle, not just an equivalence gate: int64 numpy matmul is
+    exact, so the Gram matrix is the same 64-bit integer either way.
+
+    Why it exists: the exact twin generates the upper triangle by
+    per-row codegen explode — N x 2080 struct rows through the partial
+    aggregate, which is the dominant cost from 10x up (measured flat at
+    ~7.5x DuckDB in experiments/registry_crossover_r8b.txt). Here each
+    Arrow batch computes ONE q^T q BLAS matmul + a column sum and emits
+    2080 partial rows per batch — the same 'Python where it wins'
+    kernel shape as the PCA transform; the shuffle carries 2080 rows
+    per batch instead of 2080 per vector."""
+    return covariance_frame_fast(table(spark, sf_dir, "embeddings"))
+
+
+def covariance_frame_fast(emb: DataFrame) -> DataFrame:
+    """Arrow-batched sufficient-statistics core: per batch, quantize
+    exactly as covariance_frame (float64 mul, floor, int64 — the same
+    op chain, so the integers agree), one int64 Gram matmul, one column
+    sum; the per-batch partials reduce in a 2080-key groupBy."""
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+        iu = np.triu_indices(KM_DIMS)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            q = np.floor(x * KM_SCALE).astype("int64") + KM_OFF
+            g = q.T @ q
+            s = q.sum(axis=0)
+            yield pd.DataFrame({
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                "sum_i": s[iu[0]],
+                "sum_j": s[iu[1]],
+                "sum_ij": g[iu]})
+
+    parts = emb.select("embedding").mapInPandas(
+        part, "i int, j int, n long, sum_i long, sum_j long, sum_ij long")
+    return (parts.groupBy("i", "j")
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("sum_i").cast("long").alias("sum_i"),
+                 F.sum("sum_j").cast("long").alias("sum_j"),
+                 F.sum("sum_ij").cast("long").alias("sum_ij"))
+            .select("i", "j", "n", "sum_i", "sum_j", "sum_ij",
+                    ((F.col("sum_ij").cast("double")
+                      - F.col("sum_i").cast("double") * F.col("sum_j")
+                      / F.col("n")) / F.col("n")).alias("cov"))
+            .orderBy("i", "j"))
+
+
 _COVARIANCE_ORACLE = f"""
 WITH q AS (SELECT list_transform(embedding,
                v -> CAST(FLOOR(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT)
@@ -888,6 +947,8 @@ def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "nd_embedding_covariance": (nd_embedding_covariance,
                                 _COVARIANCE_ORACLE),
+    "nd_embedding_covariance_fast": (nd_embedding_covariance_fast,
+                                     _COVARIANCE_ORACLE),
     "nd_pca_project": (nd_pca_project, None),
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
     "nd_kmeans": (nd_kmeans, _KMEANS_ORACLE),

@@ -568,6 +568,117 @@ ORDER BY pmi_x1000 DESC, bigram LIMIT {PMI_TOP_K}
 """
 
 
+SKIPGRAM_WIN = 2
+SKIPGRAM_TOP_K = 50
+
+
+def nd_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair extraction — the word2vec/fastText data
+    pass: every (center, context) pair within ±SKIPGRAM_WIN positions,
+    counted corpus-wide, top-SKIPGRAM_TOP_K by (n DESC, w1, w2) — a
+    total order, so the cut is deterministic on any partitioning. At
+    100 TB this IS the embedding-training dataset builder; the count
+    table doubles as the co-occurrence matrix sketch.
+
+    Scale shape: pair generation is pure codegen over the projected
+    token array (zip_with over offset slices — no joins, no positional
+    explode; the d=1 and d=2 streams and both (center, context)
+    orientations concatenate into ONE array per doc before the single
+    explode). The stream reduces immediately to (w1, w2) counts with
+    map-side combine collapsing the Zipf head; the token stream is
+    scanned once and never shuffled — only the reduced pair counts
+    move. The final top-K is a bounded sort over the reduced frame."""
+    docs = _docs(spark, sf_dir)
+    w = words("text")
+    n = F.size(w)
+
+    def _fwd(d):
+        # left-to-right pairs at distance d: (w[i], w[i+d]) as a
+        # 'a b'-joined string; empty when the doc is shorter than d+1
+        ln = F.greatest(n - d, F.lit(0))
+        return F.zip_with(F.slice(w, 1, ln), F.slice(w, 1 + d, ln),
+                          lambda a, b: F.concat(a, F.lit(" "), b))
+
+    def _rev(d):
+        ln = F.greatest(n - d, F.lit(0))
+        return F.zip_with(F.slice(w, 1 + d, ln), F.slice(w, 1, ln),
+                          lambda a, b: F.concat(a, F.lit(" "), b))
+
+    pairs = F.concat(*[f(d) for d in range(1, SKIPGRAM_WIN + 1)
+                       for f in (_fwd, _rev)])
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.substring_index("p", " ", 1).alias("w1"),
+                 F.substring_index("p", " ", -1).alias("w2"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(SKIPGRAM_TOP_K)
+    )
+
+
+_SKIPGRAM_ORACLE = f"""
+WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+pos AS (SELECT ws, i, d
+        FROM w, unnest(range(1, len(ws) + 1)) u(i),
+             (VALUES (1), (2)) v(d)
+        WHERE i + d <= len(ws)),
+pairs AS (SELECT ws[i] AS w1, ws[i + d] AS w2 FROM pos
+          UNION ALL
+          SELECT ws[i + d], ws[i] FROM pos)
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT {SKIPGRAM_TOP_K}
+"""
+
+ZIPF_SCALE = 1_000_000
+
+
+def nd_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus diagnostic: the token-frequency distribution
+    binned by frequency OCTAVE (floor(log2 f), computed exactly as
+    length(bin(f)) - 1 — bit-length integer arithmetic, portable where
+    float log2 is not at the 2^k boundaries). Per octave: distinct word
+    types, total token mass, and mass in parts-per-million of the
+    corpus. A healthy natural-language crawl shows the Zipf signature
+    (type counts decaying geometrically up the octaves, mass roughly
+    flat); template floods and generated spam bend it — this is the
+    one-page distribution fingerprint a data card plots.
+
+    Scale shape: the token stream reduces once to per-word counts
+    (map-side combine absorbs the Zipf head), the octave rollup runs
+    over the vocabulary-sized frame, and the corpus total rides the
+    same reduced frame as a broadcast 1-row aggregate — one scan, one
+    word-keyed exchange, nothing else moves."""
+    docs = _docs(spark, sf_dir)
+    freq = (docs.select(F.explode(words("text")).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("f")))
+    oct_ = (freq.select((F.length(F.bin("f")) - 1).cast("int")
+                        .alias("octave"), "f")
+            .groupBy("octave")
+            .agg(F.count("*").cast("long").alias("n_types"),
+                 F.sum("f").cast("long").alias("n_tokens")))
+    total = oct_.agg(F.sum("n_tokens").cast("long").alias("t"))
+    return (oct_.crossJoin(F.broadcast(total))
+            .select("octave", "n_types", "n_tokens",
+                    F.expr(f"n_tokens * {ZIPF_SCALE} div t")
+                    .cast("long").alias("mass_ppm"))
+            .orderBy("octave"))
+
+
+_ZIPF_ORACLE = f"""
+WITH wds AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+             FROM documents),
+freq AS (SELECT word, COUNT(*) AS f FROM wds GROUP BY word),
+oct AS (SELECT CAST(length(bin(f)) - 1 AS INTEGER) AS octave,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(f) AS BIGINT) AS n_tokens
+        FROM freq GROUP BY octave),
+t AS (SELECT SUM(n_tokens) AS t FROM oct)
+SELECT octave, n_types, n_tokens,
+       CAST(n_tokens * {ZIPF_SCALE} // t.t AS BIGINT) AS mass_ppm
+FROM oct CROSS JOIN t ORDER BY octave
+"""
+
+
 _LANGID_ORACLE = (
     "WITH s AS (SELECT doc_id, "
     + ", ".join(f"{_sql_marker_hits(m)} AS hits_{lang}"
@@ -903,6 +1014,8 @@ QUERIES = {
     "nd_word_rarity": (nd_word_rarity, _WORD_RARITY_ORACLE),
     "nd_bigram_surprisal": (nd_bigram_surprisal, _BIGRAM_SURPRISAL_ORACLE),
     "nd_pmi_collocations": (nd_pmi_collocations, _PMI_ORACLE),
+    "nd_skipgram_pairs": (nd_skipgram_pairs, _SKIPGRAM_ORACLE),
+    "nd_zipf_octaves": (nd_zipf_octaves, _ZIPF_ORACLE),
     "nd_quality": (
         nd_quality,
         "SELECT doc_id, "

@@ -444,3 +444,34 @@ def test_containment_catches_asymmetric_quote_embedding(spark):
     got = containment_pairs(docs).collect()
     assert [(r.contained_id, r.container_id) for r in got] == [(1, 2)]
     assert got[0].containment == 1.0
+
+
+def test_weighted_jaccard_emphasizes_rare_content(spark):
+    """Two docs that share RARE shingles (their actual content) must
+    score above two docs that share only corpus-wide boilerplate, even
+    when the plain shingle-count overlap is identical — the idf-style
+    property that motivates the weighted variant."""
+    from bacalhau_spark.operators.dedup import (ngram_jaccard_pairs,
+                                                weighted_jaccard_pairs)
+
+    # 10-word shared blocks (8 3-gram shingles) + 2-word unique tails;
+    # docs 5/6 exist only to make `boiler` corpus-common (df=4 -> weight
+    # nd//df = 1) while `rare` stays df=2 -> weight 3 and tails df=1 ->
+    # weight 6. By symmetry plain jaccard CANNOT separate (1,2) from
+    # (3,4); the weighted score must rank the rare-content pair higher.
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rare = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, boiler + " t1a t1b"), (2, boiler + " t2a t2b"),
+         (3, rare + " t3a t3b"), (4, rare + " t4a t4b"),
+         (5, boiler + " t5a t5b"), (6, boiler + " t6a t6b")],
+        ["doc_id", "text"])
+    got = {(r.a_id, r.b_id): r.wjaccard
+           for r in weighted_jaccard_pairs(docs, threshold=0.0).collect()}
+    plain = {(r.a_id, r.b_id): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert plain[(1, 2)] == plain[(3, 4)]
+    assert got[(3, 4)] > got[(1, 2)]
+    # exact expected values: shared_w(3,4)=8*3, sizes 8*3+2*6=36 ->
+    # 24/48; shared_w(1,2)=8, sizes 8+12=20 -> 8/32
+    assert got[(3, 4)] == 24 / 48 and got[(1, 2)] == 8 / 32

@@ -581,3 +581,45 @@ def test_bpe_merges_matches_reference(spark, docs, merges):
     got = [(r["step"], r["pair"], r["n"])
            for r in bpe_merge_rules(spark, frame, merges=merges).collect()]
     assert got == _ref_bpe(docs, merges)
+
+
+def _ref_pagerank(edges: list[tuple[int, int]], iters: int):
+    """Pure-Python integer PageRank: undirected walk over the distinct
+    edge set, truncating division at every step, R_SCALE=1e12."""
+    R = 10**12
+    und = set()
+    for u, v in set(edges):
+        und.add((u, v))
+        und.add((v, u))
+    deg: dict[int, int] = {}
+    for u, _ in und:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(deg)
+    r = {u: R // n for u in deg}
+    for _ in range(iters):
+        s = {u: 0 for u in deg}
+        for u, v in und:
+            s[v] += r[u] // deg[u]
+        r = {u: ((R // n) * 15) // 100 + (85 * s[u]) // 100 for u in deg}
+    return {u: (deg[u], r[u]) for u in deg}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 4).map(lambda c: 2 * c),
+              st.integers(0, 3).map(lambda s: 2 * s + 1)),
+    min_size=1, max_size=12),
+    iters=st.integers(1, 3))
+def test_pagerank_matches_reference(spark, edges, iters):
+    """The integer PageRank loop vs the pure-Python model: identical
+    degrees and ranks for EVERY node after each iteration count —
+    pins the undirected edge doubling, the truncating per-step
+    divisions, and the damped update's exact operation order."""
+    from bacalhau_spark.operators.graph import pagerank_ranks
+
+    fwd = spark.createDataFrame(list(set(edges)), "u long, v long")
+    got = {r["u"]: (r["deg"], r["r"])
+           for r in pagerank_ranks(fwd, iters=iters).collect()}
+    assert got == _ref_pagerank(edges, iters)

@@ -719,3 +719,48 @@ def test_ks_drift_scale_shape(spark, sf_dir):
     # materialization)
     assert final.count("TableCacheQueryStage") >= 5, (
         "a ks_drift branch bypassed the persisted (source, n_chars) frame")
+
+
+def test_round8b_batch_scale_shapes(spark, sf_dir):
+    """The five newest operators' 100 TB plan claims:
+
+    - nd_skipgram_pairs / nd_zipf_octaves: the token stream reduces
+      map-side in ONE pass (partial aggregation present), no Window
+      over a raw token key, text never crosses an exchange, no Expand.
+    - nd_lang_outliers: the document stream reduces to (source, lang)
+      counts before anything else; the only window runs over that
+      reduced frame.
+    - nd_pagerank: rank/deg joins resolve as broadcasts at fixture
+      scale, no CartesianProduct, no Expand; the per-iteration persist
+      keeps the plan flat (exactly one edge-build subtree in the final
+      executed plan, served from cache thereafter).
+    """
+    import re
+
+    from bacalhau_spark.operators.curation import nd_lang_outliers
+    from bacalhau_spark.operators.graph import nd_pagerank
+    from bacalhau_spark.operators.text import (nd_skipgram_pairs,
+                                               nd_zipf_octaves)
+
+    for fn in (nd_skipgram_pairs, nd_zipf_octaves):
+        df = fn(spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert ") Window" not in plan, fn.__name__
+        assert "partial_count" in plan, fn.__name__
+        assert "Expand" not in plan, fn.__name__
+        for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                             plan):
+            assert "text#" not in m.group(1), fn.__name__
+
+    df = nd_lang_outliers(spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "partial_count" in plan
+    assert "Expand" not in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
+
+    df = nd_pagerank(spark, sf_dir)
+    df.collect()
+    final = _executed_plan(df)
+    assert "CartesianProduct" not in final
+    assert "Expand" not in final
