@@ -909,6 +909,44 @@ def nd_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+K_ANON = 5
+K_ANON_BUCKET = 100
+
+
+def nd_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (lang, source, n_chars bucketed to K_ANON_BUCKET chars): every QI
+    group with fewer than K_ANON members, i.e. the documents a
+    released corpus would expose to re-identification by their
+    metadata alone — the privacy screen that runs next to
+    [[nd_pii_redact]]'s content screen before a training set ships.
+    Emits (lang, source, bucket, n) for the at-risk groups; an empty
+    result certifies the release at k=K_ANON over these QIs.
+
+    Scale shape: ONE map-side-combined aggregate over the projected
+    QI columns (the n_chars bucket is per-row integer division inside
+    the scan stage); the exchange carries only QI-group partials —
+    bounded by the QI domain, not the corpus — and the k filter runs
+    on the reduced frame. The document stream never shuffles."""
+    return (table(spark, sf_dir, "documents")
+            .select("lang", "source",
+                    F.expr(f"n_chars div {K_ANON_BUCKET}")
+                    .cast("long").alias("bucket"))
+            .groupBy("lang", "source", "bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+            .where(F.col("n") < K_ANON)
+            .orderBy("lang", "source", "bucket"))
+
+
+_K_ANON_ORACLE = f"""
+SELECT lang, source, CAST(n_chars // {K_ANON_BUCKET} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY lang, source, bucket
+HAVING COUNT(*) < {K_ANON}
+ORDER BY lang, source, bucket
+"""
+
+
 OUTLIER_SCALE = 1_000_000
 
 
@@ -1086,6 +1124,7 @@ QUERIES = {
     "nd_dataset_card": (nd_dataset_card, _DATASET_CARD_ORACLE),
     "nd_ks_drift": (nd_ks_drift, _KS_DRIFT_ORACLE),
     "nd_lang_outliers": (nd_lang_outliers, _LANG_OUTLIERS_ORACLE),
+    "nd_k_anonymity": (nd_k_anonymity, _K_ANON_ORACLE),
     "nd_curation_funnel": (nd_curation_funnel, _FUNNEL_ORACLE),
     "nd_mix_temperature": (nd_mix_temperature, _MIX_TEMP_ORACLE),
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),

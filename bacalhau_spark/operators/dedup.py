@@ -342,13 +342,18 @@ def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_pair_stats(docs: DataFrame, n: int,
-                        df_cap: int) -> tuple[DataFrame, DataFrame]:
-    """The shared inverted-index core of ngram_jaccard_pairs and
-    containment_pairs: per-(a<b) pair shared-shingle counts plus per-doc
-    retained-set sizes, over 60-bit md5 shingle keys with the stop-
-    shingle df_cap guard. See ngram_jaccard_pairs for the full scale
-    rationale (posting-list bucket-and-expand, no index self-join)."""
+def _shingle_postings(docs: DataFrame, n: int, df_cap: int) -> DataFrame:
+    """Checkpointed (shingle, ids) posting lists over 60-bit md5 keys
+    with the stop-shingle df_cap guard. The explicit-width repartition
+    BEFORE the checkpoint is load-bearing: AQE's size-based coalescing
+    (parallelismFirst=false, the session default) collapses the
+    byte-small posting-list aggregate to a couple of partitions, the
+    checkpoint FREEZES that partitioning, and the pair explode
+    downstream amplifies rows ~1000x out of those few partitions — two
+    cores doing all the work (2.4x the whole operator at x10, measured
+    in registry_crossover_r8c.txt; the spread_compute rationale applied
+    at a mid-plan stage). The explicit partition count keeps AQE from
+    re-coalescing the repartition."""
     sh = (docs.select("doc_id", words("text").alias("w"))
           .select("doc_id",
                   F.explode(shingles(F.col("w"), n)).alias("s"))
@@ -356,10 +361,22 @@ def _shingle_pair_stats(docs: DataFrame, n: int,
                   F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
                   .cast("long").alias("shingle"))
           .distinct())
-    postings = (sh.groupBy("shingle")
-                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-                .where(F.size("ids") <= df_cap)
-                .localCheckpoint(eager=True))
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    return (sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .where(F.size("ids") <= df_cap)
+            .repartition(width, "shingle")
+            .localCheckpoint(eager=True))
+
+
+def _shingle_pair_stats(docs: DataFrame, n: int,
+                        df_cap: int) -> tuple[DataFrame, DataFrame]:
+    """The shared inverted-index core of ngram_jaccard_pairs and
+    containment_pairs: per-(a<b) pair shared-shingle counts plus per-doc
+    retained-set sizes, over 60-bit md5 shingle keys with the stop-
+    shingle df_cap guard. See ngram_jaccard_pairs for the full scale
+    rationale (posting-list bucket-and-expand, no index self-join)."""
+    postings = _shingle_postings(docs, n, df_cap)
     sizes = (postings.select(F.explode("ids").alias("doc_id"))
              .groupBy("doc_id").agg(F.count("*").alias("n")))
     # Struct pair keys on purpose: packing (a,b) into one long (a<<32|b)
@@ -417,8 +434,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     # in both engines, so the quotient is bit-identical (see scalar.q04 note).
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared"))
+    # The sizes frames are EXPLICITLY broadcast: the planner's stats over
+    # the checkpointed posting scan misestimate which side is small, and
+    # it was observed (r8, containment's identical join) broadcasting the
+    # PAIR aggregate — 11.3M rows at x10, a 2x wall-clock hit. sizes is
+    # one row per doc; past broadcast limits (~10^8 docs) the production
+    # form drops the hint for a shuffle-hash join on the pair keys.
     return (
-        shared.join(na, "a_id").join(nb, "b_id")
+        shared.join(F.broadcast(na), "a_id").join(F.broadcast(nb), "b_id")
         .where(jac >= threshold)
         .select("a_id", "b_id", jac.alias("jaccard"))
         .orderBy("a_id", "b_id")
@@ -465,11 +488,16 @@ def weighted_jaccard_pairs(docs: DataFrame, n: int = 3,
                   .cast("long").alias("shingle"))
           .distinct())
     ndocs = docs.select(F.countDistinct("doc_id").alias("nd"))
+    # explicit-width repartition before the checkpoint: see
+    # _shingle_pair_stats — AQE would otherwise freeze the byte-small
+    # posting frame at a couple of partitions and starve the explode
+    width = docs.sparkSession.sparkContext.defaultParallelism
     postings = (sh.groupBy("shingle")
                 .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                 .where(F.size("ids") <= df_cap)
                 .crossJoin(F.broadcast(ndocs))
                 .withColumn("wt", F.expr("nd div size(ids)"))
+                .repartition(width, "shingle")
                 .localCheckpoint(eager=True))
     sizes = (postings.select(F.explode("ids").alias("doc_id"), "wt")
              .groupBy("doc_id").agg(F.sum("wt").alias("tw")))
@@ -488,7 +516,9 @@ def weighted_jaccard_pairs(docs: DataFrame, n: int = 3,
     wb = sizes.select(F.col("doc_id").alias("b_id"), F.col("tw").alias("tb"))
     score = (F.col("shared_w").cast("double")
              / (F.col("ta") + F.col("tb") - F.col("shared_w")))
-    return (shared.join(wa, "a_id").join(wb, "b_id")
+    # explicit sizes broadcast — see ngram_jaccard_pairs' note
+    return (shared.join(F.broadcast(wa), "a_id")
+            .join(F.broadcast(wb), "b_id")
             .where(score >= threshold)
             .select("a_id", "b_id", "shared_w",
                     score.alias("wjaccard"))
@@ -554,22 +584,43 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     (_shingle_pair_stats): posting-list bucket-and-expand, stop-shingle
     df_cap guard, 60-bit md5 shingle keys — so candidate generation
     never self-joins the index and text never shuffles. The containment
-    ratio is an int/int division, bit-identical cross-engine."""
+    ratio is an int/int division, bit-identical cross-engine.
+
+    Both directions come from ONE pass: a SCALAR OR-threshold first
+    (Catalyst inlines it into the sizes join, so candidate pairs that
+    clear neither direction die during the join), then a two-element
+    array explode over only the survivors — a union of two filtered
+    branches would re-plan the pair-expansion aggregation twice (Spark
+    never shares subplans across DataFrame branches), and exploding
+    before filtering allocates 2 struct rows per candidate pair only
+    to discard nearly all of them. The x10 chase that produced this
+    form (measured trail in experiments/registry_crossover_r8c.txt) is
+    instructive: neither of those was the 2.4x regression vs the
+    sibling ops — the dominant cost was _shingle_pair_stats' frozen
+    post-coalesce partitioning (see its comment; fixed there for the
+    whole family, 27 s -> 11 s at x10), plus the planner broadcasting
+    the multi-million-row PAIR aggregate instead of the doc-sizes
+    frames (fixed by the explicit broadcasts below)."""
     shared, sizes = _shingle_pair_stats(docs, n, df_cap)
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
-    both = shared.join(na, "a_id").join(nb, "b_id")
+    # explicit sizes broadcast — without it the planner broadcast the
+    # 11.3M-row pair aggregate at x10 (see ngram_jaccard_pairs' note)
+    both = shared.join(F.broadcast(na), "a_id").join(F.broadcast(nb),
+                                                     "b_id")
     c_a = F.col("shared").cast("double") / F.col("na")
     c_b = F.col("shared").cast("double") / F.col("nb")
-    d1 = (both.where(c_a >= threshold)
-          .select(F.col("a_id").alias("contained_id"),
-                  F.col("b_id").alias("container_id"),
-                  c_a.alias("containment")))
-    d2 = (both.where(c_b >= threshold)
-          .select(F.col("b_id").alias("contained_id"),
-                  F.col("a_id").alias("container_id"),
-                  c_b.alias("containment")))
-    return d1.unionAll(d2).orderBy("contained_id", "container_id")
+    directed = F.explode(F.array(
+        F.struct(F.col("a_id").alias("contained_id"),
+                 F.col("b_id").alias("container_id"),
+                 c_a.alias("containment")),
+        F.struct(F.col("b_id").alias("contained_id"),
+                 F.col("a_id").alias("container_id"),
+                 c_b.alias("containment"))))
+    return (both.where((c_a >= threshold) | (c_b >= threshold))
+            .select(directed.alias("d")).select("d.*")
+            .where(F.col("containment") >= threshold)
+            .orderBy("contained_id", "container_id"))
 
 
 def nd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,17 +117,24 @@ def pagerank_ranks(fwd: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 
 
 def _pagerank_oracle() -> str:
-    """The identical PR_ITERS-round loop unrolled as chained CTEs."""
+    """The identical PR_ITERS-round loop unrolled as chained CTEs.
+    Every CTE is MATERIALIZED (DuckDB-only hint; the oracle never runs
+    on Spark): DuckDB inlines single-reference CTEs, so without the
+    hint each r{k} re-evaluates the whole chain below it — the unrolled
+    loop goes combinatorial in exactly the way the Spark side's
+    per-iteration persist exists to prevent."""
     parts = [f"""
-WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
-n AS (SELECT COUNT(*) AS n_nodes FROM deg),
-r0 AS (SELECT u, deg, {R_SCALE} // n_nodes AS r FROM deg CROSS JOIN n)"""]
+WITH e0 AS MATERIALIZED (
+    SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+n AS MATERIALIZED (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS MATERIALIZED (SELECT u, deg, {R_SCALE} // n_nodes AS r
+                    FROM deg CROSS JOIN n)"""]
     for k in range(1, PR_ITERS + 1):
         parts.append(f"""
-r{k} AS (SELECT d.u, d.deg,
+r{k} AS MATERIALIZED (SELECT d.u, d.deg,
                 CAST((({R_SCALE} // n.n_nodes) * 15) // 100
                      + ({PR_DAMP_NUM} * SUM(p.r // p.deg))
                        // {PR_DAMP_DEN} AS BIGINT) AS r

@@ -384,7 +384,106 @@ FROM e GROUP BY 1, 2 ORDER BY epoch, shard
 """
 
 
+TE_SCALE = 100  # money in exact integer cents (the round-3 audit rule)
+
+
+def nd_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature
+    construction ML pipelines run before training: each order's
+    priority category is encoded as the mean total price of the OTHER
+    orders in that category ((sum - x) DIV (n - 1)), which is the
+    leakage-free form (plain per-category means leak each row's own
+    target into its feature). Exact integer cents end to end: the
+    per-row cents cast is the only ROUND (per-row rounds are portable;
+    only order-dependent double sums are not), and the LOO division is
+    truncating integer math, so every encoded value hash-gates.
+
+    Scale shape: one map-side-combined aggregate to per-category
+    (sum, n) — a handful of rows — broadcast back onto the order
+    stream; the fact table never shuffles and the encode itself is
+    pure codegen. Singleton categories (n=1) yield NULL by the n-1=0
+    guard rather than a divide-by-zero."""
+    orders = (table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderpriority",
+                      F.round(F.col("o_totalprice") * TE_SCALE)
+                      .cast("long").alias("cents")))
+    cat = (orders.groupBy("o_orderpriority")
+           .agg(F.sum("cents").alias("s"), F.count("*").alias("n")))
+    return (orders.join(F.broadcast(cat), "o_orderpriority")
+            .select("o_orderkey", "o_orderpriority",
+                    F.when(F.col("n") > 1,
+                           F.expr("(s - cents) div (n - 1)"))
+                    .cast("long").alias("loo_cents"))
+            .orderBy("o_orderkey"))
+
+
+_TARGET_ENCODE_ORACLE = f"""
+WITH o AS (SELECT o_orderkey, o_orderpriority,
+                  CAST(ROUND(o_totalprice * {TE_SCALE}) AS BIGINT) AS cents
+           FROM orders),
+cat AS (SELECT o_orderpriority, SUM(cents) AS s, COUNT(*) AS n
+        FROM o GROUP BY o_orderpriority)
+SELECT o_orderkey, o.o_orderpriority,
+       CAST(CASE WHEN n > 1 THEN (s - cents) // (n - 1) END AS BIGINT)
+       AS loo_cents
+FROM o JOIN cat USING (o_orderpriority) ORDER BY o_orderkey
+"""
+
+EWMA_SCALE = 1000  # event values in exact integer milli-units
+
+
+def nd_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    with alpha = 1/2, computed EXACTLY: values go to integer
+    milli-units (per-row round — portable), and the smoothing
+    recurrence ewma_i = (ewma_{i-1} + x_i) div 2 is a truncating
+    integer fold over the (ts, event_id)-ordered history, seeded with
+    the first value. Integer halving makes the inherently sequential
+    recurrence hash-gatable cross-engine (Spark F.aggregate == DuckDB
+    list_reduce — both left folds seeded with the list head), where a
+    float alpha would accumulate engine-specific rounding.
+
+    Scale shape: the per-user history is collected and folded WITHIN
+    one aggregation (sort_array over struct keys makes the order part
+    of the data, not the partitioning), so this is the exact-
+    percentile / stateful-fold class: one shuffle on user_id, state
+    bounded by the per-user history. Unbounded per-key histories want
+    the streaming form (applyInPandasWithState keeps running (ewma, n)
+    instead of the list) — this batch form is the backfill pass."""
+    ev = (table(spark, sf_dir, "events")
+          .select("user_id",
+                  F.struct(F.col("ts"), F.col("event_id"),
+                           F.round(F.col("value") * EWMA_SCALE)
+                           .cast("long").alias("v")).alias("e")))
+    arr = F.sort_array(F.collect_list("e"))
+    return (ev.groupBy("user_id").agg(arr.alias("h"))
+            .select("user_id",
+                    F.size("h").cast("long").alias("n_events"),
+                    # bracket indexing is 0-based in Spark SQL (h[0] is
+                    # the head) while slice() is 1-based (start at 2 =
+                    # drop the head) — easy to cross
+                    F.expr("aggregate(slice(h, 2, size(h) - 1), h[0].v, "
+                           "(acc, x) -> (acc + x.v) div 2)")
+                    .cast("long").alias("ewma_milli"))
+            .orderBy("user_id"))
+
+
+_EWMA_ORACLE = f"""
+WITH e AS (SELECT user_id,
+                  {{'ts': ts, 'event_id': event_id,
+                    'v': CAST(ROUND(value * {EWMA_SCALE}) AS BIGINT)}} AS e
+           FROM events),
+h AS (SELECT user_id, list_sort(list(e)) AS h FROM e GROUP BY user_id)
+SELECT user_id, CAST(len(h) AS BIGINT) AS n_events,
+       CAST(list_reduce(list_transform(h, x -> x.v),
+                        (a, b) -> (a + b) // 2) AS BIGINT) AS ewma_milli
+FROM h ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "nd_target_encode": (nd_target_encode, _TARGET_ENCODE_ORACLE),
+    "nd_ewma_smooth": (nd_ewma_smooth, _EWMA_ORACLE),
     "nd_profile": (nd_profile, _PROFILE_ORACLE),
     "nd_epoch_shuffle": (nd_epoch_shuffle, _EPOCH_ORACLE),
     "nd_epoch_manifest": (nd_epoch_manifest, _EPOCH_MANIFEST_ORACLE),

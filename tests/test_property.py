@@ -623,3 +623,67 @@ def test_pagerank_matches_reference(spark, edges, iters):
     got = {r["u"]: (r["deg"], r["r"])
            for r in pagerank_ranks(fwd, iters=iters).collect()}
     assert got == _ref_pagerank(edges, iters)
+
+
+def _ref_shingle_pairs(docs: list[tuple[int, str]], cap: int):
+    """Pure-Python model of the shared shingle-pair core: distinct
+    word-3-gram sets, df cap, integer rarity weights nd//df, and both
+    the weighted-jaccard and directed-containment scores."""
+    sh = {}
+    for i, text in docs:
+        ws = text.lower().split(" ")
+        sh[i] = {tuple(ws[j:j + 3]) for j in range(len(ws) - 2)}
+    nd = len(docs)
+    df: dict[tuple, int] = {}
+    for v in sh.values():
+        for s in v:
+            df[s] = df.get(s, 0) + 1
+    keep = {s for s, c in df.items() if c <= cap}
+    wt = {s: nd // df[s] for s in keep}
+    kept = {i: v & keep for i, v in sh.items()}
+    plain_n = {i: len(v) for i, v in kept.items()}
+    wsize = {i: sum(wt[s] for s in v) for i, v in kept.items()}
+    wj, cont = {}, {}
+    ids = sorted(kept)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = kept[a] & kept[b]
+            if not inter:
+                continue
+            sw = sum(wt[s] for s in inter)
+            wj[(a, b)] = (sw, sw / (wsize[a] + wsize[b] - sw))
+            cont[(a, b)] = (len(inter) / plain_n[a],
+                            len(inter) / plain_n[b])
+    return wj, cont
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=8)
+    .map(" ".join),
+    min_size=1, max_size=6))
+def test_weighted_jaccard_and_containment_match_reference(spark, texts):
+    """The shared inverted-index pair core's two scoring heads vs a
+    pure-Python model: identical pair sets, integer weight sums, and
+    bit-exact int/int-division scores (threshold=0 so every sharing
+    pair is compared), including docs too short to shingle and the
+    df-cap interaction."""
+    from bacalhau_spark.operators.dedup import (containment_pairs,
+                                                weighted_jaccard_pairs)
+
+    docs = list(enumerate(texts, start=1))
+    ref_wj, ref_cont = _ref_shingle_pairs(docs, cap=50)
+    frame = spark.createDataFrame(docs, ["doc_id", "text"])
+    got_wj = {(r.a_id, r.b_id): (r.shared_w, r.wjaccard)
+              for r in weighted_jaccard_pairs(
+                  frame, threshold=0.0).collect()}
+    assert got_wj == ref_wj
+    got_cont = {}
+    for r in containment_pairs(frame, threshold=0.0).collect():
+        a, b = sorted((r.contained_id, r.container_id))
+        cur = got_cont.setdefault((a, b), [None, None])
+        cur[0 if r.contained_id == a else 1] = r.containment
+    assert got_cont == {k: [v[0], v[1]] for k, v in ref_cont.items()}

@@ -764,3 +764,64 @@ def test_round8b_batch_scale_shapes(spark, sf_dir):
     final = _executed_plan(df)
     assert "CartesianProduct" not in final
     assert "Expand" not in final
+
+
+def test_round8c_batch_scale_shapes(spark, sf_dir):
+    """The k-anonymity / target-encode / EWMA plan claims:
+
+    - nd_k_anonymity: one map-side-combined aggregate; the exchange
+      never carries the document stream (no text column), no Expand.
+    - nd_target_encode: the per-category stats attach by BROADCAST —
+      the orders stream itself is never hash-partitioned (the only
+      exchanges are the category-partial shuffle, whose partials are a
+      handful of rows, and the final rangepartitioning sort).
+    - nd_ewma_smooth: the stateful-fold class — exactly ONE
+      hash-partitioned exchange (user_id), the fold itself runs inside
+      the aggregation.
+    """
+    import re
+
+    from bacalhau_spark.operators.curation import nd_k_anonymity
+    from bacalhau_spark.operators.pipeline import (nd_ewma_smooth,
+                                                   nd_target_encode)
+
+    plan = _formatted_plan(nd_k_anonymity(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "Expand" not in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
+
+    plan = _formatted_plan(nd_target_encode(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "o_orderkey#" not in m.group(1), (
+            "the orders stream shuffled — the category stats should "
+            "broadcast instead:\n" + plan)
+
+    plan = _formatted_plan(nd_ewma_smooth(spark, sf_dir))
+    keys = {m.group(1).split(",")[0].split("#")[0]
+            for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
+                                 plan)}
+    assert keys == {"user_id"}, keys
+
+
+def test_shingle_postings_checkpoint_keeps_parallelism(spark, sf_dir):
+    """Regression guard for the r8 pair-family cliff: AQE's size-based
+    coalescing (parallelismFirst=false) collapses the byte-small
+    posting-list aggregate to a couple of partitions and localCheckpoint
+    FREEZES that — the pair explode then amplifies ~1000x out of 2
+    partitions (measured 2.4x the whole operator at x10). The explicit
+    pre-checkpoint repartition must hold the checkpointed frame at full
+    width."""
+    from bacalhau_spark.operators.dedup import (_shingle_pair_stats,
+                                                _shingle_postings)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    width = spark.sparkContext.defaultParallelism
+    postings = _shingle_postings(docs, 3, 50)
+    assert postings.rdd.getNumPartitions() == width, (
+        "the checkpointed posting lists froze at a coalesced width — "
+        "the pair explode downstream will starve")
+    # and the pair stream actually consumes the checkpoint (ExistingRDD)
+    shared, _sizes = _shingle_pair_stats(docs, 3, 50)
+    assert "Scan ExistingRDD" in _executed_plan(shared)
