@@ -909,6 +909,142 @@ def nd_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+# Secret patterns in the Java-regex/RE2 COMMON subset (char classes +
+# bounded reps only — no backrefs or lookarounds, which the two engines
+# disagree on): AWS-style access key ids, 32+-hex blobs, ghp_-style
+# personal access tokens.
+SECRET_PATTERNS = (
+    ("aws", "AKIA[0-9A-Z]{16}"),
+    ("hex", "[0-9a-f]{32,}"),
+    ("token", "ghp_[0-9a-z]{36}"),
+)
+
+
+def nd_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential/secret scrubbing — the leaked-key screen that runs
+    next to [[nd_pii_redact]]'s personal-data screen before a corpus
+    ships (training sets memorize API keys verbatim; scrubbing them is
+    a standard release gate). Counts per-doc hits for each pattern
+    family and emits the md5 of the REDACTED text (every hit replaced
+    with [SECRET]) as proof the scrub composes. The fixture prose has
+    no secrets, so the query first derives a deterministic
+    secret-bearing variant from (text, doc_id) — identically in both
+    engines, the nd_pii_redact convention; docs off the modulus cycles
+    stay clean, so zero-hit rows are exercised too.
+
+    At 100 TB this is a pure per-row mapper (three regex passes in
+    codegen, zero shuffle); spread scan for the CPU-dwarfs-row-bytes
+    reason."""
+    from bacalhau_spark.catalog import spread_compute
+
+    docs = spread_compute(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" AKIA"),
+                        F.upper(F.substring(
+                            F.md5(F.col("doc_id").cast("string")), 1, 16))))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" "), F.md5("text"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" ghp_"),
+                        F.substring(F.concat(F.md5("text"),
+                                             F.md5(F.concat(F.lit("salt"),
+                                                            F.col("text")))),
+                                    1, 36))).otherwise(F.lit("")))
+    out = docs.select("doc_id", aug.alias("aug"))
+    redacted = F.col("aug")
+    for _name, pat in SECRET_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, "[SECRET]")
+    return (out.select(
+        "doc_id",
+        # idx=0 (whole match): Spark defaults to capture group 1, which
+        # errors on group-free patterns; DuckDB defaults to group 0
+        *[F.size(F.regexp_extract_all("aug", F.lit(pat), 0))
+          .cast("long").alias(f"n_{name}")
+          for name, pat in SECRET_PATTERNS],
+        F.md5(redacted).alias("clean_fp"))
+        .orderBy("doc_id"))
+
+
+def _secret_scan_oracle() -> str:
+    aug = """text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' AKIA' || upper(substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 16)) ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' ' || md5(text) ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' ghp_' || substring(md5(text)
+                                        || md5('salt' || text), 1, 36)
+              ELSE '' END"""
+    redacted = "aug"
+    counts = []
+    for name, pat in SECRET_PATTERNS:
+        counts.append("CAST(len(regexp_extract_all(aug, "
+                      f"'{pat}')) AS BIGINT) AS n_{name}")
+        redacted = f"regexp_replace({redacted}, '{pat}', '[SECRET]', 'g')"
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+SELECT doc_id, {', '.join(counts)}, md5({redacted}) AS clean_fp
+FROM a ORDER BY doc_id
+"""
+
+
+CHURN_SCALE = 1_000_000
+
+
+def nd_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot ingest delta: per source, how many distinct
+    content fingerprints a new crawl snapshot ADDED, REMOVED, and KEPT
+    versus the previous one, plus churn in parts-per-million — the
+    "what changed in this crawl" report an incremental-ingest pipeline
+    publishes per run (and the alarm that catches a source whose
+    content silently turned over). Snapshots are deterministic
+    overlapping doc_id-modulus slices of the fixture (old: %10 != 7,
+    new: %10 != 3), standing in for two crawl dates.
+
+    Scale shape: ONE map-side-combined aggregate to (source, fp,
+    in_old, in_new) — presence flags fold with MAX inside the partial
+    agg, so the exchange carries 16-byte fingerprints with two bits of
+    state, never text; the per-source rollup runs on the reduced frame.
+    This is the two-sided generalization of [[nd_incremental_dedup]]'s
+    one-directional anti-join."""
+    docs = table(spark, sf_dir, "documents")
+    f = (docs.select("source", F.md5("text").alias("fp"),
+                     (F.col("doc_id") % 10 != 7).cast("int").alias("o"),
+                     (F.col("doc_id") % 10 != 3).cast("int").alias("nw"))
+         .groupBy("source", "fp")
+         .agg(F.max("o").alias("o"), F.max("nw").alias("nw")))
+    return (f.groupBy("source")
+            .agg(F.sum(F.expr("nw * (1 - o)")).cast("long").alias("added"),
+                 F.sum(F.expr("o * (1 - nw)")).cast("long").alias("removed"),
+                 F.sum(F.expr("o * nw")).cast("long").alias("kept"))
+            .withColumn("churn_ppm",
+                        F.expr(f"(added + removed) * {CHURN_SCALE} "
+                               "div (added + removed + kept)")
+                        .cast("long"))
+            .orderBy("source"))
+
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH f AS (SELECT source, md5(text) AS fp,
+                  MAX(CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 0 END) AS o,
+                  MAX(CASE WHEN doc_id % 10 <> 3 THEN 1 ELSE 0 END) AS nw
+           FROM documents GROUP BY source, fp)
+SELECT source,
+       CAST(SUM(nw * (1 - o)) AS BIGINT) AS added,
+       CAST(SUM(o * (1 - nw)) AS BIGINT) AS removed,
+       CAST(SUM(o * nw) AS BIGINT) AS kept,
+       CAST((SUM(nw * (1 - o)) + SUM(o * (1 - nw))) * {CHURN_SCALE}
+            // (SUM(nw * (1 - o)) + SUM(o * (1 - nw)) + SUM(o * nw))
+            AS BIGINT) AS churn_ppm
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 K_ANON = 5
 K_ANON_BUCKET = 100
 
@@ -1125,6 +1261,8 @@ QUERIES = {
     "nd_ks_drift": (nd_ks_drift, _KS_DRIFT_ORACLE),
     "nd_lang_outliers": (nd_lang_outliers, _LANG_OUTLIERS_ORACLE),
     "nd_k_anonymity": (nd_k_anonymity, _K_ANON_ORACLE),
+    "nd_secret_scan": (nd_secret_scan, _secret_scan_oracle()),
+    "nd_snapshot_diff": (nd_snapshot_diff, _SNAPSHOT_DIFF_ORACLE),
     "nd_curation_funnel": (nd_curation_funnel, _FUNNEL_ORACLE),
     "nd_mix_temperature": (nd_mix_temperature, _MIX_TEMP_ORACLE),
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),

@@ -680,6 +680,43 @@ FROM sig a JOIN sig b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 ORDER BY a_id, b_id
 """
 
+EDIT_MAX = 30
+
+
+def nd_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-VERIFIED near-dup pairs: LSH band candidates
+    confirmed by bounded Levenshtein over the raw text — the standard
+    two-phase fuzzy dedup (cheap probabilistic candidates, exact
+    character-level verification) that closes the pipeline the
+    signature family opens: minhash answers "probably similar",
+    this answers "at most EDIT_MAX character edits apart", which is
+    the deletion criterion a conservative dedup pass actually applies.
+
+    Scale shape: text moves ONLY for candidate pairs (two broadcast-
+    probed joins against the candidate set, never a text self-join);
+    the |len_a - len_b| <= EDIT_MAX prefilter is correctness-neutral
+    (a length gap of k forces distance > k) and drops mismatched pairs
+    before the O(n*m) comparison; Spark's thresholded levenshtein
+    early-exits the DP at EDIT_MAX (returns -1 past it), so the
+    verification cost is O(n*k) per pair, not O(n^2) — the oracle's
+    plain levenshtein() computes the full distance, <= k is the same
+    predicate."""
+    cand = _band_candidates(_minhash_signatures(spark, sf_dir))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ta = docs.select(F.col("doc_id").alias("a_id"),
+                     F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("b_id"),
+                     F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b", EDIT_MAX)
+    return (cand.join(ta, "a_id").join(tb, "b_id")
+            .where(F.abs(F.length("text_a") - F.length("text_b"))
+                   <= EDIT_MAX)
+            .select("a_id", "b_id", dist.alias("dist"))
+            .where((F.col("dist") >= 0) & (F.col("dist") <= EDIT_MAX))
+            .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))
+            .orderBy("a_id", "b_id"))
+
+
 # Connected components via transitive closure: `reach(id, r)` = every node
 # r reachable from id over the symmetric candidate edges; the component
 # label is MIN(reach). Closure is fine at oracle scale (the candidate edge
@@ -1725,4 +1762,19 @@ ORDER BY a_id, b_id
     "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
     "nd_containment": (nd_containment, _CONTAINMENT_ORACLE),
     "nd_weighted_jaccard": (nd_weighted_jaccard, _WEIGHTED_JACCARD_ORACLE),
+    "nd_editdist_dedup": (nd_editdist_dedup, f"""
+{_MH_SH_CTES},
+mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
+       FROM sh CROSS JOIN (VALUES {_MH_AB_VALUES}) s(seed, a, b)
+       GROUP BY doc_id, seed),
+{_MH_SIG_CTES},
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sig a JOIN sig b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+FROM pairs JOIN documents da ON da.doc_id = a_id
+           JOIN documents db ON db.doc_id = b_id
+WHERE abs(length(da.text) - length(db.text)) <= {EDIT_MAX}
+  AND levenshtein(da.text, db.text) <= {EDIT_MAX}
+ORDER BY a_id, b_id
+"""),
 }

@@ -218,7 +218,123 @@ FROM ch ORDER BY user_id, version
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+CONV_SCALE = 1_000_000
+
+
+def nd_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    first 'view', the first 'click' strictly AFTER that view, the first
+    'purchase' strictly after that click — the time-respecting funnel
+    (a purchase before the first view does NOT count, which is what
+    separates this from three independent event-type counts). Output is
+    one row per step: users reaching it and conversion vs step 1 in
+    integer ppm.
+
+    Scale shape: each step is a filtered min-aggregate on user_id joined
+    to the previous step's user-sized frame — all three aggregates and
+    joins share the ONE user_id hash partitioning (no re-shuffles
+    between steps), and the scans are column/predicate-pruned to the one
+    event type each. The final counts are three 1-row aggregates off
+    user-sized frames, unioned."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type",
+                                               "ts")
+
+    def first_after(etype, prev=None, prev_col=None):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    t1 = first_after(FUNNEL_STEPS[0])
+    t2 = first_after(FUNNEL_STEPS[1], t1, f"t_{FUNNEL_STEPS[0]}")
+    t3 = first_after(FUNNEL_STEPS[2], t2, f"t_{FUNNEL_STEPS[1]}")
+    counts = [
+        frame.agg(F.count("*").cast("long").alias("n_users"))
+        .select(F.lit(i + 1).alias("step"),
+                F.lit(name).alias("event_type"), "n_users")
+        for i, (name, frame) in enumerate(zip(FUNNEL_STEPS, (t1, t2, t3)))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    base = t1.agg(F.count("*").alias("base"))
+    return (out.crossJoin(F.broadcast(base))
+            .select("step", "event_type", "n_users",
+                    F.expr(f"n_users * {CONV_SCALE} div base")
+                    .cast("long").alias("conv_ppm"))
+            .orderBy("step"))
+
+
+_FUNNEL_STEPS_ORACLE = f"""
+WITH t1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(ts) AS t_click FROM events e
+       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t_view
+       WHERE event_type = 'click' GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(ts) AS t_purchase FROM events e
+       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t_click
+       WHERE event_type = 'purchase' GROUP BY e.user_id),
+c AS (SELECT 1 AS step, 'view' AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+      UNION ALL SELECT 2, 'click', COUNT(*) FROM t2
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM t3),
+b AS (SELECT COUNT(*) AS base FROM t1)
+SELECT step, event_type, n_users,
+       CAST(n_users * {CONV_SCALE} // base AS BIGINT) AS conv_ppm
+FROM c CROSS JOIN b ORDER BY step
+"""
+
+
+def nd_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by their
+    first-activity week (the cohort), counted in every subsequent week
+    they were active, with retention vs the cohort's own size in
+    integer ppm — the engagement table every analytics stack renders as
+    the retention triangle. Weeks are date_trunc('week') (Monday-start
+    in both engines); the offset is exact integer (datediff DIV 7).
+
+    Scale shape: the stream reduces to distinct (user, week) pairs and
+    per-user first weeks in aggregates that share the user_id exchange;
+    the cohort matrix is an aggregate over the user-sized joined frame;
+    cohort sizes broadcast back onto the matrix (|weeks|^2 rows)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+    fw = ev.groupBy("user_id").agg(F.min("w").alias("cw"))
+    act = ev.distinct()
+    grid = (act.join(fw, "user_id")
+            .groupBy("cw", F.expr("datediff(w, cw) div 7")
+                     .cast("int").alias("week_offset"))
+            .agg(F.count("*").cast("long").alias("n_active")))
+    size = (grid.where(F.col("week_offset") == 0)
+            .select("cw", F.col("n_active").alias("cohort_n")))
+    return (grid.join(F.broadcast(size), "cw")
+            .select(F.col("cw").cast("date").alias("cohort_week"),
+                    "week_offset", "n_active",
+                    F.expr(f"n_active * {CONV_SCALE} div cohort_n")
+                    .cast("long").alias("retention_ppm"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+_RETENTION_ORACLE = f"""
+WITH ev AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+fw AS (SELECT user_id, MIN(w) AS cw FROM ev GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, w FROM ev),
+grid AS (SELECT cw, CAST(date_diff('day', cw, w) // 7 AS INTEGER)
+                AS week_offset,
+                CAST(COUNT(*) AS BIGINT) AS n_active
+         FROM act JOIN fw USING (user_id) GROUP BY cw, week_offset),
+sz AS (SELECT cw, n_active AS cohort_n FROM grid WHERE week_offset = 0)
+SELECT CAST(grid.cw AS DATE) AS cohort_week, week_offset, n_active,
+       CAST(n_active * {CONV_SCALE} // cohort_n AS BIGINT)
+       AS retention_ppm
+FROM grid JOIN sz USING (cw) ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
+    "nd_event_funnel": (nd_event_funnel, _FUNNEL_STEPS_ORACLE),
+    "nd_retention_cohorts": (nd_retention_cohorts, _RETENTION_ORACLE),
     "nd_scd2_history": (nd_scd2_history, _SCD2_ORACLE),
     "q20_last_state": (
         q20_last_state,

@@ -540,6 +540,8 @@ ORDER BY doc_id
 
 
 from bacalhau_spark.operators.curation import _GOPHER_ORACLE  # noqa: E402
+from bacalhau_spark.operators.pipeline import \
+    _EWMA_ORACLE as _STREAM_EWMA_ORACLE  # noqa: E402
 from bacalhau_spark.operators.windows import QUERIES as _WIN_QUERIES  # noqa: E402
 
 _SESSIONIZE_ORACLE = _WIN_QUERIES["nd_sessionize"][1]
@@ -609,6 +611,74 @@ SELECT user_id, n, total_mv, total_mv / 1000.0 AS total FROM (
   FROM events GROUP BY user_id) t
 ORDER BY total_mv DESC, user_id LIMIT {TOPK_K}
 """
+
+
+def ewma_user_stream(spark: SparkSession, sf_dir: str,
+                     stream: DataFrame | None = None) -> DataFrame:
+    """Streaming form of [[nd_ewma_smooth]]: the per-user alpha=1/2 EWMA
+    as keyed streaming state (applyInPandasWithState) — running
+    (ewma_milli, n) per user instead of the batch form's collected
+    history, which is exactly why the streaming form exists: O(1) state
+    per key where the batch fold holds the whole history.
+
+    Exactness contract, same as the batch twin: values quantize to
+    integer milli-units IN SPARK EXPRESSIONS before the Python fold
+    (per-row ROUND is portable; Python's round() is banker's and is
+    never used), the fold is (acc + v) // 2 over (ts, event_id) order —
+    Python // == Spark DIV on this nonnegative domain (fixture values
+    are positive; documented precondition) — and in-order arrival per
+    key across micro-batches holds because the event fixture is
+    ts-ordered and the paced splits are time-ordered files. Update mode
+    re-emits a key's row each batch; the max-n row per user is the
+    final state (n is monotone) — the nd_stream_stateful convention."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdf_iter, state):
+        # self-contained closure (cloudpickle-by-value, foreign-cwd rule)
+        import pandas as _pd
+
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = None, 0
+        for pdf in pdf_iter:
+            for v in pdf.sort_values(["ts", "event_id"])["v"]:
+                v = int(v)
+                ewma = v if ewma is None else (ewma + v) // 2
+                n += 1
+        state.update((int(ewma), int(n)))
+        yield _pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                             "ewma_milli": [ewma]})
+
+    src = stream if stream is not None else _event_stream(spark, sf_dir)
+    milli = src.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 1000).cast("long").alias("v"))
+    return milli.groupBy("user_id").applyInPandasWithState(
+        fold, "user_id long, n_events long, ewma_milli long",
+        "ewma long, n long", "update", GroupStateTimeout.NoTimeout)
+
+
+def nd_stream_ewma(spark: SparkSession, sf_dir: str,
+                   table_name: str = "gate_stream_ewma") -> DataFrame:
+    """Streaming EWMA, oracle-gated: shares nd_ewma_smooth's FULL
+    value-hash oracle (identical integer fold, identical columns) —
+    multi-batch equality vs the batch twin additionally graded across a
+    real 2-file micro-batch boundary in tests/test_streaming.py."""
+    q = _start_scoped(spark, (
+        ewma_user_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    ))
+    _await_or_raise(q, 120)
+    raw = spark.table(table_name)
+    win = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (raw.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "n_events", "ewma_milli")
+            .orderBy("user_id"))
 
 
 def nd_stream_heavy_hitters(spark: SparkSession, sf_dir: str,
@@ -753,6 +823,7 @@ QUERIES = {
         "arg_max(event_type, event_id) AS last_type "
         "FROM events GROUP BY user_id ORDER BY user_id",
     ),
+    "nd_stream_ewma": (nd_stream_ewma, _STREAM_EWMA_ORACLE),
     "nd_sliding_window": (
         sliding_window,
         "SELECT ws, event_type, COUNT(*) AS c FROM ("

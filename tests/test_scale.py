@@ -825,3 +825,68 @@ def test_shingle_postings_checkpoint_keeps_parallelism(spark, sf_dir):
     # and the pair stream actually consumes the checkpoint (ExistingRDD)
     shared, _sizes = _shingle_pair_stats(docs, 3, 50)
     assert "Scan ExistingRDD" in _executed_plan(shared)
+
+
+def test_round8d_batch_scale_shapes(spark, sf_dir):
+    """The editdist / secret-scan / snapshot-diff plan claims:
+
+    - nd_editdist_dedup: raw text NEVER crosses an exchange — the
+      candidate set broadcasts into the two text joins, so the
+      verification is a map-stage over the documents scan.
+    - nd_secret_scan: a pure mapper — no hash-partitioned exchange at
+      all (only spread_compute's round-robin and the final sort).
+    - nd_snapshot_diff: one map-side-combined pass to (source, fp)
+      presence flags; text never shuffles, no Expand.
+    """
+    import re
+
+    from bacalhau_spark.operators.curation import (nd_secret_scan,
+                                                   nd_snapshot_diff)
+    from bacalhau_spark.operators.dedup import nd_editdist_dedup
+
+    plan = _formatted_plan(nd_editdist_dedup(spark, sf_dir))
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), (
+            "document text shuffled in the editdist verification:\n"
+            + m.group(1))
+    assert "BroadcastHashJoin" in plan
+
+    plan = _formatted_plan(nd_secret_scan(spark, sf_dir))
+    # the one allowed hash exchange is spread_compute's fixture-scale
+    # REPARTITION_BY_NUM scan spread; no ENSURE_REQUIREMENTS shuffle
+    for m in re.finditer(r"hashpartitioning\([^)]*\), (\w+)", plan):
+        assert m.group(1) == "REPARTITION_BY_NUM", (
+            "the secret scan mapper hash-shuffled:\n" + plan)
+
+    plan = _formatted_plan(nd_snapshot_diff(spark, sf_dir))
+    assert "partial_max" in plan or "partial_sum" in plan
+    assert "Expand" not in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
+
+
+def test_event_analytics_scale_shapes(spark, sf_dir):
+    """nd_event_funnel / nd_retention_cohorts plan claims: every hash
+    exchange carries user-keyed aggregates or the bounded week matrix —
+    never raw event payloads (no ts/event_type in partitioning keys
+    beyond user_id/cw); the funnel's three step frames and the cohort
+    matrix join by user_id partitioning or broadcast; no Expand, no
+    cartesian of data-sized frames."""
+    import re
+
+    from bacalhau_spark.operators.windows import (nd_event_funnel,
+                                                  nd_retention_cohorts)
+
+    for fn in (nd_event_funnel, nd_retention_cohorts):
+        df = fn(spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "Expand" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        keys = {k.strip().split("#")[0]
+                for m in re.finditer(
+                    r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+                for k in m.group(1).split(",")[:-1]}
+        # user_id (step/first-week aggregates), (user_id, w) distinct,
+        # (cw, offset) matrix — offset appears as a _groupingexpression
+        assert keys <= {"user_id", "cw", "w", "week_offset",
+                        "_groupingexpression"}, (fn.__name__, keys)

@@ -294,3 +294,34 @@ def test_multibatch_stream_cms_equals_batch(spark, sf_dir, tmp_path,
               .select("tok", "est_count").limit(CMS_TOP_K))
     assert [tuple(r) for r in got.collect()] == \
         [tuple(r) for r in expect.collect()]
+
+
+def test_multibatch_stream_ewma_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming EWMA across a REAL batch boundary: events split into
+    2 time-ordered files, one per trigger, so the keyed (ewma, n) state
+    RESUMES across micro-batches mid-recurrence. Because the fixture
+    streams in (ts, event_id) order, the stitched fold must equal the
+    batch twin's whole-history fold exactly — same integer recurrence,
+    value-identical columns."""
+    from pyspark.sql import Window
+
+    from bacalhau_spark.operators.pipeline import nd_ewma_smooth
+    from bacalhau_spark.streaming.events import (_await_or_raise,
+                                                 ewma_user_stream)
+
+    split_dir = _split_events_fixture(sf_dir, tmp_path)
+    q = (ewma_user_stream(spark, sf_dir,
+                          stream=_paced_event_stream(spark, split_dir))
+         .writeStream.format("memory").queryName("ewma_mb")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck_ewma"))
+         .start())
+    _await_or_raise(q, 120)
+    raw = spark.table("ewma_mb")
+    win = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = (raw.withColumn("_rn", F.row_number().over(win))
+           .where(F.col("_rn") == 1)
+           .select("user_id", "n_events", "ewma_milli")
+           .orderBy("user_id").collect())
+    expect = nd_ewma_smooth(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expect]
