@@ -1,0 +1,188 @@
+"""Versioned (time-travel) parquet tables — snapshot isolation for the
+batch plane.
+
+Reference intent: the contentstore publishes immutable content-addressed
+results behind an atomically-replaced MANIFEST pointer
+(`sources/contentstore.py`); this module extends that discipline with
+TEMPORAL semantics — the lakehouse snapshot pattern (Delta/Iceberg-style,
+reduced to its two load-bearing invariants):
+
+1. A version's data files and its manifest are IMMUTABLE once published.
+2. The only mutable object is the `_LATEST` pointer, published with the
+   contentstore's tmp + os.replace discipline, so a reader resolves
+   pointer -> manifest -> fixed file list and can never observe a
+   half-written snapshot, regardless of concurrent writers.
+
+Readers NEVER list directories for data discovery — the manifest names
+the exact files. That is what makes concurrent write-while-read safe
+(a writer materializing v(n+1) adds files the v(n) manifest does not
+name) and what makes time travel exact (the historical file set is
+pinned forever, not re-derived).
+
+Single-writer by design, like the contentstore: a multi-writer
+deployment needs compare-and-swap on the pointer (object-store
+conditional put); documented, not simulated.
+
+At 100 TB the per-version payload is whatever `df.write` produces —
+partitioned, many files; the manifest holds relative paths so the table
+root can move between stores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LATEST = "_LATEST"
+_MANIFEST = "manifest.json"
+
+
+def _vdir(root: str, version: int) -> str:
+    return os.path.join(root, f"v={version:06d}")
+
+
+def _publish(path: str, payload: str) -> None:
+    """contentstore's atomic-publish discipline (tmp + os.replace);
+    thread id + pid in the tmp name so concurrent publishers to
+    different tables under one root never share a tmp path."""
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+def latest_version(root: str) -> int:
+    """Current version number, 0 when the table does not exist yet."""
+    try:
+        with open(os.path.join(root, _LATEST)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def write_version(df: DataFrame, root: str) -> int:
+    """Materialize `df` as the table's next full snapshot and publish it.
+    Copy-on-write at version granularity: every version is a complete,
+    self-contained snapshot (the simple-and-correct form; delta encoding
+    is an optimization the manifest format does not preclude). Returns
+    the new version number. The pointer flips only AFTER the data and
+    manifest are durable, so a crash mid-write leaves an orphaned
+    unpublished directory, never a corrupt table. A subsequent write
+    into an orphaned slot fails LOUDLY (mode=error) rather than
+    silently overwriting; recovery is deleting the orphan dir — safe
+    because the immutability invariant only covers PUBLISHED versions
+    (those with a manifest), and history()/read_version() already
+    treat manifestless slots as non-commits."""
+    n = latest_version(root) + 1
+    vdir = _vdir(root, n)
+    df.write.mode("error").parquet(vdir)
+    files = sorted(f for f in os.listdir(vdir)
+                   if f.endswith(".parquet") and not f.startswith("."))
+    manifest = {
+        "version": n,
+        "files": files,
+        "n_files": len(files),
+        "columns": df.columns,
+        "created_unix": int(time.time()),
+    }
+    _publish(os.path.join(vdir, _MANIFEST), json.dumps(manifest))
+    _publish(os.path.join(root, _LATEST), str(n))
+    return n
+
+
+def read_version(spark: SparkSession, root: str,
+                 version: int | None = None) -> DataFrame:
+    """Read a pinned snapshot (time travel) or, by default, whatever
+    `_LATEST` points at — resolved ONCE, so the returned DataFrame keeps
+    reading the same snapshot even if the table advances underneath."""
+    n = latest_version(root) if version is None else version
+    vdir = _vdir(root, n)
+    with open(os.path.join(vdir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if not manifest["files"]:
+        raise ValueError(f"version {n} of {root} has no data files")
+    return spark.read.parquet(*[os.path.join(vdir, p)
+                                for p in manifest["files"]])
+
+
+def version_diff(spark: SparkSession, root: str, v_from: int,
+                 v_to: int) -> DataFrame:
+    """Row-level change feed between two published snapshots: every row
+    only in v_to tagged 'added', every row only in v_from tagged
+    'removed' (multiset semantics via exceptAll, so duplicate-row
+    count changes surface too) — the CDC read the snapshot format makes
+    possible without ever having logged changes. Column-compatible
+    snapshots assumed (the manifest records columns; callers diff like
+    with like). At scale this is two co-partitionable anti-semijoins
+    over immutable files — no state, no log."""
+    from pyspark.sql import functions as F
+
+    a = read_version(spark, root, v_from)
+    b = read_version(spark, root, v_to)
+    return (b.exceptAll(a).withColumn("change", F.lit("added"))
+            .unionByName(a.exceptAll(b)
+                         .withColumn("change", F.lit("removed"))))
+
+
+def history(root: str) -> list[dict]:
+    """Published manifests, oldest first — the table's commit log."""
+    out = []
+    for n in range(1, latest_version(root) + 1):
+        path = os.path.join(_vdir(root, n), _MANIFEST)
+        try:
+            with open(path) as f:
+                out.append(json.load(f))
+        except FileNotFoundError:  # orphaned/unpublished version slot
+            continue
+    return out
+
+
+def nd_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round trip: publish two snapshots of the documents
+    table (v1 = the even-doc_id half, v2 = the full corpus), then read
+    v1 BY VERSION and v2 as latest and report per-snapshot counts — the
+    time-travel guarantee as a hash-gated row (the q12_roundtrip shape
+    with temporal semantics). The oracle states the same two snapshot
+    definitions directly."""
+    import shutil
+
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.scratch import scratch_dir
+    from pyspark.sql import functions as F
+
+    root = scratch_dir("versioned") + "/documents"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    write_version(docs.where(F.col("doc_id") % 2 == 0), root)
+    write_version(docs, root)
+
+    def snap(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"))
+
+    return (snap(read_version(spark, root, version=1), 1)
+            .unionAll(snap(read_version(spark, root), 2))
+            .select("version", "n_docs", "total_chars")
+            .orderBy("version"))
+
+
+_TIMETRAVEL_ORACLE = """
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+FROM documents
+ORDER BY version
+"""
+
+QUERIES = {
+    "nd_versioned_timetravel": (nd_versioned_timetravel,
+                                _TIMETRAVEL_ORACLE),
+}

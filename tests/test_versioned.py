@@ -1,0 +1,89 @@
+"""Versioned (time-travel) table semantics: snapshot isolation, pinned
+historical reads, the atomic pointer, and the commit log."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from bacalhau_spark.sources.versioned import (history, latest_version,
+                                              read_version, write_version)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_time_travel_reads_are_pinned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert latest_version(root) == 0
+    assert write_version(_df(spark, [(1, "a")]), root) == 1
+    # resolve a latest-reader BEFORE the next write: it must keep serving
+    # the snapshot it resolved, not the table head (snapshot isolation)
+    pinned = read_version(spark, root)
+    assert write_version(_df(spark, [(1, "a"), (2, "b")]), root) == 2
+    assert pinned.count() == 1
+    assert read_version(spark, root).count() == 2
+    assert read_version(spark, root, version=1).count() == 1
+    assert latest_version(root) == 2
+
+
+def test_history_is_the_commit_log(spark, tmp_path):
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), root)
+    write_version(_df(spark, [(2, "b")]), root)
+    h = history(root)
+    assert [m["version"] for m in h] == [1, 2]
+    assert all(m["columns"] == ["k", "v"] for m in h)
+    assert all(m["n_files"] == len(m["files"]) >= 1 for m in h)
+
+
+def test_reader_uses_manifest_not_directory_listing(spark, tmp_path):
+    """A stray parquet file dropped into a version directory AFTER
+    publish must be invisible: the manifest names the exact file set
+    (this is the invariant that makes concurrent write-while-read and
+    exact time travel work)."""
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), root)
+    vdir = os.path.join(root, "v=000001")
+    _df(spark, [(99, "stray")]).write.mode("overwrite").parquet(
+        str(tmp_path / "stray"))
+    stray = next(f for f in os.listdir(str(tmp_path / "stray"))
+                 if f.endswith(".parquet"))
+    os.rename(os.path.join(str(tmp_path / "stray"), stray),
+              os.path.join(vdir, "zz-stray.parquet"))
+    assert read_version(spark, root, version=1).count() == 1
+
+
+def test_unpublished_version_is_invisible(spark, tmp_path):
+    """A crash between data write and pointer flip leaves an orphan
+    directory: latest stays at the old version and history skips the
+    orphan (manifestless slots are not commits)."""
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), root)
+    # simulate the crash: data dir for v2 exists, manifest+pointer don't
+    _df(spark, [(2, "b")]).write.parquet(os.path.join(root, "v=000002"))
+    assert latest_version(root) == 1
+    assert [m["version"] for m in history(root)] == [1]
+    assert read_version(spark, root).count() == 1
+    # the next successful writer does NOT reuse the orphaned slot number
+    # silently over existing data: write refuses (mode=error) rather than
+    # corrupting — the single-writer contract surfaces loudly
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+    with pytest.raises(AnalysisException):
+        write_version(_df(spark, [(3, "c")]), root)
+
+
+def test_version_diff_is_a_change_feed(spark, tmp_path):
+    """CDC between snapshots: multiset adds/removes, including pure
+    duplicate-count changes."""
+    from bacalhau_spark.sources.versioned import version_diff
+
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a"), (2, "b"), (2, "b")]), root)
+    write_version(_df(spark, [(2, "b"), (3, "c")]), root)
+    got = sorted((r.k, r.v, r.change)
+                 for r in version_diff(spark, root, 1, 2).collect())
+    assert got == [(1, "a", "removed"), (2, "b", "removed"),
+                   (3, "c", "added")]
