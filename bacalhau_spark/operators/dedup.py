@@ -680,6 +680,43 @@ FROM sig a JOIN sig b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 ORDER BY a_id, b_id
 """
 
+def nd_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection — the step AFTER clustering that
+    the min-id convention in nd_dedup_clusters punts on: within each
+    near-dup cluster, KEEP the doc a curation pass actually wants (the
+    longest one by word count — near-dup groups usually contain one full
+    document and its truncated/boilerplate-wrapped variants) and report
+    what the removal pass would drop. Selection key is (n_words DESC,
+    doc_id ASC) — a total order, integer-exact, so the survivor is
+    deterministic on any partitioning (a float quality score would
+    tie-break non-portably). Emits one row per cluster:
+    (cluster_id, survivor_id, survivor_words, n_members, n_dropped).
+
+    Scale shape: cluster labels come from the bounded min-label
+    propagation (nd_dedup_clusters' core — edge-set-sized joins, never
+    corpus-sized); the word counts join in BY DOC ID on the
+    cluster-member subset only (a semi-join-sized probe of the corpus,
+    broadcast at fixture scale), and the per-cluster argmax is a window
+    over cluster-sized partitions of that small frame."""
+    from pyspark.sql import Window
+
+    labels = nd_dedup_clusters(spark, sf_dir)
+    docs = (table(spark, sf_dir, "documents")
+            .select("doc_id", F.size(words("text")).alias("n_words")))
+    m = labels.join(docs, "doc_id")
+    win = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), "doc_id")
+    return (m.withColumn("_rn", F.row_number().over(win))
+            .groupBy("cluster_id")
+            .agg(F.max(F.when(F.col("_rn") == 1, F.col("doc_id")))
+                 .cast("long").alias("survivor_id"),
+                 F.max(F.when(F.col("_rn") == 1, F.col("n_words")))
+                 .cast("long").alias("survivor_words"),
+                 F.count("*").cast("long").alias("n_members"),
+                 (F.count("*") - 1).cast("long").alias("n_dropped"))
+            .orderBy("cluster_id"))
+
+
 EDIT_MAX = 30
 
 
@@ -740,6 +777,31 @@ reach(id, r) AS (
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 ORDER BY doc_id
 """
+
+# Survivor selection composed over the SAME recursive-closure labels:
+# the final label SELECT becomes a CTE, then the (n_words DESC, doc_id)
+# argmax runs per cluster.
+_SURVIVORS_ORACLE = _CLUSTERS_ORACLE.replace(
+    "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id\n"
+    "ORDER BY doc_id", """
+labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+m AS (SELECT cluster_id, labels.doc_id,
+             len(string_split(lower(text), ' ')) AS n_words,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY len(string_split(lower(text), ' '))
+                                         DESC, labels.doc_id) AS rn
+      FROM labels JOIN documents ON documents.doc_id = labels.doc_id)
+SELECT cluster_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+       AS survivor_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_words END) AS BIGINT)
+       AS survivor_words,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM m GROUP BY cluster_id ORDER BY cluster_id""").replace(
+    "reach.r FROM edges e JOIN reach ON e.dst = reach.id\n)",
+    "reach.r FROM edges e JOIN reach ON e.dst = reach.id\n),")
+
 
 _SIMHASH_ORACLE = """
 WITH wds AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
@@ -1762,6 +1824,7 @@ ORDER BY a_id, b_id
     "nd_ngram_jaccard": (nd_ngram_jaccard, _JACCARD_ORACLE),
     "nd_containment": (nd_containment, _CONTAINMENT_ORACLE),
     "nd_weighted_jaccard": (nd_weighted_jaccard, _WEIGHTED_JACCARD_ORACLE),
+    "nd_dedup_survivors": (nd_dedup_survivors, _SURVIVORS_ORACLE),
     "nd_editdist_dedup": (nd_editdist_dedup, f"""
 {_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh

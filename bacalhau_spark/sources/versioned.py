@@ -64,24 +64,40 @@ def latest_version(root: str) -> int:
         return 0
 
 
-def write_version(df: DataFrame, root: str) -> int:
-    """Materialize `df` as the table's next full snapshot and publish it.
-    Copy-on-write at version granularity: every version is a complete,
-    self-contained snapshot (the simple-and-correct form; delta encoding
-    is an optimization the manifest format does not preclude). Returns
-    the new version number. The pointer flips only AFTER the data and
-    manifest are durable, so a crash mid-write leaves an orphaned
-    unpublished directory, never a corrupt table. A subsequent write
-    into an orphaned slot fails LOUDLY (mode=error) rather than
-    silently overwriting; recovery is deleting the orphan dir — safe
-    because the immutability invariant only covers PUBLISHED versions
-    (those with a manifest), and history()/read_version() already
-    treat manifestless slots as non-commits."""
-    n = latest_version(root) + 1
+def write_version(df: DataFrame, root: str,
+                  batch_id: int | None = None,
+                  mode: str = "overwrite") -> int:
+    """Materialize `df` and publish it as the table's next version.
+
+    mode="overwrite": the new version IS `df` — a complete snapshot.
+    mode="append": the new version is the previous version PLUS `df` —
+    the Delta-style file-level transaction: the new manifest references
+    the prior version's (immutable, never rewritten) files alongside
+    the newly written ones, so an append costs only the new rows'
+    bytes while every version remains a full readable table state.
+
+    Manifests store ROOT-relative paths, which is what lets a manifest
+    reference files across version directories. The pointer flips only
+    AFTER the data and manifest are durable, so a crash mid-write
+    leaves an orphaned unpublished directory, never a corrupt table. A
+    subsequent write into an orphaned slot fails LOUDLY (parquet
+    mode=error) rather than silently overwriting; recovery is deleting
+    the orphan dir — safe because the immutability invariant only
+    covers PUBLISHED versions (those with a manifest), and
+    history()/read_version() already treat manifestless slots as
+    non-commits."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    prev = latest_version(root)
+    n = prev + 1
     vdir = _vdir(root, n)
     df.write.mode("error").parquet(vdir)
-    files = sorted(f for f in os.listdir(vdir)
+    rel = f"v={n:06d}"
+    files = sorted(f"{rel}/{f}" for f in os.listdir(vdir)
                    if f.endswith(".parquet") and not f.startswith("."))
+    if mode == "append" and prev > 0:
+        with open(os.path.join(_vdir(root, prev), _MANIFEST)) as f:
+            files = json.load(f)["files"] + files
     manifest = {
         "version": n,
         "files": files,
@@ -89,6 +105,8 @@ def write_version(df: DataFrame, root: str) -> int:
         "columns": df.columns,
         "created_unix": int(time.time()),
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     _publish(os.path.join(vdir, _MANIFEST), json.dumps(manifest))
     _publish(os.path.join(root, _LATEST), str(n))
     return n
@@ -105,7 +123,7 @@ def read_version(spark: SparkSession, root: str,
         manifest = json.load(f)
     if not manifest["files"]:
         raise ValueError(f"version {n} of {root} has no data files")
-    return spark.read.parquet(*[os.path.join(vdir, p)
+    return spark.read.parquet(*[os.path.join(root, p)
                                 for p in manifest["files"]])
 
 
@@ -139,6 +157,30 @@ def history(root: str) -> list[dict]:
         except FileNotFoundError:  # orphaned/unpublished version slot
             continue
     return out
+
+
+def stream_to_versioned(stream_df: DataFrame, root: str,
+                        checkpoint: str):
+    """Continuous ingest INTO the versioned table: every micro-batch
+    commits as a new APPEND version (prior files + the batch's files —
+    only the new rows' bytes are written), so downstream consumers
+    time-travel across ingest epochs and version_diff() is the change
+    feed between any two of them. Exactly-once versions despite
+    foreachBatch's at-least-once replay: the manifest records the
+    micro-batch id, and a replayed batch whose id is already published
+    is skipped — the pointer-flip-last discipline makes the check
+    race-free for the single writer. Returns the started
+    StreamingQuery (caller awaits)."""
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        if any(m.get("batch_id") == batch_id for m in history(root)):
+            return  # replayed batch: its snapshot is already published
+        write_version(df, root, batch_id=batch_id, mode="append")
+
+    return (stream_df.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
 
 
 def nd_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:

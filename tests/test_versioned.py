@@ -87,3 +87,46 @@ def test_version_diff_is_a_change_feed(spark, tmp_path):
                  for r in version_diff(spark, root, 1, 2).collect())
     assert got == [(1, "a", "removed"), (2, "b", "removed"),
                    (3, "c", "added")]
+
+
+def test_stream_ingest_commits_one_version_per_microbatch(spark, sf_dir,
+                                                          tmp_path):
+    """Streaming ingest: a 2-file paced stream commits 2 snapshots;
+    latest == the union, and version_diff across the epochs is exactly
+    the second file's rows. Deliberately re-committing a seen batch_id
+    is a no-op (the exactly-once guard)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.sources.versioned import (stream_to_versioned,
+                                                  version_diff,
+                                                  write_version)
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(tmp_path / "documents-0.parquet"))
+    pq.write_table(t.slice(half), str(tmp_path / "documents-1.parquet"))
+    schema = table(spark, sf_dir, "documents").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents-*.parquet")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path))
+              .select("doc_id", "source"))
+    root = str(tmp_path / "vt")
+    q = stream_to_versioned(stream, root, str(tmp_path / "ck"))
+    assert q.awaitTermination(120)
+    q.stop()
+    h = history(root)
+    assert [m["version"] for m in h] == [1, 2]
+    assert sorted(m["batch_id"] for m in h) == [0, 1]
+    assert read_version(spark, root).count() == t.num_rows
+    # the change feed between ingest epochs is exactly the later file
+    d = version_diff(spark, root, 1, 2)
+    assert d.where(F.col("change") == "removed").count() == 0
+    adds = d.where(F.col("change") == "added").count()
+    assert adds == t.num_rows - half
+    # version 1 is the first epoch alone (time travel across epochs)
+    assert read_version(spark, root, version=1).count() == half
+    # append versions share the immutable epoch-1 files (no rewrite)
+    assert set(h[0]["files"]) < set(h[1]["files"])
