@@ -294,7 +294,125 @@ GROUP BY d.event_type ORDER BY d.event_type
 """
 
 
+HLL_M = 64       # registers (m); alpha_64 = 0.7213/(1+1.079/64) ~ 0.70936
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 70936, 100_000
+HLL_RHO_CAP = 40  # bounds 2^(CAP-M[j]) terms so the sum fits int64
+# Small-range (linear counting) correction WITHOUT runtime floats: the
+# standard est <= 5m/2 branch is m*ln(m/V) for V zero registers — ln is
+# not ulp-portable across engines, so the 64 possible values are
+# precomputed HERE once and embedded as identical integer literals in
+# both the Spark expression and the oracle SQL. Indexed by V (1-based).
+import math as _math  # noqa: E402
+
+HLL_LC = tuple(round(HLL_M * _math.log(HLL_M / v))
+               for v in range(1, HLL_M + 1))
+
+
+def nd_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER-EXACT HyperLogLog: per-source distinct-document estimates
+    from 64 max-registers, with the exact count alongside as the audit —
+    the third member of the mergeable-sketch plane (CMS counters merge
+    by +, bloom bitmaps by OR, HLL registers by MAX). Unlike the
+    textbook float HLL (and unlike q18b's engine-native
+    approx_count_distinct, which is rows+test by design), every step
+    here is integer and portable, so the whole operator value-hashes
+    against the DuckDB oracle: rho comes from bit-length arithmetic
+    (leading zeros of the 54-bit suffix of the 60-bit md5 fingerprint,
+    = 55 - length(bin(w))), registers are integer MAXes, the harmonic
+    denominator Sum 2^(-M[j]) is carried exactly as the integer
+    Sum 1<<(RHO_CAP - M[j]) over a common 2^RHO_CAP denominator, and
+    the estimate is two truncating divisions in a fixed order. Raw
+    formula only (no small-range linear counting / bias table — the
+    production refinements sit on top of the same registers; the
+    err_ppm column reports the raw bias honestly, ~13% at m=64).
+
+    Scale shape: the corpus collapses to distinct (source, fp) — one
+    map-side-combined pass — then to the (source x 64)-bounded register
+    grid (the missing-register fill is a broadcast of literal bucket
+    ids, the nd_ks_drift grid pattern); everything after is arithmetic
+    on 64 rows per source. Registers are the persisted/mergeable
+    artifact at 100 TB; text never shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    fps = (docs.select("source",
+                       F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+                       .cast("long").alias("fp"))
+           .distinct())
+    regs = (fps.select("source", (F.col("fp") % HLL_M).alias("j"),
+                       F.expr("fp div 64").alias("w"))
+            .select("source", "j",
+                    F.least(F.when(F.col("w") == 0, F.lit(55))
+                            .otherwise(F.lit(55) - F.length(F.bin("w"))),
+                            F.lit(HLL_RHO_CAP)).alias("rho"))
+            .groupBy("source", "j").agg(F.max("rho").alias("m_j")))
+    grid = (regs.select("source").distinct()
+            .crossJoin(F.broadcast(
+                spark.range(HLL_M).select(F.col("id").cast("long")
+                                          .alias("j"))))
+            .join(regs, ["source", "j"], "left").na.fill(0, ["m_j"]))
+    truth = fps.groupBy("source").agg(
+        F.countDistinct("fp").alias("n_true"))
+    lc_arr = "array(" + ", ".join(f"{v}L" for v in HLL_LC) + ")"
+    return (grid.groupBy("source")
+            .agg(F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - m_j)"))
+                 .alias("den"),
+                 F.sum(F.expr("CASE WHEN m_j = 0 THEN 1 ELSE 0 END"))
+                 .cast("int").alias("v_zero"))
+            .withColumn("t", F.expr(
+                f"shiftleft(1L, {12 + HLL_RHO_CAP}) div den"))
+            .withColumn("raw_est", F.expr(
+                f"(t * {HLL_ALPHA_NUM}) div {HLL_ALPHA_DEN}")
+                .cast("long"))
+            .withColumn("est", F.expr(
+                f"CASE WHEN raw_est <= {5 * HLL_M // 2} AND v_zero > 0 "
+                f"THEN element_at({lc_arr}, v_zero) "
+                "ELSE raw_est END").cast("long"))
+            .join(truth, "source")
+            .select("source", F.col("n_true").cast("long").alias("n_true"),
+                    "est",
+                    F.expr(f"abs(est - n_true) * 1000000 div n_true")
+                    .cast("long").alias("err_ppm"))
+            .orderBy("source"))
+
+
+_HLL_ORACLE = f"""
+WITH fps AS (SELECT DISTINCT source,
+                    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                    AS fp FROM documents),
+rho AS (SELECT source, fp % {HLL_M} AS j,
+               LEAST(CASE WHEN fp // 64 = 0 THEN 55
+                          ELSE 55 - length(bin(fp // 64)) END,
+                     {HLL_RHO_CAP}) AS rho
+        FROM fps),
+regs AS (SELECT source, j, MAX(rho) AS m_j FROM rho GROUP BY source, j),
+grid AS (SELECT s.source, b.j, COALESCE(regs.m_j, 0) AS m_j
+         FROM (SELECT DISTINCT source FROM regs) s
+         CROSS JOIN (SELECT unnest(range({HLL_M})) AS j) b
+         LEFT JOIN regs ON regs.source = s.source AND regs.j = b.j),
+den AS (SELECT source,
+               SUM(1::BIGINT << ({HLL_RHO_CAP} - m_j)) AS den,
+               SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v_zero
+        FROM grid GROUP BY source),
+est0 AS (SELECT source, v_zero,
+                ((1::BIGINT << {12 + HLL_RHO_CAP}) // den)
+                * {HLL_ALPHA_NUM} // {HLL_ALPHA_DEN} AS raw_est
+         FROM den),
+est1 AS (SELECT source,
+                CASE WHEN raw_est <= {5 * HLL_M // 2} AND v_zero > 0
+                     THEN [{", ".join(str(v) for v in HLL_LC)}]
+                          [CAST(v_zero AS BIGINT)]
+                     ELSE raw_est END AS est
+         FROM est0),
+truth AS (SELECT source, COUNT(DISTINCT fp) AS n_true FROM fps
+          GROUP BY source)
+SELECT est1.source, CAST(n_true AS BIGINT) AS n_true,
+       CAST(est AS BIGINT) AS est,
+       CAST(abs(est - n_true) * 1000000 // n_true AS BIGINT) AS err_ppm
+FROM est1 JOIN truth USING (source) ORDER BY est1.source
+"""
+
+
 QUERIES = {
+    "nd_hll_distinct": (nd_hll_distinct, _HLL_ORACLE),
     "nd_mad_outlier": (nd_mad_outlier, _MAD_ORACLE),
     "q17_hash_agg": (
         q17_hash_agg,

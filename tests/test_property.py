@@ -687,3 +687,63 @@ def test_weighted_jaccard_and_containment_match_reference(spark, texts):
         cur = got_cont.setdefault((a, b), [None, None])
         cur[0 if r.contained_id == a else 1] = r.containment
     assert got_cont == {k: [v[0], v[1]] for k, v in ref_cont.items()}
+
+
+def _ref_hll(texts_by_source: dict[str, list[str]]):
+    """Pure-Python HLL over md5-fingerprinted texts: 64 max-registers,
+    rho from bit lengths, exact integer harmonic denominator, the
+    two-division estimate, and the shared literal linear-counting
+    branch."""
+    import hashlib
+
+    from bacalhau_spark.operators.aggregates import (HLL_ALPHA_DEN,
+                                                     HLL_ALPHA_NUM, HLL_LC,
+                                                     HLL_M, HLL_RHO_CAP)
+    out = {}
+    for src, texts in texts_by_source.items():
+        fps = {int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+               for t in texts}
+        regs = [0] * HLL_M
+        for fp in fps:
+            j, w = fp % HLL_M, fp // HLL_M
+            rho = min(55 if w == 0 else 55 - w.bit_length(), HLL_RHO_CAP)
+            regs[j] = max(regs[j], rho)
+        den = sum(1 << (HLL_RHO_CAP - m) for m in regs)
+        raw = ((1 << (12 + HLL_RHO_CAP)) // den) \
+            * HLL_ALPHA_NUM // HLL_ALPHA_DEN
+        v = regs.count(0)
+        est = HLL_LC[v - 1] if raw <= 5 * HLL_M // 2 and v > 0 else raw
+        n = len(fps)
+        out[src] = (n, est, abs(est - n) * 1_000_000 // n)
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(data=st.dictionaries(
+    st.sampled_from(["sA", "sB"]),
+    st.lists(st.text("abcdef", min_size=1, max_size=6), min_size=1,
+             max_size=30),
+    min_size=1, max_size=2))
+def test_hll_matches_reference(spark, data):
+    """The integer HLL vs a pure-Python model: identical registers
+    (bit-length rho, dedup before registering), identical exact
+    harmonic denominator, identical truncating-division estimate, and
+    the same literal linear-counting branch — including duplicate
+    texts collapsing and the v_zero=0 fallthrough."""
+    import pyspark.sql.functions as F
+
+    from bacalhau_spark.operators.aggregates import nd_hll_distinct
+
+    rows = [(s, t) for s, texts in data.items() for t in texts]
+    frame = spark.createDataFrame(rows, ["source", "text"])
+    frame.createOrReplaceTempView("_hll_docs")
+    # run the operator's logic against the tiny frame by aliasing the
+    # fixture scan path: rebuild inline (the op core is expression-only)
+    from bacalhau_spark.operators import aggregates as agg
+    import unittest.mock as mock
+    with mock.patch.object(agg, "table", lambda _s, _d, _n: frame):
+        got = {r["source"]: (r["n_true"], r["est"], r["err_ppm"])
+               for r in nd_hll_distinct(spark, "ignored").collect()}
+    assert got == _ref_hll(data)
