@@ -747,3 +747,76 @@ def test_hll_matches_reference(spark, data):
         got = {r["source"]: (r["n_true"], r["est"], r["err_ppm"])
                for r in nd_hll_distinct(spark, "ignored").collect()}
     assert got == _ref_hll(data)
+
+
+def _ref_skipgram(texts: list[str], win: int, k: int):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in texts:
+        ws = t.lower().split(" ")
+        for i, w in enumerate(ws):
+            for d in range(1, win + 1):
+                if i + d < len(ws):
+                    c[(w, ws[i + d])] += 1
+                    c[(ws[i + d], w)] += 1
+    return sorted(((n, w1, w2) for (w1, w2), n in c.items()),
+                  key=lambda t: (-t[0], t[1], t[2]))[:k]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abc"), min_size=1, max_size=10)
+    .map(" ".join),
+    min_size=1, max_size=5))
+def test_skipgram_matches_reference(spark, texts):
+    """Skip-gram extraction vs a pure-Python window counter: both
+    orientations, the +/-2 window clipped at document edges, and the
+    (n DESC, w1, w2) top-k cut — including single-word docs that emit
+    nothing."""
+    import unittest.mock as mock
+
+    from bacalhau_spark.operators import text as T
+
+    frame = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                  ["doc_id", "text"])
+    with mock.patch.object(T, "table", lambda _s, _d, _n: frame):
+        got = [(r["n"], r["w1"], r["w2"])
+               for r in T.nd_skipgram_pairs(spark, "ignored").collect()]
+    assert got == _ref_skipgram(texts, T.SKIPGRAM_WIN, T.SKIPGRAM_TOP_K)
+
+
+def _ref_zipf(texts: list[str]):
+    from collections import Counter
+
+    freq = Counter(w for t in texts for w in t.lower().split(" "))
+    octs: dict[int, list[int]] = {}
+    for f in freq.values():
+        octs.setdefault(f.bit_length() - 1, []).append(f)
+    total = sum(freq.values())
+    return [(o, len(v), sum(v), sum(v) * 1_000_000 // total)
+            for o, v in sorted(octs.items())]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=st.lists(
+    st.lists(st.sampled_from("ab"), min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=6))
+def test_zipf_octaves_matches_reference(spark, texts):
+    """Octave binning vs Python int.bit_length(): the exact-arithmetic
+    claim (length(bin(f))-1 == bit_length-1) across the 2^k boundaries,
+    plus type/token/mass-ppm accounting."""
+    import unittest.mock as mock
+
+    from bacalhau_spark.operators import text as T
+
+    frame = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                  ["doc_id", "text"])
+    with mock.patch.object(T, "table", lambda _s, _d, _n: frame):
+        got = [(r["octave"], r["n_types"], r["n_tokens"], r["mass_ppm"])
+               for r in T.nd_zipf_octaves(spark, "ignored").collect()]
+    assert got == _ref_zipf(texts)
