@@ -337,26 +337,61 @@ def nd_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
                        .cast("long").alias("fp"))
            .distinct())
-    regs = (fps.select("source", (F.col("fp") % HLL_M).alias("j"),
-                       F.expr("fp div 64").alias("w"))
-            .select("source", "j",
-                    F.least(F.when(F.col("w") == 0, F.lit(55))
-                            .otherwise(F.lit(55) - F.length(F.bin("w"))),
-                            F.lit(HLL_RHO_CAP)).alias("rho"))
+    regs = (fps.select("source", hll_bucket(F.col("fp")).alias("j"),
+                       hll_rho(F.col("fp")).alias("rho"))
             .groupBy("source", "j").agg(F.max("rho").alias("m_j")))
-    grid = (regs.select("source").distinct()
-            .crossJoin(F.broadcast(
-                spark.range(HLL_M).select(F.col("id").cast("long")
-                                          .alias("j"))))
-            .join(regs, ["source", "j"], "left").na.fill(0, ["m_j"]))
     truth = fps.groupBy("source").agg(
         F.countDistinct("fp").alias("n_true"))
+    return (hll_estimate(spark, regs, "source")
+            .join(truth, "source")
+            .select("source", F.col("n_true").cast("long").alias("n_true"),
+                    "est",
+                    F.expr(f"abs(est - n_true) * 1000000 div n_true")
+                    .cast("long").alias("err_ppm"))
+            .orderBy("source"))
+
+
+def hll_bucket(fp: Column) -> Column:
+    """Register index: low 6 bits of the 60-bit fingerprint (== fp % 64
+    on the nonnegative domain) — THE bucket fold batch and streaming
+    HLL share (drift here would split the register space)."""
+    return fp.bitwiseAND(F.lit(HLL_M - 1))
+
+
+def hll_rho(fp: Column) -> Column:
+    """rho over the 54-bit suffix w = fp >> 6 (== fp div 64 on the
+    nonnegative domain — a FLOAT division here would lose mantissa bits
+    past 2^53), bit-length exact: leading zeros + 1 = 55 -
+    length(bin(w)), w = 0 -> 55, capped at HLL_RHO_CAP."""
+    w = F.shiftright(fp, 6)
+    return F.least(
+        F.when(w == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(w))),
+        F.lit(HLL_RHO_CAP))
+
+
+def hll_estimate(spark: SparkSession, regs: DataFrame,
+                 key: str) -> DataFrame:
+    """Estimate per `key` from a (key, j, m_j) register frame: the
+    exact integer harmonic denominator, the two fixed-order truncating
+    divisions, and the shared-literal linear-counting branch. THE one
+    estimate definition every HLL surface uses. Absent registers fold
+    in ALGEBRAICALLY instead of via a dense-grid self-join (which
+    conflicts on attributes when `regs` is a memory-sink view): a
+    missing register is M=0, contributing 2^CAP to the denominator and
+    one zero register — den += (64 - present) << CAP,
+    v_zero = 64 - present; present registers always have m_j >= 1
+    (rho >= 1 by construction), so they never add to v_zero. The
+    oracles keep the equivalent explicit-grid SQL."""
     lc_arr = "array(" + ", ".join(f"{v}L" for v in HLL_LC) + ")"
-    return (grid.groupBy("source")
+    return (regs.groupBy(key)
             .agg(F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - m_j)"))
-                 .alias("den"),
-                 F.sum(F.expr("CASE WHEN m_j = 0 THEN 1 ELSE 0 END"))
-                 .cast("int").alias("v_zero"))
+                 .alias("den_present"),
+                 F.count("*").cast("int").alias("present"))
+            .withColumn("v_zero", F.lit(HLL_M) - F.col("present"))
+            .withColumn("den", F.expr(
+                f"den_present + cast({HLL_M} - present as bigint) "
+                f"* shiftleft(1L, {HLL_RHO_CAP})"))
             .withColumn("t", F.expr(
                 f"shiftleft(1L, {12 + HLL_RHO_CAP}) div den"))
             .withColumn("raw_est", F.expr(
@@ -366,12 +401,7 @@ def nd_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CASE WHEN raw_est <= {5 * HLL_M // 2} AND v_zero > 0 "
                 f"THEN element_at({lc_arr}, v_zero) "
                 "ELSE raw_est END").cast("long"))
-            .join(truth, "source")
-            .select("source", F.col("n_true").cast("long").alias("n_true"),
-                    "est",
-                    F.expr(f"abs(est - n_true) * 1000000 div n_true")
-                    .cast("long").alias("err_ppm"))
-            .orderBy("source"))
+            .select(key, "est"))
 
 
 _HLL_ORACLE = f"""

@@ -69,20 +69,19 @@ _PRIORITY: tuple[str, ...] = (
     "nd_target_encode", "nd_ewma_smooth", "nd_editdist_dedup",
     "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
     "nd_retention_cohorts", "nd_stream_ewma", "nd_versioned_timetravel",
-    "nd_dedup_survivors", "nd_hll_distinct",
+    "nd_dedup_survivors", "nd_hll_distinct", "nd_stream_hll_users",
     # 3. round-4 freshness re-grades (oldest rows in the union)
     "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
     "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
     "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
     "nd_ngram_overlap", "nd_percentiles", "nd_profile",
     "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
-    "q04_math_funcs",
     # -- window boundary: first 50 graded per round --------------------
     # (round 8 added 26 first-row operators; the r5 freshness re-grades
     # they displaced — nd_gopher_filter .. tpch_q5_local_volume — lead
     # round 9's window; all stay value-exact in every pytest oracle run
     # meanwhile.)
-    "q09_like_filter",
+    "q04_math_funcs", "q09_like_filter",
     "q10_regex_filter", "q11_tokenize_count", "tpch_q16_supplier_cnt",
     # 4. round-5 freshness re-grades, flagship/dedup/streaming first
     "nd_gopher_filter", "nd_incremental_dedup",

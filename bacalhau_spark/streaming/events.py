@@ -542,6 +542,54 @@ ORDER BY doc_id
 from bacalhau_spark.operators.curation import _GOPHER_ORACLE  # noqa: E402
 from bacalhau_spark.operators.pipeline import \
     _EWMA_ORACLE as _STREAM_EWMA_ORACLE  # noqa: E402
+from bacalhau_spark.operators.aggregates import (HLL_ALPHA_DEN,  # noqa: E402
+                                                 HLL_ALPHA_NUM, HLL_LC,
+                                                 HLL_M, HLL_RHO_CAP)
+
+# The streaming HLL oracle mirrors nd_hll_distinct's, keyed by the
+# 6-hour bucket (time_bucket and Spark's window() both align 6-hour
+# buckets to the epoch, so the keys agree) over md5'd user ids. The
+# register build skips the distinct: MAX over duplicate fingerprints
+# equals MAX over the distinct set.
+_STREAM_HLL_ORACLE = f"""
+WITH fp AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                   CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                          1, 15) AS BIGINT) AS fp
+            FROM events),
+rho AS (SELECT window_start, fp % {HLL_M} AS j,
+               LEAST(CASE WHEN fp // 64 = 0 THEN 55
+                          ELSE 55 - length(bin(fp // 64)) END,
+                     {HLL_RHO_CAP}) AS rho
+        FROM fp),
+regs AS (SELECT window_start, j, MAX(rho) AS m_j FROM rho
+         GROUP BY window_start, j),
+grid AS (SELECT s.window_start, b.j, COALESCE(regs.m_j, 0) AS m_j
+         FROM (SELECT DISTINCT window_start FROM regs) s
+         CROSS JOIN (SELECT unnest(range({HLL_M})) AS j) b
+         LEFT JOIN regs ON regs.window_start = s.window_start
+                        AND regs.j = b.j),
+den AS (SELECT window_start,
+               SUM(1::BIGINT << ({HLL_RHO_CAP} - m_j)) AS den,
+               SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v_zero
+        FROM grid GROUP BY window_start),
+est0 AS (SELECT window_start, v_zero,
+                ((1::BIGINT << {12 + HLL_RHO_CAP}) // den)
+                * {HLL_ALPHA_NUM} // {HLL_ALPHA_DEN} AS raw_est
+         FROM den),
+est1 AS (SELECT window_start,
+                CASE WHEN raw_est <= {5 * HLL_M // 2} AND v_zero > 0
+                     THEN [{", ".join(str(v) for v in HLL_LC)}]
+                          [CAST(v_zero AS BIGINT)]
+                     ELSE raw_est END AS est
+         FROM est0),
+truth AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                 COUNT(DISTINCT user_id) AS n_true
+          FROM events GROUP BY window_start)
+SELECT est1.window_start, CAST(n_true AS BIGINT) AS n_true,
+       CAST(est AS BIGINT) AS est,
+       CAST(abs(est - n_true) * 1000000 // n_true AS BIGINT) AS err_ppm
+FROM est1 JOIN truth USING (window_start) ORDER BY est1.window_start
+"""
 from bacalhau_spark.operators.windows import QUERIES as _WIN_QUERIES  # noqa: E402
 
 _SESSIONIZE_ORACLE = _WIN_QUERIES["nd_sessionize"][1]
@@ -679,6 +727,54 @@ def nd_stream_ewma(spark: SparkSession, sf_dir: str,
             .where(F.col("_rn") == 1)
             .select("user_id", "n_events", "ewma_milli")
             .orderBy("user_id"))
+
+
+def nd_stream_hll_users(spark: SparkSession, sf_dir: str,
+                        table_name: str = "stream_hll") -> DataFrame:
+    """Streaming distinct-user estimation per 6-hour tumbling window —
+    the HLL registers maintained AS the aggregation state: max-merge is
+    idempotent and monotone, so micro-batch boundaries are invisible by
+    construction (same argument as the CMS's associative sums) and the
+    state is a bounded 64-registers-per-window grid no matter how many
+    events stream through. The estimate is an OFFLINE probe of the
+    materialized registers through hll_estimate — THE one estimate
+    definition (shared folds: hll_bucket/hll_rho/hll_estimate from the
+    batch operator, so sketch and probe cannot drift), including the
+    shared-literal linear-counting branch. Exact per-window distincts
+    ride alongside as the audit (computed offline — exactly what the
+    bounded-state streaming side cannot also hold), so the full row
+    value-hashes against the DuckDB oracle."""
+    from bacalhau_spark.operators.aggregates import (hll_bucket,
+                                                     hll_estimate, hll_rho)
+    ev = _event_stream(spark, sf_dir)
+    fp = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                             1, 15), 16, 10).cast("long"))
+    regs_stream = (
+        ev.select(F.window("ts", "6 hours").alias("w"), fp.alias("fp"))
+        .select(F.col("w.start").alias("window_start"),
+                hll_bucket(F.col("fp")).alias("j"),
+                hll_rho(F.col("fp")).alias("rho"))
+        .groupBy("window_start", "j")
+        .agg(F.max("rho").alias("m_j")))
+    q = _start_scoped(spark, (
+        regs_stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+    ))
+    _await_or_raise(q, 120)
+    regs = spark.table(table_name)
+    truth = (table(spark, sf_dir, "events")
+             .groupBy(F.window("ts", "6 hours").alias("w"))
+             .agg(F.countDistinct("user_id").alias("n_true"))
+             .select(F.col("w.start").alias("window_start"), "n_true"))
+    return (hll_estimate(spark, regs, "window_start")
+            .join(truth, "window_start")
+            .select("window_start",
+                    F.col("n_true").cast("long").alias("n_true"), "est",
+                    F.expr("abs(est - n_true) * 1000000 div n_true")
+                    .cast("long").alias("err_ppm"))
+            .orderBy("window_start"))
 
 
 def nd_stream_heavy_hitters(spark: SparkSession, sf_dir: str,
@@ -824,6 +920,7 @@ QUERIES = {
         "FROM events GROUP BY user_id ORDER BY user_id",
     ),
     "nd_stream_ewma": (nd_stream_ewma, _STREAM_EWMA_ORACLE),
+    "nd_stream_hll_users": (nd_stream_hll_users, _STREAM_HLL_ORACLE),
     "nd_sliding_window": (
         sliding_window,
         "SELECT ws, event_type, COUNT(*) AS c FROM ("

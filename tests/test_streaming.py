@@ -325,3 +325,24 @@ def test_multibatch_stream_ewma_equals_batch(spark, sf_dir, tmp_path):
            .orderBy("user_id").collect())
     expect = nd_ewma_smooth(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in expect]
+
+
+def test_multibatch_stream_hll_equals_batch(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """The streaming HLL registers across a REAL batch boundary: events
+    split into 2 time-ordered files, one per trigger, so complete-mode
+    MAX registers merge partial sketches across micro-batches.
+    Max-merge is idempotent and monotone, so the boundary must be
+    invisible: the final per-window estimates equal the single-batch
+    run exactly."""
+    from bacalhau_spark.registry import queries
+    from bacalhau_spark.streaming import events as ev
+
+    split_dir = _split_events_fixture(sf_dir, tmp_path)
+    single = queries()["nd_stream_hll_users"](spark, sf_dir).collect()
+    monkeypatch.setattr(
+        ev, "_event_stream",
+        lambda spark_, _sf: _paced_event_stream(spark_, split_dir))
+    got = ev.nd_stream_hll_users(spark, sf_dir,
+                                 table_name="stream_hll_mb").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in single]
