@@ -445,6 +445,13 @@ def bpe_merge_rules(spark: SparkSession, docs: DataFrame,
             .otherwise(F.concat(acc, F.array(x))))
         nxt = (vocab.withColumn("syms", fold)
                .persist(StorageLevel.MEMORY_AND_DISK))
+        # Materialize nxt from the PARENT's live cache before dropping it.
+        # persist() is lazy: the round-8 form unpersisted first, so nxt's
+        # first action recomputed the whole fold chain from the raw corpus
+        # — every round rescanned the corpus and work was O(merges^2),
+        # exactly what the per-round persist exists to prevent. The count
+        # is one cheap job over the cached vocab-sized frame.
+        nxt.count()
         vocab.unpersist()
         vocab = nxt
     vocab.unpersist()

@@ -90,9 +90,16 @@ def pagerank_ranks(fwd: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     and the property pin feeds pre-deduped edges."""
     from pyspark.storagelevel import StorageLevel
 
-    edges = fwd.union(fwd.select(F.col("v").alias("u"),
-                                 F.col("u").alias("v")))
-    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    # The edge list and degree table are read EVERY iteration: persist
+    # both and materialize them up front (persist is lazy — the round-8
+    # form never forced them, so the orders-lineitem edge build was
+    # re-planned and rescanned per iteration in the final action).
+    edges = (fwd.union(fwd.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    deg = (edges.groupBy("u").agg(F.count("*").alias("deg"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    deg.count()  # one job fills BOTH caches (deg computes through edges)
     ncnt = deg.agg(F.count("*").cast("long").alias("n_nodes"))
     ranks = (deg.crossJoin(F.broadcast(ncnt))
              .select("u", "deg", "n_nodes",
@@ -111,8 +118,18 @@ def pagerank_ranks(fwd: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                         + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"))
                        .cast("long").alias("r"))
                .persist(StorageLevel.MEMORY_AND_DISK))
+        # Materialize nxt from the PARENT's live cache before dropping it
+        # (the bpe_merge_rules rule): unpersist-first would make every
+        # iteration's first action replay the whole chain from the edges.
+        nxt.count()
         ranks.unpersist()
         ranks = nxt
+    # The final ranks frame is materialized (the loop's last count), so
+    # the loop-only inputs can be released; on cache loss it replays
+    # from source, which callers accept in exchange for not leaking two
+    # executor-storage entries per call.
+    edges.unpersist()
+    deg.unpersist()
     return ranks
 
 

@@ -222,6 +222,7 @@ def nd_ann_lsh_bucketstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CLUSTERS = 16
 NPROBE = 4
+NPROBE_PCA = 6
 
 
 def _assign_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
@@ -918,22 +919,16 @@ def _pca_project_udf(mu: list, w: list):
     return pandas_udf(fn, "array<double>")
 
 
-def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection to PCA_K components — the dimensionality-reduction
-    pass embedding pipelines run before clustering/ANN indexing, closing
-    the loop the covariance operator opens: FIT is driver-side eigh on
-    the exact 64x64 sufficient statistics (constant model state), and
-    TRANSFORM is a broadcast of (mean, components) into an Arrow-batched
-    matmul over the quantized vectors — the corpus side is one
-    map-stage, nothing shuffles, the same 'Python where it wins' kernel
-    shape as the IVF assignment UDF.
-
-    No SQL oracle BY DESIGN (eigh is iterative float; DuckDB has no
-    analog): the driver records a rows-only check, and correctness is
-    gated in tests instead — component orthonormality, descending
-    eigenvalues, per-component projection variance == eigenvalue (the
-    PCA identity, checked against the exact covariance), and the Spark
-    projection equal to a pure-numpy PCA of the same rows."""
+def pca_project_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composable PCA-transform core — (vec_id, proj array<double>):
+    FIT is driver-side eigh on the exact 64x64 sufficient statistics
+    (constant model state), and TRANSFORM is a broadcast of (mean,
+    components) into an Arrow-batched matmul over the quantized
+    vectors — the corpus side is one map-stage, nothing shuffles, the
+    same 'Python where it wins' kernel shape as the IVF assignment UDF.
+    This array-valued frame is what downstream consumers compose over
+    (nd_ann_pca indexes it); the REGISTERED surface is nd_pca_project's
+    exploded form, which the driver harness can canonicalize."""
     mu, w, _evals, _n = _pca_model(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
     qd = emb.select("vec_id", F.expr(
@@ -944,12 +939,110 @@ def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id"))
 
 
+def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to PCA_K components — the dimensionality-reduction
+    pass embedding pipelines run before clustering/ANN indexing, closing
+    the loop the covariance operator opens. The registered surface is
+    the EXPLODED projection — (vec_id, k, proj_k) scalar rows — because
+    the driver's canonicalizer (pandas sort_values -> factorize) cannot
+    hash an array<double> column (the round-8 red row); posexplode costs
+    nothing the array form didn't already pay, and the array-valued
+    frame stays available as pca_project_frame for composition.
+
+    No SQL oracle BY DESIGN (eigh is iterative float; DuckDB has no
+    analog): the driver records a rows-only check, and correctness is
+    gated in tests instead — component orthonormality, descending
+    eigenvalues, per-component projection variance == eigenvalue (the
+    PCA identity, checked against the exact covariance), and the Spark
+    projection equal to a pure-numpy PCA of the same rows."""
+    return (pca_project_frame(spark, sf_dir)
+            .select("vec_id", F.posexplode("proj").alias("k", "proj_k"))
+            .orderBy("vec_id", "k"))
+
+
+def _assign_l2_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Vectorized nearest-cell assignment in SQUARED-EUCLIDEAN distance —
+    the reduced-space metric (PCA projections are not unit vectors, so
+    the dot-product argmax _assign_udf uses over normalized embeddings
+    would rank cells wrongly here). One (n x K) distance matrix + argsort
+    per Arrow batch; ||c||^2 precomputes driver-side, ||x||^2 cancels
+    out of the per-row argmin so only the -2 x C^T + ||c||^2 term is
+    formed."""
+    ids = [c for c, _ in centroids]
+    mat = [list(v) for _, v in centroids]
+
+    def fn(p):
+        import numpy as _np
+        import pandas as _pd
+        M = _np.asarray(mat, dtype="float64")                 # K x D
+        I = _np.asarray(ids, dtype="int64")
+        X = _np.stack(p.values).astype("float64")             # n x D
+        d = -2.0 * (X @ M.T) + (M * M).sum(axis=1)            # n x K
+        order = _np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return _pd.Series(list(I[order]))
+
+    from pyspark.sql.functions import pandas_udf
+    return pandas_udf(fn, "array<int>")
+
+
+def nd_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-reduced ANN — the reduce-then-index production shape every
+    embedding-retrieval/dedup system runs: candidates are generated in
+    the CHEAP 8-dim PCA space (an IVF-style coarse partition over
+    pca_project_frame — seed centroids are the first N_CLUSTERS
+    projected vectors, assignment is squared-Euclidean), then scored
+    with FULL-dimension cosine (the standard two-phase read: reduced-
+    space candidate generation, exact full-precision ranking). This is
+    the natural consumer of the PCA surface — the covariance → eigh →
+    project → index → probe pipeline end to end.
+
+    Scale shape: the index side is (vec_id, cell) — one Arrow matmul
+    map-stage over the 8-dim projections, hash-partitioned/bucketed by
+    cell at 100 TB so a query touches NPROBE/K of the corpus; the
+    probe side broadcasts (20 queries x NPROBE cells); full vectors are
+    fetched per candidate pair, never per corpus row. Approximate by
+    design (recall@3 vs the full-dim brute force is gated in tests/,
+    like nd_ann_ivf); no SQL oracle — the driver records rows-only."""
+    # Probe deeper than the full-dim IVF (6 cells vs 4): the seed
+    # quantizer is unrefined and the 8-dim space is coarser, so border
+    # queries need more cells for the same recall — the standard
+    # nprobe-vs-recall dial, still NPROBE_PCA/K of the corpus per query.
+    nprobe = NPROBE_PCA
+    proj = pca_project_frame(spark, sf_dir)
+    seeds = [(int(r["vec_id"]), list(r["proj"]))
+             for r in proj.where(F.col("vec_id") < N_CLUSTERS).collect()]
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = (proj.select(
+        F.col("vec_id").alias("nn"),
+        _assign_l2_udf(seeds, nprobe=1)(F.col("proj"))[0].alias("cell"))
+        .join(emb.select(F.col("vec_id").alias("nn"),
+                         F.col("embedding").alias("c_emb")), "nn"))
+    probes = (proj.where(F.col("vec_id") < 20)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.explode(_assign_l2_udf(seeds, nprobe=nprobe)(
+                          F.col("proj"))).alias("cell"))
+              .join(emb.select(F.col("vec_id").alias("q_id"),
+                               F.col("embedding").alias("q_emb")), "q_id"))
+    cos = pair_cosine_udf()(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
+    return (
+        F.broadcast(probes).join(corpus, "cell")
+        .where(F.col("q_id") != F.col("nn"))
+        .select(F.col("q_id").alias("vec_id"), "nn", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("vec_id", "rank", "nn", F.col("cos_raw").alias("cos"))
+        .orderBy("vec_id", "rank")
+    )
+
+
 QUERIES = {
     "nd_embedding_covariance": (nd_embedding_covariance,
                                 _COVARIANCE_ORACLE),
     "nd_embedding_covariance_fast": (nd_embedding_covariance_fast,
                                      _COVARIANCE_ORACLE),
     "nd_pca_project": (nd_pca_project, None),
+    "nd_ann_pca": (nd_ann_pca, None),
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
     "nd_kmeans": (nd_kmeans, _KMEANS_ORACLE),
     "nd_semantic_dedup_fast": (nd_semantic_dedup_fast, None),

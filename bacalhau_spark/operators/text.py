@@ -528,7 +528,24 @@ def nd_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.sum("c12").alias("c1")))
     c2 = (bf.groupBy(F.substring_index("bigram", " ", -1).alias("w2"))
           .agg(F.sum("c12").alias("c2")))
-    total = bf.agg(F.sum("c12").cast("long").alias("t"))
+    # The triple product c12 * t * PMI_SCALE overflows int64 at corpus
+    # scale (t ~ 1e11 tokens, head bigrams c12 ~ 1e9 -> ~1e23): Spark
+    # (non-ANSI) would wrap silently exactly where the operator claims
+    # exactness. The product therefore runs in DECIMAL(38,0) (int128-
+    # class, like the oracle's HUGEINT); `div` yields BIGINT and is
+    # exact whenever the QUOTIENT fits int64 — and the quotient is
+    # bounded by t * PMI_SCALE (c12 <= min(c1, c2)), so the in-plan
+    # guard on t below is the full precondition. At t = 9.2e15 tokens
+    # (~40 PB of text) the guard fires loudly instead of corrupting.
+    t_cap = (2**63 - 1) // PMI_SCALE
+    overflow_msg = F.concat(
+        F.lit(f"nd_pmi_collocations: corpus token mass exceeds {t_cap} "
+              "(pmi_x1000 would overflow int64); t="),
+        F.col("t").cast("string"))
+    total = (bf.agg(F.sum("c12").cast("long").alias("t"))
+             .select(F.when(F.col("t") > t_cap,
+                            F.raise_error(overflow_msg).cast("long"))
+                     .otherwise(F.col("t")).alias("t")))
     return (
         bf.filter(F.col("c12") >= PMI_MIN_COUNT)
         .withColumn("w1", F.substring_index("bigram", " ", 1))
@@ -536,7 +553,8 @@ def nd_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c1, "w1").join(c2, "w2")
         .crossJoin(F.broadcast(total))
         .select("bigram", F.col("c12").cast("long").alias("c12"),
-                F.expr(f"(c12 * t * {PMI_SCALE}) div (c1 * c2)")
+                F.expr(f"(CAST(c12 AS DECIMAL(38,0)) * t * {PMI_SCALE}) "
+                       f"div (CAST(c1 AS DECIMAL(38,0)) * c2)")
                 .cast("long").alias("pmi_x1000"))
         .orderBy(F.col("pmi_x1000").desc(), "bigram")
         .limit(PMI_TOP_K)
@@ -557,7 +575,8 @@ m2 AS (SELECT split_part(bigram, ' ', 2) AS w2, SUM(c12) AS c2 FROM bf
        GROUP BY w2),
 t AS (SELECT SUM(c12) AS t FROM bf)
 SELECT bigram, CAST(c12 AS BIGINT) AS c12,
-       CAST((c12 * t.t * {PMI_SCALE}) // (m1.c1 * m2.c2) AS BIGINT)
+       CAST((CAST(c12 AS HUGEINT) * t.t * {PMI_SCALE})
+            // (CAST(m1.c1 AS HUGEINT) * m2.c2) AS BIGINT)
        AS pmi_x1000
 FROM bf
 JOIN m1 ON split_part(bf.bigram, ' ', 1) = m1.w1
@@ -620,7 +639,8 @@ _SKIPGRAM_ORACLE = f"""
 WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
 pos AS (SELECT ws, i, d
         FROM w, unnest(range(1, len(ws) + 1)) u(i),
-             (VALUES (1), (2)) v(d)
+             (VALUES {", ".join(f"({d})"
+                                for d in range(1, SKIPGRAM_WIN + 1))}) v(d)
         WHERE i + d <= len(ws)),
 pairs AS (SELECT ws[i] AS w1, ws[i + d] AS w2 FROM pos
           UNION ALL

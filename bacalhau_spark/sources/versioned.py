@@ -81,14 +81,37 @@ def write_version(df: DataFrame, root: str,
     AFTER the data and manifest are durable, so a crash mid-write
     leaves an orphaned unpublished directory, never a corrupt table. A
     subsequent write into an orphaned slot fails LOUDLY (parquet
-    mode=error) rather than silently overwriting; recovery is deleting
-    the orphan dir — safe because the immutability invariant only
+    mode=error) rather than silently overwriting; recovery is
+    clear_pending() — safe because the immutability invariant only
     covers PUBLISHED versions (those with a manifest), and
     history()/read_version() already treat manifestless slots as
-    non-commits."""
+    non-commits. The streaming committer self-heals this way on replay,
+    and vacuum() sweeps orphans as part of retention."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     prev = latest_version(root)
+    if mode == "append" and prev > 0:
+        # Schema-drift guard: an append whose columns/types differ from
+        # the table head would produce a manifest whose plain (non-
+        # mergeSchema) parquet read silently nulls or drops columns —
+        # fail LOUDLY instead. dtypes when the prior manifest recorded
+        # them (post-r9 manifests), column names as the fallback.
+        with open(os.path.join(_vdir(root, prev), _MANIFEST)) as f:
+            head = json.load(f)
+        want = head.get("dtypes")
+        got = [list(p) for p in df.dtypes]
+        if want is not None:
+            if got != [list(p) for p in want]:
+                raise ValueError(
+                    f"append schema drift on {root}: table v{prev} has "
+                    f"{want}, incoming frame has {got}; appends must "
+                    "match the head schema exactly (write a new table "
+                    "or an overwrite version to evolve)")
+        elif df.columns != head["columns"]:
+            raise ValueError(
+                f"append schema drift on {root}: table v{prev} has "
+                f"columns {head['columns']}, incoming frame has "
+                f"{df.columns}")
     n = prev + 1
     vdir = _vdir(root, n)
     df.write.mode("error").parquet(vdir)
@@ -96,13 +119,13 @@ def write_version(df: DataFrame, root: str,
     files = sorted(f"{rel}/{f}" for f in os.listdir(vdir)
                    if f.endswith(".parquet") and not f.startswith("."))
     if mode == "append" and prev > 0:
-        with open(os.path.join(_vdir(root, prev), _MANIFEST)) as f:
-            files = json.load(f)["files"] + files
+        files = head["files"] + files
     manifest = {
         "version": n,
         "files": files,
         "n_files": len(files),
         "columns": df.columns,
+        "dtypes": [list(p) for p in df.dtypes],
         "created_unix": int(time.time()),
     }
     if batch_id is not None:
@@ -159,6 +182,94 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def clear_pending(root: str) -> bool:
+    """Remove the manifestless directory at slot latest+1 if one exists —
+    the debris of a writer that crashed between the parquet write and the
+    manifest publish. Safe under the module's own invariant (immutability
+    covers only PUBLISHED versions: a slot without a manifest is a
+    non-commit that no reader can name), but ONLY from the single
+    writer's seat: calling this while another writer is mid-write into
+    that slot would delete its in-flight data. Returns True if debris
+    was removed."""
+    import shutil
+
+    slot = _vdir(root, latest_version(root) + 1)
+    if os.path.isdir(slot) and not os.path.exists(
+            os.path.join(slot, _MANIFEST)):
+        shutil.rmtree(slot)
+        return True
+    return False
+
+
+def vacuum(root: str, keep_last: int = 7,
+           clear_orphans: bool = True) -> dict:
+    """Retention: expire every published version older than the newest
+    `keep_last`, deleting (a) their manifests — ending their time-travel
+    readability — and (b) their data files EXCEPT those still named by a
+    retained manifest (append-mode manifests reference prior versions'
+    immutable files, and those must survive: a retained snapshot read
+    must never lose a file out from under it). Stray files inside
+    retained version directories that no manifest names (debris, never
+    readable) are removed too. With `clear_orphans`, manifestless
+    version directories — crashed non-commits — are also removed,
+    including the pending latest+1 slot, so run vacuum from the writer's
+    seat like every other mutation (single-writer contract).
+
+    Readers that resolved an EXPIRED manifest before the vacuum can lose
+    files mid-read — the standard lakehouse retention trade; `keep_last`
+    is the grace window. Returns a report dict."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    published = history(root)
+    retained = {m["version"] for m in published[-keep_last:]}
+    referenced = {p for m in published if m["version"] in retained
+                  for p in m["files"]}
+    removed_files, removed_versions, removed_orphans = [], [], []
+    latest = latest_version(root)
+    for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if not name.startswith("v="):
+            continue
+        v = int(name.split("=", 1)[1])
+        vdir = os.path.join(root, name)
+        if not os.path.exists(os.path.join(vdir, _MANIFEST)):
+            # Manifestless dirs are either crashed non-commits (nothing
+            # in them is referenced — safe to drop whole) or ALREADY-
+            # EXPIRED versions whose files a retained append-chain
+            # manifest still names (a prior vacuum removed the manifest
+            # but pinned the files): delete only what no manifest names.
+            if clear_orphans:
+                for f in sorted(os.listdir(vdir)):
+                    if f"{name}/{f}" not in referenced:
+                        os.remove(os.path.join(vdir, f))
+                if os.listdir(vdir):
+                    continue
+                os.rmdir(vdir)
+                removed_orphans.append(v)
+            continue
+        for f in sorted(os.listdir(vdir)):
+            rel = f"{name}/{f}"
+            if (f.endswith(".parquet") and not f.startswith(".")
+                    and rel not in referenced):
+                os.remove(os.path.join(vdir, f))
+                removed_files.append(rel)
+        if v not in retained:
+            os.remove(os.path.join(vdir, _MANIFEST))
+            removed_versions.append(v)
+            # marker debris (_SUCCESS, .crc) goes with the manifest;
+            # anything still referenced stays where its path pins it
+            for f in os.listdir(vdir):
+                if f == "_SUCCESS" or f.startswith("."):
+                    os.remove(os.path.join(vdir, f))
+            if not os.listdir(vdir):
+                os.rmdir(vdir)
+    return {"latest": latest, "retained": sorted(retained),
+            "removed_versions": removed_versions,
+            "removed_files": removed_files,
+            "removed_orphans": removed_orphans}
+
+
 def stream_to_versioned(stream_df: DataFrame, root: str,
                         checkpoint: str):
     """Continuous ingest INTO the versioned table: every micro-batch
@@ -175,6 +286,12 @@ def stream_to_versioned(stream_df: DataFrame, root: str,
     def commit(df: DataFrame, batch_id: int) -> None:
         if any(m.get("batch_id") == batch_id for m in history(root)):
             return  # replayed batch: its snapshot is already published
+        # Self-heal the crashed-mid-write slot: a crash between the
+        # parquet write and the manifest publish leaves a manifestless
+        # latest+1 dir, and without this the replayed batch would wedge
+        # permanently on write_version's mode=error. Safe here because
+        # foreachBatch IS the single writer the module requires.
+        clear_pending(root)
         write_version(df, root, batch_id=batch_id, mode="append")
 
     return (stream_df.writeStream.foreachBatch(commit)

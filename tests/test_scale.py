@@ -890,3 +890,33 @@ def test_event_analytics_scale_shapes(spark, sf_dir):
         # (cw, offset) matrix — offset appears as a _groupingexpression
         assert keys <= {"user_id", "cw", "w", "week_offset",
                         "_groupingexpression"}, (fn.__name__, keys)
+
+
+def test_minhash_index_is_built_once_per_session(spark, sf_dir):
+    """The round-9 shared-index rule: every LSH consumer reads the
+    session-cached signature/candidate index instead of re-deriving the
+    shingle→minhash lineage (nd_editdist_dedup's x10 cost was ~90%
+    signature rebuild before this). Claims: (a) repeated index calls
+    return the SAME checkpointed frame, (b) a consumer's physical plan
+    scans the checkpointed partitions (ExistingRDD) with ZERO parquet
+    re-scans of the documents table, (c) two different consumers share
+    the identical candidate frame."""
+    from bacalhau_spark.operators.dedup import (band_candidate_index,
+                                                minhash_signature_index,
+                                                nd_editdist_dedup,
+                                                nd_minhash_estimate)
+
+    sig1 = minhash_signature_index(spark, sf_dir)
+    sig2 = minhash_signature_index(spark, sf_dir)
+    assert sig1 is sig2
+    cand1 = band_candidate_index(spark, sf_dir)
+    assert cand1 is band_candidate_index(spark, sf_dir)
+
+    for fn in (nd_editdist_dedup, nd_minhash_estimate):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert "ExistingRDD" in plan, fn.__name__
+    # editdist still reads documents.parquet for the TEXT of candidate
+    # pairs (2 scan nodes, a/b sides) but never for signatures; estimate
+    # reads no parquet at all — its whole lineage is the two indexes
+    est_plan = _formatted_plan(nd_minhash_estimate(spark, sf_dir))
+    assert "documents.parquet" not in est_plan

@@ -75,6 +75,110 @@ def test_unpublished_version_is_invisible(spark, tmp_path):
         write_version(_df(spark, [(3, "c")]), root)
 
 
+def test_append_schema_drift_fails_loudly(spark, tmp_path):
+    """An append whose schema differs from the table head would make the
+    manifest's plain parquet read silently null/drop columns — it must
+    raise instead. Renames, type changes, and column drops all count;
+    an OVERWRITE version is the sanctioned evolution path."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), root)
+    write_version(_df(spark, [(2, "b")]), root, mode="append")  # ok
+    drifted = spark.createDataFrame([(3, "c")], "k long, renamed string")
+    with pytest.raises(ValueError, match="schema drift"):
+        write_version(drifted, root, mode="append")
+    retyped = spark.createDataFrame([(4, "d")], "k int, v string")
+    with pytest.raises(ValueError, match="schema drift"):
+        write_version(retyped, root, mode="append")
+    assert latest_version(root) == 2  # failed appends committed nothing
+    assert write_version(drifted, root, mode="overwrite") == 3
+
+
+def test_clear_pending_removes_only_manifestless_debris(spark, tmp_path):
+    from bacalhau_spark.sources.versioned import clear_pending
+
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), root)
+    assert clear_pending(root) is False  # nothing pending
+    _df(spark, [(2, "b")]).write.parquet(os.path.join(root, "v=000002"))
+    assert clear_pending(root) is True
+    assert write_version(_df(spark, [(2, "b")]), root) == 2  # slot reusable
+    assert clear_pending(root) is False  # published slots are never touched
+    assert read_version(spark, root).count() == 1
+
+
+def test_stream_replay_self_heals_crashed_slot(spark, sf_dir, tmp_path):
+    """A crash between the batch's parquet write and its manifest publish
+    leaves a manifestless latest+1 dir; the foreachBatch replay must
+    clear it and commit, not wedge forever on write_version's
+    mode=error (the round-9 ADVICE finding)."""
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.sources.versioned import stream_to_versioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    pq.write_table(t, str(src / "documents-0.parquet"))
+    root = str(tmp_path / "vt")
+    write_version(_df(spark, [(1, "a")]).selectExpr(
+        "k AS doc_id", "v AS source"), root)
+    # simulate the crashed batch: data landed at v2, no manifest
+    _df(spark, [(9, "x")]).write.parquet(os.path.join(root, "v=000002"))
+    schema = table(spark, sf_dir, "documents").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents-*.parquet")
+              .parquet(str(src))
+              .selectExpr("CAST(doc_id AS LONG) AS doc_id", "source"))
+    q = stream_to_versioned(stream, root, str(tmp_path / "ck"))
+    assert q.awaitTermination(120)
+    q.stop()
+    assert latest_version(root) == 2
+    assert read_version(spark, root).count() == 1 + t.num_rows
+
+
+def test_vacuum_expires_history_but_never_pinned_files(spark, tmp_path):
+    """Retention over an APPEND chain: expired versions lose their
+    manifests (time travel to them ends) but every file a RETAINED
+    manifest still names survives — a retained snapshot read never
+    loses data. Orphan non-commits and unreferenced stray files go."""
+    import pytest
+
+    from bacalhau_spark.sources.versioned import vacuum
+
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), root)
+    write_version(_df(spark, [(2, "b")]), root, mode="append")
+    write_version(_df(spark, [(3, "c")]), root, mode="append")
+    # stray unreferenced debris inside a retained dir + a crashed slot
+    stray = os.path.join(root, "v=000003", "zz-stray.parquet")
+    _df(spark, [(99, "z")]).write.parquet(str(tmp_path / "s"))
+    os.rename(os.path.join(str(tmp_path / "s"), next(
+        f for f in os.listdir(str(tmp_path / "s"))
+        if f.endswith(".parquet"))), stray)
+    _df(spark, [(4, "d")]).write.parquet(os.path.join(root, "v=000004"))
+
+    pinned = read_version(spark, root, version=3)
+    report = vacuum(root, keep_last=1)
+    assert report["retained"] == [3]
+    assert sorted(report["removed_versions"]) == [1, 2]
+    assert report["removed_orphans"] == [4]
+    assert "v=000003/zz-stray.parquet" in report["removed_files"]
+    # v3's manifest names files physically living in v1/v2 dirs: all
+    # still readable, both pre-resolved and freshly resolved
+    assert pinned.count() == 3
+    assert read_version(spark, root, version=3).count() == 3
+    assert [m["version"] for m in history(root)] == [3]
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, version=1)
+    # vacuum is idempotent and the table still appends cleanly
+    assert vacuum(root, keep_last=1)["removed_versions"] == []
+    assert write_version(_df(spark, [(4, "d")]), root, mode="append") == 4
+    assert read_version(spark, root).count() == 4
+
+
 def test_version_diff_is_a_change_feed(spark, tmp_path):
     """CDC between snapshots: multiset adds/removes, including pure
     duplicate-count changes."""
