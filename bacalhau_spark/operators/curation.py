@@ -407,6 +407,16 @@ def bpe_merge_rules(spark: SparkSession, docs: DataFrame,
     pair counting, sep-string argmax tie-break, left-to-right merge
     rewrite — against a pure-Python model). Stops early if the corpus
     runs out of adjacent pairs before `merges` rounds."""
+    rules, vocab = _bpe_train(spark, docs, merges)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        rules, "step int, pair string, n long").orderBy("step")
+
+
+def _bpe_train(spark: SparkSession, docs: DataFrame, merges: int):
+    """The shared train loop: returns (rules, final PERSISTED vocab) —
+    bpe_merge_rules keeps the rule table, nd_bpe_encode keeps the
+    rewritten vocab (the encoded corpus). Caller unpersists vocab."""
     from pyspark.storagelevel import StorageLevel
 
     vocab = (
@@ -454,9 +464,7 @@ def bpe_merge_rules(spark: SparkSession, docs: DataFrame,
         nxt.count()
         vocab.unpersist()
         vocab = nxt
-    vocab.unpersist()
-    return spark.createDataFrame(
-        rules, "step int, pair string, n long").orderBy("step")
+    return rules, vocab
 
 
 def _bpe_merges_oracle() -> str:
@@ -473,6 +481,18 @@ def _bpe_merges_oracle() -> str:
     Early stop matches Spark: an exhausted r{m} is empty, its scalar
     subqueries go NULL, no position qualifies, and its UNION arm
     contributes no row."""
+    parts = _bpe_chain_parts()
+    union = " UNION ALL ".join(
+        f"SELECT step, replace(pair, chr(31), ' ') AS pair, n FROM r{m}"
+        for m in range(1, BPE_MERGES + 1))
+    return (",".join(parts)
+            + f"\nSELECT * FROM ({union}) ORDER BY step")
+
+
+def _bpe_chain_parts() -> list[str]:
+    """The unrolled BPE round CTEs (v0 .. v{BPE_MERGES}) shared by the
+    merge-rule oracle (_bpe_merges_oracle) and the encode oracle
+    (_bpe_encode_oracle)."""
     parts = ["""
 WITH v0 AS (SELECT word, string_split(word, '') AS l, cnt
             FROM (SELECT word, COUNT(*) AS cnt FROM
@@ -507,11 +527,46 @@ v{m} AS (SELECT word, cnt,
                      ORDER BY pos)
                 FILTER (WHERE NOT consumed) AS l
          FROM k{m} GROUP BY word, cnt)""")
-    union = " UNION ALL ".join(
-        f"SELECT step, replace(pair, chr(31), ' ') AS pair, n FROM r{m}"
-        for m in range(1, BPE_MERGES + 1))
-    return (",".join(parts)
-            + f"\nSELECT * FROM ({union}) ORDER BY step")
+    return parts
+
+
+BPE_ENCODE_TOP_K = 50
+
+
+def nd_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half that closes the loop nd_bpe_merges
+    opens: run the trained merge table over the corpus and report the
+    resulting token distribution (top-BPE_ENCODE_TOP_K tokens by
+    (count DESC, token) — a total order, deterministic cut). This is
+    the tokenizer-vocabulary report a data pipeline publishes after
+    training: which subword units actually dominate the encoded corpus.
+
+    Scale shape: training and encoding share one pass — the greedy
+    rewrite each round IS the encoding, applied to the word-frequency
+    vocabulary (distinct words weighted by count, the classic BPE
+    trick), so the corpus is scanned once and every round's work is
+    vocab-sized; the final histogram explodes the rewritten symbol
+    lists weighted by word count and reduces map-side. The oracle runs
+    the identical unrolled chain and aggregates v{M}."""
+    _rules, vocab = _bpe_train(
+        spark, table(spark, sf_dir, "documents").select("text"),
+        BPE_MERGES)
+    out = (vocab.select(F.explode("syms").alias("token"), "cnt")
+           .groupBy("token").agg(F.sum("cnt").cast("long").alias("n"))
+           .orderBy(F.col("n").desc(), "token")
+           .limit(BPE_ENCODE_TOP_K)
+           .localCheckpoint(eager=True))
+    vocab.unpersist()
+    return out.orderBy(F.col("n").desc(), "token")
+
+
+def _bpe_encode_oracle() -> str:
+    """The merge chain's final vocabulary (v{M}) exploded to the token
+    histogram — same CTEs, different terminal aggregate."""
+    return (",".join(_bpe_chain_parts()) + f"""
+SELECT sym AS token, CAST(SUM(cnt) AS BIGINT) AS n
+FROM (SELECT unnest(l) AS sym, cnt FROM v{BPE_MERGES}) t
+GROUP BY sym ORDER BY n DESC, token LIMIT {BPE_ENCODE_TOP_K}""")
 
 
 # --- nd_corpus_stats ---------------------------------------------------------
@@ -1275,6 +1330,7 @@ QUERIES = {
     "nd_pii_redact": (nd_pii_redact, _PII_ORACLE),
     "nd_bpe_pair_count": (nd_bpe_pair_count, _PAIR_COUNT_ORACLE),
     "nd_bpe_merges": (nd_bpe_merges, _bpe_merges_oracle()),
+    "nd_bpe_encode": (nd_bpe_encode, _bpe_encode_oracle()),
     "nd_gopher_filter": (nd_gopher_filter, _GOPHER_ORACLE),
     "nd_repetition": (nd_repetition, _REPETITION_ORACLE),
     "nd_seq_pack": (nd_seq_pack, _SEQ_PACK_ORACLE),

