@@ -934,9 +934,11 @@ def pca_project_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     qd = emb.select("vec_id", F.expr(
         f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
         f"* {KM_SCALE}) AS BIGINT) + {KM_OFF})").alias("q"))
-    return (qd.select("vec_id",
-                      _pca_project_udf(mu, w)(F.col("q")).alias("proj"))
-            .orderBy("vec_id"))
+    # no presentation orderBy here: the core is a map-stage consumers
+    # compose over (nd_ann_pca indexes it unordered); the registered
+    # surface adds its own deterministic order
+    return qd.select("vec_id",
+                     _pca_project_udf(mu, w)(F.col("q")).alias("proj"))
 
 
 def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -270,6 +270,22 @@ def vacuum(root: str, keep_last: int = 7,
             "removed_orphans": removed_orphans}
 
 
+def compact(spark: SparkSession, root: str,
+            target_files: int = 1) -> int:
+    """Rewrite the table head as ONE fresh overwrite version with
+    `target_files` files — the OPTIMIZE companion to vacuum(): a
+    streaming-ingest append chain accumulates one file set per
+    micro-batch, and every reader of version N pays the whole chain's
+    file count. Compaction is just a normal committed version (same
+    data, coalesced layout), so readers switch atomically via the
+    pointer, pinned reads of older versions are untouched, and a later
+    vacuum() reclaims the superseded small files once they age out of
+    the retention window. Returns the new version number."""
+    head = read_version(spark, root)
+    return write_version(head.coalesce(target_files), root,
+                         mode="overwrite")
+
+
 def stream_to_versioned(stream_df: DataFrame, root: str,
                         checkpoint: str):
     """Continuous ingest INTO the versioned table: every micro-batch

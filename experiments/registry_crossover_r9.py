@@ -25,12 +25,17 @@ from experiments.scale_crossover import (SF_DIR, build_scaled_embeddings,
                                          build_scaled_perturbed)
 
 
-def median_noop(df, n=3):
-    df.write.mode("overwrite").format("noop").save()
+def median_noop(build, n=3):
+    """Times BUILD + materialize per run: nd_cc_doubling / nd_bpe_encode
+    do their iterative work at plan-build time (eager localCheckpoint),
+    so timing a prebuilt frame would measure only a checkpoint re-save —
+    the first cut of this sweep recorded exactly that artifact (0.01x
+    'ratios'). `build` is a zero-arg callable returning a fresh frame."""
+    build().write.mode("overwrite").format("noop").save()
     runs = []
     for _ in range(n):
         t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
+        build().write.mode("overwrite").format("noop").save()
         runs.append(time.perf_counter() - t0)
     return round(statistics.median(runs), 3)
 
@@ -39,7 +44,7 @@ def _oracle_vs(spark, con, name, d, label):
     from bacalhau_spark.registry import ALL_QUERIES
 
     fn, sql = ALL_QUERIES[name]
-    s = median_noop(fn(spark, d))
+    s = median_noop(lambda: fn(spark, d))
     row = {"query": name, "scale": label, "spark_s": s}
     if sql is not None:
         con.execute(sql).fetchall()
@@ -81,10 +86,11 @@ def main() -> None:
                  else build_scaled_embeddings(args.scratch, mult))
         fn_pca, _ = ALL_QUERIES["nd_pca_project"]
         print(json.dumps({"query": "nd_pca_project", "scale": label + "e",
-                          "spark_s": median_noop(fn_pca(spark, emb_d))}),
+                          "spark_s": median_noop(
+                              lambda: fn_pca(spark, emb_d))}),
               flush=True)
         fn_ann, _ = ALL_QUERIES["nd_ann_pca"]
-        s = median_noop(fn_ann(spark, emb_d))
+        s = median_noop(lambda: fn_ann(spark, emb_d))
         # recall@3 vs the scaled brute force (vec_id < 20 queries exist
         # in every replica set; truth re-derived on the same dir)
         fn_truth, _ = ALL_QUERIES["nd_ann_topk"]

@@ -179,6 +179,33 @@ def test_vacuum_expires_history_but_never_pinned_files(spark, tmp_path):
     assert read_version(spark, root).count() == 4
 
 
+def test_compact_rewrites_head_and_vacuum_reclaims(spark, tmp_path):
+    """compact() publishes the head as one coalesced overwrite version:
+    same rows, far fewer files, pinned old reads untouched; the
+    superseded small files survive until vacuum ages them out."""
+    from bacalhau_spark.sources.versioned import compact, vacuum
+
+    root = str(tmp_path / "t")
+    for k in range(4):
+        write_version(_df(spark, [(k, f"v{k}")]).repartition(4), root,
+                      mode="append" if k else "overwrite")
+    h = history(root)
+    assert h[-1]["n_files"] >= 8  # the chain accumulated per-batch files
+    pinned = read_version(spark, root, version=4)
+    assert compact(spark, root) == 5
+    h2 = history(root)
+    assert h2[-1]["n_files"] == 1
+    assert read_version(spark, root).count() == 4
+    assert sorted((r.k, r.v) for r in read_version(spark, root).collect()) \
+        == sorted((r.k, r.v) for r in pinned.collect())
+    # pinned pre-compaction read still serves (files untouched) ...
+    assert pinned.count() == 4
+    # ... until retention expires the chain; the compacted head survives
+    vacuum(root, keep_last=1)
+    assert [m["version"] for m in history(root)] == [5]
+    assert read_version(spark, root).count() == 4
+
+
 def test_version_diff_is_a_change_feed(spark, tmp_path):
     """CDC between snapshots: multiset adds/removes, including pure
     duplicate-count changes."""
