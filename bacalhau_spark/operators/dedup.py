@@ -422,6 +422,91 @@ def nd_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline END TO END as one hash-gated funnel — the
+    composition a real curation run executes, not just its stages in
+    isolation: (1) exact keep-first dedup (min doc_id per md5(text)),
+    (2) LSH near-dup clustering over the exact SURVIVORS (signatures +
+    band candidates recomputed on the survivor slice — components of
+    the induced subgraph, which filtering whole-corpus labels would get
+    wrong), labels via the pointer-jumping CC (log-diameter rounds),
+    (3) keep one doc per near-dup cluster. Emits one row per stage:
+    (stage, docs_in, docs_out) — the shrink report a curation job
+    publishes.
+
+    Scale shape: stage 1 shuffles 16-byte fingerprints; stage 2 is the
+    signature/band plan over the deduped corpus (strictly smaller);
+    stage counts are 1-row aggregates crossJoin-broadcast into literal
+    stage rows — nothing but counters moves after the band join. The
+    oracle states the identical three stages over the shared CTE
+    folds (_mh_bkeys_sql + the recursive closure)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    surv = (docs.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    sdocs = docs.join(surv.select("doc_id"), "doc_id")
+    pairs = _band_candidates(_mh_sig_frame(
+        spread_compute(spark, sdocs, "doc_id")))
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+        F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+    )).alias("e")).select("e.src", "e.dst"))
+    labels = cc_labels_doubling(edges)
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    n_surv = surv.agg(F.count("*").cast("long").alias("n_surv"))
+    n_lab = labels.agg(
+        F.count("*").cast("long").alias("n_labeled"),
+        F.countDistinct("label").cast("long").alias("n_clusters"))
+    counts = F.broadcast(n_docs).crossJoin(F.broadcast(n_surv)) \
+        .crossJoin(F.broadcast(n_lab))
+    out = counts.select(F.explode(F.array(
+        F.struct(F.lit("1_exact_dedup").alias("stage"),
+                 F.col("n_docs").alias("docs_in"),
+                 F.col("n_surv").alias("docs_out")),
+        F.struct(F.lit("2_neardup_clusters").alias("stage"),
+                 F.col("n_surv").alias("docs_in"),
+                 (F.col("n_surv") - F.col("n_labeled")
+                  + F.col("n_clusters")).alias("docs_out")),
+    )).alias("s")).select("s.*").orderBy("stage").localCheckpoint(
+        eager=True)
+    labels.unpersist()
+    return out.orderBy("stage")
+
+
+def _pipeline_oracle() -> str:
+    """Stated at call time (QUERIES build): _mh_bkeys_sql is defined
+    further down the module."""
+    return f"""
+WITH RECURSIVE surv AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+sdocs AS (SELECT d.doc_id, d.text
+          FROM documents d JOIN surv USING (doc_id)),{_mh_bkeys_sql('sdocs', 'sig', True)},
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sig a JOIN sig b
+          ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+c AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT COUNT(*) FROM surv) AS n_surv,
+             (SELECT COUNT(*) FROM labels) AS n_labeled,
+             (SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters)
+SELECT '1_exact_dedup' AS stage, CAST(n_docs AS BIGINT) AS docs_in,
+       CAST(n_surv AS BIGINT) AS docs_out FROM c
+UNION ALL
+SELECT '2_neardup_clusters', CAST(n_surv AS BIGINT),
+       CAST(n_surv - n_labeled + n_clusters AS BIGINT) FROM c
+ORDER BY stage
+"""
+
+
+
+
+
 def nd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard estimation from signature agreement: for each LSH candidate
     pair, est = (#agreeing minhash positions)/16 — the verify step between
@@ -1982,6 +2067,7 @@ QUERIES = {
     "nd_minhash_lsh": (nd_minhash_lsh, _MINHASH_ORACLE),
     "nd_dedup_clusters": (nd_dedup_clusters, _CLUSTERS_ORACLE),
     "nd_cc_doubling": (nd_cc_doubling, _CLUSTERS_ORACLE),
+    "nd_curation_pipeline": (nd_curation_pipeline, _pipeline_oracle()),
     "nd_minhash_estimate": (nd_minhash_estimate, f"""
 {_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh

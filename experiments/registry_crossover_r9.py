@@ -80,6 +80,7 @@ def main() -> None:
                     f"read_parquet('{docs_d}/documents.parquet')")
         _oracle_vs(spark, con, "nd_cc_doubling", docs_d, label + "p")
         _oracle_vs(spark, con, "nd_bpe_encode", docs_d, label + "p")
+        _oracle_vs(spark, con, "nd_curation_pipeline", docs_d, label + "p")
         con.close()
 
         emb_d = (SF_DIR if mult == 1
