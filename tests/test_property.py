@@ -820,3 +820,46 @@ def test_zipf_octaves_matches_reference(spark, texts):
         got = [(r["octave"], r["n_types"], r["n_tokens"], r["mass_ppm"])
                for r in T.nd_zipf_octaves(spark, "ignored").collect()]
     assert got == _ref_zipf(texts)
+
+
+def _ref_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Pure-Python union-find: min node id per component, for every
+    node that appears in an edge."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in {x for p in pairs for x in p}}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(pairs=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                      min_size=1, max_size=20)
+       .map(lambda ps: [(a, b) for a, b in ps if a != b]))
+def test_cc_doubling_matches_union_find(spark, pairs):
+    """Pointer-jumping connected components vs a pure-Python
+    union-find, on arbitrary small graphs (self-loops stripped;
+    duplicate and reversed edges allowed — the label contract is
+    min-node-id per component regardless of edge multiplicity)."""
+    from hypothesis import assume
+
+    from bacalhau_spark.operators.dedup import cc_labels_doubling
+
+    assume(pairs)
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    labels = cc_labels_doubling(edges)
+    got = {r["id"]: r["label"] for r in labels.collect()}
+    labels.unpersist()
+    assert got == _ref_components(pairs)

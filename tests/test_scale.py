@@ -920,3 +920,38 @@ def test_minhash_index_is_built_once_per_session(spark, sf_dir):
     # reads no parquet at all — its whole lineage is the two indexes
     est_plan = _formatted_plan(nd_minhash_estimate(spark, sf_dir))
     assert "documents.parquet" not in est_plan
+
+
+def test_round9_operators_scale_shapes(spark, sf_dir):
+    """Round-9 plan claims, asserted:
+
+    - nd_editdist_dedup: ONE documents scan (the one-scan gather — the
+      r8 form scanned text twice), the candidate side is the broadcast
+      BUILD (the r8 plan reversed it and hashed the corpus), the
+      Levenshtein DP appears in exactly one plan node (the aggregate's
+      result expression — the r8 project-then-filter form re-evaluated
+      it ~3x via filter inlining), and the DP stage's exchange width is
+      pinned to defaultParallelism (AQE would coalesce the kilobyte
+      pair exchange to ~1 partition and serialize the DP).
+    - nd_ann_pca: candidate generation joins by broadcast only — no
+      sort-merge join, no cartesian; the corpus side is a map-stage
+      over the projections.
+    """
+    from bacalhau_spark.operators.dedup import nd_editdist_dedup
+    from bacalhau_spark.operators.similarity import nd_ann_pca
+
+    plan = _formatted_plan(nd_editdist_dedup(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1, "gather must scan once"
+    assert "CartesianProduct" not in plan
+    lev_lines = [l for l in plan.splitlines() if "levenshtein" in l]
+    assert len(lev_lines) == 1, (
+        "DP must be computed once, in the aggregate result expression; "
+        f"found {len(lev_lines)} plan nodes referencing it")
+    width = spark.sparkContext.defaultParallelism
+    assert f"hashpartitioning(a_id#" in plan and f", {width})" in plan, (
+        "pair exchange width must be pinned (frozen-coalesce rule)")
+
+    ann_plan = _formatted_plan(nd_ann_pca(spark, sf_dir))
+    assert "SortMergeJoin" not in ann_plan
+    assert "CartesianProduct" not in ann_plan
+    assert "BroadcastHashJoin" in ann_plan
