@@ -422,6 +422,77 @@ def nd_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _nfc_udf():
+    """Arrow-batched NFC normalization (unicodedata, UAX #15) —
+    factory-wrapped so the function pickles by value (foreign-cwd
+    worker rule). 'Python where it wins': the JVM exposes no Unicode
+    normalization without ICU, and DuckDB's nfc_normalize implements
+    the same standard, so the two sides hash-match bit for bit."""
+
+    def fn(s):
+        import unicodedata as _u
+        return s.map(lambda t: _u.normalize("NFC", t))
+
+    from pyspark.sql.functions import pandas_udf
+    return pandas_udf(fn, "string")
+
+
+def nd_unicode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-variant dedup audit: the same visible text can arrive
+    byte-DIFFERENT (composed U+00E9 vs decomposed e+U+0301 — different
+    crawls, different editors), and byte-exact dedup misses every such
+    pair; normalizing to NFC before fingerprinting collapses them. Per
+    language: corpus size, byte-distinct vs NFC-distinct fingerprint
+    counts — the gap is exactly the variant duplicates a byte-only
+    pass leaves in. Variant synthesis is deterministic (the
+    nd_pii_redact / nd_secret_scan convention): every doc_id % 10 == 3
+    doc contributes a COMPOSED re-keyed copy and a DECOMPOSED re-keyed
+    copy ('e' -> U+00E9 vs 'e' -> e+U+0301), byte-distinct but
+    NFC-equal by construction.
+
+    Scale shape: NFC is a per-row Arrow map stage; both fingerprints
+    are projected BEFORE aggregation so the multi-distinct expand
+    carries 16-byte hashes, never text; one lang-keyed exchange."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                    "text")
+    seed = docs.where(F.col("doc_id") % 10 == 3)
+    comp = seed.select((F.col("doc_id") + 4_000_000).alias("doc_id"),
+                       "lang",
+                       F.replace("text", F.lit("e"),
+                                 F.lit("\u00e9")).alias("text"))
+    decomp = seed.select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                         "lang",
+                         F.replace("text", F.lit("e"),
+                                   F.lit("e\u0301")).alias("text"))
+    aug = docs.unionByName(comp).unionByName(decomp)
+    fps = aug.select("lang", F.md5("text").alias("bfp"),
+                     F.md5(_nfc_udf()(F.col("text"))).alias("nfp"))
+    return (fps.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("bfp").cast("long")
+                 .alias("byte_distinct"),
+                 F.countDistinct("nfp").cast("long")
+                 .alias("nfc_distinct"))
+            .orderBy("lang"))
+
+
+_UNICODE_DEDUP_ORACLE = """
+WITH aug AS (
+    SELECT doc_id, lang, text FROM documents
+    UNION ALL
+    SELECT doc_id + 4000000, lang, replace(text, 'e', chr(233))
+    FROM documents WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT doc_id + 5000000, lang, replace(text, 'e', 'e' || chr(769))
+    FROM documents WHERE doc_id % 10 = 3)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS byte_distinct,
+       CAST(COUNT(DISTINCT md5(nfc_normalize(text))) AS BIGINT)
+       AS nfc_distinct
+FROM aug GROUP BY lang ORDER BY lang
+"""
+
+
 def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline END TO END as one hash-gated funnel — the
     composition a real curation run executes, not just its stages in
@@ -2068,6 +2139,7 @@ QUERIES = {
     "nd_dedup_clusters": (nd_dedup_clusters, _CLUSTERS_ORACLE),
     "nd_cc_doubling": (nd_cc_doubling, _CLUSTERS_ORACLE),
     "nd_curation_pipeline": (nd_curation_pipeline, _pipeline_oracle()),
+    "nd_unicode_dedup": (nd_unicode_dedup, _UNICODE_DEDUP_ORACLE),
     "nd_minhash_estimate": (nd_minhash_estimate, f"""
 {_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh
