@@ -422,6 +422,97 @@ def nd_cc_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+WINNOW_W = 4        # fingerprint-selection window (in k-gram positions)
+WINNOW_MIN_SHARED = 2
+
+
+def nd_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm; Schleimer,
+    Wilkerson & Aiken, SIGMOD'03) — the THIRD fingerprint-selection
+    modality next to minhash (random permutations) and simhash (sign
+    sums): slide a WINNOW_W window over the rolling k-gram hash stream
+    and keep each window's MINIMUM, guaranteeing any shared run of at
+    least WINNOW_W + k - 1 words yields a shared fingerprint (the
+    local-containment guarantee minhash deliberately trades away for
+    whole-document similarity). Output: candidate pairs sharing >=
+    WINNOW_MIN_SHARED selected fingerprints, with the shared count.
+    Tie positions are irrelevant here because the per-doc fingerprint
+    SET is what survives (standard winnowing's rightmost-min rule only
+    matters for positional audits).
+
+    Scale shape: hash stream and window minima are pure codegen over
+    the projected word-hash array (the rolling-key lesson: project
+    before any HOF indexes it); per-doc DISTINCT collapses map-side;
+    the inverted index reuses the posting-list discipline — df-capped
+    buckets (a fingerprint in f docs is f(f-1)/2 pairs; ubiquitous
+    boilerplate fingerprints are dropped, the stop-shingle rule),
+    bucket-and-expand in codegen, never an index self-join; only
+    8-byte fingerprints and id pairs ever shuffle."""
+    return winnowing_pairs(spread_compute(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id"))
+
+
+def winnowing_pairs(docs: DataFrame) -> DataFrame:
+    """The winnowing pipeline over an ARBITRARY (doc_id, text) frame
+    (nd_winnowing is the fixture-bound wrapper) — also the unit-test
+    surface for the local-containment guarantee."""
+    from pyspark.sql.window import Window
+
+    wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
+    ks = wh.select("doc_id", _rolling_shingle_keys(F.col("wh")).alias("ks"))
+    n = F.size("ks")
+    fps = F.when(
+        n >= WINNOW_W,
+        F.transform(F.sequence(F.lit(0), n - WINNOW_W),
+                    lambda i: F.array_min(
+                        F.slice(F.col("ks"), i + 1, WINNOW_W)))
+    ).otherwise(F.array().cast("array<long>"))
+    sel = (ks.select("doc_id", F.explode(fps).alias("fp"))
+           .distinct())
+    capped = (sel.withColumn(
+        "df", F.count("*").over(Window.partitionBy("fp")))
+        .where(F.col("df") <= SHINGLE_DF_CAP).drop("df"))
+    buckets = (capped.groupBy("fp")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") >= 2))
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS a_id, b AS b_id))))")
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.a_id", "p.b_id")
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").cast("long").alias("shared_fps"))
+            .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+            .orderBy("a_id", "b_id"))
+
+
+def _winnow_oracle() -> str:
+    """Stated at call time (QUERIES build): _MH_POLY is defined further
+    down the module."""
+    return f"""
+WITH w AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+           t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+           % {MH_PRIME}) AS wh FROM documents),
+e AS (SELECT doc_id, wh,
+      unnest(range(greatest(len(wh) - {MH_SHINGLE_N - 1}, 0))) AS i
+      FROM w),
+sh AS (SELECT doc_id, i, ({_MH_POLY}) AS x FROM e),
+ks AS (SELECT doc_id, list(x ORDER BY i) AS ks FROM sh GROUP BY doc_id),
+win AS (SELECT doc_id, list_min(ks[i + 1:i + {WINNOW_W}]) AS fp
+        FROM ks, unnest(range(greatest(len(ks) - {WINNOW_W - 1}, 0))) u(i)),
+sel AS (SELECT DISTINCT doc_id, fp FROM win),
+capped AS (SELECT doc_id, fp FROM sel
+           QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {SHINGLE_DF_CAP})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a_id, b_id HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+ORDER BY a_id, b_id
+"""
+
+
 def _nfc_udf():
     """Arrow-batched NFC normalization (unicodedata, UAX #15) —
     factory-wrapped so the function pickles by value (foreign-cwd
@@ -2140,6 +2231,7 @@ QUERIES = {
     "nd_cc_doubling": (nd_cc_doubling, _CLUSTERS_ORACLE),
     "nd_curation_pipeline": (nd_curation_pipeline, _pipeline_oracle()),
     "nd_unicode_dedup": (nd_unicode_dedup, _UNICODE_DEDUP_ORACLE),
+    "nd_winnowing": (nd_winnowing, _winnow_oracle()),
     "nd_minhash_estimate": (nd_minhash_estimate, f"""
 {_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh

@@ -563,3 +563,24 @@ def test_cc_doubling_matches_propagation_labels(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in {x for p in pairs for x in p}}
     assert got == want
+
+
+def test_winnowing_local_containment_guarantee(spark):
+    """The winnowing selection property (SIGMOD'03): a shared run of
+    WINNOW_W + MH_SHINGLE_N - 1 = 8 words guarantees ONE shared
+    fingerprint (one selection window lies fully inside the run, both
+    docs pick the same minimum); the operator's >= WINNOW_MIN_SHARED
+    cut needs a longer shared run (here 30 words, ~20 fully-inside
+    windows), while documents with no shared words share none."""
+    from bacalhau_spark.operators.dedup import winnowing_pairs
+
+    shared = " ".join(f"common{i}" for i in range(30))
+    a = "x1 x2 x3 " + shared + " x4 x5 x6 x7 x8"
+    b = "y1 y2 " + shared + " y3 y4 y5 y6 y7 y8 y9"
+    c = " ".join(f"z{i} w{i} v{i}" for i in range(15))  # disjoint
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)],
+                                 ["doc_id", "text"])
+    got = {(r.a_id, r.b_id): r.shared_fps
+           for r in winnowing_pairs(docs).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(3 not in k for k in got)
