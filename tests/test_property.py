@@ -863,3 +863,67 @@ def test_cc_doubling_matches_union_find(spark, pairs):
     got = {r["id"]: r["label"] for r in labels.collect()}
     labels.unpersist()
     assert got == _ref_components(pairs)
+
+
+def _ref_winnowing(texts: list[str]):
+    """Pure-Python winnowing model mirroring the Spark fold exactly:
+    md5-prefix word hashes mod MH_PRIME, the MH_SHINGLE_N-word rolling
+    polynomial, per-window minima (WINNOW_W), per-doc distinct
+    fingerprint sets, the SHINGLE_DF_CAP stop-fingerprint guard, and
+    shared-count pairs >= WINNOW_MIN_SHARED."""
+    import hashlib
+
+    from bacalhau_spark.operators.dedup import (MH_PRIME, MH_ROLL_C,
+                                                MH_SHINGLE_N,
+                                                SHINGLE_DF_CAP,
+                                                WINNOW_MIN_SHARED,
+                                                WINNOW_W)
+
+    sel: dict[int, set[int]] = {}
+    for i, text in enumerate(texts):
+        h = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % MH_PRIME
+             for w in text.lower().split(" ")]
+        ks = []
+        for j in range(max(len(h) - MH_SHINGLE_N + 1, 0)):
+            acc = h[j]
+            for k in range(1, MH_SHINGLE_N):
+                acc = (acc * MH_ROLL_C + h[j + k]) % MH_PRIME
+            ks.append(acc)
+        sel[i] = {min(ks[j:j + WINNOW_W])
+                  for j in range(max(len(ks) - WINNOW_W + 1, 0))}
+    df: dict[int, int] = {}
+    for v in sel.values():
+        for fp in v:
+            df[fp] = df.get(fp, 0) + 1
+    kept = {i: {fp for fp in v if df[fp] <= SHINGLE_DF_CAP}
+            for i, v in sel.items()}
+    out = {}
+    ids = sorted(kept)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = len(kept[a] & kept[b])
+            if shared >= WINNOW_MIN_SHARED:
+                out[(a, b)] = shared
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=16)
+    .map(" ".join),
+    min_size=1, max_size=5))
+def test_winnowing_matches_reference(spark, texts):
+    """The full winnowing pipeline vs the pure-Python model — pins the
+    hash fold, the window-min selection, the df cap, and the shared
+    count, including docs shorter than the shingle width (no
+    fingerprints) and window-boundary cases."""
+    from bacalhau_spark.operators.dedup import winnowing_pairs
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {(r.a_id, r.b_id): r.shared_fps
+           for r in winnowing_pairs(docs).collect()}
+    assert got == _ref_winnowing(texts)
