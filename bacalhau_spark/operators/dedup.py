@@ -1569,6 +1569,24 @@ def _mh_sig_frame(docs: DataFrame) -> DataFrame:
         for s, (a, b) in enumerate(MH_AB)])
 
 
+def _mh_sig_row_cols() -> list["F.Column"]:
+    """Per-ROW minhash signature columns over a PROJECTED shingle-key
+    array column `sk` — the stream-safe twin of _mh_sig_frame's grouped
+    min: a min over an exploded stream is a stateful aggregation, while
+    the in-row array_min is stateless (append-mode clean) and
+    value-identical — both take the minimum of the same affine map over
+    the same shingle-key set (equivalence pinned in
+    tests/test_operators.py). Same column names as the grouped form so
+    _band_key_exprs composes over either."""
+    return [
+        F.array_min(F.transform(
+            F.col("sk"),
+            lambda x: (F.lit(a) * x + F.lit(b)) % MH_PRIME))
+        .alias(f"mh{s}")
+        for s, (a, b) in enumerate(MH_AB)
+    ]
+
+
 def _band_key_exprs() -> list["F.Column"]:
     """THE folded single-long band-bucket keys over a wide signature row
     (band index leads the polynomial, mod the 43-bit BKEY_PRIME) — the

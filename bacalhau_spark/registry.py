@@ -58,7 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     # 1. changed/new round 9 (standing rule)
     "nd_pca_project", "nd_ann_pca", "nd_cc_doubling", "nd_bpe_encode",
     "nd_curation_pipeline", "nd_unicode_dedup", "nd_winnowing",
-    "nd_editdist_dedup",
+    "nd_stream_band_screen", "nd_editdist_dedup",
     "nd_boilerplate_strip", "nd_minhash_lsh", "nd_dedup_clusters",
     "nd_minhash_estimate", "nd_dedup_survivors", "nd_pmi_collocations",
     "nd_skipgram_pairs", "nd_bpe_merges", "nd_pagerank",
@@ -77,13 +77,13 @@ _PRIORITY: tuple[str, ...] = (
     "nd_stats_agg", "nd_token_count",
     "nd_vector_norm", "nd_xml_roundtrip", "q06_conditional",
     "q07_array_funcs", "q14b_left_join_agg",
-    "q17b_having", "q18_count_distinct",
+    "q17b_having",
     # -- window boundary: first 50 graded per round --------------------
-    # (18 changed/new round-9 rows + 5 displaced r4 rows + 27 r5
-    # re-grades = 50; the remaining r5 rows — q18b_approx_distinct ..
+    # (19 changed/new round-9 rows + 5 displaced r4 rows + 26 r5
+    # re-grades = 50; the remaining r5 rows — q18_count_distinct ..
     # tpch_q5_local_volume — lead round 10's window, then the round-8
     # first-row block cycles back as freshness re-grades.)
-    "q18b_approx_distinct",
+    "q18_count_distinct", "q18b_approx_distinct",
     "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
     "q26b_except", "q26c_union_all", "q26d_intersect_all",
     "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",

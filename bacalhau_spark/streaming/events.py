@@ -526,6 +526,73 @@ def nd_stream_incremental_dedup(spark: SparkSession,
     return spark.table("stream_incr_dedup_gate").orderBy("doc_id")
 
 
+def nd_stream_band_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest screen — nd_incremental_minhash's batch
+    exactly as a continuous query, and the minhash counterpart of
+    nd_stream_incremental_dedup's exact-hash screen: streamed documents
+    (fresh %5==4 docs + edited %10==1 re-crawls, the shared synthesis)
+    get per-ROW minhash signatures (dedup._mh_sig_row_cols — the
+    stream-safe in-row array_min twin of the grouped fold; a grouped
+    min over an exploded stream would be stateful aggregation) and
+    their folded band keys (THE shared _band_key_exprs fold) probe the
+    STATIC corpus band index; bands_hit per doc aggregates in complete
+    mode. Shares the batch twin's FULL value-hash oracle, graded across
+    a real micro-batch boundary in tests/test_streaming.py.
+
+    Scale shape: the production recurring-crawl screen — the corpus
+    index is built once (distinct capped band keys, the persisted LSH
+    index) and every micro-batch probes it; the stream never carries
+    text past the per-row signature projection, and the only streaming
+    state is the per-doc hit counter."""
+    from bacalhau_spark.catalog import spread_compute
+    from bacalhau_spark.operators.dedup import (LSH_BUCKET_CAP,
+                                                _band_key_exprs,
+                                                _mh_sig_frame,
+                                                _mh_sig_row_cols,
+                                                _rolling_shingle_keys,
+                                                _word_hashes)
+
+    src = _doc_stream(spark, sf_dir)
+    fresh = (src.where(F.col("doc_id") % 5 == 4)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     "text"))
+    recrawl = (src.where(F.col("doc_id") % 10 == 1)
+               .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" nearvariant edit")).alias("text")))
+    batch = fresh.unionByName(recrawl)
+    wh = batch.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
+    sk = (wh.select("doc_id",
+                    _rolling_shingle_keys(F.col("wh")).alias("sk"))
+          .where(F.size("sk") > 0))
+    sig = sk.select("doc_id", *_mh_sig_row_cols())
+    # array_distinct in-row replaces the batch twin's (doc, bkey)
+    # DISTINCT — cross-band key collisions only arise within one doc's
+    # own bands, so the per-row dedup is exact and stateless
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.array(*_band_key_exprs())))
+        .alias("bkey"))
+    corpus = (table(spark, sf_dir, "documents")
+              .where(F.col("doc_id") % 5 != 4).select("doc_id", "text"))
+    corpus_keys = (_mh_sig_frame(spread_compute(spark, corpus, "doc_id"))
+                   .select(F.explode(F.array(*_band_key_exprs()))
+                           .alias("bkey")))
+    corpus_idx = (corpus_keys.groupBy("bkey")
+                  .agg(F.count("*").alias("n"))
+                  .where(F.col("n") <= LSH_BUCKET_CAP)
+                  .select("bkey"))
+    hits = (bands.join(corpus_idx, "bkey")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("bands_hit")))
+    q = _start_scoped(spark, hits
+                      .writeStream.format("memory")
+                      .queryName("stream_band_screen_gate")
+                      .outputMode("complete").trigger(availableNow=True))
+    _await_or_raise(q, 180)
+    return spark.table("stream_band_screen_gate").orderBy("doc_id")
+
+
 _STREAM_INCR_ORACLE = """
 WITH batch AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4
@@ -540,6 +607,8 @@ ORDER BY doc_id
 
 
 from bacalhau_spark.operators.curation import _GOPHER_ORACLE  # noqa: E402
+from bacalhau_spark.operators.dedup import \
+    _INCREMENTAL_MH_ORACLE as _STREAM_BAND_SCREEN_ORACLE  # noqa: E402
 from bacalhau_spark.operators.pipeline import \
     _EWMA_ORACLE as _STREAM_EWMA_ORACLE  # noqa: E402
 from bacalhau_spark.operators.aggregates import (HLL_ALPHA_DEN,  # noqa: E402
@@ -912,6 +981,10 @@ QUERIES = {
     "nd_stream_sessions": (nd_stream_sessions, _SESSIONIZE_ORACLE),
     "nd_stream_incremental_dedup": (nd_stream_incremental_dedup,
                                     _STREAM_INCR_ORACLE),
+    # shares the batch twin's FULL oracle (nd_incremental_minhash):
+    # identical synthesis, identical folds, identical output contract
+    "nd_stream_band_screen": (nd_stream_band_screen,
+                              _STREAM_BAND_SCREEN_ORACLE),
     "nd_stream_stateful": (
         nd_stream_stateful,
         "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "

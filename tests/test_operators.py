@@ -584,3 +584,25 @@ def test_winnowing_local_containment_guarantee(spark):
            for r in winnowing_pairs(docs).collect()}
     assert (1, 2) in got and got[(1, 2)] >= 2
     assert all(3 not in k for k in got)
+
+
+def test_row_signature_equals_grouped_signature(spark, sf_dir):
+    """The stream-safe per-row signature (_mh_sig_row_cols: in-row
+    array_min over the affine maps) must be value-identical to the
+    grouped fold (_mh_sig_frame: explode + min-aggregate) on every doc
+    that has shingles — the incremental/streaming probes are only
+    correct if the two folds can never drift."""
+    from bacalhau_spark.operators.dedup import (_mh_sig_frame,
+                                                _mh_sig_row_cols,
+                                                _rolling_shingle_keys,
+                                                _word_hashes)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    grouped = sorted(map(tuple, _mh_sig_frame(docs).collect()))
+    wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
+    sk = (wh.select("doc_id",
+                    _rolling_shingle_keys(F.col("wh")).alias("sk"))
+          .where(F.size("sk") > 0))
+    row = sorted(map(tuple,
+                     sk.select("doc_id", *_mh_sig_row_cols()).collect()))
+    assert grouped == row

@@ -346,3 +346,36 @@ def test_multibatch_stream_hll_equals_batch(spark, sf_dir, tmp_path,
     got = ev.nd_stream_hll_users(spark, sf_dir,
                                  table_name="stream_hll_mb").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in single]
+
+
+def test_multibatch_band_screen_equals_batch(spark, sf_dir, tmp_path,
+                                             monkeypatch):
+    """The streaming minhash band screen across a REAL batch boundary:
+    documents split into 2 files, one per trigger. Per-row signatures +
+    a stream-static index probe + a complete-mode count — each doc
+    arrives whole in one batch and the counter is per-doc, so the
+    boundary must be invisible: bands_hit equals the batch twin
+    (nd_incremental_minhash) exactly."""
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.operators.dedup import nd_incremental_minhash
+    from bacalhau_spark.registry import queries
+    from bacalhau_spark.streaming import events as ev
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(tmp_path / "documents-0.parquet"))
+    pq.write_table(t.slice(half), str(tmp_path / "documents-1.parquet"))
+    schema = table(spark, sf_dir, "documents").schema
+
+    def paced(spark_, _sf):
+        return (spark_.readStream.schema(schema)
+                .option("pathGlobFilter", "documents-*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path)))
+
+    monkeypatch.setattr(ev, "_doc_stream", paced)
+    got = queries()["nd_stream_band_screen"](spark, sf_dir)
+    want = nd_incremental_minhash(spark, sf_dir)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
