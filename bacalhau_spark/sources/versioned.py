@@ -228,42 +228,53 @@ def vacuum(root: str, keep_last: int = 7,
                   for p in m["files"]}
     removed_files, removed_versions, removed_orphans = [], [], []
     latest = latest_version(root)
+    # PASS 1 — end readability FIRST: delete every expired version's
+    # manifest before touching any data file. Ordering is the crash-
+    # safety invariant (round-9 ADVICE): manifest-then-files means a
+    # crash mid-vacuum leaves at worst a manifestless dir of
+    # unreferenced files (swept by pass 2 on the re-run), never a
+    # PUBLISHED manifest naming deleted files — published implies
+    # readable survives any crash point.
+    for m in published:
+        if m["version"] not in retained:
+            os.remove(os.path.join(_vdir(root, m["version"]), _MANIFEST))
+            removed_versions.append(m["version"])
+    expired = set(removed_versions)
+    # PASS 2 — sweep data files no retained manifest names.
     for name in sorted(os.listdir(root)) if os.path.isdir(root) else []:
         if not name.startswith("v="):
             continue
         v = int(name.split("=", 1)[1])
         vdir = os.path.join(root, name)
         if not os.path.exists(os.path.join(vdir, _MANIFEST)):
-            # Manifestless dirs are either crashed non-commits (nothing
-            # in them is referenced — safe to drop whole) or ALREADY-
-            # EXPIRED versions whose files a retained append-chain
-            # manifest still names (a prior vacuum removed the manifest
-            # but pinned the files): delete only what no manifest names.
-            if clear_orphans:
-                for f in sorted(os.listdir(vdir)):
-                    if f"{name}/{f}" not in referenced:
-                        os.remove(os.path.join(vdir, f))
-                if os.listdir(vdir):
+            # Manifestless dirs: expired THIS run (pass 1), expired by a
+            # prior (possibly crashed) vacuum, or crashed non-commits.
+            # Delete only what no retained manifest names — append-chain
+            # manifests pin prior versions' files in place. Orphan dirs
+            # (never expired here) are only touched under clear_orphans.
+            if not (clear_orphans or v in expired):
+                continue
+            for f in sorted(os.listdir(vdir)):
+                rel = f"{name}/{f}"
+                if rel in referenced:
                     continue
-                os.rmdir(vdir)
+                os.remove(os.path.join(vdir, f))
+                if f.endswith(".parquet") and not f.startswith("."):
+                    removed_files.append(rel)
+            if os.listdir(vdir):
+                continue
+            os.rmdir(vdir)
+            if v not in expired:
                 removed_orphans.append(v)
             continue
+        # Retained version dir: remove stray parquet debris no manifest
+        # names (never readable); everything referenced stays pinned.
         for f in sorted(os.listdir(vdir)):
             rel = f"{name}/{f}"
             if (f.endswith(".parquet") and not f.startswith(".")
                     and rel not in referenced):
                 os.remove(os.path.join(vdir, f))
                 removed_files.append(rel)
-        if v not in retained:
-            os.remove(os.path.join(vdir, _MANIFEST))
-            removed_versions.append(v)
-            # marker debris (_SUCCESS, .crc) goes with the manifest;
-            # anything still referenced stays where its path pins it
-            for f in os.listdir(vdir):
-                if f == "_SUCCESS" or f.startswith("."):
-                    os.remove(os.path.join(vdir, f))
-            if not os.listdir(vdir):
-                os.rmdir(vdir)
     return {"latest": latest, "retained": sorted(retained),
             "removed_versions": removed_versions,
             "removed_files": removed_files,

@@ -50,10 +50,12 @@ BENCH_QUERIES = (
     # round-9 addition: editdist verification rebuilt (single-scan
     # gather, agg-computed DP, pinned exchange width, shared band index)
     # — 17.1 s -> 2.7 s cold at x10 (experiments/minhash_index_reuse_r9).
-    # NOTE round 9 also changed what nd_minhash_lsh measures here: LSH
-    # consumers now read a session-cached signature/band index, so warm
-    # bench runs time the PROBE path (the production read), not a
-    # per-call index rebuild — expect a step DOWN vs the r8 series.
+    # NOTE round 9 changed what nd_minhash_lsh measures warm: LSH
+    # consumers read a session-cached signature/band index, so the warm
+    # loop times the PROBE path (the production read). Round 10 restored
+    # series comparability: a dedicated cold pass (index evicted per
+    # run) reports nd_minhash_lsh_cold_s, and every r3/r7/r8-comparable
+    # subtotal uses the COLD number (round-9 verdict, What's wrong #1).
     "nd_editdist_dedup",   # LSH candidates verified by bounded DP
 )
 
@@ -131,15 +133,40 @@ def main() -> None:
             "max": round(max(runs), 3),
         }
 
+    # COLD minhash pass (round-9 verdict, "Restore bench-series
+    # comparability"): the session-shared signature/band index makes the
+    # warm loop above time the PROBE path — the production read, kept in
+    # `queries` — but the r3/r7/r8-comparable subtotals predate the
+    # index and must stay on the one-shot BUILD+probe number to remain
+    # apples-to-apples with the r8-and-earlier series (and with the
+    # 0.525 s DuckDB baseline, which re-derives signatures per run).
+    # Each timed run evicts the session index first, so every run pays
+    # the full signature+band build.
+    from bacalhau_spark.operators.dedup import clear_session_index
+    mh_fn, _ = ALL_QUERIES["nd_minhash_lsh"]
+    cold_runs = []
+    for _ in range(3):
+        clear_session_index(spark)
+        t0 = time.perf_counter()
+        materialize(mh_fn(spark, sf_dir))
+        cold_runs.append(time.perf_counter() - t0)
+    minhash_cold = round(statistics.median(cold_runs), 3)
+
+    def total(names) -> float:
+        # comparable subtotals swap in the COLD minhash number
+        return round(sum(minhash_cold if n == "nd_minhash_lsh"
+                         else timings[n] for n in names), 3)
+
     # The headline set grew 12 -> 14 in round 4, 14 -> 16 in round 8 and
     # 16 -> 17 in round 9; the r3/r7/r8-set subtotals keep the
     # BENCH_r{N} total series directly comparable across the boundaries.
     r9_added = ("nd_editdist_dedup",)
-    r8_added = ("nd_kmeans", "nd_substr_dedup") + r9_added
+    r8_added = ("nd_kmeans", "nd_substr_dedup")
+    post_r7_added = r8_added + r9_added
     r3_set = [n for n in BENCH_QUERIES
               if n not in ("nd_gopher_filter", "nd_bpe_pair_count")
-              and n not in r8_added]
-    r7_set = [n for n in BENCH_QUERIES if n not in r8_added]
+              and n not in post_r7_added]
+    r7_set = [n for n in BENCH_QUERIES if n not in post_r7_added]
     r8_set = [n for n in BENCH_QUERIES if n not in r9_added]
     floor_end = scheduler_floor(spark)
     print(json.dumps({
@@ -156,9 +183,15 @@ def main() -> None:
         "floor_s": floor_start["median"],
         "floor_min_s": floor_start["min"],
         "floor_end_s": floor_end["median"],
-        "r3_comparable_total": round(sum(timings[n] for n in r3_set), 3),
-        "r7_comparable_total": round(sum(timings[n] for n in r7_set), 3),
-        "r8_comparable_total": round(sum(timings[n] for n in r8_set), 3),
+        # Warm (queries.nd_minhash_lsh) = session-index PROBE, the
+        # production read path; cold = per-run index BUILD+probe, the
+        # r8-and-earlier measurement and the like-for-like partner of
+        # the 0.525 s re-deriving DuckDB baseline. Comparable subtotals
+        # use COLD.
+        "nd_minhash_lsh_cold_s": minhash_cold,
+        "r3_comparable_total": total(r3_set),
+        "r7_comparable_total": total(r7_set),
+        "r8_comparable_total": total(r8_set),
         "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))
