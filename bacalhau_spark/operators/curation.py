@@ -752,6 +752,168 @@ SELECT pair, CAST(SUM(cnt) AS INTEGER) AS n FROM p GROUP BY pair
 ORDER BY n DESC, pair LIMIT {PAIR_TOP_K}
 """
 
+# --- nd_quality_model --------------------------------------------------------
+# The learned quality filter — the standard modern curation stage (a trained
+# classifier scoring every document, the single biggest quality lever in
+# published ablations) expressed with this module's integer-exact discipline:
+#
+#   train  — a batch perceptron fit driver-side on a BOUNDED, deterministic
+#            labeled slice (doc_id < QM_TRAIN_DOCS rows collected: the
+#            nd_kmeans / PCA bounded-model-state convention). Teacher labels
+#            come from a deterministic integer rule (the fixture has no human
+#            labels; the synthesis convention of nd_pii_redact applies).
+#            Batch updates (accumulate over the full pass, apply at epoch
+#            end) make training ORDER-INDEPENDENT and integer-exact, so the
+#            oracle can replay the identical training as QM_EPOCHS unrolled
+#            SQL CTEs — the nd_bpe_merges unrolled-training precedent — and
+#            the learned weights match bit-for-bit with no quantization step
+#            (integer features x integer rate-1 updates are already ints).
+#   score  — the fitted weights become LITERALS in one codegen dot product
+#            over the full corpus: per-row, zero shuffle, no Python in the
+#            hot path. At 100 TB the training slice is fixed-size (its cost
+#            does not grow with the corpus) and scoring is a pure mapper.
+QM_TRAIN_DOCS = 200
+# 10 epochs chosen by a held-out scan (accuracy vs teacher on the FULL
+# corpus at sf0.01 and sf0.1): the non-separable teacher makes batch
+# perceptron accuracy non-monotone in epochs (0.65 @6, 0.88 @10, 0.79
+# @14), and E=10 is the plateau that transfers across scales with a
+# non-degenerate keep rate (~0.45 at both). Raw counts were tried first
+# and fail outright — the large-magnitude length feature dominates every
+# rate-1 update and the model collapses to all-reject at every epoch
+# count; the centi-ratio scaling below is what makes integer perceptron
+# training conditionable.
+QM_EPOCHS = 10
+
+
+def quality_features_frame(docs: DataFrame) -> DataFrame:
+    """Integer feature vector per document over any (doc_id, text) frame:
+    x1 word count, x2 mean word length in DECIS (10*chars/words), x3
+    stopword hits, x4 alphabetic-word PERCENT, x5 distinct-word PERCENT —
+    the raw signals behind the Gopher gates, ratio-scaled to comparable
+    integer ranges (integer division: `div` here, `//` in the oracle;
+    identical on non-negative longs) so no single feature dominates the
+    rate-1 updates. n_words >= 1 always (split('') is ['']), so the
+    divisions are total. Pure per-row codegen; composes unchanged over
+    readStream sources."""
+    w = words("text")
+    stop_arr = F.array(*[F.lit(s) for s in _STOP_MARKERS])
+    base = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("long").alias("len_ns"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long").alias("n_stop"),
+        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$")))
+        .cast("long").alias("n_alpha"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_words").alias("x1"),
+        F.expr("(len_ns * 10) div n_words").alias("x2"),
+        F.col("n_stop").alias("x3"),
+        F.expr("(n_alpha * 100) div n_words").alias("x4"),
+        F.expr("(n_distinct * 100) div n_words").alias("x5"),
+    )
+
+
+def _qm_teacher_expr():
+    """Deterministic teacher label over the feature columns: 'diverse
+    vocabulary (>= 50% distinct words) with at least one stopword' —
+    overlaps the feature set without handing the model a single
+    thresholded copy of itself, and splits the fixture ~40/60."""
+    return (F.col("x5") >= 50) & (F.col("x3") >= 1)
+
+
+def train_perceptron(rows: list[tuple[int, ...]],
+                     epochs: int = QM_EPOCHS) -> list[int]:
+    """Batch perceptron over integer feature rows (y, x0=1, x1, ...):
+    each epoch accumulates y*x over every misclassified row (y * w.x <= 0)
+    and applies the summed update once at epoch end. Order-independent
+    (the update is a sum), deterministic, and closed over the integers —
+    the exact loop the oracle unrolls as SQL CTEs."""
+    nx = len(rows[0]) - 1
+    w = [0] * nx
+    for _ in range(epochs):
+        upd = [0] * nx
+        for y, *x in rows:
+            s = sum(wi * xi for wi, xi in zip(w, x))
+            if y * s <= 0:
+                for j in range(nx):
+                    upd[j] += y * x[j]
+        w = [wi + u for wi, u in zip(w, upd)]
+    return w
+
+
+def nd_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter: fit the batch perceptron on the bounded
+    labeled slice, then score EVERY document with the fitted weights as
+    literals — (doc_id, score, kept). The collect is bounded model
+    state: QM_TRAIN_DOCS rows of six longs, independent of corpus size."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = quality_features_frame(docs)
+    train = (feats.where(F.col("doc_id") < QM_TRAIN_DOCS)
+             .select(F.when(_qm_teacher_expr(), 1).otherwise(-1).alias("y"),
+                     "x1", "x2", "x3", "x4", "x5")
+             .collect())
+    w = train_perceptron(
+        [(r.y, 1, r.x1, r.x2, r.x3, r.x4, r.x5) for r in train])
+    score = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+             + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
+             + F.lit(w[4]) * F.col("x4") + F.lit(w[5]) * F.col("x5"))
+    return (feats.select("doc_id", score.cast("long").alias("score"),
+                         (score >= 0).cast("int").alias("kept"))
+            .orderBy("doc_id"))
+
+
+def _quality_model_oracle() -> str:
+    """The training loop unrolled: e0 = zero weights, each eK one row of
+    weights derived from e(K-1) by the same batch-sum update, the final
+    epoch's weights scoring the full corpus. Integer-exact throughout, so
+    the hash gate covers the LEARNED weights, not just the scoring."""
+    feats = f"""SELECT doc_id, n_words AS x1,
+  (len_ns * 10) // n_words AS x2, n_stop AS x3,
+  (n_alpha * 100) // n_words AS x4,
+  (n_distinct * 100) // n_words AS x5
+FROM (SELECT doc_id,
+  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+  CAST(length(replace(text, ' ', '')) AS BIGINT) AS len_ns,
+  CAST(len(list_filter(string_split(lower(text), ' '),
+      x -> list_contains([{_STOP_LIST}], x))) AS BIGINT) AS n_stop,
+  CAST(len(list_filter(string_split(lower(text), ' '),
+      x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+  CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+      AS n_distinct
+FROM documents)"""
+    dot = ("(w.w0 + w.w1*t.x1 + w.w2*t.x2 + w.w3*t.x3 + w.w4*t.x4"
+           " + w.w5*t.x5)")
+    upd = ["t.y"] + [f"t.y*t.x{j}" for j in range(1, 6)]
+    epochs = []
+    for e in range(1, QM_EPOCHS + 1):
+        sels = ",\n    ".join(
+            f"w.w{j} + COALESCE(SUM(CASE WHEN t.y * {dot} <= 0 "
+            f"THEN {upd[j]} END), 0) AS w{j}" for j in range(6))
+        epochs.append(
+            f"e{e} AS (SELECT {sels}\n  FROM train t CROSS JOIN e{e-1} w"
+            f"\n  GROUP BY w.w0, w.w1, w.w2, w.w3, w.w4, w.w5)")
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(6))
+    score = ("(w.w0 + w.w1*s.x1 + w.w2*s.x2 + w.w3*s.x3 + w.w4*s.x4"
+             " + w.w5*s.x5)")
+    epoch_ctes = ",\n".join(epochs)
+    return f"""
+WITH s AS ({feats}),
+train AS (SELECT s.*, CASE WHEN x5 >= 50 AND x3 >= 1
+                      THEN 1 ELSE -1 END AS y
+          FROM s WHERE doc_id < {QM_TRAIN_DOCS}),
+e0 AS (SELECT {zeros}),
+{epoch_ctes}
+SELECT s.doc_id, CAST({score} AS BIGINT) AS score,
+       CAST({score} >= 0 AS INTEGER) AS kept
+FROM s CROSS JOIN e{QM_EPOCHS} w ORDER BY s.doc_id
+"""
+
+
 def nd_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted (α=0.5) source mixing for a training run: each
     source's sampling weight is n_tokens^α — the multilingual/multi-domain
@@ -1319,6 +1481,7 @@ FROM documents GROUP BY ROLLUP (source) ORDER BY source
 
 
 QUERIES = {
+    "nd_quality_model": (nd_quality_model, _quality_model_oracle()),
     "nd_dataset_card": (nd_dataset_card, _DATASET_CARD_ORACLE),
     "nd_ks_drift": (nd_ks_drift, _KS_DRIFT_ORACLE),
     "nd_lang_outliers": (nd_lang_outliers, _LANG_OUTLIERS_ORACLE),

@@ -16,13 +16,13 @@ from bacalhau_spark.functions import udfs
 from bacalhau_spark.operators import (aggregates, asof, curation, dedup,
                                       filters, graph, joins, multimodal,
                                       pipeline, scalar, scans, setops, sort,
-                                      similarity, text, tpch, windows)
+                                      similarity, text, tpch, web, windows)
 from bacalhau_spark.sources import sinks, versioned
 from bacalhau_spark.streaming import events as streaming_events
 
 _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
             asof, dedup, similarity, text, multimodal, sinks, streaming_events,
-            udfs, tpch, pipeline, curation, graph, versioned)
+            udfs, tpch, pipeline, curation, graph, versioned, web)
 
 # The round driver grades the FIRST 50 registry entries per round (see
 # CORRECTNESS_r01.json: exactly the first 50 of round-1's module order got

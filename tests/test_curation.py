@@ -293,3 +293,72 @@ def test_corpus_stats_totals_consistent(spark, sf_dir):
     for r in rows:
         assert r.min_words <= r.max_words
         assert r.n_docs * r.min_words <= r.total_words <= r.n_docs * r.max_words
+
+
+# --- nd_quality_model --------------------------------------------------------
+def _ref_batch_perceptron_numpy(X, y, epochs):
+    """Independent reference trainer: numpy batch perceptron with the same
+    contract (epoch update = sum of y*x over rows with y * w.x <= 0,
+    applied at epoch end). Written against arrays, not row tuples, so a
+    bookkeeping bug in the tuple loop can't be mirrored here."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=object)  # object -> exact Python ints
+    y = np.asarray(y, dtype=object)
+    w = np.zeros(X.shape[1], dtype=object)
+    for _ in range(epochs):
+        margins = np.array([yi * int(xi @ w) for xi, yi in zip(X, y)],
+                           dtype=object)
+        mask = np.array([m <= 0 for m in margins])
+        if mask.any():
+            w = w + (X[mask] * y[mask, None]).sum(axis=0)
+    return [int(v) for v in w]
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.lists(
+    st.tuples(st.sampled_from((-1, 1)),
+              st.integers(0, 100), st.integers(-50, 500),
+              st.integers(0, 12)),
+    min_size=1, max_size=30),
+    epochs=st.integers(1, 8))
+def test_quality_model_trainer_matches_numpy_reference(data, epochs):
+    """Hypothesis pin of the driver-side trainer against an independent
+    numpy implementation: same weights for any integer feature rows, any
+    epoch count — the scorer the oracle unrolls in SQL is exactly this."""
+    rows = [(y, 1, a, b, c) for y, a, b, c in data]
+    got = curation.train_perceptron(rows, epochs)
+    want = _ref_batch_perceptron_numpy(
+        [r[1:] for r in rows], [r[0] for r in rows], epochs)
+    assert got == want
+
+
+def test_quality_model_learns_teacher(spark, sf_dir):
+    """The fitted scorer must actually LEARN: >= 0.85 agreement with the
+    deterministic teacher over the FULL corpus (trained on the first
+    QM_TRAIN_DOCS only) and a non-degenerate keep rate — guards against
+    the all-reject collapse the unscaled-feature form exhibited."""
+    from bacalhau_spark.catalog import table
+
+    scored = curation.nd_quality_model(spark, sf_dir)
+    feats = curation.quality_features_frame(
+        table(spark, sf_dir, "documents").select("doc_id", "text"))
+    teacher = feats.select(
+        "doc_id",
+        curation._qm_teacher_expr().cast("int").alias("y"))
+    m = scored.join(teacher, "doc_id")
+    n = m.count()
+    agree = m.where(F.col("kept") == F.col("y")).count()
+    kept = m.where(F.col("kept") == 1).count()
+    assert agree / n >= 0.85, f"agreement {agree / n:.3f}"
+    assert 0.2 <= kept / n <= 0.7, f"keep rate {kept / n:.3f}"
+
+
+def test_quality_model_scoring_stays_in_codegen(spark, sf_dir):
+    """Scoring is literal-weight per-row codegen: no Python eval, no
+    shuffle beyond the final presentation sort."""
+    plan = (curation.nd_quality_model(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("rangepartitioning" in ln for ln in exchanges), plan
