@@ -224,6 +224,21 @@ def cmd_devstack(args) -> int:
     return 0
 
 
+def cmd_viz(args) -> int:
+    """Cluster visualizer (`viz/main.go` analog): poll node APIs over
+    (address, start_port, end_port) triplets, serve /api/map + a
+    dashboard page until ^C."""
+    from bacalhau_spark.viz import main_loop
+    if len(args.targets) % 3 != 0:
+        print("viz: need targets 3 at a time, e.g. "
+              "127.0.0.1 10000 10099", flush=True)
+        return 2
+    specs = [(args.targets[i], int(args.targets[i + 1]),
+              int(args.targets[i + 2]))
+             for i in range(0, len(args.targets), 3)]
+    return main_loop(specs, port=args.listen, interval=args.interval)
+
+
 def cmd_version(args) -> int:
     """Client/server version report (`cmd/bacalhau/version.go` analog:
     prints the client version, and the server's when a daemon URL is
@@ -325,6 +340,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="last N nodes publish corrupted result digests "
                          "(the reference devstack's badActors arg)")
     dv.set_defaults(fn=cmd_devstack)
+
+    vz = sub.add_parser("viz", help="cluster topology dashboard over "
+                                    "node APIs (viz/main.go analog)")
+    vz.add_argument("targets", nargs="+",
+                    help="address start_port end_port, 3 at a time")
+    vz.add_argument("--listen", type=int, default=31337)
+    vz.add_argument("--interval", type=float, default=1.0)
+    vz.set_defaults(fn=cmd_viz)
 
     ver = sub.add_parser("version", help="client (and server) version")
     ver.add_argument("--url", default=None,

@@ -226,6 +226,39 @@ def nd_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_N = 5
 
 
+def ngram_shingle_keys(df: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, sh) hashed n-gram shingle keys over a (doc_id, text)
+    frame: 60-bit md5-derived ints (8-byte equi-join keys; text never
+    shuffles). The one decontamination fold — nd_ngram_overlap and the
+    curation funnel's decontam stage both consume it, so the Spark and
+    oracle folds cannot drift per consumer. Words array projected before
+    shingling (the HOF re-evaluation rule)."""
+    key = F.conv(F.substring(F.md5(F.col("sh_str")), 1, 15), 16, 10) \
+        .cast("long").alias("sh")
+    return (df.select("doc_id", words("text").alias("w"))
+            .select("doc_id",
+                    F.explode(shingles(F.col("w"), n)).alias("sh_str"))
+            .select("doc_id", key))
+
+
+def gopher_gated_sql(cte_name: str = "gated") -> str:
+    """The Gopher keep-conjunction as an oracle CTE over `documents` —
+    the SQL twin of gopher_keep(), shared so composed pipelines state
+    the gates once."""
+    return f"""{cte_name} AS (SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+    len(string_split(lower(text), ' ')) AS n_words,
+    length(replace(text, ' ', '')) AS len_ns,
+    len(list_filter(string_split(lower(text), ' '),
+        x -> list_contains([{_STOP_LIST}], x))) AS n_stop,
+    len(list_filter(string_split(lower(text), ' '),
+        x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha
+  FROM documents)
+  WHERE n_words >= 15 AND n_words <= 90
+    AND len_ns * 10 >= n_words * 25 AND len_ns * 10 <= n_words * 65
+    AND n_stop >= 2 AND n_alpha * 10 >= n_words * 8)"""
+
+
 def nd_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination at n-gram granularity: a corpus document is
     contaminated if it shares ANY 5-gram with the benchmark set (docs with
@@ -237,20 +270,8 @@ def nd_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Output is the per-source contamination tally a mixing stage
     consumes."""
     docs = table(spark, sf_dir, "documents")
-    key = F.conv(F.substring(F.md5(F.col("sh_str")), 1, 15), 16, 10) \
-        .cast("long").alias("sh")
-
-    def shingle_keys(df):
-        # words array projected before shingling — see nd_repetition's HOF
-        # re-evaluation note.
-        return (df.select("doc_id", words("text").alias("w"))
-                .select("doc_id",
-                        F.explode(shingles(F.col("w"), NGRAM_N))
-                        .alias("sh_str"))
-                .select("doc_id", key))
-
     bench_sh = (
-        shingle_keys(docs.filter(F.col("doc_id") % 10 == 0))
+        ngram_shingle_keys(docs.filter(F.col("doc_id") % 10 == 0))
         .select("sh").distinct()
     )
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
@@ -260,7 +281,7 @@ def nd_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only to discard most of it. Distinct runs on the (selective) hit
     # doc_ids after the probe.
     contaminated = (
-        shingle_keys(corpus)
+        ngram_shingle_keys(corpus)
         .join(F.broadcast(bench_sh), "sh", "left_semi")
         .select("doc_id").distinct()
         .withColumn("hit", F.lit(1))

@@ -487,16 +487,18 @@ def nd_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (a fingerprint in f docs is f(f-1)/2 pairs; ubiquitous
     boilerplate fingerprints are dropped, the stop-shingle rule),
     bucket-and-expand in codegen, never an index self-join; only
-    8-byte fingerprints and id pairs ever shuffle."""
-    return winnowing_pairs(spread_compute(
-        spark, table(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id"))
+    8-byte fingerprints and id pairs ever shuffle. The posting frame
+    comes from the session-shared index (build once, probe many — the
+    minhash_signature_index lifecycle, round-10 extension)."""
+    return winnow_pairs_from_postings(
+        winnow_posting_index(spark, sf_dir))
 
 
-def winnowing_pairs(docs: DataFrame) -> DataFrame:
-    """The winnowing pipeline over an ARBITRARY (doc_id, text) frame
-    (nd_winnowing is the fixture-bound wrapper) — also the unit-test
-    surface for the local-containment guarantee."""
+def winnow_postings(docs: DataFrame) -> DataFrame:
+    """Winnow fingerprint posting frame (doc_id, fp) over an ARBITRARY
+    (doc_id, text) frame: rolling k-gram hashes, window minima,
+    per-doc distinct, df cap. This is the index payload — #selected-fps
+    x 16 bytes, never text."""
     from pyspark.sql.window import Window
 
     wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
@@ -510,9 +512,28 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<long>"))
     sel = (ks.select("doc_id", F.explode(fps).alias("fp"))
            .distinct())
-    capped = (sel.withColumn(
+    return (sel.withColumn(
         "df", F.count("*").over(Window.partitionBy("fp")))
         .where(F.col("df") <= SHINGLE_DF_CAP).drop("df"))
+
+
+def winnow_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared winnow posting index over the fixture documents —
+    the _mh_session_cached lifecycle (build once per (session, table
+    content), eagerly materialized, every consumer scans the
+    checkpointed partitions; same staleness fingerprint, same
+    localCheckpoint caveat)."""
+    return _mh_session_cached(
+        spark, sf_dir, "winnow",
+        lambda: winnow_postings(spread_compute(
+            spark,
+            table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id")))
+
+
+def winnow_pairs_from_postings(capped: DataFrame) -> DataFrame:
+    """Bucket-and-expand candidate pairs over a posting frame: pairs
+    sharing >= WINNOW_MIN_SHARED selected fingerprints."""
     buckets = (capped.groupBy("fp")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .where(F.size("ids") >= 2))
@@ -526,6 +547,15 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("long").alias("shared_fps"))
             .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
             .orderBy("a_id", "b_id"))
+
+
+def winnowing_pairs(docs: DataFrame) -> DataFrame:
+    """The full (uncached) winnowing pipeline over an ARBITRARY
+    (doc_id, text) frame — the unit-test surface for the
+    local-containment guarantee, and the one definition nd_winnowing's
+    cached path decomposes into (postings + bucket-expand share the
+    code, so index and direct form cannot drift)."""
+    return winnow_pairs_from_postings(winnow_postings(docs))
 
 
 def _winnow_oracle() -> str:
@@ -625,25 +655,36 @@ FROM aug GROUP BY lang ORDER BY lang
 
 
 def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline END TO END as one hash-gated funnel — the
-    composition a real curation run executes, not just its stages in
-    isolation: (1) exact keep-first dedup (min doc_id per md5(text)),
-    (2) LSH near-dup clustering over the exact SURVIVORS (signatures +
-    band candidates recomputed on the survivor slice — components of
-    the induced subgraph, which filtering whole-corpus labels would get
-    wrong), labels via the pointer-jumping CC (log-diameter rounds),
-    (3) keep one doc per near-dup cluster. Emits one row per stage:
-    (stage, docs_in, docs_out) — the shrink report a curation job
-    publishes.
+    """The FULL published curation pipeline as one hash-gated funnel —
+    the composition a real training-data run executes, not just its
+    stages in isolation: (1) Gopher quality gates (the rule-based
+    screen), (2) exact keep-first dedup (min doc_id per md5(text)) over
+    the gated docs, (3) LSH near-dup clustering over the exact
+    SURVIVORS (signatures + band candidates recomputed on the survivor
+    slice — components of the induced subgraph, which filtering
+    whole-corpus labels would get wrong), labels via the
+    pointer-jumping CC (log-diameter rounds), keep one doc per cluster,
+    (4) benchmark decontamination: drop cluster survivors that are
+    benchmark members (doc_id % 10 == 0 stands in for the eval suite)
+    or share any NGRAM_N-gram with the benchmark shingle set. Emits one
+    row per stage: (stage, docs_in, docs_out) — the shrink report a
+    curation job publishes.
 
-    Scale shape: stage 1 shuffles 16-byte fingerprints; stage 2 is the
-    signature/band plan over the deduped corpus (strictly smaller);
-    stage counts are 1-row aggregates crossJoin-broadcast into literal
-    stage rows — nothing but counters moves after the band join. The
-    oracle states the identical three stages over the shared CTE
-    folds (_mh_bkeys_sql + the recursive closure)."""
+    Scale shape: stage 1 is per-row codegen; stage 2 shuffles 16-byte
+    fingerprints; stage 3 is the signature/band plan over the deduped
+    corpus (strictly smaller); stage 4 probes a BROADCAST benchmark
+    shingle set (corpus side never shuffles — nd_ngram_overlap's
+    shape, same shared fold); stage counts are 1-row aggregates
+    crossJoin-broadcast into literal stage rows — nothing but counters
+    moves after the band join. The oracle states the identical four
+    stages over the shared CTE folds (gopher_gated_sql + _mh_bkeys_sql
+    + the recursive closure + the shingle fold)."""
+    from bacalhau_spark.operators.curation import (gopher_keep,
+                                                   ngram_shingle_keys)
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    surv = (docs.groupBy(F.md5("text").alias("fp"))
+    gated = gopher_keep(docs)
+    surv = (gated.groupBy(F.md5("text").alias("fp"))
             .agg(F.min("doc_id").alias("doc_id")))
     sdocs = docs.join(surv.select("doc_id"), "doc_id")
     pairs = _band_candidates(_mh_sig_frame(
@@ -653,21 +694,45 @@ def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
     )).alias("e")).select("e.src", "e.dst"))
     labels = cc_labels_doubling(edges)
+    # one doc per near-dup cluster: drop labeled non-roots
+    kept3 = sdocs.join(
+        labels.where(F.col("id") != F.col("label"))
+        .select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+    # decontam: benchmark shingles from the FULL corpus (the eval suite
+    # is external — corpus gates don't shrink it)
+    bench_sh = (ngram_shingle_keys(docs.where(F.col("doc_id") % 10 == 0))
+                .select("sh").distinct())
+    cand4 = kept3.where(F.col("doc_id") % 10 != 0)
+    contam = (ngram_shingle_keys(cand4)
+              .join(F.broadcast(bench_sh), "sh", "left_semi")
+              .select("doc_id").distinct())
     n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    n_gated = gated.agg(F.count("*").cast("long").alias("n_gated"))
     n_surv = surv.agg(F.count("*").cast("long").alias("n_surv"))
     n_lab = labels.agg(
         F.count("*").cast("long").alias("n_labeled"),
         F.countDistinct("label").cast("long").alias("n_clusters"))
-    counts = F.broadcast(n_docs).crossJoin(F.broadcast(n_surv)) \
-        .crossJoin(F.broadcast(n_lab))
+    n_final = (cand4.select("doc_id")
+               .join(contam, "doc_id", "left_anti")
+               .agg(F.count("*").cast("long").alias("n_final")))
+    counts = (F.broadcast(n_docs).crossJoin(F.broadcast(n_gated))
+              .crossJoin(F.broadcast(n_surv)).crossJoin(F.broadcast(n_lab))
+              .crossJoin(F.broadcast(n_final)))
+    kept3_cnt = (F.col("n_surv") - F.col("n_labeled")
+                 + F.col("n_clusters"))
     out = counts.select(F.explode(F.array(
-        F.struct(F.lit("1_exact_dedup").alias("stage"),
+        F.struct(F.lit("1_quality_gate").alias("stage"),
                  F.col("n_docs").alias("docs_in"),
+                 F.col("n_gated").alias("docs_out")),
+        F.struct(F.lit("2_exact_dedup").alias("stage"),
+                 F.col("n_gated").alias("docs_in"),
                  F.col("n_surv").alias("docs_out")),
-        F.struct(F.lit("2_neardup_clusters").alias("stage"),
+        F.struct(F.lit("3_neardup_clusters").alias("stage"),
                  F.col("n_surv").alias("docs_in"),
-                 (F.col("n_surv") - F.col("n_labeled")
-                  + F.col("n_clusters")).alias("docs_out")),
+                 kept3_cnt.alias("docs_out")),
+        F.struct(F.lit("4_decontam").alias("stage"),
+                 kept3_cnt.alias("docs_in"),
+                 F.col("n_final").alias("docs_out")),
     )).alias("s")).select("s.*").orderBy("stage").localCheckpoint(
         eager=True)
     labels.unpersist()
@@ -676,10 +741,14 @@ def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pipeline_oracle() -> str:
     """Stated at call time (QUERIES build): _mh_bkeys_sql is defined
-    further down the module."""
+    further down the module; the gate and shingle folds are shared with
+    nd_gopher_filter / nd_ngram_overlap via curation's SQL helpers."""
+    from bacalhau_spark.operators.curation import NGRAM_N, gopher_gated_sql
+
     return f"""
-WITH RECURSIVE surv AS (
-    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+WITH RECURSIVE {gopher_gated_sql('gated')},
+surv AS (
+    SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
 sdocs AS (SELECT d.doc_id, d.text
           FROM documents d JOIN surv USING (doc_id)),{_mh_bkeys_sql('sdocs', 'sig', True)},
 pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -693,15 +762,42 @@ reach(id, r) AS (
     SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
 ),
 labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+kept3 AS (SELECT doc_id FROM surv
+          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)),
+bw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       FROM documents WHERE doc_id % 10 = 0),
+be AS (SELECT doc_id, ws,
+       unnest(range(greatest(len(ws) - {NGRAM_N - 1}, 0))) AS i FROM bw),
+bsh AS (SELECT DISTINCT CAST('0x' || substring(md5(
+        array_to_string(ws[(i+1):(i+{NGRAM_N})], ' ')), 1, 15)
+        AS BIGINT) AS sh FROM be),
+kw AS (SELECT k.doc_id, string_split(lower(d.text), ' ') AS ws
+       FROM kept3 k JOIN documents d USING (doc_id)
+       WHERE k.doc_id % 10 <> 0),
+ke AS (SELECT doc_id, ws,
+       unnest(range(greatest(len(ws) - {NGRAM_N - 1}, 0))) AS i FROM kw),
+ksh AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(
+        array_to_string(ws[(i+1):(i+{NGRAM_N})], ' ')), 1, 15)
+        AS BIGINT) AS sh FROM ke),
+contam AS (SELECT DISTINCT ksh.doc_id FROM ksh JOIN bsh USING (sh)),
 c AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT COUNT(*) FROM gated) AS n_gated,
              (SELECT COUNT(*) FROM surv) AS n_surv,
              (SELECT COUNT(*) FROM labels) AS n_labeled,
-             (SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters)
-SELECT '1_exact_dedup' AS stage, CAST(n_docs AS BIGINT) AS docs_in,
-       CAST(n_surv AS BIGINT) AS docs_out FROM c
+             (SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters,
+             (SELECT COUNT(*) FROM kept3 WHERE doc_id % 10 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contam)) AS n_final)
+SELECT '1_quality_gate' AS stage, CAST(n_docs AS BIGINT) AS docs_in,
+       CAST(n_gated AS BIGINT) AS docs_out FROM c
 UNION ALL
-SELECT '2_neardup_clusters', CAST(n_surv AS BIGINT),
+SELECT '2_exact_dedup', CAST(n_gated AS BIGINT),
+       CAST(n_surv AS BIGINT) FROM c
+UNION ALL
+SELECT '3_neardup_clusters', CAST(n_surv AS BIGINT),
        CAST(n_surv - n_labeled + n_clusters AS BIGINT) FROM c
+UNION ALL
+SELECT '4_decontam', CAST(n_surv - n_labeled + n_clusters AS BIGINT),
+       CAST(n_final AS BIGINT) FROM c
 ORDER BY stage
 """
 

@@ -36,37 +36,70 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-9 window — the union is debt-free again after round 8's single
-# red row (nd_pca_project, a harness-canonicalization crash, re-registered
-# this round as exploded scalar rows). Standing changed-code rule fronts
-# the window, then the rotation continues oldest-first:
-#   1. changed round 9: nd_pca_project (exploded registered surface),
-#      nd_ann_pca (NEW: PCA-reduced ANN, recall-gated, rows-only row),
-#      nd_editdist_dedup (single-scan gather + agg-DP + pinned width),
-#      nd_boilerplate_strip (chunk-string rebuild, BASELINE §5 sketch),
-#      the shared-index consumers (nd_minhash_lsh, nd_dedup_clusters,
-#      nd_minhash_estimate, nd_dedup_survivors), nd_pmi_collocations
-#      (DECIMAL/HUGEINT product + domain guard), nd_skipgram_pairs
-#      (oracle parameterized), nd_bpe_merges / nd_pagerank (persist
-#      materialization fixes), nd_versioned_timetravel (module gained
-#      vacuum/schema-guard/self-heal).
-#   2. the five round-4 rows the r8 boundary displaced.
-#   3. round-5 freshness re-grades (nd_gopher_filter ..), as planned in
-#      the round-8 rotation note — the tail past the boundary leads
-#      round 10.
+# Round-10 window — the r1–r9 union is debt-free (195 triple-green +
+# 7 no-oracle by design, 0 FAILs). Standing changed-code rule fronts
+# the window, then the rotation continues as the round-9 note planned:
+#   1. changed/new round 10: nd_quality_model (NEW: learned quality
+#      filter, unrolled-CTE-trained oracle), the web plane (NEW:
+#      nd_url_canonicalize / nd_domain_cap / nd_domain_blocklist),
+#      nd_curation_pipeline (now the 4-stage gopher→dedup→cluster→
+#      decontam funnel), nd_ngram_overlap (refactored onto the shared
+#      shingle fold the funnel reuses), nd_winnowing (session-shared
+#      posting index), nd_editdist_dedup (broadcast gate), the shared-
+#      index consumers (cache key gained the content fingerprint),
+#      nd_versioned_timetravel (module gained footer stats + pruned
+#      reads; vacuum reordered).
+#   2. the remaining round-5 rows (q18_count_distinct ..
+#      tpch_q5_local_volume), as the round-9 boundary note planned.
+#   3. the round-8 first-row block starts cycling back as freshness
+#      re-grades (nd_dataset_card ..).
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed/new round 9 (standing rule)
-    "nd_pca_project", "nd_ann_pca", "nd_cc_doubling", "nd_bpe_encode",
-    "nd_curation_pipeline", "nd_unicode_dedup", "nd_winnowing",
-    "nd_stream_band_screen", "nd_editdist_dedup",
-    "nd_boilerplate_strip", "nd_minhash_lsh", "nd_dedup_clusters",
-    "nd_minhash_estimate", "nd_dedup_survivors", "nd_pmi_collocations",
-    "nd_skipgram_pairs", "nd_bpe_merges", "nd_pagerank",
+    # 1. changed/new round 10 (standing rule)
+    "nd_quality_model", "nd_url_canonicalize", "nd_domain_cap",
+    "nd_domain_blocklist", "nd_curation_pipeline", "nd_ngram_overlap",
+    "nd_winnowing", "nd_editdist_dedup", "nd_minhash_lsh",
+    "nd_dedup_clusters", "nd_minhash_estimate", "nd_dedup_survivors",
     "nd_versioned_timetravel",
-    # 2. the round-4 rows the r8 boundary displaced
+    # 2. the round-5 tail the r9 boundary deferred
+    "q18_count_distinct", "q18b_approx_distinct",
+    "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
+    "q26b_except", "q26c_union_all", "q26d_intersect_all",
+    "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
+    "qj_full_outer", "tpch_q11_important_parts",
+    "tpch_q15_top_supplier", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
+    # 3. round-8 first-row block cycling back (first 19 fit this window)
+    "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
+    "nd_ngram_jaccard",
+    "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
+    "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
+    "nd_embedding_covariance",
+    "nd_bigram_surprisal", "nd_ks_drift",
+    "nd_containment",
+    "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
+    "nd_embedding_covariance_fast", "nd_k_anonymity",
+    "nd_target_encode",
+    # -- window boundary: first 50 graded per round --------------------
+    # (13 changed/new round-10 rows + 18 r5-tail rows + 19 r8-block
+    # re-grades = 50; the rest of the r8 block — nd_ewma_smooth .. —
+    # leads round 11, then the round-9 first-row block cycles back.)
+    "nd_ewma_smooth",
+    "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
+    "nd_retention_cohorts", "nd_stream_ewma",
+    "nd_hll_distinct", "nd_stream_hll_users",
+    "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
+    "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
+    "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
+    "nd_percentiles", "nd_profile",
+    "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
+    # round-9 first-row block (graded r9; cycles back from round 11 on)
+    "nd_pca_project", "nd_ann_pca", "nd_cc_doubling", "nd_bpe_encode",
+    "nd_unicode_dedup",
+    "nd_stream_band_screen",
+    "nd_boilerplate_strip", "nd_pmi_collocations",
+    "nd_skipgram_pairs", "nd_bpe_merges", "nd_pagerank",
     "q04_math_funcs", "q09_like_filter",
     "q10_regex_filter", "q11_tokenize_count", "tpch_q16_supplier_cnt",
-    # 3. round-5 freshness re-grades, flagship/dedup/streaming first
     "nd_gopher_filter", "nd_incremental_dedup",
     "nd_dedup_exact", "q29_exact_dedup", "nd_fingerprint",
     "nd_ann_topk", "q30_nn", "nd_cosine_neardup",
@@ -78,37 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "nd_vector_norm", "nd_xml_roundtrip", "q06_conditional",
     "q07_array_funcs", "q14b_left_join_agg",
     "q17b_having",
-    # -- window boundary: first 50 graded per round --------------------
-    # (19 changed/new round-9 rows + 5 displaced r4 rows + 26 r5
-    # re-grades = 50; the remaining r5 rows — q18_count_distinct ..
-    # tpch_q5_local_volume — lead round 10's window, then the round-8
-    # first-row block cycles back as freshness re-grades.)
-    "q18_count_distinct", "q18b_approx_distinct",
-    "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
-    "q26b_except", "q26c_union_all", "q26d_intersect_all",
-    "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
-    "qj_full_outer", "tpch_q11_important_parts",
-    "tpch_q15_top_supplier", "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
-    # round-8 first-row block (graded r8; cycles back from round 10 on)
-    "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
-    "nd_ngram_jaccard",
-    "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
-    "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
-    "nd_embedding_covariance",
-    "nd_bigram_surprisal", "nd_ks_drift",
-    "nd_containment",
-    "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
-    "nd_embedding_covariance_fast", "nd_k_anonymity",
-    "nd_target_encode", "nd_ewma_smooth",
-    "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
-    "nd_retention_cohorts", "nd_stream_ewma",
-    "nd_hll_distinct", "nd_stream_hll_users",
-    "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
-    "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
-    "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
-    "nd_ngram_overlap", "nd_percentiles", "nd_profile",
-    "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -116,16 +116,26 @@ def write_version(df: DataFrame, root: str,
     vdir = _vdir(root, n)
     df.write.mode("error").parquet(vdir)
     rel = f"v={n:06d}"
-    files = sorted(f"{rel}/{f}" for f in os.listdir(vdir)
-                   if f.endswith(".parquet") and not f.startswith("."))
+    new_files = sorted(f"{rel}/{f}" for f in os.listdir(vdir)
+                       if f.endswith(".parquet") and not f.startswith("."))
+    # Per-file column min/max from the parquet FOOTERS (no data scan) —
+    # the stats that make read_version's manifest-level file skipping
+    # possible. The reference probes size/locality at planning time
+    # (pkg/storage/ipfs_apicopy/storage.go:67-85); the lakehouse analog
+    # is range stats per file so a selective read over a long append
+    # chain prunes to the files whose ranges can match.
+    stats = {p: _footer_stats(os.path.join(root, p)) for p in new_files}
+    files = new_files
     if mode == "append" and prev > 0:
-        files = head["files"] + files
+        files = head["files"] + new_files
+        stats = {**head.get("stats", {}), **stats}
     manifest = {
         "version": n,
         "files": files,
         "n_files": len(files),
         "columns": df.columns,
         "dtypes": [list(p) for p in df.dtypes],
+        "stats": stats,
         "created_unix": int(time.time()),
     }
     if batch_id is not None:
@@ -135,19 +145,115 @@ def write_version(df: DataFrame, root: str,
     return n
 
 
+def _footer_stats(path: str) -> dict:
+    """{column: [min, max]} folded over the file's row-group footers —
+    only JSON-portable leaf types (int/float/str); columns without
+    usable stats are simply absent, which the pruner treats as
+    can-match (never prunes on a column it has no range for)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    md = pq.ParquetFile(path).metadata
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str)) or isinstance(
+                    mn, bool):
+                continue
+            cur = out.get(col.path_in_schema)
+            out[col.path_in_schema] = (
+                [mn, mx] if cur is None
+                else [min(cur[0], mn), max(cur[1], mx)])
+    return out
+
+
+_PRED_OPS = {
+    "==": lambda mn, mx, v: mn <= v <= mx,
+    "<=": lambda mn, mx, v: mn <= v,
+    "<": lambda mn, mx, v: mn < v,
+    ">=": lambda mn, mx, v: mx >= v,
+    ">": lambda mn, mx, v: mx > v,
+}
+
+
+def _file_may_match(stats: dict, predicate) -> bool:
+    for col, op, val in predicate:
+        rng = stats.get(col)
+        if rng is None:
+            continue  # no range recorded -> cannot rule the file out
+        if not _PRED_OPS[op](rng[0], rng[1], val):
+            return False
+    return True
+
+
 def read_version(spark: SparkSession, root: str,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 predicate=None) -> DataFrame:
     """Read a pinned snapshot (time travel) or, by default, whatever
     `_LATEST` points at — resolved ONCE, so the returned DataFrame keeps
-    reading the same snapshot even if the table advances underneath."""
+    reading the same snapshot even if the table advances underneath.
+
+    `predicate` — an optional conjunction of (column, op, value) with op
+    in ==/<=/</>=/> — turns the read SELECTIVE: the manifest's per-file
+    range stats prune the file list BEFORE spark.read ever sees it
+    (files whose recorded [min, max] cannot satisfy every conjunct are
+    skipped — a long append chain costs only the matching epochs), and
+    the same conjuncts are applied as a row filter so the result is
+    exactly the predicate's rows. Pruning is conservative: a file with
+    no recorded range for a column always survives, so pre-stats
+    manifests (and non-portable column types) read correctly, just
+    unpruned."""
     n = latest_version(root) if version is None else version
     vdir = _vdir(root, n)
     with open(os.path.join(vdir, _MANIFEST)) as f:
         manifest = json.load(f)
     if not manifest["files"]:
         raise ValueError(f"version {n} of {root} has no data files")
-    return spark.read.parquet(*[os.path.join(root, p)
-                                for p in manifest["files"]])
+    files = manifest["files"]
+    if predicate:
+        stats = manifest.get("stats", {})
+        files = [p for p in files
+                 if _file_may_match(stats.get(p, {}), predicate)]
+        if not files:
+            # Every file pruned: an empty frame with the table schema —
+            # read one file's schema without its rows.
+            from pyspark.sql import functions as F
+            base = spark.read.parquet(
+                os.path.join(root, manifest["files"][0]))
+            return base.where(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(root, p) for p in files])
+    if predicate:
+        from pyspark.sql import functions as F
+        ops = {"==": "__eq__", "<=": "__le__", "<": "__lt__",
+               ">=": "__ge__", ">": "__gt__"}
+        for col, op, val in predicate:
+            df = df.where(getattr(F.col(col), ops[op])(val))
+    return df
+
+
+def pruned_file_count(root: str, predicate,
+                      version: int | None = None) -> tuple[int, int]:
+    """(files_after_pruning, files_total) for a predicate against a
+    version's manifest — the observability hook the file-skipping test
+    asserts on (and a cheap EXPLAIN for users: how much of the chain a
+    selective read will actually open)."""
+    n = latest_version(root) if version is None else version
+    with open(os.path.join(_vdir(root, n), _MANIFEST)) as f:
+        manifest = json.load(f)
+    stats = manifest.get("stats", {})
+    kept = [p for p in manifest["files"]
+            if _file_may_match(stats.get(p, {}), predicate)]
+    return len(kept), len(manifest["files"])
 
 
 def version_diff(spark: SparkSession, root: str, v_from: int,

@@ -955,3 +955,26 @@ def test_round9_operators_scale_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in ann_plan
     assert "CartesianProduct" not in ann_plan
     assert "BroadcastHashJoin" in ann_plan
+
+
+def test_winnow_index_is_built_once_per_session(spark, sf_dir):
+    """Round-10 extension of the shared-index rule to winnowing: (a)
+    repeated index calls return the SAME checkpointed posting frame,
+    (b) the consumer's plan scans the checkpointed partitions
+    (ExistingRDD) with zero parquet re-derivation of the fingerprint
+    lineage, (c) the cached path returns the identical rows as the
+    direct (uncached) pipeline — the drift guard."""
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.operators.dedup import (nd_winnowing,
+                                                winnow_posting_index,
+                                                winnowing_pairs)
+
+    idx1 = winnow_posting_index(spark, sf_dir)
+    assert idx1 is winnow_posting_index(spark, sf_dir)
+    plan = _formatted_plan(nd_winnowing(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan
+    direct = winnowing_pairs(
+        table(spark, sf_dir, "documents").select("doc_id", "text"))
+    assert sorted(map(tuple, nd_winnowing(spark, sf_dir).collect())) == \
+        sorted(map(tuple, direct.collect()))

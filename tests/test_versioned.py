@@ -261,3 +261,54 @@ def test_stream_ingest_commits_one_version_per_microbatch(spark, sf_dir,
     assert read_version(spark, root, version=1).count() == half
     # append versions share the immutable epoch-1 files (no rewrite)
     assert set(h[0]["files"]) < set(h[1]["files"])
+
+
+def test_selective_read_prunes_files_and_keeps_rows(spark, tmp_path):
+    """File skipping: an append chain of disjoint k-ranges, then a
+    selective read — the manifest's footer stats must prune the file
+    list STRICTLY below the chain's total while returning exactly the
+    rows a full-scan filter would (pruning is a superset guarantee; the
+    residual row filter closes it to equality)."""
+    from bacalhau_spark.sources.versioned import pruned_file_count
+
+    root = str(tmp_path / "t")
+    # four epochs, 10 rows each, disjoint k ranges [0..9], [10..19], ...
+    for e in range(4):
+        rows = [(e * 10 + i, f"v{e}") for i in range(10)]
+        write_version(_df(spark, rows).coalesce(1), root,
+                      mode="append" if e else "overwrite")
+    pred = [("k", "<=", 12)]
+    kept, total = pruned_file_count(root, pred)
+    assert total == 4
+    assert kept == 2, (kept, total)  # epochs 0 and 1 only
+    got = sorted(r.k for r in read_version(spark, root,
+                                           predicate=pred).collect())
+    assert got == list(range(13))
+    # equality predicate prunes to ONE epoch
+    kept_eq, _ = pruned_file_count(root, [("k", "==", 25)])
+    assert kept_eq == 1
+    rows_eq = read_version(spark, root,
+                           predicate=[("k", "==", 25)]).collect()
+    assert [r.k for r in rows_eq] == [25]
+    # a predicate no file can match: zero files, empty frame, schema kept
+    kept0, _ = pruned_file_count(root, [("k", ">", 999)])
+    assert kept0 == 0
+    empty = read_version(spark, root, predicate=[("k", ">", 999)])
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+
+
+def test_selective_read_survives_pre_stats_manifests(spark, tmp_path):
+    """A manifest written before stats existed (simulated by deleting the
+    stats key) must read correctly under a predicate — unpruned, never
+    wrong."""
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(i, "x") for i in range(10)]), root)
+    mpath = os.path.join(root, "v=000001", "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["stats"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    got = sorted(r.k for r in read_version(
+        spark, root, predicate=[("k", "<", 3)]).collect())
+    assert got == [0, 1, 2]
