@@ -606,3 +606,36 @@ def test_row_signature_equals_grouped_signature(spark, sf_dir):
     row = sorted(map(tuple,
                      sk.select("doc_id", *_mh_sig_row_cols()).collect()))
     assert grouped == row
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """ADC shortlist + exact re-rank must recover most true top-3
+    neighbors (numpy prototype: ~0.95 on the fixture); 0.6 is the
+    regression floor — ADC alone on these structure-free random unit
+    vectors ranks at ~0.33, so a broken re-rank stage fails loudly."""
+    from bacalhau_spark.operators.similarity import nd_ann_pq
+
+    truth = {(r["vec_id"], r["nn"])
+             for r in nd_ann_topk(spark, sf_dir).collect()}
+    got = {(r["vec_id"], r["nn"])
+           for r in nd_ann_pq(spark, sf_dir).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"PQ-ADC recall@3 {recall:.2f} below floor"
+
+
+def test_pq_codes_cover_all_subspaces(spark, sf_dir):
+    """Every subspace trains a codebook and every vector gets PQ_M codes:
+    per-subspace n_points sums to the corpus size in each subspace, and
+    distortion is positive (a zero-distortion cell at this K would mean
+    a degenerate codebook)."""
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.operators.similarity import PQ_M, nd_pq_quantize
+
+    rows = nd_pq_quantize(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "embeddings").count()
+    per_sub = {}
+    for r in rows:
+        per_sub[r.sub] = per_sub.get(r.sub, 0) + r.n_points
+    assert set(per_sub) == set(range(PQ_M))
+    assert all(v == n for v in per_sub.values())
+    assert sum(r.distortion for r in rows) > 0
