@@ -867,24 +867,40 @@ def train_perceptron(rows: list[tuple[int, ...]],
     return w
 
 
-def nd_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned quality filter: fit the batch perceptron on the bounded
-    labeled slice, then score EVERY document with the fitted weights as
-    literals — (doc_id, score, kept). The collect is bounded model
-    state: QM_TRAIN_DOCS rows of six longs, independent of corpus size."""
+def fit_quality_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Fit the perceptron on the bounded labeled slice of the STATIC
+    documents table. The collect is bounded model state — QM_TRAIN_DOCS
+    rows of six longs, independent of corpus size — and the returned
+    integer weights ship to any consumer (batch scorer, a readStream
+    scorer) as literals: broadcast-free, pure codegen."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    feats = quality_features_frame(docs)
-    train = (feats.where(F.col("doc_id") < QM_TRAIN_DOCS)
+    train = (quality_features_frame(docs)
+             .where(F.col("doc_id") < QM_TRAIN_DOCS)
              .select(F.when(_qm_teacher_expr(), 1).otherwise(-1).alias("y"),
                      "x1", "x2", "x3", "x4", "x5")
              .collect())
-    w = train_perceptron(
+    return train_perceptron(
         [(r.y, 1, r.x1, r.x2, r.x3, r.x4, r.x5) for r in train])
+
+
+def quality_score_frame(docs: DataFrame, w: list[int]) -> DataFrame:
+    """Score any (doc_id, text) frame with fitted weights as literals:
+    (doc_id, score, kept), one codegen dot product per row. Composes
+    unchanged over readStream sources (per-row mapper, no state)."""
+    feats = quality_features_frame(docs)
     score = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
              + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
              + F.lit(w[4]) * F.col("x4") + F.lit(w[5]) * F.col("x5"))
-    return (feats.select("doc_id", score.cast("long").alias("score"),
-                         (score >= 0).cast("int").alias("kept"))
+    return feats.select("doc_id", score.cast("long").alias("score"),
+                        (score >= 0).cast("int").alias("kept"))
+
+
+def nd_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter: fit the batch perceptron on the bounded
+    labeled slice, then score EVERY document with the fitted weights as
+    literals — (doc_id, score, kept)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (quality_score_frame(docs, fit_quality_weights(spark, sf_dir))
             .orderBy("doc_id"))
 
 

@@ -55,8 +55,8 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 #      re-grades (nd_dataset_card ..).
 _PRIORITY: tuple[str, ...] = (
     # 1. changed/new round 10 (standing rule)
-    "nd_quality_model", "nd_pq_quantize", "nd_ann_pq",
-    "nd_url_canonicalize", "nd_domain_cap",
+    "nd_quality_model", "nd_stream_quality_model", "nd_pq_quantize",
+    "nd_ann_pq", "nd_url_canonicalize", "nd_domain_cap",
     "nd_domain_blocklist", "nd_curation_pipeline", "nd_ngram_overlap",
     "nd_winnowing", "nd_editdist_dedup", "nd_minhash_lsh",
     "nd_dedup_clusters", "nd_minhash_estimate", "nd_dedup_survivors",
@@ -78,11 +78,12 @@ _PRIORITY: tuple[str, ...] = (
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_containment",
     "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
-    "nd_embedding_covariance_fast",
     # -- window boundary: first 50 graded per round --------------------
-    # (15 changed/new round-10 rows + 18 r5-tail rows + 17 r8-block
-    # re-grades = 50; the rest of the r8 block — nd_k_anonymity .. —
-    # leads round 11, then the round-9 first-row block cycles back.)
+    # (16 changed/new round-10 rows + 18 r5-tail rows + 16 r8-block
+    # re-grades = 50; the rest of the r8 block —
+    # nd_embedding_covariance_fast .. — leads round 11, then the
+    # round-9 first-row block cycles back.)
+    "nd_embedding_covariance_fast",
     "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
     "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
     "nd_retention_cohorts", "nd_stream_ewma",

@@ -484,6 +484,30 @@ def _await_or_raise(q, timeout_sec: int) -> None:
         q.stop()
 
 
+def nd_stream_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEARNED quality filter at ingest: weights are fit once on the
+    static corpus (bounded driver-side training — curation.
+    fit_quality_weights), then every streamed document is scored with
+    those weights as literals in append mode — the train-offline /
+    score-online split every production quality classifier deploys as.
+    Like nd_stream_gopher, the scorer is a stateless per-row mapper
+    (deterministic under streaming, no watermark, no batch-order
+    dependence), so this streaming surface shares the batch twin's FULL
+    value-hash oracle — including the unrolled-CTE training replay; a
+    2-file micro-batch split is graded equal in tests/test_streaming."""
+    from bacalhau_spark.operators.curation import (fit_quality_weights,
+                                                   quality_score_frame)
+
+    w = fit_quality_weights(spark, sf_dir)
+    q = _start_scoped(spark, quality_score_frame(
+        _doc_stream(spark, sf_dir).select("doc_id", "text"), w)
+        .writeStream.format("memory")
+        .queryName("stream_quality_gate")
+        .outputMode("append").trigger(availableNow=True))
+    _await_or_raise(q, 120)
+    return spark.table("stream_quality_gate").orderBy("doc_id")
+
+
 def nd_stream_incremental_dedup(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Streaming incremental-ingest dedup screen: new documents stream in
@@ -606,7 +630,8 @@ ORDER BY doc_id
 """
 
 
-from bacalhau_spark.operators.curation import _GOPHER_ORACLE  # noqa: E402
+from bacalhau_spark.operators.curation import (_GOPHER_ORACLE,  # noqa: E402
+                                               _quality_model_oracle)
 from bacalhau_spark.operators.dedup import \
     _INCREMENTAL_MH_ORACLE as _STREAM_BAND_SCREEN_ORACLE  # noqa: E402
 from bacalhau_spark.operators.pipeline import \
@@ -927,6 +952,10 @@ QUERIES = {
     # identical contract to the batch nd_gopher_filter — per-row mappers
     # are stream-deterministic, so the streaming run shares its oracle
     "nd_stream_gopher": (nd_stream_gopher, _GOPHER_ORACLE),
+    # train-offline / score-online: the stream scorer shares the batch
+    # twin's full oracle, unrolled-CTE training included
+    "nd_stream_quality_model": (nd_stream_quality_model,
+                                _quality_model_oracle()),
     "nd_stream_topk": (nd_stream_topk, _TOPK_ORACLE),
     "q28_tumbling_window": (
         q28_tumbling_window,

@@ -362,3 +362,37 @@ def test_quality_model_scoring_stays_in_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert all("rangepartitioning" in ln for ln in exchanges), plan
+
+
+def test_quality_model_stream_equals_batch_across_microbatches(
+        spark, sf_dir, tmp_path):
+    """The learned scorer composes unchanged over readStream — weights
+    fit offline on the static table, stream scored with them as
+    literals — and micro-batch boundaries are invisible (per-row
+    mapper, no state): the fixture split into TWO files streamed one
+    per trigger must equal the batch result exactly."""
+    batch_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = batch_df.count() // 2
+    stream_dir = tmp_path / "docs_stream"
+    (batch_df.where(F.col("doc_id") < half).coalesce(1)
+     .write.parquet(str(stream_dir / "a")))
+    (batch_df.where(F.col("doc_id") >= half).coalesce(1)
+     .write.parquet(str(stream_dir / "b")))
+    w = curation.fit_quality_weights(spark, sf_dir)
+    src = (spark.readStream.schema(batch_df.schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(stream_dir / "*")))
+    q = (curation.quality_score_frame(src.select("doc_id", "text"), w)
+         .writeStream.format("memory").queryName("stream_qm_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert len(q.recentProgress) >= 2, "expected >= 2 micro-batches"
+    stream_rows = sorted(
+        tuple(r) for r in spark.table("stream_qm_test").collect())
+    batch_rows = sorted(
+        tuple(r) for r in curation.quality_score_frame(
+            batch_df.select("doc_id", "text"), w).collect())
+    assert stream_rows == batch_rows
