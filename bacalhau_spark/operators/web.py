@@ -101,7 +101,9 @@ def url_canonicalize_frame(urls: DataFrame,
     canon = F.concat(sh, rest)
     domain = F.regexp_replace(
         F.regexp_extract(canon, "^[a-z]+://([^/?#]*)", 1), r"^www\.", "")
-    return urls.select("doc_id", u.alias("url"), canon.alias("canon"),
+    # passthrough of the input columns so callers can carry metadata
+    # (source, fetch time, ...) through the stage without a re-join
+    return urls.select("*", canon.alias("canon"),
                        domain.alias("domain"))
 
 
@@ -113,7 +115,9 @@ def _canon_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def nd_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalized URL per document: (doc_id, url, canon, domain)."""
-    return _canon_frame(spark, sf_dir).orderBy("doc_id")
+    return (_canon_frame(spark, sf_dir)
+            .select("doc_id", "url", "canon", "domain")
+            .orderBy("doc_id"))
 
 
 def nd_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,29 +138,34 @@ def nd_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nd_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast blocklist filter: LEFT ANTI join the canonicalized
-    corpus against the blocked-domain table, reporting per-source
-    (n_docs, n_blocked, n_kept). The blocklist side is an actual
+    """Broadcast blocklist filter: probe the canonicalized corpus
+    against the blocked-domain table, reporting per-source
+    (n_docs, n_kept, n_blocked). The blocklist side is an actual
     DataFrame (not an IN literal) joined with an explicit broadcast —
     the shape that still works when the blocklist is millions of rows:
-    corpus never shuffles, the block table ships once per executor."""
+    corpus never shuffles, the block table ships once per executor.
+    The FILTERING form is a broadcast LEFT ANTI join; this AUDIT form
+    marks instead of dropping (broadcast left join + a block flag) so
+    kept and blocked tally in ONE corpus scan + one source-keyed agg —
+    the first cut anti-joined then re-joined docs by doc_id for the
+    source column, a whole corpus shuffle the passthrough frame
+    eliminates (round-10 crossover A/B)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     canon = url_canonicalize_frame(
-        docs.select("doc_id", _url_expr().alias("url")))
-    blocked = spark.createDataFrame(
-        [(d,) for d in BLOCKED_DOMAINS], "domain string")
-    kept = canon.join(F.broadcast(blocked), "domain", "left_anti")
-    per_src = docs.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"))
-    per_kept = (docs.join(kept.select("doc_id"), "doc_id")
-                .groupBy("source")
-                .agg(F.count("*").cast("long").alias("n_kept")))
-    return (per_src.join(per_kept, "source", "left")
-            .select("source", "n_docs",
-                    F.coalesce("n_kept", F.lit(0)).cast("long")
-                    .alias("n_kept"),
-                    (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
-                    .cast("long").alias("n_blocked"))
+        docs.select("doc_id", "source", _url_expr().alias("url")))
+    # literal dim via inline(array(struct)) — createDataFrame would plan
+    # as a Python-RDD scan outside codegen (the round-1 range-join 27x
+    # lesson); at real scale the blocklist is a read table, same join
+    blocked = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(d).alias("domain"), F.lit(1).alias("blk"))
+        for d in BLOCKED_DOMAINS])))
+    marked = canon.join(F.broadcast(blocked), "domain", "left")
+    return (marked.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("blk").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.sum(F.coalesce("blk", F.lit(0))).cast("long")
+                 .alias("n_blocked"))
             .orderBy("source"))
 
 

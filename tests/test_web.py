@@ -21,10 +21,13 @@ def test_url_canonicalize_is_pure_mapper(spark, sf_dir):
 
 
 def test_domain_blocklist_broadcasts_block_side(spark, sf_dir):
-    """The blocklist join must be a broadcast anti join — the corpus side
-    never shuffles on domain."""
+    """The blocklist probe must be ONE corpus scan against a broadcast
+    of the block table — no Python-RDD literal scan, no shuffle except
+    the source agg + presentation sort, exactly one documents read."""
     plan = _plan(web.nd_domain_blocklist(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "Scan ExistingRDD" not in plan
+    assert plan.count("documents.parquet") <= 2  # one scan node (2 prints)
 
 
 def test_canonicalize_is_idempotent(spark, sf_dir):
