@@ -159,13 +159,13 @@ _MH_IDX_CACHE: dict[tuple, DataFrame] = {}
 _MH_IDX_LOCK = threading.Lock()
 
 
-def _docs_fingerprint(sf_dir: str) -> tuple:
-    """Cheap content fingerprint of the documents table under sf_dir:
+def _docs_fingerprint(sf_dir: str, tbl: str = "documents") -> tuple:
+    """Cheap content fingerprint of a fixture table under sf_dir:
     (file, size, mtime_ns) per parquet part. Folding this into the
     session-cache key means a fixture REWRITTEN at the same path mid-
     session misses the cache and rebuilds, instead of silently serving
     an index over the old bytes (round-9 ADVICE)."""
-    droot = os.path.join(sf_dir, "documents.parquet")
+    droot = os.path.join(sf_dir, f"{tbl}.parquet")
     paths = [droot] if os.path.isfile(droot) else [
         os.path.join(droot, f) for f in sorted(os.listdir(droot))
         if f.endswith(".parquet")] if os.path.isdir(droot) else []
@@ -174,7 +174,7 @@ def _docs_fingerprint(sf_dir: str) -> tuple:
 
 
 def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
-                       build) -> DataFrame:
+                       build, tbl: str = "documents") -> DataFrame:
     """Per-(applicationId, table-content) materialized-frame cache, the
     _PCA_CACHE / _CENTROID_CACHE convention applied to the dedup index:
     first use eagerly localCheckpoints the frame (materialize once, cut
@@ -195,8 +195,8 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
     lost blocks instead of failing; localCheckpoint is the right local
     shape because it also CUTS the shingle lineage the tests assert on."""
     app_id = spark.sparkContext.applicationId
-    key = (app_id, os.path.realpath(sf_dir), _docs_fingerprint(sf_dir),
-           kind)
+    key = (app_id, os.path.realpath(sf_dir),
+           _docs_fingerprint(sf_dir, tbl), kind)
     with _MH_IDX_LOCK:
         for k in [k for k in _MH_IDX_CACHE if k[0] != app_id]:
             _MH_IDX_CACHE.pop(k, None)

@@ -1065,22 +1065,24 @@ PQ_ITERS = 2
 PQ_SHORTLIST = 50
 
 
-def _pq_exploded(emb: DataFrame):
+def _pq_exploded(emb: DataFrame, persist: bool = True):
     """(vec_id, sub, dim, q): the quantized exploded matrix with the
     subspace id. Shares nd_kmeans's quantization + nonnegativity guard
-    (sum DIV count truncates vs floors on negatives)."""
-    from pyspark.storagelevel import StorageLevel
-
+    (sum DIV count truncates vs floors on negatives). persist=False for
+    probe-sized slices (a query batch) that are consumed once."""
     qcol = (F.floor(F.col("v").cast("double") * F.lit(KM_SCALE))
             .cast("long") + F.lit(KM_OFF))
     qsafe = F.when(qcol >= 0, qcol).otherwise(F.expr(
         "raise_error(concat('pq: quantized embedding < 0 for vec_id ',"
         " CAST(vec_id AS STRING)))").cast("long"))
-    return (emb.select("vec_id",
-                       F.posexplode("embedding").alias("dim", "v"))
-            .select("vec_id", (F.col("dim") / PQ_SUB).cast("int")
-                    .alias("sub"), "dim", qsafe.alias("q"))
-            .persist(StorageLevel.DISK_ONLY))
+    out = (emb.select("vec_id",
+                      F.posexplode("embedding").alias("dim", "v"))
+           .select("vec_id", (F.col("dim") / PQ_SUB).cast("int")
+                   .alias("sub"), "dim", qsafe.alias("q")))
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+        out = out.persist(StorageLevel.DISK_ONLY)
+    return out
 
 
 def pq_train_assign(e: DataFrame, k: int = PQ_K,
@@ -1113,21 +1115,56 @@ def pq_train_assign(e: DataFrame, k: int = PQ_K,
     return assign
 
 
+def pq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared TRAINED PQ codes (vec_id, sub, cid, d) — the
+    minhash_signature_index lifecycle applied to the PQ plane: codebooks
+    train once per (session, embeddings content), every consumer
+    (quantize audit, ADC retrieval) probes the materialized codes. At
+    corpus scale this is the persisted code table an IVF-PQ index
+    stores; the exploded training matrix lives only inside the build.
+    Keyed on the EMBEDDINGS fingerprint (not documents)."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    return _mh_session_cached(
+        spark, sf_dir, "pq_assign",
+        lambda: pq_train_assign(
+            _pq_exploded(table(spark, sf_dir, "embeddings"))),
+        tbl="embeddings")
+
+
+def pq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared final PQ centroids (sub, cid, dim, cq) — rebuilt
+    once from the cached codes (the codebook the codes were quantized
+    against: PQ_M x PQ_K x PQ_SUB rows, bounded model state)."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    def build():
+        e = _pq_exploded(table(spark, sf_dir, "embeddings"),
+                         persist=False)
+        return (e.join(pq_code_index(spark, sf_dir)
+                       .select("vec_id", "sub", "cid"),
+                       ["vec_id", "sub"])
+                .groupBy("sub", "cid", "dim")
+                .agg(F.expr("sum(q) DIV count(*)").alias("cq")))
+
+    return _mh_session_cached(spark, sf_dir, "pq_cent", build,
+                              tbl="embeddings")
+
+
 def nd_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook training + code assignment over the embeddings table:
     per (subspace, centroid) — vectors assigned and exact integer
     distortion after PQ_ITERS Lloyd rounds. The audit a PQ index build
-    publishes (balanced cells + falling distortion = usable codes)."""
-    e = _pq_exploded(table(spark, sf_dir, "embeddings"))
-    out = (pq_train_assign(e)
-           .groupBy("sub", "cid")
-           .agg(F.count("*").alias("n_points"),
-                F.sum("d").cast("long").alias("distortion"))
-           .select(F.col("sub").cast("int"),
-                   F.col("cid").alias("cluster_id"), "n_points",
-                   "distortion")
-           .orderBy("sub", "cluster_id"))
-    return out
+    publishes (balanced cells + falling distortion = usable codes).
+    Warm cost is one aggregate over the cached code index."""
+    return (pq_code_index(spark, sf_dir)
+            .groupBy("sub", "cid")
+            .agg(F.count("*").alias("n_points"),
+                 F.sum("d").cast("long").alias("distortion"))
+            .select(F.col("sub").cast("int"),
+                    F.col("cid").alias("cluster_id"), "n_points",
+                    "distortion")
+            .orderBy("sub", "cluster_id"))
 
 
 def _pq_round(prev_cent: str, tag: str) -> str:
@@ -1180,15 +1217,10 @@ def nd_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-gated against nd_ann_topk (approximate by design, no SQL
     oracle — the nd_ann_pca/nd_ann_lsh convention)."""
     emb = table(spark, sf_dir, "embeddings")
-    e = _pq_exploded(emb)
-    assign = pq_train_assign(e)
-    # rebuild the final centroids from the final assignment (the
-    # codebook the codes were quantized against)
-    cent = (e.join(assign.select("vec_id", "sub", "cid"),
-                   ["vec_id", "sub"])
-            .groupBy("sub", "cid", "dim")
-            .agg(F.expr("sum(q) DIV count(*)").alias("cq")))
-    q = (e.where(F.col("vec_id") < 20)
+    assign = pq_code_index(spark, sf_dir)
+    cent = pq_centroid_index(spark, sf_dir)
+    # query subvectors: explode ONLY the query batch, never the corpus
+    q = (_pq_exploded(emb.where(F.col("vec_id") < 20), persist=False)
          .select(F.col("vec_id").alias("qid"), "sub", "dim", "q"))
     # LUT: exact integer distance query-subvector -> every centroid
     lut = (q.join(cent, ["sub", "dim"])

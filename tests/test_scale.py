@@ -978,3 +978,21 @@ def test_winnow_index_is_built_once_per_session(spark, sf_dir):
         table(spark, sf_dir, "documents").select("doc_id", "text"))
     assert sorted(map(tuple, nd_winnowing(spark, sf_dir).collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_pq_index_is_built_once_per_session(spark, sf_dir):
+    """The PQ code/centroid indexes follow the session-shared-index rule:
+    same frame object on repeat calls, consumers scan the checkpointed
+    partitions (ExistingRDD) with no embeddings re-derivation in the
+    quantize audit's plan."""
+    from bacalhau_spark.operators.similarity import (nd_pq_quantize,
+                                                     pq_centroid_index,
+                                                     pq_code_index)
+
+    idx = pq_code_index(spark, sf_dir)
+    assert idx is pq_code_index(spark, sf_dir)
+    assert pq_centroid_index(spark, sf_dir) is \
+        pq_centroid_index(spark, sf_dir)
+    plan = _formatted_plan(nd_pq_quantize(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "embeddings.parquet" not in plan
