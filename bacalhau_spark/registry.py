@@ -60,7 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_domain_blocklist", "nd_curation_pipeline", "nd_ngram_overlap",
     "nd_winnowing", "nd_editdist_dedup", "nd_minhash_lsh",
     "nd_dedup_clusters", "nd_minhash_estimate", "nd_dedup_survivors",
-    "nd_versioned_timetravel",
+    "nd_versioned_timetravel", "nd_versioned_pruned_read",
     # 2. the round-5 tail the r9 boundary deferred
     "q18_count_distinct", "q18b_approx_distinct",
     "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
@@ -77,13 +77,13 @@ _PRIORITY: tuple[str, ...] = (
     "nd_embedding_covariance",
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_containment",
-    "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
+    "nd_zipf_octaves", "nd_lang_outliers",
     # -- window boundary: first 50 graded per round --------------------
-    # (16 changed/new round-10 rows + 18 r5-tail rows + 16 r8-block
-    # re-grades = 50; the rest of the r8 block —
-    # nd_embedding_covariance_fast .. — leads round 11, then the
-    # round-9 first-row block cycles back.)
-    "nd_embedding_covariance_fast",
+    # (17 changed/new round-10 rows + 18 r5-tail rows + 15 r8-block
+    # re-grades = 50; the rest of the r8 block — nd_weighted_jaccard
+    # .. — leads round 11, then the round-9 first-row block cycles
+    # back.)
+    "nd_weighted_jaccard", "nd_embedding_covariance_fast",
     "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
     "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
     "nd_retention_cohorts", "nd_stream_ewma",

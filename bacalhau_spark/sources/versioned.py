@@ -464,6 +464,53 @@ def nd_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("version"))
 
 
+def nd_versioned_pruned_read(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Registered round trip for FILE SKIPPING: publish the documents
+    table as an append chain of four doc_id-range epochs, then run two
+    SELECTIVE reads (a range predicate spanning two epochs, an equality
+    predicate hitting one) and report per-read row count + checksum —
+    with an in-plan guard that each read's manifest pruning opened
+    STRICTLY fewer files than the chain holds (raise_error otherwise:
+    the driver row goes red if skipping silently degrades to
+    read-everything). The oracle states the same predicates directly
+    over documents — equal results prove pruning is a pure optimization."""
+    import shutil
+
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.scratch import scratch_dir
+    from pyspark.sql import functions as F
+
+    root = scratch_dir("versioned_pruned") + "/documents"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = docs.count()
+    step = n // 4  # matches the oracle's COUNT(*) // 4 exactly
+    for e in range(4):
+        lo, hi = e * step, (e + 1) * step if e < 3 else n
+        write_version(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1), root, mode="append" if e else "overwrite")
+
+    def read(tag: str, predicate) -> DataFrame:
+        kept, total = pruned_file_count(root, predicate)
+        if kept >= total:  # the row goes red if skipping degrades
+            raise ValueError(
+                f"versioned pruning opened every file ({kept}/{total}) "
+                f"for {predicate}")
+        return read_version(spark, root, predicate=predicate).agg(
+            F.lit(tag).alias("read"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.lit(1).alias("pruned"))
+
+    lo2 = step + step // 2
+    return (read("range", [("doc_id", ">=", 0), ("doc_id", "<", lo2)])
+            .unionAll(read("point", [("doc_id", "==", step)]))
+            .select("read", "n_docs", "total_chars", "pruned")
+            .orderBy("read"))
+
+
 _TIMETRAVEL_ORACLE = """
 SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -474,7 +521,21 @@ FROM documents
 ORDER BY version
 """
 
+_PRUNED_ORACLE = """
+WITH p AS (SELECT (COUNT(*) // 4) AS step FROM documents)
+SELECT 'point' AS read, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars, 1 AS pruned
+FROM documents, p WHERE doc_id = p.step
+UNION ALL
+SELECT 'range', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT), 1
+FROM documents, p
+WHERE doc_id >= 0 AND doc_id < p.step + p.step // 2
+ORDER BY read
+"""
+
 QUERIES = {
     "nd_versioned_timetravel": (nd_versioned_timetravel,
                                 _TIMETRAVEL_ORACLE),
+    "nd_versioned_pruned_read": (nd_versioned_pruned_read,
+                                 _PRUNED_ORACLE),
 }

@@ -57,6 +57,11 @@ BENCH_QUERIES = (
     # run) reports nd_minhash_lsh_cold_s, and every r3/r7/r8-comparable
     # subtotal uses the COLD number (round-9 verdict, What's wrong #1).
     "nd_editdist_dedup",   # LSH candidates verified by bounded DP
+    # round-10 addition: the learned quality filter — bounded driver-side
+    # perceptron training + literal-weight codegen scoring (sf0.1 DuckDB
+    # baseline 0.42-0.43 s, registry_crossover_r10.txt; crosses to
+    # 0.93x/0.87x at x10/x30 — training cost is scale-invariant)
+    "nd_quality_model",
 )
 
 # 2 warm-ups (first run pays codegen+JIT, second still sees JIT tail) and
@@ -157,17 +162,21 @@ def main() -> None:
         return round(sum(minhash_cold if n == "nd_minhash_lsh"
                          else timings[n] for n in names), 3)
 
-    # The headline set grew 12 -> 14 in round 4, 14 -> 16 in round 8 and
-    # 16 -> 17 in round 9; the r3/r7/r8-set subtotals keep the
-    # BENCH_r{N} total series directly comparable across the boundaries.
+    # The headline set grew 12 -> 14 in round 4, 14 -> 16 in round 8,
+    # 16 -> 17 in round 9 and 17 -> 18 in round 10; the r3/r7/r8/r9-set
+    # subtotals keep the BENCH_r{N} total series directly comparable
+    # across the boundaries.
+    r10_added = ("nd_quality_model",)
     r9_added = ("nd_editdist_dedup",)
     r8_added = ("nd_kmeans", "nd_substr_dedup")
-    post_r7_added = r8_added + r9_added
+    post_r7_added = r8_added + r9_added + r10_added
     r3_set = [n for n in BENCH_QUERIES
               if n not in ("nd_gopher_filter", "nd_bpe_pair_count")
               and n not in post_r7_added]
     r7_set = [n for n in BENCH_QUERIES if n not in post_r7_added]
-    r8_set = [n for n in BENCH_QUERIES if n not in r9_added]
+    r8_set = [n for n in BENCH_QUERIES
+              if n not in r9_added + r10_added]
+    r9_set = [n for n in BENCH_QUERIES if n not in r10_added]
     floor_end = scheduler_floor(spark)
     print(json.dumps({
         "metric": "bench_headline_total",
@@ -192,6 +201,7 @@ def main() -> None:
         "r3_comparable_total": total(r3_set),
         "r7_comparable_total": total(r7_set),
         "r8_comparable_total": total(r8_set),
+        "r9_comparable_total": total(r9_set),
         "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))
