@@ -806,7 +806,8 @@ QM_TRAIN_DOCS = 200
 QM_EPOCHS = 10
 
 
-def quality_features_frame(docs: DataFrame) -> DataFrame:
+def quality_features_frame(docs: DataFrame,
+                           keep: tuple = ()) -> DataFrame:
     """Integer feature vector per document over any (doc_id, text) frame:
     x1 word count, x2 mean word length in DECIS (10*chars/words), x3
     stopword hits, x4 alphabetic-word PERCENT, x5 distinct-word PERCENT —
@@ -819,7 +820,7 @@ def quality_features_frame(docs: DataFrame) -> DataFrame:
     w = words("text")
     stop_arr = F.array(*[F.lit(s) for s in _STOP_MARKERS])
     base = docs.select(
-        "doc_id",
+        "doc_id", *keep,
         F.size(w).cast("long").alias("n_words"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
         .cast("long").alias("len_ns"),
@@ -830,13 +831,24 @@ def quality_features_frame(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
     )
     return base.select(
-        "doc_id",
+        "doc_id", *keep,
         F.col("n_words").alias("x1"),
         F.expr("(len_ns * 10) div n_words").alias("x2"),
         F.col("n_stop").alias("x3"),
         F.expr("(n_alpha * 100) div n_words").alias("x4"),
         F.expr("(n_distinct * 100) div n_words").alias("x5"),
     )
+
+
+def quality_keep(docs: DataFrame, w: list[int]) -> DataFrame:
+    """Rows passing the fitted scorer (score >= 0), (doc_id, text)
+    preserved — the filtering form of the learned gate, used as a
+    pipeline stage (the gopher_keep analog for the trained model)."""
+    feats = quality_features_frame(docs, keep=("text",))
+    score = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+             + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
+             + F.lit(w[4]) * F.col("x4") + F.lit(w[5]) * F.col("x5"))
+    return feats.where(score >= 0).select("doc_id", "text")
 
 
 def _qm_teacher_expr():
@@ -904,16 +916,17 @@ def nd_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-def _quality_model_oracle() -> str:
-    """The training loop unrolled: e0 = zero weights, each eK one row of
-    weights derived from e(K-1) by the same batch-sum update, the final
-    epoch's weights scoring the full corpus. Integer-exact throughout, so
-    the hash gate covers the LEARNED weights, not just the scoring."""
-    feats = f"""SELECT doc_id, n_words AS x1,
+def _qm_feats_sql(src: str = "documents",
+                  extra_cols: str = "") -> str:
+    """The integer feature projection as an oracle SELECT over `src` —
+    the SQL twin of quality_features_frame, shared by the standalone
+    query and composed pipelines. `extra_cols` (e.g. ', text') rides
+    through for consumers that filter and keep the payload."""
+    return f"""SELECT doc_id{extra_cols}, n_words AS x1,
   (len_ns * 10) // n_words AS x2, n_stop AS x3,
   (n_alpha * 100) // n_words AS x4,
   (n_distinct * 100) // n_words AS x5
-FROM (SELECT doc_id,
+FROM (SELECT doc_id{extra_cols},
   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
   CAST(length(replace(text, ' ', '')) AS BIGINT) AS len_ns,
   CAST(len(list_filter(string_split(lower(text), ' '),
@@ -922,7 +935,15 @@ FROM (SELECT doc_id,
       x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
   CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
       AS n_distinct
-FROM documents)"""
+FROM {src})"""
+
+
+def _qm_train_ctes(feats_cte: str = "s") -> str:
+    """The unrolled training chain as CTE text: `train` (teacher labels
+    over the bounded slice of `feats_cte`), `e0` (zero weights), and
+    one eK per epoch applying the batch-sum update — ONE definition
+    shared by the standalone oracle and the curation-funnel oracle so
+    the two trainings cannot drift."""
     dot = ("(w.w0 + w.w1*t.x1 + w.w2*t.x2 + w.w3*t.x3 + w.w4*t.x4"
            " + w.w5*t.x5)")
     upd = ["t.y"] + [f"t.y*t.x{j}" for j in range(1, 6)]
@@ -935,16 +956,31 @@ FROM documents)"""
             f"e{e} AS (SELECT {sels}\n  FROM train t CROSS JOIN e{e-1} w"
             f"\n  GROUP BY w.w0, w.w1, w.w2, w.w3, w.w4, w.w5)")
     zeros = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(6))
-    score = ("(w.w0 + w.w1*s.x1 + w.w2*s.x2 + w.w3*s.x3 + w.w4*s.x4"
-             " + w.w5*s.x5)")
     epoch_ctes = ",\n".join(epochs)
-    return f"""
-WITH s AS ({feats}),
-train AS (SELECT s.*, CASE WHEN x5 >= 50 AND x3 >= 1
-                      THEN 1 ELSE -1 END AS y
-          FROM s WHERE doc_id < {QM_TRAIN_DOCS}),
+    return f"""train AS (SELECT {feats_cte}.*,
+          CASE WHEN x5 >= 50 AND x3 >= 1 THEN 1 ELSE -1 END AS y
+          FROM {feats_cte} WHERE doc_id < {QM_TRAIN_DOCS}),
 e0 AS (SELECT {zeros}),
-{epoch_ctes}
+{epoch_ctes}"""
+
+
+def _qm_score_sql(feats_alias: str = "s") -> str:
+    """The literal dot product over a feature row, weights from the
+    final epoch aliased `w`."""
+    a = feats_alias
+    return (f"(w.w0 + w.w1*{a}.x1 + w.w2*{a}.x2 + w.w3*{a}.x3"
+            f" + w.w4*{a}.x4 + w.w5*{a}.x5)")
+
+
+def _quality_model_oracle() -> str:
+    """The training loop unrolled: e0 = zero weights, each eK one row of
+    weights derived from e(K-1) by the same batch-sum update, the final
+    epoch's weights scoring the full corpus. Integer-exact throughout, so
+    the hash gate covers the LEARNED weights, not just the scoring."""
+    score = _qm_score_sql("s")
+    return f"""
+WITH s AS ({_qm_feats_sql()}),
+{_qm_train_ctes("s")}
 SELECT s.doc_id, CAST({score} AS BIGINT) AS score,
        CAST({score} >= 0 AS INTEGER) AS kept
 FROM s CROSS JOIN e{QM_EPOCHS} w ORDER BY s.doc_id

@@ -658,33 +658,41 @@ def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL published curation pipeline as one hash-gated funnel —
     the composition a real training-data run executes, not just its
     stages in isolation: (1) Gopher quality gates (the rule-based
-    screen), (2) exact keep-first dedup (min doc_id per md5(text)) over
-    the gated docs, (3) LSH near-dup clustering over the exact
+    screen), (2) the LEARNED quality filter (perceptron fit driver-side
+    on the bounded raw-corpus slice, literal-weight codegen scoring —
+    the model gate published ablations rank as the biggest quality
+    lever), (3) exact keep-first dedup (min doc_id per md5(text)) over
+    the model survivors, (4) LSH near-dup clustering over the exact
     SURVIVORS (signatures + band candidates recomputed on the survivor
     slice — components of the induced subgraph, which filtering
     whole-corpus labels would get wrong), labels via the
     pointer-jumping CC (log-diameter rounds), keep one doc per cluster,
-    (4) benchmark decontamination: drop cluster survivors that are
+    (5) benchmark decontamination: drop cluster survivors that are
     benchmark members (doc_id % 10 == 0 stands in for the eval suite)
     or share any NGRAM_N-gram with the benchmark shingle set. Emits one
     row per stage: (stage, docs_in, docs_out) — the shrink report a
     curation job publishes.
 
-    Scale shape: stage 1 is per-row codegen; stage 2 shuffles 16-byte
-    fingerprints; stage 3 is the signature/band plan over the deduped
-    corpus (strictly smaller); stage 4 probes a BROADCAST benchmark
-    shingle set (corpus side never shuffles — nd_ngram_overlap's
-    shape, same shared fold); stage counts are 1-row aggregates
-    crossJoin-broadcast into literal stage rows — nothing but counters
-    moves after the band join. The oracle states the identical four
-    stages over the shared CTE folds (gopher_gated_sql + _mh_bkeys_sql
-    + the recursive closure + the shingle fold)."""
-    from bacalhau_spark.operators.curation import (gopher_keep,
-                                                   ngram_shingle_keys)
+    Scale shape: stages 1–2 are per-row codegen (the model is literals;
+    its training cost is fixed-size at any corpus scale); stage 3
+    shuffles 16-byte fingerprints; stage 4 is the signature/band plan
+    over the deduped corpus (strictly smaller); stage 5 probes a
+    BROADCAST benchmark shingle set (corpus side never shuffles —
+    nd_ngram_overlap's shape, same shared fold); stage counts are 1-row
+    aggregates crossJoin-broadcast into literal stage rows — nothing
+    but counters moves after the band join. The oracle states the
+    identical five stages over the shared CTE folds (gopher_gated_sql +
+    the _qm_train_ctes unrolled training + _mh_bkeys_sql + the
+    recursive closure + the shingle fold)."""
+    from bacalhau_spark.operators.curation import (fit_quality_weights,
+                                                   gopher_keep,
+                                                   ngram_shingle_keys,
+                                                   quality_keep)
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     gated = gopher_keep(docs)
-    surv = (gated.groupBy(F.md5("text").alias("fp"))
+    mkept = quality_keep(gated, fit_quality_weights(spark, sf_dir))
+    surv = (mkept.groupBy(F.md5("text").alias("fp"))
             .agg(F.min("doc_id").alias("doc_id")))
     sdocs = docs.join(surv.select("doc_id"), "doc_id")
     pairs = _band_candidates(_mh_sig_frame(
@@ -708,6 +716,7 @@ def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id").distinct())
     n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
     n_gated = gated.agg(F.count("*").cast("long").alias("n_gated"))
+    n_model = mkept.agg(F.count("*").cast("long").alias("n_model"))
     n_surv = surv.agg(F.count("*").cast("long").alias("n_surv"))
     n_lab = labels.agg(
         F.count("*").cast("long").alias("n_labeled"),
@@ -716,22 +725,26 @@ def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(contam, "doc_id", "left_anti")
                .agg(F.count("*").cast("long").alias("n_final")))
     counts = (F.broadcast(n_docs).crossJoin(F.broadcast(n_gated))
+              .crossJoin(F.broadcast(n_model))
               .crossJoin(F.broadcast(n_surv)).crossJoin(F.broadcast(n_lab))
               .crossJoin(F.broadcast(n_final)))
-    kept3_cnt = (F.col("n_surv") - F.col("n_labeled")
+    kept4_cnt = (F.col("n_surv") - F.col("n_labeled")
                  + F.col("n_clusters"))
     out = counts.select(F.explode(F.array(
         F.struct(F.lit("1_quality_gate").alias("stage"),
                  F.col("n_docs").alias("docs_in"),
                  F.col("n_gated").alias("docs_out")),
-        F.struct(F.lit("2_exact_dedup").alias("stage"),
+        F.struct(F.lit("2_model_gate").alias("stage"),
                  F.col("n_gated").alias("docs_in"),
+                 F.col("n_model").alias("docs_out")),
+        F.struct(F.lit("3_exact_dedup").alias("stage"),
+                 F.col("n_model").alias("docs_in"),
                  F.col("n_surv").alias("docs_out")),
-        F.struct(F.lit("3_neardup_clusters").alias("stage"),
+        F.struct(F.lit("4_neardup_clusters").alias("stage"),
                  F.col("n_surv").alias("docs_in"),
-                 kept3_cnt.alias("docs_out")),
-        F.struct(F.lit("4_decontam").alias("stage"),
-                 kept3_cnt.alias("docs_in"),
+                 kept4_cnt.alias("docs_out")),
+        F.struct(F.lit("5_decontam").alias("stage"),
+                 kept4_cnt.alias("docs_in"),
                  F.col("n_final").alias("docs_out")),
     )).alias("s")).select("s.*").orderBy("stage").localCheckpoint(
         eager=True)
@@ -741,14 +754,24 @@ def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pipeline_oracle() -> str:
     """Stated at call time (QUERIES build): _mh_bkeys_sql is defined
-    further down the module; the gate and shingle folds are shared with
-    nd_gopher_filter / nd_ngram_overlap via curation's SQL helpers."""
-    from bacalhau_spark.operators.curation import NGRAM_N, gopher_gated_sql
+    further down the module; the gate, training, and shingle folds are
+    shared with nd_gopher_filter / nd_quality_model / nd_ngram_overlap
+    via curation's SQL helpers — one definition per fold."""
+    from bacalhau_spark.operators.curation import (NGRAM_N, QM_EPOCHS,
+                                                   _qm_feats_sql,
+                                                   _qm_score_sql,
+                                                   _qm_train_ctes,
+                                                   gopher_gated_sql)
 
     return f"""
 WITH RECURSIVE {gopher_gated_sql('gated')},
+qf AS ({_qm_feats_sql()}),
+{_qm_train_ctes('qf')},
+gf AS ({_qm_feats_sql('gated', ', text')}),
+mkept AS (SELECT gf.doc_id, gf.text FROM gf CROSS JOIN e{QM_EPOCHS} w
+          WHERE {_qm_score_sql('gf')} >= 0),
 surv AS (
-    SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    SELECT MIN(doc_id) AS doc_id FROM mkept GROUP BY md5(text)),
 sdocs AS (SELECT d.doc_id, d.text
           FROM documents d JOIN surv USING (doc_id)),{_mh_bkeys_sql('sdocs', 'sig', True)},
 pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -782,6 +805,7 @@ ksh AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(
 contam AS (SELECT DISTINCT ksh.doc_id FROM ksh JOIN bsh USING (sh)),
 c AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
              (SELECT COUNT(*) FROM gated) AS n_gated,
+             (SELECT COUNT(*) FROM mkept) AS n_model,
              (SELECT COUNT(*) FROM surv) AS n_surv,
              (SELECT COUNT(*) FROM labels) AS n_labeled,
              (SELECT COUNT(DISTINCT label) FROM labels) AS n_clusters,
@@ -790,13 +814,16 @@ c AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
 SELECT '1_quality_gate' AS stage, CAST(n_docs AS BIGINT) AS docs_in,
        CAST(n_gated AS BIGINT) AS docs_out FROM c
 UNION ALL
-SELECT '2_exact_dedup', CAST(n_gated AS BIGINT),
+SELECT '2_model_gate', CAST(n_gated AS BIGINT),
+       CAST(n_model AS BIGINT) FROM c
+UNION ALL
+SELECT '3_exact_dedup', CAST(n_model AS BIGINT),
        CAST(n_surv AS BIGINT) FROM c
 UNION ALL
-SELECT '3_neardup_clusters', CAST(n_surv AS BIGINT),
+SELECT '4_neardup_clusters', CAST(n_surv AS BIGINT),
        CAST(n_surv - n_labeled + n_clusters AS BIGINT) FROM c
 UNION ALL
-SELECT '4_decontam', CAST(n_surv - n_labeled + n_clusters AS BIGINT),
+SELECT '5_decontam', CAST(n_surv - n_labeled + n_clusters AS BIGINT),
        CAST(n_final AS BIGINT) FROM c
 ORDER BY stage
 """
