@@ -1255,6 +1255,153 @@ def nd_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id", "rank"))
 
 
+# --- IVF-PQ ------------------------------------------------------------------
+IVFPQ_NPROBE = 4
+IVFPQ_OFF = 4096  # residuals are signed; shift keeps sum-DIV-count exact
+IVFPQ_SHORTLIST = 50
+
+
+def _residual_q_udf(centroids):
+    """Quantized RESIDUAL per vector against its assigned coarse cell:
+    floor((v - centroid[cell]) * KM_SCALE) + IVFPQ_OFF, as one Arrow
+    numpy batch (the _assign_udf convention — Python where it wins).
+    The offset keeps residual coordinates nonnegative (|v|,|c| <= 1 on
+    the unit-norm fixture), so the shared integer PQ machinery's
+    sum-DIV-count M-step stays truncation-exact."""
+    ids = [c for c, _ in centroids]
+    mat = [list(v) for _, v in centroids]
+
+    def fn(emb, cluster):
+        import numpy as _np
+        import pandas as _pd
+        C = _np.asarray(mat, dtype="float64")
+        pos = _np.zeros(max(ids) + 1, dtype="int64")
+        for i, cid in enumerate(ids):
+            pos[cid] = i
+        X = _np.stack(emb.values).astype("float64")
+        R = X - C[pos[cluster.values.astype("int64")]]
+        Q = _np.floor(R * KM_SCALE).astype("int64") + IVFPQ_OFF
+        return _pd.Series(list(Q))
+
+    from pyspark.sql.functions import pandas_udf
+    return pandas_udf(fn, "array<long>")
+
+
+def _ivfpq_residual_exploded(df: DataFrame, centroids,
+                             id_col: str = "vec_id") -> DataFrame:
+    """(id, cluster, sub, dim, q): the residual analog of _pq_exploded."""
+    rq = df.select(F.col(id_col).alias("vec_id"), "cluster",
+                   _residual_q_udf(centroids)("embedding", "cluster")
+                   .alias("r"))
+    return (rq.select("vec_id", "cluster",
+                      F.posexplode("r").alias("dim", "q"))
+            .select("vec_id", "cluster",
+                    (F.col("dim") / PQ_SUB).cast("int").alias("sub"),
+                    "dim", "q"))
+
+
+def _ivfpq_corpus(spark: SparkSession, sf_dir: str, centroids):
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "embedding",
+        _assign_udf(centroids, nprobe=1)(F.col("embedding"))[0]
+        .cast("int").alias("cluster"))
+
+
+def ivfpq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared IVF-PQ codes (vec_id, cluster, sub, cid): coarse
+    cell + shared residual-PQ code per subspace — the full IVF-PQ index
+    payload (one int + PQ_M nibbles per vector). Trains the residual
+    codebooks through the SAME pq_train_assign loop as plain PQ."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    def build():
+        cent = _ivf_centroids(spark, sf_dir)
+        corpus = _ivfpq_corpus(spark, sf_dir, cent)
+        from pyspark.storagelevel import StorageLevel
+        e = (_ivfpq_residual_exploded(corpus, cent)
+             .persist(StorageLevel.DISK_ONLY))
+        assign = pq_train_assign(e)
+        return assign.join(
+            e.select("vec_id", "cluster").distinct(), "vec_id").select(
+            "vec_id", "cluster", "sub", "cid")
+
+    return _mh_session_cached(spark, sf_dir, "ivfpq_codes", build,
+                              tbl="embeddings")
+
+
+def ivfpq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared residual-PQ codebook (sub, cid, dim, cq)."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    def build():
+        cent = _ivf_centroids(spark, sf_dir)
+        e = _ivfpq_residual_exploded(
+            _ivfpq_corpus(spark, sf_dir, cent), cent)
+        return (e.join(ivfpq_code_index(spark, sf_dir)
+                       .select("vec_id", "sub", "cid"),
+                       ["vec_id", "sub"])
+                .groupBy("sub", "cid", "dim")
+                .agg(F.expr("sum(q) DIV count(*)").alias("cq")))
+
+    return _mh_session_cached(spark, sf_dir, "ivfpq_cent", build,
+                              tbl="embeddings")
+
+
+def nd_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval — the canonical production ANN composition, all
+    three stages in one plan: (1) coarse cells PRUNE (queries probe
+    IVFPQ_NPROBE of N_CLUSTERS cells; at corpus scale the code table is
+    partitioned by cell, so a query touches NPROBE/K of the data),
+    (2) shared residual-PQ codes COMPRESS (ADC over a broadcast
+    per-(query, probed-cell) LUT of exact integer distances — residuals
+    are coded against the cell centroid, so the LUT is per cell),
+    (3) exact full-dimension cosine RE-RANKS the IVFPQ_SHORTLIST best.
+    Recall-gated vs brute force (numpy prototype 0.77 @ nprobe 3;
+    nprobe 4 in tests); approximate by design, no SQL oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(spark, sf_dir)
+    codes = ivfpq_code_index(spark, sf_dir)
+    rcent = ivfpq_centroid_index(spark, sf_dir)
+    probes = (emb.where(F.col("vec_id") < 20)
+              .select(F.col("vec_id").alias("qid"), "embedding",
+                      F.explode(_assign_udf(cent, nprobe=IVFPQ_NPROBE)(
+                          F.col("embedding"))).alias("cl0"))
+              .select("qid", "embedding",
+                      F.col("cl0").cast("int").alias("cluster")))
+    qe = _ivfpq_residual_exploded(probes, cent, id_col="qid").select(
+        F.col("vec_id").alias("qid"), "cluster", "sub", "dim", "q")
+    lut = (qe.join(rcent, ["sub", "dim"])
+           .groupBy("qid", "cluster", "sub", F.col("cid"))
+           .agg(F.sum((F.col("q") - F.col("cq"))
+                      * (F.col("q") - F.col("cq"))).alias("d")))
+    ws = Window.partitionBy("qid").orderBy("adist", "nn")
+    short = (codes.select(F.col("vec_id").alias("nn"), "cluster",
+                          "sub", "cid")
+             .join(F.broadcast(lut), ["cluster", "sub", "cid"])
+             .where(F.col("qid") != F.col("nn"))
+             .groupBy("qid", "nn")
+             .agg(F.sum("d").alias("adist"))
+             .withColumn("srank", F.row_number().over(ws))
+             .where(F.col("srank") <= IVFPQ_SHORTLIST)
+             .select("qid", "nn"))
+    cv = emb.select(F.col("vec_id").alias("nn"),
+                    F.col("embedding").alias("c_emb"))
+    qv = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("nn"))
+    return (cv.join(F.broadcast(short), "nn")
+            .join(F.broadcast(qv), "qid")
+            .select("qid", "nn",
+                    cosine(F.col("q_emb"), F.col("c_emb"))
+                    .alias("cos_raw"))
+            .withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= 3)
+            .select(F.col("qid").alias("vec_id"), "rank", "nn",
+                    F.col("cos_raw").alias("cos"))
+            .orderBy("vec_id", "rank"))
+
+
 QUERIES = {
     "nd_embedding_covariance": (nd_embedding_covariance,
                                 _COVARIANCE_ORACLE),
@@ -1264,6 +1411,7 @@ QUERIES = {
     "nd_ann_pca": (nd_ann_pca, None),
     "nd_pq_quantize": (nd_pq_quantize, _PQ_ORACLE),
     "nd_ann_pq": (nd_ann_pq, None),
+    "nd_ann_ivfpq": (nd_ann_ivfpq, None),
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
     "nd_kmeans": (nd_kmeans, _KMEANS_ORACLE),
     "nd_semantic_dedup_fast": (nd_semantic_dedup_fast, None),

@@ -40,15 +40,17 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # 7 no-oracle by design, 0 FAILs). Standing changed-code rule fronts
 # the window, then the rotation continues as the round-9 note planned:
 #   1. changed/new round 10: nd_quality_model (NEW: learned quality
-#      filter, unrolled-CTE-trained oracle), the web plane (NEW:
-#      nd_url_canonicalize / nd_domain_cap / nd_domain_blocklist),
-#      nd_curation_pipeline (now the 4-stage gopher→dedup→cluster→
-#      decontam funnel), nd_ngram_overlap (refactored onto the shared
-#      shingle fold the funnel reuses), nd_winnowing (session-shared
-#      posting index), nd_editdist_dedup (broadcast gate), the shared-
-#      index consumers (cache key gained the content fingerprint),
-#      nd_versioned_timetravel (module gained footer stats + pruned
-#      reads; vacuum reordered).
+#      filter, unrolled-CTE-trained oracle) + its streaming twin, the
+#      PQ plane (NEW: nd_pq_quantize / nd_ann_pq / nd_ann_ivfpq), the
+#      web plane (NEW: nd_url_canonicalize / nd_domain_cap /
+#      nd_domain_blocklist), nd_curation_pipeline (now the 5-stage
+#      gopher→model→dedup→cluster→decontam funnel), nd_ngram_overlap
+#      (refactored onto the shared shingle fold the funnel reuses),
+#      nd_winnowing (session-shared posting index), nd_editdist_dedup
+#      (broadcast gate), the shared-index consumers (cache key gained
+#      the content fingerprint), nd_versioned_timetravel + NEW
+#      nd_versioned_pruned_read (footer stats + manifest-pruned reads;
+#      vacuum reordered).
 #   2. the remaining round-5 rows (q18_count_distinct ..
 #      tpch_q5_local_volume), as the round-9 boundary note planned.
 #   3. the round-8 first-row block starts cycling back as freshness
@@ -56,7 +58,7 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 _PRIORITY: tuple[str, ...] = (
     # 1. changed/new round 10 (standing rule)
     "nd_quality_model", "nd_stream_quality_model", "nd_pq_quantize",
-    "nd_ann_pq", "nd_url_canonicalize", "nd_domain_cap",
+    "nd_ann_pq", "nd_ann_ivfpq", "nd_url_canonicalize", "nd_domain_cap",
     "nd_domain_blocklist", "nd_curation_pipeline", "nd_ngram_overlap",
     "nd_winnowing", "nd_editdist_dedup", "nd_minhash_lsh",
     "nd_dedup_clusters", "nd_minhash_estimate", "nd_dedup_survivors",
@@ -77,13 +79,13 @@ _PRIORITY: tuple[str, ...] = (
     "nd_embedding_covariance",
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_containment",
-    "nd_zipf_octaves", "nd_lang_outliers",
+    "nd_zipf_octaves",
     # -- window boundary: first 50 graded per round --------------------
-    # (17 changed/new round-10 rows + 18 r5-tail rows + 15 r8-block
-    # re-grades = 50; the rest of the r8 block — nd_weighted_jaccard
-    # .. — leads round 11, then the round-9 first-row block cycles
-    # back.)
-    "nd_weighted_jaccard", "nd_embedding_covariance_fast",
+    # (18 changed/new round-10 rows + 18 r5-tail rows + 14 r8-block
+    # re-grades = 50; the rest of the r8 block — nd_lang_outliers .. —
+    # leads round 11, then the round-9 first-row block cycles back.)
+    "nd_lang_outliers", "nd_weighted_jaccard",
+    "nd_embedding_covariance_fast",
     "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
     "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
     "nd_retention_cohorts", "nd_stream_ewma",

@@ -639,3 +639,19 @@ def test_pq_codes_cover_all_subspaces(spark, sf_dir):
     assert set(per_sub) == set(range(PQ_M))
     assert all(v == n for v in per_sub.values())
     assert sum(r.distortion for r in rows) > 0
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """The full IVF-PQ composition (coarse cells prune, residual-PQ
+    codes compress, ADC shortlists, exact cosine re-ranks) must recover
+    most true top-3 neighbors — measured 0.88-0.90 on the fixtures
+    (numpy prototype 0.77 at nprobe 3); 0.55 is the regression floor
+    (a broken residual or cell routing lands far below)."""
+    from bacalhau_spark.operators.similarity import nd_ann_ivfpq
+
+    truth = {(r["vec_id"], r["nn"])
+             for r in nd_ann_topk(spark, sf_dir).collect()}
+    got = {(r["vec_id"], r["nn"])
+           for r in nd_ann_ivfpq(spark, sf_dir).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.55, f"IVF-PQ recall@3 {recall:.2f} below floor"
