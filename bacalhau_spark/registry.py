@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     # 1. changed/new round 10 (standing rule)
     "nd_quality_model", "nd_stream_quality_model", "nd_pq_quantize",
     "nd_ann_pq", "nd_ann_ivfpq", "nd_url_canonicalize", "nd_domain_cap",
+    "nd_stream_url_screen",
     "nd_domain_blocklist", "nd_curation_pipeline", "nd_ngram_overlap",
     "nd_winnowing", "nd_editdist_dedup", "nd_minhash_lsh",
     "nd_dedup_clusters", "nd_minhash_estimate", "nd_dedup_survivors",
@@ -71,7 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "qj_full_outer", "tpch_q11_important_parts",
     "tpch_q15_top_supplier", "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
-    # 3. round-8 first-row block cycling back (first 17 fit this window)
+    # 3. round-8 first-row block cycling back (first 13 fit this window)
     "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
     "nd_ngram_jaccard",
     "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
@@ -79,12 +80,11 @@ _PRIORITY: tuple[str, ...] = (
     "nd_embedding_covariance",
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_containment",
-    "nd_zipf_octaves",
     # -- window boundary: first 50 graded per round --------------------
-    # (18 changed/new round-10 rows + 18 r5-tail rows + 14 r8-block
-    # re-grades = 50; the rest of the r8 block — nd_lang_outliers .. —
+    # (19 changed/new round-10 rows + 18 r5-tail rows + 13 r8-block
+    # re-grades = 50; the rest of the r8 block — nd_zipf_octaves .. —
     # leads round 11, then the round-9 first-row block cycles back.)
-    "nd_lang_outliers", "nd_weighted_jaccard",
+    "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
     "nd_embedding_covariance_fast",
     "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
     "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",

@@ -484,6 +484,46 @@ def _await_or_raise(q, timeout_sec: int) -> None:
         q.stop()
 
 
+def nd_stream_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door at ingest: URL canonicalization + the
+    broadcast domain-blocklist verdict applied THROUGH a readStream file
+    source in append mode — per-row regexp chain + a broadcast probe,
+    both stateless, so micro-batch boundaries are invisible and this
+    streaming surface carries a full value-hash oracle (the
+    nd_stream_gopher convention). Emits per-doc
+    (doc_id, canon, domain, blocked) — the decision a fetch frontier
+    consumes before anything is downloaded."""
+    from bacalhau_spark.operators.web import (BLOCKED_DOMAINS, _url_expr,
+                                              url_canonicalize_frame)
+
+    src = _doc_stream(spark, sf_dir).select(
+        "doc_id", "source", _url_expr().alias("url"))
+    canon = url_canonicalize_frame(src)
+    blocked = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(d).alias("domain"), F.lit(1).alias("blk"))
+        for d in BLOCKED_DOMAINS])))
+    out = (canon.join(F.broadcast(blocked), "domain", "left")
+           .select("doc_id", "canon", "domain",
+                   F.coalesce("blk", F.lit(0)).cast("int")
+                   .alias("blocked")))
+    q = _start_scoped(spark, out.writeStream.format("memory")
+                      .queryName("stream_url_screen")
+                      .outputMode("append").trigger(availableNow=True))
+    _await_or_raise(q, 120)
+    return spark.table("stream_url_screen").orderBy("doc_id")
+
+
+def _stream_url_oracle() -> str:
+    from bacalhau_spark.operators.web import _BLOCK_LIST_SQL, _CANON_SQL
+    return f"""
+WITH {_CANON_SQL},
+blocked(domain) AS (VALUES {_BLOCK_LIST_SQL})
+SELECT doc_id, canon, domain,
+       CAST(domain IN (SELECT domain FROM blocked) AS INTEGER) AS blocked
+FROM canon ORDER BY doc_id
+"""
+
+
 def nd_stream_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LEARNED quality filter at ingest: weights are fit once on the
     static corpus (bounded driver-side training — curation.
@@ -954,6 +994,8 @@ QUERIES = {
     "nd_stream_gopher": (nd_stream_gopher, _GOPHER_ORACLE),
     # train-offline / score-online: the stream scorer shares the batch
     # twin's full oracle, unrolled-CTE training included
+    "nd_stream_url_screen": (nd_stream_url_screen,
+                             _stream_url_oracle()),
     "nd_stream_quality_model": (nd_stream_quality_model,
                                 _quality_model_oracle()),
     "nd_stream_topk": (nd_stream_topk, _TOPK_ORACLE),
