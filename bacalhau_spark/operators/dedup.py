@@ -19,7 +19,9 @@ checkable against the DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,51 +175,125 @@ def _docs_fingerprint(sf_dir: str, tbl: str = "documents") -> tuple:
                  for p in paths for st in [os.stat(p)])
 
 
-def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
-                       build, tbl: str = "documents") -> DataFrame:
-    """Per-(applicationId, table-content) materialized-frame cache, the
-    _PCA_CACHE / _CENTROID_CACHE convention applied to the dedup index:
-    first use eagerly localCheckpoints the frame (materialize once, cut
-    the shingle/minhash lineage), every later consumer scans the
-    checkpointed partitions. Entries from stopped sessions are evicted
-    by app id; the key carries os.path.realpath(sf_dir) plus a
-    size/mtime fingerprint of documents.parquet, so a rewritten fixture
-    (or the same dir reached via a different symlink) can never serve a
-    stale frame. The cached frames are index-sized (#docs x 17 longs /
-    #candidate-pairs x 2 longs), never text.
+def index_store_root() -> str:
+    """Root of the PERSISTED index store — stable across processes (a
+    fixed path under the system tempdir, or $SPARK_GRAFT_INDEX_STORE),
+    because the whole point is that a NEW session finds the index a
+    previous one built. At deployment scale this is a path on the
+    shared object store next to the tables it indexes."""
+    return os.environ.get("SPARK_GRAFT_INDEX_STORE") or os.path.join(
+        tempfile.gettempdir(), "bacalhau-spark-index-store")
 
-    Fault-tolerance note (single-box vs cluster): localCheckpoint blocks
-    are NOT fault-tolerant — on a real cluster an executor loss drops
-    checkpointed partitions permanently, failing every cached consumer
-    for the session. There this lifecycle is a persisted parquet index
-    artifact (write once, read many — what _minhash_signatures's
-    docstring describes) or persist(DISK)+materialize, which recomputes
-    lost blocks instead of failing; localCheckpoint is the right local
-    shape because it also CUTS the shingle lineage the tests assert on."""
+
+def _index_table_root(sf_dir: str, kind: str, tbl: str) -> str:
+    """One versioned table per (index kind, source table, source path) —
+    the path component is a digest so symlinked/moved fixture dirs never
+    alias, and the human-readable prefix keeps the store inspectable."""
+    digest = hashlib.md5(
+        os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(index_store_root(), f"{kind}__{tbl}__{digest}")
+
+
+def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
+                       build, tbl: str = "documents",
+                       cleanup=None) -> DataFrame:
+    """Two-tier shared-index cache — the production index lifecycle:
+
+    Tier 1 (session): a per-(applicationId, table-content) map so every
+    consumer in a session shares ONE frame object. Entries from stopped
+    sessions are evicted by app id; the key carries
+    os.path.realpath(sf_dir) plus a size/mtime fingerprint of the source
+    table, so a rewritten fixture (or the same dir reached via a
+    different symlink) can never serve a stale frame.
+
+    Tier 2 (persisted, round 11): the index itself is a versioned
+    parquet table (sources/versioned.py) under index_store_root(), its
+    manifest carrying the source-content fingerprint — build once, WRITE
+    the artifact, and every consumer (this session, the next session,
+    another process) SCANS the persisted parquet. A cold session whose
+    fingerprint matches the stored one reads instead of rebuilding; a
+    changed source misses and republishes (the versioned pointer flip
+    makes that atomic). Fault tolerance is parquet's: an executor loss
+    re-reads files, where the pre-r11 localCheckpoint blocks were lost
+    permanently (the round-10 cluster-reliability finding — this tier
+    replaces that mechanism entirely). Reference analog: CID-keyed input
+    caching, pkg/storage/ipfs_apicopy/storage.go:116-134 — content
+    address decides reuse, never a path or a session.
+
+    The persisted frames are index-sized (#docs x 17 longs /
+    #candidate-pairs x 2 longs / PQ codes), never text. `cleanup` (if
+    given) runs after the build plan has been materialized — the hook
+    builders use to unpersist staging frames (round-10 ADVICE: the PQ
+    exploded matrix stayed pinned for the session).
+
+    Local fallback: if the store is unusable (read-only tmp, a
+    concurrent writer collision, an EMPTY index frame — parquet writes
+    no files for zero rows), the frame is localCheckpointed for this
+    session only; correctness never depends on the store."""
+    from bacalhau_spark.sources import versioned
+
     app_id = spark.sparkContext.applicationId
-    key = (app_id, os.path.realpath(sf_dir),
-           _docs_fingerprint(sf_dir, tbl), kind)
+    fp = _docs_fingerprint(sf_dir, tbl)
+    key = (app_id, os.path.realpath(sf_dir), fp, kind)
     with _MH_IDX_LOCK:
         for k in [k for k in _MH_IDX_CACHE if k[0] != app_id]:
             _MH_IDX_CACHE.pop(k, None)
         hit = _MH_IDX_CACHE.get(key)
     if hit is not None:
         return hit
-    frame = build().localCheckpoint(eager=True)
+    root = _index_table_root(sf_dir, kind, tbl)
+    fp_json = [list(t) for t in fp]
+    manifest = versioned.latest_manifest(root)
+    if manifest is None or manifest.get("props", {}).get(
+            "fingerprint") != fp_json:
+        frame = build()
+        try:
+            ver = versioned.write_version(
+                frame, root, props={"fingerprint": fp_json,
+                                    "kind": kind, "table": tbl})
+            # one live fingerprint per index table: older versions are
+            # dead content (their source bytes changed), reclaim now
+            versioned.vacuum(root, keep_last=1)
+            manifest = versioned.latest_manifest(root)
+            if manifest is not None and manifest["version"] != ver:
+                manifest = None  # lost a store race: don't adopt blind
+        except Exception:
+            manifest = None
+        if manifest is None or not manifest["files"]:
+            # store unusable or empty index: session-local materialize
+            out = frame.localCheckpoint(eager=True)
+            if cleanup is not None:
+                cleanup()
+            with _MH_IDX_LOCK:
+                return _MH_IDX_CACHE.setdefault(key, out)
+        if cleanup is not None:
+            cleanup()
+    # every consumer — this session and the next — SCANS the persisted
+    # artifact, pinned to the exact version whose fingerprint matched
+    out = versioned.read_version(spark, root,
+                                 version=manifest["version"])
     with _MH_IDX_LOCK:
-        return _MH_IDX_CACHE.setdefault(key, frame)
+        return _MH_IDX_CACHE.setdefault(key, out)
 
 
-def clear_session_index(spark: SparkSession) -> int:
+def clear_session_index(spark: SparkSession,
+                        persisted: bool = False) -> int:
     """Evict every cached index frame for this session — the cold-path
     lever bench.py uses to time the one-shot index BUILD alongside the
     warm probe (round-9 verdict: comparable subtotals stay on the cold
-    number). Returns the number of entries evicted."""
+    number). With `persisted`, the on-disk index store is removed too,
+    so the next build pays the FULL cold path (build + publish + read)
+    instead of re-adopting the persisted artifact. Returns the number
+    of session entries evicted."""
+    import shutil
+
     app_id = spark.sparkContext.applicationId
     with _MH_IDX_LOCK:
         victims = [k for k in _MH_IDX_CACHE if k[0] == app_id]
         for k in victims:
             _MH_IDX_CACHE.pop(k, None)
+    if persisted:
+        shutil.rmtree(index_store_root(), ignore_errors=True)
     return len(victims)
 
 
@@ -518,11 +594,10 @@ def winnow_postings(docs: DataFrame) -> DataFrame:
 
 
 def winnow_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-shared winnow posting index over the fixture documents —
-    the _mh_session_cached lifecycle (build once per (session, table
-    content), eagerly materialized, every consumer scans the
-    checkpointed partitions; same staleness fingerprint, same
-    localCheckpoint caveat)."""
+    """Shared winnow posting index over the fixture documents — the
+    _mh_session_cached lifecycle (build once per table-content
+    fingerprint, published to the persisted index store, every consumer
+    scans the parquet artifact; same staleness fingerprint)."""
     return _mh_session_cached(
         spark, sf_dir, "winnow",
         lambda: winnow_postings(spread_compute(
@@ -1276,6 +1351,27 @@ EDIT_BROADCAST_MAX_PAIRS = 1_000_000
 _CAND_COUNT_CACHE: dict[tuple, int] = {}
 
 
+def _cand_pair_count(spark: SparkSession, sf_dir: str,
+                     cand: DataFrame) -> int:
+    """Candidate-pair count for the broadcast-vs-shuffle gate, cached on
+    the SAME (appId, realpath, content-fingerprint) tuple as the index it
+    counts — a fixture rewritten mid-session misses and recounts instead
+    of serving a stale plan decision, and stopped sessions' entries are
+    evicted alongside the index cache's (round-10 ADVICE: the first cut
+    keyed on (appId, realpath) alone and never evicted)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.realpath(sf_dir), _docs_fingerprint(sf_dir))
+    with _MH_IDX_LOCK:
+        for k in [k for k in _CAND_COUNT_CACHE if k[0] != app_id]:
+            _CAND_COUNT_CACHE.pop(k, None)
+        hit = _CAND_COUNT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = cand.count()
+    with _MH_IDX_LOCK:
+        return _CAND_COUNT_CACHE.setdefault(key, n)
+
+
 def nd_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-VERIFIED near-dup pairs: LSH band candidates
     confirmed by bounded Levenshtein over the raw text — the standard
@@ -1336,10 +1432,7 @@ def nd_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EDIT_BROADCAST_MAX_PAIRS the plan degrades to a shuffle join
     # (slower, bounded) rather than failing the job on the broadcast
     # ceiling (round-9 ADVICE).
-    ck = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
-    n_pairs = _CAND_COUNT_CACHE.get(ck)
-    if n_pairs is None:
-        n_pairs = _CAND_COUNT_CACHE.setdefault(ck, cand.count())
+    n_pairs = _cand_pair_count(spark, sf_dir, cand)
     probe = (F.broadcast(sides) if n_pairs <= EDIT_BROADCAST_MAX_PAIRS
              else sides)
     return (docs.join(probe, "doc_id")

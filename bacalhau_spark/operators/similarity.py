@@ -1125,11 +1125,24 @@ def pq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Keyed on the EMBEDDINGS fingerprint (not documents)."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
-    return _mh_session_cached(
-        spark, sf_dir, "pq_assign",
-        lambda: pq_train_assign(
-            _pq_exploded(table(spark, sf_dir, "embeddings"))),
-        tbl="embeddings")
+    staged: dict = {}
+
+    def build():
+        e = _pq_exploded(table(spark, sf_dir, "embeddings"))
+        staged["e"] = e
+        return pq_train_assign(e)
+
+    def cleanup():
+        # the exploded training matrix (n_docs x 64 rows, DISK_ONLY) is
+        # only needed while the codes materialize — unpersist once the
+        # index artifact exists (round-10 ADVICE: it stayed pinned for
+        # the session)
+        e = staged.pop("e", None)
+        if e is not None:
+            e.unpersist()
+
+    return _mh_session_cached(spark, sf_dir, "pq_assign", build,
+                              tbl="embeddings", cleanup=cleanup)
 
 
 def pq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,19 +1328,27 @@ def ivfpq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks through the SAME pq_train_assign loop as plain PQ."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
+    staged: dict = {}
+
     def build():
         cent = _ivf_centroids(spark, sf_dir)
         corpus = _ivfpq_corpus(spark, sf_dir, cent)
         from pyspark.storagelevel import StorageLevel
         e = (_ivfpq_residual_exploded(corpus, cent)
              .persist(StorageLevel.DISK_ONLY))
+        staged["e"] = e
         assign = pq_train_assign(e)
         return assign.join(
             e.select("vec_id", "cluster").distinct(), "vec_id").select(
             "vec_id", "cluster", "sub", "cid")
 
+    def cleanup():
+        e = staged.pop("e", None)
+        if e is not None:
+            e.unpersist()
+
     return _mh_session_cached(spark, sf_dir, "ivfpq_codes", build,
-                              tbl="embeddings")
+                              tbl="embeddings", cleanup=cleanup)
 
 
 def ivfpq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,7 +66,8 @@ def latest_version(root: str) -> int:
 
 def write_version(df: DataFrame, root: str,
                   batch_id: int | None = None,
-                  mode: str = "overwrite") -> int:
+                  mode: str = "overwrite",
+                  props: dict | None = None) -> int:
     """Materialize `df` and publish it as the table's next version.
 
     mode="overwrite": the new version IS `df` — a complete snapshot.
@@ -140,6 +141,10 @@ def write_version(df: DataFrame, root: str,
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+    if props:
+        # Caller-owned JSON metadata (e.g. the index store's content
+        # fingerprint) — recorded per version, never interpreted here.
+        manifest["props"] = props
     _publish(os.path.join(vdir, _MANIFEST), json.dumps(manifest))
     _publish(os.path.join(root, _LATEST), str(n))
     return n
@@ -191,7 +196,16 @@ def _file_may_match(stats: dict, predicate) -> bool:
         rng = stats.get(col)
         if rng is None:
             continue  # no range recorded -> cannot rule the file out
-        if not _PRED_OPS[op](rng[0], rng[1], val):
+        try:
+            ok = _PRED_OPS[op](rng[0], rng[1], val)
+        except TypeError:
+            # Incomparable predicate/stat types (e.g. an int predicate
+            # against a string-stat column): the conservative default is
+            # can-match — the row filter decides, exactly as for files
+            # with no recorded range. An unpruned read must never fail
+            # where a full read would have succeeded (round-10 ADVICE).
+            continue
+        if not ok:
             return False
     return True
 
@@ -273,6 +287,20 @@ def version_diff(spark: SparkSession, root: str, v_from: int,
     return (b.exceptAll(a).withColumn("change", F.lit("added"))
             .unionByName(a.exceptAll(b)
                          .withColumn("change", F.lit("removed"))))
+
+
+def latest_manifest(root: str) -> dict | None:
+    """The manifest `_LATEST` points at, or None for an empty/unborn
+    table (and for a pointer into a vacuumed/orphaned slot — callers
+    treating None as 'no usable version' is the conservative read)."""
+    n = latest_version(root)
+    if n == 0:
+        return None
+    try:
+        with open(os.path.join(_vdir(root, n), _MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
 
 
 def history(root: str) -> list[dict]:

@@ -893,15 +893,18 @@ def test_event_analytics_scale_shapes(spark, sf_dir):
 
 
 def test_minhash_index_is_built_once_per_session(spark, sf_dir):
-    """The round-9 shared-index rule: every LSH consumer reads the
-    session-cached signature/candidate index instead of re-deriving the
+    """The shared-index rule (r9, persisted r11): every LSH consumer
+    reads the signature/candidate index instead of re-deriving the
     shingle→minhash lineage (nd_editdist_dedup's x10 cost was ~90%
     signature rebuild before this). Claims: (a) repeated index calls
-    return the SAME checkpointed frame, (b) a consumer's physical plan
-    scans the checkpointed partitions (ExistingRDD) with ZERO parquet
-    re-scans of the documents table, (c) two different consumers share
-    the identical candidate frame."""
+    return the SAME frame object (session tier), (b) a consumer's
+    physical plan scans the PERSISTED index store's parquet with ZERO
+    re-scans of the documents table for signatures, (c) two different
+    consumers share the identical candidate frame."""
+    import os
+
     from bacalhau_spark.operators.dedup import (band_candidate_index,
+                                                index_store_root,
                                                 minhash_signature_index,
                                                 nd_editdist_dedup,
                                                 nd_minhash_estimate)
@@ -912,12 +915,13 @@ def test_minhash_index_is_built_once_per_session(spark, sf_dir):
     cand1 = band_candidate_index(spark, sf_dir)
     assert cand1 is band_candidate_index(spark, sf_dir)
 
+    marker = os.path.basename(index_store_root())
     for fn in (nd_editdist_dedup, nd_minhash_estimate):
         plan = _formatted_plan(fn(spark, sf_dir))
-        assert "ExistingRDD" in plan, fn.__name__
+        assert marker in plan, fn.__name__
     # editdist still reads documents.parquet for the TEXT of candidate
     # pairs (2 scan nodes, a/b sides) but never for signatures; estimate
-    # reads no parquet at all — its whole lineage is the two indexes
+    # reads no fixture parquet at all — its whole lineage is the indexes
     est_plan = _formatted_plan(nd_minhash_estimate(spark, sf_dir))
     assert "documents.parquet" not in est_plan
 
@@ -959,20 +963,23 @@ def test_round9_operators_scale_shapes(spark, sf_dir):
 
 def test_winnow_index_is_built_once_per_session(spark, sf_dir):
     """Round-10 extension of the shared-index rule to winnowing: (a)
-    repeated index calls return the SAME checkpointed posting frame,
-    (b) the consumer's plan scans the checkpointed partitions
-    (ExistingRDD) with zero parquet re-derivation of the fingerprint
-    lineage, (c) the cached path returns the identical rows as the
-    direct (uncached) pipeline — the drift guard."""
+    repeated index calls return the SAME posting frame object, (b) the
+    consumer's plan scans the persisted index store's parquet with zero
+    re-derivation of the fingerprint lineage, (c) the cached path
+    returns the identical rows as the direct (uncached) pipeline — the
+    drift guard."""
+    import os
+
     from bacalhau_spark.catalog import table
-    from bacalhau_spark.operators.dedup import (nd_winnowing,
+    from bacalhau_spark.operators.dedup import (index_store_root,
+                                                nd_winnowing,
                                                 winnow_posting_index,
                                                 winnowing_pairs)
 
     idx1 = winnow_posting_index(spark, sf_dir)
     assert idx1 is winnow_posting_index(spark, sf_dir)
     plan = _formatted_plan(nd_winnowing(spark, sf_dir))
-    assert "ExistingRDD" in plan
+    assert os.path.basename(index_store_root()) in plan
     assert "documents.parquet" not in plan
     direct = winnowing_pairs(
         table(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -981,10 +988,13 @@ def test_winnow_index_is_built_once_per_session(spark, sf_dir):
 
 
 def test_pq_index_is_built_once_per_session(spark, sf_dir):
-    """The PQ code/centroid indexes follow the session-shared-index rule:
-    same frame object on repeat calls, consumers scan the checkpointed
-    partitions (ExistingRDD) with no embeddings re-derivation in the
-    quantize audit's plan."""
+    """The PQ code/centroid indexes follow the shared-index rule: same
+    frame object on repeat calls, consumers scan the persisted index
+    store's parquet with no embeddings re-derivation in the quantize
+    audit's plan."""
+    import os
+
+    from bacalhau_spark.operators.dedup import index_store_root
     from bacalhau_spark.operators.similarity import (nd_pq_quantize,
                                                      pq_centroid_index,
                                                      pq_code_index)
@@ -994,5 +1004,67 @@ def test_pq_index_is_built_once_per_session(spark, sf_dir):
     assert pq_centroid_index(spark, sf_dir) is \
         pq_centroid_index(spark, sf_dir)
     plan = _formatted_plan(nd_pq_quantize(spark, sf_dir))
-    assert "ExistingRDD" in plan
+    assert os.path.basename(index_store_root()) in plan
     assert "embeddings.parquet" not in plan
+
+
+def test_index_store_persists_across_sessions(spark, sf_dir, tmp_path):
+    """Round-11 headline claim: the shared indexes live in a PERSISTED
+    versioned parquet store keyed by source-content fingerprint —
+    (a) the store holds a published version whose manifest records the
+    fingerprint, (b) a COLD SESSION (tier-1 cache dropped, store kept)
+    ADOPTS the artifact instead of rebuilding: the store version does
+    not advance and the consumer rows are identical, (c) a CHANGED
+    source content (different fingerprint) misses and republishes.
+    Fault tolerance is parquet's — no localCheckpoint blocks anywhere
+    in the index lifecycle."""
+    import os
+    import shutil
+
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.operators.dedup import (_docs_fingerprint,
+                                                _index_table_root,
+                                                clear_session_index,
+                                                minhash_signature_index,
+                                                nd_minhash_lsh)
+    from bacalhau_spark.sources.versioned import (latest_manifest,
+                                                  latest_version)
+
+    minhash_signature_index(spark, sf_dir)
+    root = _index_table_root(sf_dir, "sig", "documents")
+    m = latest_manifest(root)
+    assert m is not None and m["files"]
+    fp = [list(t) for t in _docs_fingerprint(sf_dir, "documents")]
+    assert m["props"]["fingerprint"] == fp
+    v_before = latest_version(root)
+    rows_before = sorted(map(tuple, nd_minhash_lsh(spark, sf_dir).collect()))
+
+    # cold session: session tier evicted, persisted store kept
+    assert clear_session_index(spark) > 0
+    rows_after = sorted(map(tuple, nd_minhash_lsh(spark, sf_dir).collect()))
+    assert latest_version(root) == v_before, "cold session must ADOPT"
+    assert rows_after == rows_before
+
+    # changed content: republish under the new fingerprint
+    alt = str(tmp_path / "idxstore_alt_fixture")
+    os.makedirs(alt)
+    docs = table(spark, sf_dir, "documents").limit(40)
+    docs.coalesce(1).write.parquet(os.path.join(alt, "documents.parquet"))
+    minhash_signature_index(spark, alt)
+    alt_root = _index_table_root(alt, "sig", "documents")
+    assert latest_version(alt_root) == 1
+    # rewrite the fixture in place -> new fingerprint -> republish
+    clear_session_index(spark)
+    shutil.rmtree(os.path.join(alt, "documents.parquet"))
+    docs.limit(20).coalesce(1).write.parquet(
+        os.path.join(alt, "documents.parquet"))
+    # any in-place rewrite needs Spark's file-listing cache refreshed and
+    # the catalog's lazy-handle cache dropped (standard REFRESH TABLE
+    # semantics, orthogonal to the index store)
+    spark.catalog.refreshByPath(os.path.join(alt, "documents.parquet"))
+    from bacalhau_spark import catalog as _catalog
+    with _catalog._CACHE_LOCK:
+        _catalog._CACHE.clear()
+    n20 = minhash_signature_index(spark, alt).count()
+    assert n20 == 20
+    assert latest_version(alt_root) == 2
