@@ -12,11 +12,14 @@ Spark-first:
 - canonicalization is a pure per-row regexp chain (RE2-compatible subset,
   identical automata in Spark and DuckDB) — zero shuffle, whole-stage
   codegen, composes unchanged over readStream sources;
-- the per-domain cap is ONE window per domain (row_number over doc_id) —
-  the honest shuffle; at corpus scale a hot domain is the classic skewed
-  key, and the cap-K selection degrades gracefully: a per-partition
-  partial top-K before the window (or AQE skew split) bounds any single
-  task, because only K survivors per (partition, domain) can matter;
+- the per-domain cap comes in two forms: the AUDIT is a pure
+  map-side-combined groupBy (n_kept = LEAST(n_docs, CAP) — the
+  deterministic survivor rule makes the window redundant, round-10
+  verdict), and the FILTERING form (domain_cap_keep) codes the partial
+  top-K: a per-(source-partition, domain) pre-cap bounds every task
+  before the global per-domain window, because only K survivors per
+  (partition, domain) can matter — a hot domain is the classic skewed
+  key and never lands on one task;
 - the blocklist is a broadcast LEFT ANTI join against the (small, here
   literal) blocked-domain table — the real shape at scale, where a
   blocklist of millions of hosts is still MBs broadcast to every
@@ -79,7 +82,16 @@ def _url_expr() -> Column:
 # regexp_replace is first-match-only by default — the oracle passes 'g'
 # where Spark's always-global semantics need it (the tracking-param pass,
 # where several params can repeat); single-anchor passes need no flag.
+# The mid-query pass is ANCHORED on a captured [?&] delimiter (round-10
+# ADVICE: the unanchored form corrupted legitimate params whose NAME
+# merely contains 'utm_' as an infix — '?xutm_source=1&b=2' lost its
+# key). Because the delimiter is consumed by the match, ADJACENT
+# tracking params would escape a single-param pattern under left-to-
+# right global replace (the second param's delimiter is inside the
+# first match) — the (?:param&)+ repetition eats a whole run in one
+# match, and the $-anchored pass still sweeps the trailing position.
 _TRACK = "(?:utm_[a-z]+|fbclid|gclid)"
+_TRACK_MID = "([?&])(?:" + _TRACK + "=[^&#]*&)+"
 
 
 def url_canonicalize_frame(urls: DataFrame,
@@ -95,7 +107,7 @@ def url_canonicalize_frame(urls: DataFrame,
     sh = F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?#]*", 0))
     sh = F.regexp_replace(sh, ":443$", "")
     rest = F.regexp_replace(nofrag, "^[A-Za-z]+://[^/?#]*", "")
-    rest = F.regexp_replace(rest, _TRACK + "=[^&#]*&", "")
+    rest = F.regexp_replace(rest, _TRACK_MID, "$1")
     rest = F.regexp_replace(rest, "[?&]" + _TRACK + "=[^&#]*$", "")
     rest = F.regexp_replace(rest, r"\?$", "")
     canon = F.concat(sh, rest)
@@ -121,20 +133,65 @@ def nd_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nd_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain corpus cap: keep at most DOMAIN_CAP documents per
-    registrable domain (deterministic survivor rule: lowest doc_id
-    first), report (domain, n_docs, n_kept) — the anti-domination stage
-    every crawl pipeline runs before training. One window shuffle keyed
-    on domain; see the module docstring for the hot-domain skew story."""
-    ranked = _canon_frame(spark, sf_dir).select(
-        "domain",
-        F.row_number().over(
-            Window.partitionBy("domain").orderBy("doc_id")).alias("rn"))
-    return (ranked.groupBy("domain")
-            .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.sum((F.col("rn") <= DOMAIN_CAP).cast("long"))
-                 .cast("long").alias("n_kept"))
+    """Per-domain corpus cap AUDIT: (domain, n_docs, n_kept) — the
+    anti-domination report every crawl pipeline publishes before
+    training. Because the filtering rule is deterministic (lowest
+    doc_id first), n_kept ≡ LEAST(n_docs, DOMAIN_CAP) identically, so
+    the audit needs NO window at all — one map-side-combined groupBy
+    (the round-10 form paid a per-domain window sort, the one shape the
+    module docstring flags as skew-dangerous, for a quantity a count
+    already determines). The actual row-dropping form is
+    domain_cap_keep below."""
+    return (_canon_frame(spark, sf_dir)
+            .groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .select("domain", "n_docs",
+                    F.least(F.col("n_docs"), F.lit(DOMAIN_CAP))
+                    .cast("long").alias("n_kept"))
             .orderBy("domain"))
+
+
+def domain_cap_keep(canon: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Per-domain cap FILTERING form (the gopher_keep analog): keep the
+    `cap` lowest-doc_id rows per domain, skew-safely.
+
+    A single row_number window over domain puts EVERY row of a hot
+    domain (the wordpress.com of a real crawl — easily 1% of a 100 TB
+    corpus) into ONE task's sort. The coded mitigation is a partial
+    per-partition pre-cap: stage 1 caps each (input-partition, domain)
+    group — the window keys carry spark_partition_id, so the hot domain
+    spreads over as many groups as it has source partitions and no
+    stage-1 task sorts more than one source partition's rows; stage 2
+    runs the global window over survivors only, whose per-domain volume
+    is bounded by cap x n_source_partitions regardless of how hot the
+    domain is. Correctness: a row in the true global top-cap of its
+    domain is necessarily in the top-cap of its own source partition,
+    so the pre-cap never drops a survivor (the standard partial top-K
+    argument)."""
+    pre = _domain_precap(canon, cap)
+    return (pre.withColumn("_rn", F.row_number().over(
+        Window.partitionBy("domain").orderBy("doc_id")))
+        .where(F.col("_rn") <= cap).drop("_rn"))
+
+
+def _domain_precap(canon: DataFrame, cap: int) -> DataFrame:
+    """Stage 1 of domain_cap_keep: cap each (source-partition, domain)
+    group. Split out so the skew test can assert the bound directly:
+    no domain emits more than cap x n_source_partitions rows."""
+    return (canon.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_prn", F.row_number().over(
+                Window.partitionBy("_pid", "domain").orderBy("doc_id")))
+            .where(F.col("_prn") <= cap).drop("_pid", "_prn"))
+
+
+def nd_domain_cap_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered round trip for the filtering form: the surviving
+    (domain, doc_id) rows under the cap — hash-gated against the plain
+    one-window SQL statement of the rule, proving the two-stage
+    partial-top-K plan is value-identical to the naive window."""
+    return (domain_cap_keep(_canon_frame(spark, sf_dir))
+            .select("domain", "doc_id")
+            .orderBy("domain", "doc_id"))
 
 
 def nd_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +226,104 @@ def nd_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+# --- HTML -> text main-content extraction ------------------------------------
+# The step every crawl pipeline runs between fetch and the quality gates:
+# the reference STOPS at fetch (pkg/storage/url/urldownload/storage.go:65-94
+# downloads bytes into a volume and never inspects them); the Gopher/model
+# gates upstream assume clean text. This stage bridges them: strip
+# script/style blocks, nav/footer boilerplate and tags, decode the common
+# entities, collapse whitespace. The whole chain is RE2-subset regexp
+# passes (non-greedy spans over single-line markup — the synthesis is
+# single-line by construction, so no dotall divergence), identical
+# automata in Spark and DuckDB, zero shuffle, composes unchanged over
+# readStream sources.
+#
+# The fixture documents carry text but no markup, so each query wraps the
+# document in a deterministic HTML page from (source, doc_id, text) — the
+# _URL_SQL synthesis convention: head with title/style/script, nav links,
+# an <h1>, the real text inside <p>, an entity-bearing trailer paragraph,
+# a footer. Extraction must recover title + clean body and drop the rest.
+#
+# Entity decode ordering: &amp; LAST (decoding it first would re-activate
+# doubly-encoded entities — the classic double-decode bug); &lt;/&gt; are
+# decoded but deliberately NOT synthesized into the fixture trailer, so
+# extract(extract(x)) == extract(x) holds on the pipeline's own output
+# (decoded '<' would read as markup on a second pass — the hazard the
+# idempotence test pins).
+
+_HTML_SQL = (
+    "'<html><head><title>' || source || ' #' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>body{margin:0}</style>"
+    "<script>var t=\"' || CAST(doc_id AS VARCHAR) || '\";</script></head>"
+    "<body><nav><a href=\"/\">Home</a> <a href=\"/' || source || "
+    "'\">Archive</a></nav><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</h1><p>' || text || '</p>"
+    "<p>Mentions &quot;' || source || '&quot; &amp; more&nbsp;&#39;here&#39;.</p>"
+    "<footer>&copy; ' || source || '</footer></body></html>'")
+
+
+def _html_expr() -> Column:
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>"), F.col("source"), F.lit(" #"), did,
+        F.lit('</title><style>body{margin:0}</style>'
+              '<script>var t="'), did, F.lit('";</script></head>'
+              '<body><nav><a href="/">Home</a> <a href="/'),
+        F.col("source"),
+        F.lit('">Archive</a></nav><h1>Doc '), did,
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p>"
+              "<p>Mentions &quot;"), F.col("source"),
+        F.lit("&quot; &amp; more&nbsp;&#39;here&#39;.</p>"
+              "<footer>&copy; "), F.col("source"),
+        F.lit("</footer></body></html>"))
+
+
+# (pattern, replacement) chain — ONE statement of the extraction, folded
+# into both engines' expressions below. Literal-text entity passes carry
+# no metacharacters; the span passes are non-greedy RE2.
+_HTML_STRIP_CHAIN = (
+    # head goes wholesale (title/meta text is not body content); script/
+    # style keep their own passes because real pages put them in body too
+    ("<head>.*?</head>", " "),
+    ("<script[^>]*>.*?</script>", " "),
+    ("<style[^>]*>.*?</style>", " "),
+    ("<nav>.*?</nav>", " "),
+    ("<footer>.*?</footer>", " "),
+    ("<[^>]*>", " "),
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_extract_frame(pages: DataFrame,
+                       html_col: str = "html") -> DataFrame:
+    """(…, html) -> (…, title, content): main-content extraction as a
+    pure per-row regexp chain (whole-stage codegen, no Python, no
+    shuffle) — title from the <title> element, content = boilerplate-
+    stripped entity-decoded whitespace-collapsed body text."""
+    h = F.col(html_col)
+    title = F.regexp_extract(h, "<title>(.*?)</title>", 1)
+    content = h
+    for pat, rep in _HTML_STRIP_CHAIN:
+        content = F.regexp_replace(content, pat, rep)
+    content = F.trim(F.regexp_replace(content, r"\s+", " "))
+    return pages.select("*", title.alias("title"),
+                        content.alias("content"))
+
+
+def nd_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction over the synthesized crawl pages:
+    (doc_id, title, content, n_chars) per document."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    pages = docs.select("doc_id", _html_expr().alias("html"))
+    return (html_extract_frame(pages)
+            .select("doc_id", "title", "content",
+                    F.length("content").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
 # --- oracles -----------------------------------------------------------------
 _CANON_SQL = f"""
 u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
@@ -179,7 +334,7 @@ c2 AS (SELECT doc_id, url,
   regexp_replace(nofrag, '^[A-Za-z]+://[^/?#]*', '') AS rest FROM c1),
 c3 AS (SELECT doc_id, url, sh,
   regexp_replace(regexp_replace(regexp_replace(rest,
-    '{_TRACK}=[^&#]*&', '', 'g'),
+    '{_TRACK_MID}', '\\1', 'g'),
     '[?&]{_TRACK}=[^&#]*$', ''),
     '\\?$', '') AS rest3 FROM c2),
 canon AS (SELECT doc_id, url, sh || rest3 AS canon,
@@ -192,14 +347,47 @@ SELECT doc_id, url, canon, domain FROM canon ORDER BY doc_id
 """
 
 _DOMAIN_CAP_ORACLE = f"""
+WITH {_CANON_SQL}
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(LEAST(COUNT(*), {DOMAIN_CAP}) AS BIGINT) AS n_kept
+FROM canon GROUP BY domain ORDER BY domain
+"""
+
+# The filtering form's oracle IS the naive one-window statement of the
+# rule — the Spark side's two-stage partial-top-K plan must be value-
+# identical to it.
+_DOMAIN_CAP_KEEP_ORACLE = f"""
 WITH {_CANON_SQL},
-r AS (SELECT domain,
+r AS (SELECT domain, doc_id,
       ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
       FROM canon)
-SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_kept
-FROM r GROUP BY domain ORDER BY domain
+SELECT domain, doc_id FROM r WHERE rn <= {DOMAIN_CAP}
+ORDER BY domain, doc_id
+"""
+
+def _html_content_sql(col: str) -> str:
+    """The _HTML_STRIP_CHAIN folded into nested DuckDB calls — span
+    passes as regexp_replace(..., 'g'), literal entity passes as plain
+    replace() (global in both engines), then the whitespace collapse."""
+    expr = col
+    for pat, rep in _HTML_STRIP_CHAIN:
+        rep_sql = rep.replace("'", "''")
+        if pat.startswith("&"):  # literal entity, no metacharacters
+            expr = f"replace({expr}, '{pat}', '{rep_sql}')"
+        else:
+            expr = f"regexp_replace({expr}, '{pat}', '{rep_sql}', 'g')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+_HTML_EXTRACT_ORACLE = f"""
+WITH pages AS (SELECT doc_id, {_HTML_SQL} AS html FROM documents),
+x AS (SELECT doc_id,
+             regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+             {_html_content_sql('html')} AS content
+      FROM pages)
+SELECT doc_id, title, content,
+       CAST(LENGTH(content) AS BIGINT) AS n_chars
+FROM x ORDER BY doc_id
 """
 
 _BLOCK_LIST_SQL = ", ".join(f"('{d}')" for d in BLOCKED_DOMAINS)
@@ -221,5 +409,7 @@ GROUP BY d.source ORDER BY d.source
 QUERIES = {
     "nd_url_canonicalize": (nd_url_canonicalize, _URL_CANON_ORACLE),
     "nd_domain_cap": (nd_domain_cap, _DOMAIN_CAP_ORACLE),
+    "nd_domain_cap_keep": (nd_domain_cap_keep, _DOMAIN_CAP_KEEP_ORACLE),
     "nd_domain_blocklist": (nd_domain_blocklist, _DOMAIN_BLOCK_ORACLE),
+    "nd_html_extract": (nd_html_extract, _HTML_EXTRACT_ORACLE),
 }

@@ -524,6 +524,57 @@ FROM canon ORDER BY doc_id
 """
 
 
+def nd_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door, stages composed: URL canonicalize -> domain
+    blocklist -> HTML -> text extraction, all THROUGH one readStream
+    source in append mode. Every stage is a stateless per-row regexp
+    chain or a broadcast probe, so micro-batch boundaries are invisible
+    and the composition carries a full value-hash oracle. Emits
+    (doc_id, domain, title, content) for the documents a fetch pipeline
+    would actually hand to the quality gates — blocked domains never
+    reach the extractor (filter BEFORE the expensive stage, the same
+    ordering a production frontier uses)."""
+    from bacalhau_spark.operators.web import (BLOCKED_DOMAINS, _html_expr,
+                                              _url_expr,
+                                              html_extract_frame,
+                                              url_canonicalize_frame)
+
+    src = _doc_stream(spark, sf_dir).select(
+        "doc_id", "source", "text", _url_expr().alias("url"))
+    canon = url_canonicalize_frame(src)
+    blocked = spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(d).alias("domain"), F.lit(1).alias("blk"))
+        for d in BLOCKED_DOMAINS])))
+    survivors = (canon.join(F.broadcast(blocked), "domain", "left")
+                 .where(F.col("blk").isNull())
+                 .select("doc_id", "source", "text", "domain",
+                         _html_expr().alias("html")))
+    out = html_extract_frame(survivors).select(
+        "doc_id", "domain", "title", "content")
+    q = _start_scoped(spark, out.writeStream.format("memory")
+                      .queryName("stream_html_extract")
+                      .outputMode("append").trigger(availableNow=True))
+    _await_or_raise(q, 120)
+    return spark.table("stream_html_extract").orderBy("doc_id")
+
+
+def _stream_html_oracle() -> str:
+    from bacalhau_spark.operators.web import (_BLOCK_LIST_SQL, _CANON_SQL,
+                                              _HTML_SQL, _html_content_sql)
+    return f"""
+WITH {_CANON_SQL},
+blocked(domain) AS (VALUES {_BLOCK_LIST_SQL}),
+surv AS (SELECT c.doc_id, c.domain, d.source, d.text
+         FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+         WHERE c.domain NOT IN (SELECT domain FROM blocked)),
+pages AS (SELECT doc_id, domain, {_HTML_SQL} AS html FROM surv)
+SELECT doc_id, domain,
+       regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+       {_html_content_sql('html')} AS content
+FROM pages ORDER BY doc_id
+"""
+
+
 def nd_stream_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LEARNED quality filter at ingest: weights are fit once on the
     static corpus (bounded driver-side training — curation.
@@ -996,6 +1047,10 @@ QUERIES = {
     # twin's full oracle, unrolled-CTE training included
     "nd_stream_url_screen": (nd_stream_url_screen,
                              _stream_url_oracle()),
+    # the crawl front door composed end to end (canonicalize ->
+    # blocklist -> HTML extract), every stage stateless per-row
+    "nd_stream_html_extract": (nd_stream_html_extract,
+                               _stream_html_oracle()),
     "nd_stream_quality_model": (nd_stream_quality_model,
                                 _quality_model_oracle()),
     "nd_stream_topk": (nd_stream_topk, _TOPK_ORACLE),

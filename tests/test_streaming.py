@@ -379,3 +379,47 @@ def test_multibatch_band_screen_equals_batch(spark, sf_dir, tmp_path,
     want = nd_incremental_minhash(spark, sf_dir)
     assert [tuple(r) for r in got.collect()] == \
         [tuple(r) for r in want.collect()]
+
+
+def test_multibatch_html_extract_equals_batch(spark, sf_dir, tmp_path,
+                                              monkeypatch):
+    """The composed crawl front door (canonicalize -> blocklist -> HTML
+    extract) across a REAL batch boundary: documents split into 2 files,
+    one per trigger. Every stage is a stateless per-row chain or a
+    broadcast probe, so the boundary must be invisible — the extracted
+    set equals the same composition run as one batch."""
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.operators.web import (BLOCKED_DOMAINS, _html_expr,
+                                              _url_expr,
+                                              html_extract_frame,
+                                              url_canonicalize_frame)
+    from bacalhau_spark.registry import queries
+    from bacalhau_spark.streaming import events as ev
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(tmp_path / "documents-0.parquet"))
+    pq.write_table(t.slice(half), str(tmp_path / "documents-1.parquet"))
+    schema = table(spark, sf_dir, "documents").schema
+
+    def paced(spark_, _sf):
+        return (spark_.readStream.schema(schema)
+                .option("pathGlobFilter", "documents-*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path)))
+
+    monkeypatch.setattr(ev, "_doc_stream", paced)
+    got = queries()["nd_stream_html_extract"](spark, sf_dir)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", _url_expr().alias("url"))
+    canon = url_canonicalize_frame(docs)
+    surv = (canon.where(~F.col("domain").isin(*BLOCKED_DOMAINS))
+            .select("doc_id", "source", "text", "domain",
+                    _html_expr().alias("html")))
+    want = (html_extract_frame(surv)
+            .select("doc_id", "domain", "title", "content")
+            .orderBy("doc_id"))
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]

@@ -51,9 +51,113 @@ def test_canonical_urls_lowercase_host_keep_path_case(spark, sf_dir):
         assert r.domain and not r.domain.startswith("www.")
 
 
+def test_tracking_strip_is_delimiter_anchored(spark):
+    """Round-10 ADVICE: the tracking-param strip must be anchored on a
+    [?&] delimiter — a legitimate param whose NAME contains 'utm_' as an
+    infix ('?xutm_source=1') must survive — while ADJACENT tracking
+    params (whose delimiters sit inside the previous match under global
+    left-to-right replace) must still all strip via the run-matching
+    (?:param&)+ form plus the $-anchored trailing pass."""
+    cases = [
+        ("https://a.com/p?xutm_source=1&b=2",
+         "https://a.com/p?xutm_source=1&b=2"),  # infix name preserved
+        ("https://a.com/p?utm_a=1&utm_b=2&id=3", "https://a.com/p?id=3"),
+        ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+        ("https://a.com/p?id=3&utm_a=1&utm_b=2&utm_c=3",
+         "https://a.com/p?id=3"),
+        ("https://a.com/p?id=1&fbclid=x&gclid=y&b=2",
+         "https://a.com/p?id=1&b=2"),
+    ]
+    urls = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string")
+    got = {r.url: r.canon
+           for r in web.url_canonicalize_frame(urls).collect()}
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
+
+
 def test_domain_cap_counts(spark, sf_dir):
     rows = web.nd_domain_cap(spark, sf_dir).collect()
     assert all(r.n_kept == min(r.n_docs, web.DOMAIN_CAP) for r in rows)
+
+
+def test_domain_cap_audit_has_no_window(spark, sf_dir):
+    """The audit form derives n_kept from the count alone — no
+    row_number window (the round-10 form paid a per-domain window sort
+    for a quantity LEAST(n_docs, CAP) already determines), and the
+    groupBy partial-aggregates map-side."""
+    plan = _plan(web.nd_domain_cap(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan
+
+
+def test_domain_cap_keep_bounds_hot_domain(spark):
+    """Synthetic hot-domain skew: ONE domain holds 60% of the corpus.
+    The filtering form's per-(source-partition, domain) pre-cap must
+    (a) bound what any stage-2 task can receive — the hot domain emits
+    at most cap x n_source_partitions rows into the global window,
+    where the naive window would sort all its rows in one task — and
+    (b) stay value-identical to the naive one-window rule."""
+    n, parts, cap = 4000, 8, web.DOMAIN_CAP
+    canon = spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 5 < 3, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("cold-"), (F.col("id") % 97)
+                            .cast("string"), F.lit(".example.com")))
+        .alias("domain"))
+    pre = web._domain_precap(canon, cap)
+    hot_after = pre.where(F.col("domain") == "hot.example.com").count()
+    assert 0 < hot_after <= cap * parts, hot_after
+
+    got = sorted(map(tuple, web.domain_cap_keep(canon)
+                     .select("domain", "doc_id").collect()))
+    from pyspark.sql.window import Window
+    naive = canon.withColumn("rn", F.row_number().over(
+        Window.partitionBy("domain").orderBy("doc_id"))) \
+        .where(F.col("rn") <= cap).select("domain", "doc_id")
+    assert got == sorted(map(tuple, naive.collect()))
+
+
+def test_html_extract_is_pure_mapper(spark, sf_dir):
+    """Extraction must stay per-row codegen: no Python eval, no exchange
+    beyond the presentation sort."""
+    plan = _plan(web.nd_html_extract(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("rangepartitioning" in ln for ln in exchanges), plan
+
+
+def test_html_extract_is_idempotent(spark, sf_dir):
+    """extract(extract(x)) == extract(x) on the pipeline's own output:
+    the decode-last entity ordering guarantees a second pass over
+    already-clean text changes nothing (the double-decode hazard the
+    module docstring pins). Also the content checks: no tags, no
+    encoded entities, whitespace collapsed."""
+    once = web.nd_html_extract(spark, sf_dir).select(
+        "doc_id", F.col("content").alias("html"))
+    twice = web.html_extract_frame(once)
+    assert twice.where(F.col("content") != F.col("html")).count() == 0
+    rows = web.nd_html_extract(spark, sf_dir).limit(30).collect()
+    for r in rows:
+        assert "<" not in r.content or ">" not in r.content
+        assert "&amp;" not in r.content and "&quot;" not in r.content
+        assert "  " not in r.content
+        assert r.title and r.content
+
+
+def test_html_extract_drops_boilerplate_keeps_body(spark):
+    """Unit fixture: script/style/head/nav/footer content must vanish,
+    body text and decoded entities (including &lt;/&gt;, which the
+    fixture synthesis deliberately avoids) must survive."""
+    page = ('<html><head><title>T</title><style>x{a:b}</style>'
+            '<script>evil()</script></head><body>'
+            '<nav><a href="/">Nav</a></nav><h1>H</h1>'
+            '<p>keep &lt;this&gt; &amp; that</p>'
+            '<footer>drop</footer></body></html>')
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    r = web.html_extract_frame(df).collect()[0]
+    assert r.title == "T"
+    assert r.content == "H keep <this> & that"
 
 
 def test_blocklist_blocks_exactly_blocked_sources(spark, sf_dir):
