@@ -879,20 +879,73 @@ def train_perceptron(rows: list[tuple[int, ...]],
     return w
 
 
-def fit_quality_weights(spark: SparkSession, sf_dir: str) -> list[int]:
+def fit_quality_weights(spark: SparkSession, sf_dir: str,
+                        labels_df: DataFrame | None = None) -> list[int]:
     """Fit the perceptron on the bounded labeled slice of the STATIC
     documents table. The collect is bounded model state — QM_TRAIN_DOCS
     rows of six longs, independent of corpus size — and the returned
     integer weights ship to any consumer (batch scorer, a readStream
-    scorer) as literals: broadcast-free, pure codegen."""
+    scorer) as literals: broadcast-free, pure codegen.
+
+    `labels_df` — an optional EXTERNAL label table (doc_id, y) with
+    y in {1, -1}: human ratings, an upstream model's verdicts, a
+    versioned labels table. When given, training labels come from the
+    join against it instead of the deterministic teacher rule (the
+    round-10 verdict: a quality filter that can only learn its own
+    feature thresholds is a rule, not a model — this is the ingest
+    path real labels arrive through). The teacher remains the default
+    so the registered row's unrolled-CTE oracle convention is
+    unchanged. The doc_id bound still applies: the training collect
+    stays fixed-size no matter how large the label table is."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    train = (quality_features_frame(docs)
-             .where(F.col("doc_id") < QM_TRAIN_DOCS)
-             .select(F.when(_qm_teacher_expr(), 1).otherwise(-1).alias("y"),
-                     "x1", "x2", "x3", "x4", "x5")
-             .collect())
+    feats = quality_features_frame(docs).where(
+        F.col("doc_id") < QM_TRAIN_DOCS)
+    if labels_df is None:
+        labeled = feats.select(
+            F.when(_qm_teacher_expr(), 1).otherwise(-1).alias("y"),
+            "x1", "x2", "x3", "x4", "x5")
+    else:
+        labeled = (feats.join(labels_df.select("doc_id", "y"), "doc_id")
+                   .select("y", "x1", "x2", "x3", "x4", "x5"))
+    train = labeled.collect()
     return train_perceptron(
         [(r.y, 1, r.x1, r.x2, r.x3, r.x4, r.x5) for r in train])
+
+
+QM_LABELED_DOCS = 2 * QM_TRAIN_DOCS
+
+
+def quality_labels_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXTERNAL-labels fixture (doc_id, y): the stand-in
+    for a human-rated table (the fixture corpus has none — the
+    nd_pii_redact synthesis convention). The 'annotator' applies a rule
+    DIFFERENT from the teacher's (stopword-heavy AND short mean words)
+    and flips every 13th document — label noise, the defining property
+    of real ratings a pure rule never has. Covers doc_id <
+    QM_LABELED_DOCS: the first half trains, the second half is held
+    out for the agreement report."""
+    docs = (table(spark, sf_dir, "documents").select("doc_id", "text")
+            .where(F.col("doc_id") < QM_LABELED_DOCS))
+    feats = quality_features_frame(docs)
+    base = (F.col("x3") >= 2) & (F.col("x2") <= 60)
+    noise = (F.col("doc_id") % 13) == 0
+    return feats.select(
+        "doc_id", F.when(base != noise, 1).otherwise(-1).alias("y"))
+
+
+def nd_quality_model_labeled(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The learned quality filter trained on EXTERNAL labels: fit on the
+    labels fixture through the labels_df ingest path (join-then-bounded-
+    collect — the same plan a versioned human-ratings table would take),
+    score every document with the fitted weights as literals. The oracle
+    replays the identical training as unrolled CTEs with y read from the
+    labels relation instead of the teacher rule, so the hash gate covers
+    the label-ingest path end to end."""
+    w = fit_quality_weights(spark, sf_dir,
+                            labels_df=quality_labels_frame(spark, sf_dir))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score_frame(docs, w).orderBy("doc_id")
 
 
 def quality_score_frame(docs: DataFrame, w: list[int]) -> DataFrame:
@@ -938,12 +991,15 @@ FROM (SELECT doc_id{extra_cols},
 FROM {src})"""
 
 
-def _qm_train_ctes(feats_cte: str = "s") -> str:
-    """The unrolled training chain as CTE text: `train` (teacher labels
-    over the bounded slice of `feats_cte`), `e0` (zero weights), and
-    one eK per epoch applying the batch-sum update — ONE definition
-    shared by the standalone oracle and the curation-funnel oracle so
-    the two trainings cannot drift."""
+def _qm_train_ctes(feats_cte: str = "s",
+                   labels_cte: str | None = None) -> str:
+    """The unrolled training chain as CTE text: `train` (labels over
+    the bounded slice of `feats_cte` — the teacher rule by default, a
+    JOIN against `labels_cte` when the external-label path is under
+    test), `e0` (zero weights), and one eK per epoch applying the
+    batch-sum update — ONE definition shared by the standalone oracle,
+    the labeled-path oracle and the curation-funnel oracle so the
+    trainings cannot drift."""
     dot = ("(w.w0 + w.w1*t.x1 + w.w2*t.x2 + w.w3*t.x3 + w.w4*t.x4"
            " + w.w5*t.x5)")
     upd = ["t.y"] + [f"t.y*t.x{j}" for j in range(1, 6)]
@@ -957,9 +1013,16 @@ def _qm_train_ctes(feats_cte: str = "s") -> str:
             f"\n  GROUP BY w.w0, w.w1, w.w2, w.w3, w.w4, w.w5)")
     zeros = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(6))
     epoch_ctes = ",\n".join(epochs)
-    return f"""train AS (SELECT {feats_cte}.*,
+    if labels_cte is None:
+        train_cte = f"""train AS (SELECT {feats_cte}.*,
           CASE WHEN x5 >= 50 AND x3 >= 1 THEN 1 ELSE -1 END AS y
-          FROM {feats_cte} WHERE doc_id < {QM_TRAIN_DOCS}),
+          FROM {feats_cte} WHERE doc_id < {QM_TRAIN_DOCS})"""
+    else:
+        train_cte = f"""train AS (SELECT {feats_cte}.*, l.y
+          FROM {feats_cte} JOIN {labels_cte} l
+            ON {feats_cte}.doc_id = l.doc_id
+          WHERE {feats_cte}.doc_id < {QM_TRAIN_DOCS})"""
+    return f"""{train_cte},
 e0 AS (SELECT {zeros}),
 {epoch_ctes}"""
 
@@ -981,6 +1044,26 @@ def _quality_model_oracle() -> str:
     return f"""
 WITH s AS ({_qm_feats_sql()}),
 {_qm_train_ctes("s")}
+SELECT s.doc_id, CAST({score} AS BIGINT) AS score,
+       CAST({score} >= 0 AS INTEGER) AS kept
+FROM s CROSS JOIN e{QM_EPOCHS} w ORDER BY s.doc_id
+"""
+
+
+def _quality_model_labeled_oracle() -> str:
+    """The labeled-path training replayed: the labels relation states
+    the fixture annotator rule (different thresholds + the 1-in-13
+    flip) over the same feature CTE, training joins it instead of the
+    teacher CASE, scoring is unchanged — the hash gate covers label
+    ingest, the learned weights and the scoring in one row."""
+    score = _qm_score_sql("s")
+    return f"""
+WITH s AS ({_qm_feats_sql()}),
+labels AS (SELECT doc_id,
+  CASE WHEN ((x3 >= 2 AND x2 <= 60) <> (doc_id % 13 = 0))
+       THEN 1 ELSE -1 END AS y
+  FROM s WHERE doc_id < {QM_LABELED_DOCS}),
+{_qm_train_ctes("s", labels_cte="labels")}
 SELECT s.doc_id, CAST({score} AS BIGINT) AS score,
        CAST({score} >= 0 AS INTEGER) AS kept
 FROM s CROSS JOIN e{QM_EPOCHS} w ORDER BY s.doc_id
@@ -1555,6 +1638,8 @@ FROM documents GROUP BY ROLLUP (source) ORDER BY source
 
 QUERIES = {
     "nd_quality_model": (nd_quality_model, _quality_model_oracle()),
+    "nd_quality_model_labeled": (nd_quality_model_labeled,
+                                 _quality_model_labeled_oracle()),
     "nd_dataset_card": (nd_dataset_card, _DATASET_CARD_ORACLE),
     "nd_ks_drift": (nd_ks_drift, _KS_DRIFT_ORACLE),
     "nd_lang_outliers": (nd_lang_outliers, _LANG_OUTLIERS_ORACLE),

@@ -354,6 +354,41 @@ def test_quality_model_learns_teacher(spark, sf_dir):
     assert 0.2 <= kept / n <= 0.7, f"keep rate {kept / n:.3f}"
 
 
+def test_quality_model_labeled_path(spark, sf_dir):
+    """The external-label ingest path (round-10 verdict: a model that
+    can only learn its own teacher rule is a rule): (a) fitting on the
+    labels fixture through labels_df equals train_perceptron over the
+    manually joined rows — the join/collect plumbing adds nothing;
+    (b) the labeled weights DIFFER from the teacher-trained weights
+    (the labels actually steer the model); (c) held-out agreement —
+    labels the trainer never saw (doc_id in [QM_TRAIN_DOCS,
+    QM_LABELED_DOCS)) — clears a 0.7 floor despite the fixture's
+    1-in-13 annotator noise."""
+    from bacalhau_spark.catalog import table
+
+    labels = curation.quality_labels_frame(spark, sf_dir)
+    w = curation.fit_quality_weights(spark, sf_dir, labels_df=labels)
+
+    feats = curation.quality_features_frame(
+        table(spark, sf_dir, "documents").select("doc_id", "text")) \
+        .where(F.col("doc_id") < curation.QM_TRAIN_DOCS)
+    rows = (feats.join(labels, "doc_id")
+            .select("y", "x1", "x2", "x3", "x4", "x5").collect())
+    assert w == curation.train_perceptron(
+        [(r.y, 1, r.x1, r.x2, r.x3, r.x4, r.x5) for r in rows])
+
+    assert w != curation.fit_quality_weights(spark, sf_dir)
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    held = (curation.quality_score_frame(docs, w)
+            .join(labels, "doc_id")
+            .where(F.col("doc_id") >= curation.QM_TRAIN_DOCS))
+    n = held.count()
+    agree = held.where(
+        (F.col("kept") == 1) == (F.col("y") == 1)).count()
+    assert n > 0 and agree / n >= 0.7, f"held-out agreement {agree/n:.3f}"
+
+
 def test_quality_model_scoring_stays_in_codegen(spark, sf_dir):
     """Scoring is literal-weight per-row codegen: no Python eval, no
     shuffle beyond the final presentation sort."""
