@@ -296,11 +296,169 @@ FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- image near-dup: dHash + Hamming banding ----------------------------------
+# The missing image modality of the dedup plane (round-10 verdict): a
+# perceptual difference hash over decoded thumbnails, bucketed by Hamming
+# BANDS so candidate generation is never all-pairs — the simhash band
+# machinery applied to pixels. Reference capability citation: the image
+# workload examples/image_downscaling/ (the reference downscales images in
+# containers; a curation pipeline needs the near-dup screen over them).
+#
+# Pipeline (all stages modality-real; only the decode is the deterministic
+# fake, per the module convention):
+#   decode   -> an 8x9 grayscale thumbnail per document. No image bytes in
+#               the fixture, so pixels are synthesized from doc_id with a
+#               CONTROLLED near-dup structure (the nd_pii_redact synthesis
+#               convention): base image = doc_id div PHASH_FAMILY, pixel =
+#               md5(base:cell) in [0,256); variants (doc_id % PHASH_FAMILY
+#               != 0) perturb ~2 cells by +40 — the re-encode/resize noise
+#               a real pipeline sees. A real decoder plugs in by replacing
+#               the pixel expressions with decoder output (the mapInPandas
+#               plumbing above); everything downstream is unchanged.
+#   dHash    -> 64 gradient-sign bits (cell > right neighbor over the 8
+#               rows of 9), packed as four 16-bit band integers b0..b3 —
+#               integer-exact, cross-engine (md5 + conv convention).
+#   band join-> docs sharing ANY band value are candidates (a near-dup
+#               with <= a few flipped bits almost always leaves one band
+#               intact); buckets above PHASH_BUCKET_CAP are dropped before
+#               pair expansion (the LSH_BUCKET_CAP quadratic guard).
+#   verify   -> exact Hamming distance over the 64 bits (xor + bit_count),
+#               keep <= PHASH_MAX_HAMMING. Fixture separation: same-base
+#               pairs measure hamming 0-5, cross-base >= 14 (the r11
+#               prototype), so the gate is wide.
+PHASH_FAMILY = 7
+PHASH_BUCKET_CAP = 50
+PHASH_MAX_HAMMING = 10
+_PHASH_GRID_W = 9  # 9 columns -> 8 horizontal gradients per row
+_PHASH_ROWS = 8
+
+
+def _phash_pixel_sql(g: int) -> str:
+    """Pixel g of the deterministic thumbnail, as engine-shared SQL
+    (DuckDB form; the Spark twin differs only in hex-int syntax)."""
+    base = (f"CAST('0x' || substring(md5(CAST(doc_id // {PHASH_FAMILY} AS "
+            f"VARCHAR) || ':{g}'), 1, 15) AS BIGINT) % 256")
+    pert = (f"(CASE WHEN doc_id % {PHASH_FAMILY} > 0 AND "
+            f"({g} * {PHASH_FAMILY} + doc_id % {PHASH_FAMILY}) % 31 = 0 "
+            f"THEN 40 ELSE 0 END)")
+    return f"({base} + {pert})"
+
+
+def _phash_pixel_spark(g: int) -> str:
+    base = (f"CAST(conv(substring(md5(CAST(doc_id div {PHASH_FAMILY} AS "
+            f"STRING) || ':{g}'), 1, 15), 16, 10) AS BIGINT) % 256")
+    pert = (f"(CASE WHEN doc_id % {PHASH_FAMILY} > 0 AND "
+            f"({g} * {PHASH_FAMILY} + doc_id % {PHASH_FAMILY}) % 31 = 0 "
+            f"THEN 40 ELSE 0 END)")
+    return f"({base} + {pert})"
+
+
+def _phash_band_exprs(pixel_fn) -> list[str]:
+    """The four 16-bit dHash band integers as SQL text — ONE loop emits
+    both engines' expressions so the bit layout cannot drift."""
+    bands = []
+    for b in range(4):
+        terms = []
+        for i in range(16):
+            j = 16 * b + i
+            r, c = j // _PHASH_ROWS, j % _PHASH_ROWS
+            g = r * _PHASH_GRID_W + c
+            terms.append(f"(CASE WHEN {pixel_fn(g)} > {pixel_fn(g + 1)} "
+                         f"THEN {1 << i} ELSE 0 END)")
+        bands.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    return bands
+
+
+def phash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3): the packed dHash per document — pure per-row
+    codegen (md5 + integer arithmetic), the only thing that ever
+    shuffles downstream. 4 x 2 bytes per image regardless of image
+    size: the index an exabyte image corpus actually exchanges."""
+    bands = _phash_band_exprs(_phash_pixel_spark)
+    return docs.select(
+        "doc_id", *[F.expr(e).alias(f"b{i}") for i, e in enumerate(bands)])
+
+
+def phash_candidate_pairs(hashes: DataFrame,
+                          bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+    """Distinct (a_id < b_id) pairs sharing at least one band value —
+    the _band_candidates shape over Hamming bands: explode to
+    (doc_id, band_idx, value), window-count hot-bucket guard, then
+    bucket-and-expand in codegen (never a pair self-join)."""
+    from pyspark.sql.window import Window
+
+    e = hashes.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("bi"), F.col(f"b{i}").alias("v"))
+        for i in range(4)])).alias("s")).select(
+        "doc_id", "s.bi", "s.v")
+    n = F.count("*").over(Window.partitionBy("bi", "v"))
+    e = e.withColumn("n", n).where(F.col("n") <= bucket_cap).drop("n")
+    buckets = (e.groupBy("bi", "v")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .where(F.size("ids") >= 2))
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS a_id, b AS b_id))))")
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.a_id", "p.b_id")
+            .where(F.col("a_id") < F.col("b_id"))
+            .distinct())
+
+
+def nd_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: dHash thumbnails, band-bucketed candidates,
+    exact-Hamming verification — (a_id, b_id, hamming), hamming <=
+    PHASH_MAX_HAMMING. Scale shape: only (doc_id, 4 shorts) ever
+    shuffles; candidates broadcast into a single-scan gather of the
+    hash table (the nd_editdist_dedup convention), pixels never leave
+    the stage that decodes them."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    hashes = phash_frame(docs)
+    cand = phash_candidate_pairs(hashes)
+    sides = cand.select(
+        "a_id", "b_id",
+        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+    ham = sum(
+        F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
+               f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
+        for i in range(4))
+    return (hashes.join(F.broadcast(sides), "doc_id")
+            .groupBy("a_id", "b_id")
+            .agg(ham.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+            .orderBy("a_id", "b_id"))
+
+
+def _image_phash_oracle() -> str:
+    bands = _phash_band_exprs(_phash_pixel_sql)
+    band_cols = ", ".join(f"{e} AS b{i}" for i, e in enumerate(bands))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h" for i in range(4))
+    ham = " + ".join(f"bit_count(xor(ha.b{i}, hb.b{i}))" for i in range(4))
+    return f"""
+WITH h AS (SELECT doc_id, {band_cols} FROM documents),
+e AS ({unions}),
+f AS (SELECT doc_id, bi, v FROM
+      (SELECT doc_id, bi, v, COUNT(*) OVER (PARTITION BY bi, v) AS n
+       FROM e) t WHERE n <= {PHASH_BUCKET_CAP}),
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM f a JOIN f b ON a.bi = b.bi AND a.v = b.v
+          WHERE a.doc_id < b.doc_id)
+SELECT p.a_id, p.b_id, CAST({ham} AS BIGINT) AS hamming
+FROM pairs p JOIN h ha ON ha.doc_id = p.a_id
+             JOIN h hb ON hb.doc_id = p.b_id
+WHERE {ham} <= {PHASH_MAX_HAMMING}
+ORDER BY p.a_id, p.b_id
+"""
+
+
 _HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16"
             " + (strpos('0123456789abcdef', substring(md5(text), {b}, 1)) - 1)")
 
 QUERIES = {
     "nd_multimodal_audio": (nd_multimodal_audio, _AUDIO_ORACLE),
+    "nd_image_phash": (nd_image_phash, _image_phash_oracle()),
     "nd_multimodal_features": (
         nd_multimodal_features,
         "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes, "

@@ -36,54 +36,41 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-10 window — the r1–r9 union is debt-free (195 triple-green +
-# 7 no-oracle by design, 0 FAILs). Standing changed-code rule fronts
-# the window, then the rotation continues as the round-9 note planned:
-#   1. changed/new round 10: nd_quality_model (NEW: learned quality
-#      filter, unrolled-CTE-trained oracle) + its streaming twin, the
-#      PQ plane (NEW: nd_pq_quantize / nd_ann_pq / nd_ann_ivfpq), the
-#      web plane (NEW: nd_url_canonicalize / nd_domain_cap /
-#      nd_domain_blocklist), nd_curation_pipeline (now the 5-stage
-#      gopher→model→dedup→cluster→decontam funnel), nd_ngram_overlap
-#      (refactored onto the shared shingle fold the funnel reuses),
-#      nd_winnowing (session-shared posting index), nd_editdist_dedup
-#      (broadcast gate), the shared-index consumers (cache key gained
-#      the content fingerprint), nd_versioned_timetravel + NEW
-#      nd_versioned_pruned_read (footer stats + manifest-pruned reads;
-#      vacuum reordered).
-#   2. the remaining round-5 rows (q18_count_distinct ..
-#      tpch_q5_local_volume), as the round-9 boundary note planned.
-#   3. the round-8 first-row block starts cycling back as freshness
-#      re-grades (nd_dataset_card ..).
+# Round-11 window — the r1–r10 union is debt-free (203 triple-green +
+# 9 no-oracle by design, 0 FAILs). Standing changed-code rule fronts
+# the window, then the rotation continues as the round-10 note planned:
+#   1. changed/new round 11: the image near-dup modality (NEW
+#      nd_image_phash — dHash + Hamming banding), the crawl front door
+#      (NEW nd_html_extract + nd_stream_html_extract; the tracking-
+#      param strip re-anchored, so every _CANON_SQL consumer re-grades:
+#      nd_url_canonicalize / nd_domain_cap (now windowless audit) /
+#      nd_domain_blocklist / nd_stream_url_screen; NEW
+#      nd_domain_cap_keep — the filtering form with the coded partial
+#      top-K), the external-label quality path (NEW
+#      nd_quality_model_labeled; fit_quality_weights changed, so the
+#      teacher-path rows re-grade: nd_quality_model /
+#      nd_stream_quality_model / nd_curation_pipeline), the PERSISTED
+#      index store (every _mh_session_cached consumer re-grades:
+#      nd_minhash_lsh, nd_dedup_clusters, nd_dedup_survivors,
+#      nd_cc_doubling, nd_minhash_estimate, nd_editdist_dedup,
+#      nd_winnowing, nd_pq_quantize, nd_ann_pq, nd_ann_ivfpq), and the
+#      versioned plane (write_version gained props + cluster_by:
+#      nd_versioned_timetravel / nd_versioned_pruned_read).
+#   2. the rest of the round-8 block (nd_zipf_octaves ..
+#      q01_scan_projection), exactly as the round-10 boundary planned.
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed/new round 10 (standing rule)
-    "nd_quality_model", "nd_stream_quality_model", "nd_pq_quantize",
-    "nd_ann_pq", "nd_ann_ivfpq", "nd_url_canonicalize", "nd_domain_cap",
+    # 1. changed/new round 11 (standing rule)
+    "nd_image_phash", "nd_html_extract", "nd_stream_html_extract",
+    "nd_domain_cap_keep", "nd_quality_model_labeled",
+    "nd_url_canonicalize", "nd_domain_cap", "nd_domain_blocklist",
     "nd_stream_url_screen",
-    "nd_domain_blocklist", "nd_curation_pipeline", "nd_ngram_overlap",
-    "nd_winnowing", "nd_editdist_dedup", "nd_minhash_lsh",
-    "nd_dedup_clusters", "nd_minhash_estimate", "nd_dedup_survivors",
+    "nd_quality_model", "nd_stream_quality_model", "nd_curation_pipeline",
+    "nd_minhash_lsh", "nd_dedup_clusters", "nd_dedup_survivors",
+    "nd_cc_doubling", "nd_minhash_estimate", "nd_editdist_dedup",
+    "nd_winnowing",
+    "nd_pq_quantize", "nd_ann_pq", "nd_ann_ivfpq",
     "nd_versioned_timetravel", "nd_versioned_pruned_read",
-    # 2. the round-5 tail the r9 boundary deferred
-    "q18_count_distinct", "q18b_approx_distinct",
-    "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
-    "q26b_except", "q26c_union_all", "q26d_intersect_all",
-    "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
-    "qj_full_outer", "tpch_q11_important_parts",
-    "tpch_q15_top_supplier", "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
-    # 3. round-8 first-row block cycling back (first 13 fit this window)
-    "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
-    "nd_ngram_jaccard",
-    "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
-    "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
-    "nd_embedding_covariance",
-    "nd_bigram_surprisal", "nd_ks_drift",
-    "nd_containment",
-    # -- window boundary: first 50 graded per round --------------------
-    # (19 changed/new round-10 rows + 18 r5-tail rows + 13 r8-block
-    # re-grades = 50; the rest of the r8 block — nd_zipf_octaves .. —
-    # leads round 11, then the round-9 first-row block cycles back.)
+    # 2. the rest of the round-8 block (r10 boundary plan)
     "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
     "nd_embedding_covariance_fast",
     "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
@@ -94,9 +81,14 @@ _PRIORITY: tuple[str, ...] = (
     "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
     "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
     "nd_percentiles", "nd_profile",
-    "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
-    # round-9 first-row block (graded r9; cycles back from round 11 on)
-    "nd_pca_project", "nd_ann_pca", "nd_cc_doubling", "nd_bpe_encode",
+    "q01_scan_projection",
+    # -- window boundary: first 50 graded per round --------------------
+    # (24 changed/new round-11 rows + 26 r8-block re-grades = 50; the
+    # r8 remainder q02/q03 then the round-9 first-row block lead round
+    # 12, and the blocks graded in round 10 cycle to the back.)
+    "q02_project_rename", "q03_string_funcs",
+    # round-9 first-row block (graded r9; cycles back from round 12 on)
+    "nd_pca_project", "nd_ann_pca", "nd_bpe_encode",
     "nd_unicode_dedup",
     "nd_stream_band_screen",
     "nd_boilerplate_strip", "nd_pmi_collocations",
@@ -114,6 +106,21 @@ _PRIORITY: tuple[str, ...] = (
     "nd_vector_norm", "nd_xml_roundtrip", "q06_conditional",
     "q07_array_funcs", "q14b_left_join_agg",
     "q17b_having",
+    # blocks graded round 10 cycle to the back of the rotation
+    "q18_count_distinct", "q18b_approx_distinct",
+    "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
+    "q26b_except", "q26c_union_all", "q26d_intersect_all",
+    "q26e_except_all", "q27_scalar_subquery", "q27b_in_subquery",
+    "qj_full_outer", "tpch_q11_important_parts",
+    "tpch_q15_top_supplier", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
+    "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
+    "nd_ngram_jaccard",
+    "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
+    "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
+    "nd_embedding_covariance",
+    "nd_bigram_surprisal", "nd_ks_drift",
+    "nd_containment", "nd_ngram_overlap",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

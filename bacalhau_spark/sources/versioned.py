@@ -67,7 +67,9 @@ def latest_version(root: str) -> int:
 def write_version(df: DataFrame, root: str,
                   batch_id: int | None = None,
                   mode: str = "overwrite",
-                  props: dict | None = None) -> int:
+                  props: dict | None = None,
+                  cluster_by: list[str] | None = None,
+                  cluster_files: int = 4) -> int:
     """Materialize `df` and publish it as the table's next version.
 
     mode="overwrite": the new version IS `df` — a complete snapshot.
@@ -90,6 +92,20 @@ def write_version(df: DataFrame, root: str,
     and vacuum() sweeps orphans as part of retention."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    if cluster_by:
+        # Clustered write — the missing half of the file-skipping pattern
+        # (round-10 verdict #4): footer min/max stats only prune when the
+        # per-file ranges are DISJOINT, and realistic unsorted ingest
+        # interleaves every key range into every file (pruning degrades
+        # to scan-everything). A range repartition on the cluster keys
+        # makes each output file a contiguous key range (sortWithin
+        # tightens the footer stats within the file); selective reads
+        # over the chain then open only the files whose range can match.
+        # The sort is per-WRITE (one shuffle of the new rows, never the
+        # table), exactly Delta/Iceberg's OPTIMIZE ZORDER reduced to the
+        # single-key case.
+        df = (df.repartitionByRange(cluster_files, *cluster_by)
+              .sortWithinPartitions(*cluster_by))
     prev = latest_version(root)
     if mode == "append" and prev > 0:
         # Schema-drift guard: an append whose columns/types differ from

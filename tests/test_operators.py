@@ -238,6 +238,49 @@ def test_image_decode_capability_probe(spark):
     assert rows[2]["width"] >= 16 and rows[2]["phash"]  # fake fallback
 
 
+def test_image_phash_finds_variant_families(spark, sf_dir):
+    """nd_image_phash semantics the oracle hash cannot state by itself:
+    every confirmed pair is a same-base variant family (the synthesis's
+    ground truth — cross-base thumbnails measure hamming >= 14, far
+    above the gate), recall over the same-base pairs is ~1 (the banding
+    misses a pair only when the perturbation splits across all four
+    bands), and hamming is within the gate."""
+    from bacalhau_spark.operators.multimodal import (PHASH_FAMILY,
+                                                     PHASH_MAX_HAMMING,
+                                                     nd_image_phash)
+
+    rows = nd_image_phash(spark, sf_dir).collect()
+    assert rows, "no near-dup families found"
+    assert all(r.a_id // PHASH_FAMILY == r.b_id // PHASH_FAMILY
+               for r in rows)
+    assert all(0 <= r.hamming <= PHASH_MAX_HAMMING for r in rows)
+    n_docs = table(spark, sf_dir, "documents").count()
+    full = sum(PHASH_FAMILY * (PHASH_FAMILY - 1) // 2
+               for _ in range(n_docs // PHASH_FAMILY))
+    assert len(rows) >= 0.95 * full, (len(rows), full)
+
+
+def test_image_phash_scale_shape(spark, sf_dir):
+    """Plan claims: candidate generation is bucket-and-expand (no
+    cartesian, no sort-merge self-join of the corpus), verification
+    gathers the hash table in ONE scan with the pair set broadcast,
+    and the hot-bucket guard drops oversized buckets before expansion
+    (a degenerate constant hash yields zero pairs, not a quadratic
+    bucket)."""
+    from bacalhau_spark.operators.multimodal import (nd_image_phash,
+                                                     phash_candidate_pairs)
+
+    df = nd_image_phash(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    degenerate = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(7).cast("long").alias(f"b{i}") for i in range(4)])
+    assert phash_candidate_pairs(degenerate).count() == 0
+
+
 def test_boilerplate_strip_preserves_first_occurrences(spark, sf_dir):
     """Semantic invariants the oracle hash cannot express by itself:
     (a) across the corpus, every distinct chunk survives EXACTLY once

@@ -297,6 +297,47 @@ def test_selective_read_prunes_files_and_keeps_rows(spark, tmp_path):
     assert empty.columns == ["k", "v"] and empty.count() == 0
 
 
+def test_clustered_writes_restore_pruning_on_unsorted_ingest(
+        spark, tmp_path):
+    """The missing half of file skipping (round-10 verdict): on
+    realistic UNSORTED ingest every file's [min, max] spans the whole
+    key range and pruning degrades to scan-everything. cluster_by
+    range-sorts each write so its files are disjoint key ranges —
+    (a) a selective read over the clustered table opens STRICTLY fewer
+    files than over the identically-ingested unclustered one, (b) both
+    return identical rows (clustering is a pure layout optimization),
+    (c) a type-mismatched predicate reads unpruned instead of raising
+    (the stat type guard)."""
+    from bacalhau_spark.sources.versioned import pruned_file_count
+
+    # 4 epochs of INTERLEAVED keys: epoch e holds k % 4 == e, so every
+    # epoch's range spans [e, 196+e] — nothing prunes without clustering
+    plain, clustered = str(tmp_path / "p"), str(tmp_path / "c")
+    for e in range(4):
+        rows = [(k, f"v{e}") for k in range(200) if k % 4 == e]
+        mode = "append" if e else "overwrite"
+        write_version(_df(spark, rows).coalesce(1), plain, mode=mode)
+        write_version(_df(spark, rows).repartition(4), clustered,
+                      mode=mode, cluster_by=["k"])
+    pred = [("k", "<=", 20)]
+    kept_p, total_p = pruned_file_count(plain, pred)
+    kept_c, total_c = pruned_file_count(clustered, pred)
+    assert kept_p == total_p == 4, "interleaved epochs should not prune"
+    # clustered: only each epoch's lowest-range file(s) can match
+    assert kept_c / total_c < kept_p / total_p
+    assert kept_c / total_c <= 0.5, (kept_c, total_c)
+    got_p = sorted(r.k for r in read_version(spark, plain,
+                                             predicate=pred).collect())
+    got_c = sorted(r.k for r in read_version(spark, clustered,
+                                             predicate=pred).collect())
+    assert got_p == got_c == list(range(21))
+    # type-mismatched predicate: conservative unpruned read, no raise
+    kept_t, total_t = pruned_file_count(clustered, [("v", "<=", 5)])
+    assert kept_t == total_t
+    assert read_version(spark, clustered,
+                        predicate=[("k", "==", 7)]).count() == 1
+
+
 def test_selective_read_survives_pre_stats_manifests(spark, tmp_path):
     """A manifest written before stats existed (simulated by deleting the
     stats key) must read correctly under a predicate — unpruned, never
