@@ -422,58 +422,97 @@ def nd_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bpe_merge_rules(spark: SparkSession, docs: DataFrame,
-                    merges: int = BPE_MERGES) -> DataFrame:
+                    merges: int = BPE_MERGES,
+                    batch: int = 1) -> DataFrame:
     """The BPE training loop over an ARBITRARY (text) frame — also the
     property-test surface (tests/test_property.py pins the full loop —
     pair counting, sep-string argmax tie-break, left-to-right merge
     rewrite — against a pure-Python model). Stops early if the corpus
-    runs out of adjacent pairs before `merges` rounds."""
-    rules, vocab = _bpe_train(spark, docs, merges)
+    runs out of adjacent pairs before `merges` rounds.
+
+    `batch` is the driver-round-trip bound (round-10 verdict: synchronous
+    BPE is one Spark job PER MERGE — fine at demo scale, 30k jobs for a
+    real tokenizer). batch=1 (default, what the registered rows grade)
+    is exact classic BPE. batch=K>1 is standard frequency batching: each
+    round collects the top pair-count rows once and greedily selects up
+    to K pairs that are pairwise SYMBOL-DISJOINT (no symbol of one pair
+    appears in another), then applies them all in ONE vocabulary
+    rewrite. Disjointness is what makes the batch well-defined: merging
+    (a,b) only changes counts of pairs touching a or b, so the selected
+    pairs' counts — and the rewrite itself — are order-independent
+    within the round. It is an APPROXIMATION of sequential BPE (the
+    sequential 2nd argmax may overlap the 1st and outrank our disjoint
+    pick); that trade is the standard one real trainers make, and the
+    driver pays ~merges/K rounds instead of merges."""
+    rules, vocab = _bpe_train(spark, docs, merges, batch=batch)
     vocab.unpersist()
     return spark.createDataFrame(
         rules, "step int, pair string, n long").orderBy("step")
 
 
-def _bpe_train(spark: SparkSession, docs: DataFrame, merges: int):
+def _bpe_train(spark: SparkSession, docs: DataFrame, merges: int,
+               batch: int = 1):
     """The shared train loop: returns (rules, final PERSISTED vocab) —
     bpe_merge_rules keeps the rule table, nd_bpe_encode keeps the
     rewritten vocab (the encoded corpus). Caller unpersists vocab."""
     from pyspark.storagelevel import StorageLevel
 
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     vocab = (
         docs.select(F.explode(words("text")).alias("word"))
         .groupBy("word").agg(F.count("*").alias("cnt"))
         .select(F.split("word", "").alias("syms"), "cnt")
         .persist(StorageLevel.MEMORY_AND_DISK))
     rules = []
-    for step in range(1, merges + 1):
+    while len(rules) < merges:
+        k = min(batch, merges - len(rules))
         pair = F.explode(F.zip_with(
             F.slice("syms", 1, F.size("syms") - 1),
             F.slice("syms", 2, F.size("syms") - 1),
             lambda a, b: F.concat(a, F.lit(_BPE_SEP), b))).alias("pair")
+        # Over-fetch 4x: the greedy disjoint filter below skips
+        # overlapping rows, so the top k disjoint pairs usually sit in
+        # the top 4k counted rows (a short batch just means the next
+        # round re-counts — correctness never depends on the factor).
         top = (vocab.select("cnt", pair)
                .groupBy("pair").agg(F.sum("cnt").cast("long").alias("n"))
                .orderBy(F.col("n").desc(), "pair")
-               .limit(1).collect())
+               .limit(k * 4 if k > 1 else 1).collect())
         if not top:
             break
-        a, b = top[0]["pair"].split(_BPE_SEP)
-        rules.append((step, f"{a} {b}", int(top[0]["n"])))
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            a, b = r["pair"].split(_BPE_SEP)
+            if a in used or b in used:
+                continue
+            chosen.append((a, b, int(r["n"])))
+            used.update((a, b, a + b))
+            if len(chosen) >= k:
+                break
+        for a, b, n in chosen:
+            rules.append((len(rules) + 1, f"{a} {b}", n))
         # Greedy left-to-right merge as an array fold: merge the current
-        # symbol into the accumulator tail iff (tail, cur) == (a, b).
-        # A just-merged tail is a||b, which can never equal a (b is
+        # symbol into the accumulator tail iff (tail, cur) matches a
+        # chosen rule. A just-merged tail is a||b, which can never equal
+        # any chosen left symbol (the batch is symbol-disjoint and b is
         # non-empty), so a merge never chains into the next position —
-        # exactly the classic scan-and-skip. The THEN branch's slice is
-        # lazily evaluated (never on an empty acc; try_element_at keeps
-        # the condition itself ANSI-safe).
+        # exactly the classic scan-and-skip, for every rule in the batch
+        # at once. The THEN branches' slices are lazily evaluated (never
+        # on an empty acc; try_element_at keeps conditions ANSI-safe).
+        def fold_step(acc, x):
+            out = F.concat(acc, F.array(x))
+            for a, b, _n in reversed(chosen):
+                merged = F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                  F.array(F.lit(a + b)))
+                out = F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                    & (x == F.lit(b)), merged).otherwise(out)
+            return out
+
         fold = F.aggregate(
-            "syms", F.expr("CAST(array() AS array<string>)"),
-            lambda acc, x: F.when(
-                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(F.lit(a + b))))
-            .otherwise(F.concat(acc, F.array(x))))
+            "syms", F.expr("CAST(array() AS array<string>)"), fold_step)
         nxt = (vocab.withColumn("syms", fold)
                .persist(StorageLevel.MEMORY_AND_DISK))
         # Materialize nxt from the PARENT's live cache before dropping it.

@@ -150,8 +150,10 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the index build's, so there must be exactly one fold to edit).
     At corpus scale this table is the persisted index artifact (write
     once, band-join and estimate many times) — consumers go through
-    minhash_signature_index / band_candidate_index below, which model
-    exactly that build-once read-many lifecycle in-session."""
+    minhash_signature_index / band_candidate_index below, which since
+    round 11 implement exactly that lifecycle: the index is published
+    to the versioned parquet store and every consumer scans the
+    artifact."""
     return _mh_sig_frame(spread_compute(
         spark, table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id"))

@@ -373,9 +373,20 @@ def phash_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, b0..b3): the packed dHash per document — pure per-row
     codegen (md5 + integer arithmetic), the only thing that ever
     shuffles downstream. 4 x 2 bytes per image regardless of image
-    size: the index an exabyte image corpus actually exchanges."""
-    bands = _phash_band_exprs(_phash_pixel_spark)
-    return docs.select(
+    size: the index an exabyte image corpus actually exchanges.
+
+    The pixel grid is PROJECTED as one 72-element array column first
+    and the gradient bits index it — the round-4 rule (any expression
+    referenced inside several consumers must be a projected column):
+    inlining the md5 pixel expression into every bit reference made
+    Catalyst evaluate each pixel once per referencing bit across the
+    four band projections (~2x the md5 work; the same inlining class
+    that cost 50x on minhash)."""
+    px = F.array(*[F.expr(_phash_pixel_spark(g))
+                   for g in range(_PHASH_ROWS * _PHASH_GRID_W)])
+    wide = docs.select("doc_id", px.alias("px"))
+    bands = _phash_band_exprs(lambda g: f"px[{g}]")
+    return wide.select(
         "doc_id", *[F.expr(e).alias(f"b{i}") for i, e in enumerate(bands)])
 
 
@@ -406,15 +417,32 @@ def phash_candidate_pairs(hashes: DataFrame,
             .distinct())
 
 
+def phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash table as a shared PERSISTED index (the
+    minhash_signature_index lifecycle): decode+hash once per
+    source-content fingerprint, publish to the versioned store, every
+    consumer — candidate generation, verification, this session or the
+    next — scans the artifact. Also the plan fix for branch sharing:
+    the candidate explode and the verify gather both consume `hashes`,
+    and Spark never shares subplans across DataFrame branches, so the
+    un-indexed form re-decoded every thumbnail per branch."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    return _mh_session_cached(
+        spark, sf_dir, "phash",
+        lambda: phash_frame(
+            table(spark, sf_dir, "documents").select("doc_id")))
+
+
 def nd_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs: dHash thumbnails, band-bucketed candidates,
     exact-Hamming verification — (a_id, b_id, hamming), hamming <=
     PHASH_MAX_HAMMING. Scale shape: only (doc_id, 4 shorts) ever
     shuffles; candidates broadcast into a single-scan gather of the
     hash table (the nd_editdist_dedup convention), pixels never leave
-    the stage that decodes them."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    hashes = phash_frame(docs)
+    the stage that decodes them; the hash table is the shared persisted
+    index above."""
+    hashes = phash_index(spark, sf_dir)
     cand = phash_candidate_pairs(hashes)
     sides = cand.select(
         "a_id", "b_id",

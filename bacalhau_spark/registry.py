@@ -60,7 +60,8 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 #      q01_scan_projection), exactly as the round-10 boundary planned.
 _PRIORITY: tuple[str, ...] = (
     # 1. changed/new round 11 (standing rule)
-    "nd_image_phash", "nd_html_extract", "nd_stream_html_extract",
+    "nd_image_phash", "nd_stream_image_phash",
+    "nd_html_extract", "nd_stream_html_extract",
     "nd_domain_cap_keep", "nd_quality_model_labeled",
     "nd_url_canonicalize", "nd_domain_cap", "nd_domain_blocklist",
     "nd_stream_url_screen",
@@ -81,12 +82,11 @@ _PRIORITY: tuple[str, ...] = (
     "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
     "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
     "nd_percentiles", "nd_profile",
-    "q01_scan_projection",
     # -- window boundary: first 50 graded per round --------------------
-    # (24 changed/new round-11 rows + 26 r8-block re-grades = 50; the
-    # r8 remainder q02/q03 then the round-9 first-row block lead round
-    # 12, and the blocks graded in round 10 cycle to the back.)
-    "q02_project_rename", "q03_string_funcs",
+    # (25 changed/new round-11 rows + 25 r8-block re-grades = 50; the
+    # r8 remainder q01/q02/q03 then the round-9 first-row block lead
+    # round 12, and the blocks graded in round 10 cycle to the back.)
+    "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
     # round-9 first-row block (graded r9; cycles back from round 12 on)
     "nd_pca_project", "nd_ann_pca", "nd_bpe_encode",
     "nd_unicode_dedup",

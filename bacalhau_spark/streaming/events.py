@@ -575,6 +575,94 @@ FROM pages ORDER BY doc_id
 """
 
 
+def nd_stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IMAGE near-dup ingest screen — the nd_stream_band_screen
+    shape over the persisted dHash index: streamed re-uploads (the %5==4
+    slice re-ingested under new ids, the shared synthesis convention)
+    get per-row dHash bands STATELESSLY, probe the static corpus phash
+    index's cap-guarded band buckets, and every candidate is verified
+    with the exact xor+bit_count Hamming — per streamed image:
+    (doc_id, n_cands, min_hamming). min/count are associative, so the
+    complete-mode aggregate is the only streaming state; the corpus
+    side is ONE read of the persisted index artifact (built by
+    whichever session published it — the cross-session lifecycle at
+    ingest). Shares a full value-hash oracle."""
+    from bacalhau_spark.operators.multimodal import (PHASH_BUCKET_CAP,
+                                                     _phash_band_exprs,
+                                                     _phash_pixel_spark,
+                                                     phash_index)
+
+    src = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 4)
+    # bands derive from the ORIGINAL doc_id (the re-upload carries the
+    # same pixels), then the stream relabels under the ingest id space
+    px = F.array(*[F.expr(_phash_pixel_spark(g)) for g in range(72)])
+    wide = src.select(F.col("doc_id").alias("orig"), px.alias("px"))
+    bands = _phash_band_exprs(lambda g: f"px[{g}]")
+    qhash = wide.select(
+        "orig", (F.col("orig") + 1_000_000).alias("doc_id"),
+        *[F.expr(e).alias(f"q{i}") for i, e in enumerate(bands)])
+    corpus = phash_index(spark, sf_dir)
+    ce = corpus.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("bi"), F.col(f"b{i}").alias("v"))
+        for i in range(4)])).alias("s")).select(
+        F.col("doc_id").alias("nn"), "s.bi", "s.v")
+    hot = (ce.groupBy("bi", "v").agg(F.count("*").alias("n"))
+           .where(F.col("n") <= PHASH_BUCKET_CAP).select("bi", "v"))
+    ce = ce.join(hot, ["bi", "v"])
+    qe = qhash.select(
+        "doc_id", "orig", *[f"q{i}" for i in range(4)],
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("bi"), F.col(f"q{i}").alias("v"))
+            for i in range(4)])).alias("s")).select(
+        "doc_id", "orig", *[f"q{i}" for i in range(4)], "s.bi", "s.v")
+    cand = (qe.join(ce, ["bi", "v"])
+            .where(F.col("nn") != F.col("orig"))
+            .select("doc_id", "orig", "nn",
+                    *[f"q{i}" for i in range(4)]).distinct())
+    ham = sum(F.expr(f"bit_count(q{i} ^ b{i})") for i in range(4))
+    verified = (cand.join(corpus.withColumnsRenamed(
+        {"doc_id": "nn"}), "nn")
+        .select("doc_id", ham.cast("long").alias("hamming")))
+    out = (verified.groupBy("doc_id")
+           .agg(F.count("*").cast("long").alias("n_cands"),
+                F.min("hamming").cast("long").alias("min_hamming")))
+    q = _start_scoped(spark, out.writeStream.format("memory")
+                      .queryName("stream_image_phash")
+                      .outputMode("complete").trigger(availableNow=True))
+    _await_or_raise(q, 180)
+    return spark.table("stream_image_phash").orderBy("doc_id")
+
+
+def _stream_image_phash_oracle() -> str:
+    from bacalhau_spark.operators.multimodal import (PHASH_BUCKET_CAP,
+                                                     _phash_band_exprs,
+                                                     _phash_pixel_sql)
+    bands = _phash_band_exprs(_phash_pixel_sql)
+    band_cols = ", ".join(f"{e} AS b{i}" for i, e in enumerate(bands))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h" for i in range(4))
+    ham = " + ".join(f"bit_count(xor(q.b{i}, c.b{i}))" for i in range(4))
+    return f"""
+WITH h AS (SELECT doc_id, {band_cols} FROM documents),
+e AS ({unions}),
+hot AS (SELECT bi, v FROM (SELECT bi, v, COUNT(*) AS n FROM e
+        GROUP BY bi, v) t WHERE n <= {PHASH_BUCKET_CAP}),
+ce AS (SELECT e.doc_id AS nn, e.bi, e.v FROM e JOIN hot USING (bi, v)),
+qs AS (SELECT doc_id AS orig, doc_id + 1000000 AS doc_id
+       FROM documents WHERE doc_id % 5 = 4),
+qe AS (SELECT q.doc_id, q.orig, e.bi, e.v
+       FROM qs q JOIN e ON e.doc_id = q.orig),
+cand AS (SELECT DISTINCT qe.doc_id, qe.orig, ce.nn
+         FROM qe JOIN ce ON qe.bi = ce.bi AND qe.v = ce.v
+         WHERE ce.nn <> qe.orig)
+SELECT cand.doc_id, CAST(COUNT(*) AS BIGINT) AS n_cands,
+       CAST(MIN({ham}) AS BIGINT) AS min_hamming
+FROM cand JOIN h q ON q.doc_id = cand.orig
+          JOIN h c ON c.doc_id = cand.nn
+GROUP BY cand.doc_id ORDER BY cand.doc_id
+"""
+
+
 def nd_stream_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LEARNED quality filter at ingest: weights are fit once on the
     static corpus (bounded driver-side training — curation.
@@ -1051,6 +1139,10 @@ QUERIES = {
     # blocklist -> HTML extract), every stage stateless per-row
     "nd_stream_html_extract": (nd_stream_html_extract,
                                _stream_html_oracle()),
+    # image near-dup at ingest: per-row dHash bands probe the persisted
+    # phash index, exact-Hamming verify, complete-mode per-doc agg
+    "nd_stream_image_phash": (nd_stream_image_phash,
+                              _stream_image_phash_oracle()),
     "nd_stream_quality_model": (nd_stream_quality_model,
                                 _quality_model_oracle()),
     "nd_stream_topk": (nd_stream_topk, _TOPK_ORACLE),

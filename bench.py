@@ -62,6 +62,11 @@ BENCH_QUERIES = (
     # baseline 0.42-0.43 s, registry_crossover_r10.txt; crosses to
     # 0.93x/0.87x at x10/x30 — training cost is scale-invariant)
     "nd_quality_model",
+    # round-11 additions: the crawl-extraction mapper (pure regexp chain)
+    # and the image near-dup modality (dHash bands + bucketed verify) —
+    # sf0.1 DuckDB baselines in registry_crossover_r11.txt
+    "nd_html_extract",
+    "nd_image_phash",
 )
 
 # 2 warm-ups (first run pays codegen+JIT, second still sees JIT tail) and
@@ -179,17 +184,20 @@ def main() -> None:
     # 16 -> 17 in round 9 and 17 -> 18 in round 10; the r3/r7/r8/r9-set
     # subtotals keep the BENCH_r{N} total series directly comparable
     # across the boundaries.
+    r11_added = ("nd_html_extract", "nd_image_phash")
     r10_added = ("nd_quality_model",)
     r9_added = ("nd_editdist_dedup",)
     r8_added = ("nd_kmeans", "nd_substr_dedup")
-    post_r7_added = r8_added + r9_added + r10_added
+    post_r7_added = r8_added + r9_added + r10_added + r11_added
     r3_set = [n for n in BENCH_QUERIES
               if n not in ("nd_gopher_filter", "nd_bpe_pair_count")
               and n not in post_r7_added]
     r7_set = [n for n in BENCH_QUERIES if n not in post_r7_added]
     r8_set = [n for n in BENCH_QUERIES
-              if n not in r9_added + r10_added]
-    r9_set = [n for n in BENCH_QUERIES if n not in r10_added]
+              if n not in r9_added + r10_added + r11_added]
+    r9_set = [n for n in BENCH_QUERIES
+              if n not in r10_added + r11_added]
+    r10_set = [n for n in BENCH_QUERIES if n not in r11_added]
     floor_end = scheduler_floor(spark)
     print(json.dumps({
         "metric": "bench_headline_total",
@@ -215,6 +223,12 @@ def main() -> None:
         "r7_comparable_total": total(r7_set),
         "r8_comparable_total": total(r8_set),
         "r9_comparable_total": total(r9_set, cold_minhash=False),
+        # r10's series measured COLD minhash (the restored basis) but
+        # WITHOUT the round-11 index-store publish in the cold path;
+        # the publish measured at par with the old localCheckpoint
+        # materialize (experiments/index_persist_r11.txt), so the
+        # subtotal remains comparable.
+        "r10_comparable_total": total(r10_set),
         "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))

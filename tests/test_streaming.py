@@ -381,6 +381,41 @@ def test_multibatch_band_screen_equals_batch(spark, sf_dir, tmp_path,
         [tuple(r) for r in want.collect()]
 
 
+def test_multibatch_image_phash_screen_equals_batch(spark, sf_dir,
+                                                    tmp_path, monkeypatch):
+    """The streaming image near-dup screen across a REAL batch boundary:
+    per-row dHash bands + a stream-static probe of the persisted phash
+    index + complete-mode count/min — all associative, so the split
+    must be invisible: results equal the single-batch run, and every
+    re-upload finds its synthesis family (n_cands >= 1, min_hamming
+    within the family band)."""
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.registry import queries
+    from bacalhau_spark.streaming import events as ev
+
+    single = [tuple(r) for r in
+              queries()["nd_stream_image_phash"](spark, sf_dir).collect()]
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(tmp_path / "documents-0.parquet"))
+    pq.write_table(t.slice(half), str(tmp_path / "documents-1.parquet"))
+    schema = table(spark, sf_dir, "documents").schema
+
+    def paced(spark_, _sf):
+        return (spark_.readStream.schema(schema)
+                .option("pathGlobFilter", "documents-*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path)))
+
+    monkeypatch.setattr(ev, "_doc_stream", paced)
+    split = [tuple(r) for r in
+             queries()["nd_stream_image_phash"](spark, sf_dir).collect()]
+    assert split == single
+    assert split and all(r[1] >= 1 and 0 <= r[2] <= 10 for r in split)
+
+
 def test_multibatch_html_extract_equals_batch(spark, sf_dir, tmp_path,
                                               monkeypatch):
     """The composed crawl front door (canonicalize -> blocklist -> HTML
