@@ -239,6 +239,95 @@ def cmd_viz(args) -> int:
     return main_loop(specs, port=args.listen, interval=args.interval)
 
 
+def cmd_index(args) -> int:
+    """Persisted-index-store operations — the operator's lever for the
+    round-11 index lifecycle (build once, every session reads):
+
+    - `index list` prints one JSON line per published index table
+      (kind, source table, version, file count, rows of the latest
+      manifest, fingerprint age) — the store's commit-log view.
+    - `index build --sf-dir D [--kind K]` PRE-BUILDS indexes off the
+      query path (the production shape: an ingest job publishes the
+      index; every later session adopts instead of rebuilding).
+      Kinds: sig, cand, winnow, phash, pq, ivfpq, or all.
+    - `index drop [--kind K]` removes published index tables (all, or
+      one kind's) — the cache-invalidation big hammer; the next
+      consumer rebuilds and republishes.
+    """
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    from bacalhau_spark.operators import dedup
+    from bacalhau_spark.sources import versioned as _v
+
+    root = dedup.index_store_root()
+    if args.action == "list":
+        names = sorted(os.listdir(root)) if os.path.isdir(root) else []
+        for name in names:
+            m = _v.latest_manifest(os.path.join(root, name))
+            if m is None:
+                continue
+            kind, tbl, digest = (name.split("__") + ["", ""])[:3]
+            print(_json.dumps({
+                "index": kind, "table": tbl, "source_digest": digest,
+                "version": m["version"], "n_files": m["n_files"],
+                "created_unix": m["created_unix"],
+                "fingerprint_files": len(
+                    m.get("props", {}).get("fingerprint", []))}))
+        return 0
+    if args.action == "drop":
+        names = sorted(os.listdir(root)) if os.path.isdir(root) else []
+        dropped = []
+        for name in names:
+            if args.kind in ("all", name.split("__", 1)[0]):
+                _shutil.rmtree(os.path.join(root, name),
+                               ignore_errors=True)
+                dropped.append(name)
+        # no session-tier frame may outlive its dropped files: a cached
+        # DataFrame still points at the deleted parquet and would fail
+        # every later consumer in-process
+        with dedup._MH_IDX_LOCK:
+            dedup._MH_IDX_CACHE.clear()
+        print(_json.dumps({"dropped": dropped}))
+        return 0
+    # build
+    spark = _get_spark(args.cpus)
+    builders = {
+        "sig": lambda: dedup.minhash_signature_index(spark, args.sf_dir),
+        "cand": lambda: dedup.band_candidate_index(spark, args.sf_dir),
+        "winnow": lambda: dedup.winnow_posting_index(spark, args.sf_dir),
+    }
+
+    def _phash():
+        from bacalhau_spark.operators.multimodal import phash_index
+        return phash_index(spark, args.sf_dir)
+
+    def _pq():
+        from bacalhau_spark.operators.similarity import (pq_centroid_index,
+                                                         pq_code_index)
+        pq_code_index(spark, args.sf_dir)
+        return pq_centroid_index(spark, args.sf_dir)
+
+    def _ivfpq():
+        from bacalhau_spark.operators.similarity import (
+            ivfpq_centroid_index, ivfpq_code_index)
+        ivfpq_code_index(spark, args.sf_dir)
+        return ivfpq_centroid_index(spark, args.sf_dir)
+
+    builders.update(phash=_phash, pq=_pq, ivfpq=_ivfpq)
+    kinds = list(builders) if args.kind == "all" else [args.kind]
+    built = {}
+    for k in kinds:
+        if k not in builders:
+            print(f"index: unknown kind {k!r}; one of "
+                  f"{sorted(builders)} or all", flush=True)
+            return 2
+        built[k] = builders[k]().count()
+    print(_json.dumps({"built": built, "store": root}))
+    return 0
+
+
 def cmd_version(args) -> int:
     """Client/server version report (`cmd/bacalhau/version.go` analog:
     prints the client version, and the server's when a daemon URL is
@@ -348,6 +437,15 @@ def build_parser() -> argparse.ArgumentParser:
     vz.add_argument("--listen", type=int, default=31337)
     vz.add_argument("--interval", type=float, default=1.0)
     vz.set_defaults(fn=cmd_viz)
+
+    ix = sub.add_parser("index", help="persisted index store: list / "
+                                      "build / drop")
+    ix.add_argument("action", choices=("list", "build", "drop"))
+    ix.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="source fixture dir (build)")
+    ix.add_argument("--kind", default="all",
+                    help="sig|cand|winnow|phash|pq|ivfpq|all")
+    ix.set_defaults(fn=cmd_index)
 
     ver = sub.add_parser("version", help="client (and server) version")
     ver.add_argument("--url", default=None,

@@ -40,6 +40,30 @@ def stage_gopher_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_keep(docs)
 
 
+def stage_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry stage: the CRAWL FRONT DOOR as a pipeline verb — derive the
+    fixture's deterministic URLs and pages, canonicalize, drop blocked
+    domains, extract main content. Emits (doc_id, text) with text = the
+    extracted content, so the whole curation chain (pii → dedup → pack)
+    composes downstream unchanged — the end-to-end crawl-to-corpus flow
+    a training-data run starts with. Every stage is per-row codegen or
+    a literal-IN filter; zero shuffle."""
+    from bacalhau_spark.operators.web import (BLOCKED_DOMAINS, _html_expr,
+                                              _url_expr,
+                                              html_extract_frame,
+                                              url_canonicalize_frame)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    canon = url_canonicalize_frame(
+        docs.select("doc_id", "source", "text", _url_expr().alias("url")))
+    surv = (canon.where(~F.col("domain").isin(*BLOCKED_DOMAINS))
+            .select("doc_id", "source", "text",
+                    _html_expr().alias("html")))
+    return (html_extract_frame(surv)
+            .select("doc_id", F.col("content").alias("text")))
+
+
 def stage_pii_redact(spark: SparkSession, path: str) -> DataFrame:
     """Scrub emails / IPv4 / phone numbers from a parent's (doc_id, text)
     output; emits the redacted text under the same column name so stages
@@ -168,6 +192,7 @@ def stage_seq_pack_cs(spark: SparkSession, root: str) -> DataFrame:
 # output path, not an sf_dir, so the sf-driven oracle harness cannot
 # grade them (their cores are oracle-graded through the nd_* queries).
 STAGES = {
+    "stage_crawl_extract": stage_crawl_extract,
     "stage_gopher_keep": stage_gopher_keep,
     "stage_pii_redact": stage_pii_redact,
     "stage_dedup": stage_dedup,

@@ -35,6 +35,34 @@ def test_run_unknown_query():
     assert cli.main(["run", "--query", "nope"]) == 2
 
 
+def test_index_verb_build_list_drop(spark, sf_dir, capsys):
+    """The `index` verb drives the persisted store end to end: build
+    publishes versioned index tables (row counts reported), list shows
+    them with their manifest metadata, drop removes them and the next
+    list is silent for that kind. Uses the winnow kind (cheapest
+    build)."""
+    assert cli.main(["index", "build", "--sf-dir", sf_dir,
+                     "--kind", "winnow"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["built"]["winnow"] > 0
+
+    assert cli.main(["index", "list"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines() if ln]
+    assert any(r["index"] == "winnow" and r["version"] >= 1
+               and r["n_files"] >= 1 for r in rows)
+
+    assert cli.main(["index", "drop", "--kind", "winnow"]) == 0
+    dropped = json.loads(capsys.readouterr().out)
+    assert any(n.startswith("winnow__") for n in dropped["dropped"])
+    assert cli.main(["index", "list"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines() if ln]
+    assert not any(r["index"] == "winnow" for r in rows)
+
+    assert cli.main(["index", "build", "--kind", "bogus"]) == 2
+
+
 def test_run_and_write(spark, sf_dir, tmp_path, capsys):
     out = str(tmp_path / "q01_out")
     rc = cli.main(["run", "--query", "q01_scan_projection",

@@ -112,6 +112,56 @@ def _curation_stages(base: str, store: str) -> list[dict]:
     ]
 
 
+def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
+    """The crawl front door as the flagship DAG's entry stage
+    (examples/pipeline_crawl_curation.yaml): crawl-extract -> pii ->
+    dedup -> pack. Stage 1 must keep exactly the unblocked-domain
+    documents with their EXTRACTED text (boilerplate gone, body
+    preserved after whitespace collapse), and the terminal manifest
+    address must be run-invariant."""
+    from bacalhau_spark.operators.web import (BLOCKED_DOMAINS, _url_expr,
+                                              url_canonicalize_frame)
+    from bacalhau_spark.registry import engine_registry
+    from bacalhau_spark.sources import contentstore as cs
+
+    eng = Engine(spark, engine_registry())
+
+    def run(tag):
+        base = str(tmp_path / tag)
+        store = f"{base}/store"
+        stages = [
+            {"name": "crawl", "query": "stage_crawl_extract",
+             "inputs": {"sf_dir": SF_DIR},
+             "outputs": {"path": f"{base}/extracted"}},
+            {"name": "pii", "query": "stage_pii_redact",
+             "after": ["crawl"], "inputs": {"sf_dir": "@crawl"},
+             "outputs": {"path": f"{base}/pii_clean"}},
+            {"name": "dedup", "query": "stage_dedup", "after": ["pii"],
+             "inputs": {"sf_dir": "@pii"},
+             "outputs": {"path": f"{base}/deduped"}},
+            {"name": "pack", "query": "stage_seq_pack", "after": ["dedup"],
+             "inputs": {"sf_dir": "@dedup"},
+             "outputs": {"path": store, "format": "contentstore"}},
+        ]
+        statuses = eng.submit_pipeline(stages)
+        assert all(v not in ("Cancelled", "Rejected")
+                   for v in statuses.values())
+        return base, store
+
+    base, store = run("crawl1")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    canon = url_canonicalize_frame(
+        docs.select("doc_id", "source", _url_expr().alias("url")))
+    expected = canon.where(
+        ~F.col("domain").isin(*BLOCKED_DOMAINS)).count()
+    extracted = spark.read.parquet(f"{base}/extracted")
+    assert extracted.count() == expected
+    row = extracted.orderBy("doc_id").first()
+    assert "<" not in row.text and "&amp;" not in row.text
+    _, store2 = run("crawl2")
+    assert cs.last_manifest(store2)[0] == cs.last_manifest(store)[0]
+
+
 def test_curation_pipeline_end_to_end(spark, tmp_path):
     """Flagship DAG (examples/pipeline_curation.yaml): gopher -> pii ->
     dedup -> pack with '@parent' hand-offs, terminal publish through the
