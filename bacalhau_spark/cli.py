@@ -315,7 +315,11 @@ def cmd_index(args) -> int:
         ivfpq_code_index(spark, args.sf_dir)
         return ivfpq_centroid_index(spark, args.sf_dir)
 
-    builders.update(phash=_phash, pq=_pq, ivfpq=_ivfpq)
+    def _lshsig():
+        from bacalhau_spark.operators.similarity import lsh_signature_index
+        return lsh_signature_index(spark, args.sf_dir)
+
+    builders.update(phash=_phash, pq=_pq, ivfpq=_ivfpq, lshsig=_lshsig)
     kinds = list(builders) if args.kind == "all" else [args.kind]
     built = {}
     for k in kinds:
@@ -444,7 +448,7 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                     help="source fixture dir (build)")
     ix.add_argument("--kind", default="all",
-                    help="sig|cand|winnow|phash|pq|ivfpq|all")
+                    help="sig|cand|winnow|phash|lshsig|pq|ivfpq|all")
     ix.set_defaults(fn=cmd_index)
 
     ver = sub.add_parser("version", help="client (and server) version")

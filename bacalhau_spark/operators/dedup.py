@@ -1342,6 +1342,52 @@ def nd_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster_id"))
 
 
+HELDOUT_PCT = 10
+
+
+def leakage_safe_split_frame(spark: SparkSession,
+                             sf_dir: str,
+                             heldout_pct: int = HELDOUT_PCT) -> DataFrame:
+    """(doc_id, cluster_id, split) over EVERY document — the
+    leakage-safe train/heldout split: a naive per-document hash split
+    leaks near-duplicates of training documents into the eval set (the
+    classic contamination bug a dedup pipeline exists to prevent), so
+    the split key is the NEAR-DUP CLUSTER label, not the doc id —
+    whole clusters move together by construction. Unclustered documents
+    are their own singleton cluster (label = own doc_id); assignment is
+    a deterministic md5 bucket of the label, so the split is stable
+    across runs and engines. Scale shape: the cluster labels come from
+    the shared band index + min-label CC; the split itself is one
+    broadcast-sized left join (labels cover only clustered docs) plus
+    per-row codegen."""
+    labels = nd_dedup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    lbl = (docs.join(labels, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("cluster_id", F.col("doc_id"))
+                   .alias("cluster_id")))
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100)
+    return lbl.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < 100 - heldout_pct, F.lit("train"))
+        .otherwise(F.lit("heldout")).alias("split"))
+
+
+def nd_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered audit of the leakage-safe split: per split —
+    (split, n_docs, n_clusters). The hash gate covers the cluster
+    labels AND the assignment; the no-cluster-spans-splits invariant is
+    additionally asserted doc-level in tests."""
+    return (leakage_safe_split_frame(spark, sf_dir)
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.countDistinct("cluster_id").cast("long")
+                 .alias("n_clusters"))
+            .orderBy("split"))
+
+
 EDIT_MAX = 30
 # Past this many candidate pairs the exploded probe set (~3 longs/row,
 # 2 rows/pair) stops being broadcast-sized and nd_editdist_dedup falls
@@ -1469,6 +1515,27 @@ reach(id, r) AS (
 SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 ORDER BY doc_id
 """
+
+# The leakage-safe split composed over the SAME recursive-closure
+# labels: every document left-joins the cluster labels (singletons
+# label themselves), then the md5 bucket of the LABEL assigns the
+# split — identical fold to the Spark side's conv(md5) convention.
+_SPLIT_ORACLE = _CLUSTERS_ORACLE.replace(
+    "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id\n"
+    "ORDER BY doc_id", f"""
+labels AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+alld AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+s AS (SELECT cluster_id,
+      CASE WHEN CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)),
+                                       1, 15) AS BIGINT) % 100
+           < {100 - HELDOUT_PCT} THEN 'train' ELSE 'heldout' END AS split
+      FROM alld)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM s GROUP BY split ORDER BY split""").replace(
+    "reach.r FROM edges e JOIN reach ON e.dst = reach.id\n)",
+    "reach.r FROM edges e JOIN reach ON e.dst = reach.id\n),")
 
 # Survivor selection composed over the SAME recursive-closure labels:
 # the final label SELECT becomes a CTE, then the (n_words DESC, doc_id)
@@ -2556,6 +2623,7 @@ ORDER BY a_id, b_id
     "nd_containment": (nd_containment, _CONTAINMENT_ORACLE),
     "nd_weighted_jaccard": (nd_weighted_jaccard, _WEIGHTED_JACCARD_ORACLE),
     "nd_dedup_survivors": (nd_dedup_survivors, _SURVIVORS_ORACLE),
+    "nd_leakage_safe_split": (nd_leakage_safe_split, _SPLIT_ORACLE),
     "nd_editdist_dedup": (nd_editdist_dedup, f"""
 {_MH_SH_CTES},
 mh AS (SELECT doc_id, seed, min((a * x + b) % {MH_PRIME}) AS mh

@@ -152,6 +152,26 @@ def embedding_band_signatures(spark: SparkSession) -> Column:
     return col
 
 
+def lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hyperplane-LSH signature index (vec_id, band, sig) — the
+    minhash_signature_index lifecycle for the embedding plane: built
+    once per embeddings content fingerprint, published to the persisted
+    store, every consumer (the ANN probe, the bucket audit, the next
+    session) scans the artifact."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    def build():
+        emb = table(spark, sf_dir, "embeddings")
+        return (spread_compute(spark, emb.select("vec_id", "embedding"),
+                               "vec_id")
+                .select("vec_id",
+                        F.posexplode(embedding_band_signatures(spark))
+                        .alias("band", "sig")))
+
+    return _mh_session_cached(spark, sf_dir, "lshsig", build,
+                              tbl="embeddings")
+
+
 def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: top-3 per query among candidates that share at least
     one (band, signature) bucket. The candidate join is an equi join on
@@ -164,17 +184,14 @@ def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding arrays through the explode and the bucket join (the r3
     # form computed the full signature lineage twice, once per join
     # branch, with 64-double arrays riding along; profiled 3.2s for a
-    # 20k-pair candidate join at sf0.1). The checkpointed index is tiny
-    # (#vectors x #bands x 12 bytes) and feeds both branches; embeddings
-    # are fetched per candidate PAIR via broadcast joins afterwards — at
-    # corpus scale that is the classic two-phase ANN read (index probe,
-    # then gather vectors for scoring).
-    sig = (spread_compute(spark, emb.select("vec_id", "embedding"),
-                          "vec_id")
-           .select("vec_id",
-                   F.posexplode(embedding_band_signatures(spark))
-                   .alias("band", "sig"))
-           .localCheckpoint(eager=True))
+    # 20k-pair candidate join at sf0.1). The index is tiny (#vectors x
+    # #bands x 12 bytes), feeds both branches, and since round 11 lives
+    # in the PERSISTED index store like every other shared index (build
+    # once per embeddings fingerprint, probes scan the artifact across
+    # sessions); embeddings are fetched per candidate PAIR via broadcast
+    # joins afterwards — at corpus scale that is the classic two-phase
+    # ANN read (index probe, then gather vectors for scoring).
+    sig = lsh_signature_index(spark, sf_dir)
     q_sig = (sig.where(F.col("vec_id") < 20)
              .select(F.col("vec_id").alias("q_id"), "band", "sig"))
     pairs = (F.broadcast(q_sig)
@@ -208,13 +225,9 @@ def nd_ann_lsh_bucketstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver gets a hard correctness row for the LSH plumbing while recall
     itself stays threshold-tested. Operationally this is the index-skew
     report you'd run before shipping an index: a band whose buckets collapse
-    to one signature means dead hyperplanes."""
-    emb = spread_compute(
-        spark, table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding"), "vec_id")
-    sig = emb.select(
-        "vec_id",
-        F.posexplode(embedding_band_signatures(spark)).alias("band", "sig"))
+    to one signature means dead hyperplanes. Reads the shared persisted
+    signature index (one aggregate over the artifact)."""
+    sig = lsh_signature_index(spark, sf_dir)
     return (sig.groupBy("band", "sig")
             .agg(F.count("*").alias("n_vectors"))
             .orderBy("band", "sig"))

@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_stream_url_screen",
     "nd_quality_model", "nd_stream_quality_model", "nd_curation_pipeline",
     "nd_minhash_lsh", "nd_dedup_clusters", "nd_dedup_survivors",
+    "nd_leakage_safe_split",
     "nd_cc_doubling", "nd_minhash_estimate", "nd_editdist_dedup",
     "nd_winnowing",
     "nd_pq_quantize", "nd_ann_pq", "nd_ann_ivfpq",
@@ -81,11 +82,12 @@ _PRIORITY: tuple[str, ...] = (
     "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
     "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
     "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
-    "nd_percentiles", "nd_profile",
+    "nd_percentiles",
     # -- window boundary: first 50 graded per round --------------------
-    # (25 changed/new round-11 rows + 25 r8-block re-grades = 50; the
-    # r8 remainder q01/q02/q03 then the round-9 first-row block lead
-    # round 12, and the blocks graded in round 10 cycle to the back.)
+    # (26 changed/new round-11 rows + 24 r8-block re-grades = 50; the
+    # r8 remainder nd_profile/q01/q02/q03 then the round-9 first-row
+    # block lead round 12, and the round-10 blocks cycle to the back.)
+    "nd_profile",
     "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
     # round-9 first-row block (graded r9; cycles back from round 12 on)
     "nd_pca_project", "nd_ann_pca", "nd_bpe_encode",

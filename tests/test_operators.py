@@ -281,6 +281,32 @@ def test_image_phash_scale_shape(spark, sf_dir):
     assert phash_candidate_pairs(degenerate).count() == 0
 
 
+def test_leakage_safe_split_invariants(spark, sf_dir):
+    """The properties the split audit's hash gate cannot state alone:
+    (a) NO near-dup cluster spans splits — the anti-contamination
+    guarantee that is the operator's whole point (a per-doc hash split
+    provably violates it whenever a cluster has >= 2 members);
+    (b) every document is assigned exactly once; (c) the heldout
+    fraction is in a sane band around HELDOUT_PCT (cluster-granular
+    assignment is lumpy, so the band is wide)."""
+    from bacalhau_spark.operators.dedup import (leakage_safe_split_frame,
+                                                nd_dedup_clusters)
+
+    frame = leakage_safe_split_frame(spark, sf_dir)
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert frame.count() == n_docs
+    assert frame.select("doc_id").distinct().count() == n_docs
+    spans = (frame.groupBy("cluster_id")
+             .agg(F.countDistinct("split").alias("k"))
+             .where(F.col("k") > 1).count())
+    assert spans == 0, "a near-dup cluster spans train/heldout"
+    held = frame.where(F.col("split") == "heldout").count()
+    assert 0.02 <= held / n_docs <= 0.3, held / n_docs
+    # the guarantee is non-vacuous: some cluster really has >= 2 members
+    assert (nd_dedup_clusters(spark, sf_dir).groupBy("cluster_id")
+            .count().where(F.col("count") >= 2).count()) > 0
+
+
 def test_boilerplate_strip_preserves_first_occurrences(spark, sf_dir):
     """Semantic invariants the oracle hash cannot express by itself:
     (a) across the corpus, every distinct chunk survives EXACTLY once
