@@ -19,9 +19,14 @@ the exact files. That is what makes concurrent write-while-read safe
 name) and what makes time travel exact (the historical file set is
 pinned forever, not re-derived).
 
-Single-writer by design, like the contentstore: a multi-writer
-deployment needs compare-and-swap on the pointer (object-store
-conditional put); documented, not simulated.
+Single-writer by design, like the contentstore. Two mitigations exist
+for cooperating writers: the slot write itself is mode=error (two
+writers racing the same version slot — the second fails loudly), and
+`write_version(expected_version=N)` is the optimistic-concurrency
+guard for read-modify-write chains (fail before writing if the table
+advanced past the version the transaction was based on). A REMOTE
+multi-writer deployment still needs compare-and-swap on the pointer
+(object-store conditional put); documented, not simulated.
 
 At 100 TB the per-version payload is whatever `df.write` produces —
 partitioned, many files; the manifest holds relative paths so the table
@@ -64,12 +69,18 @@ def latest_version(root: str) -> int:
         return 0
 
 
+class VersionConflictError(RuntimeError):
+    """Optimistic-concurrency failure: the table advanced past the
+    version the writer based its transaction on."""
+
+
 def write_version(df: DataFrame, root: str,
                   batch_id: int | None = None,
                   mode: str = "overwrite",
                   props: dict | None = None,
                   cluster_by: list[str] | None = None,
-                  cluster_files: int = 4) -> int:
+                  cluster_files: int = 4,
+                  expected_version: int | None = None) -> int:
     """Materialize `df` and publish it as the table's next version.
 
     mode="overwrite": the new version IS `df` — a complete snapshot.
@@ -92,6 +103,19 @@ def write_version(df: DataFrame, root: str,
     and vacuum() sweeps orphans as part of retention."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    if expected_version is not None and \
+            latest_version(root) != expected_version:
+        # Optimistic concurrency (the Delta/Iceberg commit contract,
+        # reduced to one box): a writer that read version N declares
+        # expected_version=N; if another writer published meanwhile, the
+        # transaction FAILS here — before any data is written — instead
+        # of silently committing on top of state it never saw. The
+        # pre-write check makes read-modify-write chains safe between
+        # cooperating local writers; a remote object store still needs a
+        # conditional put on the pointer (documented limitation).
+        raise VersionConflictError(
+            f"{root}: expected head v{expected_version}, "
+            f"found v{latest_version(root)}")
     if cluster_by:
         # Clustered write — the missing half of the file-skipping pattern
         # (round-10 verdict #4): footer min/max stats only prune when the
