@@ -160,6 +160,35 @@ def test_html_extract_drops_boilerplate_keeps_body(spark):
     assert r.content == "H keep <this> & that"
 
 
+import pytest
+
+
+@pytest.mark.parametrize("seed,parts", [(1, 3), (7, 8), (42, 16)])
+def test_domain_cap_keep_equals_naive_window_randomized(spark, seed,
+                                                        parts):
+    """Randomized equivalence: for arbitrary (doc_id, domain)
+    distributions and partitionings, the two-stage partial-top-K plan
+    must be value-identical to the naive one-window rule — the partial
+    top-K correctness argument holds for EVERY input, not just the
+    fixture (hash-scrambled domains, skewed sizes, shuffled
+    placement)."""
+    from pyspark.sql.window import Window
+
+    n = 1500
+    canon = spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), (F.conv(F.substring(F.md5(
+            F.concat(F.lit(str(seed)), F.col("id").cast("string"))),
+            1, 15), 16, 10).cast("long") % 37).cast("string"))
+        .alias("domain")).repartition(parts)  # scramble placement
+    got = sorted(map(tuple, web.domain_cap_keep(canon)
+                     .select("domain", "doc_id").collect()))
+    naive = canon.withColumn("rn", F.row_number().over(
+        Window.partitionBy("domain").orderBy("doc_id"))) \
+        .where(F.col("rn") <= web.DOMAIN_CAP).select("domain", "doc_id")
+    assert got == sorted(map(tuple, naive.collect()))
+
+
 def test_blocklist_blocks_exactly_blocked_sources(spark, sf_dir):
     """src2 and src11 have ALL their shard-domains blocked; src5 only its
     doc_id%7==3 shard; everyone else keeps everything."""
