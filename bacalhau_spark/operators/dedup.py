@@ -300,7 +300,8 @@ def clear_session_index(spark: SparkSession,
 
 
 def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE session-shared minhash signature index: built once per
+    """THE shared minhash signature index (persisted store-backed
+    since round 11): built once per
     (session, sf_dir), reused by every LSH consumer — nd_minhash_lsh,
     nd_dedup_clusters/survivors, nd_minhash_estimate, nd_editdist_dedup.
     Before round 9 each consumer re-derived the full signature lineage
@@ -314,10 +315,11 @@ def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def band_candidate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-shared LSH candidate-pair set (default bucket cap) over
+    """Shared persisted LSH candidate-pair set (default bucket cap) over
     the cached signature index — the second tier of the shared index:
     clusters, survivors, estimate and editdist all consume the same
-    pairs, so the band join also runs once per (session, sf_dir)."""
+    pairs, so the band join also runs once per table-content
+    fingerprint and persists alongside the signatures."""
     return _mh_session_cached(
         spark, sf_dir, "cand",
         lambda: _band_candidates(minhash_signature_index(spark, sf_dir)))
@@ -387,7 +389,7 @@ def nd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs. 16 minhashes per doc (universal-hash
     family over one md5 per shingle), banded 4×4; docs sharing any full
     band signature are candidates. Returns distinct (a_id < b_id) pairs.
-    Reads through the session-shared candidate index (built on first
+    Reads through the shared persisted candidate index (built on first
     use, scanned thereafter — the persisted-index read path)."""
     return (band_candidate_index(spark, sf_dir)
             .orderBy("a_id", "b_id"))
@@ -566,7 +568,7 @@ def nd_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate fingerprints are dropped, the stop-shingle rule),
     bucket-and-expand in codegen, never an index self-join; only
     8-byte fingerprints and id pairs ever shuffle. The posting frame
-    comes from the session-shared index (build once, probe many — the
+    comes from the shared persisted index (build once, probe many — the
     minhash_signature_index lifecycle, round-10 extension)."""
     return winnow_pairs_from_postings(
         winnow_posting_index(spark, sf_dir))
@@ -917,7 +919,7 @@ def nd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality checks in codegen, never touching the shingle sets again.
 
     The signature table feeds THREE consumers (candidate generation + both
-    join sides); the session-shared index materializes it once instead of
+    join sides); the shared persisted index materializes it once instead of
     Spark re-deriving the full shingle/minhash lineage per branch — the
     in-session form of "write the signature index once, join it many
     times" (at corpus scale it would be a persisted parquet artifact)."""
@@ -1436,7 +1438,7 @@ def nd_editdist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the DP; the thresholded levenshtein caps the comparison at
     EDIT_MAX (returns -1 past it) — the oracle's plain levenshtein()
     computes the full distance, <= k is the same predicate. Candidates
-    come from the session-shared band index: cold cost is the one-time
+    come from the shared persisted band index: cold cost is the one-time
     index build, warm cost is verification alone. Round-9 forensics
     (experiments/minhash_index_reuse_r9.txt): the round-8 form's 17.1 s
     at x10 was NOT mostly signature rebuild as first read — it was a

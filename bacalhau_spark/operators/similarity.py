@@ -1129,9 +1129,10 @@ def pq_train_assign(e: DataFrame, k: int = PQ_K,
 
 
 def pq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-shared TRAINED PQ codes (vec_id, sub, cid, d) — the
+    """Shared persisted TRAINED PQ codes (vec_id, sub, cid, d) — the
     minhash_signature_index lifecycle applied to the PQ plane: codebooks
-    train once per (session, embeddings content), every consumer
+    train once per embeddings-content fingerprint (persisted store-
+    backed since round 11), every consumer
     (quantize audit, ADC retrieval) probes the materialized codes. At
     corpus scale this is the persisted code table an IVF-PQ index
     stores; the exploded training matrix lives only inside the build.
@@ -1159,7 +1160,7 @@ def pq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-shared final PQ centroids (sub, cid, dim, cq) — rebuilt
+    """Shared persisted final PQ centroids (sub, cid, dim, cq) — rebuilt
     once from the cached codes (the codebook the codes were quantized
     against: PQ_M x PQ_K x PQ_SUB rows, bounded model state)."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
@@ -1335,7 +1336,7 @@ def _ivfpq_corpus(spark: SparkSession, sf_dir: str, centroids):
 
 
 def ivfpq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-shared IVF-PQ codes (vec_id, cluster, sub, cid): coarse
+    """Shared persisted IVF-PQ codes (vec_id, cluster, sub, cid): coarse
     cell + shared residual-PQ code per subspace — the full IVF-PQ index
     payload (one int + PQ_M nibbles per vector). Trains the residual
     codebooks through the SAME pq_train_assign loop as plain PQ."""
@@ -1365,7 +1366,7 @@ def ivfpq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivfpq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-shared residual-PQ codebook (sub, cid, dim, cq)."""
+    """Shared persisted residual-PQ codebook (sub, cid, dim, cq)."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
     def build():
