@@ -102,17 +102,30 @@ def url_canonicalize_frame(urls: DataFrame,
     gclid) wherever they sit in the query string, and derive the
     registrable domain (host minus any www. prefix). Pure per-row
     codegen; composes unchanged over readStream sources."""
+    # Regex ONLY where alternation genuinely needs it (the two tracking-
+    # param passes and the one scheme-host extraction); everything else
+    # is anchored-literal work that plain string ops do identically in
+    # both engines — the round-11 ×100 sweep isolated the chain cost as
+    # regex-library throughput (DuckDB's RE2 runs these patterns ~5-10×
+    # faster per row than java.util.regex), so the 9-regex-pass form
+    # paid library overhead for fragment/port/prefix operations that
+    # never needed an automaton. Values are bit-identical to the regex
+    # form (equivalence-tested on adversarial shapes).
     u = F.col(url_col)
-    nofrag = F.regexp_replace(u, "#.*", "")
-    sh = F.lower(F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?#]*", 0))
-    sh = F.regexp_replace(sh, ":443$", "")
-    rest = F.regexp_replace(nofrag, "^[A-Za-z]+://[^/?#]*", "")
+    nofrag = F.substring_index(u, "#", 1)
+    sh0 = F.regexp_extract(nofrag, "^[A-Za-z]+://[^/?#]*", 0)
+    shl = F.lower(sh0)
+    sh = F.when(shl.endswith(":443"),
+                shl.substr(F.lit(1), F.length(shl) - 4)).otherwise(shl)
+    rest = nofrag.substr(F.length(sh0) + 1, F.length(nofrag))
     rest = F.regexp_replace(rest, _TRACK_MID, "$1")
     rest = F.regexp_replace(rest, "[?&]" + _TRACK + "=[^&#]*$", "")
-    rest = F.regexp_replace(rest, r"\?$", "")
+    rest = F.when(rest.endswith("?"),
+                  rest.substr(F.lit(1), F.length(rest) - 1)).otherwise(rest)
     canon = F.concat(sh, rest)
-    domain = F.regexp_replace(
-        F.regexp_extract(canon, "^[a-z]+://([^/?#]*)", 1), r"^www\.", "")
+    host = F.substring_index(sh, "://", -1)
+    domain = F.when(host.startswith("www."),
+                    host.substr(F.lit(5), F.length(host))).otherwise(host)
     # passthrough of the input columns so callers can carry metadata
     # (source, fetch time, ...) through the stage without a re-join
     return urls.select("*", canon.alias("canon"),
@@ -278,18 +291,24 @@ def _html_expr() -> Column:
         F.lit("</footer></body></html>"))
 
 
-# (pattern, replacement) chain — ONE statement of the extraction, folded
-# into both engines' expressions below. Literal-text entity passes carry
-# no metacharacters; the span passes are non-greedy RE2.
-_HTML_STRIP_CHAIN = (
-    # head goes wholesale (title/meta text is not body content); script/
-    # style keep their own passes because real pages put them in body too
-    ("<head>.*?</head>", " "),
-    ("<script[^>]*>.*?</script>", " "),
-    ("<style[^>]*>.*?</style>", " "),
-    ("<nav>.*?</nav>", " "),
-    ("<footer>.*?</footer>", " "),
-    ("<[^>]*>", " "),
+# ONE statement of the extraction, folded into both engines'
+# expressions below. Regex only where alternation/greediness needs it:
+# the five boilerplate spans run as ONE alternation pass (leftmost-
+# first semantics identical to the sequential five-pass form — a later
+# span that starts inside an earlier one is consumed either way; both
+# engines run the same single automaton so the gate compares like for
+# like), the tag strip is the second pass, and the entity decodes are
+# LITERAL replaces (no metacharacters — plain string replace() in both
+# engines, which the round-11 regex-throughput finding showed is the
+# cheap path java-side). Head goes wholesale (title/meta text is not
+# body content); script/style keep alternatives of their own because
+# real pages put them in body too. &amp; decodes LAST (double-decode
+# hazard; see the module comment above).
+_HTML_SPAN_PASS = ("<head>.*?</head>|<script[^>]*>.*?</script>"
+                   "|<style[^>]*>.*?</style>|<nav>.*?</nav>"
+                   "|<footer>.*?</footer>")
+_HTML_TAG_PASS = "<[^>]*>"
+_HTML_ENTITIES = (
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
     ("&nbsp;", " "),
     ("&amp;", "&"),
@@ -304,9 +323,10 @@ def html_extract_frame(pages: DataFrame,
     stripped entity-decoded whitespace-collapsed body text."""
     h = F.col(html_col)
     title = F.regexp_extract(h, "<title>(.*?)</title>", 1)
-    content = h
-    for pat, rep in _HTML_STRIP_CHAIN:
-        content = F.regexp_replace(content, pat, rep)
+    content = F.regexp_replace(h, _HTML_SPAN_PASS, " ")
+    content = F.regexp_replace(content, _HTML_TAG_PASS, " ")
+    for ent, rep in _HTML_ENTITIES:
+        content = F.replace(content, F.lit(ent), F.lit(rep))
     content = F.trim(F.regexp_replace(content, r"\s+", " "))
     return pages.select("*", title.alias("title"),
                         content.alias("content"))
@@ -327,19 +347,25 @@ def nd_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- oracles -----------------------------------------------------------------
 _CANON_SQL = f"""
 u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
-c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+c1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM u),
+c1b AS (SELECT doc_id, url, nofrag,
+  regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]*') AS sh0 FROM c1),
 c2 AS (SELECT doc_id, url,
-  regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]*')),
-                 ':443$', '') AS sh,
-  regexp_replace(nofrag, '^[A-Za-z]+://[^/?#]*', '') AS rest FROM c1),
+  CASE WHEN right(lower(sh0), 4) = ':443'
+       THEN left(lower(sh0), length(sh0) - 4)
+       ELSE lower(sh0) END AS sh,
+  substring(nofrag, length(sh0) + 1) AS rest FROM c1b),
 c3 AS (SELECT doc_id, url, sh,
-  regexp_replace(regexp_replace(regexp_replace(rest,
-    '{_TRACK_MID}', '\\1', 'g'),
-    '[?&]{_TRACK}=[^&#]*$', ''),
-    '\\?$', '') AS rest3 FROM c2),
+  CASE WHEN right(r2, 1) = '?' THEN left(r2, length(r2) - 1)
+       ELSE r2 END AS rest3
+  FROM (SELECT doc_id, url, sh,
+        regexp_replace(regexp_replace(rest,
+          '{_TRACK_MID}', '\\1', 'g'),
+          '[?&]{_TRACK}=[^&#]*$', '') AS r2 FROM c2) t),
 canon AS (SELECT doc_id, url, sh || rest3 AS canon,
-  regexp_replace(regexp_extract(sh || rest3, '^[a-z]+://([^/?#]*)', 1),
-                 '^www\\.', '') AS domain FROM c3)"""
+  CASE WHEN starts_with(split_part(sh, '://', 2), 'www.')
+       THEN substring(split_part(sh, '://', 2), 5)
+       ELSE split_part(sh, '://', 2) END AS domain FROM c3)"""
 
 _URL_CANON_ORACLE = f"""
 WITH {_CANON_SQL}
@@ -366,16 +392,15 @@ ORDER BY domain, doc_id
 """
 
 def _html_content_sql(col: str) -> str:
-    """The _HTML_STRIP_CHAIN folded into nested DuckDB calls — span
-    passes as regexp_replace(..., 'g'), literal entity passes as plain
-    replace() (global in both engines), then the whitespace collapse."""
-    expr = col
-    for pat, rep in _HTML_STRIP_CHAIN:
+    """The extraction chain folded into nested DuckDB calls — the span
+    alternation + tag strip as regexp_replace(..., 'g'), the literal
+    entity passes as plain replace() (global in both engines), then the
+    whitespace collapse."""
+    expr = f"regexp_replace({col}, '{_HTML_SPAN_PASS}', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{_HTML_TAG_PASS}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
         rep_sql = rep.replace("'", "''")
-        if pat.startswith("&"):  # literal entity, no metacharacters
-            expr = f"replace({expr}, '{pat}', '{rep_sql}')"
-        else:
-            expr = f"regexp_replace({expr}, '{pat}', '{rep_sql}', 'g')"
+        expr = f"replace({expr}, '{ent}', '{rep_sql}')"
     return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
 
 
