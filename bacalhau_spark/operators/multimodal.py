@@ -441,17 +441,27 @@ def nd_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; candidates broadcast into a single-scan gather of the
     hash table (the nd_editdist_dedup convention), pixels never leave
     the stage that decodes them; the hash table is the shared persisted
-    index above."""
+    index above. The broadcast is COUNT-GATED exactly like
+    nd_editdist_dedup's (round-11 ADVICE): a near-dup-heavy image
+    corpus whose candidate set outgrows EDIT_BROADCAST_MAX_PAIRS
+    degrades to a shuffle join instead of dying on the broadcast
+    ceiling — the bucket cap bounds per-bucket pairs, never the total."""
+    from bacalhau_spark.operators.dedup import (EDIT_BROADCAST_MAX_PAIRS,
+                                                _cand_pair_count)
+
     hashes = phash_index(spark, sf_dir)
     cand = phash_candidate_pairs(hashes)
     sides = cand.select(
         "a_id", "b_id",
         F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+    n_pairs = _cand_pair_count(spark, sf_dir, cand, kind="phash_cand")
+    probe = (F.broadcast(sides)
+             if n_pairs <= EDIT_BROADCAST_MAX_PAIRS else sides)
     ham = sum(
         F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
                f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
         for i in range(4))
-    return (hashes.join(F.broadcast(sides), "doc_id")
+    return (hashes.join(probe, "doc_id")
             .groupBy("a_id", "b_id")
             .agg(ham.cast("long").alias("hamming"))
             .where(F.col("hamming") <= PHASH_MAX_HAMMING)

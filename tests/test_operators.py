@@ -281,6 +281,29 @@ def test_image_phash_scale_shape(spark, sf_dir):
     assert phash_candidate_pairs(degenerate).count() == 0
 
 
+def test_image_phash_broadcast_gate_degrades(spark, sf_dir, monkeypatch):
+    """Round-11 ADVICE: the candidate-side broadcast is count-gated like
+    nd_editdist_dedup's — with the gate forced below the candidate
+    count, the explicit broadcast hint is withheld (AQE then owns the
+    join strategy, which is the degrade-not-die contract) and the
+    result rows are IDENTICAL to the hinted plan's."""
+    from bacalhau_spark.operators import dedup
+    from bacalhau_spark.operators.dedup import clear_session_index
+    from bacalhau_spark.operators.multimodal import nd_image_phash
+
+    rows_bcast = sorted(map(tuple,
+                            nd_image_phash(spark, sf_dir).collect()))
+    # drop the cached count so the gate decision is re-made
+    with dedup._MH_IDX_LOCK:
+        dedup._CAND_COUNT_CACHE.clear()
+    monkeypatch.setattr(dedup, "EDIT_BROADCAST_MAX_PAIRS", 0)
+    df = nd_image_phash(spark, sf_dir)
+    rows_shuffle = sorted(map(tuple, df.collect()))
+    assert rows_shuffle == rows_bcast
+    with dedup._MH_IDX_LOCK:
+        dedup._CAND_COUNT_CACHE.clear()
+
+
 def test_leakage_safe_split_invariants(spark, sf_dir):
     """The properties the split audit's hash gate cannot state alone:
     (a) NO near-dup cluster spans splits — the anti-contamination

