@@ -47,8 +47,45 @@ def test_canonical_urls_lowercase_host_keep_path_case(spark, sf_dir):
         host = r.canon.split("://")[1].split("/")[0]
         assert host == host.lower()
         assert "#" not in r.canon and "utm_" not in r.canon
-        assert ":443" not in r.canon
+        # default-port drop is scheme-aware: the scheme's OWN default
+        # port never survives; the other scheme's default is a real
+        # port and must be kept (http://host:443 stays)
+        if r.canon.startswith("https://"):
+            assert ":443" not in r.canon
+        if r.canon.startswith("http://"):
+            assert ":80" not in r.canon
         assert r.domain and not r.domain.startswith("www.")
+
+
+def test_default_port_drop_is_scheme_aware(spark):
+    """Round-11 verdict (What's wrong #1): :443 is only default under
+    https and :80 only under http — the adversarial shapes the fixture
+    synthesis now carries, pinned unit-level, plus idempotence over
+    each canonical form."""
+    cases = [
+        ("HTTPS://Host.com:443/p?id=1", "https://host.com/p?id=1"),
+        ("HTTP://Host.com:80/p?id=1", "http://host.com/p?id=1"),
+        ("HTTP://Host.com:443/p?id=1", "http://host.com:443/p?id=1"),
+        ("HTTPS://Host.com:80/p?id=1", "https://host.com:80/p?id=1"),
+        ("https://host.com:8443/p", "https://host.com:8443/p"),
+        ("http://host.com:8080/p", "http://host.com:8080/p"),
+    ]
+    urls = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "doc_id long, url string")
+    got = {r.url: r.canon
+           for r in web.url_canonicalize_frame(urls).collect()}
+    for url, want in cases:
+        assert got[url] == want, (url, got[url], want)
+    # idempotence over the canonical forms (kept non-default ports
+    # must not strip on a second pass)
+    canon = spark.createDataFrame(
+        [(i, c) for i, (_, c) in enumerate(cases)],
+        "doc_id long, url string")
+    again = {r.url: r.canon
+             for r in web.url_canonicalize_frame(canon).collect()}
+    for _, want in cases:
+        assert again[want] == want
 
 
 def test_tracking_strip_is_delimiter_anchored(spark):
@@ -187,6 +224,28 @@ def test_domain_cap_keep_equals_naive_window_randomized(spark, seed,
         Window.partitionBy("domain").orderBy("doc_id"))) \
         .where(F.col("rn") <= web.DOMAIN_CAP).select("domain", "doc_id")
     assert got == sorted(map(tuple, naive.collect()))
+
+
+def test_front_door_consumers_share_the_artifact(spark, sf_dir):
+    """Round-12 materialization (r11 verdict #1): every batch front-door
+    consumer SCANS the persisted canon/extract artifact — zero
+    documents.parquet scans and zero regex chain re-derivation in any
+    consumer's plan (the chain runs once, inside the artifact build) —
+    and repeated index calls return the same session frame."""
+    import os
+
+    from bacalhau_spark.operators.dedup import index_store_root
+
+    assert web.canon_index(spark, sf_dir) is web.canon_index(spark,
+                                                             sf_dir)
+    marker = os.path.basename(index_store_root())
+    for fn in (web.nd_url_canonicalize, web.nd_domain_cap,
+               web.nd_domain_cap_keep, web.nd_domain_blocklist,
+               web.nd_html_extract):
+        plan = _plan(fn(spark, sf_dir))
+        assert marker in plan, fn.__name__
+        assert "documents.parquet" not in plan, fn.__name__
+        assert "regexp_replace" not in plan, fn.__name__
 
 
 def test_blocklist_blocks_exactly_blocked_sources(spark, sf_dir):
