@@ -249,7 +249,9 @@ def cmd_index(args) -> int:
     - `index build --sf-dir D [--kind K]` PRE-BUILDS indexes off the
       query path (the production shape: an ingest job publishes the
       index; every later session adopts instead of rebuilding).
-      Kinds: sig, cand, winnow, phash, pq, ivfpq, or all.
+      Kinds: sig, cand, winnow, phash, pq, ivfpq, lshsig, canon,
+      extract, or all (canon/extract are the materialized crawl
+      front door — round 12).
     - `index drop [--kind K]` removes published index tables (all, or
       one kind's) — the cache-invalidation big hammer; the next
       consumer rebuilds and republishes.
@@ -319,7 +321,16 @@ def cmd_index(args) -> int:
         from bacalhau_spark.operators.similarity import lsh_signature_index
         return lsh_signature_index(spark, args.sf_dir)
 
-    builders.update(phash=_phash, pq=_pq, ivfpq=_ivfpq, lshsig=_lshsig)
+    def _canon():
+        from bacalhau_spark.operators.web import canon_index
+        return canon_index(spark, args.sf_dir)
+
+    def _extract():
+        from bacalhau_spark.operators.web import html_extract_index
+        return html_extract_index(spark, args.sf_dir)
+
+    builders.update(phash=_phash, pq=_pq, ivfpq=_ivfpq, lshsig=_lshsig,
+                    canon=_canon, extract=_extract)
     kinds = list(builders) if args.kind == "all" else [args.kind]
     built = {}
     for k in kinds:
