@@ -1475,6 +1475,39 @@ def leakage_safe_split_frame(spark: SparkSession,
         .otherwise(F.lit("heldout")).alias("split"))
 
 
+def leakage_safe_split_labels(docs: DataFrame,
+                              heldout_pct: int = HELDOUT_PCT) -> DataFrame:
+    """(doc_id, cluster_id, split) for an ARBITRARY (doc_id, text)
+    frame — the frame-level form of leakage_safe_split_frame for
+    pipeline stages whose corpus is a PARENT STAGE'S output, not a
+    fixture table (round-11 verdict #6: the split is the terminal verb
+    of every real training-data DAG and must compose via '@parent'
+    hand-offs): minhash signatures → banded candidates → doubling-CC
+    cluster labels → whole-cluster md5-bucket assignment, the identical
+    rule the registered audit states. Scale shape: the candidate set is
+    capped bucket-and-expand, CC is O(log diameter) bounded joins, the
+    assignment is per-row codegen."""
+    sig = _mh_sig_frame(docs)
+    cand = _band_candidates(sig)
+    edges = (cand.select(F.explode(F.array(
+        F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+        F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+    )).alias("e")).select("e.src", "e.dst"))
+    labels = cc_labels_doubling(edges).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    lbl = (docs.select("doc_id").join(labels, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("cluster_id", F.col("doc_id"))
+                   .alias("cluster_id")))
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100)
+    return lbl.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < 100 - heldout_pct, F.lit("train"))
+        .otherwise(F.lit("heldout")).alias("split"))
+
+
 def nd_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered audit of the leakage-safe split: per split —
     (split, n_docs, n_clusters). The hash gate covers the cluster

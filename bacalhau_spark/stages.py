@@ -64,6 +64,45 @@ def stage_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("content").alias("text")))
 
 
+def stage_split(spark: SparkSession, path: str) -> DataFrame:
+    """Leakage-safe train/heldout SPLIT as a DAG stage (the terminal
+    verb of a training-data pipeline — round-11 verdict #6): near-dup
+    cluster labels over the PARENT'S corpus (whatever the dedup stage
+    published, not a fixture), whole clusters assigned to one side by a
+    deterministic md5 bucket of the label
+    (dedup.leakage_safe_split_labels — the same rule the registered
+    nd_leakage_safe_split audit hash-gates). Emits
+    (doc_id, text, cluster_id, split); the per-split terminal publishes
+    below filter it, so the split computes ONCE however many sides
+    consume it."""
+    from bacalhau_spark.operators.dedup import leakage_safe_split_labels
+
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    return (docs.join(leakage_safe_split_labels(docs), "doc_id")
+            .select("doc_id", "text", "cluster_id", "split"))
+
+
+def _stage_split_half(spark: SparkSession, path: str,
+                      which: str) -> DataFrame:
+    docs = (spark.read.parquet(path)
+            .where(F.col("split") == which).select("doc_id", "text"))
+    return _publish_doc_rows(docs)
+
+
+def stage_split_train(spark: SparkSession, path: str) -> DataFrame:
+    """Terminal publish of the TRAIN side of a stage_split parent —
+    canonical JSONL through the contentstore writer, so the training
+    corpus's manifest address is run-invariant."""
+    return _stage_split_half(spark, path, "train")
+
+
+def stage_split_heldout(spark: SparkSession, path: str) -> DataFrame:
+    """Terminal publish of the HELDOUT side (the eval corpus no
+    training near-duplicate can leak into, by the split's cluster-
+    granular construction)."""
+    return _stage_split_half(spark, path, "heldout")
+
+
 def stage_pii_redact(spark: SparkSession, path: str) -> DataFrame:
     """Scrub emails / IPv4 / phone numbers from a parent's (doc_id, text)
     output; emits the redacted text under the same column name so stages
@@ -196,6 +235,9 @@ STAGES = {
     "stage_gopher_keep": stage_gopher_keep,
     "stage_pii_redact": stage_pii_redact,
     "stage_dedup": stage_dedup,
+    "stage_split": stage_split,
+    "stage_split_train": stage_split_train,
+    "stage_split_heldout": stage_split_heldout,
     "stage_seq_pack": stage_seq_pack,
     "stage_gopher_keep_cs": stage_gopher_keep_cs,
     "stage_pii_redact_cs": stage_pii_redact_cs,

@@ -115,10 +115,13 @@ def _curation_stages(base: str, store: str) -> list[dict]:
 def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
     """The crawl front door as the flagship DAG's entry stage
     (examples/pipeline_crawl_curation.yaml): crawl-extract -> pii ->
-    dedup -> pack. Stage 1 must keep exactly the unblocked-domain
-    documents with their EXTRACTED text (boilerplate gone, body
-    preserved after whitespace collapse), and the terminal manifest
-    address must be run-invariant."""
+    dedup -> pack, plus the round-12 terminal SPLIT branch
+    (-> split -> train/heldout contentstore publishes). Stage 1 must
+    keep exactly the unblocked-domain documents with their EXTRACTED
+    text (boilerplate gone, body preserved after whitespace collapse);
+    the split must partition the deduped corpus with ZERO near-dup
+    clusters spanning splits; every terminal manifest address must be
+    run-invariant."""
     from bacalhau_spark.operators.web import (BLOCKED_DOMAINS, _url_expr,
                                               url_canonicalize_frame)
     from bacalhau_spark.registry import engine_registry
@@ -142,6 +145,17 @@ def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
             {"name": "pack", "query": "stage_seq_pack", "after": ["dedup"],
              "inputs": {"sf_dir": "@dedup"},
              "outputs": {"path": store, "format": "contentstore"}},
+            {"name": "split", "query": "stage_split", "after": ["dedup"],
+             "inputs": {"sf_dir": "@dedup"},
+             "outputs": {"path": f"{base}/split"}},
+            {"name": "train", "query": "stage_split_train",
+             "after": ["split"], "inputs": {"sf_dir": "@split"},
+             "outputs": {"path": f"{base}/train_store",
+                         "format": "contentstore"}},
+            {"name": "heldout", "query": "stage_split_heldout",
+             "after": ["split"], "inputs": {"sf_dir": "@split"},
+             "outputs": {"path": f"{base}/heldout_store",
+                         "format": "contentstore"}},
         ]
         statuses = eng.submit_pipeline(stages)
         assert all(v not in ("Cancelled", "Rejected")
@@ -158,8 +172,33 @@ def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
     assert extracted.count() == expected
     row = extracted.orderBy("doc_id").first()
     assert "<" not in row.text and "&amp;" not in row.text
+    # the split stage partitions the deduped corpus, whole clusters
+    # moving together (the anti-contamination invariant), and the two
+    # terminal publishes carry exactly the two sides
+    deduped_n = spark.read.parquet(f"{base}/deduped").count()
+    split = spark.read.parquet(f"{base}/split")
+    assert split.count() == deduped_n
+    spans = (split.groupBy("cluster_id")
+             .agg(F.countDistinct("split").alias("k"))
+             .where(F.col("k") > 1).count())
+    assert spans == 0, "a near-dup cluster spans train/heldout"
+    by_split = {r["split"]: r["n"] for r in
+                split.groupBy("split").agg(F.count("*").alias("n"))
+                .collect()}
+    for side, store_name in (("train", "train_store"),
+                             ("heldout", "heldout_store")):
+        _, entries = cs.last_manifest(f"{base}/{store_name}")
+        n_rows = sum(
+            len(open(f"{base}/{store_name}/{a}").read().splitlines())
+            for a, _ in entries)
+        assert n_rows == by_split.get(side, 0), side
     _, store2 = run("crawl2")
     assert cs.last_manifest(store2)[0] == cs.last_manifest(store)[0]
+    # run-invariant terminal manifests for BOTH split sides
+    for store_name in ("train_store", "heldout_store"):
+        assert cs.last_manifest(f"{store2.rsplit('/', 1)[0]}/"
+                                f"{store_name}")[0] == \
+            cs.last_manifest(f"{base}/{store_name}")[0]
 
 
 def test_curation_pipeline_end_to_end(spark, tmp_path):
