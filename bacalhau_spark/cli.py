@@ -249,9 +249,10 @@ def cmd_index(args) -> int:
     - `index build --sf-dir D [--kind K]` PRE-BUILDS indexes off the
       query path (the production shape: an ingest job publishes the
       index; every later session adopts instead of rebuilding).
-      Kinds: sig, cand, winnow, phash, pq, ivfpq, lshsig, canon,
-      extract, or all (canon/extract are the materialized crawl
-      front door — round 12).
+      Kinds: sig, cand, winnow, phash, aphash, vphash, pq, ivfpq,
+      lshsig, canon, extract, or all (canon/extract are the
+      materialized crawl front door; aphash/vphash the audio and
+      video near-dup signatures — round 12).
     - `index drop [--kind K]` removes published index tables (all, or
       one kind's) — the cache-invalidation big hammer; the next
       consumer rebuilds and republishes.
@@ -305,6 +306,14 @@ def cmd_index(args) -> int:
         from bacalhau_spark.operators.multimodal import phash_index
         return phash_index(spark, args.sf_dir)
 
+    def _aphash():
+        from bacalhau_spark.operators.multimodal import audio_phash_index
+        return audio_phash_index(spark, args.sf_dir)
+
+    def _vphash():
+        from bacalhau_spark.operators.multimodal import video_phash_index
+        return video_phash_index(spark, args.sf_dir)
+
     def _pq():
         from bacalhau_spark.operators.similarity import (pq_centroid_index,
                                                          pq_code_index)
@@ -329,7 +338,8 @@ def cmd_index(args) -> int:
         from bacalhau_spark.operators.web import html_extract_index
         return html_extract_index(spark, args.sf_dir)
 
-    builders.update(phash=_phash, pq=_pq, ivfpq=_ivfpq, lshsig=_lshsig,
+    builders.update(phash=_phash, aphash=_aphash, vphash=_vphash,
+                    pq=_pq, ivfpq=_ivfpq, lshsig=_lshsig,
                     canon=_canon, extract=_extract)
     kinds = list(builders) if args.kind == "all" else [args.kind]
     built = {}
@@ -459,7 +469,8 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                     help="source fixture dir (build)")
     ix.add_argument("--kind", default="all",
-                    help="sig|cand|winnow|phash|lshsig|pq|ivfpq|all")
+                    help="sig|cand|winnow|phash|aphash|vphash|lshsig|"
+                         "pq|ivfpq|canon|extract|all")
     ix.set_defaults(fn=cmd_index)
 
     ver = sub.add_parser("version", help="client (and server) version")

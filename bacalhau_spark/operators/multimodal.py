@@ -391,16 +391,20 @@ def phash_frame(docs: DataFrame) -> DataFrame:
 
 
 def phash_candidate_pairs(hashes: DataFrame,
-                          bucket_cap: int = PHASH_BUCKET_CAP) -> DataFrame:
+                          bucket_cap: int = PHASH_BUCKET_CAP,
+                          n_bands: int = 4) -> DataFrame:
     """Distinct (a_id < b_id) pairs sharing at least one band value —
     the _band_candidates shape over Hamming bands: explode to
     (doc_id, band_idx, value), window-count hot-bucket guard, then
-    bucket-and-expand in codegen (never a pair self-join)."""
+    bucket-and-expand in codegen (never a pair self-join). ``n_bands``
+    is 4 for the single-hash modalities (image/audio) and
+    frames x 4 for video, where the band index encodes the frame
+    position so only time-aligned band matches become candidates."""
     from pyspark.sql.window import Window
 
     e = hashes.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("bi"), F.col(f"b{i}").alias("v"))
-        for i in range(4)])).alias("s")).select(
+        for i in range(n_bands)])).alias("s")).select(
         "doc_id", "s.bi", "s.v")
     n = F.count("*").over(Window.partitionBy("bi", "v"))
     e = e.withColumn("n", n).where(F.col("n") <= bucket_cap).drop("n")
@@ -657,6 +661,185 @@ ORDER BY p.a_id, p.b_id
 """
 
 
+# --- video near-dup: frame-sampled dHash + time-aligned Hamming banding ------
+# The last missing modality of the near-dup plane (image r11, audio r12):
+# a video is screened as VPHASH_NFRAMES sampled frames (the
+# nd_multimodal_frames 1-to-N shape), each frame dHashed exactly like a
+# still image, and the per-frame band integers concatenated into ONE
+# 16-band signature whose band index encodes the frame position — so the
+# band join only candidates videos whose hashes agree at the SAME
+# timestamp (the time-aligned assumption that holds for re-encodes /
+# resolution ladders / watermark overlays, the dominant video-dup classes;
+# a trim/shift detector would slide the frame axis, out of scope as in
+# production first-pass screens). Verification is the exact total Hamming
+# over all 256 bits. Reference capability citation: the video workloads
+# examples/video_processing/ (the reference transcodes videos in
+# containers; a curation pipeline needs the near-dup screen over them).
+#
+# No video bytes in the fixture, so frames synthesize from doc_id with
+# the controlled family structure (the phash convention): base video =
+# doc_id div VPHASH_FAMILY, pixel g of frame f = md5(base:f:g) in
+# [0,256); variants perturb ~8 of the 288 cells (+40) spread across
+# frames — re-encode noise. A real decoder plugs in by replacing the
+# pixel synthesis with frame-sampled decoder output (the
+# nd_multimodal_frames mapInPandas plumbing); everything downstream —
+# bits, bands, buckets, verify — is unchanged. Fixture separation
+# (sf0.001 sweep, round 12): same-family pairs measure hamming 0-11/256,
+# cross-family >= 97; every same-family pair shares >= 1 of the 16
+# buckets (recall 1.0 before the cap), only 62/123k cross pairs
+# false-candidate. VPHASH_MAX_HAMMING = 24 sits in the dead center of
+# that margin.
+VPHASH_FAMILY = 7
+VPHASH_NFRAMES = 4
+VPHASH_NBANDS = VPHASH_NFRAMES * 4
+VPHASH_CELLS = VPHASH_NFRAMES * _PHASH_ROWS * _PHASH_GRID_W  # 288
+VPHASH_PERT_MOD = 37
+VPHASH_PERT_BUMP = 40
+VPHASH_BUCKET_CAP = 50
+VPHASH_MAX_HAMMING = 24
+
+
+def _vphash_cell_layout(c: int) -> tuple[int, int] | None:
+    """(band, pos) of the gradient bit that STARTS at flat cell c, or
+    None when c is a row-final cell (no right neighbor). One function
+    defines the bit layout; the Spark emitter consumes it directly and
+    the oracle's arithmetic form is asserted equal to it cell-by-cell
+    in tests/test_operators.py."""
+    f, g = divmod(c, _PHASH_ROWS * _PHASH_GRID_W)
+    r, col = divmod(g, _PHASH_GRID_W)
+    if col == _PHASH_GRID_W - 1:
+        return None
+    j = r * (_PHASH_GRID_W - 1) + col  # within-frame bit index, 0..63
+    return f * 4 + j // 16, j % 16
+
+
+def video_phash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b15): the packed per-frame dHash signature per video
+    — pure per-row codegen. The pixel stack, the gradient-bit vector and
+    the band packs are HOF expressions over ``sequence`` (one lambda
+    each), NOT 288 inlined literal trees: the literal form blew janino's
+    method limit and silently fell back to interpreted evaluation (the
+    round-12 measurement: 46 s -> ~1 s at sf0.001). Each stage is
+    projected before the next references it (the round-4 inlining rule).
+    32 bytes/video is all that ever shuffles, regardless of resolution
+    or duration."""
+    px = F.expr(
+        f"transform(sequence(0, {VPHASH_CELLS - 1}), c -> "
+        f"CAST(conv(substring(md5(CAST(doc_id div {VPHASH_FAMILY} AS "
+        "STRING) || ':' || CAST(c div 72 AS STRING) || ':' || "
+        "CAST(c % 72 AS STRING)), 1, 15), 16, 10) AS BIGINT) % 256 "
+        f"+ (CASE WHEN doc_id % {VPHASH_FAMILY} > 0 AND "
+        f"(c * {VPHASH_FAMILY} + doc_id % {VPHASH_FAMILY}) "
+        f"% {VPHASH_PERT_MOD} = 0 THEN {VPHASH_PERT_BUMP} ELSE 0 END))")
+    wide = docs.select("doc_id", px.alias("px"))
+    # bit j (0..255) -> cell c = f*72 + r*9 + col, the arithmetic form
+    # of _vphash_cell_layout (pinned equal in tests/test_operators.py)
+    cell = ("((j div 64) * 72 + ((j % 64) div 8) * 9 + (j % 64) % 8)"
+            .replace("j", "jj"))
+    bits = F.expr(
+        f"transform(sequence(0, {VPHASH_NFRAMES * 64 - 1}), jj -> "
+        f"CASE WHEN px[{cell}] > px[{cell} + 1] THEN 1 ELSE 0 END)")
+    wb = wide.select("doc_id", bits.alias("bits"))
+    packs = [F.expr(
+        f"aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + CAST(bits[{16 * k} + i] AS BIGINT) * "
+        "shiftleft(CAST(1 AS BIGINT), i))").alias(f"b{k}")
+        for k in range(VPHASH_NBANDS)]
+    return wb.select("doc_id", *packs)
+
+
+def video_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video signature table as a shared PERSISTED index (the
+    phash_index lifecycle): decode+hash once per source content,
+    publish, every consumer scans the artifact."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    return _mh_session_cached(
+        spark, sf_dir, "vphash",
+        lambda: video_phash_frame(
+            table(spark, sf_dir, "documents").select("doc_id")))
+
+
+def nd_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs: frame-sampled dHash signatures, time-aligned
+    band-bucketed candidates, exact-Hamming verification — (a_id, b_id,
+    hamming), hamming <= VPHASH_MAX_HAMMING over 256 bits. Same scale
+    shape as the image/audio screens: candidates are capped
+    bucket-and-expand (never all-pairs), verification gathers the
+    signature table in one scan with the pair probe COUNT-GATED before
+    broadcast, decoded frames never leave the stage that hashes them."""
+    from bacalhau_spark.operators.dedup import (EDIT_BROADCAST_MAX_PAIRS,
+                                                _cand_pair_count)
+
+    hashes = video_phash_index(spark, sf_dir)
+    cand = phash_candidate_pairs(hashes, bucket_cap=VPHASH_BUCKET_CAP,
+                                 n_bands=VPHASH_NBANDS)
+    sides = cand.select(
+        "a_id", "b_id",
+        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+    n_pairs = _cand_pair_count(spark, sf_dir, cand, kind="vphash_cand")
+    probe = (F.broadcast(sides)
+             if n_pairs <= EDIT_BROADCAST_MAX_PAIRS else sides)
+    ham = sum(
+        F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
+               f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
+        for i in range(VPHASH_NBANDS))
+    return (hashes.join(probe, "doc_id")
+            .groupBy("a_id", "b_id")
+            .agg(ham.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= VPHASH_MAX_HAMMING)
+            .orderBy("a_id", "b_id"))
+
+
+def _video_phash_oracle() -> str:
+    """The whole pipeline re-stated in DuckDB. The pixel stack unnests
+    over the 288 flat cells (one column-parameterized pixel expression,
+    not 576 inlined ones) and the (band, pos) layout is the arithmetic
+    form of _vphash_cell_layout — the layout-equality test pins the two
+    forms to each other. bit_count casts per-term: DuckDB's bit_count
+    returns a 1-byte integer and a 16-term sum overflows it."""
+    nb = VPHASH_NBANDS
+    amp = (f"CAST('0x' || substring(md5(CAST(doc_id // {VPHASH_FAMILY} "
+           "AS VARCHAR) || ':' || CAST(c // 72 AS VARCHAR) || ':' || "
+           "CAST(c % 72 AS VARCHAR)), 1, 15) AS BIGINT) % 256 + "
+           f"(CASE WHEN doc_id % {VPHASH_FAMILY} > 0 AND "
+           f"(c * {VPHASH_FAMILY} + doc_id % {VPHASH_FAMILY}) "
+           f"% {VPHASH_PERT_MOD} = 0 THEN {VPHASH_PERT_BUMP} ELSE 0 END)")
+    packs = ", ".join(
+        f"CAST(SUM(CASE WHEN band = {k} THEN bit * (1 << pos) ELSE 0 END)"
+        f" AS BIGINT) AS b{k}" for k in range(nb))
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h" for i in range(nb))
+    ham = " + ".join(
+        f"CAST(bit_count(xor(ha.b{i}, hb.b{i})) AS BIGINT)"
+        for i in range(nb))
+    return f"""
+WITH cells AS (SELECT unnest(range({VPHASH_CELLS})) AS c),
+px AS (SELECT doc_id, c, {amp} AS p FROM documents CROSS JOIN cells),
+bits AS (
+  SELECT x.doc_id,
+         ((x.c // 72) * 4 +
+          (((x.c % 72) // 9) * 8 + (x.c % 72) % 9) // 16) AS band,
+         ((((x.c % 72) // 9) * 8 + (x.c % 72) % 9) % 16) AS pos,
+         CASE WHEN x.p > y.p THEN 1 ELSE 0 END AS bit
+  FROM px x JOIN px y ON x.doc_id = y.doc_id AND y.c = x.c + 1
+  WHERE (x.c % 72) % 9 != 8),
+h AS (SELECT doc_id, {packs} FROM bits GROUP BY doc_id),
+ex AS ({unions}),
+f AS (SELECT doc_id, bi, v FROM
+      (SELECT doc_id, bi, v, COUNT(*) OVER (PARTITION BY bi, v) AS n
+       FROM ex) t WHERE n <= {VPHASH_BUCKET_CAP}),
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM f a JOIN f b ON a.bi = b.bi AND a.v = b.v
+          WHERE a.doc_id < b.doc_id)
+SELECT p.a_id, p.b_id, CAST({ham} AS BIGINT) AS hamming
+FROM pairs p JOIN h ha ON ha.doc_id = p.a_id
+             JOIN h hb ON hb.doc_id = p.b_id
+WHERE {ham} <= {VPHASH_MAX_HAMMING}
+ORDER BY p.a_id, p.b_id
+"""
+
+
 _HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16"
             " + (strpos('0123456789abcdef', substring(md5(text), {b}, 1)) - 1)")
 
@@ -664,6 +847,7 @@ QUERIES = {
     "nd_multimodal_audio": (nd_multimodal_audio, _AUDIO_ORACLE),
     "nd_image_phash": (nd_image_phash, _image_phash_oracle()),
     "nd_audio_phash": (nd_audio_phash, _audio_phash_oracle()),
+    "nd_video_phash": (nd_video_phash, _video_phash_oracle()),
     "nd_multimodal_features": (
         nd_multimodal_features,
         "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes, "

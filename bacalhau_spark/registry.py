@@ -36,60 +36,44 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-11 window — the r1–r10 union is debt-free (203 triple-green +
+# Round-12 window — the r1–r11 union is debt-free (210 triple-green +
 # 9 no-oracle by design, 0 FAILs). Standing changed-code rule fronts
-# the window, then the rotation continues as the round-10 note planned:
-#   1. changed/new round 11: the image near-dup modality (NEW
-#      nd_image_phash — dHash + Hamming banding), the crawl front door
-#      (NEW nd_html_extract + nd_stream_html_extract; the tracking-
-#      param strip re-anchored, so every _CANON_SQL consumer re-grades:
-#      nd_url_canonicalize / nd_domain_cap (now windowless audit) /
-#      nd_domain_blocklist / nd_stream_url_screen; NEW
-#      nd_domain_cap_keep — the filtering form with the coded partial
-#      top-K), the external-label quality path (NEW
-#      nd_quality_model_labeled; fit_quality_weights changed, so the
-#      teacher-path rows re-grade: nd_quality_model /
-#      nd_stream_quality_model / nd_curation_pipeline), the PERSISTED
-#      index store (every _mh_session_cached consumer re-grades:
-#      nd_minhash_lsh, nd_dedup_clusters, nd_dedup_survivors,
-#      nd_cc_doubling, nd_minhash_estimate, nd_editdist_dedup,
-#      nd_winnowing, nd_pq_quantize, nd_ann_pq, nd_ann_ivfpq), and the
-#      versioned plane (write_version gained props + cluster_by:
-#      nd_versioned_timetravel / nd_versioned_pruned_read).
-#   2. the rest of the round-8 block (nd_zipf_octaves ..
-#      q01_scan_projection), exactly as the round-10 boundary planned.
+# the window, then the rotation continues as the round-11 note planned:
+#   1. changed/new round 12: the audio and video near-dup modalities
+#      (NEW nd_audio_phash — envelope dHash; NEW nd_video_phash —
+#      frame-sampled dHash with time-aligned banding), the image screen
+#      (count-gated broadcast + phash_candidate_pairs gained n_bands,
+#      so nd_image_phash / nd_stream_image_phash re-grade), the crawl
+#      front door (scheme-aware default-port drop changed _CANON_SQL +
+#      the materialized canon/extract artifacts changed every batch
+#      consumer: nd_url_canonicalize / nd_domain_cap /
+#      nd_domain_cap_keep / nd_domain_blocklist / nd_html_extract; the
+#      streaming twins share the changed canon expression:
+#      nd_stream_url_screen / nd_stream_html_extract), and the
+#      content-addressed index store rework + the split's frame-level
+#      refactor (every _mh_session_cached consumer re-grades:
+#      nd_leakage_safe_split, nd_minhash_lsh, nd_dedup_clusters,
+#      nd_dedup_survivors, nd_cc_doubling, nd_minhash_estimate,
+#      nd_editdist_dedup, nd_winnowing, nd_pq_quantize, nd_ann_pq,
+#      nd_ann_ivfpq, nd_ann_lsh, nd_ann_lsh_bucketstats).
+#   2. the r8 remainder (nd_profile, q01–q03) then the round-9
+#      first-row block, exactly as the round-11 boundary planned.
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed/new round 11 (standing rule)
+    # 1. changed/new round 12 (standing rule)
+    "nd_video_phash", "nd_audio_phash",
     "nd_image_phash", "nd_stream_image_phash",
-    "nd_html_extract", "nd_stream_html_extract",
-    "nd_domain_cap_keep", "nd_quality_model_labeled",
-    "nd_url_canonicalize", "nd_domain_cap", "nd_domain_blocklist",
-    "nd_stream_url_screen",
-    "nd_quality_model", "nd_stream_quality_model", "nd_curation_pipeline",
-    "nd_minhash_lsh", "nd_dedup_clusters", "nd_dedup_survivors",
+    "nd_url_canonicalize", "nd_domain_cap", "nd_domain_cap_keep",
+    "nd_domain_blocklist", "nd_html_extract",
+    "nd_stream_url_screen", "nd_stream_html_extract",
     "nd_leakage_safe_split",
+    "nd_minhash_lsh", "nd_dedup_clusters", "nd_dedup_survivors",
     "nd_cc_doubling", "nd_minhash_estimate", "nd_editdist_dedup",
     "nd_winnowing",
     "nd_pq_quantize", "nd_ann_pq", "nd_ann_ivfpq",
-    "nd_versioned_timetravel", "nd_versioned_pruned_read",
-    # 2. the rest of the round-8 block (r10 boundary plan)
-    "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
-    "nd_embedding_covariance_fast",
-    "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
-    "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
-    "nd_retention_cohorts", "nd_stream_ewma",
-    "nd_hll_distinct", "nd_stream_hll_users",
-    "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
-    "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
-    "nd_ann_lsh", "nd_ann_lsh_bucketstats", "nd_multimodal_resize",
-    "nd_percentiles",
-    # -- window boundary: first 50 graded per round --------------------
-    # (26 changed/new round-11 rows + 24 r8-block re-grades = 50; the
-    # r8 remainder nd_profile/q01/q02/q03 then the round-9 first-row
-    # block lead round 12, and the round-10 blocks cycle to the back.)
+    "nd_ann_lsh", "nd_ann_lsh_bucketstats",
+    # 2. the r8 remainder, then the round-9 first-row block (r11 plan)
     "nd_profile",
     "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
-    # round-9 first-row block (graded r9; cycles back from round 12 on)
     "nd_pca_project", "nd_ann_pca", "nd_bpe_encode",
     "nd_unicode_dedup",
     "nd_stream_band_screen",
@@ -99,7 +83,12 @@ _PRIORITY: tuple[str, ...] = (
     "q10_regex_filter", "q11_tokenize_count", "tpch_q16_supplier_cnt",
     "nd_gopher_filter", "nd_incremental_dedup",
     "nd_dedup_exact", "q29_exact_dedup", "nd_fingerprint",
-    "nd_ann_topk", "q30_nn", "nd_cosine_neardup",
+    "nd_ann_topk", "q30_nn",
+    # -- window boundary: first 50 graded per round --------------------
+    # (24 changed/new round-12 rows + 26 planned re-grades = 50; the
+    # r9 remainder nd_cosine_neardup .. q17b_having leads round 13,
+    # then the r10 blocks; the r11-graded blocks cycle to the back.)
+    "nd_cosine_neardup",
     "nd_stream_dedup",
     "nd_stream_sessions", "nd_stream_stateful", "nd_approx_percentiles",
     "nd_centroids", "nd_filtered_agg",
@@ -108,7 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_vector_norm", "nd_xml_roundtrip", "q06_conditional",
     "q07_array_funcs", "q14b_left_join_agg",
     "q17b_having",
-    # blocks graded round 10 cycle to the back of the rotation
+    # blocks graded round 10 continue the rotation
     "q18_count_distinct", "q18b_approx_distinct",
     "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
     "q26b_except", "q26c_union_all", "q26d_intersect_all",
@@ -123,6 +112,19 @@ _PRIORITY: tuple[str, ...] = (
     "nd_embedding_covariance",
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_containment", "nd_ngram_overlap",
+    # blocks graded round 11 cycle to the back of the rotation
+    "nd_quality_model_labeled", "nd_quality_model",
+    "nd_stream_quality_model", "nd_curation_pipeline",
+    "nd_versioned_timetravel", "nd_versioned_pruned_read",
+    "nd_zipf_octaves", "nd_lang_outliers", "nd_weighted_jaccard",
+    "nd_embedding_covariance_fast",
+    "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
+    "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
+    "nd_retention_cohorts", "nd_stream_ewma",
+    "nd_hll_distinct", "nd_stream_hll_users",
+    "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
+    "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
+    "nd_multimodal_resize", "nd_percentiles",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -317,6 +317,74 @@ def test_audio_phash_scale_shape(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
+def test_video_phash_bit_layout_forms_agree():
+    """The oracle states the (band, pos) layout as ARITHMETIC over the
+    flat cell index while the Spark emitter walks _vphash_cell_layout —
+    pin the two forms to each other cell by cell so the bit packing
+    cannot drift between engines."""
+    from bacalhau_spark.operators.multimodal import (VPHASH_CELLS,
+                                                     _vphash_cell_layout)
+
+    seen = set()
+    for c in range(VPHASH_CELLS):
+        layout = _vphash_cell_layout(c)
+        if (c % 72) % 9 == 8:
+            assert layout is None
+            continue
+        band = (c // 72) * 4 + (((c % 72) // 9) * 8 + (c % 72) % 9) // 16
+        pos = (((c % 72) // 9) * 8 + (c % 72) % 9) % 16
+        assert layout == (band, pos), (c, layout, (band, pos))
+        seen.add(layout)
+    # and the bit->cell mapping video_phash_frame uses inverts it
+    for j in range(256):
+        c = (j // 64) * 72 + ((j % 64) // 8) * 9 + (j % 64) % 8
+        assert _vphash_cell_layout(c) == (j // 16, j % 16)
+    assert len(seen) == 256
+
+
+def test_video_phash_finds_variant_families(spark, sf_dir):
+    """nd_video_phash semantics the oracle hash cannot state by itself:
+    every confirmed pair is a same-base variant family (cross-family
+    signatures measure hamming >= 97/256 on the fixture, far above the
+    gate), same-family recall is high (the 16 time-aligned bands give a
+    variant ~zero chance of losing every band), and hamming is within
+    the gate."""
+    from bacalhau_spark.operators.multimodal import (VPHASH_FAMILY,
+                                                     VPHASH_MAX_HAMMING,
+                                                     nd_video_phash)
+
+    rows = nd_video_phash(spark, sf_dir).collect()
+    assert rows, "no near-dup video families found"
+    assert all(r.a_id // VPHASH_FAMILY == r.b_id // VPHASH_FAMILY
+               for r in rows)
+    assert all(0 <= r.hamming <= VPHASH_MAX_HAMMING for r in rows)
+    n_docs = table(spark, sf_dir, "documents").count()
+    full = sum(VPHASH_FAMILY * (VPHASH_FAMILY - 1) // 2
+               for _ in range(n_docs // VPHASH_FAMILY))
+    assert len(rows) >= 0.95 * full, (len(rows), full)
+
+
+def test_video_phash_scale_shape(spark, sf_dir):
+    """Plan claims: candidate generation is capped bucket-and-expand
+    (no cartesian), verification gathers the persisted signature index
+    in one scan, the hash build is JVM-side HOF evaluation (no Python
+    eval anywhere), and the build scans doc_id ONLY — video payloads
+    (here: any other column) never reach the hash stage."""
+    from bacalhau_spark.operators.multimodal import (video_phash_frame,
+                                                     nd_video_phash)
+
+    df = nd_video_phash(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+    hashes = video_phash_frame(
+        table(spark, sf_dir, "documents").select("doc_id"))
+    hplan = hashes._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint>" in hplan
+
+
 def test_image_phash_broadcast_gate_degrades(spark, sf_dir, monkeypatch):
     """Round-11 ADVICE: the candidate-side broadcast is count-gated like
     nd_editdist_dedup's — with the gate forced below the candidate
