@@ -43,6 +43,33 @@ def test_replicated_verification_accepts_deterministic_plan(engine):
     assert engine.state(run_id) == EVT_RESULTS_ACCEPTED
 
 
+def test_state_index_matches_event_log_fold(engine):
+    """The read path serves /list and /states from an index maintained
+    at emit time (the round-12 read burst measured the scan-the-log
+    form at 15 req/s and quadratic in table size) — pin the index to
+    the ground truth it replaced: for every run, the indexed state IS
+    the max-ordinal event of the run's log, and list_runs() is exactly
+    the per-run fold over the full event log."""
+    for _ in range(3):
+        engine.submit(JobSpec(query="q17_hash_agg",
+                              inputs={"sf_dir": SF_DIR}))
+    listed = engine.list_runs()
+    assert len(listed) >= 3
+    folded = {}
+    for e in engine.events():
+        cur = folded.get(e.run_id)
+        if cur is None or e.ordinal > cur[0]:
+            folded[e.run_id] = (e.ordinal, e.name)
+    assert listed == {rid: name for rid, (_o, name) in folded.items()}
+    for rid in listed:
+        assert engine.state(rid) == listed[rid]
+        evts = engine.events(rid)
+        assert [e.run_id for e in evts] == [rid] * len(evts)
+        assert max(evts, key=lambda e: e.ordinal).name == listed[rid]
+    with pytest.raises(KeyError):
+        engine.state("no-such-run")
+
+
 def test_verified_mode_rejects_nondeterministic_plan(engine, spark):
     def bad_query(spark_, sf_dir):
         from bacalhau_spark.catalog import table
