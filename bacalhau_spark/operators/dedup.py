@@ -220,12 +220,8 @@ def _content_key(sf_dir: str, tbl: str = "documents") -> str:
     analog: CID-keyed input caching,
     pkg/storage/ipfs_apicopy/storage.go:116-134 — the content address
     decides reuse, never a path."""
-    droot = os.path.join(sf_dir, f"{tbl}.parquet")
-    paths = [droot] if os.path.isfile(droot) else [
-        os.path.join(droot, f) for f in sorted(os.listdir(droot))
-        if f.endswith(".parquet")] if os.path.isdir(droot) else []
     h = hashlib.md5()
-    for p in paths:
+    for p in _table_part_paths(sf_dir, tbl):
         size = os.stat(p).st_size
         h.update(f"{os.path.basename(p)}:{size}:".encode())
         with open(p, "rb") as f:
@@ -237,6 +233,78 @@ def _content_key(sf_dir: str, tbl: str = "documents") -> str:
                 f.seek(4096)
                 h.update(f.read())
     return h.hexdigest()
+
+
+def _table_part_paths(sf_dir: str, tbl: str) -> list[str]:
+    """The source table's parquet part files, sorted by basename — the
+    one path-enumeration rule _content_key, _per_file_keys and the
+    delta-adoption scan all share."""
+    droot = os.path.join(sf_dir, f"{tbl}.parquet")
+    if os.path.isfile(droot):
+        return [droot]
+    if os.path.isdir(droot):
+        return [os.path.join(droot, f) for f in sorted(os.listdir(droot))
+                if f.endswith(".parquet")]
+    return []
+
+
+def _per_file_keys(sf_dir: str, tbl: str = "documents") -> dict[str, str]:
+    """{part basename: content key} over the source table — the same
+    (basename, size, head 4 KB, tail 4 KB) window _content_key folds,
+    kept PER FILE so an appended corpus is recognizable as a strict
+    superset of an already-indexed one (delta adoption). Recorded in
+    every published index manifest's props."""
+    out: dict[str, str] = {}
+    for p in _table_part_paths(sf_dir, tbl):
+        size = os.stat(p).st_size
+        h = hashlib.md5(f"{os.path.basename(p)}:{size}:".encode())
+        with open(p, "rb") as f:
+            h.update(f.read(4096))
+            if size > 8192:
+                f.seek(-4096, 2)
+                h.update(f.read(4096))
+            elif size > 4096:
+                f.seek(4096)
+                h.update(f.read())
+        out[os.path.basename(p)] = h.hexdigest()
+    return out
+
+
+def _find_delta_parent(kind: str, tbl: str, fkeys: dict[str, str],
+                       exclude: str) -> tuple[str, dict] | None:
+    """Scan the store for a published index of the same (kind, table)
+    whose recorded per-file keys are a STRICT SUBSET of the current
+    source's — i.e. the current corpus is the indexed one plus appended
+    part files (the crawl-epoch shape: epoch N+1 = epoch N + new
+    shards). Returns (parent table root, its latest manifest); the
+    largest subset wins when several epochs qualify. Any removed or
+    rewritten part file disqualifies a candidate — delta adoption is
+    append-only by construction."""
+    from bacalhau_spark.sources import versioned
+
+    store = index_store_root()
+    if not os.path.isdir(store):
+        return None
+    prefix = f"{kind}__{tbl}__"
+    best: tuple[str, dict] | None = None
+    best_n = 0
+    for name in os.listdir(store):
+        if not name.startswith(prefix) or name == exclude:
+            continue
+        proot = os.path.join(store, name)
+        try:
+            m = versioned.latest_manifest(proot)
+        except Exception:  # noqa: BLE001 — a corrupt table is skippable
+            continue
+        if not m or not m.get("files"):
+            continue
+        pk = m.get("props", {}).get("file_keys")
+        if not pk or len(pk) >= len(fkeys):
+            continue
+        if all(fkeys.get(b) == k for b, k in pk.items()) \
+                and len(pk) > best_n:
+            best, best_n = (proot, m), len(pk)
+    return best
 
 
 def _index_table_root(sf_dir: str, kind: str, tbl: str,
@@ -253,7 +321,7 @@ def _index_table_root(sf_dir: str, kind: str, tbl: str,
 
 def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                        build, tbl: str = "documents",
-                       cleanup=None) -> DataFrame:
+                       cleanup=None, build_delta=None) -> DataFrame:
     """Two-tier shared-index cache — the production index lifecycle:
 
     Tier 1 (session): a per-(applicationId, table-content) map so every
@@ -291,12 +359,26 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
     to unpersist staging frames (round-10 ADVICE: the PQ exploded
     matrix stayed pinned for the session).
 
+    DELTA ADOPTION (round 12, for PER-ROW-PURE kinds only): when the
+    source is a previously-indexed corpus PLUS appended part files (the
+    crawl-epoch shape — epoch N+1 = epoch N + new shards, recognized by
+    per-file content keys recorded in every manifest), and the caller
+    supplies `build_delta(paths)` (the frame build over just those
+    parquet files), the new table's version 1 is published as the
+    parent's immutable data files (hardlinked — self-contained, the
+    parent can be dropped) plus the delta build's output: only the NEW
+    rows are ever hashed. Kinds whose artifact is a global function of
+    the corpus (band candidates, winnow's df-capped postings, trained
+    PQ codebooks) must NOT pass build_delta — a delta union would not
+    equal the full rebuild there.
+
     Local fallback: if the store is unusable (read-only tmp, a
     concurrent writer collision, an EMPTY index frame — parquet writes
     no files for zero rows, and an empty published manifest is never
     adopted: the round-11 ADVICE crash loop), the frame is
     localCheckpointed for this session only; correctness never depends
-    on the store."""
+    on the store. A failed DELTA publish falls back to the full build
+    (a delta frame alone is not the index)."""
     from bacalhau_spark.sources import versioned
 
     app_id = spark.sparkContext.applicationId
@@ -316,18 +398,36 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
     adoptable = (manifest is not None and manifest["files"]
                  and manifest.get("props", {}).get("content_key") == ck)
     if not adoptable:
-        frame = build()
+        fkeys = _per_file_keys(sf_dir, tbl)
+        frame, linked, parent_digest = None, None, None
+        if manifest is None and build_delta is not None:
+            found = _find_delta_parent(kind, tbl, fkeys,
+                                       exclude=os.path.basename(root))
+            if found is not None:
+                proot, pman = found
+                pk = pman["props"]["file_keys"]
+                new_paths = [p for p in _table_part_paths(sf_dir, tbl)
+                             if os.path.basename(p) not in pk]
+                frame = build_delta(new_paths)
+                linked = [os.path.join(proot, f) for f in pman["files"]]
+                parent_digest = os.path.basename(proot)
+        is_delta = frame is not None
+        if frame is None:
+            frame = build()
         if manifest is None:
             # never published for this content: publish once. A lost
             # store race (another process won the v1 slot) or an
             # unusable store falls through to session-local.
+            props = {"content_key": ck,
+                     "file_keys": fkeys,
+                     "fingerprint": [list(t) for t in fp],
+                     "kind": kind, "table": tbl}
+            if is_delta:
+                props["delta_parent"] = parent_digest
             try:
                 _ensure_store_root()
                 ver = versioned.write_version(
-                    frame, root,
-                    props={"content_key": ck,
-                           "fingerprint": [list(t) for t in fp],
-                           "kind": kind, "table": tbl})
+                    frame, root, props=props, link_files=linked)
                 manifest = versioned.latest_manifest(root)
                 if manifest is not None and (
                         manifest["version"] != ver
@@ -337,6 +437,10 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                     manifest = None
             except Exception:
                 manifest = None
+            if manifest is None and is_delta:
+                # a delta frame alone is NOT the index — the session-
+                # local fallback must hold the full build
+                frame = build()
         else:
             # a manifest exists but is not adoptable: an EMPTY index
             # frame (legitimately zero rows — never republish, the
@@ -409,7 +513,10 @@ def minhash_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     is that lifecycle at session scope."""
     return _mh_session_cached(
         spark, sf_dir, "sig",
-        lambda: _minhash_signatures(spark, sf_dir))
+        lambda: _minhash_signatures(spark, sf_dir),
+        build_delta=lambda paths: _mh_sig_frame(spread_compute(
+            spark, spark.read.parquet(*paths).select("doc_id", "text"),
+            "doc_id")))
 
 
 def band_candidate_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -435,7 +435,9 @@ def phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mh_session_cached(
         spark, sf_dir, "phash",
         lambda: phash_frame(
-            table(spark, sf_dir, "documents").select("doc_id")))
+            table(spark, sf_dir, "documents").select("doc_id")),
+        build_delta=lambda paths: phash_frame(
+            spark.read.parquet(*paths).select("doc_id")))
 
 
 def nd_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,7 +582,9 @@ def audio_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mh_session_cached(
         spark, sf_dir, "aphash",
         lambda: audio_phash_frame(
-            table(spark, sf_dir, "documents").select("doc_id")))
+            table(spark, sf_dir, "documents").select("doc_id")),
+        build_delta=lambda paths: audio_phash_frame(
+            spark.read.parquet(*paths).select("doc_id")))
 
 
 def nd_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,7 +761,9 @@ def video_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mh_session_cached(
         spark, sf_dir, "vphash",
         lambda: video_phash_frame(
-            table(spark, sf_dir, "documents").select("doc_id")))
+            table(spark, sf_dir, "documents").select("doc_id")),
+        build_delta=lambda paths: video_phash_frame(
+            spark.read.parquet(*paths).select("doc_id")))
 
 
 def nd_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:

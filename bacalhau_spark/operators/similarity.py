@@ -168,8 +168,16 @@ def lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.posexplode(embedding_band_signatures(spark))
                         .alias("band", "sig")))
 
+    def build_delta(paths):
+        emb = spark.read.parquet(*paths)
+        return (spread_compute(spark, emb.select("vec_id", "embedding"),
+                               "vec_id")
+                .select("vec_id",
+                        F.posexplode(embedding_band_signatures(spark))
+                        .alias("band", "sig")))
+
     return _mh_session_cached(spark, sf_dir, "lshsig", build,
-                              tbl="embeddings")
+                              tbl="embeddings", build_delta=build_delta)
 
 
 def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

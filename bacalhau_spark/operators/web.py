@@ -177,8 +177,12 @@ def canon_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     caching, pkg/storage/ipfs_apicopy/storage.go:116-134."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
-    return _mh_session_cached(spark, sf_dir, "canon",
-                              lambda: _canon_frame(spark, sf_dir))
+    return _mh_session_cached(
+        spark, sf_dir, "canon",
+        lambda: _canon_frame(spark, sf_dir),
+        build_delta=lambda paths: url_canonicalize_frame(
+            spark.read.parquet(*paths)
+            .select("doc_id", "source", _url_expr().alias("url"))))
 
 
 def html_extract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,14 +193,18 @@ def html_extract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes it exactly once (round-11 verdict #1)."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
-    def build():
-        docs = table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "text")
+    def _extract(docs: DataFrame) -> DataFrame:
         pages = docs.select("doc_id", _html_expr().alias("html"))
         return (html_extract_frame(pages)
                 .select("doc_id", "title", "content"))
 
-    return _mh_session_cached(spark, sf_dir, "extract", build)
+    return _mh_session_cached(
+        spark, sf_dir, "extract",
+        lambda: _extract(table(spark, sf_dir, "documents")
+                         .select("doc_id", "source", "text")),
+        build_delta=lambda paths: _extract(
+            spark.read.parquet(*paths)
+            .select("doc_id", "source", "text")))
 
 
 def nd_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:

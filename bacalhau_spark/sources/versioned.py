@@ -80,7 +80,8 @@ def write_version(df: DataFrame, root: str,
                   props: dict | None = None,
                   cluster_by: list[str] | None = None,
                   cluster_files: int = 4,
-                  expected_version: int | None = None) -> int:
+                  expected_version: int | None = None,
+                  link_files: list[str] | None = None) -> int:
     """Materialize `df` and publish it as the table's next version.
 
     mode="overwrite": the new version IS `df` — a complete snapshot.
@@ -89,6 +90,19 @@ def write_version(df: DataFrame, root: str,
     the prior version's (immutable, never rewritten) files alongside
     the newly written ones, so an append costs only the new rows'
     bytes while every version remains a full readable table state.
+
+    link_files: absolute paths of already-published immutable parquet
+    files (another table's version payload) to HARDLINK into this
+    version alongside `df`'s output — the cross-table file reuse the
+    index store's delta adoption needs (a content-addressed table can
+    never append in place: changed source content is a DIFFERENT table
+    address, so its version 1 = parent's files + the delta). Hardlinks
+    rather than manifest references keep each table self-contained:
+    dropping the parent table never breaks this one (the inode
+    survives), and the immutability invariant holds because a hardlink
+    IS the same immutable bytes. Falls back to a copy across
+    filesystems. At object-store scale this becomes a manifest-level
+    file reference with reference counting (documented, not simulated).
 
     Manifests store ROOT-relative paths, which is what lets a manifest
     reference files across version directories. The pointer flips only
@@ -156,6 +170,18 @@ def write_version(df: DataFrame, root: str,
     n = prev + 1
     vdir = _vdir(root, n)
     df.write.mode("error").parquet(vdir)
+    for src in link_files or ():
+        dst = os.path.join(vdir, os.path.basename(src))
+        if os.path.exists(dst):
+            raise ValueError(
+                f"link_files basename collision in {vdir}: "
+                f"{os.path.basename(src)}")
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copy2(src, dst)
     rel = f"v={n:06d}"
     new_files = sorted(f"{rel}/{f}" for f in os.listdir(vdir)
                        if f.endswith(".parquet") and not f.startswith("."))

@@ -1122,6 +1122,148 @@ def test_index_store_is_content_addressed_across_paths(spark, sf_dir,
         spark, sf_dir).count()
 
 
+def _copy_docs_parts(sf_dir, dest_dir) -> list[str]:
+    """Stage the fixture documents table's part files into
+    dest_dir/documents.parquet; returns the staged paths."""
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dst = os.path.join(dest_dir, "documents.parquet")
+    os.makedirs(dst)
+    staged = []
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                shutil.copyfile(os.path.join(src, f),
+                                os.path.join(dst, f))
+                staged.append(os.path.join(dst, f))
+    else:
+        shutil.copyfile(src, os.path.join(dst, "part-00000.parquet"))
+        staged.append(os.path.join(dst, "part-00000.parquet"))
+    return staged
+
+
+def test_index_delta_adoption_hashes_only_appended_files(spark, sf_dir,
+                                                         tmp_path):
+    """Round-12 delta adoption: an appended corpus (epoch N's part files
+    + new shards) publishes its index as the PARENT's hardlinked files
+    plus a delta built over ONLY the new shards — the full builder never
+    runs, the delta builder sees exactly the appended paths, the unified
+    read equals a from-scratch build, and dropping the parent table
+    never breaks the child (hardlinks, not references)."""
+    import os
+    import shutil
+
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                _mh_session_cached)
+    from bacalhau_spark.operators.multimodal import (phash_frame,
+                                                     phash_index)
+    from bacalhau_spark.sources.versioned import (latest_manifest,
+                                                  read_version)
+
+    epoch1 = str(tmp_path / "epoch1")
+    os.makedirs(epoch1)
+    _copy_docs_parts(sf_dir, epoch1)
+    phash_index(spark, epoch1)  # full build + publish for epoch 1
+    parent_root = _index_table_root(epoch1, "phash", "documents")
+    assert latest_manifest(parent_root)["props"].get("file_keys")
+
+    # epoch 2 = epoch 1's files + one appended shard of NEW doc_ids
+    epoch2 = str(tmp_path / "epoch2")
+    os.makedirs(epoch2)
+    _copy_docs_parts(epoch1, epoch2)
+    staging = str(tmp_path / "staging")
+    (spark.read.parquet(os.path.join(epoch1, "documents.parquet"))
+     .limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+     .coalesce(1).write.parquet(staging))
+    (new_part,) = [f for f in os.listdir(staging)
+                   if f.endswith(".parquet")]
+    appended = os.path.join(epoch2, "documents.parquet",
+                            f"part-appended-{new_part}")
+    shutil.copyfile(os.path.join(staging, new_part), appended)
+
+    full_calls, delta_paths = [], []
+
+    def build():
+        full_calls.append(1)
+        return phash_frame(
+            spark.read.parquet(os.path.join(epoch2, "documents.parquet"))
+            .select("doc_id"))
+
+    def build_delta(paths):
+        delta_paths.extend(paths)
+        return phash_frame(
+            spark.read.parquet(*paths).select("doc_id"))
+
+    adopted = _mh_session_cached(spark, epoch2, "phash", build,
+                                 build_delta=build_delta)
+    assert full_calls == [], "append must never trigger a full rebuild"
+    assert delta_paths == [appended]
+    child_root = _index_table_root(epoch2, "phash", "documents")
+    man = latest_manifest(child_root)
+    assert man["props"]["delta_parent"] == os.path.basename(parent_root)
+
+    expect = sorted(map(tuple, phash_frame(
+        spark.read.parquet(os.path.join(epoch2, "documents.parquet"))
+        .select("doc_id")).collect()))
+    assert sorted(map(tuple, adopted.collect())) == expect
+
+    # hardlinks make the child self-contained: drop the parent table
+    shutil.rmtree(parent_root)
+    again = read_version(spark, child_root, version=man["version"])
+    assert sorted(map(tuple, again.collect())) == expect
+
+
+def test_index_delta_adoption_rejects_modified_files(spark, sf_dir,
+                                                     tmp_path):
+    """A corpus whose EXISTING part file changed (not a pure append) must
+    full-rebuild: delta adoption is append-only by construction."""
+    import os
+
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                _mh_session_cached)
+    from bacalhau_spark.operators.multimodal import (phash_frame,
+                                                     phash_index)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    epoch1 = str(tmp_path / "epoch1")
+    os.makedirs(epoch1)
+    staged = _copy_docs_parts(sf_dir, epoch1)
+    phash_index(spark, epoch1)
+
+    mutated = str(tmp_path / "mutated")
+    os.makedirs(mutated)
+    staged2 = _copy_docs_parts(epoch1, mutated)
+    # rewrite the first part in place (same name, different bytes)
+    staging = str(tmp_path / "staging2")
+    (spark.read.parquet(staged[0]).limit(20)
+     .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+     .coalesce(1).write.parquet(staging))
+    (part,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    os.replace(os.path.join(staging, part), staged2[0])
+
+    full_calls, delta_calls = [], []
+
+    def build():
+        full_calls.append(1)
+        return phash_frame(
+            spark.read.parquet(os.path.join(mutated, "documents.parquet"))
+            .select("doc_id"))
+
+    def build_delta(paths):
+        delta_calls.append(paths)
+        return phash_frame(
+            spark.read.parquet(*paths).select("doc_id"))
+
+    _mh_session_cached(spark, mutated, "phash", build,
+                       build_delta=build_delta)
+    assert full_calls == [1], "a mutated part must force the full build"
+    assert delta_calls == []
+    man = latest_manifest(_index_table_root(mutated, "phash", "documents"))
+    assert "delta_parent" not in man["props"]
+
+
 def test_clear_session_index_is_scoped(spark, sf_dir):
     """clear_session_index(persisted=True) removes only THIS session's
     source tables' indexes (r11 verdict, What's wrong #3): a foreign
