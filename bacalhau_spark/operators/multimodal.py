@@ -474,27 +474,47 @@ def nd_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("a_id", "b_id"))
 
 
-def _image_phash_oracle() -> str:
+def _phash_h_cte() -> str:
+    """WITH-fragment ending in h(doc_id, b0..b3) — the image dHash table
+    in DuckDB, shared by the batch oracle and the streaming-screen
+    oracle (one statement of the hash, two graded consumers)."""
     bands = _phash_band_exprs(_phash_pixel_sql)
     band_cols = ", ".join(f"{e} AS b{i}" for i, e in enumerate(bands))
+    return f"h AS (SELECT doc_id, {band_cols} FROM documents)"
+
+
+def _phash_pairs_oracle(h_cte: str, n_bands: int, cap: int,
+                        max_hamming: int) -> str:
+    """The banded near-dup PAIR pipeline in DuckDB, generic over the
+    modality: explode h's bands, cap hot buckets, bucket-join
+    candidates, exact-Hamming verify. `h_cte` supplies the modality's
+    hash table (must end in h(doc_id, b0..bN))."""
     unions = " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h" for i in range(4))
-    ham = " + ".join(f"bit_count(xor(ha.b{i}, hb.b{i}))" for i in range(4))
+        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h"
+        for i in range(n_bands))
+    ham = " + ".join(
+        f"CAST(bit_count(xor(ha.b{i}, hb.b{i})) AS BIGINT)"
+        for i in range(n_bands))
     return f"""
-WITH h AS (SELECT doc_id, {band_cols} FROM documents),
-e AS ({unions}),
+WITH {h_cte},
+ex AS ({unions}),
 f AS (SELECT doc_id, bi, v FROM
       (SELECT doc_id, bi, v, COUNT(*) OVER (PARTITION BY bi, v) AS n
-       FROM e) t WHERE n <= {PHASH_BUCKET_CAP}),
+       FROM ex) t WHERE n <= {cap}),
 pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
           FROM f a JOIN f b ON a.bi = b.bi AND a.v = b.v
           WHERE a.doc_id < b.doc_id)
 SELECT p.a_id, p.b_id, CAST({ham} AS BIGINT) AS hamming
 FROM pairs p JOIN h ha ON ha.doc_id = p.a_id
              JOIN h hb ON hb.doc_id = p.b_id
-WHERE {ham} <= {PHASH_MAX_HAMMING}
+WHERE {ham} <= {max_hamming}
 ORDER BY p.a_id, p.b_id
 """
+
+
+def _image_phash_oracle() -> str:
+    return _phash_pairs_oracle(_phash_h_cte(), 4, PHASH_BUCKET_CAP,
+                               PHASH_MAX_HAMMING)
 
 
 # --- audio near-dup: envelope dHash + Hamming banding --------------------------
@@ -616,10 +636,11 @@ def nd_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("a_id", "b_id"))
 
 
-def _audio_phash_oracle() -> str:
-    """The whole pipeline re-stated in DuckDB: synthesized amplitudes,
-    Σ-sample² window energies over an unnested ramp, gradient bits
-    packed into the same four bands, capped buckets, exact Hamming."""
+def _aphash_h_cte() -> str:
+    """WITH-fragment ending in h(doc_id, b0..b3) — the audio envelope
+    dHash in DuckDB: synthesized amplitudes, Σ-sample² window energies
+    over an unnested ramp, gradient bits packed into four bands. Shared
+    by the batch oracle and the streaming-screen oracle."""
     # the w-parameterized form of _aphash_amp_sql (w is a column here)
     amp = (f"CAST('0x' || substring(md5(CAST(doc_id // {APHASH_FAMILY} "
            "AS VARCHAR) || ':' || CAST(w AS VARCHAR)), 1, 15) AS BIGINT) "
@@ -631,38 +652,26 @@ def _audio_phash_oracle() -> str:
         f"CAST(SUM(CASE WHEN i >= {16 * b} AND i < {16 * (b + 1)} "
         f"THEN bit * (1 << (i - {16 * b})) ELSE 0 END) AS BIGINT) AS b{b}"
         for b in range(4))
-    unions = " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h" for i in range(4))
-    ham = " + ".join(f"bit_count(xor(ha.b{i}, hb.b{i}))" for i in range(4))
-    return f"""
-WITH amps AS (
+    return f"""amps AS (
   SELECT doc_id, w, {amp} AS a
   FROM documents CROSS JOIN
        (SELECT unnest(range({APHASH_NWIN})) AS w) ws),
-e AS (
+eng AS (
   SELECT doc_id, w,
          SUM(((a * j) % 256 - 128) * ((a * j) % 256 - 128)) AS e
   FROM amps CROSS JOIN
        (SELECT unnest(range(1, {APHASH_WIN + 1})) AS j) js
   GROUP BY doc_id, w),
-bits AS (
+abits AS (
   SELECT x.doc_id, x.w AS i,
          CASE WHEN x.e > y.e THEN 1 ELSE 0 END AS bit
-  FROM e x JOIN e y ON x.doc_id = y.doc_id AND y.w = x.w + 1),
-h AS (SELECT doc_id, {packs} FROM bits GROUP BY doc_id),
-ex AS ({unions}),
-f AS (SELECT doc_id, bi, v FROM
-      (SELECT doc_id, bi, v, COUNT(*) OVER (PARTITION BY bi, v) AS n
-       FROM ex) t WHERE n <= {APHASH_BUCKET_CAP}),
-pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM f a JOIN f b ON a.bi = b.bi AND a.v = b.v
-          WHERE a.doc_id < b.doc_id)
-SELECT p.a_id, p.b_id, CAST({ham} AS BIGINT) AS hamming
-FROM pairs p JOIN h ha ON ha.doc_id = p.a_id
-             JOIN h hb ON hb.doc_id = p.b_id
-WHERE {ham} <= {APHASH_MAX_HAMMING}
-ORDER BY p.a_id, p.b_id
-"""
+  FROM eng x JOIN eng y ON x.doc_id = y.doc_id AND y.w = x.w + 1),
+h AS (SELECT doc_id, {packs} FROM abits GROUP BY doc_id)"""
+
+
+def _audio_phash_oracle() -> str:
+    return _phash_pairs_oracle(_aphash_h_cte(), 4, APHASH_BUCKET_CAP,
+                               APHASH_MAX_HAMMING)
 
 
 # --- video near-dup: frame-sampled dHash + time-aligned Hamming banding ------
@@ -797,14 +806,15 @@ def nd_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("a_id", "b_id"))
 
 
-def _video_phash_oracle() -> str:
-    """The whole pipeline re-stated in DuckDB. The pixel stack unnests
-    over the 288 flat cells (one column-parameterized pixel expression,
-    not 576 inlined ones) and the (band, pos) layout is the arithmetic
-    form of _vphash_cell_layout — the layout-equality test pins the two
-    forms to each other. bit_count casts per-term: DuckDB's bit_count
-    returns a 1-byte integer and a 16-term sum overflows it."""
-    nb = VPHASH_NBANDS
+def _vphash_h_cte() -> str:
+    """WITH-fragment ending in h(doc_id, b0..b15) — the video signature
+    in DuckDB. The pixel stack unnests over the 288 flat cells (one
+    column-parameterized pixel expression, not 576 inlined ones) and
+    the (band, pos) layout is the arithmetic form of
+    _vphash_cell_layout — the layout-equality test pins the two forms
+    to each other. Shared by the batch and streaming-screen oracles.
+    bit_count casts per-term downstream: DuckDB's bit_count returns a
+    1-byte integer and a 16-term sum overflows it."""
     amp = (f"CAST('0x' || substring(md5(CAST(doc_id // {VPHASH_FAMILY} "
            "AS VARCHAR) || ':' || CAST(c // 72 AS VARCHAR) || ':' || "
            "CAST(c % 72 AS VARCHAR)), 1, 15) AS BIGINT) % 256 + "
@@ -813,16 +823,10 @@ def _video_phash_oracle() -> str:
            f"% {VPHASH_PERT_MOD} = 0 THEN {VPHASH_PERT_BUMP} ELSE 0 END)")
     packs = ", ".join(
         f"CAST(SUM(CASE WHEN band = {k} THEN bit * (1 << pos) ELSE 0 END)"
-        f" AS BIGINT) AS b{k}" for k in range(nb))
-    unions = " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h" for i in range(nb))
-    ham = " + ".join(
-        f"CAST(bit_count(xor(ha.b{i}, hb.b{i})) AS BIGINT)"
-        for i in range(nb))
-    return f"""
-WITH cells AS (SELECT unnest(range({VPHASH_CELLS})) AS c),
+        f" AS BIGINT) AS b{k}" for k in range(VPHASH_NBANDS))
+    return f"""cells AS (SELECT unnest(range({VPHASH_CELLS})) AS c),
 px AS (SELECT doc_id, c, {amp} AS p FROM documents CROSS JOIN cells),
-bits AS (
+vbits AS (
   SELECT x.doc_id,
          ((x.c // 72) * 4 +
           (((x.c % 72) // 9) * 8 + (x.c % 72) % 9) // 16) AS band,
@@ -830,20 +834,12 @@ bits AS (
          CASE WHEN x.p > y.p THEN 1 ELSE 0 END AS bit
   FROM px x JOIN px y ON x.doc_id = y.doc_id AND y.c = x.c + 1
   WHERE (x.c % 72) % 9 != 8),
-h AS (SELECT doc_id, {packs} FROM bits GROUP BY doc_id),
-ex AS ({unions}),
-f AS (SELECT doc_id, bi, v FROM
-      (SELECT doc_id, bi, v, COUNT(*) OVER (PARTITION BY bi, v) AS n
-       FROM ex) t WHERE n <= {VPHASH_BUCKET_CAP}),
-pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM f a JOIN f b ON a.bi = b.bi AND a.v = b.v
-          WHERE a.doc_id < b.doc_id)
-SELECT p.a_id, p.b_id, CAST({ham} AS BIGINT) AS hamming
-FROM pairs p JOIN h ha ON ha.doc_id = p.a_id
-             JOIN h hb ON hb.doc_id = p.b_id
-WHERE {ham} <= {VPHASH_MAX_HAMMING}
-ORDER BY p.a_id, p.b_id
-"""
+h AS (SELECT doc_id, {packs} FROM vbits GROUP BY doc_id)"""
+
+
+def _video_phash_oracle() -> str:
+    return _phash_pairs_oracle(_vphash_h_cte(), VPHASH_NBANDS,
+                               VPHASH_BUCKET_CAP, VPHASH_MAX_HAMMING)
 
 
 _HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16"

@@ -41,9 +41,12 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # the window, then the rotation continues as the round-11 note planned:
 #   1. changed/new round 12: the audio and video near-dup modalities
 #      (NEW nd_audio_phash — envelope dHash; NEW nd_video_phash —
-#      frame-sampled dHash with time-aligned banding), the image screen
-#      (count-gated broadcast + phash_candidate_pairs gained n_bands,
-#      so nd_image_phash / nd_stream_image_phash re-grade), the crawl
+#      frame-sampled dHash with time-aligned banding; NEW streaming
+#      ingest twins nd_stream_audio_phash / nd_stream_video_phash via
+#      the generic _stream_phash_screen), the image screen
+#      (count-gated broadcast + phash_candidate_pairs gained n_bands +
+#      the screen rebased onto the generic helper, so nd_image_phash /
+#      nd_stream_image_phash re-grade), the crawl
 #      front door (scheme-aware default-port drop changed _CANON_SQL +
 #      the materialized canon/extract artifacts changed every batch
 #      consumer: nd_url_canonicalize / nd_domain_cap /
@@ -61,6 +64,7 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 _PRIORITY: tuple[str, ...] = (
     # 1. changed/new round 12 (standing rule)
     "nd_video_phash", "nd_audio_phash",
+    "nd_stream_video_phash", "nd_stream_audio_phash",
     "nd_image_phash", "nd_stream_image_phash",
     "nd_url_canonicalize", "nd_domain_cap", "nd_domain_cap_keep",
     "nd_domain_blocklist", "nd_html_extract",
@@ -83,12 +87,11 @@ _PRIORITY: tuple[str, ...] = (
     "q10_regex_filter", "q11_tokenize_count", "tpch_q16_supplier_cnt",
     "nd_gopher_filter", "nd_incremental_dedup",
     "nd_dedup_exact", "q29_exact_dedup", "nd_fingerprint",
-    "nd_ann_topk", "q30_nn",
     # -- window boundary: first 50 graded per round --------------------
-    # (24 changed/new round-12 rows + 26 planned re-grades = 50; the
-    # r9 remainder nd_cosine_neardup .. q17b_having leads round 13,
-    # then the r10 blocks; the r11-graded blocks cycle to the back.)
-    "nd_cosine_neardup",
+    # (26 changed/new round-12 rows + 24 planned re-grades = 50; the
+    # r9 remainder nd_ann_topk .. q17b_having leads round 13, then the
+    # r10 blocks; the r11-graded blocks cycle to the back.)
+    "nd_ann_topk", "q30_nn", "nd_cosine_neardup",
     "nd_stream_dedup",
     "nd_stream_sessions", "nd_stream_stateful", "nd_approx_percentiles",
     "nd_centroids", "nd_filtered_agg",

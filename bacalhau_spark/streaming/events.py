@@ -575,51 +575,49 @@ FROM pages ORDER BY doc_id
 """
 
 
-def nd_stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming IMAGE near-dup ingest screen — the nd_stream_band_screen
-    shape over the persisted dHash index: streamed re-uploads (the %5==4
+def _stream_phash_screen(spark: SparkSession, sf_dir: str, *,
+                         frame_fn, index_fn, n_bands: int,
+                         bucket_cap: int, query_name: str) -> DataFrame:
+    """Streaming near-dup ingest screen, generic over the perceptual-
+    hash modality (image/audio/video) — the nd_stream_band_screen shape
+    over the persisted signature index: streamed re-uploads (the %5==4
     slice re-ingested under new ids, the shared synthesis convention)
-    get per-row dHash bands STATELESSLY, probe the static corpus phash
-    index's cap-guarded band buckets, and every candidate is verified
-    with the exact xor+bit_count Hamming — per streamed image:
-    (doc_id, n_cands, min_hamming). min/count are associative, so the
-    complete-mode aggregate is the only streaming state; the corpus
-    side is ONE read of the persisted index artifact (built by
-    whichever session published it — the cross-session lifecycle at
-    ingest). Shares a full value-hash oracle."""
-    from bacalhau_spark.operators.multimodal import (PHASH_BUCKET_CAP,
-                                                     _phash_band_exprs,
-                                                     _phash_pixel_spark,
-                                                     phash_index)
-
+    get per-row bands STATELESSLY via the modality's own frame builder
+    (the SAME code the batch index is built with — one hash statement,
+    two planes), probe the static corpus index's cap-guarded band
+    buckets, and every candidate is verified with the exact
+    xor+bit_count Hamming — per streamed item: (doc_id, n_cands,
+    min_hamming). min/count are associative, so the complete-mode
+    aggregate is the only streaming state; the corpus side is ONE read
+    of the persisted index artifact (built by whichever session
+    published it — the cross-session lifecycle at ingest)."""
     src = _doc_stream(spark, sf_dir).where(F.col("doc_id") % 5 == 4)
     # bands derive from the ORIGINAL doc_id (the re-upload carries the
-    # same pixels), then the stream relabels under the ingest id space
-    px = F.array(*[F.expr(_phash_pixel_spark(g)) for g in range(72)])
-    wide = src.select(F.col("doc_id").alias("orig"), px.alias("px"))
-    bands = _phash_band_exprs(lambda g: f"px[{g}]")
-    qhash = wide.select(
-        "orig", (F.col("orig") + 1_000_000).alias("doc_id"),
-        *[F.expr(e).alias(f"q{i}") for i, e in enumerate(bands)])
-    corpus = phash_index(spark, sf_dir)
+    # same payload), then the stream relabels under the ingest id space
+    qcols = [f"q{i}" for i in range(n_bands)]
+    qhash = (frame_fn(src.select("doc_id"))
+             .select(F.col("doc_id").alias("orig"),
+                     (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     *[F.col(f"b{i}").alias(f"q{i}")
+                       for i in range(n_bands)]))
+    corpus = index_fn(spark, sf_dir)
     ce = corpus.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("bi"), F.col(f"b{i}").alias("v"))
-        for i in range(4)])).alias("s")).select(
+        for i in range(n_bands)])).alias("s")).select(
         F.col("doc_id").alias("nn"), "s.bi", "s.v")
     hot = (ce.groupBy("bi", "v").agg(F.count("*").alias("n"))
-           .where(F.col("n") <= PHASH_BUCKET_CAP).select("bi", "v"))
+           .where(F.col("n") <= bucket_cap).select("bi", "v"))
     ce = ce.join(hot, ["bi", "v"])
     qe = qhash.select(
-        "doc_id", "orig", *[f"q{i}" for i in range(4)],
+        "doc_id", "orig", *qcols,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("bi"), F.col(f"q{i}").alias("v"))
-            for i in range(4)])).alias("s")).select(
-        "doc_id", "orig", *[f"q{i}" for i in range(4)], "s.bi", "s.v")
+            for i in range(n_bands)])).alias("s")).select(
+        "doc_id", "orig", *qcols, "s.bi", "s.v")
     cand = (qe.join(ce, ["bi", "v"])
             .where(F.col("nn") != F.col("orig"))
-            .select("doc_id", "orig", "nn",
-                    *[f"q{i}" for i in range(4)]).distinct())
-    ham = sum(F.expr(f"bit_count(q{i} ^ b{i})") for i in range(4))
+            .select("doc_id", "orig", "nn", *qcols).distinct())
+    ham = sum(F.expr(f"bit_count(q{i} ^ b{i})") for i in range(n_bands))
     verified = (cand.join(corpus.withColumnsRenamed(
         {"doc_id": "nn"}), "nn")
         .select("doc_id", ham.cast("long").alias("hamming")))
@@ -627,31 +625,34 @@ def nd_stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").cast("long").alias("n_cands"),
                 F.min("hamming").cast("long").alias("min_hamming")))
     q = _start_scoped(spark, out.writeStream.format("memory")
-                      .queryName("stream_image_phash")
+                      .queryName(query_name)
                       .outputMode("complete").trigger(availableNow=True))
     _await_or_raise(q, 180)
-    return spark.table("stream_image_phash").orderBy("doc_id")
+    return spark.table(query_name).orderBy("doc_id")
 
 
-def _stream_image_phash_oracle() -> str:
-    from bacalhau_spark.operators.multimodal import (PHASH_BUCKET_CAP,
-                                                     _phash_band_exprs,
-                                                     _phash_pixel_sql)
-    bands = _phash_band_exprs(_phash_pixel_sql)
-    band_cols = ", ".join(f"{e} AS b{i}" for i, e in enumerate(bands))
+def _stream_phash_screen_oracle(h_cte: str, n_bands: int,
+                                cap: int) -> str:
+    """The ingest screen in DuckDB, generic over the modality: `h_cte`
+    supplies the hash table (the SAME fragment the batch pair oracle
+    uses), the rest replays bucket-cap, band-probe and exact-Hamming
+    verification."""
     unions = " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h" for i in range(4))
-    ham = " + ".join(f"bit_count(xor(q.b{i}, c.b{i}))" for i in range(4))
+        f"SELECT doc_id, {i} AS bi, b{i} AS v FROM h"
+        for i in range(n_bands))
+    ham = " + ".join(
+        f"CAST(bit_count(xor(q.b{i}, c.b{i})) AS BIGINT)"
+        for i in range(n_bands))
     return f"""
-WITH h AS (SELECT doc_id, {band_cols} FROM documents),
-e AS ({unions}),
-hot AS (SELECT bi, v FROM (SELECT bi, v, COUNT(*) AS n FROM e
-        GROUP BY bi, v) t WHERE n <= {PHASH_BUCKET_CAP}),
-ce AS (SELECT e.doc_id AS nn, e.bi, e.v FROM e JOIN hot USING (bi, v)),
+WITH {h_cte},
+ex AS ({unions}),
+hot AS (SELECT bi, v FROM (SELECT bi, v, COUNT(*) AS n FROM ex
+        GROUP BY bi, v) t WHERE n <= {cap}),
+ce AS (SELECT ex.doc_id AS nn, ex.bi, ex.v FROM ex JOIN hot USING (bi, v)),
 qs AS (SELECT doc_id AS orig, doc_id + 1000000 AS doc_id
        FROM documents WHERE doc_id % 5 = 4),
-qe AS (SELECT q.doc_id, q.orig, e.bi, e.v
-       FROM qs q JOIN e ON e.doc_id = q.orig),
+qe AS (SELECT q.doc_id, q.orig, ex.bi, ex.v
+       FROM qs q JOIN ex ON ex.doc_id = q.orig),
 cand AS (SELECT DISTINCT qe.doc_id, qe.orig, ce.nn
          FROM qe JOIN ce ON qe.bi = ce.bi AND qe.v = ce.v
          WHERE ce.nn <> qe.orig)
@@ -661,6 +662,72 @@ FROM cand JOIN h q ON q.doc_id = cand.orig
           JOIN h c ON c.doc_id = cand.nn
 GROUP BY cand.doc_id ORDER BY cand.doc_id
 """
+
+
+def nd_stream_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IMAGE near-dup ingest screen (see
+    _stream_phash_screen). Shares a full value-hash oracle."""
+    from bacalhau_spark.operators.multimodal import (PHASH_BUCKET_CAP,
+                                                     phash_frame,
+                                                     phash_index)
+
+    return _stream_phash_screen(
+        spark, sf_dir, frame_fn=phash_frame, index_fn=phash_index,
+        n_bands=4, bucket_cap=PHASH_BUCKET_CAP,
+        query_name="stream_image_phash")
+
+
+def _stream_image_phash_oracle() -> str:
+    from bacalhau_spark.operators.multimodal import (PHASH_BUCKET_CAP,
+                                                     _phash_h_cte)
+    return _stream_phash_screen_oracle(_phash_h_cte(), 4,
+                                       PHASH_BUCKET_CAP)
+
+
+def nd_stream_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AUDIO near-dup ingest screen — the envelope dHash
+    (nd_audio_phash) at ingest (see _stream_phash_screen). Shares a
+    full value-hash oracle."""
+    from bacalhau_spark.operators.multimodal import (APHASH_BUCKET_CAP,
+                                                     audio_phash_frame,
+                                                     audio_phash_index)
+
+    return _stream_phash_screen(
+        spark, sf_dir, frame_fn=audio_phash_frame,
+        index_fn=audio_phash_index,
+        n_bands=4, bucket_cap=APHASH_BUCKET_CAP,
+        query_name="stream_audio_phash")
+
+
+def _stream_audio_phash_oracle() -> str:
+    from bacalhau_spark.operators.multimodal import (APHASH_BUCKET_CAP,
+                                                     _aphash_h_cte)
+    return _stream_phash_screen_oracle(_aphash_h_cte(), 4,
+                                       APHASH_BUCKET_CAP)
+
+
+def nd_stream_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VIDEO near-dup ingest screen — the frame-sampled,
+    time-aligned 16-band signature (nd_video_phash) at ingest (see
+    _stream_phash_screen). Shares a full value-hash oracle."""
+    from bacalhau_spark.operators.multimodal import (VPHASH_BUCKET_CAP,
+                                                     VPHASH_NBANDS,
+                                                     video_phash_frame,
+                                                     video_phash_index)
+
+    return _stream_phash_screen(
+        spark, sf_dir, frame_fn=video_phash_frame,
+        index_fn=video_phash_index,
+        n_bands=VPHASH_NBANDS, bucket_cap=VPHASH_BUCKET_CAP,
+        query_name="stream_video_phash")
+
+
+def _stream_video_phash_oracle() -> str:
+    from bacalhau_spark.operators.multimodal import (VPHASH_BUCKET_CAP,
+                                                     VPHASH_NBANDS,
+                                                     _vphash_h_cte)
+    return _stream_phash_screen_oracle(_vphash_h_cte(), VPHASH_NBANDS,
+                                       VPHASH_BUCKET_CAP)
 
 
 def nd_stream_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,6 +1210,10 @@ QUERIES = {
     # phash index, exact-Hamming verify, complete-mode per-doc agg
     "nd_stream_image_phash": (nd_stream_image_phash,
                               _stream_image_phash_oracle()),
+    "nd_stream_audio_phash": (nd_stream_audio_phash,
+                              _stream_audio_phash_oracle()),
+    "nd_stream_video_phash": (nd_stream_video_phash,
+                              _stream_video_phash_oracle()),
     "nd_stream_quality_model": (nd_stream_quality_model,
                                 _quality_model_oracle()),
     "nd_stream_topk": (nd_stream_topk, _TOPK_ORACLE),

@@ -67,6 +67,13 @@ BENCH_QUERIES = (
     # sf0.1 DuckDB baselines in registry_crossover_r11.txt
     "nd_html_extract",
     "nd_image_phash",
+    # round-12 additions: the audio and video near-dup modalities (the
+    # phash recipe on envelope bands / frame-sampled 16-band signatures;
+    # warm = persisted-index probe, same basis as nd_image_phash).
+    # sf0.1 DuckDB baselines, median of 3: aphash 1.116 s, vphash
+    # 3.929 s (BASELINE.md round-12 section)
+    "nd_audio_phash",
+    "nd_video_phash",
 )
 
 # 2 warm-ups (first run pays codegen+JIT, second still sees JIT tail) and

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import glob
 
+import pytest
 from pyspark.sql import functions as F
 
 from bacalhau_spark.catalog import table
@@ -381,21 +382,28 @@ def test_multibatch_band_screen_equals_batch(spark, sf_dir, tmp_path,
         [tuple(r) for r in want.collect()]
 
 
-def test_multibatch_image_phash_screen_equals_batch(spark, sf_dir,
-                                                    tmp_path, monkeypatch):
-    """The streaming image near-dup screen across a REAL batch boundary:
-    per-row dHash bands + a stream-static probe of the persisted phash
-    index + complete-mode count/min — all associative, so the split
-    must be invisible: results equal the single-batch run, and every
-    re-upload finds its synthesis family (n_cands >= 1, min_hamming
-    within the family band)."""
+@pytest.mark.parametrize("query,max_hamming", [
+    ("nd_stream_image_phash", 10),
+    ("nd_stream_audio_phash", 10),
+    ("nd_stream_video_phash", 24),
+])
+def test_multibatch_phash_screen_equals_batch(spark, sf_dir, tmp_path,
+                                              monkeypatch, query,
+                                              max_hamming):
+    """The streaming near-dup ingest screens (image/audio/video — one
+    generic _stream_phash_screen) across a REAL batch boundary: per-row
+    signature bands + a stream-static probe of the persisted index +
+    complete-mode count/min — all associative, so the split must be
+    invisible: results equal the single-batch run, and every screened
+    re-upload that reports candidates sits within its modality's
+    family Hamming band."""
     import pyarrow.parquet as pq
 
     from bacalhau_spark.registry import queries
     from bacalhau_spark.streaming import events as ev
 
     single = [tuple(r) for r in
-              queries()["nd_stream_image_phash"](spark, sf_dir).collect()]
+              queries()[query](spark, sf_dir).collect()]
 
     t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
     half = t.num_rows // 2
@@ -411,9 +419,10 @@ def test_multibatch_image_phash_screen_equals_batch(spark, sf_dir,
 
     monkeypatch.setattr(ev, "_doc_stream", paced)
     split = [tuple(r) for r in
-             queries()["nd_stream_image_phash"](spark, sf_dir).collect()]
+             queries()[query](spark, sf_dir).collect()]
     assert split == single
-    assert split and all(r[1] >= 1 and 0 <= r[2] <= 10 for r in split)
+    assert split and all(r[1] >= 1 and 0 <= r[2] <= max_hamming
+                         for r in split)
 
 
 def test_multibatch_html_extract_equals_batch(spark, sf_dir, tmp_path,
