@@ -415,9 +415,15 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
         if frame is None:
             frame = build()
         if manifest is None:
-            # never published for this content: publish once. A lost
-            # store race (another process won the v1 slot) or an
-            # unusable store falls through to session-local.
+            # never published for this content: publish once. After the
+            # attempt — whether our write landed or a concurrent writer
+            # won the slot — the table head is adoptable iff it carries
+            # data files for THIS content key: a lost race to the SAME
+            # content is someone else's copy of the artifact we wanted
+            # (content addressing makes it byte-equivalent by
+            # definition), so the loser adopts instead of degrading to
+            # a session-local checkpoint. Only an unusable store or an
+            # empty/foreign head falls through.
             props = {"content_key": ck,
                      "file_keys": fkeys,
                      "fingerprint": [list(t) for t in fp],
@@ -426,16 +432,18 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                 props["delta_parent"] = parent_digest
             try:
                 _ensure_store_root()
-                ver = versioned.write_version(
+                versioned.write_version(
                     frame, root, props=props, link_files=linked)
+            except Exception:  # noqa: BLE001 — adoptability decides
+                pass
+            try:
                 manifest = versioned.latest_manifest(root)
-                if manifest is not None and (
-                        manifest["version"] != ver
-                        or not manifest["files"]
-                        or manifest.get("props", {}).get(
-                            "content_key") != ck):
-                    manifest = None
-            except Exception:
+            except Exception:  # noqa: BLE001
+                manifest = None
+            if manifest is not None and (
+                    not manifest["files"]
+                    or manifest.get("props", {}).get(
+                        "content_key") != ck):
                 manifest = None
             if manifest is None and is_delta:
                 # a delta frame alone is NOT the index — the session-

@@ -1215,6 +1215,50 @@ def test_index_delta_adoption_hashes_only_appended_files(spark, sf_dir,
     assert sorted(map(tuple, again.collect())) == expect
 
 
+def test_lost_publish_race_adopts_winners_artifact(spark, sf_dir,
+                                                   tmp_path, monkeypatch):
+    """Two sessions racing to publish the same content's index: the
+    loser's write fails on the occupied version slot, but the winner's
+    artifact is byte-equivalent by content addressing — the loser must
+    ADOPT it (scan the store) instead of degrading to a session-local
+    checkpoint. Simulated by a write_version that first lets 'the other
+    process' publish, then raises."""
+    import os
+
+    from bacalhau_spark.operators import dedup
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                _mh_session_cached)
+    from bacalhau_spark.operators.multimodal import phash_frame
+    from bacalhau_spark.sources import versioned
+
+    corpus = str(tmp_path / "race_corpus")
+    os.makedirs(corpus)
+    _copy_docs_parts(sf_dir, corpus)
+    real_write = versioned.write_version
+
+    def racing_write(df, root, **kw):
+        real_write(phash_frame(
+            spark.read.parquet(os.path.join(corpus, "documents.parquet"))
+            .select("doc_id")), root, **kw)  # the winner lands first
+        raise OSError("version slot already occupied")
+
+    monkeypatch.setattr(versioned, "write_version", racing_write)
+    docs = (spark.read
+            .parquet(os.path.join(corpus, "documents.parquet"))
+            .select("doc_id"))
+    out = _mh_session_cached(spark, corpus, "phash",
+                             lambda: phash_frame(docs))
+    root = _index_table_root(corpus, "phash", "documents")
+    store_files = {os.path.realpath(os.path.join(root, f))
+                   for f in versioned.latest_manifest(root)["files"]}
+    got = {os.path.realpath(p.removeprefix("file:"))
+           for p in out.inputFiles()}
+    assert got and got <= store_files, (
+        "the loser must read the winner's published artifact, not a "
+        "session-local checkpoint")
+    dedup.clear_session_index(spark)
+
+
 def test_index_delta_adoption_rejects_modified_files(spark, sf_dir,
                                                      tmp_path):
     """A corpus whose EXISTING part file changed (not a pure append) must
