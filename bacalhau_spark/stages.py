@@ -64,6 +64,48 @@ def stage_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("content").alias("text")))
 
 
+def stage_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry stage: the INDEX-INGEST job as a pipeline verb — pre-build
+    and publish the corpus's persisted per-doc indexes (minhash
+    signatures, image/audio/video perceptual hashes, the materialized
+    crawl front door) OFF the query path: the production shape where
+    one ingest job per crawl epoch publishes the artifacts and every
+    later consumer — batch query, streaming screen, next session —
+    adopts. On an appended corpus the build delta-adopts (only new
+    shards hashed; dedup._mh_session_cached). Emits the store's
+    commit-log view for the built kinds: (kind, n_rows, version,
+    delta_parent) — a deterministic function of the corpus content, so
+    the stage output is graded like any other stage's."""
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                minhash_signature_index)
+    from bacalhau_spark.operators.multimodal import (audio_phash_index,
+                                                     phash_index,
+                                                     video_phash_index)
+    from bacalhau_spark.operators.web import (canon_index,
+                                              html_extract_index)
+    from bacalhau_spark.sources import versioned
+
+    builders = (("sig", minhash_signature_index),
+                ("phash", phash_index),
+                ("aphash", audio_phash_index),
+                ("vphash", video_phash_index),
+                ("canon", canon_index),
+                ("extract", html_extract_index))
+    rows = []
+    for kind, fn in builders:
+        n = fn(spark, sf_dir).count()
+        man = versioned.latest_manifest(
+            _index_table_root(sf_dir, kind, "documents")) or {}
+        rows.append((kind, n, int(man.get("version", 0)),
+                     man.get("props", {}).get("delta_parent") or ""))
+    return spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(k).alias("kind"),
+                 F.lit(n).cast("long").alias("n_rows"),
+                 F.lit(v).alias("version"),
+                 F.lit(dp).alias("delta_parent"))
+        for k, n, v, dp in rows])))
+
+
 def stage_split(spark: SparkSession, path: str) -> DataFrame:
     """Leakage-safe train/heldout SPLIT as a DAG stage (the terminal
     verb of a training-data pipeline — round-11 verdict #6): near-dup
@@ -231,6 +273,7 @@ def stage_seq_pack_cs(spark: SparkSession, root: str) -> DataFrame:
 # output path, not an sf_dir, so the sf-driven oracle harness cannot
 # grade them (their cores are oracle-graded through the nd_* queries).
 STAGES = {
+    "stage_index_build": stage_index_build,
     "stage_crawl_extract": stage_crawl_extract,
     "stage_gopher_keep": stage_gopher_keep,
     "stage_pii_redact": stage_pii_redact,

@@ -133,6 +133,9 @@ def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
         base = str(tmp_path / tag)
         store = f"{base}/store"
         stages = [
+            {"name": "index_ingest", "query": "stage_index_build",
+             "inputs": {"sf_dir": SF_DIR},
+             "outputs": {"path": f"{base}/index_log"}},
             {"name": "crawl", "query": "stage_crawl_extract",
              "inputs": {"sf_dir": SF_DIR},
              "outputs": {"path": f"{base}/extracted"}},
@@ -163,6 +166,12 @@ def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
         return base, store
 
     base, store = run("crawl1")
+    # the index-ingest branch published every per-doc index kind
+    idx = sorted(map(tuple,
+                     spark.read.parquet(f"{base}/index_log").collect()))
+    assert {r[0] for r in idx} == {"sig", "phash", "aphash", "vphash",
+                                   "canon", "extract"}
+    assert all(r[1] > 0 and r[2] >= 1 for r in idx)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     canon = url_canonicalize_frame(
         docs.select("doc_id", "source", _url_expr().alias("url")))
@@ -194,6 +203,11 @@ def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
         assert n_rows == by_split.get(side, 0), side
     _, store2 = run("crawl2")
     assert cs.last_manifest(store2)[0] == cs.last_manifest(store)[0]
+    # the second epoch's ingest ADOPTS the published indexes: same
+    # versions, same rows — the stage output is run-invariant too
+    base2 = store2.rsplit("/", 1)[0]
+    assert sorted(map(tuple, spark.read.parquet(
+        f"{base2}/index_log").collect())) == idx
     # run-invariant terminal manifests for BOTH split sides
     for store_name in ("train_store", "heldout_store"):
         assert cs.last_manifest(f"{store2.rsplit('/', 1)[0]}/"
