@@ -253,9 +253,13 @@ def cmd_index(args) -> int:
       lshsig, canon, extract, or all (canon/extract are the
       materialized crawl front door; aphash/vphash the audio and
       video near-dup signatures — round 12).
-    - `index drop [--kind K]` removes published index tables (all, or
-      one kind's) — the cache-invalidation big hammer; the next
-      consumer rebuilds and republishes.
+    - `index drop [--kind K] [--stale-days N]` removes published index
+      tables (all, or one kind's) — the cache-invalidation big hammer;
+      the next consumer rebuilds and republishes. `--stale-days N`
+      restricts the sweep to tables whose latest manifest is older
+      than N days: content addressing leaves a dead table behind
+      whenever a source's bytes change, and the age sweep is how dead
+      content is reclaimed without naming tables.
     """
     import json as _json
     import os
@@ -281,12 +285,30 @@ def cmd_index(args) -> int:
         return 0
     if args.action == "drop":
         names = sorted(os.listdir(root)) if os.path.isdir(root) else []
+        cutoff = None
+        if args.stale_days is not None:
+            # content addressing leaves a dead table behind whenever a
+            # source's bytes change (the fresh content gets a NEW
+            # address); an age sweep is how dead content is reclaimed
+            # without naming tables — a table is stale when its LATEST
+            # manifest has not been (re)published for N days. Active
+            # tables stay safe at any age on append-only sources: their
+            # address never changes, but adoption never rewrites them
+            # either, so pair --stale-days with a period longer than
+            # the slowest re-ingest cadence.
+            import time as _time
+            cutoff = _time.time() - args.stale_days * 86400.0
         dropped = []
         for name in names:
-            if args.kind in ("all", name.split("__", 1)[0]):
-                _shutil.rmtree(os.path.join(root, name),
-                               ignore_errors=True)
-                dropped.append(name)
+            if args.kind not in ("all", name.split("__", 1)[0]):
+                continue
+            if cutoff is not None:
+                m = _v.latest_manifest(os.path.join(root, name))
+                if m is not None and m["created_unix"] >= cutoff:
+                    continue
+            _shutil.rmtree(os.path.join(root, name),
+                           ignore_errors=True)
+            dropped.append(name)
         # no session-tier frame may outlive its dropped files: a cached
         # DataFrame still points at the deleted parquet and would fail
         # every later consumer in-process
@@ -471,6 +493,9 @@ def build_parser() -> argparse.ArgumentParser:
     ix.add_argument("--kind", default="all",
                     help="sig|cand|winnow|phash|aphash|vphash|lshsig|"
                          "pq|ivfpq|canon|extract|all")
+    ix.add_argument("--stale-days", type=float, default=None,
+                    help="drop only tables whose latest manifest is "
+                         "older than N days (dead-content reclamation)")
     ix.set_defaults(fn=cmd_index)
 
     ver = sub.add_parser("version", help="client (and server) version")

@@ -63,6 +63,51 @@ def test_index_verb_build_list_drop(spark, sf_dir, capsys):
     assert cli.main(["index", "build", "--kind", "bogus"]) == 2
 
 
+def test_index_drop_stale_days_spares_fresh_tables(spark, sf_dir,
+                                                   capsys):
+    """`index drop --stale-days N` is the dead-content reclamation
+    sweep: a table whose latest manifest is older than N days goes, a
+    freshly published one stays — content addressing leaves dead tables
+    behind whenever source bytes change, and the age sweep reclaims
+    them without naming tables."""
+    import json as _json
+    import os
+
+    from bacalhau_spark.operators.dedup import index_store_root
+
+    assert cli.main(["index", "build", "--sf-dir", sf_dir,
+                     "--kind", "winnow"]) == 0
+    capsys.readouterr()
+    # plant a dead-content table with an old manifest
+    stale = os.path.join(index_store_root(),
+                         "winnow__documents__deadbeefdeadbeef")
+    os.makedirs(os.path.join(stale, "v=000001"), exist_ok=True)
+    with open(os.path.join(stale, "v=000001", "manifest.json"),
+              "w") as f:
+        _json.dump({"version": 1, "files": ["v=000001/x.parquet"],
+                    "n_files": 1, "columns": [], "dtypes": [],
+                    "stats": {}, "created_unix": 1_000_000}, f)
+    with open(os.path.join(stale, "_LATEST"), "w") as f:
+        f.write("1")
+    try:
+        assert cli.main(["index", "drop", "--kind", "winnow",
+                         "--stale-days", "30"]) == 0
+        dropped = json.loads(capsys.readouterr().out)["dropped"]
+        assert os.path.basename(stale) in dropped
+        fresh = [n for n in dropped
+                 if not n.endswith("deadbeefdeadbeef")]
+        assert not fresh, f"fresh tables must survive: {fresh}"
+        assert cli.main(["index", "list"]) == 0
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines() if ln]
+        assert any(r["index"] == "winnow" for r in rows)
+    finally:
+        import shutil
+        shutil.rmtree(stale, ignore_errors=True)
+        cli.main(["index", "drop", "--kind", "winnow"])
+        capsys.readouterr()
+
+
 def test_run_and_write(spark, sf_dir, tmp_path, capsys):
     out = str(tmp_path / "q01_out")
     rc = cli.main(["run", "--query", "q01_scan_projection",

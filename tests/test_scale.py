@@ -1215,6 +1215,62 @@ def test_index_delta_adoption_hashes_only_appended_files(spark, sf_dir,
     assert sorted(map(tuple, again.collect())) == expect
 
 
+def test_delta_adopted_table_compacts(spark, sf_dir, tmp_path):
+    """After epochs of delta adoption a table's head names many small
+    files (the parent's hardlinks + each delta) — compact() (the
+    OPTIMIZE analog) must rewrite it as one coalesced version with
+    identical rows, and the pre-compaction version must stay pinned-
+    readable (immutability)."""
+    import os
+
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                _mh_session_cached,
+                                                clear_session_index)
+    from bacalhau_spark.operators.multimodal import (phash_frame,
+                                                     phash_index)
+    from bacalhau_spark.sources.versioned import (compact,
+                                                  latest_manifest,
+                                                  read_version)
+
+    epoch1 = str(tmp_path / "epoch1")
+    os.makedirs(epoch1)
+    _copy_docs_parts(sf_dir, epoch1)
+    phash_index(spark, epoch1)
+    epoch2 = str(tmp_path / "epoch2")
+    os.makedirs(epoch2)
+    _copy_docs_parts(epoch1, epoch2)
+    staging = str(tmp_path / "staging")
+    (spark.read.parquet(os.path.join(epoch1, "documents.parquet"))
+     .limit(30).withColumn("doc_id", F.col("doc_id") + 3_000_000)
+     .coalesce(1).write.parquet(staging))
+    (part,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    os.rename(os.path.join(staging, part),
+              os.path.join(epoch2, "documents.parquet",
+                           f"part-appended-{part}"))
+
+    adopted = _mh_session_cached(
+        spark, epoch2, "phash",
+        lambda: phash_frame(
+            spark.read.parquet(os.path.join(epoch2, "documents.parquet"))
+            .select("doc_id")),
+        build_delta=lambda paths: phash_frame(
+            spark.read.parquet(*paths).select("doc_id")))
+    expect = sorted(map(tuple, adopted.collect()))
+    root = _index_table_root(epoch2, "phash", "documents")
+    v1 = latest_manifest(root)
+    assert v1["props"].get("delta_parent") and v1["n_files"] >= 2
+
+    v2 = compact(spark, root, target_files=1)
+    man2 = latest_manifest(root)
+    assert man2["version"] == v2 and man2["n_files"] == 1
+    assert sorted(map(tuple,
+                      read_version(spark, root).collect())) == expect
+    # the delta version stays pinned-readable after compaction
+    assert sorted(map(tuple, read_version(
+        spark, root, version=v1["version"]).collect())) == expect
+    clear_session_index(spark)
+
+
 def test_lost_publish_race_adopts_winners_artifact(spark, sf_dir,
                                                    tmp_path, monkeypatch):
     """Two sessions racing to publish the same content's index: the
