@@ -248,14 +248,26 @@ def _table_part_paths(sf_dir: str, tbl: str) -> list[str]:
     return []
 
 
+# Above this many part files the per-file key map is omitted from the
+# manifest (a 100k-shard corpus would carry ~5 MB of keys per manifest)
+# and delta adoption quietly degrades to the full rebuild. At that scale
+# the production design is a Merkle manifest tree (per-directory digests,
+# O(log n) keys per level) — documented, not simulated on one box.
+DELTA_FILE_KEYS_MAX = 4096
+
+
 def _per_file_keys(sf_dir: str, tbl: str = "documents") -> dict[str, str]:
     """{part basename: content key} over the source table — the same
     (basename, size, head 4 KB, tail 4 KB) window _content_key folds,
     kept PER FILE so an appended corpus is recognizable as a strict
     superset of an already-indexed one (delta adoption). Recorded in
-    every published index manifest's props."""
+    every published index manifest's props (empty above
+    DELTA_FILE_KEYS_MAX — see its comment)."""
+    paths = _table_part_paths(sf_dir, tbl)
+    if len(paths) > DELTA_FILE_KEYS_MAX:
+        return {}
     out: dict[str, str] = {}
-    for p in _table_part_paths(sf_dir, tbl):
+    for p in paths:
         size = os.stat(p).st_size
         h = hashlib.md5(f"{os.path.basename(p)}:{size}:".encode())
         with open(p, "rb") as f:

@@ -1122,6 +1122,30 @@ def test_index_store_is_content_addressed_across_paths(spark, sf_dir,
         spark, sf_dir).count()
 
 
+def _shifted_docs_corpus(spark, sf_dir, dest_dir, shift,
+                         limit=None, part_name=None) -> str:
+    """A content-UNIQUE documents corpus (fixture rows, doc_id + shift)
+    as one part file under dest_dir/documents.parquet. The persisted
+    index store is CONTENT-addressed and shared across tests AND
+    pytest runs — a test publishing manifests under the plain fixture's
+    address would poison every later same-content test, so each store
+    test works on its own shifted content."""
+    import os
+
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if limit is not None:
+        df = df.limit(limit)
+    df = df.withColumn("doc_id", F.col("doc_id") + shift).coalesce(1)
+    staging = f"{dest_dir}__staging"
+    df.write.parquet(staging)
+    tbl = os.path.join(dest_dir, "documents.parquet")
+    os.makedirs(tbl, exist_ok=True)
+    (part,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    dst = os.path.join(tbl, part_name or part)
+    os.rename(os.path.join(staging, part), dst)
+    return dst
+
+
 def _copy_docs_parts(sf_dir, dest_dir) -> list[str]:
     """Stage the fixture documents table's part files into
     dest_dir/documents.parquet; returns the staged paths."""
@@ -1163,8 +1187,7 @@ def test_index_delta_adoption_hashes_only_appended_files(spark, sf_dir,
                                                   read_version)
 
     epoch1 = str(tmp_path / "epoch1")
-    os.makedirs(epoch1)
-    _copy_docs_parts(sf_dir, epoch1)
+    _shifted_docs_corpus(spark, sf_dir, epoch1, 7_000_000)
     phash_index(spark, epoch1)  # full build + publish for epoch 1
     parent_root = _index_table_root(epoch1, "phash", "documents")
     assert latest_manifest(parent_root)["props"].get("file_keys")
@@ -1215,6 +1238,46 @@ def test_index_delta_adoption_hashes_only_appended_files(spark, sf_dir,
     assert sorted(map(tuple, again.collect())) == expect
 
 
+def test_file_key_cap_degrades_to_full_rebuild(spark, sf_dir, tmp_path,
+                                               monkeypatch):
+    """Above DELTA_FILE_KEYS_MAX part files the per-file key map is
+    omitted (manifest-size bound) and delta adoption quietly degrades
+    to the full rebuild — corpora over the cap still index correctly,
+    they just pay the rebuild."""
+    import os
+
+    from bacalhau_spark.operators import dedup
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                _mh_session_cached,
+                                                _per_file_keys)
+    from bacalhau_spark.operators.multimodal import phash_frame
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    monkeypatch.setattr(dedup, "DELTA_FILE_KEYS_MAX", 0)
+    # content-UNIQUE corpus: this test publishes a KEYLESS manifest,
+    # which must never land under an address other tests share
+    corpus = str(tmp_path / "capped")
+    _shifted_docs_corpus(spark, sf_dir, corpus, 5_000_000)
+    assert _per_file_keys(corpus) == {}
+
+    full_calls, delta_calls = [], []
+
+    def build():
+        full_calls.append(1)
+        return phash_frame(
+            spark.read.parquet(os.path.join(corpus, "documents.parquet"))
+            .select("doc_id"))
+
+    out = _mh_session_cached(spark, corpus, "phash", build,
+                             build_delta=lambda paths: delta_calls.append(
+                                 paths))
+    assert full_calls == [1] and delta_calls == []
+    assert out.count() > 0
+    man = latest_manifest(_index_table_root(corpus, "phash", "documents"))
+    assert man["props"]["file_keys"] == {}
+    dedup.clear_session_index(spark)
+
+
 def test_delta_adopted_table_compacts(spark, sf_dir, tmp_path):
     """After epochs of delta adoption a table's head names many small
     files (the parent's hardlinks + each delta) — compact() (the
@@ -1233,20 +1296,13 @@ def test_delta_adopted_table_compacts(spark, sf_dir, tmp_path):
                                                   read_version)
 
     epoch1 = str(tmp_path / "epoch1")
-    os.makedirs(epoch1)
-    _copy_docs_parts(sf_dir, epoch1)
+    _shifted_docs_corpus(spark, sf_dir, epoch1, 9_000_000)
     phash_index(spark, epoch1)
     epoch2 = str(tmp_path / "epoch2")
     os.makedirs(epoch2)
     _copy_docs_parts(epoch1, epoch2)
-    staging = str(tmp_path / "staging")
-    (spark.read.parquet(os.path.join(epoch1, "documents.parquet"))
-     .limit(30).withColumn("doc_id", F.col("doc_id") + 3_000_000)
-     .coalesce(1).write.parquet(staging))
-    (part,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
-    os.rename(os.path.join(staging, part),
-              os.path.join(epoch2, "documents.parquet",
-                           f"part-appended-{part}"))
+    _shifted_docs_corpus(spark, sf_dir, epoch2, 9_500_000, limit=30,
+                         part_name="part-appended.parquet")
 
     adopted = _mh_session_cached(
         spark, epoch2, "phash",
@@ -1288,8 +1344,7 @@ def test_lost_publish_race_adopts_winners_artifact(spark, sf_dir,
     from bacalhau_spark.sources import versioned
 
     corpus = str(tmp_path / "race_corpus")
-    os.makedirs(corpus)
-    _copy_docs_parts(sf_dir, corpus)
+    _shifted_docs_corpus(spark, sf_dir, corpus, 10_000_000)
     real_write = versioned.write_version
 
     def racing_write(df, root, **kw):
@@ -1328,8 +1383,7 @@ def test_index_delta_adoption_rejects_modified_files(spark, sf_dir,
     from bacalhau_spark.sources.versioned import latest_manifest
 
     epoch1 = str(tmp_path / "epoch1")
-    os.makedirs(epoch1)
-    staged = _copy_docs_parts(sf_dir, epoch1)
+    staged = [_shifted_docs_corpus(spark, sf_dir, epoch1, 8_000_000)]
     phash_index(spark, epoch1)
 
     mutated = str(tmp_path / "mutated")
