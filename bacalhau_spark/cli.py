@@ -256,10 +256,14 @@ def cmd_index(args) -> int:
     - `index drop [--kind K] [--stale-days N]` removes published index
       tables (all, or one kind's) — the cache-invalidation big hammer;
       the next consumer rebuilds and republishes. `--stale-days N`
-      restricts the sweep to tables whose latest manifest is older
-      than N days: content addressing leaves a dead table behind
-      whenever a source's bytes change, and the age sweep is how dead
-      content is reclaimed without naming tables.
+      restricts the sweep to tables neither published NOR ADOPTED for
+      N days (liveness = max of manifest age and the _LAST_ADOPTED
+      marker every adoption stamps): content addressing leaves a dead
+      table behind whenever a source's bytes change, and the age sweep
+      reclaims dead content without naming tables — while an active
+      table of a stable corpus stays safe at any age because its
+      readers keep its marker fresh. In-flight first publishes
+      (manifestless) are never age-swept.
     """
     import json as _json
     import os
@@ -269,10 +273,18 @@ def cmd_index(args) -> int:
     from bacalhau_spark.sources import versioned as _v
 
     root = dedup.index_store_root()
+    def _manifest(name):
+        # a corrupt manifest.json (crash mid-copy, disk-full) must not
+        # abort the whole verb mid-sweep — treat as manifestless
+        try:
+            return _v.latest_manifest(os.path.join(root, name))
+        except Exception:  # noqa: BLE001
+            return None
+
     if args.action == "list":
         names = sorted(os.listdir(root)) if os.path.isdir(root) else []
         for name in names:
-            m = _v.latest_manifest(os.path.join(root, name))
+            m = _manifest(name)
             if m is None:
                 continue
             kind, tbl, digest = (name.split("__") + ["", ""])[:3]
@@ -289,13 +301,14 @@ def cmd_index(args) -> int:
         if args.stale_days is not None:
             # content addressing leaves a dead table behind whenever a
             # source's bytes change (the fresh content gets a NEW
-            # address); an age sweep is how dead content is reclaimed
-            # without naming tables — a table is stale when its LATEST
-            # manifest has not been (re)published for N days. Active
-            # tables stay safe at any age on append-only sources: their
-            # address never changes, but adoption never rewrites them
-            # either, so pair --stale-days with a period longer than
-            # the slowest re-ingest cadence.
+            # address); the age sweep reclaims dead content without
+            # naming tables. LIVENESS is max(manifest age, last-adopted
+            # age): adoption never rewrites a content-addressed table,
+            # so manifest age alone cannot distinguish an ACTIVE index
+            # (stable corpus, adopted daily — its _LAST_ADOPTED marker
+            # stays fresh) from a dead one. A manifestless table under
+            # --stale-days is an IN-FLIGHT first publish and is never
+            # swept (the unconditional drop still takes it).
             import time as _time
             cutoff = _time.time() - args.stale_days * 86400.0
         dropped = []
@@ -303,8 +316,15 @@ def cmd_index(args) -> int:
             if args.kind not in ("all", name.split("__", 1)[0]):
                 continue
             if cutoff is not None:
-                m = _v.latest_manifest(os.path.join(root, name))
-                if m is not None and m["created_unix"] >= cutoff:
+                m = _manifest(name)
+                if m is None or m["created_unix"] >= cutoff:
+                    continue
+                try:
+                    adopted = os.path.getmtime(
+                        os.path.join(root, name, "_LAST_ADOPTED"))
+                except OSError:
+                    adopted = None
+                if adopted is not None and adopted >= cutoff:
                     continue
             _shutil.rmtree(os.path.join(root, name),
                            ignore_errors=True)

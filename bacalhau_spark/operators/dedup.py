@@ -23,6 +23,7 @@ import hashlib
 import os
 import tempfile
 import threading
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -222,17 +223,27 @@ def _content_key(sf_dir: str, tbl: str = "documents") -> str:
     decides reuse, never a path."""
     h = hashlib.md5()
     for p in _table_part_paths(sf_dir, tbl):
-        size = os.stat(p).st_size
-        h.update(f"{os.path.basename(p)}:{size}:".encode())
-        with open(p, "rb") as f:
-            h.update(f.read(4096))
-            if size > 8192:
-                f.seek(-4096, 2)
-                h.update(f.read(4096))
-            elif size > 4096:
-                f.seek(4096)
-                h.update(f.read())
+        _fold_file_window(h, p)
     return h.hexdigest()
+
+
+def _fold_file_window(h, path: str) -> None:
+    """Fold ONE file's (basename, size, head 4 KB, tail 4 KB) window
+    into the given md5 — the single statement of the content-identity
+    window. _content_key folds all parts into one running digest;
+    _per_file_keys hashes each part separately — delta adoption's
+    subset recognition is only correct because both fold the IDENTICAL
+    window, so there is exactly one fold to edit."""
+    size = os.stat(path).st_size
+    h.update(f"{os.path.basename(path)}:{size}:".encode())
+    with open(path, "rb") as f:
+        h.update(f.read(4096))
+        if size > 8192:
+            f.seek(-4096, 2)
+            h.update(f.read(4096))
+        elif size > 4096:
+            f.seek(4096)
+            h.update(f.read())
 
 
 def _table_part_paths(sf_dir: str, tbl: str) -> list[str]:
@@ -268,22 +279,15 @@ def _per_file_keys(sf_dir: str, tbl: str = "documents") -> dict[str, str]:
         return {}
     out: dict[str, str] = {}
     for p in paths:
-        size = os.stat(p).st_size
-        h = hashlib.md5(f"{os.path.basename(p)}:{size}:".encode())
-        with open(p, "rb") as f:
-            h.update(f.read(4096))
-            if size > 8192:
-                f.seek(-4096, 2)
-                h.update(f.read(4096))
-            elif size > 4096:
-                f.seek(4096)
-                h.update(f.read())
+        h = hashlib.md5()
+        _fold_file_window(h, p)
         out[os.path.basename(p)] = h.hexdigest()
     return out
 
 
 def _find_delta_parent(kind: str, tbl: str, fkeys: dict[str, str],
-                       exclude: str) -> tuple[str, dict] | None:
+                       exclude: str, rev: int = 1) \
+        -> tuple[str, dict] | None:
     """Scan the store for a published index of the same (kind, table)
     whose recorded per-file keys are a STRICT SUBSET of the current
     source's — i.e. the current corpus is the indexed one plus appended
@@ -311,6 +315,8 @@ def _find_delta_parent(kind: str, tbl: str, fkeys: dict[str, str],
         if not m or not m.get("files"):
             continue
         pk = m.get("props", {}).get("file_keys")
+        if m.get("props", {}).get("builder_rev", 1) != rev:
+            continue  # another rule's artifact is not this index
         if not pk or len(pk) >= len(fkeys):
             continue
         if all(fkeys.get(b) == k for b, k in pk.items()) \
@@ -320,20 +326,31 @@ def _find_delta_parent(kind: str, tbl: str, fkeys: dict[str, str],
 
 
 def _index_table_root(sf_dir: str, kind: str, tbl: str,
-                      ck: str | None = None) -> str:
+                      ck: str | None = None, rev: int = 1) -> str:
     """One versioned table per (index kind, source table, source
-    CONTENT) — the digest component is the content key, so the table is
-    content-addressed: same bytes anywhere share it, changed bytes get a
-    fresh table (old content's table becomes garbage for `index drop`,
-    it is never republished under). The human-readable prefix keeps the
-    store inspectable."""
-    digest = (ck or _content_key(sf_dir, tbl))[:16]
-    return os.path.join(index_store_root(), f"{kind}__{tbl}__{digest}")
+    CONTENT, builder REVISION) — the digest component is the content
+    key, so the table is content-addressed: same bytes anywhere share
+    it, changed bytes get a fresh table (old content's table becomes
+    garbage for `index drop`, it is never republished under). The
+    human-readable prefix keeps the store inspectable. `rev` is the
+    BUILDER revision: the artifact is a function of (source content,
+    transform rule), and addressing by content alone would serve a
+    stale artifact forever after a rule change (the round-12 review's
+    example: this very round changed the canonicalization port rule
+    while persisting its output) — a builder that changes its rule
+    bumps its rev literal and the old-rev table becomes reclaimable
+    garbage. rev 1 folds nothing so pre-rev addresses stay valid."""
+    digest = ck or _content_key(sf_dir, tbl)
+    if rev != 1:
+        digest = hashlib.md5(f"{digest}:r{rev}".encode()).hexdigest()
+    return os.path.join(index_store_root(),
+                        f"{kind}__{tbl}__{digest[:16]}")
 
 
 def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                        build, tbl: str = "documents",
-                       cleanup=None, build_delta=None) -> DataFrame:
+                       cleanup=None, build_delta=None,
+                       rev: int = 1) -> DataFrame:
     """Two-tier shared-index cache — the production index lifecycle:
 
     Tier 1 (session): a per-(applicationId, table-content) map so every
@@ -395,26 +412,31 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
 
     app_id = spark.sparkContext.applicationId
     fp = _docs_fingerprint(sf_dir, tbl)
-    key = (app_id, os.path.realpath(sf_dir), fp, kind, tbl)
+    key = (app_id, os.path.realpath(sf_dir), fp, kind, tbl, rev)
     with _MH_IDX_LOCK:
         for k in [k for k in _MH_IDX_CACHE if k[0] != app_id]:
             _MH_IDX_CACHE.pop(k, None)
+        for a in [a for a in _SESSION_INDEX_SOURCES if a != app_id]:
+            _SESSION_INDEX_SOURCES.pop(a, None)  # dead sessions' sets
         hit = _MH_IDX_CACHE.get(key)
         _SESSION_INDEX_SOURCES.setdefault(app_id, set()).add(
             (os.path.realpath(sf_dir), tbl))
     if hit is not None:
         return hit
     ck = _content_key(sf_dir, tbl)
-    root = _index_table_root(sf_dir, kind, tbl, ck=ck)
+    root = _index_table_root(sf_dir, kind, tbl, ck=ck, rev=rev)
     manifest = versioned.latest_manifest(root)
     adoptable = (manifest is not None and manifest["files"]
-                 and manifest.get("props", {}).get("content_key") == ck)
+                 and manifest.get("props", {}).get("content_key") == ck
+                 and manifest.get("props", {}).get("builder_rev", 1)
+                 == rev)
     if not adoptable:
         fkeys = _per_file_keys(sf_dir, tbl)
         frame, linked, parent_digest = None, None, None
         if manifest is None and build_delta is not None:
             found = _find_delta_parent(kind, tbl, fkeys,
-                                       exclude=os.path.basename(root))
+                                       exclude=os.path.basename(root),
+                                       rev=rev)
             if found is not None:
                 proot, pman = found
                 pk = pman["props"]["file_keys"]
@@ -438,6 +460,7 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
             # empty/foreign head falls through.
             props = {"content_key": ck,
                      "file_keys": fkeys,
+                     "builder_rev": rev,
                      "fingerprint": [list(t) for t in fp],
                      "kind": kind, "table": tbl}
             if is_delta:
@@ -480,8 +503,24 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
     # artifact, pinned to the exact version whose content key matched
     out = versioned.read_version(spark, root,
                                  version=manifest["version"])
+    _touch_adopted(root)
     with _MH_IDX_LOCK:
         return _MH_IDX_CACHE.setdefault(key, out)
+
+
+def _touch_adopted(root: str) -> None:
+    """Stamp the table's _LAST_ADOPTED marker (best-effort): adoption
+    never rewrites a content-addressed table, so manifest age alone
+    cannot distinguish an ACTIVE index (stable corpus, adopted daily)
+    from a dead one (source bytes changed, address orphaned) — the
+    round-12 review's point against `index drop --stale-days`. The
+    sweep treats max(manifest age, last-adopted age) as the liveness
+    signal."""
+    try:
+        with open(os.path.join(root, "_LAST_ADOPTED"), "w") as f:
+            f.write(str(int(_time.time())))
+    except OSError:
+        pass
 
 
 def clear_session_index(spark: SparkSession,
@@ -1572,6 +1611,25 @@ def nd_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 HELDOUT_PCT = 10
 
 
+def _assign_split(lbl: DataFrame, heldout_pct: int) -> DataFrame:
+    """THE split-assignment rule, stated once (the fixture path and the
+    DAG-stage path must produce the identical split for the same
+    corpus — the rule is hash-gated by the registered audit): coalesce
+    unclustered docs to singleton clusters (label = own doc_id), then a
+    deterministic md5 bucket of the label assigns the WHOLE cluster to
+    one side."""
+    lbl = lbl.select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100)
+    return lbl.select(
+        "doc_id", "cluster_id",
+        F.when(bucket < 100 - heldout_pct, F.lit("train"))
+        .otherwise(F.lit("heldout")).alias("split"))
+
+
 def leakage_safe_split_frame(spark: SparkSession,
                              sf_dir: str,
                              heldout_pct: int = HELDOUT_PCT) -> DataFrame:
@@ -1589,17 +1647,8 @@ def leakage_safe_split_frame(spark: SparkSession,
     per-row codegen."""
     labels = nd_dedup_clusters(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    lbl = (docs.join(labels, "doc_id", "left")
-           .select("doc_id",
-                   F.coalesce("cluster_id", F.col("doc_id"))
-                   .alias("cluster_id")))
-    bucket = (F.conv(F.substring(
-        F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100)
-    return lbl.select(
-        "doc_id", "cluster_id",
-        F.when(bucket < 100 - heldout_pct, F.lit("train"))
-        .otherwise(F.lit("heldout")).alias("split"))
+    return _assign_split(docs.join(labels, "doc_id", "left"),
+                         heldout_pct)
 
 
 def leakage_safe_split_labels(docs: DataFrame,
@@ -1622,17 +1671,9 @@ def leakage_safe_split_labels(docs: DataFrame,
     )).alias("e")).select("e.src", "e.dst"))
     labels = cc_labels_doubling(edges).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
-    lbl = (docs.select("doc_id").join(labels, "doc_id", "left")
-           .select("doc_id",
-                   F.coalesce("cluster_id", F.col("doc_id"))
-                   .alias("cluster_id")))
-    bucket = (F.conv(F.substring(
-        F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100)
-    return lbl.select(
-        "doc_id", "cluster_id",
-        F.when(bucket < 100 - heldout_pct, F.lit("train"))
-        .otherwise(F.lit("heldout")).alias("split"))
+    return _assign_split(
+        docs.select("doc_id").join(labels, "doc_id", "left"),
+        heldout_pct)
 
 
 def nd_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -421,6 +421,40 @@ def phash_candidate_pairs(hashes: DataFrame,
             .distinct())
 
 
+def _phash_pairs_verify(spark: SparkSession, sf_dir: str,
+                        hashes: DataFrame, *, n_bands: int,
+                        bucket_cap: int, max_hamming: int,
+                        cand_kind: str) -> DataFrame:
+    """The banded near-dup PAIR pipeline, generic over the modality
+    (one statement of the gate/verify logic for image/audio/video —
+    the streaming side's _stream_phash_screen convention): capped
+    bucket-and-expand candidates (never all-pairs), verification
+    gathers the hash table in one scan with the pair probe COUNT-GATED
+    before broadcast (round-11 ADVICE: degrade to a shuffle join, not
+    die on the broadcast ceiling), exact xor+bit_count Hamming,
+    threshold filter."""
+    from bacalhau_spark.operators.dedup import (EDIT_BROADCAST_MAX_PAIRS,
+                                                _cand_pair_count)
+
+    cand = phash_candidate_pairs(hashes, bucket_cap=bucket_cap,
+                                 n_bands=n_bands)
+    sides = cand.select(
+        "a_id", "b_id",
+        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+    n_pairs = _cand_pair_count(spark, sf_dir, cand, kind=cand_kind)
+    probe = (F.broadcast(sides)
+             if n_pairs <= EDIT_BROADCAST_MAX_PAIRS else sides)
+    ham = sum(
+        F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
+               f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
+        for i in range(n_bands))
+    return (hashes.join(probe, "doc_id")
+            .groupBy("a_id", "b_id")
+            .agg(ham.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .orderBy("a_id", "b_id"))
+
+
 def phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dHash table as a shared PERSISTED index (the
     minhash_signature_index lifecycle): decode+hash once per
@@ -447,31 +481,11 @@ def nd_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; candidates broadcast into a single-scan gather of the
     hash table (the nd_editdist_dedup convention), pixels never leave
     the stage that decodes them; the hash table is the shared persisted
-    index above. The broadcast is COUNT-GATED exactly like
-    nd_editdist_dedup's (round-11 ADVICE): a near-dup-heavy image
-    corpus whose candidate set outgrows EDIT_BROADCAST_MAX_PAIRS
-    degrades to a shuffle join instead of dying on the broadcast
-    ceiling — the bucket cap bounds per-bucket pairs, never the total."""
-    from bacalhau_spark.operators.dedup import (EDIT_BROADCAST_MAX_PAIRS,
-                                                _cand_pair_count)
-
-    hashes = phash_index(spark, sf_dir)
-    cand = phash_candidate_pairs(hashes)
-    sides = cand.select(
-        "a_id", "b_id",
-        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
-    n_pairs = _cand_pair_count(spark, sf_dir, cand, kind="phash_cand")
-    probe = (F.broadcast(sides)
-             if n_pairs <= EDIT_BROADCAST_MAX_PAIRS else sides)
-    ham = sum(
-        F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
-               f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
-        for i in range(4))
-    return (hashes.join(probe, "doc_id")
-            .groupBy("a_id", "b_id")
-            .agg(ham.cast("long").alias("hamming"))
-            .where(F.col("hamming") <= PHASH_MAX_HAMMING)
-            .orderBy("a_id", "b_id"))
+    index above. Gate/verify shape: _phash_pairs_verify."""
+    return _phash_pairs_verify(
+        spark, sf_dir, phash_index(spark, sf_dir),
+        n_bands=4, bucket_cap=PHASH_BUCKET_CAP,
+        max_hamming=PHASH_MAX_HAMMING, cand_kind="phash_cand")
 
 
 def _phash_h_cte() -> str:
@@ -610,30 +624,12 @@ def audio_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nd_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs: envelope dHash, band-bucketed candidates,
     exact-Hamming verification — (a_id, b_id, hamming), hamming <=
-    APHASH_MAX_HAMMING. Same scale shape as nd_image_phash: candidates
-    are capped bucket-and-expand (never all-pairs), verification
-    gathers the hash table in one scan with the pair probe COUNT-GATED
-    before broadcast, PCM never leaves the stage that decodes it."""
-    from bacalhau_spark.operators.dedup import (EDIT_BROADCAST_MAX_PAIRS,
-                                                _cand_pair_count)
-
-    hashes = audio_phash_index(spark, sf_dir)
-    cand = phash_candidate_pairs(hashes, bucket_cap=APHASH_BUCKET_CAP)
-    sides = cand.select(
-        "a_id", "b_id",
-        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
-    n_pairs = _cand_pair_count(spark, sf_dir, cand, kind="aphash_cand")
-    probe = (F.broadcast(sides)
-             if n_pairs <= EDIT_BROADCAST_MAX_PAIRS else sides)
-    ham = sum(
-        F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
-               f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
-        for i in range(4))
-    return (hashes.join(probe, "doc_id")
-            .groupBy("a_id", "b_id")
-            .agg(ham.cast("long").alias("hamming"))
-            .where(F.col("hamming") <= APHASH_MAX_HAMMING)
-            .orderBy("a_id", "b_id"))
+    APHASH_MAX_HAMMING. Same scale shape as nd_image_phash (PCM never
+    leaves the stage that decodes it): _phash_pairs_verify."""
+    return _phash_pairs_verify(
+        spark, sf_dir, audio_phash_index(spark, sf_dir),
+        n_bands=4, bucket_cap=APHASH_BUCKET_CAP,
+        max_hamming=APHASH_MAX_HAMMING, cand_kind="aphash_cand")
 
 
 def _aphash_h_cte() -> str:
@@ -779,31 +775,12 @@ def nd_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs: frame-sampled dHash signatures, time-aligned
     band-bucketed candidates, exact-Hamming verification — (a_id, b_id,
     hamming), hamming <= VPHASH_MAX_HAMMING over 256 bits. Same scale
-    shape as the image/audio screens: candidates are capped
-    bucket-and-expand (never all-pairs), verification gathers the
-    signature table in one scan with the pair probe COUNT-GATED before
-    broadcast, decoded frames never leave the stage that hashes them."""
-    from bacalhau_spark.operators.dedup import (EDIT_BROADCAST_MAX_PAIRS,
-                                                _cand_pair_count)
-
-    hashes = video_phash_index(spark, sf_dir)
-    cand = phash_candidate_pairs(hashes, bucket_cap=VPHASH_BUCKET_CAP,
-                                 n_bands=VPHASH_NBANDS)
-    sides = cand.select(
-        "a_id", "b_id",
-        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
-    n_pairs = _cand_pair_count(spark, sf_dir, cand, kind="vphash_cand")
-    probe = (F.broadcast(sides)
-             if n_pairs <= EDIT_BROADCAST_MAX_PAIRS else sides)
-    ham = sum(
-        F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
-               f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
-        for i in range(VPHASH_NBANDS))
-    return (hashes.join(probe, "doc_id")
-            .groupBy("a_id", "b_id")
-            .agg(ham.cast("long").alias("hamming"))
-            .where(F.col("hamming") <= VPHASH_MAX_HAMMING)
-            .orderBy("a_id", "b_id"))
+    shape as the image/audio screens (decoded frames never leave the
+    stage that hashes them): _phash_pairs_verify."""
+    return _phash_pairs_verify(
+        spark, sf_dir, video_phash_index(spark, sf_dir),
+        n_bands=VPHASH_NBANDS, bucket_cap=VPHASH_BUCKET_CAP,
+        max_hamming=VPHASH_MAX_HAMMING, cand_kind="vphash_cand")
 
 
 def _vphash_h_cte() -> str:

@@ -491,10 +491,17 @@ def compact(spark: SparkSession, root: str,
     data, coalesced layout), so readers switch atomically via the
     pointer, pinned reads of older versions are untouched, and a later
     vacuum() reclaims the superseded small files once they age out of
-    the retention window. Returns the new version number."""
+    the retention window. The head manifest's PROPS carry forward: for
+    an index-store table the props ARE the adoption contract
+    (content_key / file_keys / builder identity), and a compaction that
+    dropped them would wedge the table into permanent rebuild — every
+    future adoptable check would miss against a published, valid
+    artifact. Returns the new version number."""
+    head_manifest = latest_manifest(root) or {}
     head = read_version(spark, root)
     return write_version(head.coalesce(target_files), root,
-                         mode="overwrite")
+                         mode="overwrite",
+                         props=head_manifest.get("props"))
 
 
 def stream_to_versioned(stream_df: DataFrame, root: str,

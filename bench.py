@@ -191,6 +191,19 @@ def main() -> None:
         he_runs.append(time.perf_counter() - t0)
     html_extract_cold = round(statistics.median(he_runs), 3)
 
+    # COLD video-phash pass (round 12): the heaviest per-doc hash build
+    # in the store (288 md5 cells/video) — the warm row measures the
+    # persisted-index probe; this is the one-shot build+publish+read an
+    # ingest epoch pays (the stage_index_build cost, per kind).
+    vp_fn, _ = ALL_QUERIES["nd_video_phash"]
+    vp_runs = []
+    for _ in range(3):
+        clear_session_index(spark, persisted=True)
+        t0 = time.perf_counter()
+        materialize(vp_fn(spark, sf_dir))
+        vp_runs.append(time.perf_counter() - t0)
+    video_phash_cold = round(statistics.median(vp_runs), 3)
+
     def total(names, cold_minhash: bool = True) -> float:
         # r8-and-earlier comparable subtotals swap in the COLD minhash
         # number (those series predate the session index); the r9 series
@@ -206,7 +219,8 @@ def main() -> None:
     # 16 -> 17 in round 9 and 17 -> 18 in round 10; the r3/r7/r8/r9-set
     # subtotals keep the BENCH_r{N} total series directly comparable
     # across the boundaries.
-    r11_added = ("nd_html_extract", "nd_image_phash")
+    r12_added = ("nd_audio_phash", "nd_video_phash")
+    r11_added = ("nd_html_extract", "nd_image_phash") + r12_added
     r10_added = ("nd_quality_model",)
     r9_added = ("nd_editdist_dedup",)
     r8_added = ("nd_kmeans", "nd_substr_dedup")
@@ -256,9 +270,13 @@ def main() -> None:
         # the comparable total therefore swaps ONLY html_extract to the
         # cold (build+publish+read) number.
         "nd_html_extract_cold_s": html_extract_cold,
+        "nd_video_phash_cold_s": video_phash_cold,
+        # the r11 series is the 20-row set (pre the r12 audio/video
+        # additions) with the INLINE extraction basis (cold swap-in)
         "r11_comparable_total": round(
             sum(html_extract_cold if n == "nd_html_extract"
-                else timings[n] for n in BENCH_QUERIES), 3),
+                else timings[n] for n in BENCH_QUERIES
+                if n not in ("nd_audio_phash", "nd_video_phash")), 3),
         "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))

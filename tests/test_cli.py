@@ -89,21 +89,40 @@ def test_index_drop_stale_days_spares_fresh_tables(spark, sf_dir,
                     "stats": {}, "created_unix": 1_000_000}, f)
     with open(os.path.join(stale, "_LATEST"), "w") as f:
         f.write("1")
+    # an ACTIVE table: manifest as old as the dead one, but a reader
+    # adopted it recently (_LAST_ADOPTED marker) — must survive
+    active = os.path.join(index_store_root(),
+                          "winnow__documents__ac71bef01dabbe01")
+    os.makedirs(os.path.join(active, "v=000001"), exist_ok=True)
+    with open(os.path.join(active, "v=000001", "manifest.json"),
+              "w") as f:
+        _json.dump({"version": 1, "files": ["v=000001/x.parquet"],
+                    "n_files": 1, "columns": [], "dtypes": [],
+                    "stats": {}, "created_unix": 1_000_000}, f)
+    with open(os.path.join(active, "_LATEST"), "w") as f:
+        f.write("1")
+    with open(os.path.join(active, "_LAST_ADOPTED"), "w") as f:
+        f.write("now")
+    # an IN-FLIGHT first publish (no manifest yet) — never age-swept
+    inflight = os.path.join(index_store_root(),
+                            "winnow__documents__1f11f11f11f11f11")
+    os.makedirs(os.path.join(inflight, "v=000001"), exist_ok=True)
     try:
         assert cli.main(["index", "drop", "--kind", "winnow",
                          "--stale-days", "30"]) == 0
         dropped = json.loads(capsys.readouterr().out)["dropped"]
         assert os.path.basename(stale) in dropped
-        fresh = [n for n in dropped
-                 if not n.endswith("deadbeefdeadbeef")]
-        assert not fresh, f"fresh tables must survive: {fresh}"
+        assert dropped == [os.path.basename(stale)], (
+            "fresh/active/in-flight tables must survive the age sweep")
+        assert os.path.isdir(active) and os.path.isdir(inflight)
         assert cli.main(["index", "list"]) == 0
         rows = [json.loads(ln) for ln in
                 capsys.readouterr().out.strip().splitlines() if ln]
         assert any(r["index"] == "winnow" for r in rows)
     finally:
         import shutil
-        shutil.rmtree(stale, ignore_errors=True)
+        for d in (stale, active, inflight):
+            shutil.rmtree(d, ignore_errors=True)
         cli.main(["index", "drop", "--kind", "winnow"])
         capsys.readouterr()
 

@@ -1238,6 +1238,57 @@ def test_index_delta_adoption_hashes_only_appended_files(spark, sf_dir,
     assert sorted(map(tuple, again.collect())) == expect
 
 
+def test_builder_rev_misses_old_rule_artifacts(spark, sf_dir, tmp_path):
+    """The artifact is a function of (source content, transform rule):
+    a builder that changes its rule bumps its rev, which must MISS the
+    old rule's published artifact (fresh address, fresh build) and
+    never delta-adopt across revisions — addressing by content alone
+    would serve stale derived columns forever after a rule change
+    (round-12 review #4)."""
+    import os
+
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                _mh_session_cached,
+                                                clear_session_index)
+    from bacalhau_spark.operators.multimodal import phash_frame
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    corpus = str(tmp_path / "rev_corpus")
+    _shifted_docs_corpus(spark, sf_dir, corpus, 11_000_000)
+    docs = (spark.read
+            .parquet(os.path.join(corpus, "documents.parquet"))
+            .select("doc_id"))
+
+    r1_calls, r2_calls = [], []
+
+    def build_r1():
+        r1_calls.append(1)
+        return phash_frame(docs)
+
+    def build_r2():
+        r2_calls.append(1)
+        return phash_frame(docs)  # stand-in for a changed rule
+
+    _mh_session_cached(spark, corpus, "phash", build_r1)
+    root1 = _index_table_root(corpus, "phash", "documents")
+    assert r1_calls == [1]
+    assert latest_manifest(root1)["props"]["builder_rev"] == 1
+
+    out2 = _mh_session_cached(spark, corpus, "phash", build_r2, rev=2)
+    root2 = _index_table_root(corpus, "phash", "documents", rev=2)
+    assert r2_calls == [1], "rev 2 must MISS the rev-1 artifact"
+    assert root2 != root1
+    assert latest_manifest(root2)["props"]["builder_rev"] == 2
+    assert out2.count() == docs.count()
+
+    # a third session of rev 2 adopts rev 2's artifact, not rev 1's
+    clear_session_index(spark)
+    r2_calls.clear()
+    _mh_session_cached(spark, corpus, "phash", build_r2, rev=2)
+    assert r2_calls == []
+    clear_session_index(spark)
+
+
 def test_file_key_cap_degrades_to_full_rebuild(spark, sf_dir, tmp_path,
                                                monkeypatch):
     """Above DELTA_FILE_KEYS_MAX part files the per-file key map is
@@ -1324,6 +1375,22 @@ def test_delta_adopted_table_compacts(spark, sf_dir, tmp_path):
     # the delta version stays pinned-readable after compaction
     assert sorted(map(tuple, read_version(
         spark, root, version=v1["version"]).collect())) == expect
+    # compaction carries the PROPS forward — they are the adoption
+    # contract, and dropping them would wedge the table into permanent
+    # session-local rebuild (round-12 review #1)
+    assert man2["props"]["content_key"] == v1["props"]["content_key"]
+    assert man2["props"]["file_keys"] == v1["props"]["file_keys"]
+    clear_session_index(spark)
+    calls = []
+
+    def never(*_a, **_k):
+        calls.append(1)
+        raise AssertionError("compacted table must re-adopt")
+
+    readopted = _mh_session_cached(spark, epoch2, "phash", never,
+                                   build_delta=never)
+    assert calls == []
+    assert sorted(map(tuple, readopted.collect())) == expect
     clear_session_index(spark)
 
 
