@@ -534,6 +534,43 @@ def stream_to_versioned(stream_df: DataFrame, root: str,
             .start())
 
 
+def stream_to_versioned_indexed(stream_df: DataFrame, root: str,
+                                index_root: str, index_fn,
+                                checkpoint: str):
+    """stream_to_versioned PLUS transactional index maintenance: every
+    micro-batch appends BOTH the corpus version and its derived-index
+    version (index_fn(batch) — a per-row-pure transform: signatures,
+    perceptual hashes, the canon/extract front door) under the SAME
+    batch id, so the index stays fresh AT INGEST instead of waiting for
+    the next stage_index_build epoch, and corpus version N always has
+    a matching index version N (consumers join time-travel reads of
+    the pair). Crash atomicity without a cross-table transaction: the
+    corpus commits FIRST; a crash between the two commits leaves the
+    index one batch behind, and the replayed batch — foreachBatch is
+    at-least-once — skips the already-published corpus version by
+    batch id but still publishes the missing index version (each
+    table's batch-id skip is independent), so the pair re-converges
+    exactly-once per table. Only per-row-pure index_fns are sound
+    here: an append of index_fn(batch) equals index_fn(corpus) exactly
+    when the transform is per-row (the delta-adoption rule)."""
+
+    def commit(df: DataFrame, batch_id: int) -> None:
+        if not any(m.get("batch_id") == batch_id
+                   for m in history(root)):
+            clear_pending(root)
+            write_version(df, root, batch_id=batch_id, mode="append")
+        if not any(m.get("batch_id") == batch_id
+                   for m in history(index_root)):
+            clear_pending(index_root)
+            write_version(index_fn(df), index_root,
+                          batch_id=batch_id, mode="append")
+
+    return (stream_df.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def nd_versioned_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered round trip: publish two snapshots of the documents
     table (v1 = the even-doc_id half, v2 = the full corpus), then read

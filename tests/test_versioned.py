@@ -139,6 +139,77 @@ def test_stream_replay_self_heals_crashed_slot(spark, sf_dir, tmp_path):
     assert read_version(spark, root).count() == 1 + t.num_rows
 
 
+def test_stream_indexed_ingest_keeps_index_in_lockstep(spark, sf_dir,
+                                                       tmp_path):
+    """stream_to_versioned_indexed: every micro-batch appends the
+    corpus version AND its derived-index version under the same batch
+    id — after N batches, index version k equals the transform of
+    corpus version k for every k (the index is fresh AT INGEST, no
+    separate stage_index_build epoch), and a crash between the two
+    commits re-converges on replay: the corpus's batch-id skip holds
+    while the missing index version still publishes."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.sources.versioned import (
+        history, stream_to_versioned_indexed)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(src / "documents-0.parquet"))
+    pq.write_table(t.slice(half), str(src / "documents-1.parquet"))
+    schema = table(spark, sf_dir, "documents").schema
+
+    def index_fn(df):
+        return df.select("doc_id", F.md5("text").alias("fp"))
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", "documents-*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+                .select("doc_id", "source", "text"))
+
+    root, iroot = str(tmp_path / "corpus"), str(tmp_path / "fp_index")
+    ck = str(tmp_path / "ck")
+
+    # batch 0 crashes BETWEEN the corpus commit and the index commit
+    boom = {"armed": True}
+
+    def crashing_index_fn(df):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("crash between the two commits")
+        return index_fn(df)
+
+    q = stream_to_versioned_indexed(stream(), root, iroot,
+                                    crashing_index_fn, ck)
+    try:
+        q.awaitTermination(120)
+    except Exception:  # noqa: BLE001 — the injected crash
+        pass
+    q.stop()
+    assert latest_version(root) == 1, "corpus batch 0 committed"
+    assert latest_version(iroot) == 0, "index batch 0 lost in the crash"
+
+    # replay from the same checkpoint: corpus skips, index catches up
+    q = stream_to_versioned_indexed(stream(), root, iroot, index_fn, ck)
+    assert q.awaitTermination(120)
+    q.stop()
+    assert latest_version(root) == 2
+    assert latest_version(iroot) == 2
+    assert [m.get("batch_id") for m in history(root)] == \
+        [m.get("batch_id") for m in history(iroot)]
+    for v in (1, 2):
+        corpus_v = read_version(spark, root, version=v)
+        idx_v = read_version(spark, iroot, version=v)
+        assert sorted(map(tuple, index_fn(corpus_v).collect())) == \
+            sorted(map(tuple, idx_v.collect())), f"lockstep broken at v{v}"
+
+
 def test_vacuum_expires_history_but_never_pinned_files(spark, tmp_path):
     """Retention over an APPEND chain: expired versions lose their
     manifests (time travel to them ends) but every file a RETAINED
