@@ -504,6 +504,68 @@ def compact(spark: SparkSession, root: str,
                          props=head_manifest.get("props"))
 
 
+def finish_pending(root: str) -> bool:
+    """Complete a commit that crashed BETWEEN its manifest publish and
+    its pointer flip: slot latest+1 holding a VALID manifest is a
+    durable, fully-written version missing only the pointer — finishing
+    it (flip the pointer) is the correct recovery under the module's
+    single-writer premise, where clear_pending covers the earlier crash
+    point (data written, no manifest). Without this, a replayed
+    streaming batch wedges forever: history() ranges only to
+    latest_version, so the batch-id skip misses the published-but-
+    unpointed slot, clear_pending refuses to remove a slot that HAS a
+    manifest, and write_version then fails on the occupied directory —
+    every replay raising the same error. Returns True if a pending
+    commit was finished."""
+    finished = False
+    while True:
+        n = latest_version(root) + 1
+        mpath = os.path.join(_vdir(root, n), _MANIFEST)
+        try:
+            with open(mpath) as f:
+                json.load(f)
+        except (FileNotFoundError, ValueError):
+            return finished
+        _publish(os.path.join(root, _LATEST), str(n))
+        finished = True
+
+
+def _already_committed(root: str, batch_id: int) -> bool:
+    """Was this micro-batch's version already published? O(1) on the
+    streaming fast path: batch ids are monotone and the pointer flips
+    last, so the NEWEST batch-id-bearing manifest bounds every
+    published id — scanning the whole history() per batch re-parsed
+    O(K²) cumulative manifest bytes by batch K (append manifests carry
+    the full file list). Walk newest-first, stop at the first manifest
+    that records a batch id."""
+    for v in range(latest_version(root), 0, -1):
+        try:
+            with open(os.path.join(_vdir(root, v), _MANIFEST)) as f:
+                bid = json.load(f).get("batch_id")
+        except (FileNotFoundError, ValueError):
+            continue
+        if bid is not None:
+            return batch_id <= bid
+    return False
+
+
+def _commit_once(df: DataFrame, root: str, batch_id: int,
+                 props: dict | None = None) -> None:
+    """THE exactly-once streaming commit protocol, stated once (both
+    public committers share it): finish a pointer-crashed commit, skip
+    a replayed batch, heal a manifestless crashed slot, append. An
+    EMPTY first batch is skipped outright — publishing a files=[] head
+    would make the table unreadable until the next batch."""
+    finish_pending(root)
+    if _already_committed(root, batch_id):
+        return  # replayed batch: its snapshot is already published
+    if latest_version(root) == 0 and df.isEmpty():
+        return
+    clear_pending(root)
+    write_version(df, root, batch_id=batch_id, mode="append",
+                  props=props)
+
+
 def stream_to_versioned(stream_df: DataFrame, root: str,
                         checkpoint: str):
     """Continuous ingest INTO the versioned table: every micro-batch
@@ -511,22 +573,13 @@ def stream_to_versioned(stream_df: DataFrame, root: str,
     only the new rows' bytes are written), so downstream consumers
     time-travel across ingest epochs and version_diff() is the change
     feed between any two of them. Exactly-once versions despite
-    foreachBatch's at-least-once replay: the manifest records the
-    micro-batch id, and a replayed batch whose id is already published
-    is skipped — the pointer-flip-last discipline makes the check
-    race-free for the single writer. Returns the started
+    foreachBatch's at-least-once replay: _commit_once (batch-id skip +
+    both crash-point heals; the pointer-flip-last discipline makes the
+    check race-free for the single writer). Returns the started
     StreamingQuery (caller awaits)."""
 
     def commit(df: DataFrame, batch_id: int) -> None:
-        if any(m.get("batch_id") == batch_id for m in history(root)):
-            return  # replayed batch: its snapshot is already published
-        # Self-heal the crashed-mid-write slot: a crash between the
-        # parquet write and the manifest publish leaves a manifestless
-        # latest+1 dir, and without this the replayed batch would wedge
-        # permanently on write_version's mode=error. Safe here because
-        # foreachBatch IS the single writer the module requires.
-        clear_pending(root)
-        write_version(df, root, batch_id=batch_id, mode="append")
+        _commit_once(df, root, batch_id)
 
     return (stream_df.writeStream.foreachBatch(commit)
             .option("checkpointLocation", checkpoint)
@@ -544,26 +597,50 @@ def stream_to_versioned_indexed(stream_df: DataFrame, root: str,
     batch id, so the index stays fresh AT INGEST instead of waiting for
     the next stage_index_build epoch, and corpus version N always has
     a matching index version N (consumers join time-travel reads of
-    the pair). Crash atomicity without a cross-table transaction: the
-    corpus commits FIRST; a crash between the two commits leaves the
-    index one batch behind, and the replayed batch — foreachBatch is
+    the pair; each index manifest also records its corpus_version so
+    the pairing is auditable after the fact). The two tables must be
+    ALIGNED when the stream attaches — a corpus bootstrapped
+    out-of-band (backfill versions the index never saw) would silently
+    skew every later pair, so misalignment raises at attach time
+    instead. The batch is persisted across the two writes: two actions
+    over one unpersisted plan would re-execute the source scan, and
+    under any non-deterministic upstream the index would fingerprint a
+    DIFFERENT row set than the corpus it claims to mirror.
+
+    Crash atomicity without a cross-table transaction: the corpus
+    commits FIRST; a crash between the two commits leaves the index
+    one batch behind, and the replayed batch — foreachBatch is
     at-least-once — skips the already-published corpus version by
     batch id but still publishes the missing index version (each
-    table's batch-id skip is independent), so the pair re-converges
+    table's commit protocol is independent), so the pair re-converges
     exactly-once per table. Only per-row-pure index_fns are sound
     here: an append of index_fn(batch) equals index_fn(corpus) exactly
     when the transform is per-row (the delta-adoption rule)."""
+    cv, iv = latest_version(root), latest_version(index_root)
+    # one legitimate misalignment exists: the corpus exactly ONE ahead
+    # with a batch-id-bearing head IS the mid-crash state this function
+    # recovers from (corpus committed, index commit lost) — the
+    # replayed batch re-converges it. Anything else is an out-of-band
+    # backfill the index never saw, and silent attachment would skew
+    # every later version pair.
+    head = latest_manifest(root) if cv else None
+    mid_crash = (cv == iv + 1 and head is not None
+                 and head.get("batch_id") is not None)
+    if cv != iv and not mid_crash:
+        raise ValueError(
+            f"corpus/index misaligned at attach: {root} is at v{cv}, "
+            f"{index_root} at v{iv} — backfill the index (or start "
+            "both empty) before attaching the indexed ingest")
 
     def commit(df: DataFrame, batch_id: int) -> None:
-        if not any(m.get("batch_id") == batch_id
-                   for m in history(root)):
-            clear_pending(root)
-            write_version(df, root, batch_id=batch_id, mode="append")
-        if not any(m.get("batch_id") == batch_id
-                   for m in history(index_root)):
-            clear_pending(index_root)
-            write_version(index_fn(df), index_root,
-                          batch_id=batch_id, mode="append")
+        df.persist()
+        try:
+            _commit_once(df, root, batch_id)
+            _commit_once(index_fn(df), index_root, batch_id,
+                         props={"corpus_table": root,
+                                "corpus_version": latest_version(root)})
+        finally:
+            df.unpersist()
 
     return (stream_df.writeStream.foreachBatch(commit)
             .option("checkpointLocation", checkpoint)

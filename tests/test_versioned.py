@@ -210,6 +210,88 @@ def test_stream_indexed_ingest_keeps_index_in_lockstep(spark, sf_dir,
             sorted(map(tuple, idx_v.collect())), f"lockstep broken at v{v}"
 
 
+def test_pointer_crash_heals_and_replay_skips(spark, sf_dir, tmp_path):
+    """The OTHER crash point (round-12 review): a crash BETWEEN the
+    manifest publish and the pointer flip leaves a fully-durable
+    version the pointer does not name — history() misses it, so the
+    old code's batch-id skip failed, clear_pending refused the slot
+    (it has a manifest), and write_version wedged forever on the
+    occupied directory. finish_pending must flip the pointer and the
+    replayed batch must then SKIP, not double-commit."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.sources.versioned import (_MANIFEST, _vdir,
+                                                  stream_to_versioned)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    pq.write_table(t, str(src / "documents-0.parquet"))
+    root = str(tmp_path / "vt")
+    write_version(_df(spark, [(1, "a")]).selectExpr(
+        "k AS doc_id", "CAST(v AS STRING) AS source"), root)
+    # simulate the crash: batch 0's version fully written at v2
+    # (data + manifest, batch_id recorded) but the pointer still says 1
+    (_df(spark, [(9, "x")]).selectExpr(
+        "k AS doc_id", "CAST(v AS STRING) AS source")
+     .write.parquet(os.path.join(root, "v=000002")))
+    from bacalhau_spark.sources.versioned import latest_manifest
+    files = latest_manifest(root)["files"] + [
+        f"v=000002/{f}" for f in
+        sorted(os.listdir(os.path.join(root, "v=000002")))
+        if f.endswith(".parquet")]
+    with open(os.path.join(_vdir(root, 2), _MANIFEST), "w") as f:
+        _json.dump({"version": 2, "files": files, "n_files": len(files),
+                    "columns": ["doc_id", "source"],
+                    "dtypes": [["doc_id", "bigint"],
+                               ["source", "string"]],
+                    "stats": {}, "created_unix": 0, "batch_id": 0}, f)
+    assert latest_version(root) == 1
+
+    schema = table(spark, sf_dir, "documents").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents-*.parquet")
+              .parquet(str(src))
+              .selectExpr("CAST(doc_id AS LONG) AS doc_id", "source"))
+    q = stream_to_versioned(stream, root, str(tmp_path / "ck"))
+    assert q.awaitTermination(120)
+    q.stop()
+    # the pending commit was FINISHED (pointer flipped), and the
+    # replayed batch 0 was skipped — no duplicate v3
+    assert latest_version(root) == 2
+    assert read_version(spark, root).count() == 2
+
+
+def test_indexed_ingest_guards(spark, tmp_path):
+    """Attach-time alignment guard (a corpus bootstrapped out-of-band
+    would silently skew every corpus/index version pair) and the
+    empty-first-batch guard (a files=[] head is unreadable)."""
+    import pytest
+
+    from bacalhau_spark.sources.versioned import (
+        _commit_once, stream_to_versioned_indexed)
+
+    root, iroot = str(tmp_path / "c"), str(tmp_path / "i")
+    write_version(_df(spark, [(1, "a")]), root)  # backfill, never indexed
+    with pytest.raises(ValueError, match="misaligned"):
+        stream_to_versioned_indexed(None, root, iroot, lambda d: d,
+                                    str(tmp_path / "ck"))
+
+    # empty FIRST batch: no version published (the head would be
+    # unreadable); empty LATER batch: appends a readable version
+    empty = _df(spark, [(1, "a")]).where("k < 0")
+    fresh = str(tmp_path / "f")
+    _commit_once(empty, fresh, batch_id=0)
+    assert latest_version(fresh) == 0
+    _commit_once(_df(spark, [(2, "b")]), fresh, batch_id=1)
+    _commit_once(empty, fresh, batch_id=2)
+    assert latest_version(fresh) == 2
+    assert read_version(spark, fresh).count() == 1
+
+
 def test_vacuum_expires_history_but_never_pinned_files(spark, tmp_path):
     """Retention over an APPEND chain: expired versions lose their
     manifests (time travel to them ends) but every file a RETAINED
