@@ -402,6 +402,8 @@ def phash_candidate_pairs(hashes: DataFrame,
     position so only time-aligned band matches become candidates."""
     from pyspark.sql.window import Window
 
+    from bacalhau_spark.operators.dedup import PAIR_EXPAND_SQL
+
     e = hashes.select("doc_id", F.explode(F.array(*[
         F.struct(F.lit(i).alias("bi"), F.col(f"b{i}").alias("v"))
         for i in range(n_bands)])).alias("s")).select(
@@ -411,10 +413,7 @@ def phash_candidate_pairs(hashes: DataFrame,
     buckets = (e.groupBy("bi", "v")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .where(F.size("ids") >= 2))
-    pairs = F.expr(
-        "flatten(transform(ids, (a, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "b -> struct(a AS a_id, b AS b_id))))")
+    pairs = F.expr(PAIR_EXPAND_SQL)
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.a_id", "p.b_id")
             .where(F.col("a_id") < F.col("b_id"))

@@ -1238,6 +1238,85 @@ def test_index_delta_adoption_hashes_only_appended_files(spark, sf_dir,
     assert sorted(map(tuple, again.collect())) == expect
 
 
+def test_sig_delta_rejects_recarried_doc_ids(spark, sf_dir, tmp_path):
+    """Minhash signatures AGGREGATE per doc, so an appended shard that
+    RE-CARRIES an existing doc_id (the recurring re-crawl shape) makes
+    union(parent, delta) != full rebuild — the rebuild minimizes over
+    the merged shingle set, the union would hold two rows. The
+    delta_key disjointness guard must force the full rebuild; a
+    disjoint append on the same corpus still delta-adopts."""
+    import os
+
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                _mh_sig_frame,
+                                                _mh_session_cached,
+                                                clear_session_index,
+                                                minhash_signature_index)
+    from bacalhau_spark.catalog import spread_compute
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    epoch1 = str(tmp_path / "epoch1")
+    _shifted_docs_corpus(spark, sf_dir, epoch1, 12_000_000)
+    minhash_signature_index(spark, epoch1)
+
+    def corpus_with_append(name, shift):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        _copy_docs_parts(epoch1, d)
+        _shifted_docs_corpus(spark, sf_dir, d, shift, limit=10,
+                             part_name="part-appended.parquet")
+        return d
+
+    def harness(d):
+        full_calls, delta_calls = [], []
+
+        def build():
+            full_calls.append(1)
+            return _mh_sig_frame(spread_compute(
+                spark, spark.read
+                .parquet(os.path.join(d, "documents.parquet"))
+                .select("doc_id", "text"), "doc_id"))
+
+        def build_delta(paths):
+            delta_calls.append(paths)
+            return _mh_sig_frame(spread_compute(
+                spark, spark.read.parquet(*paths)
+                .select("doc_id", "text"), "doc_id"))
+
+        out = _mh_session_cached(spark, d, "sig", build,
+                                 build_delta=build_delta,
+                                 delta_key="doc_id")
+        return out, full_calls, delta_calls
+
+    # re-carried ids: the appended shard repeats epoch-1 doc_ids
+    # (shift 12M = the same id space) with DIFFERENT text bytes
+    recarry = corpus_with_append("recarry", 12_000_000)
+    appended = os.path.join(recarry, "documents.parquet",
+                            "part-appended.parquet")
+    import pyarrow.parquet as pq
+    t = pq.read_table(appended)
+    t = t.set_column(t.schema.get_field_index("text"), "text",
+                     __import__("pyarrow").array(
+                         [x + " recrawled" for x in
+                          t["text"].to_pylist()]))
+    pq.write_table(t, appended)
+    out, full_calls, delta_calls = harness(recarry)
+    assert full_calls == [1], "re-carried doc_ids must force a rebuild"
+    assert delta_calls == []
+    man = latest_manifest(_index_table_root(recarry, "sig", "documents"))
+    assert "delta_parent" not in man["props"]
+    n_docs = (spark.read
+              .parquet(os.path.join(recarry, "documents.parquet"))
+              .select("doc_id").distinct().count())
+    assert out.count() == n_docs, "one signature row per distinct doc"
+
+    # control: a DISJOINT append on the same parent still delta-adopts
+    disjoint = corpus_with_append("disjoint", 12_500_000)
+    _out, full_calls, delta_calls = harness(disjoint)
+    assert full_calls == [] and len(delta_calls) == 1
+    clear_session_index(spark)
+
+
 def test_builder_rev_misses_old_rule_artifacts(spark, sf_dir, tmp_path):
     """The artifact is a function of (source content, transform rule):
     a builder that changes its rule bumps its rev, which must MISS the
