@@ -5,9 +5,11 @@ Three tiers, from exact to scale-out:
 - q30_nn / nd_ann_topk: brute-force cosine — correct baseline, quadratic;
   bounded here to a query slice. At scale this is only sane when one side is
   small enough to broadcast (query batch ≪ corpus).
-- nd_ann_lsh: random-hyperplane LSH — the 100 TB path. Each vector gets an
-  8-bit signature from fixed (deterministically derived) hyperplanes; the
-  candidate join is an equi join on the signature bucket, so the cluster
+- nd_ann_lsh: random-hyperplane LSH — the 100 TB path. Each vector gets
+  N_BANDS independent BAND_BITS-bit signatures from fixed
+  (deterministically derived) hyperplanes; the candidate join is an equi
+  join on the (band, signature) composite key — OR-of-bands semantics,
+  recall 1-(1-p^K)^B (see the banding comment below) — so the cluster
   partitions by bucket and never forms the full cross product. Recall is
   tested against the brute-force baseline in tests (threshold, not hash).
 
@@ -47,15 +49,23 @@ def _pairs(spark: SparkSession, sf_dir: str, a_filter, b_filter):
 
 
 def q30_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force nearest neighbor on a 50-vector slice (Q30): min cosine
-    *distance* per query via min_by. Embeddings are unit-normalized
-    (FIXTURES.md §2), so distance = 1 - dot."""
+    """Brute-force nearest neighbor on a 50-vector slice (Q30): min
+    cosine *distance* per query, ties broken by vec_id — min_by is
+    documented ARBITRARY on ties in BOTH engines, so an exact-distance
+    tie (duplicate embeddings) could hash-diverge nondeterministically;
+    the ranked-window form is deterministic (the nd_ann_topk
+    convention). Embeddings are unit-normalized (FIXTURES.md §2), so
+    distance = 1 - dot."""
     a, b = _pairs(spark, sf_dir, F.col("a_id") < 50, F.col("b_id") < 50)
     dist = 1 - cosine(F.col("a_emb"), F.col("b_emb"))
+    w = Window.partitionBy("a_id").orderBy("d", "b_id")
     return (
         a.join(b, F.col("a_id") != F.col("b_id"))
-        .groupBy(F.col("a_id").alias("vec_id"))
-        .agg(F.min_by("b_id", dist).alias("nn"))
+        .select("a_id", "b_id", dist.alias("d"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("a_id").alias("vec_id"),
+                F.col("b_id").alias("nn"))
         .orderBy("vec_id")
     )
 
@@ -209,15 +219,21 @@ def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              # a pair colliding in several bands appears once per band;
              # dedup before fetching vectors
              .select("q_id", "nn").distinct())
-    q_emb = emb.select(F.col("vec_id").alias("q_id"),
-                       F.col("embedding").alias("q_emb"))
+    # Gather shape (round-12 review): broadcast only the SMALL sides —
+    # the 20 query vectors and then the bounded candidate probe — and
+    # STREAM the corpus side. The first cut broadcast the full
+    # unfiltered embeddings table on both sides, shipping every corpus
+    # vector to every executor twice (inverted at 100 TB).
+    q_emb = (emb.where(F.col("vec_id") < 20)
+             .select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_emb")))
     c_emb = emb.select(F.col("vec_id").alias("nn"),
                        F.col("embedding").alias("c_emb"))
     cos = cosine(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
     return (
-        pairs.join(F.broadcast(q_emb), "q_id")
-        .join(F.broadcast(c_emb), "nn")
+        F.broadcast(pairs.join(F.broadcast(q_emb), "q_id"))
+        .join(c_emb, "nn")
         .select(F.col("q_id").alias("vec_id"), "nn", cos.alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
@@ -700,11 +716,19 @@ def kmeans_frame(emb: DataFrame, k: int = KM_K,
             cent = (e.join(assign.select("vec_id", "cid"), "vec_id")
                     .groupBy("cid", "dim")
                     .agg(F.expr("sum(q) DIV count(*)").alias("cq")))
-    return (assign.groupBy("cid")
-            .agg(F.count("*").alias("n_points"),
-                 F.sum("d").alias("inertia"))
-            .select(F.col("cid").alias("cluster_id"), "n_points", "inertia")
-            .orderBy("cluster_id"))
+    # materialize the k-row audit eagerly, then RELEASE the exploded
+    # matrix — the lazy form pinned N*64 DISK_ONLY rows in the block
+    # manager for the session per call (the round-10 pq_code_index
+    # staging-frame rule, which this path predated)
+    out = (assign.groupBy("cid")
+           .agg(F.count("*").alias("n_points"),
+                F.sum("d").alias("inertia"))
+           .select(F.col("cid").alias("cluster_id"), "n_points",
+                   "inertia")
+           .orderBy("cluster_id")
+           .localCheckpoint(eager=True))
+    e.unpersist()
+    return out
 
 
 def _km_round(prev_cent: str, tag: str) -> str:
@@ -897,8 +921,11 @@ def _pca_model(spark: SparkSession, sf_dir: str):
     quantizer — repeated calls must not re-collect."""
     import numpy as np
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     with _PCA_LOCK:
+        for k in [k for k in _PCA_CACHE if k[0] != app_id]:
+            _PCA_CACHE.pop(k, None)  # stopped sessions' models
         if key in _PCA_CACHE:
             return _PCA_CACHE[key]
     rows = covariance_frame(table(spark, sf_dir, "embeddings")).collect()
@@ -1008,6 +1035,28 @@ def _assign_l2_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
     return pandas_udf(fn, "array<int>")
 
 
+_PCA_SEED_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _pca_seeds(spark: SparkSession, sf_dir: str, proj: DataFrame) -> list:
+    """The N_CLUSTERS projected seed centroids, collected ONCE per
+    (applicationId, sf_dir) — constant model state (the _ivf_centroids
+    pattern): re-collecting per query re-ran the full PCA projection
+    job every call (round-12 review)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    with _PCA_LOCK:
+        for k in [k for k in _PCA_SEED_CACHE if k[0] != app_id]:
+            _PCA_SEED_CACHE.pop(k, None)
+        hit = _PCA_SEED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    seeds = [(int(r["vec_id"]), list(r["proj"]))
+             for r in proj.where(F.col("vec_id") < N_CLUSTERS).collect()]
+    with _PCA_LOCK:
+        return _PCA_SEED_CACHE.setdefault(key, seeds)
+
+
 def nd_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-reduced ANN — the reduce-then-index production shape every
     embedding-retrieval/dedup system runs: candidates are generated in
@@ -1032,8 +1081,7 @@ def nd_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe-vs-recall dial, still NPROBE_PCA/K of the corpus per query.
     nprobe = NPROBE_PCA
     proj = pca_project_frame(spark, sf_dir)
-    seeds = [(int(r["vec_id"]), list(r["proj"]))
-             for r in proj.where(F.col("vec_id") < N_CLUSTERS).collect()]
+    seeds = _pca_seeds(spark, sf_dir, proj)
     emb = table(spark, sf_dir, "embeddings")
     corpus = (proj.select(
         F.col("vec_id").alias("nn"),
@@ -1168,9 +1216,14 @@ def pq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared persisted final PQ centroids (sub, cid, dim, cq) — rebuilt
-    once from the cached codes (the codebook the codes were quantized
-    against: PQ_M x PQ_K x PQ_SUB rows, bounded model state)."""
+    """Shared persisted final PQ centroids (sub, cid, dim, cq): PQ_M x
+    PQ_K x PQ_SUB rows, bounded model state. DELIBERATELY one M-step
+    past the codebook the codes were argmin'd against: given the final
+    assignment, the per-code GROUP MEANS are the distortion-minimizing
+    reconstruction values (the conditional-expectation property), so
+    ADC built on them reconstructs at least as well as on the pre-step
+    centroids — this is standard Lloyd output (final M-step centroids
+    with the final assignment), not a code/codebook mismatch."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
     def build():
@@ -1324,15 +1377,25 @@ def _residual_q_udf(centroids):
 
 def _ivfpq_residual_exploded(df: DataFrame, centroids,
                              id_col: str = "vec_id") -> DataFrame:
-    """(id, cluster, sub, dim, q): the residual analog of _pq_exploded."""
+    """(id, cluster, sub, dim, q): the residual analog of _pq_exploded,
+    with the SAME in-plan nonnegativity guard — pq_train_assign's
+    sum-DIV-count M-step truncates toward zero on negatives where the
+    oracle floors, so a residual outside the IVFPQ_OFF envelope (a
+    non-unit-norm embedding, |v - centroid| too large) must fail loudly
+    instead of silently training wrong centroids (the kmeans/_pq_exploded
+    contract, which this path relied on a comment for)."""
     rq = df.select(F.col(id_col).alias("vec_id"), "cluster",
                    _residual_q_udf(centroids)("embedding", "cluster")
                    .alias("r"))
+    qsafe = F.when(F.col("q0") >= 0, F.col("q0")).otherwise(F.expr(
+        "raise_error(concat('ivfpq: quantized residual < 0 for vec_id ',"
+        " CAST(vec_id AS STRING), ' — residual below the IVFPQ_OFF "
+        "envelope; widen IVFPQ_OFF'))").cast("long"))
     return (rq.select("vec_id", "cluster",
-                      F.posexplode("r").alias("dim", "q"))
+                      F.posexplode("r").alias("dim", "q0"))
             .select("vec_id", "cluster",
                     (F.col("dim") / PQ_SUB).cast("int").alias("sub"),
-                    "dim", "q"))
+                    "dim", qsafe.alias("q")))
 
 
 def _ivfpq_corpus(spark: SparkSession, sf_dir: str, centroids):
@@ -1461,11 +1524,15 @@ QUERIES = {
     "nd_embedding_quantize": (nd_embedding_quantize, _QUANTIZE_ORACLE),
     "q30_nn": (
         q30_nn,
-        "SELECT a.vec_id AS vec_id, "
-        f"min_by(b.vec_id, 1 - ({_DOT_SQL})) AS nn "
+        # ranked-window form, ties broken by vec_id (min_by is
+        # arbitrary on ties in both engines — see q30_nn)
+        "SELECT vec_id, nn FROM ("
+        "SELECT a.vec_id AS vec_id, b.vec_id AS nn, "
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id "
+        f"ORDER BY 1 - ({_DOT_SQL}), b.vec_id) AS rn "
         "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
-        "WHERE a.vec_id < 50 AND b.vec_id < 50 "
-        "GROUP BY a.vec_id ORDER BY vec_id",
+        "WHERE a.vec_id < 50 AND b.vec_id < 50) t "
+        "WHERE rn = 1 ORDER BY vec_id",
     ),
     "nd_cosine_neardup": (
         nd_cosine_neardup,

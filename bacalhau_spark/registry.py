@@ -80,6 +80,9 @@ _PRIORITY: tuple[str, ...] = (
     # too — standing rule: changed code fronts the window
     "nd_curation_pipeline", "nd_ngram_jaccard", "nd_weighted_jaccard",
     "nd_containment", "nd_incremental_dedup",
+    # similarity-plane review fixes (q30 deterministic tie-break both
+    # engines, kmeans staging-frame release) — changed code fronts
+    "q30_nn", "nd_kmeans",
     # 2. the r8 remainder, then the round-9 first-row block (r11 plan)
     "nd_profile",
     "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
@@ -89,14 +92,15 @@ _PRIORITY: tuple[str, ...] = (
     "nd_boilerplate_strip", "nd_pmi_collocations",
     "nd_skipgram_pairs", "nd_bpe_merges", "nd_pagerank",
     "q04_math_funcs", "q09_like_filter",
-    "q10_regex_filter", "q11_tokenize_count", "nd_gopher_filter",
+    "q10_regex_filter",
     # -- window boundary: first 50 graded per round --------------------
-    # (31 changed/new round-12 rows + 19 planned re-grades = 50; the
-    # r9 remainder tpch_q16 .. q17b_having leads round 13, then the
-    # r10 blocks; the r11-graded blocks cycle to the back.)
+    # (33 changed/new round-12 rows + 17 planned re-grades = 50; the
+    # r9 remainder q11_tokenize_count .. q17b_having leads round 13,
+    # then the r10 blocks; the r11-graded blocks cycle to the back.)
+    "q11_tokenize_count", "nd_gopher_filter",
     "tpch_q16_supplier_cnt",
     "nd_dedup_exact", "q29_exact_dedup", "nd_fingerprint",
-    "nd_ann_topk", "q30_nn", "nd_cosine_neardup",
+    "nd_ann_topk", "nd_cosine_neardup",
     "nd_stream_dedup",
     "nd_stream_sessions", "nd_stream_stateful", "nd_approx_percentiles",
     "nd_centroids", "nd_filtered_agg",
@@ -113,7 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "qj_full_outer", "tpch_q11_important_parts",
     "tpch_q15_top_supplier", "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
-    "nd_dataset_card", "nd_kmeans", "nd_bloom_prefilter",
+    "nd_dataset_card", "nd_bloom_prefilter",
     "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
     "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
     "nd_embedding_covariance",
