@@ -56,18 +56,51 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(raw.dtypes)["ts"]
-        if ts_type == "bigint":  # legacy nanosAsLong honored (Spark <4.1)
-            df = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        else:  # native nanos read (timestamp_ntz, already µs-truncated)
-            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(raw,
+                                 events_raw_ts_type(spark, sf_dir))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     with _CACHE_LOCK:
         _CACHE[key] = df
     return df
+
+
+_EVENTS_TS_RAW: dict[tuple[str, str], str] = {}
+
+
+def events_raw_ts_type(spark: SparkSession, sf_dir: str) -> str:
+    """The raw parquet dtype of events.ts under THIS Spark build —
+    'bigint' when the legacy nanosAsLong flag is honored (Spark <4.1),
+    'timestamp_ntz' on native µs-truncated nanos reads (≥4.1). ONE
+    cached probe per (session, dir): both the batch normalizer above
+    and the stream source's declared schema branch on it, so the two
+    planes cannot drift (the batch≡stream contract) and the footer
+    probe isn't re-paid per streaming-query construction."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    with _CACHE_LOCK:
+        for k in [k for k in _EVENTS_TS_RAW if k[0] != app_id]:
+            _EVENTS_TS_RAW.pop(k, None)
+        hit = _EVENTS_TS_RAW.get(key)
+    if hit is not None:
+        return hit
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t = dict(spark.read.parquet(
+        f"{sf_dir}/events.parquet").dtypes)["ts"]
+    with _CACHE_LOCK:
+        return _EVENTS_TS_RAW.setdefault(key, t)
+
+
+def normalize_events_ts(df: DataFrame, raw_type: str) -> DataFrame:
+    """ts → TimestampType from whichever raw form arrived — THE one
+    statement of the ns→µs normalization rule (floor truncation,
+    matching DuckDB's ns→µs), shared by the batch table and the
+    readStream source."""
+    if raw_type == "bigint":  # legacy raw-nanos read
+        return df.withColumn("ts",
+                             F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

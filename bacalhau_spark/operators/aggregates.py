@@ -404,41 +404,56 @@ def hll_estimate(spark: SparkSession, regs: DataFrame,
             .select(key, "est"))
 
 
-_HLL_ORACLE = f"""
-WITH fps AS (SELECT DISTINCT source,
-                    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
-                    AS fp FROM documents),
-rho AS (SELECT source, fp % {HLL_M} AS j,
+def hll_estimate_oracle(key: str, fps_cte: str, truth_cte: str) -> str:
+    """The integer-HLL estimate pipeline (rho → registers → dense grid
+    → exact harmonic denominator → alpha division → linear-counting
+    branch) parameterized over the grouping key and the fingerprint /
+    truth sources — ONE statement of the estimate SQL for the batch
+    gate (per-source text distinct) and the streaming gate (per-window
+    user distinct), so a constant or branch change can never leave one
+    oracle stale (round-12 review)."""
+    return f"""
+WITH {fps_cte},
+rho AS (SELECT {key}, fp % {HLL_M} AS j,
                LEAST(CASE WHEN fp // 64 = 0 THEN 55
                           ELSE 55 - length(bin(fp // 64)) END,
                      {HLL_RHO_CAP}) AS rho
         FROM fps),
-regs AS (SELECT source, j, MAX(rho) AS m_j FROM rho GROUP BY source, j),
-grid AS (SELECT s.source, b.j, COALESCE(regs.m_j, 0) AS m_j
-         FROM (SELECT DISTINCT source FROM regs) s
+regs AS (SELECT {key}, j, MAX(rho) AS m_j FROM rho
+         GROUP BY {key}, j),
+grid AS (SELECT s.{key}, b.j, COALESCE(regs.m_j, 0) AS m_j
+         FROM (SELECT DISTINCT {key} FROM regs) s
          CROSS JOIN (SELECT unnest(range({HLL_M})) AS j) b
-         LEFT JOIN regs ON regs.source = s.source AND regs.j = b.j),
-den AS (SELECT source,
+         LEFT JOIN regs ON regs.{key} = s.{key} AND regs.j = b.j),
+den AS (SELECT {key},
                SUM(1::BIGINT << ({HLL_RHO_CAP} - m_j)) AS den,
                SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v_zero
-        FROM grid GROUP BY source),
-est0 AS (SELECT source, v_zero,
+        FROM grid GROUP BY {key}),
+est0 AS (SELECT {key}, v_zero,
                 ((1::BIGINT << {12 + HLL_RHO_CAP}) // den)
                 * {HLL_ALPHA_NUM} // {HLL_ALPHA_DEN} AS raw_est
          FROM den),
-est1 AS (SELECT source,
+est1 AS (SELECT {key},
                 CASE WHEN raw_est <= {5 * HLL_M // 2} AND v_zero > 0
                      THEN [{", ".join(str(v) for v in HLL_LC)}]
                           [CAST(v_zero AS BIGINT)]
                      ELSE raw_est END AS est
          FROM est0),
-truth AS (SELECT source, COUNT(DISTINCT fp) AS n_true FROM fps
-          GROUP BY source)
-SELECT est1.source, CAST(n_true AS BIGINT) AS n_true,
+{truth_cte}
+SELECT est1.{key}, CAST(n_true AS BIGINT) AS n_true,
        CAST(est AS BIGINT) AS est,
        CAST(abs(est - n_true) * 1000000 // n_true AS BIGINT) AS err_ppm
-FROM est1 JOIN truth USING (source) ORDER BY est1.source
+FROM est1 JOIN truth USING ({key}) ORDER BY est1.{key}
 """
+
+
+_HLL_ORACLE = hll_estimate_oracle(
+    "source",
+    "fps AS (SELECT DISTINCT source, "
+    "CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fp "
+    "FROM documents)",
+    "truth AS (SELECT source, COUNT(DISTINCT fp) AS n_true FROM fps "
+    "GROUP BY source)")
 
 
 QUERIES = {

@@ -52,6 +52,17 @@ BLOCKED_DOMAINS = tuple(
     + [f"src11-{i}.example.com" for i in range(7)]
     + ["src5-3.example.com"])
 
+
+def blocked_frame(spark: SparkSession) -> DataFrame:
+    """THE blocklist dim (domain, blk=1), stated once for the batch
+    audit and both streaming screens — a literal dim via
+    inline(array(struct)): createDataFrame would plan as a Python-RDD
+    scan outside codegen (the round-1 range-join 27× lesson); at real
+    scale the blocklist is a read table, same join shape."""
+    return spark.range(1).select(F.inline(F.array(*[
+        F.struct(F.lit(d).alias("domain"), F.lit(1).alias("blk"))
+        for d in BLOCKED_DOMAINS])))
+
 # Deterministic URL synthesis from (source, doc_id) — stated once here
 # and once (identically) in _URL_SQL.
 _URL_SQL = (
@@ -294,13 +305,8 @@ def nd_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized front-door artifact (source rides in it), so the
     canon chain never re-runs here."""
     canon = canon_index(spark, sf_dir)
-    # literal dim via inline(array(struct)) — createDataFrame would plan
-    # as a Python-RDD scan outside codegen (the round-1 range-join 27x
-    # lesson); at real scale the blocklist is a read table, same join
-    blocked = spark.range(1).select(F.inline(F.array(*[
-        F.struct(F.lit(d).alias("domain"), F.lit(1).alias("blk"))
-        for d in BLOCKED_DOMAINS])))
-    marked = canon.join(F.broadcast(blocked), "domain", "left")
+    marked = canon.join(F.broadcast(blocked_frame(spark)),
+                        "domain", "left")
     return (marked.groupBy("source")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum(F.when(F.col("blk").isNull(), 1).otherwise(0))

@@ -83,26 +83,39 @@ _PRIORITY: tuple[str, ...] = (
     # similarity-plane review fixes (q30 deterministic tie-break both
     # engines, kmeans staging-frame release) — changed code fronts
     "q30_nn", "nd_kmeans",
-    # 2. the r8 remainder, then the round-9 first-row block (r11 plan)
+    # streaming-plane review fixes (every inline await-then-stop site
+    # migrated to the loud-timeout helper, the EWMA fold concatenates
+    # Arrow chunks before its one sort, blocked_frame/hll_estimate_
+    # oracle single statements, the locked state-conf window) — the
+    # affected surfaces re-grade
+    "nd_stream_tumbling", "nd_stream_sessions", "nd_stream_stateful",
+    "nd_stream_static_join", "nd_stream_stream_join",
+    "nd_stream_dedup", "nd_stream_topk", "nd_stream_gopher",
+    "nd_stream_ewma", "nd_stream_hll_users", "nd_stream_heavy_hitters",
+    # 2. the r8 remainder (the round-9 block now leads round 13)
     "nd_profile",
     "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
-    "nd_pca_project", "nd_ann_pca", "nd_bpe_encode",
+    "nd_pca_project", "nd_ann_pca",
+    # -- window boundary: first 50 graded per round --------------------
+    # (44 changed/new round-12 rows + 6 planned re-grades = 50; the
+    # round-9 first-row block nd_bpe_encode .. q17b_having leads
+    # round 13, then the r10 blocks; the r11-graded blocks cycle to
+    # the back. The catalog events-ts refactor is value-identical
+    # shared infra — its remaining consumers re-grade with their
+    # blocks on the normal rotation; the full driver simulation over
+    # all 223 queries ran green at this HEAD regardless.)
+    "nd_bpe_encode",
     "nd_unicode_dedup",
     "nd_stream_band_screen",
     "nd_boilerplate_strip", "nd_pmi_collocations",
     "nd_skipgram_pairs", "nd_bpe_merges", "nd_pagerank",
     "q04_math_funcs", "q09_like_filter",
     "q10_regex_filter",
-    # -- window boundary: first 50 graded per round --------------------
-    # (33 changed/new round-12 rows + 17 planned re-grades = 50; the
-    # r9 remainder q11_tokenize_count .. q17b_having leads round 13,
-    # then the r10 blocks; the r11-graded blocks cycle to the back.)
     "q11_tokenize_count", "nd_gopher_filter",
     "tpch_q16_supplier_cnt",
     "nd_dedup_exact", "q29_exact_dedup", "nd_fingerprint",
     "nd_ann_topk", "nd_cosine_neardup",
-    "nd_stream_dedup",
-    "nd_stream_sessions", "nd_stream_stateful", "nd_approx_percentiles",
+    "nd_approx_percentiles",
     "nd_centroids", "nd_filtered_agg",
     "nd_listagg", "nd_pivot", "nd_quality", "nd_ranking_suite",
     "nd_stats_agg", "nd_token_count",
@@ -119,8 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
     "nd_dataset_card", "nd_bloom_prefilter",
     "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
-    "nd_heavy_hitters_cms", "nd_stream_heavy_hitters",
-    "nd_embedding_covariance",
+    "nd_heavy_hitters_cms", "nd_embedding_covariance",
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_ngram_overlap",
     # blocks graded round 11 cycle to the back of the rotation
@@ -131,9 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_embedding_covariance_fast",
     "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
     "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
-    "nd_retention_cohorts", "nd_stream_ewma",
-    "nd_hll_distinct", "nd_stream_hll_users",
-    "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
+    "nd_retention_cohorts", "nd_hll_distinct", "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
     "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
     "nd_multimodal_resize", "nd_percentiles",
 )

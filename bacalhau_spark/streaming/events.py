@@ -50,19 +50,26 @@ def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the query's lifetime and restore the session value after.
 STREAM_STATE_PARTITIONS = 4
 
+import threading  # noqa: E402
 from contextlib import contextmanager  # noqa: E402
+
+# serializes the set -> start -> restore window below: the conf is
+# SESSION-global, so two engine worker threads interleaving get/set
+# could capture the other's temporary 4 as "prev" and pin the session
+# at 4 shuffle partitions forever (round-12 review)
+_STATE_CONF_LOCK = threading.Lock()
 
 
 @contextmanager
 def _stream_state_conf(spark: SparkSession):
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
-
+    with _STATE_CONF_LOCK:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
 
 
 def _start_scoped(spark: SparkSession, writer):
@@ -100,10 +107,7 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str,
         .outputMode("complete")
         .trigger(availableNow=True)
     ))
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    _await_or_raise(q, timeout_sec)
     return spark.table(table_name).orderBy("ws", "event_type")
 
 
@@ -120,27 +124,24 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the event-log dir. The file stream source monitors a
-    *directory*; the fixture is a single file, so stream the parent dir with
-    a glob (the production shape is an append-only event-log directory
-    anyway). The declared schema must match what THIS Spark's parquet reader
-    produces for TIMESTAMP(NANOS) — probe via a one-off batch read (schema
-    resolution only, no data scan; the catalog caches the handle)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(probe.dtypes)["ts"] == "bigint":  # legacy raw-nanos read
-        return (
-            spark.readStream.schema(_EVENTS_SCHEMA_LEGACY)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
-    return (  # native µs-truncated TIMESTAMP_NTZ read (Spark ≥4.1)
-        spark.readStream.schema(_EVENTS_SCHEMA_NATIVE)
+    """readStream over the event-log dir. The file stream source
+    monitors a *directory*; the fixture is a single file, so stream the
+    parent dir with a glob (the production shape is an append-only
+    event-log directory anyway). The declared schema must match what
+    THIS Spark's parquet reader produces for TIMESTAMP(NANOS) — the
+    probe AND the normalization rule are catalog.py's (one cached probe
+    per session, one statement of the ns→µs rule, so the stream side
+    can never drift from the batch side it is graded equal to)."""
+    from bacalhau_spark.catalog import (events_raw_ts_type,
+                                        normalize_events_ts)
+
+    raw_type = events_raw_ts_type(spark, sf_dir)
+    schema = (_EVENTS_SCHEMA_LEGACY if raw_type == "bigint"
+              else _EVENTS_SCHEMA_NATIVE)
+    return normalize_events_ts(
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+        .parquet(sf_dir), raw_type)
 
 
 def stream_session_window(spark: SparkSession, sf_dir: str,
@@ -174,10 +175,7 @@ def run_stream_session_to_memory(spark: SparkSession, sf_dir: str,
         .outputMode("complete")
         .trigger(availableNow=True)
     ))
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    _await_or_raise(q, timeout_sec)
     return spark.table(table_name).orderBy("user_id", "s_start")
 
 
@@ -233,10 +231,7 @@ def run_stateful_fold(spark: SparkSession, sf_dir: str,
         .outputMode("update")
         .trigger(availableNow=True)
     ))
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    _await_or_raise(q, timeout_sec)
     return spark.table(table_name).orderBy("user_id")
 
 
@@ -295,10 +290,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str,
         .outputMode("append")
         .trigger(availableNow=True)
     ))
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    _await_or_raise(q, timeout_sec)
     return spark.table(table_name)
 
 
@@ -327,10 +319,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str,
         .outputMode("complete")
         .trigger(availableNow=True)
     ))
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    _await_or_raise(q, timeout_sec)
     return spark.table(table_name).orderBy("c_mktsegment")
 
 
@@ -359,10 +348,7 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str,
         .outputMode("append")
         .trigger(availableNow=True)
     ))
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    _await_or_raise(q, timeout_sec)
     return spark.table(table_name)
 
 
@@ -384,10 +370,7 @@ def run_stream_foreach_batch(spark: SparkSession, sf_dir: str,
         .outputMode("complete")
         .trigger(availableNow=True)
     ))
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    _await_or_raise(q, timeout_sec)
     return seen
 
 
@@ -412,19 +395,11 @@ def nd_stream_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest-time shape of a curation pipeline: documents stream in, flags
     stream out, the same expression tree as the batch query."""
     from bacalhau_spark.operators.curation import gopher_flags_frame
-    schema = table(spark, sf_dir, "documents").schema
-    # glob path: the file-stream source requires a directory or glob, and
-    # the fixture is a single file
-    src = (spark.readStream.schema(schema)
-           .parquet(f"{sf_dir}/documents.parqu*"))
-    q = _start_scoped(spark, gopher_flags_frame(src)
+    q = _start_scoped(spark, gopher_flags_frame(_doc_stream(spark, sf_dir))
                       .writeStream.format("memory")
                       .queryName("stream_gopher_gate")
                       .outputMode("append").trigger(availableNow=True))
-    try:
-        q.awaitTermination(120)
-    finally:
-        q.stop()
+    _await_or_raise(q, 120)
     return spark.table("stream_gopher_gate").orderBy("doc_id")
 
 
@@ -469,13 +444,12 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _await_or_raise(q, timeout_sec: int) -> None:
-    """Await an availableNow query and fail LOUDLY on timeout: stopping a
-    query mid-batch and then reading its memory sink would serve a
-    silently truncated result. New streaming surfaces route through this;
-    the eight pre-round-6 sites still await-then-stop inline and migrate
-    here when their queries next enter a grading window (changing their
-    code now would displace rotation re-grades — the standing-rule
-    bookkeeping in registry.py)."""
+    """Await an availableNow query and fail LOUDLY on timeout: stopping
+    a query mid-batch and then reading its memory sink would serve a
+    silently truncated result as a GRADED answer. Every streaming
+    surface routes through this (the pre-round-6 inline await-then-stop
+    sites migrated in round 12; their queries front that round's
+    grading window per the standing rule)."""
     try:
         if not q.awaitTermination(timeout_sec):
             raise TimeoutError(
@@ -493,15 +467,13 @@ def nd_stream_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd_stream_gopher convention). Emits per-doc
     (doc_id, canon, domain, blocked) — the decision a fetch frontier
     consumes before anything is downloaded."""
-    from bacalhau_spark.operators.web import (BLOCKED_DOMAINS, _url_expr,
+    from bacalhau_spark.operators.web import (_url_expr, blocked_frame,
                                               url_canonicalize_frame)
 
     src = _doc_stream(spark, sf_dir).select(
         "doc_id", "source", _url_expr().alias("url"))
     canon = url_canonicalize_frame(src)
-    blocked = spark.range(1).select(F.inline(F.array(*[
-        F.struct(F.lit(d).alias("domain"), F.lit(1).alias("blk"))
-        for d in BLOCKED_DOMAINS])))
+    blocked = blocked_frame(spark)
     out = (canon.join(F.broadcast(blocked), "domain", "left")
            .select("doc_id", "canon", "domain",
                    F.coalesce("blk", F.lit(0)).cast("int")
@@ -534,17 +506,15 @@ def nd_stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     would actually hand to the quality gates — blocked domains never
     reach the extractor (filter BEFORE the expensive stage, the same
     ordering a production frontier uses)."""
-    from bacalhau_spark.operators.web import (BLOCKED_DOMAINS, _html_expr,
-                                              _url_expr,
+    from bacalhau_spark.operators.web import (_html_expr, _url_expr,
+                                              blocked_frame,
                                               html_extract_frame,
                                               url_canonicalize_frame)
 
     src = _doc_stream(spark, sf_dir).select(
         "doc_id", "source", "text", _url_expr().alias("url"))
     canon = url_canonicalize_frame(src)
-    blocked = spark.range(1).select(F.inline(F.array(*[
-        F.struct(F.lit(d).alias("domain"), F.lit(1).alias("blk"))
-        for d in BLOCKED_DOMAINS])))
+    blocked = blocked_frame(spark)
     survivors = (canon.join(F.broadcast(blocked), "domain", "left")
                  .where(F.col("blk").isNull())
                  .select("doc_id", "source", "text", "domain",
@@ -882,54 +852,22 @@ from bacalhau_spark.operators.dedup import \
     _INCREMENTAL_MH_ORACLE as _STREAM_BAND_SCREEN_ORACLE  # noqa: E402
 from bacalhau_spark.operators.pipeline import \
     _EWMA_ORACLE as _STREAM_EWMA_ORACLE  # noqa: E402
-from bacalhau_spark.operators.aggregates import (HLL_ALPHA_DEN,  # noqa: E402
-                                                 HLL_ALPHA_NUM, HLL_LC,
-                                                 HLL_M, HLL_RHO_CAP)
+from bacalhau_spark.operators.aggregates import (  # noqa: E402
+    hll_estimate_oracle)
 
 # The streaming HLL oracle mirrors nd_hll_distinct's, keyed by the
 # 6-hour bucket (time_bucket and Spark's window() both align 6-hour
 # buckets to the epoch, so the keys agree) over md5'd user ids. The
 # register build skips the distinct: MAX over duplicate fingerprints
 # equals MAX over the distinct set.
-_STREAM_HLL_ORACLE = f"""
-WITH fp AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
-                   CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
-                                          1, 15) AS BIGINT) AS fp
-            FROM events),
-rho AS (SELECT window_start, fp % {HLL_M} AS j,
-               LEAST(CASE WHEN fp // 64 = 0 THEN 55
-                          ELSE 55 - length(bin(fp // 64)) END,
-                     {HLL_RHO_CAP}) AS rho
-        FROM fp),
-regs AS (SELECT window_start, j, MAX(rho) AS m_j FROM rho
-         GROUP BY window_start, j),
-grid AS (SELECT s.window_start, b.j, COALESCE(regs.m_j, 0) AS m_j
-         FROM (SELECT DISTINCT window_start FROM regs) s
-         CROSS JOIN (SELECT unnest(range({HLL_M})) AS j) b
-         LEFT JOIN regs ON regs.window_start = s.window_start
-                        AND regs.j = b.j),
-den AS (SELECT window_start,
-               SUM(1::BIGINT << ({HLL_RHO_CAP} - m_j)) AS den,
-               SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v_zero
-        FROM grid GROUP BY window_start),
-est0 AS (SELECT window_start, v_zero,
-                ((1::BIGINT << {12 + HLL_RHO_CAP}) // den)
-                * {HLL_ALPHA_NUM} // {HLL_ALPHA_DEN} AS raw_est
-         FROM den),
-est1 AS (SELECT window_start,
-                CASE WHEN raw_est <= {5 * HLL_M // 2} AND v_zero > 0
-                     THEN [{", ".join(str(v) for v in HLL_LC)}]
-                          [CAST(v_zero AS BIGINT)]
-                     ELSE raw_est END AS est
-         FROM est0),
-truth AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
-                 COUNT(DISTINCT user_id) AS n_true
-          FROM events GROUP BY window_start)
-SELECT est1.window_start, CAST(n_true AS BIGINT) AS n_true,
-       CAST(est AS BIGINT) AS est,
-       CAST(abs(est - n_true) * 1000000 // n_true AS BIGINT) AS err_ppm
-FROM est1 JOIN truth USING (window_start) ORDER BY est1.window_start
-"""
+_STREAM_HLL_ORACLE = hll_estimate_oracle(
+    "window_start",
+    "fps AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, "
+    "CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) "
+    "AS BIGINT) AS fp FROM events)",
+    "truth AS (SELECT time_bucket(INTERVAL '6 hours', ts) "
+    "AS window_start, COUNT(DISTINCT user_id) AS n_true "
+    "FROM events GROUP BY window_start)")
 from bacalhau_spark.operators.windows import QUERIES as _WIN_QUERIES  # noqa: E402
 
 _SESSIONIZE_ORACLE = _WIN_QUERIES["nd_sessionize"][1]
@@ -972,10 +910,7 @@ def run_stream_topk(spark: SparkSession, sf_dir: str,
         .outputMode("complete")
         .trigger(availableNow=True)
     ))
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
+    _await_or_raise(q, timeout_sec)
     return (spark.table(table_name)
             .select("user_id", "n", "total_mv",
                     (F.col("total_mv") / F.lit(1000.0)).alias("total"))
@@ -1029,11 +964,16 @@ def ewma_user_stream(spark: SparkSession, sf_dir: str,
             ewma, n = state.get
         else:
             ewma, n = None, 0
-        for pdf in pdf_iter:
-            for v in pdf.sort_values(["ts", "event_id"])["v"]:
-                v = int(v)
-                ewma = v if ewma is None else (ewma + v) // 2
-                n += 1
+        # CONCATENATE the Arrow chunks before the one sort: a key whose
+        # micro-batch rows span multiple chunks (> arrow maxRecordsPer
+        # Batch) arrives as 2+ pdfs in shuffle-read order, and sorting
+        # each chunk independently would fold the order-dependent
+        # recurrence out of (ts, event_id) order (round-12 review)
+        batch = _pd.concat(list(pdf_iter), ignore_index=True)
+        for v in batch.sort_values(["ts", "event_id"])["v"]:
+            v = int(v)
+            ewma = v if ewma is None else (ewma + v) // 2
+            n += 1
         state.update((int(ewma), int(n)))
         yield _pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                              "ewma_milli": [ewma]})
@@ -1152,10 +1092,7 @@ def nd_stream_heavy_hitters(spark: SparkSession, sf_dir: str,
     q = _start_scoped(spark, counters.writeStream.format("memory")
                       .queryName(table_name).outputMode("complete")
                       .trigger(availableNow=True))
-    try:
-        _await_or_raise(q, 120)
-    finally:
-        q.stop()
+    _await_or_raise(q, 120)
     sketch = spark.table(table_name)
     dt = (table(spark, sf_dir, "documents")
           .select(F.explode(words("text")).alias("tok")).distinct()
