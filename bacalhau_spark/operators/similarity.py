@@ -671,18 +671,32 @@ def nd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_frame(emb: DataFrame, k: int = KM_K,
                  iters: int = KM_ITERS) -> DataFrame:
     """The k-means core over an ARBITRARY (vec_id, embedding) frame —
-    seeds are the k smallest vec_ids (assumed 0-based contiguous); also
-    the property-test surface (tests/test_property.py pins it against a
-    pure-Python integer model). Deterministic min-vec_id seeding keeps
-    the oracle finite; a production run that doesn't need hash-exactness
-    would seed with k-means|| (sample-by-cost rounds) for quality on
-    adversarial inputs — the loop body is seeding-agnostic.
+    see _kmeans_lazy for the pipeline; this wrapper materializes the
+    k-row audit eagerly and RELEASES the exploded staging matrix (the
+    round-10 pq_code_index staging-frame rule — the lazy form pinned
+    N*64 DISK_ONLY rows per call for the session). Plan-shape tests
+    assert on _kmeans_lazy's frame (the checkpoint hides the joins)."""
+    lazy, e = _kmeans_lazy(emb, k, iters)
+    out = lazy.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def _kmeans_lazy(emb: DataFrame, k: int = KM_K,
+                 iters: int = KM_ITERS):
+    """(lazy audit frame, staging handle) — seeds are the k smallest
+    vec_ids (assumed 0-based contiguous); also the property-test surface
+    (tests/test_property.py pins it against a pure-Python integer
+    model). Deterministic min-vec_id seeding keeps the oracle finite; a
+    production run that doesn't need hash-exactness would seed with
+    k-means|| (sample-by-cost rounds) for quality on adversarial inputs
+    — the loop body is seeding-agnostic.
 
     Durability: the exploded quantized matrix is persisted DISK_ONLY,
     not localCheckpoint'ed — persist keeps the lineage, so on a real
     cluster an executor loss mid-iteration recomputes the lost
     partitions instead of failing the job (localCheckpoint truncates
-    lineage and dies with the executor)."""
+    lineage and dies with the executor). Callers own the unpersist."""
     from pyspark.storagelevel import StorageLevel
 
     qcol = (F.floor(F.col("v").cast("double") * F.lit(KM_SCALE))
@@ -716,19 +730,13 @@ def kmeans_frame(emb: DataFrame, k: int = KM_K,
             cent = (e.join(assign.select("vec_id", "cid"), "vec_id")
                     .groupBy("cid", "dim")
                     .agg(F.expr("sum(q) DIV count(*)").alias("cq")))
-    # materialize the k-row audit eagerly, then RELEASE the exploded
-    # matrix — the lazy form pinned N*64 DISK_ONLY rows in the block
-    # manager for the session per call (the round-10 pq_code_index
-    # staging-frame rule, which this path predated)
     out = (assign.groupBy("cid")
            .agg(F.count("*").alias("n_points"),
                 F.sum("d").alias("inertia"))
            .select(F.col("cid").alias("cluster_id"), "n_points",
                    "inertia")
-           .orderBy("cluster_id")
-           .localCheckpoint(eager=True))
-    e.unpersist()
-    return out
+           .orderBy("cluster_id"))
+    return out, e
 
 
 def _km_round(prev_cent: str, tag: str) -> str:

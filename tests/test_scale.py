@@ -522,7 +522,13 @@ def test_round7_operators_scale_shapes(spark, sf_dir):
     from bacalhau_spark.operators.similarity import nd_kmeans
     from bacalhau_spark.operators.windows import nd_scd2_history
 
-    km_plan = _formatted_plan(nd_kmeans(spark, sf_dir))
+    # assert on the LAZY pipeline: nd_kmeans eagerly checkpoints its
+    # k-row audit (to release the staging matrix), which hides the
+    # joins behind an ExistingRDD scan
+    from bacalhau_spark.operators.similarity import _kmeans_lazy
+    km_lazy, km_e = _kmeans_lazy(table(spark, sf_dir, "embeddings"))
+    km_plan = _formatted_plan(km_lazy)
+    km_e.unpersist()
     assert "BroadcastHashJoin" in km_plan
     assert "CartesianProduct" not in km_plan
 
