@@ -56,9 +56,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
+        # Probe FIRST: events_raw_ts_type sets the legacy nanosAsLong
+        # conf as a side effect, and on Spark <4.1 the read below would
+        # reject TIMESTAMP(NANOS) at schema inference without it
+        # (round-12 ADVICE: the read must not precede the conf).
+        raw_type = events_raw_ts_type(spark, sf_dir)
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = normalize_events_ts(raw,
-                                 events_raw_ts_type(spark, sf_dir))
+        df = normalize_events_ts(raw, raw_type)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     with _CACHE_LOCK:

@@ -291,7 +291,7 @@ def cmd_index(args) -> int:
             print(_json.dumps({
                 "index": kind, "table": tbl, "source_digest": digest,
                 "version": m["version"], "n_files": m["n_files"],
-                "created_unix": m["created_unix"],
+                "created_unix": m.get("created_unix"),
                 "fingerprint_files": len(
                     m.get("props", {}).get("fingerprint", []))}))
         return 0
@@ -317,7 +317,13 @@ def cmd_index(args) -> int:
                 continue
             if cutoff is not None:
                 m = _manifest(name)
-                if m is None or m["created_unix"] >= cutoff:
+                # A manifest without created_unix (older build) gives
+                # no age evidence — treat as not-stale and skip, the
+                # never-sweep-in-flight rule (round-12 ADVICE: the
+                # bare [] raised mid-sweep, aborting the verb
+                # half-applied).
+                if m is None or m.get("created_unix") is None \
+                        or m["created_unix"] >= cutoff:
                     continue
                 try:
                     adopted = os.path.getmtime(

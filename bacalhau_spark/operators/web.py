@@ -188,12 +188,17 @@ def canon_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     caching, pkg/storage/ipfs_apicopy/storage.go:116-134."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
+    # rev=2: the scheme-aware default-port rule landed AFTER the first
+    # canon artifacts could have been published in round 12 — a
+    # persistent store may hold old-rule artifacts at the same content
+    # address, and rev 1 would silently adopt them (round-12 ADVICE).
     return _mh_session_cached(
         spark, sf_dir, "canon",
         lambda: _canon_frame(spark, sf_dir),
         build_delta=lambda paths: url_canonicalize_frame(
             spark.read.parquet(*paths)
-            .select("doc_id", "source", _url_expr().alias("url"))))
+            .select("doc_id", "source", _url_expr().alias("url"))),
+        rev=2)
 
 
 def html_extract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,13 +214,17 @@ def html_extract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (html_extract_frame(pages)
                 .select("doc_id", "title", "content"))
 
+    # rev=2 for the same reason as canon_index: extraction artifacts
+    # first published mid-round-12 predate later in-round rule fixes,
+    # and content addressing alone cannot distinguish them.
     return _mh_session_cached(
         spark, sf_dir, "extract",
         lambda: _extract(table(spark, sf_dir, "documents")
                          .select("doc_id", "source", "text")),
         build_delta=lambda paths: _extract(
             spark.read.parquet(*paths)
-            .select("doc_id", "source", "text")))
+            .select("doc_id", "source", "text")),
+        rev=2)
 
 
 def nd_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:

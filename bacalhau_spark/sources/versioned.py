@@ -170,18 +170,42 @@ def write_version(df: DataFrame, root: str,
     n = prev + 1
     vdir = _vdir(root, n)
     df.write.mode("error").parquet(vdir)
-    for src in link_files or ():
-        dst = os.path.join(vdir, os.path.basename(src))
-        if os.path.exists(dst):
-            raise ValueError(
-                f"link_files basename collision in {vdir}: "
-                f"{os.path.basename(src)}")
-        try:
-            os.link(src, dst)
-        except OSError:
-            import shutil
+    try:
+        for src in link_files or ():
+            dst = os.path.join(vdir, os.path.basename(src))
+            if os.path.exists(dst):
+                raise ValueError(
+                    f"link_files basename collision in {vdir}: "
+                    f"{os.path.basename(src)}")
+            try:
+                os.link(src, dst)
+            except OSError:
+                import shutil
 
-            shutil.copy2(src, dst)
+                shutil.copy2(src, dst)
+        return _finish_version(df, root, vdir, n, prev, mode,
+                               batch_id, props,
+                               head if mode == "append" and prev > 0
+                               else None)
+    except BaseException:
+        # The parquet write landed but the publish did not: a
+        # manifestless vdir would wedge EVERY future publish at this
+        # root (mode='error' sees an occupied dir) — remove the partial
+        # version so the next attempt starts clean, then re-raise
+        # (round-12 ADVICE). A process crash here still leaves a
+        # pending dir; that shape is finish_pending()'s job.
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise
+
+
+def _finish_version(df, root: str, vdir: str, n: int, prev: int,
+                    mode: str, batch_id, props, head) -> int:
+    """Manifest construction + atomic pointer flip — the tail of
+    write_version, split out so the caller can scope its partial-vdir
+    cleanup to everything after the parquet write. `head` is the prior
+    manifest (append mode only; None otherwise)."""
     rel = f"v={n:06d}"
     new_files = sorted(f"{rel}/{f}" for f in os.listdir(vdir)
                        if f.endswith(".parquet") and not f.startswith("."))
@@ -298,7 +322,16 @@ def read_version(spark: SparkSession, root: str,
     with open(os.path.join(vdir, _MANIFEST)) as f:
         manifest = json.load(f)
     if not manifest["files"]:
-        raise ValueError(f"version {n} of {root} has no data files")
+        # A legitimately empty version (e.g. an index table whose first
+        # corpus batch was modality-sparse — round-12 ADVICE): the
+        # manifest records the schema, so the snapshot is an empty
+        # typed frame, not an error. Pre-r13 manifests without dtypes
+        # cannot reconstruct a schema — those still fail loudly.
+        dtypes = manifest.get("dtypes")
+        if dtypes is None:
+            raise ValueError(f"version {n} of {root} has no data files")
+        ddl = ", ".join(f"`{c}` {t}" for c, t in dtypes)
+        return spark.createDataFrame([], ddl)
     files = manifest["files"]
     if predicate:
         stats = manifest.get("stats", {})
@@ -550,16 +583,22 @@ def _already_committed(root: str, batch_id: int) -> bool:
 
 
 def _commit_once(df: DataFrame, root: str, batch_id: int,
-                 props: dict | None = None) -> None:
+                 props: dict | None = None,
+                 allow_empty_head: bool = False) -> None:
     """THE exactly-once streaming commit protocol, stated once (both
     public committers share it): finish a pointer-crashed commit, skip
     a replayed batch, heal a manifestless crashed slot, append. An
-    EMPTY first batch is skipped outright — publishing a files=[] head
-    would make the table unreadable until the next batch."""
+    EMPTY first batch is skipped outright unless `allow_empty_head` —
+    the indexed committer must publish the empty version to keep
+    corpus vN ≡ index vN when the first corpus batch is modality-
+    sparse (round-12 ADVICE: the silent skip left the pair off by one
+    forever); read_version reconstructs an empty typed frame from the
+    manifest's dtypes, so a files=[] head is readable."""
     finish_pending(root)
     if _already_committed(root, batch_id):
         return  # replayed batch: its snapshot is already published
-    if latest_version(root) == 0 and df.isEmpty():
+    if latest_version(root) == 0 and df.isEmpty() \
+            and not allow_empty_head:
         return
     clear_pending(root)
     write_version(df, root, batch_id=batch_id, mode="append",
@@ -636,9 +675,15 @@ def stream_to_versioned_indexed(stream_df: DataFrame, root: str,
         df.persist()
         try:
             _commit_once(df, root, batch_id)
+            if latest_version(root) == 0:
+                return  # empty first corpus batch: neither table moves
+            # allow_empty_head: a modality-sparse first batch must
+            # still publish index v1 (files=[], schema-bearing) or
+            # every later pair is off by one (round-12 ADVICE).
             _commit_once(index_fn(df), index_root, batch_id,
                          props={"corpus_table": root,
-                                "corpus_version": latest_version(root)})
+                                "corpus_version": latest_version(root)},
+                         allow_empty_head=True)
         finally:
             df.unpersist()
 

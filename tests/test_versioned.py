@@ -531,3 +531,83 @@ def test_selective_read_survives_pre_stats_manifests(spark, tmp_path):
     got = sorted(r.k for r in read_version(
         spark, root, predicate=[("k", "<", 3)]).collect())
     assert got == [0, 1, 2]
+
+
+def test_failed_publish_cleans_partial_vdir(spark, tmp_path):
+    """A publish that fails AFTER the parquet write (round-12 ADVICE:
+    link_files collision, footer-stats failure, ...) must remove the
+    partial, manifestless version dir — otherwise every later publish
+    at the root fails on mode='error' and the table is wedged into
+    session-local rebuilds forever."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), root)
+    # a link_files entry whose source does not exist: the link loop
+    # raises after df.write already materialized v2
+    with pytest.raises(OSError):
+        write_version(_df(spark, [(2, "b")]), root,
+                      link_files=[str(tmp_path / "missing.parquet")])
+    assert not os.path.exists(os.path.join(root, "v=000002")), \
+        "partial vdir must be cleaned up on failed publish"
+    # the root is NOT wedged: the next publish takes the same slot
+    assert write_version(_df(spark, [(2, "b")]), root,
+                         mode="append") == 2
+    assert sorted(r.k for r in read_version(spark, root).collect()) \
+        == [1, 2]
+
+
+def test_empty_first_index_batch_keeps_lockstep(spark, sf_dir, tmp_path):
+    """A modality-sparse FIRST batch (index_fn yields zero rows) must
+    still publish index v1 — as a files=[] schema-bearing version —
+    or every later corpus/index pair is silently off by one (round-12
+    ADVICE). read_version reconstructs the empty snapshot from the
+    manifest's recorded dtypes."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bacalhau_spark.catalog import table
+    from bacalhau_spark.sources.versioned import (
+        history, stream_to_versioned_indexed)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet").sort_by("doc_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(src / "documents-0.parquet"))
+    pq.write_table(t.slice(half), str(src / "documents-1.parquet"))
+    schema = table(spark, sf_dir, "documents").schema
+    cut = t.column("doc_id")[half].as_py()
+
+    def index_fn(df):
+        # sparse on batch 0 (all doc_id < cut), populated on batch 1
+        return (df.where(F.col("doc_id") >= cut)
+                .select("doc_id", F.md5("text").alias("fp")))
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", "documents-*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+                .select("doc_id", "source", "text"))
+
+    root, iroot = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    q = stream_to_versioned_indexed(stream(), root, iroot, index_fn,
+                                    str(tmp_path / "ck"))
+    assert q.awaitTermination(120)
+    q.stop()
+    assert latest_version(root) == 2
+    assert latest_version(iroot) == 2, \
+        "sparse first batch must still publish index v1"
+    assert [m.get("batch_id") for m in history(root)] == \
+        [m.get("batch_id") for m in history(iroot)]
+    # v1 is the empty typed snapshot
+    v1 = read_version(spark, iroot, version=1)
+    assert v1.columns == ["doc_id", "fp"]
+    assert v1.count() == 0
+    # lockstep holds at every version
+    for v in (1, 2):
+        corpus_v = read_version(spark, root, version=v)
+        idx_v = read_version(spark, iroot, version=v)
+        assert sorted(map(tuple, index_fn(corpus_v).collect())) == \
+            sorted(map(tuple, idx_v.collect())), f"off by one at v{v}"
