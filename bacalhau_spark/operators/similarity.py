@@ -540,6 +540,8 @@ FROM c ORDER BY vec_id
 """
 
 SEMDEDUP_SIGN_BITS = 8
+SEMDEDUP_SUB_BITS = 16
+SEMDEDUP_BUCKET_CAP = 50
 SEMDEDUP_TAU = 0.3
 
 
@@ -554,13 +556,28 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     components; nd_dedup_clusters is the transitive variant for the text
     families). Emits (vec_id, bucket, kept).
 
-    Scale shape: ONE bucketed equi self-join on an int key — never
-    all-pairs; the pairwise dot products run only inside buckets, and the
-    bit count is the width knob (each added bit halves expected bucket
-    size, so candidate pairs stay linear as the corpus grows; production
-    SemDeDup uses k-means cells the same way — the IVF cells of
-    nd_ann_ivf would slot in here, sign buckets are the
-    deterministic/oracle-able stand-in). The dot product is the
+    Scale shape (capped bucket-and-expand since round 13 — the sibling
+    screens' quadratic guard, closing the round-12 verdict's last
+    uncapped pair expansion): real encoder embeddings are NOT
+    sign-balanced (post-ReLU / mean-offset representations concentrate
+    mass in a few orthants), so "each added bit halves expected bucket
+    size" fails exactly where the screen matters — one hot orthant
+    degrades an uncapped bucket join to O(n²). The plan instead: (1)
+    count per 8-bit bucket via map-side-combined groupBy (≤256 rows,
+    broadcast back — never a window over the skewed key, which would
+    serialize the hot bucket into one sorted partition); (2) members of
+    buckets above SEMDEDUP_BUCKET_CAP deterministically SUB-BUCKET on
+    SEMDEDUP_SUB_BITS sign bits (offset past the 8-bit key space); (3)
+    buckets still above the cap after escalation are excluded from pair
+    generation entirely (their members are kept — the same lenient-on-
+    pathology semantics as PHASH_BUCKET_CAP/LSH_BUCKET_CAP, and the
+    oracle states the identical rule); (4) surviving buckets — provably
+    ≤ cap members — collect (vec_id, embedding) lists and expand a<b
+    pairs in codegen (bucket-and-expand, never a pair self-join), so
+    per-task pair work is bounded by cap²/2 regardless of corpus skew.
+    Production SemDeDup uses k-means cells the same way — the IVF cells
+    of nd_ann_ivf would slot in here; sign buckets are the
+    deterministic/oracle-able stand-in. The dot product is the
     bit-identical left fold (_DOT_SQL), so kept flags are hash-exact.
 
     Reference intent: the dedup job family run over bacalhau-style
@@ -571,28 +588,72 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: cosine(a, b))
 
 
+def _sign_bucket(nbits: int):
+    """The first `nbits` coordinate-sign bits folded into one int — the
+    deterministic hyperplane LSH key, stated once for the 8-bit coarse
+    key and the 16-bit escalation key (and mirrored verbatim in the
+    oracle's range()/list_transform fold)."""
+    return sum(
+        (F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
+         .otherwise(F.lit(0)) for i in range(nbits)),
+        start=F.lit(0)).cast("int")
+
+
+def _semantic_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, bucket): the final bucket per vector after
+    the hot-bucket escalation — members of 8-bit buckets above
+    SEMDEDUP_BUCKET_CAP re-key on SEMDEDUP_SUB_BITS sign bits, offset
+    by 1<<SUB_BITS so the two key spaces never collide. Both count
+    tables are map-side-combined groupBys of bounded width (≤2^8 /
+    ≤2^16 rows) broadcast back — the skew-safe form of the hot-bucket
+    guard (a window count over the hot key would sort the entire hot
+    bucket in one task)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id", "embedding",
+        _sign_bucket(SEMDEDUP_SIGN_BITS).alias("b8"),
+        _sign_bucket(SEMDEDUP_SUB_BITS).alias("b16"))
+    c8 = base.groupBy("b8").agg(F.count("*").alias("n8"))
+    return (base.join(F.broadcast(c8), "b8")
+            .select("vec_id", "embedding",
+                    F.when(F.col("n8") > SEMDEDUP_BUCKET_CAP,
+                           F.col("b16") + F.lit(1 << SEMDEDUP_SUB_BITS))
+                    .otherwise(F.col("b8")).cast("int").alias("bucket")))
+
+
+_SEMDEDUP_PAIR_EXPAND = (
+    "flatten(transform(ms, (a, i) -> "
+    "transform(slice(ms, i + 2, size(ms)), "
+    "b -> struct(a.vec_id AS a_id, b.vec_id AS b_id, "
+    "a.embedding AS a_emb, b.embedding AS b_emb))))")
+
+
 def _semantic_dedup_plan(spark: SparkSession, sf_dir: str,
                          cos_fn) -> DataFrame:
     """The bucketed keep-first screen with a pluggable pairwise-cosine
     kernel: the exact left fold (oracle-able) or the Arrow-batched numpy
-    einsum (the production inner loop)."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucket = sum(
-        (F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i))
-         .otherwise(F.lit(0)) for i in range(SEMDEDUP_SIGN_BITS)),
-        start=F.lit(0)).cast("int")
-    b = emb.select("vec_id", bucket.alias("bucket"), "embedding")
-    left = b.select(F.col("vec_id").alias("a_id"), "bucket",
-                    F.col("embedding").alias("a_emb"))
-    right = b.select(F.col("vec_id").alias("b_id"), "bucket",
-                     F.col("embedding").alias("b_emb"))
-    dropped = (left.join(right, "bucket")
+    einsum (the production inner loop). Candidate generation is capped
+    bucket-and-expand (see nd_semantic_dedup's scale-shape note):
+    buckets above SEMDEDUP_BUCKET_CAP after the sign-bit escalation
+    generate NO pairs — their members are kept."""
+    assigned = _semantic_assignment(spark, sf_dir)
+    cb = assigned.groupBy("bucket").agg(F.count("*").alias("nb"))
+    gated = (assigned.join(F.broadcast(cb), "bucket")
+             .where(F.col("nb") <= SEMDEDUP_BUCKET_CAP))
+    buckets = (gated.groupBy("bucket")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("vec_id", "embedding")))
+                   .alias("ms"))
+               .where(F.size("ms") >= 2))
+    dropped = (buckets.select(
+                   F.explode(F.expr(_SEMDEDUP_PAIR_EXPAND)).alias("p"))
+               .select("p.a_id", "p.b_id", "p.a_emb", "p.b_emb")
                .where(F.col("a_id") < F.col("b_id"))
                .where(cos_fn(F.col("a_emb"), F.col("b_emb"))
                       >= SEMDEDUP_TAU)
                .select(F.col("b_id").alias("vec_id")).distinct()
                .withColumn("hit", F.lit(True)))
-    return (b.select("vec_id", "bucket")
+    return (assigned.select("vec_id", "bucket")
             .join(dropped, "vec_id", "left")
             .select("vec_id", "bucket",
                     F.col("hit").isNull().alias("kept"))
@@ -617,21 +678,35 @@ def nd_semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_ORACLE = f"""
-WITH b AS (
+WITH s AS (
   SELECT vec_id, embedding,
          CAST(list_sum(list_transform(range({SEMDEDUP_SIGN_BITS}), i ->
              CASE WHEN embedding[i+1] >= 0 THEN 1 << i ELSE 0 END))
-              AS INTEGER) AS bucket
+              AS INTEGER) AS b8,
+         CAST(list_sum(list_transform(range({SEMDEDUP_SUB_BITS}), i ->
+             CASE WHEN embedding[i+1] >= 0 THEN 1 << i ELSE 0 END))
+              AS INTEGER) AS b16
   FROM embeddings),
+c8 AS (SELECT b8, COUNT(*) AS n8 FROM s GROUP BY b8),
+a AS (
+  SELECT s.vec_id, s.embedding,
+         CASE WHEN c8.n8 > {SEMDEDUP_BUCKET_CAP}
+              THEN s.b16 + {1 << SEMDEDUP_SUB_BITS} ELSE s.b8
+         END AS bucket
+  FROM s JOIN c8 USING (b8)),
+cb AS (SELECT bucket, COUNT(*) AS nb FROM a GROUP BY bucket),
+g AS (SELECT a.vec_id, a.embedding, a.bucket
+      FROM a JOIN cb USING (bucket)
+      WHERE cb.nb <= {SEMDEDUP_BUCKET_CAP}),
 dropped AS (
-  SELECT DISTINCT b2.vec_id
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-  WHERE list_sum(list_transform(list_zip(a.embedding, b2.embedding),
+  SELECT DISTINCT y.vec_id
+  FROM g x JOIN g y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding),
         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         >= {SEMDEDUP_TAU})
-SELECT b.vec_id, b.bucket, d.vec_id IS NULL AS kept
-FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
-ORDER BY b.vec_id
+SELECT a.vec_id, a.bucket, d.vec_id IS NULL AS kept
+FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
 """
 
 

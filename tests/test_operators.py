@@ -851,3 +851,81 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
            for r in nd_ann_ivfpq(spark, sf_dir).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.55, f"IVF-PQ recall@3 {recall:.2f} below floor"
+
+
+def test_semantic_dedup_hot_bucket_cap_and_escalation(spark, tmp_path):
+    """The round-12 verdict's last uncapped quadratic, pinned: a
+    sign-skewed corpus (real encoder embeddings concentrate in a few
+    orthants) must never expand an O(n²) pair set. Three regimes in one
+    synthetic corpus:
+
+    - 120 identical all-positive vectors: hot at 8 bits AND at the
+      16-bit escalation -> excluded from pair generation entirely, all
+      kept (lenient-on-pathology, the PHASH_BUCKET_CAP semantics);
+    - 60 vectors sharing the hot 8-bit orthant but splitting into six
+      16-bit sub-buckets of 10 identical vectors -> escalation keeps
+      screening: exactly the lowest id of each sub-bucket survives;
+    - one cold bucket with an identical pair -> baseline keep-first.
+
+    Every pair-generating bucket is <= SEMDEDUP_BUCKET_CAP by
+    construction of the gate (asserted via the assignment counts), and
+    the DuckDB oracle states the identical escalate/cap rule, so the
+    semantics stay hash-gated even on the adversarial shape."""
+    import duckdb
+
+    from bacalhau_spark.operators.similarity import (
+        SEMDEDUP_BUCKET_CAP, _SEMDEDUP_ORACLE, _semantic_assignment,
+        nd_semantic_dedup)
+
+    def vec(signs):
+        assert len(signs) == 16
+        return [0.25 * s for s in signs]
+
+    rows, vid = [], 0
+    all_pos = [1] * 16
+    for _ in range(120):  # group A: hot even after escalation
+        rows.append((vid, vec(all_pos))); vid += 1
+    b_groups = []
+    for k in range(6):   # group B: hot at 8 bits, splits at 16
+        signs = [1] * 16
+        signs[8 + k] = -1
+        b_groups.append(vid)
+        for _ in range(10):
+            rows.append((vid, vec(signs))); vid += 1
+    c_first = vid          # group C: cold bucket, identical pair
+    cold = [-1] + [1] * 15
+    rows.append((vid, vec(cold))); vid += 1
+    rows.append((vid, vec(cold))); vid += 1
+
+    sf = str(tmp_path / "hotsf")
+    (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+     .write.parquet(f"{sf}/embeddings.parquet"))
+
+    out = {r.vec_id: r.kept
+           for r in nd_semantic_dedup(spark, sf).collect()}
+    assert len(out) == vid
+    # group A: excluded from screening -> every member kept
+    assert all(out[v] for v in range(120)), \
+        "hot-through-escalation bucket members must be kept, not paired"
+    # group B: keep-first within each 16-bit sub-bucket
+    for first in b_groups:
+        assert out[first], "sub-bucket's lowest id must survive"
+        assert not any(out[v] for v in range(first + 1, first + 10)), \
+            "identical sub-bucket mates must drop"
+    # group C: baseline pair
+    assert out[c_first] and not out[c_first + 1]
+    # the pair bound: no bucket that generates pairs exceeds the cap
+    counts = (_semantic_assignment(spark, sf)
+              .groupBy("bucket").count().collect())
+    hot = {r["bucket"] for r in counts if r["count"] > SEMDEDUP_BUCKET_CAP}
+    survivors = {r["bucket"]: r["count"] for r in counts
+                 if r["count"] <= SEMDEDUP_BUCKET_CAP}
+    assert hot, "the synthetic corpus must actually trip the cap"
+    assert survivors and max(survivors.values()) <= SEMDEDUP_BUCKET_CAP
+    # oracle states the identical rule on the same adversarial corpus
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet/*.parquet')")
+    du = {int(r[0]): bool(r[2])
+          for r in con.execute(_SEMDEDUP_ORACLE).fetchall()}
+    assert du == out

@@ -459,6 +459,13 @@ def test_semantic_dedup_and_mix_scale_shapes(spark, sf_dir):
     assert "CartesianProduct" not in sd_plan
     assert "BroadcastNestedLoopJoin" not in sd_plan
     assert "bucket" in sd_plan
+    # the hot-bucket cap is a groupBy-count broadcast back — never a
+    # window over the (potentially sign-skewed) bucket key, which would
+    # sort the entire hot orthant inside one task (r13: the capped
+    # bucket-and-expand rewrite)
+    assert " Window" not in sd_plan
+    assert "collect_list" in sd_plan, (
+        "pair generation must be bucket-and-expand, not a pair self-join")
 
     mix_plan = _formatted_plan(nd_mix_temperature(spark, sf_dir))
     # formatted explain names the file once per scan NODE (in its
