@@ -1632,3 +1632,107 @@ def test_empty_index_never_crash_loops(spark, sf_dir):
     clear_session_index(spark)
     again = _mh_session_cached(spark, sf_dir, "empty_test", build_empty)
     assert again.count() == 0
+
+
+def test_cand_delta_adopts_appended_corpus(spark, sf_dir, tmp_path):
+    """Round-13: the band-candidate index — a GLOBAL function of the
+    corpus — delta-adopts appended corpora exactly: the child publishes
+    the parent's hardlinked pair files plus only the pairs involving a
+    new doc (probed against the full signature index), and the unified
+    read equals _band_candidates over the full corpus from scratch. A
+    crawl epoch stops re-paying the full candidate-generation cost."""
+    import os
+
+    from bacalhau_spark.catalog import spread_compute
+    from bacalhau_spark.operators.dedup import (_band_candidates,
+                                                _index_table_root,
+                                                _mh_sig_frame,
+                                                band_candidate_index,
+                                                clear_session_index)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    epoch1 = str(tmp_path / "epoch1")
+    _shifted_docs_corpus(spark, sf_dir, epoch1, 21_000_000)
+    band_candidate_index(spark, epoch1)  # full build + publish
+    parent_root = _index_table_root(epoch1, "cand", "documents")
+    parent_pairs = latest_manifest(parent_root)
+    assert parent_pairs and parent_pairs["files"]
+
+    # epoch 2 = epoch 1 + 40 appended docs whose text DUPLICATES the
+    # first 40 parent docs (disjoint new ids): every appended doc must
+    # surface as a probe pair against its parent twin
+    epoch2 = str(tmp_path / "epoch2")
+    os.makedirs(epoch2)
+    _copy_docs_parts(epoch1, epoch2)
+    _shifted_docs_corpus(spark, sf_dir, epoch2, 21_500_000, limit=40,
+                         part_name="part-appended.parquet")
+
+    got = band_candidate_index(spark, epoch2)
+    man = latest_manifest(_index_table_root(epoch2, "cand", "documents"))
+    assert man["props"]["delta_parent"] == os.path.basename(parent_root)
+    full = _band_candidates(_mh_sig_frame(spread_compute(
+        spark,
+        spark.read.parquet(os.path.join(epoch2, "documents.parquet"))
+        .select("doc_id", "text"), "doc_id")))
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, full.collect()))
+    # the probe really found cross-epoch pairs (new id vs parent twin)
+    assert any(b >= 21_500_000 for _, b in got_rows)
+    clear_session_index(spark)
+
+
+def test_cand_delta_declines_crossed_bucket(spark, tmp_path):
+    """The exactness guard: an append that pushes a previously-capped
+    bucket OVER the hot-bucket cap makes union(parent, probe) !=
+    rebuild (the rebuild drops the bucket's parent pairs) — _cand_delta
+    must DECLINE and fall back to the full build. 30 identical parent
+    docs (every band bucket at 30 <= cap, 435 pairs) + 25 identical
+    appends (bucket 55 > cap): the child index must be a fresh full
+    build with ZERO pairs, never the parent's 435 hardlinked ones."""
+    import os
+
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                band_candidate_index,
+                                                clear_session_index)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    text = ("the quick brown fox jumps over the lazy dog and keeps "
+            "jumping over that same lazy dog forever more r13cross")
+
+    def corpus(d, rows):
+        path = os.path.join(d, "documents.parquet")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    parent_dir = str(tmp_path / "parent")
+    ppath = corpus(parent_dir, None)
+    (spark.createDataFrame([(i, text) for i in range(30)],
+                           "doc_id long, text string")
+     .coalesce(1).write.mode("overwrite").parquet(ppath + "__st"))
+    (part,) = [f for f in os.listdir(ppath + "__st")
+               if f.endswith(".parquet")]
+    os.rename(os.path.join(ppath + "__st", part),
+              os.path.join(ppath, "part-0.parquet"))
+    assert band_candidate_index(spark, parent_dir).count() == 435
+
+    child_dir = str(tmp_path / "child")
+    cpath = corpus(child_dir, None)
+    import shutil
+    shutil.copyfile(os.path.join(ppath, "part-0.parquet"),
+                    os.path.join(cpath, "part-0.parquet"))
+    (spark.createDataFrame([(100 + i, text) for i in range(25)],
+                           "doc_id long, text string")
+     .coalesce(1).write.mode("overwrite").parquet(cpath + "__st"))
+    (part,) = [f for f in os.listdir(cpath + "__st")
+               if f.endswith(".parquet")]
+    os.rename(os.path.join(cpath + "__st", part),
+              os.path.join(cpath, "part-appended.parquet"))
+
+    got = band_candidate_index(spark, child_dir)
+    man = latest_manifest(_index_table_root(child_dir, "cand",
+                                            "documents"))
+    assert "delta_parent" not in man.get("props", {}), \
+        "crossed-cap append must decline delta adoption"
+    assert got.count() == 0, \
+        "rebuild drops the now-hot bucket: no pairs survive"
+    clear_session_index(spark)
