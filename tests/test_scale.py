@@ -1736,3 +1736,105 @@ def test_cand_delta_declines_crossed_bucket(spark, tmp_path):
     assert got.count() == 0, \
         "rebuild drops the now-hot bucket: no pairs survive"
     clear_session_index(spark)
+
+
+def test_keychunk_tree_enables_delta_above_4096_parts(spark, tmp_path):
+    """Round-13: above DELTA_FILE_KEYS_MAX part files the per-file key
+    map moves into the chunked sidecar tree — manifests stay small, and
+    delta adoption now ENGAGES at real corpus widths instead of
+    silently degrading to the full rebuild (>4096 parts is day one at
+    100 TB). A 4104-part corpus publishes a 2-chunk digest-verified
+    tree; the appended epoch adopts a delta (full builder never runs);
+    a corrupted chunk makes the manifest keyless (tamper-evident) and
+    can never be adopted on."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.operators.dedup import (DELTA_FILE_KEYS_MAX,
+                                                _index_table_root,
+                                                _manifest_file_keys,
+                                                _mh_session_cached,
+                                                clear_session_index)
+    from bacalhau_spark.operators.multimodal import phash_frame
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    # per-run-unique content: the store is content-addressed and
+    # persists across pytest runs (the r12 gotcha) — a deterministic
+    # corpus would be ADOPTED on the second run and the full-build
+    # assertion would see zero builder calls
+    import uuid
+    salt = uuid.uuid4().int % 1_000_000_000
+
+    n_parts = DELTA_FILE_KEYS_MAX + 8
+    e1 = str(tmp_path / "wide1")
+    p1 = os.path.join(e1, "documents.parquet")
+    os.makedirs(p1)
+    for i in range(n_parts):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([31_000_000 + salt + 2 * i,
+                                          31_000_000 + salt + 2 * i + 1],
+                                         type=pa.int64())}),
+            os.path.join(p1, f"part-{i:06d}.parquet"))
+
+    def builders(d):
+        full_calls, delta_paths = [], []
+
+        def build():
+            full_calls.append(1)
+            return phash_frame(spark.read.parquet(
+                os.path.join(d, "documents.parquet")).select("doc_id"))
+
+        def build_delta(paths):
+            delta_paths.extend(paths)
+            return phash_frame(
+                spark.read.parquet(*paths).select("doc_id"))
+
+        return build, build_delta, full_calls, delta_paths
+
+    b, bd, fc, dp = builders(e1)
+    _mh_session_cached(spark, e1, "phash", b, build_delta=bd)
+    assert fc == [1]
+    man1 = latest_manifest(_index_table_root(e1, "phash", "documents"))
+    assert "file_keys" not in man1["props"], \
+        "wide manifests must not inline the key map"
+    tree = man1["props"]["file_keys_tree"]
+    assert tree["n_files"] == n_parts and len(tree["chunks"]) == 2
+    proot = _index_table_root(e1, "phash", "documents")
+    keys = _manifest_file_keys(proot, man1)
+    assert keys is not None and len(keys) == n_parts
+
+    # epoch 2 = the same 4104 parts (hardlinked) + one appended shard
+    e2 = str(tmp_path / "wide2")
+    p2 = os.path.join(e2, "documents.parquet")
+    os.makedirs(p2)
+    for f in sorted(os.listdir(p1)):
+        os.link(os.path.join(p1, f), os.path.join(p2, f))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([31_900_001 + salt,
+                                      31_900_002 + salt],
+                                     type=pa.int64())}),
+        os.path.join(p2, "part-appended.parquet"))
+    b2, bd2, fc2, dp2 = builders(e2)
+    got = _mh_session_cached(spark, e2, "phash", b2, build_delta=bd2)
+    assert fc2 == [], ">4096-part append must adopt a delta now"
+    assert dp2 == [os.path.join(p2, "part-appended.parquet")]
+    man2 = latest_manifest(_index_table_root(e2, "phash", "documents"))
+    assert man2["props"]["delta_parent"] == os.path.basename(proot)
+    expect = sorted(map(tuple, phash_frame(
+        spark.read.parquet(p2).select("doc_id")).collect()))
+    assert sorted(map(tuple, got.collect())) == expect
+
+    # tamper-evidence: a flipped byte in one chunk voids the key map
+    cpath = os.path.join(proot, "keychunks", tree["chunks"][0]["name"])
+    raw = bytearray(open(cpath, "rb").read())
+    raw[10] ^= 0xFF
+    open(cpath, "wb").write(bytes(raw))
+    assert _manifest_file_keys(proot, man1) is None
+    # remove the salted one-off tables from the shared store
+    import shutil
+    shutil.rmtree(proot, ignore_errors=True)
+    shutil.rmtree(_index_table_root(e2, "phash", "documents"),
+                  ignore_errors=True)
+    clear_session_index(spark)
