@@ -19,6 +19,7 @@ All dot products use functions.dot_double — a JVM-side left fold, no UDFs.
 from __future__ import annotations
 
 import hashlib
+import os
 import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -190,13 +191,43 @@ def lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                               tbl="embeddings", build_delta=build_delta)
 
 
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (q_id, nn) candidate pairs for the fixed query set
+    (vec_id < 20): queries probe the shared persisted signature index
+    on the (band, sig) key; a pair colliding in several bands appears
+    once per band and dedups before any vector is fetched. The ONE
+    candidate generator nd_ann_lsh ranks and nd_ann_lsh_candidates
+    hash-gates."""
+    sig = lsh_signature_index(spark, sf_dir)
+    q_sig = (sig.where(F.col("vec_id") < 20)
+             .select(F.col("vec_id").alias("q_id"), "band", "sig"))
+    return (F.broadcast(q_sig)
+            .join(sig.select(F.col("vec_id").alias("nn"), "band", "sig"),
+                  ["band", "sig"])
+            .where(F.col("q_id") != F.col("nn"))
+            .select("q_id", "nn").distinct())
+
+
+def nd_ann_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-gated candidate HALF of nd_ann_lsh (r13, shrinking the
+    no_oracle surface): the exact (vec_id, nn) bucket-collision pair
+    set the ANN probe ranks. The hyperplanes are literals and the dot
+    is the same left fold both engines run (the bucketstats precedent),
+    so membership is value-exact in SQL — only the float cosine RANKING
+    stays recall-tested on nd_ann_lsh itself."""
+    return (_lsh_candidate_pairs(spark, sf_dir)
+            .select(F.col("q_id").alias("vec_id"), "nn")
+            .orderBy("vec_id", "nn"))
+
+
 def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: top-3 per query among candidates that share at least
     one (band, signature) bucket. The candidate join is an equi join on
     (band, bucket) — at 100 TB the corpus index is hash-partitioned by that
     key and each query probes B buckets' worth of candidates, never the full
     cross product. Approximate (recall tested vs. brute force in tests/);
-    no SQL oracle by design."""
+    the candidate pair set is hash-gated by nd_ann_lsh_candidates, so
+    no_oracle here covers only the float ranking."""
     emb = table(spark, sf_dir, "embeddings")
     # LEAN signature table: (vec_id, band, sig) only — never drag the
     # embedding arrays through the explode and the bucket join (the r3
@@ -209,16 +240,7 @@ def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions); embeddings are fetched per candidate PAIR via broadcast
     # joins afterwards — at corpus scale that is the classic two-phase
     # ANN read (index probe, then gather vectors for scoring).
-    sig = lsh_signature_index(spark, sf_dir)
-    q_sig = (sig.where(F.col("vec_id") < 20)
-             .select(F.col("vec_id").alias("q_id"), "band", "sig"))
-    pairs = (F.broadcast(q_sig)
-             .join(sig.select(F.col("vec_id").alias("nn"), "band", "sig"),
-                   ["band", "sig"])
-             .where(F.col("q_id") != F.col("nn"))
-             # a pair colliding in several bands appears once per band;
-             # dedup before fetching vectors
-             .select("q_id", "nn").distinct())
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
     # Gather shape (round-12 review): broadcast only the SMALL sides —
     # the 20 query vectors and then the bounded candidate probe — and
     # STREAM the corpus side. The first cut broadcast the full
@@ -453,8 +475,9 @@ def _planes_sql() -> str:
     return ", ".join(rows)
 
 
-_LSH_BUCKETSTATS_ORACLE = f"""
-WITH planes(band, p, coefs) AS (VALUES {_planes_sql()}),
+# THE signature CTE chain (planes -> dots -> sig), stated once for the
+# two LSH oracles — the bit layout cannot drift between them.
+_LSH_SIG_CTES = f"""planes(band, p, coefs) AS (VALUES {_planes_sql()}),
 dots AS (SELECT e.vec_id, pl.band, pl.p,
          list_sum(list_transform(list_zip(e.embedding, pl.coefs),
                   z -> CAST(z[1] AS DOUBLE) * z[2])) AS d
@@ -463,9 +486,20 @@ sig AS (SELECT vec_id, CAST(band AS INTEGER) AS band,
                CAST(SUM(CASE WHEN d >= 0
                         THEN (1 << CAST(p AS INTEGER)) ELSE 0 END)
                     AS INTEGER) AS sig
-        FROM dots GROUP BY vec_id, band)
+        FROM dots GROUP BY vec_id, band)"""
+
+_LSH_BUCKETSTATS_ORACLE = f"""
+WITH {_LSH_SIG_CTES}
 SELECT band, sig, COUNT(*) AS n_vectors
 FROM sig GROUP BY band, sig ORDER BY band, sig
+"""
+
+_LSH_CANDIDATES_ORACLE = f"""
+WITH {_LSH_SIG_CTES}
+SELECT DISTINCT q.vec_id, s.vec_id AS nn
+FROM sig q JOIN sig s ON q.band = s.band AND q.sig = s.sig
+WHERE q.vec_id < 20 AND s.vec_id <> q.vec_id
+ORDER BY q.vec_id, nn
 """
 
 _IVF_CELLSTATS_ORACLE = f"""
@@ -1072,25 +1106,122 @@ def pca_project_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      _pca_project_udf(mu, w)(F.col("q")).alias("proj"))
 
 
+def _double_lit_sql(v: float) -> str:
+    """A float64 as engine-portable SQL text: repr() is the shortest
+    round-trip representation, and both Java's and DuckDB's parsers
+    resolve it to the identical nearest double."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _pca_model_sql(mu: list, w: list) -> tuple[str, str]:
+    """(MU, W) as SQL array-literal TEXT — MU a 64-double array, W the
+    transposed [component][dim] array-of-arrays — emitted once for both
+    engines (Spark array(...) and DuckDB [...] share the CAST-literal
+    elements, only the constructor differs), so the projection fold
+    below runs the identical op chain over identical constants."""
+    wt = [[w[d][k] for d in range(len(mu))] for k in range(PCA_K)]
+    mu_elems = ", ".join(_double_lit_sql(v) for v in mu)
+    wk = [", ".join(_double_lit_sql(v) for v in row) for row in wt]
+    spark_sql = (f"array({mu_elems})",
+                 "array(" + ", ".join(f"array({r})" for r in wk) + ")")
+    return spark_sql
+
+
 def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection to PCA_K components — the dimensionality-reduction
     pass embedding pipelines run before clustering/ANN indexing, closing
     the loop the covariance operator opens. The registered surface is
     the EXPLODED projection — (vec_id, k, proj_k) scalar rows — because
     the driver's canonicalizer (pandas sort_values -> factorize) cannot
-    hash an array<double> column (the round-8 red row); posexplode costs
-    nothing the array form didn't already pay, and the array-valued
-    frame stays available as pca_project_frame for composition.
+    hash an array<double> column (the round-8 red row); the array-valued
+    frame stays available as pca_project_frame for composition
+    (nd_ann_pca's Arrow matmul path).
 
-    No SQL oracle BY DESIGN (eigh is iterative float; DuckDB has no
-    analog): the driver records a rows-only check, and correctness is
-    gated in tests instead — component orthonormality, descending
-    eigenvalues, per-component projection variance == eigenvalue (the
-    PCA identity, checked against the exact covariance), and the Spark
-    projection equal to a pure-numpy PCA of the same rows."""
-    return (pca_project_frame(spark, sf_dir)
-            .select("vec_id", F.posexplode("proj").alias("k", "proj_k"))
+    HASH-GATED since round 13 (the r12 verdict's ask — this row leaves
+    the no_oracle set): the projection is computed as the exact LEFT
+    FOLD over the quantized vector against (mean, components) inlined
+    as double literals — the _DOT_SQL convention — and the oracle
+    (similarity._pca_oracle_sql) derives the SAME model constants
+    independently (DuckDB runs the covariance oracle over the same
+    parquet, numpy eigh + the same sign canonicalization in the driver
+    process) and replays the identical fold in SQL. The covariance
+    doubles are already proven bit-identical cross-engine
+    (nd_embedding_covariance's green hash row), and eigh is
+    deterministic for identical input within one process, so the
+    constants agree exactly. JVM-side HOFs, no Python UDF on this
+    registered row; per the janino rule the 584 literals live in TWO
+    projected array columns, never inlined per-term expressions."""
+    mu, w, _evals, _n = _pca_model(spark, sf_dir)
+    mu_sql, w_sql = _pca_model_sql(mu, w)
+    emb = table(spark, sf_dir, "embeddings")
+    qd = emb.select("vec_id", F.expr(
+        f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
+        f"* {KM_SCALE}) AS BIGINT) + {KM_OFF})").alias("q"),
+        F.expr(mu_sql).alias("mu"), F.expr(w_sql).alias("w"))
+    proj = F.expr(
+        f"transform(sequence(0, {PCA_K - 1}), k -> "
+        f"aggregate(sequence(0, {KM_DIMS - 1}), CAST(0.0 AS DOUBLE), "
+        "(acc, d) -> acc + (CAST(element_at(q, d + 1) AS DOUBLE) "
+        "- element_at(mu, d + 1)) "
+        "* element_at(element_at(w, k + 1), d + 1)))")
+    return (qd.select("vec_id", F.posexplode(proj).alias("k", "proj_k"))
             .orderBy("vec_id", "k"))
+
+
+def _pca_oracle_sql(sf_dir: str | None = None) -> str:
+    """The nd_pca_project oracle, generated per fixture: DuckDB
+    recomputes the covariance sufficient statistics over the SAME
+    parquet (the already-hash-gated _COVARIANCE_ORACLE), the model fit
+    (eigh + largest-|component| sign fix) runs in the calling process
+    exactly as _pca_model's — same numpy, same input doubles, so the
+    constants are bit-identical — and the SQL replays the identical
+    quantize + center + left-fold projection. Defaults to the driver's
+    grading fixture (sf=0.01, per the driver contract); tests pass
+    their sf_dir explicitly."""
+    import duckdb
+    import numpy as np
+
+    sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                  "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    rows = con.execute(_COVARIANCE_ORACLE).fetchall()
+    con.close()
+    d = KM_DIMS
+    cov = np.zeros((d, d))
+    mu = np.zeros(d)
+    n = rows[0][2]
+    for i, j, _n, sum_i, _sj, _sij, c in rows:
+        cov[i, j] = cov[j, i] = c
+        if i == j:
+            mu[i] = sum_i / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    w = evecs[:, order]
+    for k in range(w.shape[1]):
+        jmax = int(np.argmax(np.abs(w[:, k])))
+        if w[jmax, k] < 0:
+            w[:, k] = -w[:, k]
+    wt = w.T.tolist()
+    mu_l = "[" + ", ".join(_double_lit_sql(v) for v in mu.tolist()) + "]"
+    w_l = ("[" + ", ".join(
+        "[" + ", ".join(_double_lit_sql(v) for v in row) + "]"
+        for row in wt) + "]")
+    return f"""
+WITH q AS (SELECT vec_id,
+        list_transform(embedding, v ->
+            CAST(FLOOR(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT)
+            + {KM_OFF}) AS q,
+        {mu_l} AS mu, {w_l} AS w
+    FROM embeddings)
+SELECT vec_id, CAST(k AS INT) AS k,
+       list_sum(list_transform(range({KM_DIMS}), d ->
+           (CAST(q[d + 1] AS DOUBLE) - mu[d + 1]) * w[k + 1][d + 1]))
+       AS proj_k
+FROM q CROSS JOIN LATERAL (SELECT unnest(range({PCA_K})) AS k) kk
+ORDER BY vec_id, k
+"""
 
 
 def _assign_l2_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
@@ -1596,7 +1727,9 @@ QUERIES = {
                                 _COVARIANCE_ORACLE),
     "nd_embedding_covariance_fast": (nd_embedding_covariance_fast,
                                      _COVARIANCE_ORACLE),
-    "nd_pca_project": (nd_pca_project, None),
+    # callable oracle: the SQL inlines model constants derived per
+    # fixture (registry.oracle_sql resolves callables at collection)
+    "nd_pca_project": (nd_pca_project, _pca_oracle_sql),
     "nd_ann_pca": (nd_ann_pca, None),
     "nd_pq_quantize": (nd_pq_quantize, _PQ_ORACLE),
     "nd_ann_pq": (nd_ann_pq, None),
@@ -1638,6 +1771,8 @@ QUERIES = {
     ),
     "nd_ann_lsh": (nd_ann_lsh, None),
     "nd_ann_ivf": (nd_ann_ivf, None),
+    "nd_ann_lsh_candidates": (nd_ann_lsh_candidates,
+                              _LSH_CANDIDATES_ORACLE),
     "nd_ann_lsh_bucketstats": (nd_ann_lsh_bucketstats,
                                _LSH_BUCKETSTATS_ORACLE),
     "nd_ann_ivf_cellstats": (nd_ann_ivf_cellstats, _IVF_CELLSTATS_ORACLE),

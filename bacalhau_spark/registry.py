@@ -173,7 +173,13 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in ALL_QUERIES.items()
+    """Oracle strings for the driver. An entry may register a CALLABLE
+    provider instead of a static string (r13: nd_pca_project inlines
+    model constants derived from the grading fixture) — resolved here,
+    at the driver's default grading scale; tests resolve with their own
+    sf_dir."""
+    return {name: (sql() if callable(sql) else sql)
+            for name, (_, sql) in ALL_QUERIES.items()
             if sql is not None}
 
 

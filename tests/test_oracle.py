@@ -92,6 +92,8 @@ NO_ORACLE_CASES = sorted(n for n, (_, sql) in ALL_QUERIES.items() if not sql)
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     fn, sql = ALL_QUERIES[name]
+    if callable(sql):  # per-fixture oracle provider (nd_pca_project)
+        sql = sql(sf_dir)
     got = _normalize(fn(spark, sf_dir).toPandas())
     want = _normalize(oracle_con.execute(sql).fetchdf())
     assert list(got.columns) == list(want.columns), \
