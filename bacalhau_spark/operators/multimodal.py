@@ -38,21 +38,62 @@ def image_codec_available() -> bool:
         return False
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int, str]:
-    """Real decoder: (width, height, content hash) from actual image bytes
-    via PIL when present. Environments without an image library get the
-    declared NotImplementedError — callers choose the fake-decode path
-    (the oracle queries always do; see module docstring)."""
-    if not image_codec_available():
-        raise NotImplementedError(
-            "image decode requires PIL; not available in this environment")
-    import hashlib
-    import io
+def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """Dependency-free REAL decoder for uncompressed 24bpp BMP bytes:
+    (width, height, top-down row-major grayscale pixels, integer
+    luma (299r + 587g + 114b) // 1000). The container ships no image
+    library, and the reference's image workload
+    (examples/image_downscaling/) is exactly this shape — a format a
+    few struct.unpack calls decode keeps the REAL-pixel path (decode →
+    thumbnail → dHash → band join) exercisable end to end in any
+    environment; PIL, when present, extends coverage to every other
+    format through the same closures."""
+    import struct
 
-    from PIL import Image
-    img = Image.open(io.BytesIO(payload))
-    width, height = img.size
-    return width, height, hashlib.md5(img.tobytes()).hexdigest()
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant (need 24bpp, BI_RGB)")
+    stride = (w * 3 + 3) // 4 * 4
+    bottom_up, ah = h > 0, abs(h)
+    if off + stride * ah > len(payload):
+        raise ValueError("truncated BMP payload")
+    gray: list[int] = []
+    ys = range(ah - 1, -1, -1) if bottom_up else range(ah)
+    for y in ys:
+        base = off + y * stride
+        row = payload[base:base + w * 3]
+        for x in range(w):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            gray.append((299 * r + 587 * g + 114 * b) // 1000)
+    return w, ah, gray
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, str]:
+    """Real decoder: (width, height, pixel-content hash) from actual
+    image bytes — PIL when present, the built-in BMP parser otherwise.
+    Payloads neither can decode get the declared NotImplementedError —
+    callers choose the fake-decode path (the oracle queries always do;
+    see module docstring)."""
+    import hashlib
+
+    if image_codec_available():
+        import io
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(payload))
+        width, height = img.size
+        return width, height, hashlib.md5(img.tobytes()).hexdigest()
+    try:
+        w, h, gray = decode_bmp_gray(payload)
+    except ValueError:
+        raise NotImplementedError(
+            "image decode requires PIL for non-BMP payloads; "
+            "not available in this environment") from None
+    return w, h, hashlib.md5(bytes(gray)).hexdigest()
 
 
 def nd_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,6 +142,11 @@ def multimodal_features_real(docs: DataFrame) -> DataFrame:
     probe runs inside the worker closure so executors decide from their own
     environment."""
 
+    # factory called DRIVER-side: the closure captures the returned
+    # LOCAL function (ships by value); a module-global reference inside
+    # the worker closure would pickle by name and break foreign-cwd runs
+    _bmp_gray = _bmp_gray_fn()
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
         import io as _io
@@ -116,12 +162,17 @@ def multimodal_features_real(docs: DataFrame) -> DataFrame:
             return (int(h[0:2], 16) % 512) + 16, (int(h[2:4], 16) % 512) + 16, h
 
         def best_decode(payload: bytes) -> tuple[int, int, str]:
-            if _Image is None:
-                return fake_decode(payload)
-            try:
-                img = _Image.open(_io.BytesIO(payload))
-                width, height = img.size
-                return width, height, _hashlib.md5(img.tobytes()).hexdigest()
+            if _Image is not None:
+                try:
+                    img = _Image.open(_io.BytesIO(payload))
+                    width, height = img.size
+                    return (width, height,
+                            _hashlib.md5(img.tobytes()).hexdigest())
+                except Exception:  # fall through to the BMP parser
+                    pass
+            try:  # dependency-free REAL decode for 24bpp BMP
+                w, h, gray = _bmp_gray(payload)
+                return w, h, _hashlib.md5(bytes(gray)).hexdigest()
             except Exception:  # not decodable — deterministic fallback
                 return fake_decode(payload)
 
@@ -136,6 +187,178 @@ def multimodal_features_real(docs: DataFrame) -> DataFrame:
             })
 
     return docs.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def _bmp_gray_fn():
+    """FACTORY for the worker-side BMP grayscale decode — a local
+    closure ships by value under cloudpickle (the pandas_udf factory
+    rule), so mapInPandas workers never need this module importable.
+    Same math as decode_bmp_gray (the driver-side API); there must be
+    exactly two statements of it only because a module-level reference
+    inside a worker closure would break foreign-cwd runs."""
+    import struct
+
+    def bmp_gray(payload: bytes) -> tuple[int, int, list[int]]:
+        if bytes(payload[:2]) != b"BM":
+            raise ValueError("not a BMP payload")
+        (off,) = struct.unpack_from("<I", payload, 10)
+        _hs, w, h, _pl, bpp = struct.unpack_from("<IiiHH", payload, 14)
+        (comp,) = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            raise ValueError("unsupported BMP variant")
+        stride = (w * 3 + 3) // 4 * 4
+        bottom_up, ah = h > 0, abs(h)
+        if off + stride * ah > len(payload):
+            raise ValueError("truncated BMP payload")
+        gray: list[int] = []
+        ys = range(ah - 1, -1, -1) if bottom_up else range(ah)
+        for y in ys:
+            base = off + y * stride
+            row = payload[base:base + w * 3]
+            for x in range(w):
+                b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                gray.append((299 * r + 587 * g + 114 * b) // 1000)
+        return w, ah, gray
+
+    return bmp_gray
+
+
+def real_binary_table(spark: SparkSession, path: str) -> DataFrame:
+    """A directory of real media FILES as a (doc_id, path, payload)
+    frame via Spark's binaryFile source — the reference's
+    examples/image_downscaling/ input shape (files on disk, not fixture
+    columns). doc_id is the row number over sorted path: fine for a
+    fixture directory; a production corpus carries its ids upstream
+    (the Window over path would serialize a 100 TB listing)."""
+    from pyspark.sql.window import Window
+
+    df = (spark.read.format("binaryFile").load(path)
+          .select("path", F.col("content").alias("payload")))
+    return df.select(
+        F.row_number().over(Window.orderBy("path"))
+        .cast("long").alias("doc_id"), "path", "payload")
+
+
+REAL_PHASH_SCHEMA = ("doc_id bigint, width int, height int, "
+                     "decoder string, b0 bigint, b1 bigint, "
+                     "b2 bigint, b3 bigint")
+
+
+def image_phash_real_frame(bin_df: DataFrame) -> DataFrame:
+    """REAL-pixel dHash over a (doc_id, payload binary) frame: decode
+    (PIL when importable, the built-in 24bpp-BMP parser otherwise, the
+    deterministic fake per undecodable payload), block-mean to the
+    8x9 grayscale thumbnail, pack the 64 gradient-sign bits into the
+    SAME four 16-bit bands as phash_frame — so phash_candidate_pairs
+    and the Hamming verify compose unchanged over real pixels. This is
+    the capability path the fake-decode oracle rows stand in for; the
+    `decoder` column says which path each payload actually took."""
+
+    _bmp_gray = _bmp_gray_fn()  # driver-side: ship the local by value
+
+    def batches(it):
+        import hashlib as _hashlib
+        import io as _io
+
+        import pandas as _pd
+        try:
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
+
+        def thumb(gray, w, h):
+            # integer block means onto the 8-row x 9-col grid
+            px = []
+            for r in range(8):
+                y0, y1 = r * h // 8, max((r + 1) * h // 8, r * h // 8 + 1)
+                for c in range(9):
+                    x0 = c * w // 9
+                    x1 = max((c + 1) * w // 9, x0 + 1)
+                    s = n = 0
+                    for y in range(y0, min(y1, h)):
+                        base = y * w
+                        for x in range(x0, min(x1, w)):
+                            s += gray[base + x]
+                            n += 1
+                    px.append(s // max(n, 1))
+            return px
+
+        def fake_px(payload):
+            h = _hashlib.md5(payload).hexdigest()
+            return [int(_hashlib.md5(f"{h}:{g}".encode())
+                        .hexdigest()[:2], 16) for g in range(72)], 0, 0
+
+        def decode(payload):
+            payload = bytes(payload)
+            if _Image is not None:
+                try:
+                    img = _Image.open(_io.BytesIO(payload)).convert("L")
+                    w, h = img.size
+                    gray = list(img.tobytes())
+                    return thumb(gray, w, h), w, h, "pil"
+                except Exception:
+                    pass
+            try:
+                w, h, gray = _bmp_gray(payload)
+                return thumb(gray, w, h), w, h, "bmp"
+            except Exception:
+                px, w, h = fake_px(payload)
+                return px, w, h, "fake"
+
+        def bands(px):
+            out = []
+            for b in range(4):
+                v = 0
+                for i in range(16):
+                    j = 16 * b + i
+                    r, c = j // 8, j % 8
+                    g = r * 9 + c
+                    if px[g] > px[g + 1]:
+                        v |= 1 << i
+                out.append(v)
+            return out
+
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "decoder": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px, w, h, dec = decode(payload)
+                bb = bands(px)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["decoder"].append(dec)
+                for i in range(4):
+                    rows[f"b{i}"].append(bb[i])
+            yield _pd.DataFrame(rows)
+
+    return bin_df.select("doc_id", "payload").mapInPandas(
+        batches, REAL_PHASH_SCHEMA)
+
+
+def image_near_dup_real(hashes: DataFrame,
+                        max_hamming: int | None = None) -> DataFrame:
+    """Banded near-dup pairs over a REAL-pixel hash frame
+    (image_phash_real_frame output): the same capped bucket-and-expand
+    candidates + exact xor/bit_count Hamming verify the fake-decode
+    screen runs — one statement of the downstream machinery for both
+    decode paths."""
+    if max_hamming is None:  # constant defined further down the module
+        max_hamming = PHASH_MAX_HAMMING
+    lean = hashes.select("doc_id", "b0", "b1", "b2", "b3")
+    cand = phash_candidate_pairs(lean)
+    sides = cand.select(
+        "a_id", "b_id",
+        F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+    ham = sum(
+        F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
+               f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
+        for i in range(4))
+    return (lean.join(sides, "doc_id")
+            .groupBy("a_id", "b_id")
+            .agg(ham.cast("long").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .orderBy("a_id", "b_id"))
 
 
 N_FRAMES = 3

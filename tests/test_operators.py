@@ -212,29 +212,29 @@ def _make_bmp(w: int, h: int) -> bytes:
 
 
 def test_image_decode_capability_probe(spark):
-    """decode_image_real decodes true dimensions when PIL exists and raises
-    the declared NotImplementedError when it doesn't; the mapInPandas real
-    path never fails a batch — undecodable payloads fall back to the
-    deterministic fake per payload."""
+    """decode_image_real decodes true dimensions — via PIL when present,
+    via the built-in 24bpp BMP parser otherwise (r13: the real-pixel
+    path is exercisable in any environment) — and raises the declared
+    NotImplementedError only for payloads NEITHER can decode; the
+    mapInPandas real path never fails a batch — undecodable payloads
+    fall back to the deterministic fake per payload."""
     from bacalhau_spark.operators.multimodal import (decode_image_real,
                                                      image_codec_available,
                                                      multimodal_features_real)
 
     bmp = _make_bmp(4, 2)
-    if image_codec_available():
-        w, h, phash = decode_image_real(bmp)
-        assert (w, h) == (4, 2) and phash
-    else:
+    w, h, phash = decode_image_real(bmp)
+    assert (w, h) == (4, 2) and phash
+    if not image_codec_available():
         with pytest.raises(NotImplementedError, match="PIL"):
-            decode_image_real(bmp)
+            decode_image_real(b"definitely not an image")
 
     df = spark.createDataFrame(
         [(1, bytearray(bmp)), (2, bytearray(b"definitely not an image"))],
         "doc_id long, payload binary")
     rows = {r["doc_id"]: r for r in multimodal_features_real(df).collect()}
     assert rows[1]["n_bytes"] == len(bmp)
-    if image_codec_available():
-        assert (rows[1]["width"], rows[1]["height"]) == (4, 2)
+    assert (rows[1]["width"], rows[1]["height"]) == (4, 2)
     assert rows[2]["width"] >= 16 and rows[2]["phash"]  # fake fallback
 
 
@@ -929,3 +929,63 @@ def test_semantic_dedup_hot_bucket_cap_and_escalation(spark, tmp_path):
     du = {int(r[0]): bool(r[2])
           for r in con.execute(_SEMDEDUP_ORACLE).fetchall()}
     assert du == out
+
+
+def _make_bmp_px(pixels):
+    """24bpp BMP from a row-major [[gray,...], ...] pixel grid (top-down
+    input; written bottom-up as positive-height BMPs store rows)."""
+    import struct
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for row in reversed(pixels):
+        line = bytearray()
+        for v in row:
+            line += bytes([v, v, v])
+        line += bytes(stride - len(line))
+        body += line
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                            2835, 2835, 0, 0))
+    return bytes(header + body)
+
+
+def test_real_pixel_phash_near_dup_via_binaryfile(spark, tmp_path):
+    """Round-13: REAL image bytes through the real path end to end —
+    binaryFile source -> mapInPandas decode (built-in BMP parser; PIL
+    when importable) -> block-mean thumbnail -> the SAME dHash band
+    layout as phash_frame -> capped band candidates -> exact Hamming.
+    A re-encode-noise near-dup pair lands within the gate; an inverted
+    image is maximally far; true dimensions come out of real headers."""
+    from bacalhau_spark.operators.multimodal import (image_near_dup_real,
+                                                     image_phash_real_frame,
+                                                     real_binary_table)
+
+    w, h = 36, 16
+    grad = [[(x * 7) % 256 for x in range(w)] for _ in range(h)]
+    noisy = [row[:] for row in grad]
+    for k in range(4):  # a few perturbed pixels: re-encode noise
+        noisy[(3 * k) % h][(5 * k) % w] = min(
+            255, noisy[(3 * k) % h][(5 * k) % w] + 6)
+    inverted = [[255 - v for v in row] for row in grad]
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a_base.bmp").write_bytes(_make_bmp_px(grad))
+    (d / "b_noisy.bmp").write_bytes(_make_bmp_px(noisy))
+    (d / "c_inverted.bmp").write_bytes(_make_bmp_px(inverted))
+
+    bin_df = real_binary_table(spark, str(d))
+    hashes = image_phash_real_frame(bin_df)
+    rows = {r["doc_id"]: r for r in hashes.collect()}
+    assert len(rows) == 3
+    assert all(r["decoder"] in ("bmp", "pil") for r in rows.values()), \
+        "real BMP bytes must take a REAL decode path"
+    assert all((r["width"], r["height"]) == (w, h) for r in rows.values())
+
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in image_near_dup_real(hashes).collect()}
+    # doc_ids are row_number over sorted path: a=1, b=2, c=3
+    assert (1, 2) in pairs, "re-encode-noise near-dup must survive"
+    assert pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs and (2, 3) not in pairs, \
+        "the inverted image must not screen as a near-dup"
