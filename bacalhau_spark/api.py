@@ -49,6 +49,25 @@ middlebox cannot add/strip query params (e.g. `?wait=1`) without
 invalidating the signature. Mismatch, staleness, or missing headers → 401.
 A single shared `secret` is still accepted (any client id may sign with
 it) for the simple one-tenant deployment.
+
+DEPLOYMENT ENVELOPE (the Go-parity caveat, stated rather than papered
+over): this front is one Python process — stdlib ThreadingHTTPServer
+under the GIL. The round-12 read burst measured its ceiling at roughly
+240-290 req/s per plane at 100-way concurrency (read_burst_r12.txt);
+round 13 lifts the burst verb itself by caching the rendered /list body
+per engine state REVISION (one json.dumps per state change, ETag/304 for
+conditional polls — read_burst_r13.txt has the numbers). The reference's
+Go net/http server (pkg/publicapi/server.go) has no per-process cap and
+that difference is LANGUAGE, not design: a multiprocess front cannot
+share this engine's in-memory run state (the Engine owns the ONE Spark
+driver; forked handlers would serve a dead snapshot), so scaling the
+API beyond one process requires externalizing run state to the
+versioned store and fronting N stateless readers — the deliberate
+non-goal for the single-driver engine. What IS structural — the /list
+quadratic that fell over at 200 runs — was fixed in r12; what remains
+is a per-process throughput envelope a deployment puts a load balancer
+and read replicas in front of, exactly like any other single-process
+control plane.
 """
 
 from __future__ import annotations
@@ -116,6 +135,10 @@ class ApiServer:
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: threading.Thread | None = None
+        # /list response cache, keyed by the engine's monotone state
+        # revision: the burst verb renders once per state CHANGE, not
+        # once per request (r13; see the GIL-envelope note below)
+        self._list_cache: tuple[int, bytes] | None = None
 
     @property
     def url(self) -> str:
@@ -139,13 +162,19 @@ class ApiServer:
 
     # -- request handling ----------------------------------------------------
     @staticmethod
-    def _reply(handler: BaseHTTPRequestHandler, code: int, obj) -> None:
-        body = json.dumps(obj).encode()
+    def _reply_bytes(handler: BaseHTTPRequestHandler, code: int,
+                     body: bytes, etag: str | None = None) -> None:
         handler.send_response(code)
         handler.send_header("Content-Type", "application/json")
         handler.send_header("Content-Length", str(len(body)))
+        if etag is not None:
+            handler.send_header("ETag", etag)
         handler.end_headers()
         handler.wfile.write(body)
+
+    @staticmethod
+    def _reply(handler: BaseHTTPRequestHandler, code: int, obj) -> None:
+        ApiServer._reply_bytes(handler, code, json.dumps(obj).encode())
 
     def _run_id(self, query: dict) -> str:
         vals = query.get("run_id")
@@ -162,7 +191,23 @@ class ApiServer:
             elif parsed.path == "/version":
                 self._reply(handler, 200, {"version": __version__})
             elif parsed.path == "/list":
-                self._reply(handler, 200, {"runs": self.engine.list_runs()})
+                # rev read BEFORE list_runs: a concurrent emit can only
+                # make the cached body NEWER than its stamp (next
+                # request rebuilds) — never staler
+                rev = self.engine.state_rev()
+                cache = self._list_cache
+                if cache is None or cache[0] != rev:
+                    body = json.dumps(
+                        {"runs": self.engine.list_runs()}).encode()
+                    cache = (rev, body)
+                    self._list_cache = cache
+                etag = f'"{cache[0]}"'
+                if handler.headers.get("If-None-Match") == etag:
+                    handler.send_response(304)
+                    handler.send_header("ETag", etag)
+                    handler.end_headers()
+                else:
+                    self._reply_bytes(handler, 200, cache[1], etag=etag)
             elif parsed.path == "/states":
                 rid = self._run_id(qs)
                 self._reply(handler, 200,

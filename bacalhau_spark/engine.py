@@ -298,6 +298,10 @@ class Engine:
         # is a dictionary read. With the index: O(runs) per /list.
         self._run_events: dict[str, list[JobEvent]] = {}
         self._latest: dict[str, str] = {}
+        # monotone state revision, bumped per emit: the API front's
+        # /list response cache key (r13 — render the table once per
+        # state CHANGE, not once per request)
+        self._state_rev = 0
         self._ordinals: dict[str, int] = {}
         self._specs: dict[str, JobSpec] = {}
         self._errors: dict[str, BaseException] = {}
@@ -326,6 +330,7 @@ class Engine:
             # ordinals are monotone under the lock, so the event just
             # appended IS the max-ordinal (current-state) event
             self._latest[run_id] = name
+            self._state_rev += 1
 
     def events(self, run_id: str | None = None) -> list[JobEvent]:
         with self._lock:
@@ -345,6 +350,12 @@ class Engine:
     def list_runs(self) -> dict[str, str]:
         with self._lock:
             return dict(self._latest)
+
+    def state_rev(self) -> int:
+        """The monotone revision of the latest-state map — equal revs
+        guarantee an identical list_runs() table (the /list cache key)."""
+        with self._lock:
+            return self._state_rev
 
     def events_df(self) -> DataFrame:
         """The run log as a DataFrame — the reference's LocalDB views

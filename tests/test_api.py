@@ -372,3 +372,39 @@ def test_pipeline_endpoint_rejects_cycle(api):
              "inputs": {"sf_dir": SF_DIR}},
         ])
     assert ei.value.status == 400
+
+
+def test_list_cache_etag_and_invalidation(api, spark):
+    """r13: /list is served from a revision-stamped cache — identical
+    state yields an identical ETag and a 304 on If-None-Match, and any
+    state change (a new run's emits) bumps the revision so the next
+    /list serves fresh content, never a stale table."""
+    from urllib import request as urlrequest
+    from urllib.error import HTTPError
+
+    run1 = api.submit({"query": "q01_scan_projection",
+                       "inputs": {"sf_dir": SF_DIR}})
+
+    def get_list(etag=None):
+        req = urlrequest.Request(api.base_url + "/list")
+        if etag:
+            req.add_header("If-None-Match", etag)
+        try:
+            with urlrequest.urlopen(req) as resp:
+                return resp.status, resp.headers.get("ETag"), resp.read()
+        except HTTPError as e:  # urllib raises on 304
+            return e.code, e.headers.get("ETag"), b""
+
+    code1, etag1, body1 = get_list()
+    assert code1 == 200 and etag1
+    code2, etag2, body2 = get_list()
+    assert (code2, etag2, body2) == (200, etag1, body1)
+    code3, etag3, _ = get_list(etag=etag1)
+    assert code3 == 304 and etag3 == etag1
+
+    run2 = api.submit({"query": "q01_scan_projection",
+                       "inputs": {"sf_dir": SF_DIR}})
+    code4, etag4, body4 = get_list(etag=etag1)
+    assert code4 == 200 and etag4 != etag1
+    runs = __import__("json").loads(body4)["runs"]
+    assert run1 in runs and run2 in runs
