@@ -299,23 +299,42 @@ def nd_domain_cap_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nd_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast blocklist filter: probe the canonicalized corpus
-    against the blocked-domain table, reporting per-source
-    (n_docs, n_kept, n_blocked). The blocklist side is an actual
-    DataFrame (not an IN literal) joined with an explicit broadcast —
-    the shape that still works when the blocklist is millions of rows:
-    corpus never shuffles, the block table ships once per executor.
-    The FILTERING form is a broadcast LEFT ANTI join; this AUDIT form
-    marks instead of dropping (broadcast left join + a block flag) so
-    kept and blocked tally in ONE artifact scan + one source-keyed agg —
-    the first cut anti-joined then re-joined docs by doc_id for the
-    source column, a whole corpus shuffle the passthrough frame
-    eliminates (round-10 crossover A/B). The probe side is the
-    materialized front-door artifact (source rides in it), so the
-    canon chain never re-runs here."""
+    """Blocklist AUDIT: probe the canonicalized corpus against the
+    blocked-domain set, reporting per-source (n_docs, n_kept,
+    n_blocked) — kept and blocked tally in ONE artifact scan + one
+    source-keyed agg over the materialized front door.
+
+    Compile strategy by blocklist SIZE (r13, closing the last
+    front-door row above the 2x bar): the registered blocklist is a
+    handful of LITERALS, and experiments/blocklist_floor_r13.txt
+    measured the broadcast-join form paying ~0.4 s/call over the IN
+    predicate at x100 — the broadcast materialization job + the second
+    plan side, a constant the tiny dim never earns. Small literal lists
+    therefore compile to `domain IN (...)` inside the scan's codegen
+    (exactly the IN-vs-join conversion a cost-based optimizer makes);
+    the million-row-TABLE shape — broadcast left join, corpus never
+    shuffles, dim ships once per executor — lives in
+    blocklist_audit_frame below, value-equal by test."""
     canon = canon_index(spark, sf_dir)
-    marked = canon.join(F.broadcast(blocked_frame(spark)),
-                        "domain", "left")
+    blk = F.col("domain").isin(*BLOCKED_DOMAINS)
+    return (canon.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.when(blk, 0).otherwise(1))
+                 .cast("long").alias("n_kept"),
+                 F.sum(F.when(blk, 1).otherwise(0)).cast("long")
+                 .alias("n_blocked"))
+            .orderBy("source"))
+
+
+def blocklist_audit_frame(spark: SparkSession,
+                          canon: DataFrame,
+                          blocked: DataFrame) -> DataFrame:
+    """The TABLE-blocklist audit shape: broadcast left join + block
+    flag — what nd_domain_blocklist compiles to when the blocklist is
+    a real table (millions of rows: an IN literal would blow the plan,
+    the broadcast ships the dim once per executor and the corpus never
+    shuffles). `blocked` is a (domain, blk=1) frame."""
+    marked = canon.join(F.broadcast(blocked), "domain", "left")
     return (marked.groupBy("source")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum(F.when(F.col("blk").isNull(), 1).otherwise(0))

@@ -21,13 +21,21 @@ def test_url_canonicalize_is_pure_mapper(spark, sf_dir):
 
 
 def test_domain_blocklist_broadcasts_block_side(spark, sf_dir):
-    """The blocklist probe must be ONE corpus scan against a broadcast
-    of the block table — no Python-RDD literal scan, no shuffle except
-    the source agg + presentation sort, exactly one documents read."""
+    """Compile strategy per blocklist size (r13): the registered row's
+    15-literal blocklist compiles to an IN predicate — no join, no
+    broadcast-materialization job, one artifact scan — while the
+    TABLE shape (blocklist_audit_frame) broadcasts the dim so the
+    corpus never shuffles. Neither plans a Python-RDD literal scan."""
     plan = _plan(web.nd_domain_blocklist(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "Scan ExistingRDD" not in plan
     assert plan.count("documents.parquet") <= 2  # one scan node (2 prints)
+
+    tbl_plan = _plan(web.blocklist_audit_frame(
+        spark, web.canon_index(spark, sf_dir), web.blocked_frame(spark)))
+    assert "BroadcastHashJoin" in tbl_plan, tbl_plan
+    assert "BatchEvalPython" not in tbl_plan
+    assert "Scan ExistingRDD" not in tbl_plan
 
 
 def test_canonicalize_is_idempotent(spark, sf_dir):
@@ -260,3 +268,21 @@ def test_blocklist_blocks_exactly_blocked_sources(spark, sf_dir):
             assert 0 < r.n_kept < r.n_docs
         else:
             assert r.n_blocked == 0 and r.n_kept == r.n_docs
+
+
+def test_blocklist_table_shape_equals_literal_compile(spark, sf_dir):
+    """r13: nd_domain_blocklist compiles its literal blocklist to an IN
+    predicate (no broadcast job for a 15-entry dim); the broadcast-join
+    TABLE shape (blocklist_audit_frame) must produce the identical
+    audit — the compile choice is a cost decision, never a semantic
+    one."""
+    lit_rows = [tuple(r) for r in
+                web.nd_domain_blocklist(spark, sf_dir).collect()]
+    tbl_rows = [tuple(r) for r in web.blocklist_audit_frame(
+        spark, web.canon_index(spark, sf_dir),
+        web.blocked_frame(spark)).collect()]
+    assert lit_rows == tbl_rows
+    # the registered plan carries no join at all
+    plan = web.nd_domain_blocklist(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
