@@ -633,26 +633,80 @@ def _sign_bucket(nbits: int):
         start=F.lit(0)).cast("int")
 
 
+_SEMDEDUP_MODEL_CACHE: dict[tuple[str, str], dict[int, int]] = {}
+_SEMDEDUP_MODEL_LOCK = threading.Lock()
+
+
+def _semantic_bucket_model(spark: SparkSession,
+                           sf_dir: str) -> dict[int, int]:
+    """{b16 sign key: count} over the corpus — BOUNDED model state
+    (≤2^16 entries regardless of corpus size, the centroid-collect
+    pattern): one map-side-combined aggregate, collected once per
+    (session, fixture) and cached like the IVF quantizer. The low 8
+    bits of the 16-bit key ARE the 8-bit key, so this one histogram
+    answers both the escalation decision (per-b8 rollup) and the final
+    per-bucket cap gate without any second pass."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    with _SEMDEDUP_MODEL_LOCK:
+        for k in [k for k in _SEMDEDUP_MODEL_CACHE if k[0] != app_id]:
+            _SEMDEDUP_MODEL_CACHE.pop(k, None)
+        hit = _SEMDEDUP_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (emb.select(_sign_bucket(SEMDEDUP_SUB_BITS).alias("b16"))
+            .groupBy("b16").agg(F.count("*").alias("n16")).collect())
+    model = {int(r["b16"]): int(r["n16"]) for r in rows}
+    with _SEMDEDUP_MODEL_LOCK:
+        return _SEMDEDUP_MODEL_CACHE.setdefault(key, model)
+
+
+def _semantic_bucket_rules(model: dict[int, int]) \
+        -> tuple[list[int], list[int]]:
+    """(hot 8-bit keys, excluded final buckets) from the histogram:
+    an 8-bit bucket above the cap escalates its members to 16-bit
+    sub-buckets; a sub-bucket STILL above the cap is excluded from
+    pair generation (its members are kept). Cold 8-bit buckets are
+    ≤ cap by definition and are never excluded."""
+    from collections import Counter
+    n8: Counter = Counter()
+    for b16, n in model.items():
+        n8[b16 % 256] += n
+    hot8 = sorted(b for b, n in n8.items() if n > SEMDEDUP_BUCKET_CAP)
+    hotset = set(hot8)
+    excluded = sorted(
+        b16 + (1 << SEMDEDUP_SUB_BITS)
+        for b16, n in model.items()
+        if b16 % 256 in hotset and n > SEMDEDUP_BUCKET_CAP)
+    return hot8, excluded
+
+
 def _semantic_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, bucket): the final bucket per vector after
     the hot-bucket escalation — members of 8-bit buckets above
     SEMDEDUP_BUCKET_CAP re-key on SEMDEDUP_SUB_BITS sign bits, offset
-    by 1<<SUB_BITS so the two key spaces never collide. Both count
-    tables are map-side-combined groupBys of bounded width (≤2^8 /
-    ≤2^16 rows) broadcast back — the skew-safe form of the hot-bucket
-    guard (a window count over the hot key would sort the entire hot
-    bucket in one task)."""
+    by 1<<SUB_BITS so the two key spaces never collide.
+
+    The escalate decision compiles to PURE CODEGEN against the
+    collected histogram's hot-key literals (Catalyst turns the IN list
+    into an InSet hash probe): one corpus scan, no count joins, no
+    broadcast jobs, never a window over the hot key (which would sort
+    the entire hot orthant in one task). The first capped cut derived
+    the counts as DataFrame branches — re-scanning the corpus per
+    branch, measured 2x the uncapped form at sf0.1; a ≤2^16-entry
+    model collect is strictly cheaper at every scale."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    base = emb.select(
-        "vec_id", "embedding",
-        _sign_bucket(SEMDEDUP_SIGN_BITS).alias("b8"),
-        _sign_bucket(SEMDEDUP_SUB_BITS).alias("b16"))
-    c8 = base.groupBy("b8").agg(F.count("*").alias("n8"))
-    return (base.join(F.broadcast(c8), "b8")
-            .select("vec_id", "embedding",
-                    F.when(F.col("n8") > SEMDEDUP_BUCKET_CAP,
-                           F.col("b16") + F.lit(1 << SEMDEDUP_SUB_BITS))
-                    .otherwise(F.col("b8")).cast("int").alias("bucket")))
+    hot8, _excluded = _semantic_bucket_rules(
+        _semantic_bucket_model(spark, sf_dir))
+    base = emb.select("vec_id", "embedding",
+                      _sign_bucket(SEMDEDUP_SUB_BITS).alias("b16"))
+    b8 = F.col("b16") % 256
+    bucket = (F.when(b8.isin(hot8),
+                     F.col("b16") + F.lit(1 << SEMDEDUP_SUB_BITS))
+              .otherwise(b8) if hot8 else b8)
+    return base.select("vec_id", "embedding",
+                       bucket.cast("int").alias("bucket"))
 
 
 _SEMDEDUP_PAIR_EXPAND = (
@@ -671,21 +725,26 @@ def _semantic_dedup_plan(spark: SparkSession, sf_dir: str,
     buckets above SEMDEDUP_BUCKET_CAP after the sign-bit escalation
     generate NO pairs — their members are kept."""
     assigned = _semantic_assignment(spark, sf_dir)
-    cb = assigned.groupBy("bucket").agg(F.count("*").alias("nb"))
-    gated = (assigned.join(F.broadcast(cb), "bucket")
-             .where(F.col("nb") <= SEMDEDUP_BUCKET_CAP))
+    _hot8, excluded = _semantic_bucket_rules(
+        _semantic_bucket_model(spark, sf_dir))
+    gated = (assigned.where(~F.col("bucket").isin(excluded))
+             if excluded else assigned)
+    # no array_sort: each unordered pair is emitted exactly once by
+    # POSITION, and greatest() names the dropped (larger-id) side —
+    # per-element products commute, so the cosine fold is bit-identical
+    # under either operand order and the kept set cannot depend on the
+    # collect order
     buckets = (gated.groupBy("bucket")
-               .agg(F.array_sort(
-                   F.collect_list(F.struct("vec_id", "embedding")))
-                   .alias("ms"))
+               .agg(F.collect_list(F.struct("vec_id", "embedding"))
+                    .alias("ms"))
                .where(F.size("ms") >= 2))
     dropped = (buckets.select(
                    F.explode(F.expr(_SEMDEDUP_PAIR_EXPAND)).alias("p"))
                .select("p.a_id", "p.b_id", "p.a_emb", "p.b_emb")
-               .where(F.col("a_id") < F.col("b_id"))
                .where(cos_fn(F.col("a_emb"), F.col("b_emb"))
                       >= SEMDEDUP_TAU)
-               .select(F.col("b_id").alias("vec_id")).distinct()
+               .select(F.greatest("a_id", "b_id").alias("vec_id"))
+               .distinct()
                .withColumn("hit", F.lit(True)))
     return (assigned.select("vec_id", "bucket")
             .join(dropped, "vec_id", "left")
