@@ -579,8 +579,13 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                                        rev=rev)
             if found is not None:
                 proot, pman = found
-                # already digest-verified by _find_delta_parent
+                # digest-verified by _find_delta_parent; a chunk
+                # removed since (concurrent index drop) re-verifies to
+                # None here — decline rather than raise
                 pk = _manifest_file_keys(proot, pman)
+                if pk is None:
+                    found = None
+            if found is not None:
                 all_paths = _table_part_paths(sf_dir, tbl)
                 new_paths = [p for p in all_paths
                              if os.path.basename(p) not in pk]

@@ -597,10 +597,12 @@ def nd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass in a few orthants), so "each added bit halves expected bucket
     size" fails exactly where the screen matters — one hot orthant
     degrades an uncapped bucket join to O(n²). The plan instead: (1)
-    count per 8-bit bucket via map-side-combined groupBy (≤256 rows,
-    broadcast back — never a window over the skewed key, which would
-    serialize the hot bucket into one sorted partition); (2) members of
-    buckets above SEMDEDUP_BUCKET_CAP deterministically SUB-BUCKET on
+    ONE map-side-combined histogram over the 16-bit sign key — bounded
+    model state (≤2^16 entries at any corpus size), collected once per
+    session and compiled to InSet codegen literals (never a window over
+    the skewed key, which would serialize the hot bucket into one
+    sorted partition); (2) members of 8-bit buckets above
+    SEMDEDUP_BUCKET_CAP deterministically SUB-BUCKET on
     SEMDEDUP_SUB_BITS sign bits (offset past the 8-bit key space); (3)
     buckets still above the cap after escalation are excluded from pair
     generation entirely (their members are kept — the same lenient-on-

@@ -53,6 +53,14 @@ BLOCKED_DOMAINS = tuple(
     + ["src5-3.example.com"])
 
 
+# Builder revision of the materialized front door (canon + extract).
+# rev=2: the scheme-aware default-port rule landed AFTER the first
+# artifacts could have been published in round 12, and content
+# addressing alone cannot distinguish old-rule artifacts (round-12
+# ADVICE). Every lookup of these tables must use this rev.
+FRONT_DOOR_REV = 2
+
+
 def blocked_frame(spark: SparkSession) -> DataFrame:
     """THE blocklist dim (domain, blk=1), stated once for the batch
     audit and both streaming screens — a literal dim via
@@ -188,17 +196,13 @@ def canon_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     caching, pkg/storage/ipfs_apicopy/storage.go:116-134."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
-    # rev=2: the scheme-aware default-port rule landed AFTER the first
-    # canon artifacts could have been published in round 12 — a
-    # persistent store may hold old-rule artifacts at the same content
-    # address, and rev 1 would silently adopt them (round-12 ADVICE).
     return _mh_session_cached(
         spark, sf_dir, "canon",
         lambda: _canon_frame(spark, sf_dir),
         build_delta=lambda paths: url_canonicalize_frame(
             spark.read.parquet(*paths)
             .select("doc_id", "source", _url_expr().alias("url"))),
-        rev=2)
+        rev=FRONT_DOOR_REV)
 
 
 def html_extract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,9 +218,6 @@ def html_extract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (html_extract_frame(pages)
                 .select("doc_id", "title", "content"))
 
-    # rev=2 for the same reason as canon_index: extraction artifacts
-    # first published mid-round-12 predate later in-round rule fixes,
-    # and content addressing alone cannot distinguish them.
     return _mh_session_cached(
         spark, sf_dir, "extract",
         lambda: _extract(table(spark, sf_dir, "documents")
@@ -224,7 +225,7 @@ def html_extract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_delta=lambda paths: _extract(
             spark.read.parquet(*paths)
             .select("doc_id", "source", "text")),
-        rev=2)
+        rev=FRONT_DOOR_REV)
 
 
 def nd_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:

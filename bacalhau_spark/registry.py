@@ -36,74 +36,39 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-12 window — the r1–r11 union is debt-free (210 triple-green +
-# 9 no-oracle by design, 0 FAILs). Standing changed-code rule fronts
-# the window, then the rotation continues as the round-11 note planned:
-#   1. changed/new round 12: the audio and video near-dup modalities
-#      (NEW nd_audio_phash — envelope dHash; NEW nd_video_phash —
-#      frame-sampled dHash with time-aligned banding; NEW streaming
-#      ingest twins nd_stream_audio_phash / nd_stream_video_phash via
-#      the generic _stream_phash_screen), the image screen
-#      (count-gated broadcast + phash_candidate_pairs gained n_bands +
-#      the screen rebased onto the generic helper, so nd_image_phash /
-#      nd_stream_image_phash re-grade), the crawl
-#      front door (scheme-aware default-port drop changed _CANON_SQL +
-#      the materialized canon/extract artifacts changed every batch
-#      consumer: nd_url_canonicalize / nd_domain_cap /
-#      nd_domain_cap_keep / nd_domain_blocklist / nd_html_extract; the
-#      streaming twins share the changed canon expression:
-#      nd_stream_url_screen / nd_stream_html_extract), and the
-#      content-addressed index store rework + the split's frame-level
-#      refactor (every _mh_session_cached consumer re-grades:
-#      nd_leakage_safe_split, nd_minhash_lsh, nd_dedup_clusters,
-#      nd_dedup_survivors, nd_cc_doubling, nd_minhash_estimate,
-#      nd_editdist_dedup, nd_winnowing, nd_pq_quantize, nd_ann_pq,
-#      nd_ann_ivfpq, nd_ann_lsh, nd_ann_lsh_bucketstats).
-#   2. the r8 remainder (nd_profile, q01–q03) then the round-9
-#      first-row block, exactly as the round-11 boundary planned.
+# Round-13 window — the r1–r12 union is debt-free (214 triple-green +
+# 9 no-oracle by design, 0 FAILs per the round-12 verdict). Standing
+# changed-code rule fronts the window, then the round-9 first-row
+# block leads exactly as the round-12 boundary note planned:
+#   1. changed/new round 13: the semantic screen's capped
+#      bucket-and-expand rewrite (nd_semantic_dedup + _fast — new
+#      escalate/cap semantics mirrored in the oracle), the PCA
+#      projection's exact-fold + generated-oracle rewrite
+#      (nd_pca_project leaves no_oracle; nd_ann_pca consumes the
+#      unchanged array frame but re-grades with its plane), the NEW
+#      nd_ann_lsh_candidates row and nd_ann_lsh's refactor through the
+#      shared candidate generator, the blocklist's IN-predicate
+#      compile (nd_domain_blocklist), the front-door builder-rev bump
+#      to 2 (canon/extract artifacts re-publish: every batch consumer
+#      re-grades), the band-candidate delta-adoption path (the
+#      minhash-family index build changed: nd_minhash_lsh +
+#      clusters/survivors/cc_doubling/estimate/editdist), and the
+#      versioned-table publish/read changes (partial-vdir cleanup,
+#      files=[] snapshots: the two versioned rows re-grade).
+#   2. the round-9 first-row block (nd_bpe_encode ..), then the r10
+#      blocks; the r12-graded blocks cycle to the back.
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed/new round 12 (standing rule)
-    "nd_video_phash", "nd_audio_phash",
-    "nd_stream_video_phash", "nd_stream_audio_phash",
-    "nd_image_phash", "nd_stream_image_phash",
+    # 1. changed/new round 13 (standing rule)
+    "nd_semantic_dedup", "nd_semantic_dedup_fast",
+    "nd_pca_project", "nd_ann_pca",
+    "nd_ann_lsh_candidates", "nd_ann_lsh",
+    "nd_domain_blocklist",
     "nd_url_canonicalize", "nd_domain_cap", "nd_domain_cap_keep",
-    "nd_domain_blocklist", "nd_html_extract",
-    "nd_stream_url_screen", "nd_stream_html_extract",
-    "nd_leakage_safe_split",
+    "nd_html_extract",
     "nd_minhash_lsh", "nd_dedup_clusters", "nd_dedup_survivors",
     "nd_cc_doubling", "nd_minhash_estimate", "nd_editdist_dedup",
-    "nd_winnowing",
-    "nd_pq_quantize", "nd_ann_pq", "nd_ann_ivfpq",
-    "nd_ann_lsh", "nd_ann_lsh_bucketstats",
-    # late-round refactors (PAIR_EXPAND_SQL / sym_edges single
-    # statements + the incremental-dedup left-join fix) touched these
-    # too — standing rule: changed code fronts the window
-    "nd_curation_pipeline", "nd_ngram_jaccard", "nd_weighted_jaccard",
-    "nd_containment", "nd_incremental_dedup",
-    # similarity-plane review fixes (q30 deterministic tie-break both
-    # engines, kmeans staging-frame release) — changed code fronts
-    "q30_nn", "nd_kmeans",
-    # streaming-plane review fixes (every inline await-then-stop site
-    # migrated to the loud-timeout helper, the EWMA fold concatenates
-    # Arrow chunks before its one sort, blocked_frame/hll_estimate_
-    # oracle single statements, the locked state-conf window) — the
-    # affected surfaces re-grade
-    "nd_stream_tumbling", "nd_stream_sessions", "nd_stream_stateful",
-    "nd_stream_static_join", "nd_stream_stream_join",
-    "nd_stream_dedup", "nd_stream_topk", "nd_stream_gopher",
-    "nd_stream_ewma", "nd_stream_hll_users", "nd_stream_heavy_hitters",
-    # 2. the r8 remainder (the round-9 block now leads round 13)
-    "nd_profile",
-    "q01_scan_projection", "q02_project_rename", "q03_string_funcs",
-    "nd_pca_project", "nd_ann_pca",
-    # -- window boundary: first 50 graded per round --------------------
-    # (44 changed/new round-12 rows + 6 planned re-grades = 50; the
-    # round-9 first-row block nd_bpe_encode .. q17b_having leads
-    # round 13, then the r10 blocks; the r11-graded blocks cycle to
-    # the back. The catalog events-ts refactor is value-identical
-    # shared infra — its remaining consumers re-grade with their
-    # blocks on the normal rotation; the full driver simulation over
-    # all 223 queries ran green at this HEAD regardless.)
+    "nd_versioned_timetravel", "nd_versioned_pruned_read",
+    # 2. the round-9 first-row block leads, per the r12 boundary plan
     "nd_bpe_encode",
     "nd_unicode_dedup",
     "nd_stream_band_screen",
@@ -136,9 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_ngram_overlap",
     # blocks graded round 11 cycle to the back of the rotation
+    # (the two versioned rows moved into the r13 changed-code front)
     "nd_quality_model_labeled", "nd_quality_model",
     "nd_stream_quality_model",
-    "nd_versioned_timetravel", "nd_versioned_pruned_read",
     "nd_zipf_octaves", "nd_lang_outliers",
     "nd_embedding_covariance_fast",
     "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",

@@ -81,21 +81,24 @@ def stage_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bacalhau_spark.operators.multimodal import (audio_phash_index,
                                                      phash_index,
                                                      video_phash_index)
-    from bacalhau_spark.operators.web import (canon_index,
+    from bacalhau_spark.operators.web import (FRONT_DOOR_REV, canon_index,
                                               html_extract_index)
     from bacalhau_spark.sources import versioned
 
-    builders = (("sig", minhash_signature_index),
-                ("phash", phash_index),
-                ("aphash", audio_phash_index),
-                ("vphash", video_phash_index),
-                ("canon", canon_index),
-                ("extract", html_extract_index))
+    # (kind, builder, builder rev): the table root folds the rev, so a
+    # commit-log lookup at the wrong rev reads a nonexistent table
+    # (the r13 rev bump surfaced exactly that)
+    builders = (("sig", minhash_signature_index, 1),
+                ("phash", phash_index, 1),
+                ("aphash", audio_phash_index, 1),
+                ("vphash", video_phash_index, 1),
+                ("canon", canon_index, FRONT_DOOR_REV),
+                ("extract", html_extract_index, FRONT_DOOR_REV))
     rows = []
-    for kind, fn in builders:
+    for kind, fn, rev in builders:
         n = fn(spark, sf_dir).count()
         man = versioned.latest_manifest(
-            _index_table_root(sf_dir, kind, "documents")) or {}
+            _index_table_root(sf_dir, kind, "documents", rev=rev)) or {}
         rows.append((kind, n, int(man.get("version", 0)),
                      man.get("props", {}).get("delta_parent") or ""))
     return spark.range(1).select(F.inline(F.array(*[

@@ -1381,44 +1381,29 @@ def test_builder_rev_misses_old_rule_artifacts(spark, sf_dir, tmp_path):
     clear_session_index(spark)
 
 
-def test_file_key_cap_degrades_to_full_rebuild(spark, sf_dir, tmp_path,
-                                               monkeypatch):
-    """Above DELTA_FILE_KEYS_MAX part files the per-file key map is
-    omitted (manifest-size bound) and delta adoption quietly degrades
-    to the full rebuild — corpora over the cap still index correctly,
-    they just pay the rebuild."""
-    import os
-
+def test_file_key_boundary_inline_vs_tree(tmp_path, monkeypatch):
+    """The DELTA_FILE_KEYS_MAX boundary (r13: keys are never omitted —
+    the pre-r13 silent degradation to full rebuild is gone): at or
+    below the cap the map inlines into the manifest props; above it
+    the chunked sidecar tree carries it, chunk size == the cap, and
+    the round trip through _manifest_file_keys is exact."""
     from bacalhau_spark.operators import dedup
-    from bacalhau_spark.operators.dedup import (_index_table_root,
-                                                _mh_session_cached,
-                                                _per_file_keys)
-    from bacalhau_spark.operators.multimodal import phash_frame
-    from bacalhau_spark.sources.versioned import latest_manifest
+    from bacalhau_spark.operators.dedup import (_file_keys_props,
+                                                _manifest_file_keys)
 
-    monkeypatch.setattr(dedup, "DELTA_FILE_KEYS_MAX", 0)
-    # content-UNIQUE corpus: this test publishes a KEYLESS manifest,
-    # which must never land under an address other tests share
-    corpus = str(tmp_path / "capped")
-    _shifted_docs_corpus(spark, sf_dir, corpus, 5_000_000)
-    assert _per_file_keys(corpus) == {}
+    monkeypatch.setattr(dedup, "DELTA_FILE_KEYS_MAX", 3)
+    root = str(tmp_path / "t")
+    small = {f"part-{i}.parquet": f"k{i}" for i in range(3)}
+    assert _file_keys_props(root, "c" * 32, small) == {"file_keys": small}
 
-    full_calls, delta_calls = [], []
-
-    def build():
-        full_calls.append(1)
-        return phash_frame(
-            spark.read.parquet(os.path.join(corpus, "documents.parquet"))
-            .select("doc_id"))
-
-    out = _mh_session_cached(spark, corpus, "phash", build,
-                             build_delta=lambda paths: delta_calls.append(
-                                 paths))
-    assert full_calls == [1] and delta_calls == []
-    assert out.count() > 0
-    man = latest_manifest(_index_table_root(corpus, "phash", "documents"))
-    assert man["props"]["file_keys"] == {}
-    dedup.clear_session_index(spark)
+    big = {f"part-{i:03d}.parquet": f"k{i}" for i in range(8)}
+    props = _file_keys_props(root, "c" * 32, big)
+    tree = props["file_keys_tree"]
+    assert "file_keys" not in props
+    assert tree["n_files"] == 8 and len(tree["chunks"]) == 3
+    assert tree["chunk_size"] == 3
+    got = _manifest_file_keys(root, {"props": props})
+    assert got == big
 
 
 def test_delta_adopted_table_compacts(spark, sf_dir, tmp_path):
