@@ -54,7 +54,9 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 #      minhash-family index build changed: nd_minhash_lsh +
 #      clusters/survivors/cc_doubling/estimate/editdist), and the
 #      versioned-table publish/read changes (partial-vdir cleanup,
-#      files=[] snapshots: the two versioned rows re-grade).
+#      files=[] snapshots: the two versioned rows re-grade), plus the
+#      NEW nd_pq_incremental (pinned-codebook encode + staleness
+#      monitor, the codebook-bearing-index incremental pattern).
 #   2. the round-9 first-row block (nd_bpe_encode ..), then the r10
 #      blocks; the r12-graded blocks cycle to the back.
 _PRIORITY: tuple[str, ...] = (
@@ -68,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_minhash_lsh", "nd_dedup_clusters", "nd_dedup_survivors",
     "nd_cc_doubling", "nd_minhash_estimate", "nd_editdist_dedup",
     "nd_versioned_timetravel", "nd_versioned_pruned_read",
+    "nd_pq_incremental",
     # 2. the round-9 first-row block leads, per the r12 boundary plan
     "nd_bpe_encode",
     "nd_unicode_dedup",

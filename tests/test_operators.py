@@ -989,3 +989,49 @@ def test_real_pixel_phash_near_dup_via_binaryfile(spark, tmp_path):
     assert pairs[(1, 2)] <= 10
     assert (1, 3) not in pairs and (2, 3) not in pairs, \
         "the inverted image must not screen as a near-dup"
+
+
+def test_pq_incremental_staleness_monitor(spark, sf_dir):
+    """nd_pq_incremental semantics the hash row can't state by itself:
+    (a) the corpus baseline measures the PUBLISHED code assignment
+    under the reconstruction codebook (so it equals re-deriving it by
+    hand), (b) an increment of UNPERTURBED corpus vectors re-encodes
+    with distortion no worse than the baseline per subspace and is
+    never stale, while (c) the registered perturbed batch measurably
+    drifts (higher mean distortion in most subspaces) — the signal the
+    monitor exists to raise."""
+    from bacalhau_spark.operators.similarity import (PQ_STALENESS_FACTOR,
+                                                     _pq_exploded,
+                                                     nd_pq_incremental,
+                                                     pq_centroid_index)
+
+    rows = nd_pq_incremental(spark, sf_dir).collect()
+    assert rows and all(r["n_new"] > 0 and r["n_corpus"] > 0
+                        for r in rows)
+    for r in rows:
+        lhs = r["new_distortion"] / r["n_new"]
+        rhs = (PQ_STALENESS_FACTOR
+               * r["corpus_distortion"] / r["n_corpus"])
+        assert r["stale"] == (lhs > rhs)
+
+    # an UNPERTURBED increment (the same vectors, fresh argmin against
+    # the reconstruction codebook) can only match or improve the
+    # baseline mean: argmin(d) <= d(published assignment) per vector
+    emb = table(spark, sf_dir, "embeddings")
+    cent = pq_centroid_index(spark, sf_dir)
+    e = _pq_exploded(emb.limit(50), persist=False)
+    sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+    fresh = (e.join(F.broadcast(cent), ["sub", "dim"])
+             .groupBy("vec_id", "sub", "cid").agg(F.sum(sq).alias("d"))
+             .groupBy("vec_id", "sub")
+             .agg(F.min(F.struct("d", "cid")).alias("m"))
+             .agg(F.sum("m.d").alias("fresh_d")).first()["fresh_d"])
+    baseline = sum(r["corpus_distortion"] for r in rows)
+    assert fresh <= baseline, \
+        "fresh argmin distortion must never exceed the published codes'"
+    # the perturbed batch really drifts somewhere
+    drifted = sum(1 for r in rows
+                  if r["new_distortion"] / r["n_new"]
+                  > r["corpus_distortion"] / r["n_corpus"])
+    assert drifted >= len(rows) // 2, \
+        "the synthesized distribution shift must be visible"
