@@ -1148,11 +1148,16 @@ def nd_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def winnow_postings(docs: DataFrame) -> DataFrame:
     """Winnow fingerprint posting frame (doc_id, fp) over an ARBITRARY
-    (doc_id, text) frame: rolling k-gram hashes, window minima,
-    per-doc distinct, df cap. This is the index payload — #selected-fps
-    x 16 bytes, never text."""
-    from pyspark.sql.window import Window
-
+    (doc_id, text) frame: rolling k-gram hashes, window minima, per-doc
+    distinct. This is the index payload — #selected-fps x 16 bytes,
+    never text. PER-DOC-PURE since r13: the df cap moved to READ time
+    (winnow_pairs_from_postings), because a build-time cap made the
+    artifact a global function of the corpus — a fingerprint whose df
+    CROSSES the cap on an appended epoch would need parent-row REMOVAL,
+    which hardlink-plus-delta cannot express; the uncapped postings
+    delta-adopt exactly (per-doc fingerprints never change when other
+    docs append), and the read-side cap over the merged index computes
+    the same full-corpus df the rebuild would."""
     wh = docs.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
     ks = wh.select("doc_id", _rolling_shingle_keys(F.col("wh")).alias("ks"))
     n = F.size("ks")
@@ -1162,29 +1167,54 @@ def winnow_postings(docs: DataFrame) -> DataFrame:
                     lambda i: F.array_min(
                         F.slice(F.col("ks"), i + 1, WINNOW_W)))
     ).otherwise(F.array().cast("array<long>"))
-    sel = (ks.select("doc_id", F.explode(fps).alias("fp"))
-           .distinct())
-    return (sel.withColumn(
-        "df", F.count("*").over(Window.partitionBy("fp")))
-        .where(F.col("df") <= SHINGLE_DF_CAP).drop("df"))
+    return (ks.select("doc_id", F.explode(fps).alias("fp"))
+            .distinct())
 
 
 def winnow_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared winnow posting index over the fixture documents — the
     _mh_session_cached lifecycle (build once per table-content
     fingerprint, published to the persisted index store, every consumer
-    scans the parquet artifact; same staleness fingerprint)."""
+    scans the parquet artifact; same staleness fingerprint).
+
+    rev=2 + delta adoption since r13: the artifact is now the UNCAPPED
+    per-doc posting set (see winnow_postings), so an appended epoch
+    publishes the parent's hardlinked files + only the new shards'
+    postings; rev 1's df-capped artifacts at the same content address
+    are never adopted (they lack the capped-out rows). delta_key: the
+    (doc_id, fp) distinct is global, so a re-carried doc_id would
+    duplicate rows across parent and delta — the sig rule."""
     return _mh_session_cached(
         spark, sf_dir, "winnow",
         lambda: winnow_postings(spread_compute(
             spark,
             table(spark, sf_dir, "documents").select("doc_id", "text"),
-            "doc_id")))
+            "doc_id")),
+        build_delta=lambda paths: winnow_postings(spread_compute(
+            spark, spark.read.parquet(*paths).select("doc_id", "text"),
+            "doc_id")),
+        delta_key="doc_id",
+        rev=2)
 
 
-def winnow_pairs_from_postings(capped: DataFrame) -> DataFrame:
-    """Bucket-and-expand candidate pairs over a posting frame: pairs
-    sharing >= WINNOW_MIN_SHARED selected fingerprints."""
+def winnow_pairs_from_postings(postings: DataFrame) -> DataFrame:
+    """Bucket-and-expand candidate pairs over an (uncapped) posting
+    frame: pairs sharing >= WINNOW_MIN_SHARED selected fingerprints.
+    The df cap applies HERE (r13 — see winnow_postings): a window
+    count over fp drops ubiquitous-boilerplate fingerprints before any
+    per-bucket list exists — the _band_candidates guard shape, single
+    lineage: ONE exchange hash-partitions on fp, the window count runs
+    over sorted runs, the bucket aggregation reuses the partitioning,
+    and a degenerate hot bucket is bounded by the window exec's spill
+    path then dropped before any list exists. (The count+semi-join
+    alternative was measured 20% SLOWER at sf0.1: Spark shares no
+    subplans, so the count branch re-scanned the whole posting
+    lineage.)"""
+    from pyspark.sql.window import Window
+
+    df_n = F.count("*").over(Window.partitionBy("fp"))
+    capped = (postings.withColumn("df", df_n)
+              .where(F.col("df") <= SHINGLE_DF_CAP).drop("df"))
     buckets = (capped.groupBy("fp")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .where(F.size("ids") >= 2))

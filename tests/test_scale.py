@@ -1823,3 +1823,48 @@ def test_keychunk_tree_enables_delta_above_4096_parts(spark, tmp_path):
     shutil.rmtree(_index_table_root(e2, "phash", "documents"),
                   ignore_errors=True)
     clear_session_index(spark)
+
+
+def test_winnow_delta_adopts_and_caps_at_read(spark, sf_dir, tmp_path):
+    """r13: the winnow posting artifact is per-doc-pure (df cap moved
+    to read time), so an appended epoch delta-adopts — parent postings
+    hardlinked, only new shards fingerprinted — and the read-side cap
+    computes the same full-corpus df a rebuild would: pairs equal the
+    from-scratch pipeline exactly, including cross-epoch duplicates."""
+    import os
+
+    from bacalhau_spark.catalog import spread_compute
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                clear_session_index,
+                                                nd_winnowing,
+                                                winnow_posting_index,
+                                                winnowing_pairs)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    epoch1 = str(tmp_path / "epoch1")
+    _shifted_docs_corpus(spark, sf_dir, epoch1, 23_000_000)
+    winnow_posting_index(spark, epoch1)
+    parent_root = _index_table_root(epoch1, "winnow", "documents", rev=2)
+    assert latest_manifest(parent_root)
+
+    epoch2 = str(tmp_path / "epoch2")
+    os.makedirs(epoch2)
+    _copy_docs_parts(epoch1, epoch2)
+    # 40 appended docs duplicating the first parent docs' text: the
+    # cross-epoch winnow pairs only exist if the merged index is read
+    _shifted_docs_corpus(spark, sf_dir, epoch2, 23_500_000, limit=40,
+                         part_name="part-appended.parquet")
+
+    got = nd_winnowing(spark, epoch2)
+    man = latest_manifest(_index_table_root(epoch2, "winnow",
+                                            "documents", rev=2))
+    assert man["props"]["delta_parent"] == os.path.basename(parent_root)
+    full = winnowing_pairs(spread_compute(
+        spark,
+        spark.read.parquet(os.path.join(epoch2, "documents.parquet"))
+        .select("doc_id", "text"), "doc_id"))
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, full.collect()))
+    assert any(b >= 23_500_000 for _a, b, _n in got_rows), \
+        "cross-epoch winnow dups must surface through the delta index"
+    clear_session_index(spark)
