@@ -50,7 +50,8 @@ def main() -> None:
 
     from bacalhau_spark.operators.dedup import (_index_table_root,
                                                 band_candidate_index,
-                                                clear_session_index)
+                                                clear_session_index,
+                                                winnow_posting_index)
     from bacalhau_spark.session import get_session
     from bacalhau_spark.sources.versioned import latest_manifest
 
@@ -60,9 +61,10 @@ def main() -> None:
 
     def clear_tables():
         for d in (e1, e2):
-            for kind in ("sig", "cand"):
-                shutil.rmtree(_index_table_root(d, kind, "documents"),
-                              ignore_errors=True)
+            for kind, rev in (("sig", 1), ("cand", 1), ("winnow", 2)):
+                shutil.rmtree(
+                    _index_table_root(d, kind, "documents", rev=rev),
+                    ignore_errors=True)
 
     out = {"mult": args.mult, "appended_shards": extra}
 
@@ -93,6 +95,34 @@ def main() -> None:
         "e2_delta_s": round(e2_delta, 3),
         "e2_full_s": round(e2_full, 3),
         "speedup": round(e2_full / e2_delta, 2),
+    }
+
+    # winnow (r13: per-doc postings, df cap at read — exact delta)
+    clear_session_index(spark)
+    t0 = time.perf_counter()
+    w1 = winnow_posting_index(spark, e1).count()
+    w_e1_full = time.perf_counter() - t0
+    clear_session_index(spark)
+    t0 = time.perf_counter()
+    w2 = winnow_posting_index(spark, e2).count()
+    w_e2_delta = time.perf_counter() - t0
+    man = latest_manifest(_index_table_root(e2, "winnow", "documents",
+                                            rev=2))
+    assert man["props"].get("delta_parent"), "winnow delta not taken"
+    for d in (e1, e2):
+        shutil.rmtree(_index_table_root(d, "winnow", "documents", rev=2),
+                      ignore_errors=True)
+    clear_session_index(spark)
+    t0 = time.perf_counter()
+    w2_full = winnow_posting_index(spark, e2).count()
+    w_e2_full = time.perf_counter() - t0
+    assert w2 == w2_full, (w2, w2_full)
+    out["winnow"] = {
+        "postings_epoch1": w1, "postings_epoch2": w2,
+        "e1_full_s": round(w_e1_full, 3),
+        "e2_delta_s": round(w_e2_delta, 3),
+        "e2_full_s": round(w_e2_full, 3),
+        "speedup": round(w_e2_full / w_e2_delta, 2),
     }
     print(json.dumps(out))
     spark.stop()
