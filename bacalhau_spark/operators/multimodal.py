@@ -829,6 +829,156 @@ def audio_phash_frame(docs: DataFrame) -> DataFrame:
         "doc_id", *[F.expr(e).alias(f"b{i}") for i, e in enumerate(bands)])
 
 
+def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
+    """Dependency-free REAL decoder for 16-bit PCM WAV bytes:
+    (sample_rate, n_channels, mono samples — channels averaged with
+    truncating integer division). The audio twin of decode_bmp_gray:
+    RIFF/fmt/data chunk walk with struct only, so the real-sample path
+    (decode → window energies → envelope dHash → band join) runs in any
+    environment; a soundfile library, when present, would extend
+    coverage through the same closures."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1:
+        raise ValueError("unsupported WAV variant (need 16-bit PCM)")
+    frames = len(data) // (2 * channels)
+    mono: list[int] = []
+    for f in range(frames):
+        s = 0
+        for c in range(channels):
+            (v,) = struct.unpack_from("<h", data,
+                                      2 * (f * channels + c))
+            s += v
+        mono.append(int(s / channels))  # trunc toward zero, any sign
+    return rate, channels, mono
+
+
+def _wav_mono_fn():
+    """Factory for the worker-side WAV decode (ships by value — the
+    _bmp_gray_fn rule; same math as decode_wav_samples)."""
+    import struct
+
+    def wav_mono(payload: bytes) -> list[int]:
+        payload = bytes(payload)
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, n = 12, len(payload)
+        fmt = data = None
+        while pos + 8 <= n:
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_format, channels, _r, _bps, _al, bits = fmt
+        if audio_format != 1 or bits != 16 or channels < 1:
+            raise ValueError("unsupported WAV variant")
+        frames = len(data) // (2 * channels)
+        mono = []
+        for f in range(frames):
+            s = 0
+            for c in range(channels):
+                (v,) = struct.unpack_from("<h", data,
+                                          2 * (f * channels + c))
+                s += v
+            mono.append(int(s / channels))
+        return mono
+
+    return wav_mono
+
+
+REAL_APHASH_SCHEMA = ("doc_id bigint, n_samples int, decoder string, "
+                      "b0 bigint, b1 bigint, b2 bigint, b3 bigint")
+
+
+def audio_phash_real_frame(bin_df: DataFrame) -> DataFrame:
+    """REAL-sample envelope dHash over a (doc_id, payload binary)
+    frame: decode 16-bit PCM WAV (struct-only, any environment),
+    block-sum squared samples into APHASH_NWIN equal windows, pack the
+    64 energy-gradient bits into the SAME four 16-bit bands as
+    audio_phash_frame — so the capped band-candidate + exact-Hamming
+    machinery (image_near_dup_real works unchanged on this frame too)
+    composes over real audio. Undecodable payloads fall back to the
+    deterministic fake per payload (one bad blob never fails a batch);
+    the `decoder` column says which path each payload took."""
+    _wav_mono = _wav_mono_fn()  # driver-side: ship the local by value
+
+    def batches(it):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def energies(mono):
+            nwin = APHASH_NWIN
+            n = len(mono)
+            es = []
+            for w in range(nwin):
+                lo, hi = w * n // nwin, max((w + 1) * n // nwin,
+                                            w * n // nwin + 1)
+                es.append(sum(v * v for v in mono[lo:min(hi, n)]))
+            return es
+
+        def fake_energies(payload):
+            h = _hashlib.md5(bytes(payload)).hexdigest()
+            return [int(_hashlib.md5(f"{h}:{w}".encode())
+                        .hexdigest()[:6], 16) for w in range(APHASH_NWIN)]
+
+        def bands(es):
+            out = []
+            for b in range(4):
+                v = 0
+                for i in range(16):
+                    if es[16 * b + i] > es[16 * b + i + 1]:
+                        v |= 1 << i
+                out.append(v)
+            return out
+
+        for pdf in it:
+            rows = {"doc_id": [], "n_samples": [], "decoder": [],
+                    "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    mono = _wav_mono(payload)
+                    if len(mono) < APHASH_NWIN:
+                        raise ValueError("clip shorter than the window "
+                                         "grid")
+                    es, ns, dec = energies(mono), len(mono), "wav"
+                except Exception:
+                    es, ns, dec = fake_energies(payload), 0, "fake"
+                bb = bands(es)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(ns)
+                rows["decoder"].append(dec)
+                for i in range(4):
+                    rows[f"b{i}"].append(bb[i])
+            yield _pd.DataFrame(rows)
+
+    return bin_df.select("doc_id", "payload").mapInPandas(
+        batches, REAL_APHASH_SCHEMA)
+
+
 def audio_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The envelope-hash table as a shared PERSISTED index (the
     phash_index lifecycle): synthesize+hash once per source content,

@@ -1035,3 +1035,71 @@ def test_pq_incremental_staleness_monitor(spark, sf_dir):
                   > r["corpus_distortion"] / r["n_corpus"])
     assert drifted >= len(rows) // 2, \
         "the synthesized distribution shift must be visible"
+
+
+def _make_wav(samples, channels=1, rate=8000):
+    """Minimal 16-bit PCM WAV from an int sample list (struct-only)."""
+    import struct
+    data = b"".join(struct.pack("<h", max(-32768, min(32767, v)))
+                    for v in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_real_sample_audio_phash_near_dup(spark, tmp_path):
+    """r13: REAL audio bytes through the real path — binaryFile ->
+    struct-only 16-bit PCM WAV decode -> block-sum window energies ->
+    the SAME envelope-dHash band layout as audio_phash_frame -> the
+    generic capped-candidate/Hamming screen. A re-encode-noise near-dup
+    lands within the gate; a different amplitude envelope is far; a
+    stereo clip decodes via channel averaging."""
+    import hashlib
+
+    from bacalhau_spark.operators.multimodal import (APHASH_MAX_HAMMING,
+                                                     audio_phash_real_frame,
+                                                     decode_wav_samples,
+                                                     image_near_dup_real,
+                                                     real_binary_table)
+
+    n = 65 * 32
+
+    def base(i):
+        return int(hashlib.md5(f"s:{i}".encode()).hexdigest()[:4],
+                   16) % 201 - 100
+
+    def clip(env_mul, env_add, noise=0):
+        out = []
+        for i in range(n):
+            w = i * 65 // n
+            amp = 50 + ((w * env_mul + env_add) % 101)
+            v = amp * base(i) // 100
+            if noise:
+                v += int(hashlib.md5(f"n:{i}".encode())
+                         .hexdigest()[:2], 16) % (2 * noise + 1) - noise
+            out.append(v)
+        return out
+
+    d = tmp_path / "clips"
+    d.mkdir()
+    (d / "a_base.wav").write_bytes(_make_wav(clip(37, 0)))
+    (d / "b_noisy.wav").write_bytes(_make_wav(clip(37, 0, noise=3)))
+    (d / "c_other.wav").write_bytes(_make_wav(clip(53, 17)))
+
+    # unit: the driver-side decoder round-trips, stereo averages
+    rate, ch, mono = decode_wav_samples(_make_wav([10, -10, 7, 3],
+                                                  channels=2))
+    assert (rate, ch) == (8000, 2) and mono == [0, 5]
+
+    hashes = audio_phash_real_frame(real_binary_table(spark, str(d)))
+    rows = {r["doc_id"]: r for r in hashes.collect()}
+    assert len(rows) == 3
+    assert all(r["decoder"] == "wav" and r["n_samples"] == n
+               for r in rows.values())
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in image_near_dup_real(
+                 hashes, max_hamming=APHASH_MAX_HAMMING).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= APHASH_MAX_HAMMING
+    assert (1, 3) not in pairs and (2, 3) not in pairs
