@@ -61,15 +61,16 @@ def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[int]]:
     bottom_up, ah = h > 0, abs(h)
     if off + stride * ah > len(payload):
         raise ValueError("truncated BMP payload")
-    gray: list[int] = []
-    ys = range(ah - 1, -1, -1) if bottom_up else range(ah)
-    for y in ys:
-        base = off + y * stride
-        row = payload[base:base + w * 3]
-        for x in range(w):
-            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
-            gray.append((299 * r + 587 * g + 114 * b) // 1000)
-    return w, ah, gray
+    import numpy as np
+    raw = (np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * ah, offset=off)
+           .reshape(ah, stride)[:, :w * 3]
+           .reshape(ah, w, 3).astype(np.int64))
+    if bottom_up:
+        raw = raw[::-1]
+    gray = (299 * raw[:, :, 2] + 587 * raw[:, :, 1]
+            + 114 * raw[:, :, 0]) // 1000
+    return w, ah, [int(v) for v in gray.reshape(-1)]
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, str]:
@@ -172,7 +173,8 @@ def multimodal_features_real(docs: DataFrame) -> DataFrame:
                     pass
             try:  # dependency-free REAL decode for 24bpp BMP
                 w, h, gray = _bmp_gray(payload)
-                return w, h, _hashlib.md5(bytes(gray)).hexdigest()
+                return w, h, _hashlib.md5(
+                    gray.astype("uint8").tobytes()).hexdigest()
             except Exception:  # not decodable — deterministic fallback
                 return fake_decode(payload)
 
@@ -193,13 +195,18 @@ def _bmp_gray_fn():
     """FACTORY for the worker-side BMP grayscale decode — a local
     closure ships by value under cloudpickle (the pandas_udf factory
     rule), so mapInPandas workers never need this module importable.
-    Same math as decode_bmp_gray (the driver-side API); there must be
-    exactly two statements of it only because a module-level reference
-    inside a worker closure would break foreign-cwd runs."""
+    Same math as decode_bmp_gray (the driver-side API); the pixel loop
+    is numpy-vectorized here (a 4K frame is 8M pixels — a Python
+    per-pixel loop would take seconds per image; frombuffer + strided
+    reshape + one integer luma matmul is the batch-shape-appropriate
+    inner loop)."""
     import struct
 
-    def bmp_gray(payload: bytes) -> tuple[int, int, list[int]]:
-        if bytes(payload[:2]) != b"BM":
+    import numpy as np
+
+    def bmp_gray(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+        payload = bytes(payload)
+        if payload[:2] != b"BM":
             raise ValueError("not a BMP payload")
         (off,) = struct.unpack_from("<I", payload, 10)
         _hs, w, h, _pl, bpp = struct.unpack_from("<IiiHH", payload, 14)
@@ -210,15 +217,16 @@ def _bmp_gray_fn():
         bottom_up, ah = h > 0, abs(h)
         if off + stride * ah > len(payload):
             raise ValueError("truncated BMP payload")
-        gray: list[int] = []
-        ys = range(ah - 1, -1, -1) if bottom_up else range(ah)
-        for y in ys:
-            base = off + y * stride
-            row = payload[base:base + w * 3]
-            for x in range(w):
-                b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
-                gray.append((299 * r + 587 * g + 114 * b) // 1000)
-        return w, ah, gray
+        raw = (np.frombuffer(payload, dtype=np.uint8,
+                             count=stride * ah, offset=off)
+               .reshape(ah, stride)[:, :w * 3]
+               .reshape(ah, w, 3).astype(np.int64))
+        if bottom_up:
+            raw = raw[::-1]
+        # BGR -> integer luma, identical to the scalar form
+        gray = (299 * raw[:, :, 2] + 587 * raw[:, :, 1]
+                + 114 * raw[:, :, 0]) // 1000
+        return w, ah, gray  # (h, w) int64 matrix, top-down
 
     return bmp_gray
 
@@ -266,21 +274,22 @@ def image_phash_real_frame(bin_df: DataFrame) -> DataFrame:
         except ImportError:
             _Image = None
 
+        import numpy as _np
+
         def thumb(gray, w, h):
-            # integer block means onto the 8-row x 9-col grid
+            # integer block means onto the 8-row x 9-col grid — 72
+            # numpy slice-sums, never a per-pixel Python loop (a 4K
+            # frame is 8M pixels)
+            g = _np.asarray(gray, dtype=_np.int64).reshape(h, w)
             px = []
             for r in range(8):
-                y0, y1 = r * h // 8, max((r + 1) * h // 8, r * h // 8 + 1)
+                y0 = r * h // 8
+                y1 = min(max((r + 1) * h // 8, y0 + 1), h)
                 for c in range(9):
                     x0 = c * w // 9
-                    x1 = max((c + 1) * w // 9, x0 + 1)
-                    s = n = 0
-                    for y in range(y0, min(y1, h)):
-                        base = y * w
-                        for x in range(x0, min(x1, w)):
-                            s += gray[base + x]
-                            n += 1
-                    px.append(s // max(n, 1))
+                    x1 = min(max((c + 1) * w // 9, x0 + 1), w)
+                    blk = g[y0:y1, x0:x1]
+                    px.append(int(blk.sum()) // max(blk.size, 1))
             return px
 
         def fake_px(payload):
@@ -859,21 +868,22 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
     if audio_format != 1 or bits != 16 or channels < 1:
         raise ValueError("unsupported WAV variant (need 16-bit PCM)")
     frames = len(data) // (2 * channels)
-    mono: list[int] = []
-    for f in range(frames):
-        s = 0
-        for c in range(channels):
-            (v,) = struct.unpack_from("<h", data,
-                                      2 * (f * channels + c))
-            s += v
-        mono.append(int(s / channels))  # trunc toward zero, any sign
-    return rate, channels, mono
+    import numpy as np
+    pcm = (np.frombuffer(data, dtype="<i2", count=frames * channels)
+           .reshape(frames, channels).astype(np.int64))
+    # channel average truncated toward zero (np.fix), any sign
+    mono = np.fix(pcm.sum(axis=1) / channels).astype(np.int64)
+    return rate, channels, [int(v) for v in mono]
 
 
 def _wav_mono_fn():
     """Factory for the worker-side WAV decode (ships by value — the
-    _bmp_gray_fn rule; same math as decode_wav_samples)."""
+    _bmp_gray_fn rule; same math as decode_wav_samples — numpy
+    frombuffer for the sample plane, a real clip is millions of
+    samples)."""
     import struct
+
+    import numpy as np
 
     def wav_mono(payload: bytes) -> list[int]:
         payload = bytes(payload)
@@ -896,15 +906,10 @@ def _wav_mono_fn():
         if audio_format != 1 or bits != 16 or channels < 1:
             raise ValueError("unsupported WAV variant")
         frames = len(data) // (2 * channels)
-        mono = []
-        for f in range(frames):
-            s = 0
-            for c in range(channels):
-                (v,) = struct.unpack_from("<h", data,
-                                          2 * (f * channels + c))
-                s += v
-            mono.append(int(s / channels))
-        return mono
+        pcm = (np.frombuffer(data, dtype="<i2",
+                             count=frames * channels)
+               .reshape(frames, channels).astype(np.int64))
+        return np.fix(pcm.sum(axis=1) / channels).astype(np.int64)
 
     return wav_mono
 
@@ -930,14 +935,20 @@ def audio_phash_real_frame(bin_df: DataFrame) -> DataFrame:
 
         import pandas as _pd
 
+        import numpy as _np
+
         def energies(mono):
+            # 65 numpy slice-sums of squared samples — never a
+            # per-sample Python loop
             nwin = APHASH_NWIN
-            n = len(mono)
+            m = _np.asarray(mono, dtype=_np.int64)
+            n = len(m)
+            sq = m * m
             es = []
             for w in range(nwin):
-                lo, hi = w * n // nwin, max((w + 1) * n // nwin,
-                                            w * n // nwin + 1)
-                es.append(sum(v * v for v in mono[lo:min(hi, n)]))
+                lo = w * n // nwin
+                hi = min(max((w + 1) * n // nwin, lo + 1), n)
+                es.append(int(sq[lo:hi].sum()))
             return es
 
         def fake_energies(payload):
