@@ -346,23 +346,26 @@ def image_phash_real_frame(bin_df: DataFrame) -> DataFrame:
 
 
 def image_near_dup_real(hashes: DataFrame,
-                        max_hamming: int | None = None) -> DataFrame:
-    """Banded near-dup pairs over a REAL-pixel hash frame
-    (image_phash_real_frame output): the same capped bucket-and-expand
-    candidates + exact xor/bit_count Hamming verify the fake-decode
-    screen runs — one statement of the downstream machinery for both
-    decode paths."""
+                        max_hamming: int | None = None,
+                        n_bands: int = 4) -> DataFrame:
+    """Banded near-dup pairs over a REAL-media hash frame
+    (image/audio/video _real_frame output — `n_bands` 4 for the
+    single-hash modalities, VPHASH_NBANDS for video's time-aligned
+    signature): the same capped bucket-and-expand candidates + exact
+    xor/bit_count Hamming verify the fake-decode screens run — one
+    statement of the downstream machinery for every decode path."""
     if max_hamming is None:  # constant defined further down the module
         max_hamming = PHASH_MAX_HAMMING
-    lean = hashes.select("doc_id", "b0", "b1", "b2", "b3")
-    cand = phash_candidate_pairs(lean)
+    lean = hashes.select("doc_id",
+                         *[f"b{i}" for i in range(n_bands)])
+    cand = phash_candidate_pairs(lean, n_bands=n_bands)
     sides = cand.select(
         "a_id", "b_id",
         F.explode(F.array("a_id", "b_id")).alias("doc_id"))
     ham = sum(
         F.expr(f"bit_count(max(CASE WHEN doc_id = a_id THEN b{i} END) ^ "
                f"max(CASE WHEN doc_id = b_id THEN b{i} END))")
-        for i in range(4))
+        for i in range(n_bands))
     return (lean.join(sides, "doc_id")
             .groupBy("a_id", "b_id")
             .agg(ham.cast("long").alias("hamming"))
@@ -988,6 +991,150 @@ def audio_phash_real_frame(bin_df: DataFrame) -> DataFrame:
 
     return bin_df.select("doc_id", "payload").mapInPandas(
         batches, REAL_APHASH_SCHEMA)
+
+
+def _avi_frames_fn():
+    """Factory for the worker-side AVI decode (ships by value — the
+    _bmp_gray_fn rule): payload -> (width, height, [grayscale frame
+    matrices]) for uncompressed 24bpp AVI ('00db'/'00dc' DIB frames —
+    the RIFF sibling of the BMP/WAV parsers, so the REAL video path
+    runs in any environment; a codec library would extend coverage
+    through the same closure). Frame pixel math is numpy-vectorized
+    like the BMP path."""
+    import struct
+
+    import numpy as np
+
+    def avi_frames(payload):
+        payload = bytes(payload)
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not an AVI payload")
+        dims = {}
+        frames = []
+
+        def walk(pos, end):
+            while pos + 8 <= end:
+                cid = payload[pos:pos + 4]
+                (size,) = struct.unpack_from("<I", payload, pos + 4)
+                body = pos + 8
+                if cid == b"LIST":
+                    walk(body + 4, body + size)  # skip the list type
+                elif cid == b"avih":
+                    dims["w"], dims["h"] = struct.unpack_from(
+                        "<II", payload, body + 32)
+                elif cid in (b"00db", b"00dc"):
+                    frames.append(payload[body:body + size])
+                pos = body + size + (size & 1)  # word-aligned chunks
+
+        walk(12, len(payload))
+        w, h = dims.get("w", 0), dims.get("h", 0)
+        if not w or not h or not frames:
+            raise ValueError("AVI missing avih header or DIB frames")
+        stride = (w * 3 + 3) // 4 * 4
+        grays = []
+        for data in frames:
+            if len(data) < stride * h:
+                raise ValueError("truncated AVI frame")
+            raw = (np.frombuffer(data, dtype=np.uint8, count=stride * h)
+                   .reshape(h, stride)[:, :w * 3]
+                   .reshape(h, w, 3).astype(np.int64))[::-1]
+            grays.append((299 * raw[:, :, 2] + 587 * raw[:, :, 1]
+                          + 114 * raw[:, :, 0]) // 1000)
+        return w, h, grays
+
+    return avi_frames
+
+
+def video_phash_real_frame(bin_df: DataFrame) -> DataFrame:
+    """REAL-frame video signature over a (doc_id, payload binary)
+    frame: decode uncompressed-AVI DIB frames (struct+numpy, any
+    environment), sample VPHASH_NFRAMES frames EVENLY across the clip,
+    dHash each sampled frame exactly like a still (block-mean 8x9
+    thumbnail, gradient signs), and pack the per-frame bands into the
+    SAME 16-band time-aligned layout as video_phash_frame — so
+    phash_candidate_pairs(n_bands=16) and the Hamming verify compose
+    unchanged over real video (image_near_dup_real with
+    n_bands=VPHASH_NBANDS, max_hamming=VPHASH_MAX_HAMMING). The
+    capability triplet closes: image (BMP), audio (WAV), video (AVI)
+    all decode real bytes through the fake paths' exact band
+    machinery. Undecodable payloads fall back per payload."""
+    _avi = _avi_frames_fn()
+    # bind the module constants as plain ints so the worker closure
+    # ships them by value (a module-global reference would pickle by
+    # name and break foreign-cwd runs)
+    nbands, nframes = VPHASH_NBANDS, VPHASH_NFRAMES
+
+    def batches(it):
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def thumb(g):
+            h, w = g.shape
+            px = []
+            for r in range(8):
+                y0 = r * h // 8
+                y1 = min(max((r + 1) * h // 8, y0 + 1), h)
+                for c in range(9):
+                    x0 = c * w // 9
+                    x1 = min(max((c + 1) * w // 9, x0 + 1), w)
+                    blk = g[y0:y1, x0:x1]
+                    px.append(int(blk.sum()) // max(blk.size, 1))
+            return px
+
+        def frame_bands(px):
+            out = []
+            for b in range(4):
+                v = 0
+                for i in range(16):
+                    j = 16 * b + i
+                    r, c = j // 8, j % 8
+                    g = r * 9 + c
+                    if px[g] > px[g + 1]:
+                        v |= 1 << i
+                out.append(v)
+            return out
+
+        def fake_bands(payload):
+            hh = _hashlib.md5(bytes(payload)).hexdigest()
+            return [int(_hashlib.md5(f"{hh}:{k}".encode())
+                        .hexdigest()[:4], 16) for k in range(nbands)]
+
+        def decode(payload):
+            try:
+                w, h, grays = _avi(payload)
+            except Exception:
+                return fake_bands(payload), 0, 0, 0, "fake"
+            n = len(grays)
+            # even sampling across the clip (first and last frame
+            # always included when n > 1)
+            idx = [(k * (n - 1)) // (nframes - 1)
+                   if n > 1 else 0 for k in range(nframes)]
+            bands = []
+            for f in idx:
+                bands.extend(frame_bands(thumb(_np.asarray(grays[f]))))
+            return bands, w, h, n, "avi"
+
+        for pdf in it:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "n_frames": [], "decoder": []}
+            rows.update({f"b{k}": [] for k in range(nbands)})
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                bands, w, h, n, dec = decode(payload)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(n)
+                rows["decoder"].append(dec)
+                for k in range(nbands):
+                    rows[f"b{k}"].append(bands[k])
+            yield _pd.DataFrame(rows)
+
+    schema = ("doc_id bigint, width int, height int, n_frames int, "
+              "decoder string, " + ", ".join(
+                  f"b{k} bigint" for k in range(VPHASH_NBANDS)))
+    return bin_df.select("doc_id", "payload").mapInPandas(batches, schema)
 
 
 def audio_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
