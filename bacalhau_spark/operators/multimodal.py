@@ -231,6 +231,48 @@ def _bmp_gray_fn():
     return bmp_gray
 
 
+def _thumb_bands_fn():
+    """Factory for the shared REAL-path frame helpers (ship-by-value
+    rule): `thumb` block-means an (h, w) grayscale matrix (or a flat
+    list) onto the 8-row x 9-col grid with numpy slice-sums, and
+    `bands` packs the 64 dHash gradient-sign bits into four 16-bit
+    integers — the one statement of the thumbnail/bit layout the
+    image closure uses once and the video closure uses per sampled
+    frame."""
+    import numpy as np
+
+    def thumb(gray, w=None, h=None):
+        g = np.asarray(gray, dtype=np.int64)
+        if g.ndim == 1:
+            g = g.reshape(h, w)
+        h, w = g.shape
+        px = []
+        for r in range(8):
+            y0 = r * h // 8
+            y1 = min(max((r + 1) * h // 8, y0 + 1), h)
+            for c in range(9):
+                x0 = c * w // 9
+                x1 = min(max((c + 1) * w // 9, x0 + 1), w)
+                blk = g[y0:y1, x0:x1]
+                px.append(int(blk.sum()) // max(blk.size, 1))
+        return px
+
+    def bands(px):
+        out = []
+        for b in range(4):
+            v = 0
+            for i in range(16):
+                j = 16 * b + i
+                r, c = j // 8, j % 8
+                g = r * 9 + c
+                if px[g] > px[g + 1]:
+                    v |= 1 << i
+            out.append(v)
+        return out
+
+    return thumb, bands
+
+
 def real_binary_table(spark: SparkSession, path: str) -> DataFrame:
     """A directory of real media FILES as a (doc_id, path, payload)
     frame via Spark's binaryFile source — the reference's
@@ -262,7 +304,8 @@ def image_phash_real_frame(bin_df: DataFrame) -> DataFrame:
     the capability path the fake-decode oracle rows stand in for; the
     `decoder` column says which path each payload actually took."""
 
-    _bmp_gray = _bmp_gray_fn()  # driver-side: ship the local by value
+    _bmp_gray = _bmp_gray_fn()  # driver-side: ship the locals by value
+    thumb, bands = _thumb_bands_fn()
 
     def batches(it):
         import hashlib as _hashlib
@@ -273,24 +316,6 @@ def image_phash_real_frame(bin_df: DataFrame) -> DataFrame:
             from PIL import Image as _Image
         except ImportError:
             _Image = None
-
-        import numpy as _np
-
-        def thumb(gray, w, h):
-            # integer block means onto the 8-row x 9-col grid — 72
-            # numpy slice-sums, never a per-pixel Python loop (a 4K
-            # frame is 8M pixels)
-            g = _np.asarray(gray, dtype=_np.int64).reshape(h, w)
-            px = []
-            for r in range(8):
-                y0 = r * h // 8
-                y1 = min(max((r + 1) * h // 8, y0 + 1), h)
-                for c in range(9):
-                    x0 = c * w // 9
-                    x1 = min(max((c + 1) * w // 9, x0 + 1), w)
-                    blk = g[y0:y1, x0:x1]
-                    px.append(int(blk.sum()) // max(blk.size, 1))
-            return px
 
         def fake_px(payload):
             h = _hashlib.md5(payload).hexdigest()
@@ -313,19 +338,6 @@ def image_phash_real_frame(bin_df: DataFrame) -> DataFrame:
             except Exception:
                 px, w, h = fake_px(payload)
                 return px, w, h, "fake"
-
-        def bands(px):
-            out = []
-            for b in range(4):
-                v = 0
-                for i in range(16):
-                    j = 16 * b + i
-                    r, c = j // 8, j % 8
-                    g = r * 9 + c
-                    if px[g] > px[g + 1]:
-                        v |= 1 << i
-                out.append(v)
-            return out
 
         for pdf in it:
             rows = {"doc_id": [], "width": [], "height": [],
@@ -1059,6 +1071,7 @@ def video_phash_real_frame(bin_df: DataFrame) -> DataFrame:
     all decode real bytes through the fake paths' exact band
     machinery. Undecodable payloads fall back per payload."""
     _avi = _avi_frames_fn()
+    thumb, frame_bands = _thumb_bands_fn()
     # bind the module constants as plain ints so the worker closure
     # ships them by value (a module-global reference would pickle by
     # name and break foreign-cwd runs)
@@ -1067,34 +1080,7 @@ def video_phash_real_frame(bin_df: DataFrame) -> DataFrame:
     def batches(it):
         import hashlib as _hashlib
 
-        import numpy as _np
         import pandas as _pd
-
-        def thumb(g):
-            h, w = g.shape
-            px = []
-            for r in range(8):
-                y0 = r * h // 8
-                y1 = min(max((r + 1) * h // 8, y0 + 1), h)
-                for c in range(9):
-                    x0 = c * w // 9
-                    x1 = min(max((c + 1) * w // 9, x0 + 1), w)
-                    blk = g[y0:y1, x0:x1]
-                    px.append(int(blk.sum()) // max(blk.size, 1))
-            return px
-
-        def frame_bands(px):
-            out = []
-            for b in range(4):
-                v = 0
-                for i in range(16):
-                    j = 16 * b + i
-                    r, c = j // 8, j % 8
-                    g = r * 9 + c
-                    if px[g] > px[g + 1]:
-                        v |= 1 << i
-                out.append(v)
-            return out
 
         def fake_bands(payload):
             hh = _hashlib.md5(bytes(payload)).hexdigest()
@@ -1113,7 +1099,7 @@ def video_phash_real_frame(bin_df: DataFrame) -> DataFrame:
                    if n > 1 else 0 for k in range(nframes)]
             bands = []
             for f in idx:
-                bands.extend(frame_bands(thumb(_np.asarray(grays[f]))))
+                bands.extend(frame_bands(thumb(grays[f])))
             return bands, w, h, n, "avi"
 
         for pdf in it:
