@@ -52,6 +52,8 @@ def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[int]]:
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:  # file header (14) + BITMAPINFOHEADER (40)
+        raise ValueError("truncated BMP header")
     (off,) = struct.unpack_from("<I", payload, 10)
     _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
     (compression,) = struct.unpack_from("<I", payload, 30)
@@ -208,6 +210,8 @@ def _bmp_gray_fn():
         payload = bytes(payload)
         if payload[:2] != b"BM":
             raise ValueError("not a BMP payload")
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
         (off,) = struct.unpack_from("<I", payload, 10)
         _hs, w, h, _pl, bpp = struct.unpack_from("<IiiHH", payload, 14)
         (comp,) = struct.unpack_from("<I", payload, 30)
@@ -873,6 +877,8 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -911,6 +917,8 @@ def _wav_mono_fn():
             (size,) = struct.unpack_from("<I", payload, pos + 4)
             body = payload[pos + 8:pos + 8 + size]
             if cid == b"fmt ":
+                if len(body) < 16:
+                    raise ValueError("truncated WAV fmt chunk")
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
             elif cid == b"data":
                 data = body
@@ -1032,6 +1040,8 @@ def _avi_frames_fn():
                 if cid == b"LIST":
                     walk(body + 4, body + size)  # skip the list type
                 elif cid == b"avih":
+                    if body + 40 > len(payload):
+                        raise ValueError("truncated AVI avih chunk")
                     dims["w"], dims["h"] = struct.unpack_from(
                         "<II", payload, body + 32)
                 elif cid in (b"00db", b"00dc"):
