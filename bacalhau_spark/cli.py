@@ -29,9 +29,11 @@ def _get_spark(cpus: int,
 
 def cmd_list_queries(_args) -> int:
     from bacalhau_spark import registry
-    sql = registry.oracle_sql()
-    for name in sorted(registry.queries()):
-        kind = "oracle" if name in sql else "rows-only"
+    # classify WITHOUT resolving: a callable oracle provider (the
+    # generated-constant PCA oracle) reads fixture parquet when
+    # invoked — listing must not require fixtures (r13 review)
+    for name, (_fn, sql) in sorted(registry.ALL_QUERIES.items()):
+        kind = "oracle" if sql is not None else "rows-only"
         print(f"{name}\t{kind}")
     return 0
 

@@ -48,31 +48,11 @@ def decode_bmp_gray(payload: bytes) -> tuple[int, int, list[int]]:
     thumbnail → dHash → band join) exercisable end to end in any
     environment; PIL, when present, extends coverage to every other
     format through the same closures."""
-    import struct
-
-    if payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    if len(payload) < 54:  # file header (14) + BITMAPINFOHEADER (40)
-        raise ValueError("truncated BMP header")
-    (off,) = struct.unpack_from("<I", payload, 10)
-    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
-    (compression,) = struct.unpack_from("<I", payload, 30)
-    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
-        raise ValueError("unsupported BMP variant (need 24bpp, BI_RGB)")
-    stride = (w * 3 + 3) // 4 * 4
-    bottom_up, ah = h > 0, abs(h)
-    if off + stride * ah > len(payload):
-        raise ValueError("truncated BMP payload")
-    import numpy as np
-    raw = (np.frombuffer(payload, dtype=np.uint8,
-                         count=stride * ah, offset=off)
-           .reshape(ah, stride)[:, :w * 3]
-           .reshape(ah, w, 3).astype(np.int64))
-    if bottom_up:
-        raw = raw[::-1]
-    gray = (299 * raw[:, :, 2] + 587 * raw[:, :, 1]
-            + 114 * raw[:, :, 0]) // 1000
-    return w, ah, [int(v) for v in gray.reshape(-1)]
+    # ONE statement of the parse: delegate to the worker factory's
+    # closure (r13 review — a drifted twin would make the driver-side
+    # decode disagree with the executor-side decode for the same bytes)
+    w, h, gray = _bmp_gray_fn()(payload)
+    return w, h, [int(v) for v in gray.reshape(-1)]
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, str]:
@@ -86,10 +66,20 @@ def decode_image_real(payload: bytes) -> tuple[int, int, str]:
     if image_codec_available():
         import io
 
+        import numpy as np
         from PIL import Image
         img = Image.open(io.BytesIO(payload))
         width, height = img.size
-        return width, height, hashlib.md5(img.tobytes()).hexdigest()
+        # CANONICAL content hash (r13 review): always the integer-luma
+        # grayscale, whatever library decoded — PIL is only the
+        # decoder, so identical bytes hash identically on a PIL-less
+        # executor (the BMP path) and a PIL one, and dedup-by-hash
+        # never splits on environment
+        arr = np.asarray(img.convert("RGB"), dtype=np.int64)
+        gray = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                + 114 * arr[:, :, 2]) // 1000
+        return width, height, hashlib.md5(
+            gray.astype(np.uint8).tobytes()).hexdigest()
     try:
         w, h, gray = decode_bmp_gray(payload)
     except ValueError:
@@ -154,6 +144,7 @@ def multimodal_features_real(docs: DataFrame) -> DataFrame:
         import hashlib as _hashlib
         import io as _io
 
+        import numpy as _np
         import pandas as _pd
         try:
             from PIL import Image as _Image
@@ -169,8 +160,14 @@ def multimodal_features_real(docs: DataFrame) -> DataFrame:
                 try:
                     img = _Image.open(_io.BytesIO(payload))
                     width, height = img.size
-                    return (width, height,
-                            _hashlib.md5(img.tobytes()).hexdigest())
+                    # canonical integer-luma hash — identical to the
+                    # PIL-less BMP path for the same bytes (r13 review)
+                    arr = _np.asarray(img.convert("RGB"),
+                                      dtype=_np.int64)
+                    gray = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                            + 114 * arr[:, :, 2]) // 1000
+                    return (width, height, _hashlib.md5(
+                        gray.astype(_np.uint8).tobytes()).hexdigest())
                 except Exception:  # fall through to the BMP parser
                     pass
             try:  # dependency-free REAL decode for 24bpp BMP
@@ -315,6 +312,7 @@ def image_phash_real_frame(bin_df: DataFrame) -> DataFrame:
         import hashlib as _hashlib
         import io as _io
 
+        import numpy as _np
         import pandas as _pd
         try:
             from PIL import Image as _Image
@@ -330,9 +328,16 @@ def image_phash_real_frame(bin_df: DataFrame) -> DataFrame:
             payload = bytes(payload)
             if _Image is not None:
                 try:
-                    img = _Image.open(_io.BytesIO(payload)).convert("L")
+                    # canonical integer-luma plane (r13 review): PIL is
+                    # only the decoder — convert('L') rounds ±1 vs the
+                    # integer fold and would band the same file
+                    # differently per environment
+                    img = _Image.open(_io.BytesIO(payload))
                     w, h = img.size
-                    gray = list(img.tobytes())
+                    arr = _np.asarray(img.convert("RGB"),
+                                      dtype=_np.int64)
+                    gray = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                            + 114 * arr[:, :, 2]) // 1000
                     return thumb(gray, w, h), w, h, "pil"
                 except Exception:
                     pass
@@ -865,35 +870,9 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
     (decode → window energies → envelope dHash → band join) runs in any
     environment; a soundfile library, when present, would extend
     coverage through the same closures."""
-    import struct
-
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV payload")
-    pos, n = 12, len(payload)
-    fmt = None
-    data = None
-    while pos + 8 <= n:
-        cid = payload[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8:pos + 8 + size]
-        if cid == b"fmt ":
-            if len(body) < 16:
-                raise ValueError("truncated WAV fmt chunk")
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
-        raise ValueError("WAV missing fmt/data chunk")
-    audio_format, channels, rate, _bps, _align, bits = fmt
-    if audio_format != 1 or bits != 16 or channels < 1:
-        raise ValueError("unsupported WAV variant (need 16-bit PCM)")
-    frames = len(data) // (2 * channels)
-    import numpy as np
-    pcm = (np.frombuffer(data, dtype="<i2", count=frames * channels)
-           .reshape(frames, channels).astype(np.int64))
-    # channel average truncated toward zero (np.fix), any sign
-    mono = np.fix(pcm.sum(axis=1) / channels).astype(np.int64)
+    # ONE statement of the parse (r13 review): the worker factory's
+    # closure is the implementation; this driver API converts to list
+    rate, channels, mono = _wav_mono_fn()(payload, full=True)
     return rate, channels, [int(v) for v in mono]
 
 
@@ -906,7 +885,7 @@ def _wav_mono_fn():
 
     import numpy as np
 
-    def wav_mono(payload: bytes) -> list[int]:
+    def wav_mono(payload: bytes, full: bool = False):
         payload = bytes(payload)
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             raise ValueError("not a WAV payload")
@@ -925,14 +904,16 @@ def _wav_mono_fn():
             pos += 8 + size + (size & 1)
         if fmt is None or data is None:
             raise ValueError("WAV missing fmt/data chunk")
-        audio_format, channels, _r, _bps, _al, bits = fmt
+        audio_format, channels, rate, _bps, _al, bits = fmt
         if audio_format != 1 or bits != 16 or channels < 1:
             raise ValueError("unsupported WAV variant")
         frames = len(data) // (2 * channels)
         pcm = (np.frombuffer(data, dtype="<i2",
                              count=frames * channels)
                .reshape(frames, channels).astype(np.int64))
-        return np.fix(pcm.sum(axis=1) / channels).astype(np.int64)
+        # channel average truncated toward zero (np.fix), any sign
+        mono = np.fix(pcm.sum(axis=1) / channels).astype(np.int64)
+        return (rate, channels, mono) if full else mono
 
     return wav_mono
 

@@ -140,15 +140,30 @@ def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in ALL_QUERIES.items()}
 
 
+_PROVIDER_CACHE: dict[int, str] = {}
+
+
 def oracle_sql() -> dict[str, str]:
     """Oracle strings for the driver. An entry may register a CALLABLE
     provider instead of a static string (r13: nd_pca_project inlines
     model constants derived from the grading fixture) — resolved here,
-    at the driver's default grading scale; tests resolve with their own
-    sf_dir."""
-    return {name: (sql() if callable(sql) else sql)
-            for name, (_, sql) in ALL_QUERIES.items()
-            if sql is not None}
+    at the driver's default grading scale, and memoized per provider
+    (resolution reads fixture parquet + fits the model; the driver may
+    call oracle_sql() more than once). Callers that only CLASSIFY
+    queries must read ALL_QUERIES directly instead of resolving
+    (cli.cmd_list_queries — listing must not require fixtures). Tests
+    resolve providers with their own sf_dir."""
+    out = {}
+    for name, (_, sql) in ALL_QUERIES.items():
+        if sql is None:
+            continue
+        if callable(sql):
+            key = id(sql)
+            if key not in _PROVIDER_CACHE:
+                _PROVIDER_CACHE[key] = sql()
+            sql = _PROVIDER_CACHE[key]
+        out[name] = sql
+    return out
 
 
 def engine_registry() -> dict[str, QueryFn]:

@@ -189,14 +189,20 @@ def write_version(df: DataFrame, root: str,
                                else None)
     except BaseException:
         # The parquet write landed but the publish did not: a
-        # manifestless vdir would wedge EVERY future publish at this
+        # MANIFESTLESS vdir would wedge EVERY future publish at this
         # root (mode='error' sees an occupied dir) — remove the partial
         # version so the next attempt starts clean, then re-raise
-        # (round-12 ADVICE). A process crash here still leaves a
-        # pending dir; that shape is finish_pending()'s job.
-        import shutil
+        # (round-12 ADVICE). Scope check first (r13 review): once the
+        # manifest is published the version is a fully-durable pending
+        # commit whose CORRECT recovery is finish_pending()'s pointer
+        # flip — an async exception (KeyboardInterrupt) landing after
+        # that point must never destroy it (and if the pointer also
+        # flipped, an rmtree would leave _LATEST dangling: a
+        # permanently unreadable table head).
+        if not os.path.exists(os.path.join(vdir, _MANIFEST)):
+            import shutil
 
-        shutil.rmtree(vdir, ignore_errors=True)
+            shutil.rmtree(vdir, ignore_errors=True)
         raise
 
 
