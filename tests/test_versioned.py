@@ -611,3 +611,40 @@ def test_empty_first_index_batch_keeps_lockstep(spark, sf_dir, tmp_path):
         idx_v = read_version(spark, iroot, version=v)
         assert sorted(map(tuple, index_fn(corpus_v).collect())) == \
             sorted(map(tuple, idx_v.collect())), f"off by one at v{v}"
+
+
+def test_failed_pointer_flip_preserves_durable_version(spark, tmp_path,
+                                                       monkeypatch):
+    """r13 review: write_version's failure cleanup is scoped to the
+    pre-manifest window. A crash BETWEEN the manifest publish and the
+    pointer flip leaves a fully-durable pending version that
+    finish_pending() completes — rmtree'ing it there would convert the
+    recoverable crash shape into data loss."""
+    from bacalhau_spark.sources import versioned
+
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(1, "a")]), root)
+
+    real_publish = versioned._publish
+
+    def exploding_publish(path, content):
+        if path.endswith("_LATEST") and content == "2":
+            raise KeyboardInterrupt("crash between manifest and pointer")
+        return real_publish(path, content)
+
+    monkeypatch.setattr(versioned, "_publish", exploding_publish)
+    try:
+        write_version(_df(spark, [(2, "b")]), root, mode="append")
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(versioned, "_publish", real_publish)
+    # the durable version survived the failure handler...
+    assert os.path.exists(os.path.join(root, "v=000002",
+                                       "manifest.json")), \
+        "a manifest-published version must never be cleaned up"
+    assert latest_version(root) == 1  # pointer never flipped
+    # ...and the documented recovery completes it
+    assert versioned.finish_pending(root)
+    assert latest_version(root) == 2
+    assert sorted(r.k for r in read_version(spark, root).collect()) \
+        == [1, 2]
