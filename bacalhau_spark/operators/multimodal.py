@@ -729,6 +729,96 @@ def phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(*paths).select("doc_id")))
 
 
+# Pixel convention for the REAL-decoder round-trip row: md5-derived
+# like _phash_pixel but bounded to a VALID BYTE (base % 216 + the
+# 40-bump perturbation <= 255) so the value survives BMP encoding
+# bit-for-bit. Stated once for the Spark builder and the oracle.
+def _rt_pixel_sql(g: str, engine: str) -> str:
+    conv = ("CAST(conv(substring(md5(CAST(doc_id div 7 AS STRING) "
+            f"|| ':' || CAST({g} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+            if engine == "spark" else
+            "CAST('0x' || substring(md5(CAST(doc_id // 7 AS VARCHAR) "
+            f"|| ':' || CAST({g} AS VARCHAR)), 1, 15) AS BIGINT)")
+    return (f"({conv} % 216 + (CASE WHEN doc_id % 7 > 0 AND "
+            f"(({g}) * 7 + doc_id % 7) % 31 = 0 THEN 40 ELSE 0 END))")
+
+
+def nd_image_phash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decode plumbing as a HASH-GATED row: per document,
+    synthesize a 9x8 grayscale image from the deterministic md5 pixel
+    convention, ENCODE it as actual 24bpp BMP bytes (bottom-up,
+    stride-padded — a real file on the wire), push the bytes through
+    image_phash_real_frame's REAL parser (PIL or the struct decoder —
+    both canonicalize to the same integer luma since r13, so the row is
+    environment-stable), and emit the dHash bands. At 9x8 the
+    block-mean thumbnail is the identity and grayscale luma is the
+    identity, so encode → parse → thumb → band must reproduce the pure
+    pixel arithmetic EXACTLY — which is what the DuckDB oracle states,
+    never having seen a byte of BMP. A corrupted stride, a flipped row
+    order, a luma drift, or a thumbnail off-by-one all hash-fail here;
+    the `decoder` column is deliberately not emitted (it names which
+    REAL path ran — env-dependent — while the values are not)."""
+
+    def encode_batches(it):
+        import struct as _struct
+
+        import hashlib as _hashlib
+        import pandas as _pd
+
+        def px(doc_id, g):
+            base = int(_hashlib.md5(
+                f"{doc_id // 7}:{g}".encode()).hexdigest()[:15], 16) % 216
+            pert = 40 if (doc_id % 7 > 0
+                          and (g * 7 + doc_id % 7) % 31 == 0) else 0
+            return base + pert
+
+        def bmp(doc_id):
+            w, h = 9, 8
+            stride = (w * 3 + 3) // 4 * 4
+            body = bytearray()
+            for y in range(h - 1, -1, -1):  # bottom-up rows
+                line = bytearray()
+                for x in range(w):
+                    v = px(doc_id, y * w + x)
+                    line += bytes((v, v, v))
+                line += bytes(stride - len(line))
+                body += line
+            header = (b"BM"
+                      + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                      + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                     len(body), 2835, 2835, 0, 0))
+            return bytes(header + body)
+
+        for pdf in it:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [bmp(int(d)) for d in pdf["doc_id"]]})
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode_batches,
+                                "doc_id bigint, payload binary")
+    return (image_phash_real_frame(payloads)
+            .select("doc_id", "b0", "b1", "b2", "b3")
+            .orderBy("doc_id"))
+
+
+def _image_phash_real_oracle() -> str:
+    packs = []
+    for b in range(4):
+        terms = []
+        for i in range(16):
+            j = 16 * b + i
+            r, c = j // _PHASH_ROWS, j % _PHASH_ROWS
+            g = r * _PHASH_GRID_W + c
+            terms.append(
+                f"(CASE WHEN {_rt_pixel_sql(str(g), 'duck')} > "
+                f"{_rt_pixel_sql(str(g + 1), 'duck')} "
+                f"THEN {1 << i} ELSE 0 END)")
+        packs.append("CAST(" + " + ".join(terms) + f" AS BIGINT) AS b{b}")
+    return ("SELECT doc_id, " + ", ".join(packs)
+            + " FROM documents ORDER BY doc_id")
+
+
 def nd_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs: dHash thumbnails, band-bucketed candidates,
     exact-Hamming verification — (a_id, b_id, hamming), hamming <=
@@ -1332,6 +1422,8 @@ _HEXPAIR = ("(strpos('0123456789abcdef', substring(md5(text), {a}, 1)) - 1) * 16
 QUERIES = {
     "nd_multimodal_audio": (nd_multimodal_audio, _AUDIO_ORACLE),
     "nd_image_phash": (nd_image_phash, _image_phash_oracle()),
+    "nd_image_phash_real": (nd_image_phash_real,
+                            _image_phash_real_oracle()),
     "nd_audio_phash": (nd_audio_phash, _audio_phash_oracle()),
     "nd_video_phash": (nd_video_phash, _video_phash_oracle()),
     "nd_multimodal_features": (

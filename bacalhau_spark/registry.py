@@ -70,7 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "nd_minhash_lsh", "nd_dedup_clusters", "nd_dedup_survivors",
     "nd_cc_doubling", "nd_minhash_estimate", "nd_editdist_dedup",
     "nd_versioned_timetravel", "nd_versioned_pruned_read",
-    "nd_pq_incremental", "nd_winnowing",
+    "nd_pq_incremental", "nd_winnowing", "nd_image_phash_real",
     # 2. the round-9 first-row block leads, per the r12 boundary plan
     "nd_bpe_encode",
     "nd_unicode_dedup",
