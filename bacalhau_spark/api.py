@@ -191,16 +191,25 @@ class ApiServer:
             elif parsed.path == "/version":
                 self._reply(handler, 200, {"version": __version__})
             elif parsed.path == "/list":
-                # rev read BEFORE list_runs: a concurrent emit can only
-                # make the cached body NEWER than its stamp (next
-                # request rebuilds) — never staler
+                # rev is read before AND after list_runs, and the
+                # render is cached/ETagged only when the two reads
+                # agree (r13 ADVICE): an emit landing mid-render would
+                # otherwise stamp a NEWER body with the OLDER rev, so a
+                # client holding the older ETag could get a 304 against
+                # a body it does not actually have. On disagreement we
+                # serve the fresh body unstamped (no ETag, not cached)
+                # and the next request observes the settled rev.
                 rev = self.engine.state_rev()
                 cache = self._list_cache
                 if cache is None or cache[0] != rev:
                     body = json.dumps(
                         {"runs": self.engine.list_runs()}).encode()
-                    cache = (rev, body)
-                    self._list_cache = cache
+                    if self.engine.state_rev() == rev:
+                        cache = (rev, body)
+                        self._list_cache = cache
+                    else:
+                        self._reply_bytes(handler, 200, body)
+                        return
                 etag = f'"{cache[0]}"'
                 if handler.headers.get("If-None-Match") == etag:
                     handler.send_response(304)

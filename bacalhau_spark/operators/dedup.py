@@ -401,15 +401,18 @@ def _manifest_file_keys(root: str, manifest: dict) -> dict | None:
 
 def _find_delta_parent(kind: str, tbl: str, fkeys: dict[str, str],
                        exclude: str, rev: int = 1) \
-        -> tuple[str, dict] | None:
+        -> tuple[str, dict, dict] | None:
     """Scan the store for a published index of the same (kind, table)
     whose recorded per-file keys are a STRICT SUBSET of the current
     source's — i.e. the current corpus is the indexed one plus appended
     part files (the crawl-epoch shape: epoch N+1 = epoch N + new
-    shards). Returns (parent table root, its latest manifest); the
-    largest subset wins when several epochs qualify. Any removed or
-    rewritten part file disqualifies a candidate — delta adoption is
-    append-only by construction."""
+    shards). Returns (parent table root, its latest manifest, the
+    DIGEST-VERIFIED per-file key map) — the map is handed to the caller
+    so a >4096-part key TREE is loaded and md5-verified exactly once
+    per adoption, not re-read as a second multi-MB sidecar pass
+    (round-13 ADVICE). The largest subset wins when several epochs
+    qualify. Any removed or rewritten part file disqualifies a
+    candidate — delta adoption is append-only by construction."""
     from bacalhau_spark.sources import versioned
 
     store = index_store_root()
@@ -437,7 +440,7 @@ def _find_delta_parent(kind: str, tbl: str, fkeys: dict[str, str],
         if pk is None:
             continue  # keyless or unverifiable tree: never adopt
         if all(fkeys.get(b) == k for b, k in pk.items()):
-            best, best_n = (proot, m), len(pk)
+            best, best_n = (proot, m, pk), len(pk)
     return best
 
 
@@ -578,13 +581,13 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                                        exclude=os.path.basename(root),
                                        rev=rev)
             if found is not None:
-                proot, pman = found
-                # digest-verified by _find_delta_parent; a chunk
-                # removed since (concurrent index drop) re-verifies to
-                # None here — decline rather than raise
-                pk = _manifest_file_keys(proot, pman)
-                if pk is None:
-                    found = None
+                # pk is the key map _find_delta_parent already loaded
+                # AND digest-verified — reusing it avoids a second
+                # multi-MB sidecar read + md5 pass on every adoption of
+                # a >4096-part key tree (round-13 ADVICE). A chunk
+                # removed between the scan and the hardlinks below
+                # surfaces as a publish failure → full-build fallback.
+                proot, pman, pk = found
             if found is not None:
                 all_paths = _table_part_paths(sf_dir, tbl)
                 new_paths = [p for p in all_paths

@@ -322,7 +322,7 @@ def pair_cosine_udf():
     return pandas_udf(fn, "double")
 
 
-_CENTROID_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
+_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 _CENTROID_LOCK = threading.Lock()  # concurrent engine workers share this
 
 
@@ -337,10 +337,10 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
     The trained quantizer is cached per (session, sf_dir): index build and
     query are separate phases in any real ANN service — rebuilding K x DIM
     model state on every query would be like re-training KMeans per
-    lookup. Inputs are immutable fixture files, so the cache never goes
-    stale within a session."""
+    lookup. The key carries the table's size/mtime fingerprint (r13
+    ADVICE convention) so a fixture rewritten in place misses."""
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    key = _emb_cache_key(spark, sf_dir)
     with _CENTROID_LOCK:
         for k in [k for k in _CENTROID_CACHE if k[0] != app_id]:
             _CENTROID_CACHE.pop(k, None)  # evict stopped sessions' state
@@ -635,8 +635,22 @@ def _sign_bucket(nbits: int):
         start=F.lit(0)).cast("int")
 
 
-_SEMDEDUP_MODEL_CACHE: dict[tuple[str, str], dict[int, int]] = {}
+_SEMDEDUP_MODEL_CACHE: dict[tuple, dict[int, int]] = {}
 _SEMDEDUP_MODEL_LOCK = threading.Lock()
+
+
+def _emb_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-model cache key for embeddings-derived state: app id +
+    realpath + a size/mtime fingerprint of the embeddings table, the
+    same convention _MH_IDX_CACHE uses (round-13 ADVICE: keying on the
+    path alone let a fixture rewritten in place mid-session serve a
+    stale sign histogram / PCA basis, so escalation and projection
+    decisions could diverge from the oracle run over the new bytes)."""
+    from bacalhau_spark.operators.dedup import _docs_fingerprint
+
+    return (spark.sparkContext.applicationId,
+            os.path.realpath(sf_dir),
+            _docs_fingerprint(sf_dir, "embeddings"))
 
 
 def _semantic_bucket_model(spark: SparkSession,
@@ -649,7 +663,7 @@ def _semantic_bucket_model(spark: SparkSession,
     answers both the escalation decision (per-b8 rollup) and the final
     per-bucket cap gate without any second pass."""
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    key = _emb_cache_key(spark, sf_dir)
     with _SEMDEDUP_MODEL_LOCK:
         for k in [k for k in _SEMDEDUP_MODEL_CACHE if k[0] != app_id]:
             _SEMDEDUP_MODEL_CACHE.pop(k, None)
@@ -1085,7 +1099,7 @@ ORDER BY i, j
 
 
 PCA_K = 8
-_PCA_CACHE: dict[tuple[str, str], tuple] = {}
+_PCA_CACHE: dict[tuple, tuple] = {}
 _PCA_LOCK = threading.Lock()
 
 
@@ -1095,12 +1109,14 @@ def _pca_model(spark: SparkSession, sf_dir: str):
     IVF-centroid model-state pattern), assemble the 64x64 matrix, eigh,
     keep the top PCA_K eigenpairs. Eigenvector signs are canonicalized
     (largest-|component| positive) so the model is stable across BLAS
-    builds. Cached per (applicationId, sf_dir) like the IVF coarse
-    quantizer — repeated calls must not re-collect."""
+    builds. Cached per (applicationId, realpath, table fingerprint)
+    like the IVF coarse quantizer — repeated calls must not re-collect,
+    and a fixture rewritten in place mid-session must MISS (r13
+    ADVICE, same fix as _SEMDEDUP_MODEL_CACHE)."""
     import numpy as np
 
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    key = _emb_cache_key(spark, sf_dir)
     with _PCA_LOCK:
         for k in [k for k in _PCA_CACHE if k[0] != app_id]:
             _PCA_CACHE.pop(k, None)  # stopped sessions' models
@@ -1310,16 +1326,16 @@ def _assign_l2_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
     return pandas_udf(fn, "array<int>")
 
 
-_PCA_SEED_CACHE: dict[tuple[str, str], list] = {}
+_PCA_SEED_CACHE: dict[tuple, list] = {}
 
 
 def _pca_seeds(spark: SparkSession, sf_dir: str, proj: DataFrame) -> list:
     """The N_CLUSTERS projected seed centroids, collected ONCE per
     (applicationId, sf_dir) — constant model state (the _ivf_centroids
     pattern): re-collecting per query re-ran the full PCA projection
-    job every call (round-12 review)."""
+    job every call (round-12 review). Fingerprinted key — r13 ADVICE."""
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
+    key = _emb_cache_key(spark, sf_dir)
     with _PCA_LOCK:
         for k in [k for k in _PCA_SEED_CACHE if k[0] != app_id]:
             _PCA_SEED_CACHE.pop(k, None)

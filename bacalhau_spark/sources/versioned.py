@@ -169,8 +169,12 @@ def write_version(df: DataFrame, root: str,
                 f"{df.columns}")
     n = prev + 1
     vdir = _vdir(root, n)
-    df.write.mode("error").parquet(vdir)
     try:
+        # The parquet write itself sits INSIDE the cleanup scope (r13
+        # ADVICE): a crash mid-write leaves a manifestless vdir that
+        # would wedge every later publish at this root on mode='error'
+        # — exactly the shape the except-arm below removes.
+        df.write.mode("error").parquet(vdir)
         for src in link_files or ():
             dst = os.path.join(vdir, os.path.basename(src))
             if os.path.exists(dst):
