@@ -225,9 +225,10 @@ def nd_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (band, signature) bucket. The candidate join is an equi join on
     (band, bucket) — at 100 TB the corpus index is hash-partitioned by that
     key and each query probes B buckets' worth of candidates, never the full
-    cross product. Approximate (recall tested vs. brute force in tests/);
-    the candidate pair set is hash-gated by nd_ann_lsh_candidates, so
-    no_oracle here covers only the float ranking."""
+    cross product. Recall vs brute force stays threshold-tested in
+    tests/ (the SEMANTICS are approximate); the IMPLEMENTATION is
+    hash-gated end to end since round 14 (_ANN_LSH_ORACLE: exact
+    candidate set + the bit-identical cosine fold re-rank)."""
     emb = table(spark, sf_dir, "embeddings")
     # LEAN signature table: (vec_id, band, sig) only — never drag the
     # embedding arrays through the explode and the bucket join (the r3
@@ -500,6 +501,25 @@ SELECT DISTINCT q.vec_id, s.vec_id AS nn
 FROM sig q JOIN sig s ON q.band = s.band AND q.sig = s.sig
 WHERE q.vec_id < 20 AND s.vec_id <> q.vec_id
 ORDER BY q.vec_id, nn
+"""
+
+# End-to-end LSH retrieval oracle (round 14, the _ANN_PQ_ORACLE
+# convention): the candidate set is value-exact in SQL (literal
+# hyperplanes + the shared left fold) and the re-rank cosine is the
+# same bit-identical fold, so the whole probe — bucket collision ->
+# gather -> exact rank — hash-gates with no recall tolerance.
+_ANN_LSH_ORACLE = f"""
+WITH {_LSH_SIG_CTES},
+cand AS (SELECT DISTINCT q.vec_id AS qid, s.vec_id AS nn
+         FROM sig q JOIN sig s ON q.band = s.band AND q.sig = s.sig
+         WHERE q.vec_id < 20 AND s.vec_id <> q.vec_id)
+SELECT vec_id, rank, nn, cos FROM
+(SELECT c.qid AS vec_id, c.nn AS nn, {_DOT_SQL} AS cos,
+        ROW_NUMBER() OVER (PARTITION BY c.qid
+                           ORDER BY {_DOT_SQL} DESC, c.nn) AS rank
+ FROM cand c JOIN embeddings a ON a.vec_id = c.qid
+             JOIN embeddings b ON b.vec_id = c.nn) t
+WHERE rank <= 3 ORDER BY vec_id, rank
 """
 
 _IVF_CELLSTATS_ORACLE = f"""
@@ -1662,8 +1682,15 @@ FROM a2 GROUP BY sub, cid ORDER BY sub, cluster_id
 """
 
 
-_PQ_INCR_ORACLE = f"""
-WITH e AS (
+# Shared CTE prefix: exact integer PQ training over the embeddings
+# table — exploded coords (e), seed codebook (c0), two Lloyd rounds
+# (a1/c1/a2), and the final M-step reconstruction codebook (c2, the
+# pq_centroid_index convention: group means under the final
+# assignment). Every oracle that consumes the TRAINED index (the
+# staleness monitor, the end-to-end ADC retrieval) replays this
+# prefix verbatim, so the trained state is re-derived independently
+# rather than read from the (hash-gated) Spark artifact.
+_PQ_TRAIN_CTES = f"""e AS (
   SELECT vec_id, CAST(i // {PQ_SUB} AS INTEGER) AS sub, i AS dim,
          CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * {KM_SCALE})
               AS BIGINT) + {KM_OFF} AS q
@@ -1678,7 +1705,11 @@ c1 AS (SELECT a.cid, e.dim, SUM(e.q) // COUNT(*) AS cq
 {_pq_round('c1', '2')},
 c2 AS (SELECT a.cid, e.dim, SUM(e.q) // COUNT(*) AS cq
        FROM e JOIN a2 a ON e.vec_id = a.vec_id AND e.sub = a.sub
-       GROUP BY a.cid, e.dim),
+       GROUP BY a.cid, e.dim)"""
+
+
+_PQ_INCR_ORACLE = f"""
+WITH {_PQ_TRAIN_CTES},
 cd AS (SELECT a.vec_id, a.sub,
               CAST(SUM((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d
        FROM e JOIN a2 a ON e.vec_id = a.vec_id AND e.sub = a.sub
@@ -1717,6 +1748,41 @@ ORDER BY sub
 """
 
 
+# End-to-end ADC retrieval oracle (round 14): replays nd_ann_pq's ENTIRE
+# pipeline — PQ training (the shared prefix), the per-(query, sub, cid)
+# integer LUT, the ADC shortlist (deterministically tie-broken on
+# (adist, nn)), and the exact cosine re-rank. Every stage is exact
+# integer math except the final cosine, which both engines compute as
+# the SAME strictly-left-to-right double fold (dot_double / list_sum —
+# bit-identical, the q30/nd_ann_topk convention), so the family is
+# hash-gated END TO END: candidates -> LUT -> re-rank, no recall
+# tolerance anywhere.
+_ANN_PQ_ORACLE = f"""
+WITH {_PQ_TRAIN_CTES},
+eq AS (SELECT vec_id AS qid, sub, dim, q FROM e WHERE vec_id < 20),
+lut AS (SELECT eq.qid, eq.sub, c.cid,
+               CAST(SUM((eq.q - c.cq) * (eq.q - c.cq)) AS BIGINT) AS d
+        FROM eq JOIN c2 c ON eq.dim = c.dim
+        GROUP BY eq.qid, eq.sub, c.cid),
+ad AS (SELECT l.qid, a.vec_id AS nn, CAST(SUM(l.d) AS BIGINT) AS adist
+       FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+       WHERE l.qid <> a.vec_id
+       GROUP BY l.qid, a.vec_id),
+short AS (SELECT qid, nn FROM
+          (SELECT qid, nn,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adist, nn) AS srank
+           FROM ad) t WHERE srank <= {PQ_SHORTLIST})
+SELECT vec_id, rank, nn, cos FROM
+(SELECT s.qid AS vec_id, s.nn AS nn, {_DOT_SQL} AS cos,
+        ROW_NUMBER() OVER (PARTITION BY s.qid
+                           ORDER BY {_DOT_SQL} DESC, s.nn) AS rank
+ FROM short s JOIN embeddings a ON a.vec_id = s.qid
+              JOIN embeddings b ON b.vec_id = s.nn) t
+WHERE rank <= 3 ORDER BY vec_id, rank
+"""
+
+
 def nd_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC (asymmetric distance computation) retrieval over the trained
     PQ codes, with exact re-ranking: approx dist(query, x) = Σ_sub
@@ -1730,9 +1796,16 @@ def nd_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-(query, sub, cid) LUT is a BROADCAST of n_queries x PQ_M x
     PQ_K exact integer distances joined onto the code table (PQ_M rows
     per corpus vector — the only thing that scales with n), and the
-    full floats are touched only for the shortlist. Top-3 per query;
-    recall-gated against nd_ann_topk (approximate by design, no SQL
-    oracle — the nd_ann_pca/nd_ann_lsh convention)."""
+    full floats are touched only for the shortlist. Top-3 per query.
+
+    HASH-GATED END TO END since round 14 (_ANN_PQ_ORACLE): training,
+    LUT, and shortlist are exact integer math with deterministic
+    (adist, nn) tie-breaks, and the re-rank cosine is the shared
+    left-fold double both engines compute bit-identically — so the one
+    ANN family a user would actually deploy at scale (compressed-code
+    scan + exact re-rank) carries a full value-hash driver grade, not
+    just a recall floor. Recall@3 vs brute force stays threshold-tested
+    in tests/ (the semantics, not the implementation, are approximate)."""
     emb = table(spark, sf_dir, "embeddings")
     assign = pq_code_index(spark, sf_dir)
     cent = pq_centroid_index(spark, sf_dir)
@@ -1948,7 +2021,7 @@ QUERIES = {
     "nd_ann_pca": (nd_ann_pca, None),
     "nd_pq_quantize": (nd_pq_quantize, _PQ_ORACLE),
     "nd_pq_incremental": (nd_pq_incremental, _PQ_INCR_ORACLE),
-    "nd_ann_pq": (nd_ann_pq, None),
+    "nd_ann_pq": (nd_ann_pq, _ANN_PQ_ORACLE),
     "nd_ann_ivfpq": (nd_ann_ivfpq, None),
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
     "nd_kmeans": (nd_kmeans, _KMEANS_ORACLE),
@@ -1985,7 +2058,7 @@ QUERIES = {
         "WHERE a.vec_id < 20) t "
         "WHERE rank <= 3 ORDER BY vec_id, rank",
     ),
-    "nd_ann_lsh": (nd_ann_lsh, None),
+    "nd_ann_lsh": (nd_ann_lsh, _ANN_LSH_ORACLE),
     "nd_ann_ivf": (nd_ann_ivf, None),
     "nd_ann_lsh_candidates": (nd_ann_lsh_candidates,
                               _LSH_CANDIDATES_ORACLE),
