@@ -255,6 +255,13 @@ def cmd_index(args) -> int:
       lshsig, canon, extract, or all (canon/extract are the
       materialized crawl front door; aphash/vphash the audio and
       video near-dup signatures — round 12).
+    - `index refresh --kind pq --sf-dir MERGED --parent PARENT`
+      CONSUMES the PQ staleness signal (round-13 verdict #1): encodes
+      MERGED's new vectors against PARENT's published codebook, and on
+      a stale flag retrains + re-encodes over the merged corpus
+      (publishing under the merged content key); otherwise adopts the
+      pinned codebook and encodes only the new rows. Prints one JSON
+      line per subspace with the chosen action.
     - `index drop [--kind K] [--stale-days N]` removes published index
       tables (all, or one kind's) — the cache-invalidation big hammer;
       the next consumer rebuilds and republishes. `--stale-days N`
@@ -343,6 +350,24 @@ def cmd_index(args) -> int:
         with dedup._MH_IDX_LOCK:
             dedup._MH_IDX_CACHE.clear()
         print(_json.dumps({"dropped": dropped}))
+        return 0
+    if args.action == "refresh":
+        if args.kind not in ("pq", "all"):
+            print(f"index refresh: only kind 'pq' has a staleness-"
+                  f"bounded refresh path (got {args.kind!r}); per-row "
+                  "and banding kinds delta-adopt exactly via "
+                  "`index build`", flush=True)
+            return 2
+        if not args.parent:
+            print("index refresh: --parent PARENT_DIR is required "
+                  "(the epoch whose codebook is published)", flush=True)
+            return 2
+        from bacalhau_spark.operators.similarity import pq_refresh
+        spark = _get_spark(args.cpus)
+        for r in pq_refresh(spark, args.sf_dir, args.parent).collect():
+            print(_json.dumps({"sub": r["sub"], "n_new": r["n_new"],
+                               "stale": r["stale"],
+                               "action": r["action"]}))
         return 0
     # build
     spark = _get_spark(args.cpus)
@@ -515,9 +540,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     ix = sub.add_parser("index", help="persisted index store: list / "
                                       "build / drop")
-    ix.add_argument("action", choices=("list", "build", "drop"))
+    ix.add_argument("action", choices=("list", "build", "drop",
+                                       "refresh"))
     ix.add_argument("--sf-dir", default="/root/testdata/sf0.001",
-                    help="source fixture dir (build)")
+                    help="source fixture dir (build/refresh: the "
+                         "current — for refresh, MERGED — epoch)")
+    ix.add_argument("--parent", default=None,
+                    help="refresh: the prior epoch's fixture dir whose "
+                         "published codebook is the pinned baseline")
     ix.add_argument("--kind", default="all",
                     help="sig|cand|winnow|phash|aphash|vphash|lshsig|"
                          "pq|ivfpq|canon|extract|all")
