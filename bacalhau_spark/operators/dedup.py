@@ -741,6 +741,15 @@ def clear_session_index(spark: SparkSession,
         for k in victims:
             _MH_IDX_CACHE.pop(k, None)
             _ADOPTED_ROOTS.pop(k, None)
+        # derived session views over index artifacts go cold with them
+        # (bench cold-path comparability: the winnow read must re-pay
+        # its window guard on a cold measurement)
+        for k in [k for k in _WINNOW_CAPPED_CACHE if k[0] == app_id]:
+            capped = _WINNOW_CAPPED_CACHE.pop(k, None)
+            try:
+                capped.unpersist()
+            except Exception:  # noqa: BLE001 — a dead session's frame
+                pass
         sources = set(_SESSION_INDEX_SOURCES.get(app_id, ()))
     if persisted and sources:
         keys, fkey_sets = set(), []
@@ -821,6 +830,18 @@ def band_candidate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup=lambda: [f.unpersist() for f in staged])
 
 
+# Width gate for the cand delta (round-13 verdict #2): the delta path
+# pays a fixed guard cost — the disjointness pass, the persisted
+# (doc_id, bkey) materialization, the crossed-cap counts — that only
+# amortizes once the PARENT corpus is wide enough. One-box calibration
+# (experiments/index_delta_r13.txt, re-pinned in index_delta_r14.txt):
+# 0.93x SLOWDOWN at 30 parent shards, 1.33x at 100, 3.09x at 300 —
+# crossover ~x50. Below the gate _cand_delta declines and the store
+# takes the cheaper full rebuild; the parent's shard count is already
+# in hand (the manifest's per-file keys), so the choice costs nothing.
+CAND_DELTA_MIN_PARENT_SHARDS = 50
+
+
 def _cand_delta(spark: SparkSession, sf_dir: str,
                 new_paths: list[str], parent_paths: list[str],
                 bucket_cap: int = LSH_BUCKET_CAP,
@@ -852,6 +873,9 @@ def _cand_delta(spark: SparkSession, sf_dir: str,
     shards' signatures (delta-sized) plus two map-side-combined key
     counts; the probe join keys on the single folded 8-byte band key
     with the hot-bucket gate applied before expansion."""
+    if len(parent_paths) < CAND_DELTA_MIN_PARENT_SHARDS:
+        return None  # below the one-box crossover the guard overhead
+        # exceeds the savings (0.93x at x30) — take the rebuild
     # ONE column-pruned pass answers both guard questions — are the
     # appended ids disjoint from the parent's, and how many are there
     # (the broadcast gate) — instead of a semi-join action plus a count
@@ -1144,9 +1168,11 @@ def nd_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-and-expand in codegen, never an index self-join; only
     8-byte fingerprints and id pairs ever shuffle. The posting frame
     comes from the shared persisted index (build once, probe many — the
-    minhash_signature_index lifecycle, round-10 extension)."""
-    return winnow_pairs_from_postings(
-        winnow_posting_index(spark, sf_dir))
+    minhash_signature_index lifecycle, round-10 extension). Warm reads
+    since round 14 expand over the session-cached df-CAPPED frame
+    (winnow_capped_postings) — the window guard runs once per (session,
+    table content), not once per read."""
+    return _winnow_expand(winnow_capped_postings(spark, sf_dir))
 
 
 def winnow_postings(docs: DataFrame) -> DataFrame:
@@ -1200,24 +1226,28 @@ def winnow_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev=2)
 
 
-def winnow_pairs_from_postings(postings: DataFrame) -> DataFrame:
-    """Bucket-and-expand candidate pairs over an (uncapped) posting
-    frame: pairs sharing >= WINNOW_MIN_SHARED selected fingerprints.
-    The df cap applies HERE (r13 — see winnow_postings): a window
-    count over fp drops ubiquitous-boilerplate fingerprints before any
-    per-bucket list exists — the _band_candidates guard shape, single
-    lineage: ONE exchange hash-partitions on fp, the window count runs
-    over sorted runs, the bucket aggregation reuses the partitioning,
-    and a degenerate hot bucket is bounded by the window exec's spill
-    path then dropped before any list exists. (The count+semi-join
+def _winnow_df_cap(postings: DataFrame) -> DataFrame:
+    """The read-time df cap over an (uncapped) posting frame (r13 — see
+    winnow_postings): a window count over fp drops ubiquitous-
+    boilerplate fingerprints before any per-bucket list exists — the
+    _band_candidates guard shape, single lineage: ONE exchange
+    hash-partitions on fp, the window count runs over sorted runs, the
+    bucket aggregation downstream reuses the partitioning, and a
+    degenerate hot bucket is bounded by the window exec's spill path
+    then dropped before any list exists. (The count+semi-join
     alternative was measured 20% SLOWER at sf0.1: Spark shares no
     subplans, so the count branch re-scanned the whole posting
     lineage.)"""
     from pyspark.sql.window import Window
 
     df_n = F.count("*").over(Window.partitionBy("fp"))
-    capped = (postings.withColumn("df", df_n)
-              .where(F.col("df") <= SHINGLE_DF_CAP).drop("df"))
+    return (postings.withColumn("df", df_n)
+            .where(F.col("df") <= SHINGLE_DF_CAP).drop("df"))
+
+
+def _winnow_expand(capped: DataFrame) -> DataFrame:
+    """Bucket-and-expand over a df-capped posting frame: pairs sharing
+    >= WINNOW_MIN_SHARED selected fingerprints."""
     buckets = (capped.groupBy("fp")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
                .where(F.size("ids") >= 2))
@@ -1228,6 +1258,39 @@ def winnow_pairs_from_postings(postings: DataFrame) -> DataFrame:
             .agg(F.count("*").cast("long").alias("shared_fps"))
             .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
             .orderBy("a_id", "b_id"))
+
+
+def winnow_pairs_from_postings(postings: DataFrame) -> DataFrame:
+    """Candidate pairs over an (uncapped) posting frame — the direct
+    path: read-time df cap, then bucket-and-expand. Decomposition-
+    shared with the cached path (nd_winnowing), so index and direct
+    form cannot drift."""
+    return _winnow_expand(_winnow_df_cap(postings))
+
+
+# Session-tier cache for the df-CAPPED pair-ready posting frame (round
+# 14, r13 verdict #4): the persisted artifact must stay the per-doc-
+# pure UNCAPPED set (delta adoption depends on it — a capped artifact
+# is a global function of the corpus), but every read re-paid the
+# ~0.25 s window guard. The capped view is a DERIVED frame, so it
+# caches at the session tier only — persist(), recompute-on-loss, keyed
+# by (app, realpath, table fingerprint) like every session model cache.
+_WINNOW_CAPPED_CACHE: dict = {}
+
+
+def winnow_capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    fp = _docs_fingerprint(sf_dir, "documents")
+    key = (app_id, os.path.realpath(sf_dir), fp)
+    with _MH_IDX_LOCK:
+        for k in [k for k in _WINNOW_CAPPED_CACHE if k[0] != app_id]:
+            _WINNOW_CAPPED_CACHE.pop(k, None)
+        hit = _WINNOW_CAPPED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    capped = _winnow_df_cap(winnow_posting_index(spark, sf_dir)).persist()
+    with _MH_IDX_LOCK:
+        return _WINNOW_CAPPED_CACHE.setdefault(key, capped)
 
 
 def winnowing_pairs(docs: DataFrame) -> DataFrame:

@@ -1619,21 +1619,28 @@ def test_empty_index_never_crash_loops(spark, sf_dir):
     assert again.count() == 0
 
 
-def test_cand_delta_adopts_appended_corpus(spark, sf_dir, tmp_path):
+def test_cand_delta_adopts_appended_corpus(spark, sf_dir, tmp_path,
+                                           monkeypatch):
     """Round-13: the band-candidate index — a GLOBAL function of the
     corpus — delta-adopts appended corpora exactly: the child publishes
     the parent's hardlinked pair files plus only the pairs involving a
     new doc (probed against the full signature index), and the unified
     read equals _band_candidates over the full corpus from scratch. A
-    crawl epoch stops re-paying the full candidate-generation cost."""
+    crawl epoch stops re-paying the full candidate-generation cost.
+    (The r14 width gate is lowered to 0 here — this test pins delta
+    EXACTNESS on a tiny corpus; the gate itself is pinned by
+    test_cand_delta_width_gate_takes_the_cheaper_path.)"""
     import os
 
+    from bacalhau_spark.operators import dedup
     from bacalhau_spark.catalog import spread_compute
     from bacalhau_spark.operators.dedup import (_band_candidates,
                                                 _index_table_root,
                                                 _mh_sig_frame,
                                                 band_candidate_index,
                                                 clear_session_index)
+
+    monkeypatch.setattr(dedup, "CAND_DELTA_MIN_PARENT_SHARDS", 0)
     from bacalhau_spark.sources.versioned import latest_manifest
 
     epoch1 = str(tmp_path / "epoch1")
@@ -1666,19 +1673,24 @@ def test_cand_delta_adopts_appended_corpus(spark, sf_dir, tmp_path):
     clear_session_index(spark)
 
 
-def test_cand_delta_declines_crossed_bucket(spark, tmp_path):
+def test_cand_delta_declines_crossed_bucket(spark, tmp_path, monkeypatch):
     """The exactness guard: an append that pushes a previously-capped
     bucket OVER the hot-bucket cap makes union(parent, probe) !=
     rebuild (the rebuild drops the bucket's parent pairs) — _cand_delta
     must DECLINE and fall back to the full build. 30 identical parent
     docs (every band bucket at 30 <= cap, 435 pairs) + 25 identical
     appends (bucket 55 > cap): the child index must be a fresh full
-    build with ZERO pairs, never the parent's 435 hardlinked ones."""
+    build with ZERO pairs, never the parent's 435 hardlinked ones.
+    (Width gate lowered to 0 — the crossed-cap guard must fire even
+    when the width gate alone would already have declined.)"""
     import os
 
+    from bacalhau_spark.operators import dedup
     from bacalhau_spark.operators.dedup import (_index_table_root,
                                                 band_candidate_index,
                                                 clear_session_index)
+
+    monkeypatch.setattr(dedup, "CAND_DELTA_MIN_PARENT_SHARDS", 0)
     from bacalhau_spark.sources.versioned import latest_manifest
 
     text = ("the quick brown fox jumps over the lazy dog and keeps "
@@ -1720,6 +1732,57 @@ def test_cand_delta_declines_crossed_bucket(spark, tmp_path):
         "crossed-cap append must decline delta adoption"
     assert got.count() == 0, \
         "rebuild drops the now-hot bucket: no pairs survive"
+    clear_session_index(spark)
+
+
+def test_cand_delta_width_gate_takes_the_cheaper_path(spark, sf_dir,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """Round-14 (r13 verdict #2): below the calibrated parent width the
+    cand delta's fixed guard cost exceeds its savings (0.93x at x30 in
+    index_delta_r13.txt), so _cand_delta must DECLINE on a narrow
+    parent — the store takes the full rebuild — while the identical
+    append shape above the gate still delta-adopts. Width is read from
+    the parent's own shard count (already in hand from the manifest's
+    per-file keys): choosing the cheaper path costs nothing."""
+    import os
+
+    from bacalhau_spark.operators import dedup
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                band_candidate_index,
+                                                clear_session_index)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    def epoch_pair(tag, shift):
+        e1 = str(tmp_path / f"{tag}_e1")
+        _shifted_docs_corpus(spark, sf_dir, e1, shift, limit=60)
+        e2 = str(tmp_path / f"{tag}_e2")
+        os.makedirs(e2)
+        _copy_docs_parts(e1, e2)
+        _shifted_docs_corpus(spark, sf_dir, e2, shift + 400_000,
+                             limit=20, part_name="part-appended.parquet")
+        return e1, e2
+
+    # narrow parent (1 shard << gate): the clean append must REBUILD
+    e1, e2 = epoch_pair("narrow", 31_000_000)
+    band_candidate_index(spark, e1)
+    assert latest_manifest(
+        _index_table_root(e1, "cand", "documents"))["files"]
+    band_candidate_index(spark, e2)
+    man = latest_manifest(_index_table_root(e2, "cand", "documents"))
+    assert "delta_parent" not in man.get("props", {}), \
+        "below the width gate the rebuild is the cheaper path"
+
+    # same shape with the gate at 1 (parent has 1 shard): delta engages
+    monkeypatch.setattr(dedup, "CAND_DELTA_MIN_PARENT_SHARDS", 1)
+    e1b, e2b = epoch_pair("wide", 32_000_000)
+    band_candidate_index(spark, e1b)
+    parent_root = _index_table_root(e1b, "cand", "documents")
+    band_candidate_index(spark, e2b)
+    man_b = latest_manifest(_index_table_root(e2b, "cand", "documents"))
+    assert man_b["props"].get("delta_parent") \
+        == os.path.basename(parent_root), \
+        "at/above the width gate the delta path engages"
     clear_session_index(spark)
 
 
