@@ -313,6 +313,16 @@ def _table_part_paths(sf_dir: str, tbl: str) -> list[str]:
 # without it, delta adoption silently never engaged at real corpus
 # widths (>4096 parts is day one at 100 TB).
 DELTA_FILE_KEYS_MAX = 4096
+
+# Manifestless pending slots younger than this are presumed to belong
+# to a LIVE concurrent writer and are left alone; older ones are
+# KILLED-builder debris the next publisher may clear (the shared store
+# has no single-writer seat, so age is the discriminator — see
+# clear_pending's min_age_s). 10 minutes comfortably exceeds any index
+# build's parquet-write phase at fixture scales and is irrelevant to
+# correctness either way: an unhealed slot only degrades that content
+# to session-local rebuilds until the sweep.
+PENDING_DEBRIS_AGE_S = 600.0
 _KEYCHUNK_DIR = "keychunks"
 
 
@@ -569,6 +579,27 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
     ck, fkeys = _scan_table_windows(sf_dir, tbl)
     root = _index_table_root(sf_dir, kind, tbl, ck=ck, rev=rev)
     manifest = versioned.latest_manifest(root)
+    if manifest is None:
+        # KILLED-builder healing (round 14, the crash-injection tests):
+        # a builder SIGKILLed mid-publish leaves one of two shapes at
+        # this root, and without healing every later publish fails on
+        # the occupied slot (mode='error') and the table degrades to
+        # session-local rebuilds forever.
+        #   manifest, no pointer  -> the commit is DURABLE and — content
+        #     addressing — byte-equivalent to what we would publish:
+        #     finish it (flip the pointer) and fall through to adoption.
+        #   data, no manifest     -> a non-commit no reader can name:
+        #     remove it, but only when STALE (age-guarded — a live
+        #     concurrent writer keeps touching its slot; the lost-race
+        #     path still adopts the winner's publish).
+        try:
+            if versioned.finish_pending(root):
+                manifest = versioned.latest_manifest(root)
+            else:
+                versioned.clear_pending(
+                    root, min_age_s=PENDING_DEBRIS_AGE_S)
+        except Exception:  # noqa: BLE001 — adoptability decides
+            pass
     adoptable = (manifest is not None and manifest["files"]
                  and manifest.get("props", {}).get("content_key") == ck
                  and manifest.get("props", {}).get("builder_rev", 1)

@@ -425,20 +425,39 @@ def history(root: str) -> list[dict]:
     return out
 
 
-def clear_pending(root: str) -> bool:
+def clear_pending(root: str, min_age_s: float = 0.0) -> bool:
     """Remove the manifestless directory at slot latest+1 if one exists —
     the debris of a writer that crashed between the parquet write and the
     manifest publish. Safe under the module's own invariant (immutability
     covers only PUBLISHED versions: a slot without a manifest is a
     non-commit that no reader can name), but ONLY from the single
     writer's seat: calling this while another writer is mid-write into
-    that slot would delete its in-flight data. Returns True if debris
-    was removed."""
+    that slot would delete its in-flight data. Callers WITHOUT the
+    single-writer seat (the shared index store, round 14) pass
+    `min_age_s`: the slot is removed only when its newest entry is at
+    least that old — a LIVE concurrent writer keeps touching its slot,
+    KILLED-builder debris does not, so age distinguishes the two shapes
+    without a lock. Returns True if debris was removed."""
     import shutil
 
     slot = _vdir(root, latest_version(root) + 1)
     if os.path.isdir(slot) and not os.path.exists(
             os.path.join(slot, _MANIFEST)):
+        if min_age_s > 0:
+            newest = 0.0
+            for dirpath, _dirs, files in os.walk(slot):
+                for f in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(
+                            os.path.join(dirpath, f)))
+                    except OSError:
+                        pass
+            try:
+                newest = max(newest, os.path.getmtime(slot))
+            except OSError:
+                pass
+            if time.time() - newest < min_age_s:
+                return False  # possibly a live writer: leave it
         shutil.rmtree(slot)
         return True
     return False
