@@ -1248,6 +1248,25 @@ def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants agree exactly. JVM-side HOFs, no Python UDF on this
     registered row; per the janino rule the 584 literals live in TWO
     projected array columns, never inlined per-term expressions."""
+    return (pca_project_exact_frame(spark, sf_dir)
+            .select("vec_id", F.posexplode("proj").alias("k", "proj_k"))
+            .orderBy("vec_id", "k"))
+
+
+def pca_project_exact_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT-FOLD projection as an array-valued frame (vec_id,
+    proj) — the core nd_pca_project explodes, factored (round 14) so
+    nd_ann_pca can index the bit-reproducible projection instead of
+    the Arrow-matmul twin: the matmul's blocked summation differs in
+    the last bits, and only the fold is oracle-replayable.
+
+    ONE 64-step pass with a PCA_K-field STRUCT accumulator, not
+    PCA_K separate 64-step folds: interpreted-HOF cost is per lambda
+    STEP, so folding all 8 components per step is 10x faster (6.1 s ->
+    0.59 s at sf0.1, values asserted identical) while each component's
+    accumulation order — acc_k + (q_d - mu_d) * w_kd, d ascending — is
+    unchanged, so the per-k list_sum the oracle replays still matches
+    bit for bit."""
     mu, w, _evals, _n = _pca_model(spark, sf_dir)
     mu_sql, w_sql = _pca_model_sql(mu, w)
     emb = table(spark, sf_dir, "embeddings")
@@ -1255,26 +1274,29 @@ def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
         f"* {KM_SCALE}) AS BIGINT) + {KM_OFF})").alias("q"),
         F.expr(mu_sql).alias("mu"), F.expr(w_sql).alias("w"))
+    init = ", ".join(f"'c{k}', CAST(0.0 AS DOUBLE)"
+                     for k in range(PCA_K))
+    step = ", ".join(
+        f"'c{k}', acc.c{k} + (CAST(element_at(q, d + 1) AS DOUBLE) "
+        f"- element_at(mu, d + 1)) "
+        f"* element_at(element_at(w, {k + 1}), d + 1)"
+        for k in range(PCA_K))
+    fin = ", ".join(f"acc.c{k}" for k in range(PCA_K))
     proj = F.expr(
-        f"transform(sequence(0, {PCA_K - 1}), k -> "
-        f"aggregate(sequence(0, {KM_DIMS - 1}), CAST(0.0 AS DOUBLE), "
-        "(acc, d) -> acc + (CAST(element_at(q, d + 1) AS DOUBLE) "
-        "- element_at(mu, d + 1)) "
-        "* element_at(element_at(w, k + 1), d + 1)))")
-    return (qd.select("vec_id", F.posexplode(proj).alias("k", "proj_k"))
-            .orderBy("vec_id", "k"))
+        f"aggregate(sequence(0, {KM_DIMS - 1}), named_struct({init}), "
+        f"(acc, d) -> named_struct({step}), acc -> array({fin}))")
+    return qd.select("vec_id", proj.alias("proj"))
 
 
-def _pca_oracle_sql(sf_dir: str | None = None) -> str:
-    """The nd_pca_project oracle, generated per fixture: DuckDB
-    recomputes the covariance sufficient statistics over the SAME
-    parquet (the already-hash-gated _COVARIANCE_ORACLE), the model fit
-    (eigh + largest-|component| sign fix) runs in the calling process
-    exactly as _pca_model's — same numpy, same input doubles, so the
-    constants are bit-identical — and the SQL replays the identical
-    quantize + center + left-fold projection. Defaults to the driver's
-    grading fixture (sf=0.01, per the driver contract); tests pass
-    their sf_dir explicitly."""
+def _pca_fit_literals(sf_dir: str | None) -> tuple[str, str]:
+    """(mu, w) as DuckDB array-literal text, derived INDEPENDENTLY per
+    fixture: DuckDB recomputes the covariance sufficient statistics
+    over the SAME parquet (the already-hash-gated _COVARIANCE_ORACLE),
+    the model fit (eigh + largest-|component| sign fix) runs in the
+    calling process exactly as _pca_model's — same numpy, same input
+    doubles, so the constants are bit-identical with the Spark side's.
+    Defaults to the driver's grading fixture (sf=0.01, per the driver
+    contract); tests pass their sf_dir explicitly."""
     import duckdb
     import numpy as np
 
@@ -1305,67 +1327,75 @@ def _pca_oracle_sql(sf_dir: str | None = None) -> str:
     w_l = ("[" + ", ".join(
         "[" + ", ".join(_double_lit_sql(v) for v in row) + "]"
         for row in wt) + "]")
-    return f"""
-WITH q AS (SELECT vec_id,
+    return mu_l, w_l
+
+
+# The shared projection CTE: quantize + center + left-fold against the
+# independently-derived fit constants — consumed by the nd_pca_project
+# oracle (exploded) and the nd_ann_pca oracle (array-valued).
+def _pca_proj_ctes(mu_l: str, w_l: str) -> str:
+    return f"""q AS (SELECT vec_id,
         list_transform(embedding, v ->
             CAST(FLOOR(CAST(v AS DOUBLE) * {KM_SCALE}) AS BIGINT)
             + {KM_OFF}) AS q,
         {mu_l} AS mu, {w_l} AS w
-    FROM embeddings)
-SELECT vec_id, CAST(k AS INT) AS k,
-       list_sum(list_transform(range({KM_DIMS}), d ->
-           (CAST(q[d + 1] AS DOUBLE) - mu[d + 1]) * w[k + 1][d + 1]))
-       AS proj_k
-FROM q CROSS JOIN LATERAL (SELECT unnest(range({PCA_K})) AS k) kk
+    FROM embeddings),
+proj AS (SELECT vec_id,
+        list_transform(range({PCA_K}), k ->
+            list_sum(list_transform(range({KM_DIMS}), d ->
+                (CAST(q[d + 1] AS DOUBLE) - mu[d + 1])
+                * w[k + 1][d + 1]))) AS p
+    FROM q)"""
+
+
+def _pca_oracle_sql(sf_dir: str | None = None) -> str:
+    """The nd_pca_project oracle, generated per fixture (see
+    _pca_fit_literals): replays the identical quantize + center +
+    left-fold projection over independently-derived constants."""
+    mu_l, w_l = _pca_fit_literals(sf_dir)
+    return f"""
+WITH {_pca_proj_ctes(mu_l, w_l)}
+SELECT vec_id, CAST(k AS INT) AS k, p[k + 1] AS proj_k
+FROM proj CROSS JOIN LATERAL (SELECT unnest(range({PCA_K})) AS k) kk
 ORDER BY vec_id, k
 """
 
 
-def _assign_l2_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
-    """Vectorized nearest-cell assignment in SQUARED-EUCLIDEAN distance —
-    the reduced-space metric (PCA projections are not unit vectors, so
-    the dot-product argmax _assign_udf uses over normalized embeddings
-    would rank cells wrongly here). One (n x K) distance matrix + argsort
-    per Arrow batch; ||c||^2 precomputes driver-side, ||x||^2 cancels
-    out of the per-row argmin so only the -2 x C^T + ||c||^2 term is
-    formed."""
-    ids = [c for c, _ in centroids]
-    mat = [list(v) for _, v in centroids]
-
-    def fn(p):
-        import numpy as _np
-        import pandas as _pd
-        M = _np.asarray(mat, dtype="float64")                 # K x D
-        I = _np.asarray(ids, dtype="int64")
-        X = _np.stack(p.values).astype("float64")             # n x D
-        d = -2.0 * (X @ M.T) + (M * M).sum(axis=1)            # n x K
-        order = _np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-        return _pd.Series(list(I[order]))
-
-    from pyspark.sql.functions import pandas_udf
-    return pandas_udf(fn, "array<int>")
-
-
-_PCA_SEED_CACHE: dict[tuple, list] = {}
-
-
-def _pca_seeds(spark: SparkSession, sf_dir: str, proj: DataFrame) -> list:
-    """The N_CLUSTERS projected seed centroids, collected ONCE per
-    (applicationId, sf_dir) — constant model state (the _ivf_centroids
-    pattern): re-collecting per query re-ran the full PCA projection
-    job every call (round-12 review). Fingerprinted key — r13 ADVICE."""
-    app_id = spark.sparkContext.applicationId
-    key = _emb_cache_key(spark, sf_dir)
-    with _PCA_LOCK:
-        for k in [k for k in _PCA_SEED_CACHE if k[0] != app_id]:
-            _PCA_SEED_CACHE.pop(k, None)
-        hit = _PCA_SEED_CACHE.get(key)
-    if hit is not None:
-        return hit
-    seeds = [(int(r["vec_id"]), list(r["proj"]))
-             for r in proj.where(F.col("vec_id") < N_CLUSTERS).collect()]
-    with _PCA_LOCK:
-        return _PCA_SEED_CACHE.setdefault(key, seeds)
+def _ann_pca_oracle_sql(sf_dir: str | None = None) -> str:
+    """The nd_ann_pca oracle (round 14 — the row leaves the no_oracle
+    set): replays the ENTIRE reduce-then-probe pipeline exactly —
+    exact-fold projection, in-plan seed centroids (the first N_CLUSTERS
+    projected vectors), squared-Euclidean cell assignment with the
+    (d2, cell) tie-break, NPROBE_PCA probe cells per query, and the
+    bit-identical cosine re-rank. Every float op is the same fold chain
+    both engines run; no recall tolerance anywhere."""
+    mu_l, w_l = _pca_fit_literals(sf_dir)
+    return f"""
+WITH {_pca_proj_ctes(mu_l, w_l)},
+seeds AS (SELECT vec_id AS cell, p AS sp FROM proj
+          WHERE vec_id < {N_CLUSTERS}),
+dist AS (SELECT proj.vec_id, seeds.cell,
+                list_sum(list_transform(list_zip(proj.p, seeds.sp),
+                    z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+                       * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))
+                AS d2
+         FROM proj CROSS JOIN seeds),
+ranked AS (SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell) AS arank
+           FROM dist),
+corpus AS (SELECT vec_id AS nn, cell FROM ranked WHERE arank = 1),
+probes AS (SELECT vec_id AS qid, cell FROM ranked
+           WHERE vec_id < 20 AND arank <= {NPROBE_PCA})
+SELECT vec_id, rank, nn, cos FROM
+(SELECT pr.qid AS vec_id, c.nn AS nn, {_DOT_SQL} AS cos,
+        ROW_NUMBER() OVER (PARTITION BY pr.qid
+                           ORDER BY {_DOT_SQL} DESC, c.nn) AS rank
+ FROM probes pr JOIN corpus c ON pr.cell = c.cell AND c.nn <> pr.qid
+ JOIN embeddings a ON a.vec_id = pr.qid
+ JOIN embeddings b ON b.vec_id = c.nn) t
+WHERE rank <= 3 ORDER BY vec_id, rank
+"""
 
 
 def nd_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,33 +1409,66 @@ def nd_ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     the natural consumer of the PCA surface — the covariance → eigh →
     project → index → probe pipeline end to end.
 
-    Scale shape: the index side is (vec_id, cell) — one Arrow matmul
-    map-stage over the 8-dim projections, hash-partitioned/bucketed by
-    cell at 100 TB so a query touches NPROBE/K of the corpus; the
-    probe side broadcasts (20 queries x NPROBE cells); full vectors are
-    fetched per candidate pair, never per corpus row. Approximate by
-    design (recall@3 vs the full-dim brute force is gated in tests/,
-    like nd_ann_ivf); no SQL oracle — the driver records rows-only."""
+    Scale shape: the index side is (vec_id, cell) — one fold map-stage
+    over the 8-dim projections against a 16-row broadcast seed table,
+    hash-partitioned/bucketed by cell at 100 TB so a query touches
+    NPROBE/K of the corpus; the probe side broadcasts (20 queries x
+    NPROBE cells); full vectors are fetched per candidate pair, never
+    per corpus row.
+
+    HASH-GATED END TO END since round 14 (_ann_pca_oracle_sql, the
+    nd_ann_pq/nd_ann_lsh convention): the projection is the exact fold
+    (pca_project_exact_frame — the Arrow matmul twin differs in last
+    bits and stays the composition surface), the seed centroids are
+    derived IN-PLAN from that projection, cell assignment is the same
+    squared-distance fold with a (d2, cell) tie-break, and every cell
+    candidate is re-ranked with the bit-identical cosine fold (an
+    8-dim projected-distance shortlist was tried and REJECTED: on this
+    near-isotropic fixture the projection explains too little variance
+    to proxy 64-dim cosine, and recall@3 collapsed 0.90 -> 0.37; the
+    candidate set is cell-pruned to ~NPROBE/K of the corpus already,
+    so exact scoring of the survivors is the right trade). The
+    SEMANTICS stay approximate (recall@3 vs brute force gated in
+    tests/); the implementation no longer is."""
     # Probe deeper than the full-dim IVF (6 cells vs 4): the seed
     # quantizer is unrefined and the 8-dim space is coarser, so border
     # queries need more cells for the same recall — the standard
     # nprobe-vs-recall dial, still NPROBE_PCA/K of the corpus per query.
-    nprobe = NPROBE_PCA
-    proj = pca_project_frame(spark, sf_dir)
-    seeds = _pca_seeds(spark, sf_dir, proj)
+    # MATERIALIZE the projection before the 16-way seed join: codegen
+    # inlines a projected expression into the join stage, so without a
+    # barrier every one of the 16 output rows per vector re-evaluates
+    # the full 8x64 fold (measured 8.0 s vs ~1 s at sf0.1 — the r4
+    # project-before-HOF rule, one join deeper). The checkpointed frame
+    # is (vec_id, 8 doubles) — bounded, and shared by the seed lookup,
+    # the corpus branch and the probe branch (the shared-lineage rule).
+    # EAGER: the lazy variant measured as no barrier at all (the fold
+    # still inlined into the join); the projection job is 0.2 s.
+    proj = pca_project_exact_frame(spark, sf_dir) \
+        .localCheckpoint(eager=True)
+    seeds = (proj.where(F.col("vec_id") < N_CLUSTERS)
+             .select(F.col("vec_id").alias("cell"),
+                     F.col("proj").alias("s_proj")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("proj"), F.col("s_proj"),
+                   lambda x, s: (x - s) * (x - s)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wa = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    ranked = (proj.crossJoin(F.broadcast(seeds))
+              .select("vec_id", "cell", d2.alias("d2"))
+              .withColumn("arank", F.row_number().over(wa))
+              .where(F.col("arank") <= NPROBE_PCA)
+              .select("vec_id", "cell", "arank"))
     emb = table(spark, sf_dir, "embeddings")
-    corpus = (proj.select(
-        F.col("vec_id").alias("nn"),
-        _assign_l2_udf(seeds, nprobe=1)(F.col("proj"))[0].alias("cell"))
-        .join(emb.select(F.col("vec_id").alias("nn"),
-                         F.col("embedding").alias("c_emb")), "nn"))
-    probes = (proj.where(F.col("vec_id") < 20)
-              .select(F.col("vec_id").alias("q_id"),
-                      F.explode(_assign_l2_udf(seeds, nprobe=nprobe)(
-                          F.col("proj"))).alias("cell"))
+    corpus = (ranked.where(F.col("arank") == 1)
+              .select(F.col("vec_id").alias("nn"), "cell")
+              .join(emb.select(F.col("vec_id").alias("nn"),
+                               F.col("embedding").alias("c_emb")), "nn"))
+    probes = (ranked.where((F.col("vec_id") < 20)
+                           & (F.col("arank") <= NPROBE_PCA))
+              .select(F.col("vec_id").alias("q_id"), "cell")
               .join(emb.select(F.col("vec_id").alias("q_id"),
                                F.col("embedding").alias("q_emb")), "q_id"))
-    cos = pair_cosine_udf()(F.col("q_emb"), F.col("c_emb"))
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
     return (
         F.broadcast(probes).join(corpus, "cell")
@@ -1768,12 +1831,48 @@ def pq_refresh(spark: SparkSession, merged_dir: str,
     return spark.range(1).select(F.inline(F.array(*structs)))
 
 
-def _pq_round(prev_cent: str, tag: str) -> str:
+def nd_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN arm of the staleness loop as a driver-graded row
+    (round 14 — pq_refresh's lifecycle half is pinned by
+    tests/test_pq_refresh.py; this row hash-gates the retrain MATH):
+    the registered drift batch (the nd_pq_incremental shape, which IS
+    stale under the published codebook — the monitor row proves it)
+    merges with the corpus and the standard trainer runs fresh over the
+    union — the exact computation `index refresh` performs when the
+    flag fires. Emits the retrained per-(subspace, code) audit
+    (balanced cells + distortion — the nd_pq_quantize convention, now
+    over the merged epoch) with the pre-retrain stale flag carried per
+    subspace. Seeds are unchanged (batch ids +1M keep the first-PQ_K
+    convention), so training is deterministic and the DuckDB oracle
+    replays both chains exactly.
+
+    Scale shape: identical to nd_pq_quantize over the merged corpus —
+    the exploded matrix is (n+batch) x 64 integer rows, centroids stay
+    a broadcast; the monitor half adds one corpus scan (documented in
+    pq_staleness)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    drift = _pq_drift_batch(spark, sf_dir)
+    stale_t = (pq_staleness(spark, sf_dir, drift)
+               .select("sub", F.col("stale").alias("stale_before")))
+    e_m = _pq_exploded(emb.unionByName(drift), persist=False)
+    audit = (pq_train_assign(e_m)
+             .groupBy("sub", "cid")
+             .agg(F.count("*").alias("n_points"),
+                  F.sum("d").cast("long").alias("distortion")))
+    return (audit.join(stale_t, "sub")
+            .select(F.col("sub").cast("int").alias("sub"),
+                    F.col("cid").alias("cluster_id"), "n_points",
+                    "distortion", "stale_before")
+            .orderBy("sub", "cluster_id"))
+
+
+def _pq_round(prev_cent: str, tag: str, src: str = "e") -> str:
     return f"""
-d{tag} AS (SELECT e.vec_id, e.sub, c.cid,
-                  CAST(SUM((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d
-           FROM e JOIN {prev_cent} c ON e.dim = c.dim
-           GROUP BY e.vec_id, e.sub, c.cid),
+d{tag} AS (SELECT {src}.vec_id, {src}.sub, c.cid,
+                  CAST(SUM(({src}.q - c.cq) * ({src}.q - c.cq))
+                       AS BIGINT) AS d
+           FROM {src} JOIN {prev_cent} c ON {src}.dim = c.dim
+           GROUP BY {src}.vec_id, {src}.sub, c.cid),
 a{tag} AS (SELECT vec_id, sub, cid, d FROM
            (SELECT vec_id, sub, cid, d,
                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
@@ -1827,9 +1926,10 @@ c2 AS (SELECT a.cid, e.dim, SUM(e.q) // COUNT(*) AS cq
        GROUP BY a.cid, e.dim)"""
 
 
-_PQ_INCR_ORACLE = f"""
-WITH {_PQ_TRAIN_CTES},
-cd AS (SELECT a.vec_id, a.sub,
+# The staleness-monitor CTE suffix (corpus baseline under c2 with the
+# published assignment + the drifted batch's fresh-argmin distortion),
+# shared by the monitor row and the retrain row.
+_PQ_MONITOR_CTES = f"""cd AS (SELECT a.vec_id, a.sub,
               CAST(SUM((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d
        FROM e JOIN a2 a ON e.vec_id = a.vec_id AND e.sub = a.sub
        JOIN c2 c ON c.cid = a.cid AND c.dim = e.dim
@@ -1856,7 +1956,12 @@ ba AS (SELECT vec_id, sub, d FROM
         FROM bd) t WHERE rn = 1),
 bagg AS (SELECT sub, COUNT(*) AS n_new,
                 CAST(SUM(d) AS BIGINT) AS new_distortion
-         FROM ba GROUP BY sub)
+         FROM ba GROUP BY sub)"""
+
+
+_PQ_INCR_ORACLE = f"""
+WITH {_PQ_TRAIN_CTES},
+{_PQ_MONITOR_CTES}
 SELECT CAST(corp.sub AS INTEGER) AS sub, n_corpus, corpus_distortion,
        n_new, new_distortion,
        (CAST(new_distortion AS DOUBLE) / n_new)
@@ -1864,6 +1969,40 @@ SELECT CAST(corp.sub AS INTEGER) AS sub, n_corpus, corpus_distortion,
             CAST(corpus_distortion AS DOUBLE) / n_corpus) AS stale
 FROM corp JOIN bagg ON corp.sub = bagg.sub
 ORDER BY sub
+"""
+
+
+# The retrain row's oracle (round 14): replays BOTH training chains —
+# the corpus-trained codebook (for the staleness decision the retrain
+# consumed) and the FRESH training over corpus UNION drifted batch (the
+# retrain itself), all exact integer math. Seeds stay the first PQ_K
+# vec_ids (batch ids are +1M, so the seed set is unchanged — the
+# deterministic-seeds convention).
+_PQ_RETRAIN_ORACLE = f"""
+WITH {_PQ_TRAIN_CTES},
+{_PQ_MONITOR_CTES},
+stale_t AS (SELECT corp.sub,
+                   (CAST(new_distortion AS DOUBLE) / n_new)
+                     > ({PQ_STALENESS_FACTOR} *
+                        CAST(corpus_distortion AS DOUBLE) / n_corpus)
+                   AS stale_before
+            FROM corp JOIN bagg ON corp.sub = bagg.sub),
+em AS (SELECT vec_id, sub, dim, q FROM e
+       UNION ALL SELECT vec_id, sub, dim, q FROM eb),
+m0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, dim, q AS cq
+       FROM em WHERE vec_id < {PQ_K}),
+{_pq_round('m0', 'm1', 'em')},
+cm1 AS (SELECT a.cid, em.dim, SUM(em.q) // COUNT(*) AS cq
+        FROM em JOIN am1 a ON em.vec_id = a.vec_id AND em.sub = a.sub
+        GROUP BY a.cid, em.dim),
+{_pq_round('cm1', 'm2', 'em')},
+audit AS (SELECT sub, cid AS cluster_id, COUNT(*) AS n_points,
+                 CAST(SUM(d) AS BIGINT) AS distortion
+          FROM am2 GROUP BY sub, cid)
+SELECT CAST(audit.sub AS INTEGER) AS sub, cluster_id, n_points,
+       distortion, stale_before
+FROM audit JOIN stale_t ON stale_t.sub = audit.sub
+ORDER BY sub, cluster_id
 """
 
 
@@ -2149,9 +2288,12 @@ QUERIES = {
     # callable oracle: the SQL inlines model constants derived per
     # fixture (registry.oracle_sql resolves callables at collection)
     "nd_pca_project": (nd_pca_project, _pca_oracle_sql),
-    "nd_ann_pca": (nd_ann_pca, None),
+    # callable oracle: inlines per-fixture fit constants, the
+    # nd_pca_project convention (registry resolves callables)
+    "nd_ann_pca": (nd_ann_pca, _ann_pca_oracle_sql),
     "nd_pq_quantize": (nd_pq_quantize, _PQ_ORACLE),
     "nd_pq_incremental": (nd_pq_incremental, _PQ_INCR_ORACLE),
+    "nd_pq_retrain": (nd_pq_retrain, _PQ_RETRAIN_ORACLE),
     "nd_ann_pq": (nd_ann_pq, _ANN_PQ_ORACLE),
     "nd_ann_ivfpq": (nd_ann_ivfpq, None),
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),

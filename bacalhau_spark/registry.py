@@ -36,61 +36,45 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 # graded (the reference grades every scenario every run,
 # pkg/test/scenario/test_scenarios.go:17-171).
 #
-# Round-13 window — the r1–r12 union is debt-free (214 triple-green +
-# 9 no-oracle by design, 0 FAILs per the round-12 verdict). Standing
-# changed-code rule fronts the window, then the round-9 first-row
-# block leads exactly as the round-12 boundary note planned:
-#   1. changed/new round 13: the semantic screen's capped
-#      bucket-and-expand rewrite (nd_semantic_dedup + _fast — new
-#      escalate/cap semantics mirrored in the oracle), the PCA
-#      projection's exact-fold + generated-oracle rewrite
-#      (nd_pca_project leaves no_oracle; nd_ann_pca consumes the
-#      unchanged array frame but re-grades with its plane), the NEW
-#      nd_ann_lsh_candidates row and nd_ann_lsh's refactor through the
-#      shared candidate generator, the blocklist's IN-predicate
-#      compile (nd_domain_blocklist), the front-door builder-rev bump
-#      to 2 (canon/extract artifacts re-publish: every batch consumer
-#      re-grades), the band-candidate delta-adoption path (the
-#      minhash-family index build changed: nd_minhash_lsh +
-#      clusters/survivors/cc_doubling/estimate/editdist), and the
-#      versioned-table publish/read changes (partial-vdir cleanup,
-#      files=[] snapshots: the two versioned rows re-grade), plus the
-#      NEW nd_pq_incremental (pinned-codebook encode + staleness
-#      monitor, the codebook-bearing-index incremental pattern).
-#   2. the round-9 first-row block (nd_bpe_encode ..), then the r10
-#      blocks; the r12-graded blocks cycle to the back.
+# Round-14 window — the r1–r13 union is debt-free (218 triple-green +
+# 8 no-oracle by design, 0 FAILs per the round-13 verdict). Standing
+# changed-code rule fronts the window, then the r10/r11 first-row
+# blocks come due exactly as the round-13 boundary note planned:
+#   1. changed/new round 14: the NEW nd_pq_retrain row (the retrain
+#      arm of the staleness loop, dual training chains in the oracle);
+#      nd_ann_pq and nd_ann_lsh move from no_oracle to END-TO-END
+#      hash grades (new oracles replay training/LUT/candidates + the
+#      bit-identical cosine re-rank; nd_ann_pq also refactored through
+#      adc_topk); nd_pq_incremental refactored through the factored
+#      pq_staleness; nd_winnowing reads the session-cached capped
+#      frame; the session model caches gained content fingerprints in
+#      their keys (semantic screen, PCA basis/seeds, IVF centroids —
+#      every consumer re-grades); the index publish path gained
+#      killed-builder healing and the key-map reuse, and the cand
+#      delta gained the width gate (every _mh_session_cached-backed
+#      row re-grades: minhash family, phash x3 + real, winnow, pq /
+#      ivfpq planes, lshsig rows, front door); write_version's
+#      parquet-write scope moved inside the cleanup try (the two
+#      versioned rows re-grade).
+#   2. the r10 first-row block comes due (q18_count_distinct ..
+#      nd_ngram_overlap), then the r11 block; blocks graded r13 (the
+#      r9 front + r13 changed-code set) cycle to the back.
 _PRIORITY: tuple[str, ...] = (
-    # 1. changed/new round 13 (standing rule)
+    # 1. changed/new round 14 (standing rule)
+    "nd_pq_retrain", "nd_ann_pq", "nd_ann_lsh",
+    "nd_pq_incremental", "nd_pq_quantize",
+    "nd_ann_ivfpq", "nd_ann_ivf",
+    "nd_ann_pca", "nd_pca_project",
     "nd_semantic_dedup", "nd_semantic_dedup_fast",
-    "nd_pca_project", "nd_ann_pca",
-    "nd_ann_lsh_candidates", "nd_ann_lsh",
-    "nd_domain_blocklist",
-    "nd_url_canonicalize", "nd_domain_cap", "nd_domain_cap_keep",
-    "nd_html_extract",
+    "nd_winnowing",
     "nd_minhash_lsh", "nd_dedup_clusters", "nd_dedup_survivors",
     "nd_cc_doubling", "nd_minhash_estimate", "nd_editdist_dedup",
     "nd_versioned_timetravel", "nd_versioned_pruned_read",
-    "nd_pq_incremental", "nd_winnowing", "nd_image_phash_real",
-    # 2. the round-9 first-row block leads, per the r12 boundary plan
-    "nd_bpe_encode",
-    "nd_unicode_dedup",
-    "nd_stream_band_screen",
-    "nd_boilerplate_strip", "nd_pmi_collocations",
-    "nd_skipgram_pairs", "nd_bpe_merges", "nd_pagerank",
-    "q04_math_funcs", "q09_like_filter",
-    "q10_regex_filter",
-    "q11_tokenize_count", "nd_gopher_filter",
-    "tpch_q16_supplier_cnt",
-    "nd_dedup_exact", "q29_exact_dedup", "nd_fingerprint",
-    "nd_ann_topk", "nd_cosine_neardup",
-    "nd_approx_percentiles",
-    "nd_centroids", "nd_filtered_agg",
-    "nd_listagg", "nd_pivot", "nd_quality", "nd_ranking_suite",
-    "nd_stats_agg", "nd_token_count",
-    "nd_vector_norm", "nd_xml_roundtrip", "q06_conditional",
-    "q07_array_funcs", "q14b_left_join_agg",
-    "q17b_having",
-    # blocks graded round 10 continue the rotation
+    "nd_image_phash", "nd_audio_phash", "nd_video_phash",
+    "nd_image_phash_real",
+    "nd_ann_lsh_candidates", "nd_ann_lsh_bucketstats",
+    "nd_url_canonicalize", "nd_html_extract",
+    # 2. the round-10 first-row block comes due
     "q18_count_distinct", "q18b_approx_distinct",
     "q19_rollup", "q19b_cube", "q19c_grouping_sets", "q26_intersect",
     "q26b_except", "q26c_union_all", "q26d_intersect_all",
@@ -99,21 +83,32 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q15_top_supplier", "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
     "nd_dataset_card", "nd_bloom_prefilter",
-    "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
+    "nd_bloom_prefilter_part", "nd_substr_dedup",
+    # ~window boundary (50): the r11 block queues next for round 15
+    "nd_neardup_decontam",
     "nd_heavy_hitters_cms", "nd_embedding_covariance",
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_ngram_overlap",
-    # blocks graded round 11 cycle to the back of the rotation
-    # (the two versioned rows moved into the r13 changed-code front)
     "nd_quality_model_labeled", "nd_quality_model",
     "nd_stream_quality_model",
     "nd_zipf_octaves", "nd_lang_outliers",
     "nd_embedding_covariance_fast",
     "nd_k_anonymity", "nd_target_encode", "nd_ewma_smooth",
     "nd_secret_scan", "nd_snapshot_diff", "nd_event_funnel",
-    "nd_retention_cohorts", "nd_hll_distinct", "nd_applyinpandas", "nd_bpe_count", "nd_corpus_stats",
+    "nd_retention_cohorts", "nd_hll_distinct", "nd_applyinpandas",
+    "nd_bpe_count", "nd_corpus_stats",
     "nd_dedup_stats", "nd_domain_mix", "nd_embedding_quantize",
     "nd_multimodal_resize", "nd_percentiles",
+    # r13-graded blocks cycle to the back
+    "nd_domain_blocklist", "nd_domain_cap", "nd_domain_cap_keep",
+    "nd_bpe_encode", "nd_unicode_dedup", "nd_stream_band_screen",
+    "nd_boilerplate_strip", "nd_pmi_collocations",
+    "nd_skipgram_pairs", "nd_bpe_merges", "nd_pagerank",
+    "q04_math_funcs", "q09_like_filter", "q10_regex_filter",
+    "q11_tokenize_count", "nd_gopher_filter",
+    "tpch_q16_supplier_cnt",
+    "nd_dedup_exact", "q29_exact_dedup", "nd_fingerprint",
+    "nd_ann_topk", "nd_cosine_neardup",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -14,7 +14,10 @@ def test_list_queries(capsys):
     assert cli.main(["list-queries"]) == 0
     out = capsys.readouterr().out
     assert "q17_hash_agg\toracle" in out
-    assert "nd_ann_lsh\trows-only" in out
+    # r14: nd_ann_lsh/pq/pca moved to oracle grades; ivf stays the
+    # representative rows-only (numpy-scored by design) row
+    assert "nd_ann_lsh\toracle" in out
+    assert "nd_ann_ivf\trows-only" in out
 
 
 def test_version(capsys):
