@@ -255,13 +255,14 @@ def cmd_index(args) -> int:
       lshsig, canon, extract, or all (canon/extract are the
       materialized crawl front door; aphash/vphash the audio and
       video near-dup signatures — round 12).
-    - `index refresh --kind pq --sf-dir MERGED --parent PARENT`
-      CONSUMES the PQ staleness signal (round-13 verdict #1): encodes
-      MERGED's new vectors against PARENT's published codebook, and on
-      a stale flag retrains + re-encodes over the merged corpus
-      (publishing under the merged content key); otherwise adopts the
-      pinned codebook and encodes only the new rows. Prints one JSON
-      line per subspace with the chosen action.
+    - `index refresh --kind pq|ivfpq --sf-dir MERGED --parent PARENT`
+      CONSUMES the staleness signal (round-13 verdict #1) for the
+      codebook-bearing kinds: encodes MERGED's new vectors against
+      PARENT's published codebooks, and on a stale flag retrains +
+      re-encodes over the merged corpus (publishing under the merged
+      content key — for ivfpq that includes a fresh coarse quantizer);
+      otherwise adopts the pinned codebooks and encodes only the new
+      rows. Prints one JSON line per subspace with the chosen action.
     - `index drop [--kind K] [--stale-days N]` removes published index
       tables (all, or one kind's) — the cache-invalidation big hammer;
       the next consumer rebuilds and republishes. `--stale-days N`
@@ -352,19 +353,23 @@ def cmd_index(args) -> int:
         print(_json.dumps({"dropped": dropped}))
         return 0
     if args.action == "refresh":
-        if args.kind not in ("pq", "all"):
-            print(f"index refresh: only kind 'pq' has a staleness-"
-                  f"bounded refresh path (got {args.kind!r}); per-row "
-                  "and banding kinds delta-adopt exactly via "
-                  "`index build`", flush=True)
+        from bacalhau_spark.operators.similarity import (ivfpq_refresh,
+                                                         pq_refresh)
+        refreshers = {"pq": pq_refresh, "ivfpq": ivfpq_refresh}
+        if args.kind not in refreshers:
+            print(f"index refresh: only the codebook-bearing kinds "
+                  f"{sorted(refreshers)} have a staleness-bounded "
+                  f"refresh path (got {args.kind!r}); per-row and "
+                  "banding kinds delta-adopt exactly via `index build`",
+                  flush=True)
             return 2
         if not args.parent:
             print("index refresh: --parent PARENT_DIR is required "
                   "(the epoch whose codebook is published)", flush=True)
             return 2
-        from bacalhau_spark.operators.similarity import pq_refresh
         spark = _get_spark(args.cpus)
-        for r in pq_refresh(spark, args.sf_dir, args.parent).collect():
+        fn = refreshers[args.kind]
+        for r in fn(spark, args.sf_dir, args.parent).collect():
             print(_json.dumps({"sub": r["sub"], "n_new": r["n_new"],
                                "stale": r["stale"],
                                "action": r["action"]}))

@@ -327,19 +327,56 @@ _CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 _CENTROID_LOCK = threading.Lock()  # concurrent engine workers share this
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
-    """Train the IVF coarse quantizer: deterministic seeds (first K vectors)
-    + one Lloyd refinement. Assignment is the vectorized numpy UDF; the
-    per-dimension means stay JVM-side. The K x DIM result is model state —
-    constant-size regardless of corpus size — so collecting it to the driver
-    is the trained-quantizer pattern (Spark ML's KMeansModel does the same),
-    not a data collect.
+def ivf_coarse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF coarse quantizer as a PERSISTED store artifact
+    (round 14): (cluster int, c_emb array<double>) — K rows, published
+    under the embeddings content key like every other trained-state
+    index. Before this, the coarse quantizer was SESSION state
+    (retrained per process with float AVGs whose partial-merge order is
+    scheduling-dependent), so a session ADOPTING the published IVF-PQ
+    code table could pair it with a subtly different quantizer than
+    the one the codes were assigned under — the exact
+    adoption-never-changes-results contract violation the store exists
+    to prevent. Training: deterministic seeds (first K vectors) + one
+    Lloyd refinement (numpy assignment, JVM means), unit-normalized
+    IN-PLAN so the published rows are the final model."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
 
-    The trained quantizer is cached per (session, sf_dir): index build and
-    query are separate phases in any real ANN service — rebuilding K x DIM
-    model state on every query would be like re-training KMeans per
-    lookup. The key carries the table's size/mtime fingerprint (r13
-    ADVICE convention) so a fixture rewritten in place misses."""
+    def build():
+        emb = table(spark, sf_dir, "embeddings")
+        seeds = [(int(r["vec_id"]), list(r["embedding"]))
+                 for r in emb.where(F.col("vec_id") < N_CLUSTERS)
+                 .select("vec_id", "embedding").collect()]
+        assign = _assign_udf(seeds, nprobe=1)
+        assigned = emb.select(
+            "embedding", assign(F.col("embedding"))[0].alias("cluster"))
+        norm = F.sqrt(F.aggregate(
+            F.transform(F.col("m_emb"), lambda v: v * v),
+            F.lit(0.0), lambda acc, v: acc + v))
+        safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+        return (assigned
+                .select("cluster",
+                        F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
+                .groupBy("cluster")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"]).alias("m_emb"))
+                .select("cluster",
+                        F.transform(F.col("m_emb"),
+                                    lambda v: v / safe).alias("c_emb")))
+
+    return _mh_session_cached(spark, sf_dir, "ivf_coarse", build,
+                              tbl="embeddings")
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The coarse quantizer as driver-side model state — a COLLECT of
+    the published ivf_coarse artifact (K x DIM rows, the trained-
+    quantizer pattern: Spark ML's KMeansModel does the same), cached
+    per (session, table fingerprint) so repeat queries never re-read.
+    Consumers across sessions/processes now share the PUBLISHED
+    quantizer instead of each retraining their own."""
     app_id = spark.sparkContext.applicationId
     key = _emb_cache_key(spark, sf_dir)
     with _CENTROID_LOCK:
@@ -348,26 +385,8 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
         cached = _CENTROID_CACHE.get(key)
     if cached is not None:
         return cached
-    emb = table(spark, sf_dir, "embeddings")
-    seeds = [(int(r["vec_id"]), list(r["embedding"]))
-             for r in emb.where(F.col("vec_id") < N_CLUSTERS)
-             .select("vec_id", "embedding").collect()]
-    assign = _assign_udf(seeds, nprobe=1)
-    assigned = emb.select(
-        "embedding", assign(F.col("embedding"))[0].alias("cluster"))
-    means = (
-        assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
-        .groupBy("cluster")
-        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                         lambda x: x["m"]).alias("c_emb"))
-    )
-    out = []
-    for row in means.collect():
-        vec = row["c_emb"]
-        norm = sum(v * v for v in vec) ** 0.5 or 1.0
-        out.append((row["cluster"], [v / norm for v in vec]))
-    result = sorted(out)
+    result = sorted((int(r["cluster"]), list(r["c_emb"]))
+                    for r in ivf_coarse_index(spark, sf_dir).collect())
     with _CENTROID_LOCK:
         _CENTROID_CACHE[key] = result
     return result
@@ -2224,6 +2243,115 @@ def ivfpq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _mh_session_cached(spark, sf_dir, "ivfpq_cent", build,
                               tbl="embeddings")
+
+
+def ivfpq_staleness(spark: SparkSession, sf_dir: str,
+                    batch: DataFrame) -> DataFrame:
+    """The IVF-PQ twin of pq_staleness (round 14 — the retrain loop
+    generalizes to the SECOND codebook-bearing family): the batch is
+    coarse-assigned with the PUBLISHED quantizer (ivf_coarse — pinned
+    state, exactly why round 14 persisted it), its residuals
+    fresh-argmin encode against the published residual codebook, and
+    per-subspace mean distortion compares to the corpus's own under the
+    same codebooks at PQ_STALENESS_FACTOR."""
+    cent = _ivf_centroids(spark, sf_dir)
+    rcent = ivfpq_centroid_index(spark, sf_dir)   # residual c2
+    codes = ivfpq_code_index(spark, sf_dir)
+    e_c = _ivfpq_residual_exploded(
+        _ivfpq_corpus(spark, sf_dir, cent), cent)
+    sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+    corp = (e_c.join(codes.select("vec_id", "sub", "cid"),
+                     ["vec_id", "sub"])
+            .join(F.broadcast(rcent), ["sub", "cid", "dim"])
+            .groupBy("vec_id", "sub").agg(F.sum(sq).alias("d"))
+            .groupBy("sub")
+            .agg(F.count("*").cast("long").alias("n_corpus"),
+                 F.sum("d").cast("long").alias("corpus_distortion")))
+    b = batch.select(
+        "vec_id", "embedding",
+        _assign_udf(cent, nprobe=1)(F.col("embedding"))[0]
+        .cast("int").alias("cluster"))
+    e_b = _ivfpq_residual_exploded(b, cent)
+    bagg = (e_b.join(F.broadcast(rcent), ["sub", "dim"])
+            .groupBy("vec_id", "sub", "cid").agg(F.sum(sq).alias("d"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", "sub", F.col("m.d").alias("d"))
+            .groupBy("sub")
+            .agg(F.count("*").cast("long").alias("n_new"),
+                 F.sum("d").cast("long").alias("new_distortion")))
+    stale = ((F.col("new_distortion").cast("double") / F.col("n_new"))
+             > (F.lit(PQ_STALENESS_FACTOR)
+                * F.col("corpus_distortion").cast("double")
+                / F.col("n_corpus")))
+    return (corp.join(bagg, "sub")
+            .select(F.col("sub").cast("int").alias("sub"),
+                    "n_corpus", "corpus_distortion",
+                    "n_new", "new_distortion", stale.alias("stale"))
+            .orderBy("sub"))
+
+
+def ivfpq_refresh(spark: SparkSession, merged_dir: str,
+                  parent_dir: str) -> DataFrame:
+    """pq_refresh's IVF-PQ twin: the epoch-ingest verb for the
+    composed index. On a stale flag the WHOLE index retrains over the
+    merged corpus — fresh coarse quantizer (ivf_coarse), fresh residual
+    codebooks, fresh codes, all published under the merged content key;
+    otherwise the pinned path carries BOTH codebooks verbatim and
+    encodes only the new vectors (coarse cell via the pinned quantizer,
+    residual code via argmin against the pinned reconstruction
+    codebook). CLI: `index refresh --kind ivfpq`."""
+    m_emb = table(spark, merged_dir, "embeddings")
+    p_emb = table(spark, parent_dir, "embeddings")
+    new = (m_emb.join(p_emb.select("vec_id"), "vec_id", "left_anti")
+           .select("vec_id", "embedding"))
+    rows = ivfpq_staleness(spark, parent_dir, new).collect()
+    action = ("retrain" if any(r["stale"] for r in rows)
+              else "adopt_pinned")
+    if action == "retrain":
+        ivf_coarse_index(spark, merged_dir)
+        ivfpq_code_index(spark, merged_dir)
+        ivfpq_centroid_index(spark, merged_dir)
+    else:
+        from bacalhau_spark.operators.dedup import _mh_session_cached
+
+        cent = _ivf_centroids(spark, parent_dir)
+        rcent = ivfpq_centroid_index(spark, parent_dir)
+        sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+
+        def build_codes():
+            b = new.select(
+                "vec_id", "embedding",
+                _assign_udf(cent, nprobe=1)(F.col("embedding"))[0]
+                .cast("int").alias("cluster"))
+            e_b = _ivfpq_residual_exploded(b, cent)
+            new_codes = (e_b.join(F.broadcast(rcent), ["sub", "dim"])
+                         .groupBy("vec_id", "cluster", "sub", "cid")
+                         .agg(F.sum(sq).alias("d"))
+                         .groupBy("vec_id", "cluster", "sub")
+                         .agg(F.min(F.struct("d", "cid")).alias("m"))
+                         .select("vec_id", "cluster", "sub",
+                                 F.col("m.cid").alias("cid")))
+            return (ivfpq_code_index(spark, parent_dir)
+                    .unionByName(new_codes))
+
+        _mh_session_cached(spark, merged_dir, "ivf_coarse",
+                           lambda: ivf_coarse_index(spark, parent_dir),
+                           tbl="embeddings")
+        _mh_session_cached(spark, merged_dir, "ivfpq_codes", build_codes,
+                           tbl="embeddings")
+        _mh_session_cached(spark, merged_dir, "ivfpq_cent",
+                           lambda: rcent, tbl="embeddings")
+    structs = [F.struct(F.lit(int(r["sub"])).alias("sub"),
+                        F.lit(int(r["n_new"])).cast("long").alias("n_new"),
+                        F.lit(bool(r["stale"])).alias("stale"),
+                        F.lit(action).alias("action"))
+               for r in rows]
+    if not structs:
+        return spark.range(0).select(
+            F.lit(0).alias("sub"), F.lit(0).cast("long").alias("n_new"),
+            F.lit(False).alias("stale"), F.lit(action).alias("action"))
+    return spark.range(1).select(F.inline(F.array(*structs)))
 
 
 def nd_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,8 @@ def _drop_store(dirs):
     from bacalhau_spark.operators.dedup import _index_table_root
 
     for d in dirs:
-        for kind in ("pq_assign", "pq_cent"):
+        for kind in ("pq_assign", "pq_cent", "ivf_coarse",
+                     "ivfpq_codes", "ivfpq_cent"):
             shutil.rmtree(_index_table_root(d, kind, "embeddings"),
                           ignore_errors=True)
 
@@ -151,5 +152,117 @@ def test_pq_refresh_adopts_pinned_on_undrifted_batch(
                 .join(expect, ["vec_id", "sub"])
                 .where(F.col("cid_pub") != F.col("cid")).count())
         assert mism == 0
+    finally:
+        _drop_store([parent, merged])
+
+
+def test_ivf_coarse_quantizer_is_published_and_adopted(
+        spark, sf_dir, tmp_path):
+    """Round 14: the IVF coarse quantizer becomes a PUBLISHED store
+    artifact — before this it was session state retrained per process
+    (float AVGs with scheduling-dependent merge order), so a session
+    adopting the published IVF-PQ code table could pair it with a
+    subtly different quantizer than the codes were assigned under. A
+    session-cache clear must re-ADOPT the published rows verbatim, not
+    retrain."""
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                clear_session_index)
+    from bacalhau_spark.operators.similarity import (_CENTROID_CACHE,
+                                                     _ivf_centroids)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    corpus = str(tmp_path / "corpus")
+    emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .select("vec_id", "embedding"))
+    _emb_corpus(spark, emb, corpus)
+    try:
+        first = _ivf_centroids(spark, corpus)
+        root = _index_table_root(corpus, "ivf_coarse", "embeddings")
+        man = latest_manifest(root)
+        assert man is not None and man["files"] and man["version"] == 1
+        clear_session_index(spark)
+        _CENTROID_CACHE.clear()
+        again = _ivf_centroids(spark, corpus)
+        assert latest_manifest(root)["version"] == 1, \
+            "the cold read must adopt, never republish"
+        assert again == first, \
+            "adopted quantizer must be the published rows verbatim"
+    finally:
+        _drop_store([corpus])
+
+
+def test_ivfpq_refresh_retrains_on_drift_and_closes_the_loop(
+        spark, sf_dir, tmp_path):
+    """The refresh loop generalizes to the composed IVF-PQ index: drift
+    flags the residual-space monitor, the retrain publishes a fresh
+    coarse quantizer + residual codebooks + codes under the merged
+    content key, and the signal clears on re-read; an exact-copies
+    batch takes the pinned path with both codebooks carried."""
+    from bacalhau_spark.operators.dedup import _index_table_root
+    from bacalhau_spark.operators.similarity import (
+        _pq_drift_batch, ivfpq_code_index, ivfpq_refresh,
+        ivfpq_staleness)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    parent = str(tmp_path / "parent")
+    merged = str(tmp_path / "merged")
+    emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .select("vec_id", "embedding"))
+    _emb_corpus(spark, emb, parent)
+    try:
+        ivfpq_code_index(spark, parent).count()   # publish epoch N
+        drift = _pq_drift_batch(spark, parent)
+        mon = ivfpq_staleness(spark, parent, drift).collect()
+        assert any(r["stale"] for r in mon)
+        _emb_corpus(spark,
+                    spark.read.parquet(
+                        os.path.join(parent, "embeddings.parquet"))
+                    .unionByName(drift), merged)
+        out = ivfpq_refresh(spark, merged, parent).collect()
+        assert out and all(r["action"] == "retrain" for r in out)
+        for kind in ("ivf_coarse", "ivfpq_codes", "ivfpq_cent"):
+            man = latest_manifest(
+                _index_table_root(merged, kind, "embeddings"))
+            assert man is not None and man["files"], \
+                f"retrain must publish {kind} under the merged key"
+        mon2 = ivfpq_staleness(spark, merged, drift).collect()
+        assert not any(r["stale"] for r in mon2), \
+            "after retrain the residual staleness signal must clear"
+    finally:
+        _drop_store([parent, merged])
+
+
+def test_ivfpq_refresh_adopts_pinned_on_undrifted_batch(
+        spark, sf_dir, tmp_path):
+    from bacalhau_spark.operators.similarity import (
+        PQ_M, _ivf_centroids, ivfpq_centroid_index, ivfpq_code_index,
+        ivfpq_refresh)
+
+    parent = str(tmp_path / "parent")
+    merged = str(tmp_path / "merged")
+    emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .select("vec_id", "embedding"))
+    _emb_corpus(spark, emb, parent)
+    try:
+        n_parent = ivfpq_code_index(spark, parent).count()
+        cent_rows = sorted(map(tuple,
+                               ivfpq_centroid_index(spark,
+                                                    parent).collect()))
+        coarse = _ivf_centroids(spark, parent)
+        p_emb = spark.read.parquet(
+            os.path.join(parent, "embeddings.parquet"))
+        batch = (p_emb.where(F.col("vec_id") % 11 == 0)
+                 .select((F.col("vec_id") + 3_000_000).alias("vec_id"),
+                         "embedding"))
+        n_new = batch.count()
+        _emb_corpus(spark, p_emb.unionByName(batch), merged)
+        out = ivfpq_refresh(spark, merged, parent).collect()
+        assert out and all(r["action"] == "adopt_pinned" for r in out)
+        assert ivfpq_code_index(spark, merged).count() \
+            == n_parent + n_new * PQ_M
+        assert sorted(map(tuple, ivfpq_centroid_index(
+            spark, merged).collect())) == cent_rows
+        assert _ivf_centroids(spark, merged) == coarse, \
+            "adopt_pinned must carry the coarse quantizer verbatim"
     finally:
         _drop_store([parent, merged])
