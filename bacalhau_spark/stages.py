@@ -77,28 +77,50 @@ def stage_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_parent) — a deterministic function of the corpus content, so
     the stage output is graded like any other stage's."""
     from bacalhau_spark.operators.dedup import (_index_table_root,
-                                                minhash_signature_index)
+                                                band_candidate_index,
+                                                minhash_signature_index,
+                                                winnow_posting_index)
     from bacalhau_spark.operators.multimodal import (audio_phash_index,
                                                      phash_index,
                                                      video_phash_index)
+    from bacalhau_spark.operators.similarity import (ivf_coarse_index,
+                                                     ivfpq_centroid_index,
+                                                     ivfpq_code_index,
+                                                     lsh_signature_index,
+                                                     pq_centroid_index,
+                                                     pq_code_index)
     from bacalhau_spark.operators.web import (FRONT_DOOR_REV, canon_index,
                                               html_extract_index)
     from bacalhau_spark.sources import versioned
 
-    # (kind, builder, builder rev): the table root folds the rev, so a
-    # commit-log lookup at the wrong rev reads a nonexistent table
-    # (the r13 rev bump surfaced exactly that)
-    builders = (("sig", minhash_signature_index, 1),
-                ("phash", phash_index, 1),
-                ("aphash", audio_phash_index, 1),
-                ("vphash", video_phash_index, 1),
-                ("canon", canon_index, FRONT_DOOR_REV),
-                ("extract", html_extract_index, FRONT_DOOR_REV))
+    # (kind, builder, builder rev, source table): the table root folds
+    # the rev, so a commit-log lookup at the wrong rev reads a
+    # nonexistent table (the r13 rev bump surfaced exactly that).
+    # Since r14 the stage publishes EVERY persisted artifact family —
+    # per-row/banding kinds over documents AND the trained-state kinds
+    # over embeddings (lshsig bands, PQ codes+codebook, the coarse
+    # quantizer, IVF-PQ codes+residual codebook) — so one ingest job
+    # per epoch leaves nothing for the query path to train.
+    builders = (("sig", minhash_signature_index, 1, "documents"),
+                ("cand", band_candidate_index, 1, "documents"),
+                ("winnow", winnow_posting_index, 2, "documents"),
+                ("phash", phash_index, 1, "documents"),
+                ("aphash", audio_phash_index, 1, "documents"),
+                ("vphash", video_phash_index, 1, "documents"),
+                ("canon", canon_index, FRONT_DOOR_REV, "documents"),
+                ("extract", html_extract_index, FRONT_DOOR_REV,
+                 "documents"),
+                ("lshsig", lsh_signature_index, 1, "embeddings"),
+                ("ivf_coarse", ivf_coarse_index, 1, "embeddings"),
+                ("pq_assign", pq_code_index, 1, "embeddings"),
+                ("pq_cent", pq_centroid_index, 1, "embeddings"),
+                ("ivfpq_codes", ivfpq_code_index, 1, "embeddings"),
+                ("ivfpq_cent", ivfpq_centroid_index, 1, "embeddings"))
     rows = []
-    for kind, fn, rev in builders:
+    for kind, fn, rev, tbl in builders:
         n = fn(spark, sf_dir).count()
         man = versioned.latest_manifest(
-            _index_table_root(sf_dir, kind, "documents", rev=rev)) or {}
+            _index_table_root(sf_dir, kind, tbl, rev=rev)) or {}
         rows.append((kind, n, int(man.get("version", 0)),
                      man.get("props", {}).get("delta_parent") or ""))
     return spark.range(1).select(F.inline(F.array(*[

@@ -166,11 +166,14 @@ def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
         return base, store
 
     base, store = run("crawl1")
-    # the index-ingest branch published every per-doc index kind
+    # the index-ingest branch published every persisted artifact family
+    # (r14: the documents kinds AND the trained-state embeddings kinds)
     idx = sorted(map(tuple,
                      spark.read.parquet(f"{base}/index_log").collect()))
-    assert {r[0] for r in idx} == {"sig", "phash", "aphash", "vphash",
-                                   "canon", "extract"}
+    assert {r[0] for r in idx} == {
+        "sig", "cand", "winnow", "phash", "aphash", "vphash",
+        "canon", "extract", "lshsig", "ivf_coarse",
+        "pq_assign", "pq_cent", "ivfpq_codes", "ivfpq_cent"}
     assert all(r[1] > 0 and r[2] >= 1 for r in idx)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     canon = url_canonicalize_frame(
