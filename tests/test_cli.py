@@ -66,6 +66,19 @@ def test_index_verb_build_list_drop(spark, sf_dir, capsys):
     assert cli.main(["index", "build", "--kind", "bogus"]) == 2
 
 
+def test_index_refresh_argument_validation(capsys):
+    """`index refresh` fails fast — BEFORE any Spark session spins up —
+    on a non-codebook kind (per-row/banding kinds delta-adopt via
+    `index build`, there is nothing to refresh) and on a missing
+    --parent (the pinned epoch is the whole point of the verb)."""
+    assert cli.main(["index", "refresh", "--kind", "sig",
+                     "--sf-dir", "/tmp/x"]) == 2
+    assert "codebook-bearing" in capsys.readouterr().out
+    assert cli.main(["index", "refresh", "--kind", "pq",
+                     "--sf-dir", "/tmp/x"]) == 2
+    assert "--parent" in capsys.readouterr().out
+
+
 def test_index_drop_stale_days_spares_fresh_tables(spark, sf_dir,
                                                    capsys):
     """`index drop --stale-days N` is the dead-content reclamation
