@@ -285,29 +285,6 @@ NPROBE = 4
 NPROBE_PCA = 6
 
 
-def _assign_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
-    """Vectorized cluster assignment: an Arrow-batched pandas_udf whose
-    closure captures the K x DIM centroid matrix; each batch is one numpy
-    matmul + argsort. This is the 'Python where it wins' case — the
-    equivalent Catalyst higher-order-function fold is interpreted per
-    element and measured ~6x slower on the same data. Returns the `nprobe`
-    nearest cell ids per vector (nprobe=1 → assignment)."""
-    ids = [c for c, _ in centroids]
-    mat = [list(v) for _, v in centroids]
-
-    def fn(emb):
-        import numpy as _np
-        import pandas as _pd
-        M = _np.asarray(mat, dtype="float64").T          # DIM x K
-        I = _np.asarray(ids, dtype="int64")              # K
-        X = _np.stack(emb.values).astype("float64")      # n x DIM
-        order = _np.argsort(-(X @ M), axis=1, kind="stable")[:, :nprobe]
-        return _pd.Series(list(I[order]))
-
-    from pyspark.sql.functions import pandas_udf
-    return pandas_udf(fn, "array<int>")
-
-
 def pair_cosine_udf():
     """Vectorized pairwise cosine for two embedding columns (row-aligned):
     one einsum per Arrow batch."""
@@ -323,101 +300,214 @@ def pair_cosine_udf():
     return pandas_udf(fn, "double")
 
 
-_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
-_CENTROID_LOCK = threading.Lock()  # concurrent engine workers share this
+# Builder revision for the IVF plane (coarse quantizer, cells, IVF-PQ
+# codes + residual codebook). rev=2 since round 14: the coarse training
+# moved from session-local float AVGs (numpy dot-argmax assignment,
+# normalized float centroids — never SQL-replayable, and pre-r14 never
+# even persisted) to the INTEGER-EXACT kmeans convention — quantized
+# coords, integer squared-distance argmin with a (d, cluster)
+# tie-break, sum-DIV-count means — and residuals became pure integer
+# deltas (q_v - cq + IVFPQ_OFF, no float roundtrip). Same content would
+# otherwise adopt the old-rule artifacts.
+IVF_REV = 2
+
+
+def _ivf_q_exploded(emb: DataFrame) -> DataFrame:
+    """(vec_id, dim, q) — the quantized integer coords of an embedding
+    frame, envelope-guarded like the kmeans core (sum DIV count is only
+    floor-exact on nonnegatives)."""
+    qcol = (F.floor(F.col("v").cast("double") * F.lit(KM_SCALE))
+            .cast("long") + F.lit(KM_OFF))
+    qsafe = F.when(qcol >= 0, qcol).otherwise(F.expr(
+        "raise_error(concat('ivf: quantized embedding < 0 for vec_id ',"
+        " CAST(vec_id AS STRING), ' — embedding value below "
+        f"-{KM_OFF}/{KM_SCALE}; widen KM_OFF'))").cast("long"))
+    return (emb.select("vec_id",
+                       F.posexplode("embedding").alias("dim", "v"))
+            .select("vec_id", "dim", qsafe.alias("q")))
 
 
 def ivf_coarse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trained IVF coarse quantizer as a PERSISTED store artifact
-    (round 14): (cluster int, c_emb array<double>) — K rows, published
-    under the embeddings content key like every other trained-state
-    index. Before this, the coarse quantizer was SESSION state
-    (retrained per process with float AVGs whose partial-merge order is
-    scheduling-dependent), so a session ADOPTING the published IVF-PQ
-    code table could pair it with a subtly different quantizer than
-    the one the codes were assigned under — the exact
-    adoption-never-changes-results contract violation the store exists
-    to prevent. Training: deterministic seeds (first K vectors) + one
-    Lloyd refinement (numpy assignment, JVM means), unit-normalized
-    IN-PLAN so the published rows are the final model."""
+    """The trained IVF coarse quantizer as a PERSISTED store artifact:
+    (cluster int, dim int, cq long) — K x DIM rows, published under the
+    embeddings content key like every other trained-state index.
+    Pre-r14 the quantizer was SESSION state (retrained per process with
+    scheduling-dependent float AVGs), so a session ADOPTING the
+    published IVF-PQ code table could pair it with a subtly different
+    quantizer than the codes were assigned under — the exact
+    adoption-never-changes-results violation the store exists to
+    prevent. Training is the kmeans convention (INTEGER-EXACT, so the
+    ANN oracles replay it): deterministic seeds (first K vectors'
+    quantized coords) + one Lloyd refinement — integer squared-distance
+    argmin with a (d, cluster) tie-break, sum-DIV-count means."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
     def build():
-        emb = table(spark, sf_dir, "embeddings")
-        seeds = [(int(r["vec_id"]), list(r["embedding"]))
-                 for r in emb.where(F.col("vec_id") < N_CLUSTERS)
-                 .select("vec_id", "embedding").collect()]
-        assign = _assign_udf(seeds, nprobe=1)
-        assigned = emb.select(
-            "embedding", assign(F.col("embedding"))[0].alias("cluster"))
-        norm = F.sqrt(F.aggregate(
-            F.transform(F.col("m_emb"), lambda v: v * v),
-            F.lit(0.0), lambda acc, v: acc + v))
-        safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
-        return (assigned
-                .select("cluster",
-                        F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("cluster", "pos").agg(F.avg("v").alias("m"))
-                .groupBy("cluster")
-                .agg(F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda x: x["m"]).alias("m_emb"))
-                .select("cluster",
-                        F.transform(F.col("m_emb"),
-                                    lambda v: v / safe).alias("c_emb")))
+        e = _ivf_q_exploded(table(spark, sf_dir, "embeddings")
+                            .select("vec_id", "embedding"))
+        c0 = (e.where(F.col("vec_id") < N_CLUSTERS)
+              .select(F.col("vec_id").cast("int").alias("cluster"),
+                      "dim", F.col("q").alias("cq")))
+        d1 = (e.join(F.broadcast(c0), "dim")
+              .groupBy("vec_id", "cluster")
+              .agg(F.sum((F.col("q") - F.col("cq"))
+                         * (F.col("q") - F.col("cq"))).alias("d")))
+        a1 = (d1.groupBy("vec_id")
+              .agg(F.min(F.struct("d", "cluster")).alias("m"))
+              .select("vec_id", F.col("m.cluster").alias("cluster")))
+        return (e.join(a1, "vec_id")
+                .groupBy("cluster", "dim")
+                .agg(F.expr("sum(q) DIV count(*)").alias("cq")))
 
     return _mh_session_cached(spark, sf_dir, "ivf_coarse", build,
-                              tbl="embeddings")
+                              tbl="embeddings", rev=IVF_REV)
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
-    """The coarse quantizer as driver-side model state — a COLLECT of
-    the published ivf_coarse artifact (K x DIM rows, the trained-
-    quantizer pattern: Spark ML's KMeansModel does the same), cached
-    per (session, table fingerprint) so repeat queries never re-read.
-    Consumers across sessions/processes now share the PUBLISHED
-    quantizer instead of each retraining their own."""
+def _ivf_coarse_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, cq_arr array<long>) — the published quantizer rows
+    folded to per-cluster arrays for the fold-based assignment."""
+    return (ivf_coarse_index(spark, sf_dir)
+            .groupBy("cluster")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cq"))),
+                lambda x: x["cq"]).alias("cq_arr")))
+
+
+def _ivf_assign_ranked(emb: DataFrame, coarse_arr: DataFrame) -> DataFrame:
+    """(vec_id, cluster, arank) — EXACT integer cell ranking of an
+    embedding frame against the published quantizer: quantize, one
+    16-way broadcast join, integer squared-distance fold, (d, cluster)
+    tie-break. Bit-replayable in SQL (integer sums commute), and
+    measured fast — the plain zip_with fold does ~4M 64-dim pairs in
+    1.5 s, so the numpy matmul this replaces (r13 and earlier) bought
+    nothing at these candidate volumes."""
+    q_arr = F.expr(
+        f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
+        f"* {KM_SCALE}) AS BIGINT) + {KM_OFF})")
+    d = F.aggregate(
+        F.zip_with(F.col("q_arr"), F.col("cq_arr"),
+                   lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    wa = Window.partitionBy("vec_id").orderBy("d", "cluster")
+    return (emb.select("vec_id", q_arr.alias("q_arr"))
+            .crossJoin(F.broadcast(coarse_arr))
+            .select("vec_id", "cluster", d.alias("d"))
+            .withColumn("arank", F.row_number().over(wa))
+            .select("vec_id", "cluster", "arank"))
+
+
+_COARSE_CACHE: dict = {}
+_COARSE_LOCK = threading.Lock()
+
+
+def _coarse_rows(spark: SparkSession,
+                 sf_dir: str) -> list[tuple[int, list[int]]]:
+    """The published quantizer as driver-side model state (K x DIM
+    integers — the trained-quantizer collect pattern), session-cached
+    per (app, table fingerprint) so the per-query probe expression
+    never re-reads the store."""
     app_id = spark.sparkContext.applicationId
     key = _emb_cache_key(spark, sf_dir)
-    with _CENTROID_LOCK:
-        for k in [k for k in _CENTROID_CACHE if k[0] != app_id]:
-            _CENTROID_CACHE.pop(k, None)  # evict stopped sessions' state
-        cached = _CENTROID_CACHE.get(key)
-    if cached is not None:
-        return cached
-    result = sorted((int(r["cluster"]), list(r["c_emb"]))
-                    for r in ivf_coarse_index(spark, sf_dir).collect())
-    with _CENTROID_LOCK:
-        _CENTROID_CACHE[key] = result
-    return result
+    with _COARSE_LOCK:
+        for k in [k for k in _COARSE_CACHE if k[0] != app_id]:
+            _COARSE_CACHE.pop(k, None)
+        hit = _COARSE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rows = sorted((int(r["cluster"]), [int(v) for v in r["cq_arr"]])
+                  for r in _ivf_coarse_arrays(spark, sf_dir).collect())
+    with _COARSE_LOCK:
+        _COARSE_CACHE[key] = rows
+    return rows
+
+
+def _probe_cells_expr(rows: list[tuple[int, list[int]]],
+                      nprobe: int) -> Column:
+    """array<int> of the `nprobe` nearest cells for the row's
+    `embedding` — the quantizer inlined as literals so the whole probe
+    ranking runs INSIDE the scan stage (no join, no window: the
+    frame-based _ivf_assign_ranked form paid ~1 s of stage launches
+    for 20 query rows). Identical math and (d, cluster) tie-break:
+    array_sort over (d, cl) structs is the same total order the
+    ranking window uses, so probe sets match the oracle's ivr2 rows
+    exactly."""
+    cents = "array(" + ", ".join(
+        f"named_struct('cl', {cl}, 'cq', array("
+        + ", ".join(f"{v}L" for v in arr) + "))"
+        for cl, arr in rows) + ")"
+    return F.expr(
+        f"transform(slice(array_sort(transform({cents}, c -> "
+        f"named_struct('d', aggregate(zip_with("
+        f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
+        f"* {KM_SCALE}) AS BIGINT) + {KM_OFF}), c.cq, "
+        f"(x, cv) -> (x - cv) * (x - cv)), CAST(0 AS BIGINT), "
+        f"(acc, v) -> acc + v), 'cl', c.cl))), 1, {nprobe}), "
+        f"s -> s.cl)")
+
+
+def ivf_cells_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared persisted corpus cell assignment (vec_id, cluster) under
+    the published coarse quantizer — the inverted-file half of IVF: at
+    100 TB this is the table the corpus is hash-partitioned/bucketed by,
+    so a query's candidate fetch touches NPROBE/K of the data. One
+    4-byte cell id per vector; build once per content, every probe
+    scans the artifact."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    def build():
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding")
+        return (_ivf_assign_ranked(
+            emb, _ivf_coarse_arrays(spark, sf_dir))
+            .where(F.col("arank") == 1)
+            .select("vec_id", "cluster"))
+
+    return _mh_session_cached(spark, sf_dir, "ivf_cells", build,
+                              tbl="embeddings", rev=IVF_REV)
 
 
 def nd_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: corpus vectors are partitioned into K coarse cells
-    (nearest centroid); each query probes its NPROBE nearest cells only. The
-    candidate join is an equi join on cell id — at 100 TB the corpus is
-    hash-partitioned (or bucketed) by cell, so a query touches NPROBE/K of
-    the data. Cell assignment and pair scoring are Arrow-batched numpy
-    (vectorized; the interpreted JVM fold was ~6x slower end-to-end).
-    Approximate: recall vs brute force is threshold-tested in tests/;
-    no SQL oracle by design."""
-    centroids = _ivf_centroids(spark, sf_dir)
+    (nearest centroid, read from the persisted ivf_cells artifact);
+    each query probes its NPROBE nearest cells only. The candidate join
+    is an equi join on cell id — at 100 TB the corpus is
+    hash-partitioned (or bucketed) by cell, so a query touches NPROBE/K
+    of the data.
+
+    HASH-GATED END TO END since round 14 (_ANN_IVF_ORACLE): coarse
+    training is the integer-exact kmeans convention (ivf_coarse_index),
+    cell assignment is the integer squared-distance argmin with a
+    (d, cluster) tie-break, and the re-rank is the bit-identical cosine
+    fold over every probed candidate (IVF-Flat's semantics — exact
+    scoring inside probed cells). The numpy matmul path this replaces
+    bought nothing at these volumes (fold: ~4M pairs/1.5 s). Recall vs
+    brute force stays threshold-tested in tests/ — the SEMANTICS are
+    approximate, the implementation no longer is."""
     emb = table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id").alias("nn"), F.col("embedding").alias("c_emb2"),
-        _assign_udf(centroids, nprobe=1)(F.col("embedding"))[0]
-        .alias("cluster"))
+    # probe cells rank inside the query scan (literal quantizer); the
+    # candidate (q_id, nn) pairs come from the persisted cells table
+    # alone, and vectors are gathered afterwards via ONE corpus scan +
+    # broadcasts — the two-phase ANN read (index probe, then gather)
     probes = (emb.where(F.col("vec_id") < 20)
               .select(F.col("vec_id").alias("q_id"),
-                      F.col("embedding").alias("q_emb"),
-                      F.explode(
-                          _assign_udf(centroids, nprobe=NPROBE)(
-                              F.col("embedding"))).alias("cluster")))
-    cos = pair_cosine_udf()(F.col("q_emb"), F.col("c_emb2"))
+                      F.explode(_probe_cells_expr(
+                          _coarse_rows(spark, sf_dir), NPROBE))
+                      .alias("cluster")))
+    cand = (F.broadcast(probes)
+            .join(ivf_cells_index(spark, sf_dir)
+                  .select(F.col("vec_id").alias("nn"), "cluster"),
+                  "cluster")
+            .where(F.col("q_id") != F.col("nn"))
+            .select("q_id", "nn"))
+    cv = emb.select(F.col("vec_id").alias("nn"),
+                    F.col("embedding").alias("c_emb"))
+    qv = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
     return (
-        F.broadcast(probes).join(corpus, "cluster")
-        .where(F.col("q_id") != F.col("nn"))
+        cv.join(F.broadcast(cand), "nn")
+        .join(F.broadcast(qv), "q_id")
         .select(F.col("q_id").alias("vec_id"), "nn", cos.alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
@@ -2140,78 +2230,50 @@ IVFPQ_OFF = 4096  # residuals are signed; shift keeps sum-DIV-count exact
 IVFPQ_SHORTLIST = 50
 
 
-def _residual_q_udf(centroids):
-    """Quantized RESIDUAL per vector against its assigned coarse cell:
-    floor((v - centroid[cell]) * KM_SCALE) + IVFPQ_OFF, as one Arrow
-    numpy batch (the _assign_udf convention — Python where it wins).
-    The offset keeps residual coordinates nonnegative (|v|,|c| <= 1 on
-    the unit-norm fixture), so the shared integer PQ machinery's
-    sum-DIV-count M-step stays truncation-exact."""
-    ids = [c for c, _ in centroids]
-    mat = [list(v) for _, v in centroids]
-
-    def fn(emb, cluster):
-        import numpy as _np
-        import pandas as _pd
-        C = _np.asarray(mat, dtype="float64")
-        pos = _np.zeros(max(ids) + 1, dtype="int64")
-        for i, cid in enumerate(ids):
-            pos[cid] = i
-        X = _np.stack(emb.values).astype("float64")
-        R = X - C[pos[cluster.values.astype("int64")]]
-        Q = _np.floor(R * KM_SCALE).astype("int64") + IVFPQ_OFF
-        return _pd.Series(list(Q))
-
-    from pyspark.sql.functions import pandas_udf
-    return pandas_udf(fn, "array<long>")
-
-
-def _ivfpq_residual_exploded(df: DataFrame, centroids,
-                             id_col: str = "vec_id") -> DataFrame:
-    """(id, cluster, sub, dim, q): the residual analog of _pq_exploded,
-    with the SAME in-plan nonnegativity guard — pq_train_assign's
-    sum-DIV-count M-step truncates toward zero on negatives where the
-    oracle floors, so a residual outside the IVFPQ_OFF envelope (a
-    non-unit-norm embedding, |v - centroid| too large) must fail loudly
-    instead of silently training wrong centroids (the kmeans/_pq_exploded
-    contract, which this path relied on a comment for)."""
-    rq = df.select(F.col(id_col).alias("vec_id"), "cluster",
-                   _residual_q_udf(centroids)("embedding", "cluster")
-                   .alias("r"))
-    qsafe = F.when(F.col("q0") >= 0, F.col("q0")).otherwise(F.expr(
+def _ivfpq_residual_exploded(emb: DataFrame, cells: DataFrame,
+                             coarse: DataFrame) -> DataFrame:
+    """(vec_id, cluster, sub, dim, q): the residual analog of
+    _pq_exploded — PURE INTEGER since round 14: the residual coordinate
+    is q_v - cq + IVFPQ_OFF where q_v is the vector's quantized coord
+    and cq its cell centroid's (itself an integer mean), so there is no
+    float roundtrip anywhere in the IVF-PQ plane and the oracles replay
+    every stage exactly. The in-plan nonnegativity guard stays —
+    pq_train_assign's sum-DIV-count M-step truncates toward zero on
+    negatives where the oracle floors, so a residual outside the
+    IVFPQ_OFF envelope must fail loudly rather than silently train
+    wrong centroids. `cells` is (vec_id, cluster); `coarse` is the
+    exploded quantizer (cluster, dim, cq)."""
+    q0 = F.col("qv") - F.col("cq") + F.lit(IVFPQ_OFF)
+    qsafe = F.when(q0 >= 0, q0).otherwise(F.expr(
         "raise_error(concat('ivfpq: quantized residual < 0 for vec_id ',"
         " CAST(vec_id AS STRING), ' — residual below the IVFPQ_OFF "
         "envelope; widen IVFPQ_OFF'))").cast("long"))
-    return (rq.select("vec_id", "cluster",
-                      F.posexplode("r").alias("dim", "q0"))
+    e = _ivf_q_exploded(emb).withColumnRenamed("q", "qv")
+    return (e.join(cells, "vec_id")
+            .join(F.broadcast(coarse), ["cluster", "dim"])
             .select("vec_id", "cluster",
                     (F.col("dim") / PQ_SUB).cast("int").alias("sub"),
                     "dim", qsafe.alias("q")))
-
-
-def _ivfpq_corpus(spark: SparkSession, sf_dir: str, centroids):
-    emb = table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id", "embedding",
-        _assign_udf(centroids, nprobe=1)(F.col("embedding"))[0]
-        .cast("int").alias("cluster"))
 
 
 def ivfpq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared persisted IVF-PQ codes (vec_id, cluster, sub, cid): coarse
     cell + shared residual-PQ code per subspace — the full IVF-PQ index
     payload (one int + PQ_M nibbles per vector). Trains the residual
-    codebooks through the SAME pq_train_assign loop as plain PQ."""
+    codebooks through the SAME pq_train_assign loop as plain PQ, over
+    the pure-integer residuals."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
     staged: dict = {}
 
     def build():
-        cent = _ivf_centroids(spark, sf_dir)
-        corpus = _ivfpq_corpus(spark, sf_dir, cent)
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding")
         from pyspark.storagelevel import StorageLevel
-        e = (_ivfpq_residual_exploded(corpus, cent)
-             .persist(StorageLevel.DISK_ONLY))
+        e = (_ivfpq_residual_exploded(
+            emb, ivf_cells_index(spark, sf_dir),
+            ivf_coarse_index(spark, sf_dir))
+            .persist(StorageLevel.DISK_ONLY))
         staged["e"] = e
         assign = pq_train_assign(e)
         return assign.join(
@@ -2224,7 +2286,8 @@ def ivfpq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.unpersist()
 
     return _mh_session_cached(spark, sf_dir, "ivfpq_codes", build,
-                              tbl="embeddings", cleanup=cleanup)
+                              tbl="embeddings", cleanup=cleanup,
+                              rev=IVF_REV)
 
 
 def ivfpq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2232,9 +2295,11 @@ def ivfpq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
     def build():
-        cent = _ivf_centroids(spark, sf_dir)
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding")
         e = _ivfpq_residual_exploded(
-            _ivfpq_corpus(spark, sf_dir, cent), cent)
+            emb, ivf_cells_index(spark, sf_dir),
+            ivf_coarse_index(spark, sf_dir))
         return (e.join(ivfpq_code_index(spark, sf_dir)
                        .select("vec_id", "sub", "cid"),
                        ["vec_id", "sub"])
@@ -2242,7 +2307,7 @@ def ivfpq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.expr("sum(q) DIV count(*)").alias("cq")))
 
     return _mh_session_cached(spark, sf_dir, "ivfpq_cent", build,
-                              tbl="embeddings")
+                              tbl="embeddings", rev=IVF_REV)
 
 
 def ivfpq_staleness(spark: SparkSession, sf_dir: str,
@@ -2254,11 +2319,12 @@ def ivfpq_staleness(spark: SparkSession, sf_dir: str,
     fresh-argmin encode against the published residual codebook, and
     per-subspace mean distortion compares to the corpus's own under the
     same codebooks at PQ_STALENESS_FACTOR."""
-    cent = _ivf_centroids(spark, sf_dir)
+    coarse = ivf_coarse_index(spark, sf_dir)
     rcent = ivfpq_centroid_index(spark, sf_dir)   # residual c2
     codes = ivfpq_code_index(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     e_c = _ivfpq_residual_exploded(
-        _ivfpq_corpus(spark, sf_dir, cent), cent)
+        emb, ivf_cells_index(spark, sf_dir), coarse)
     sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
     corp = (e_c.join(codes.select("vec_id", "sub", "cid"),
                      ["vec_id", "sub"])
@@ -2267,11 +2333,11 @@ def ivfpq_staleness(spark: SparkSession, sf_dir: str,
             .groupBy("sub")
             .agg(F.count("*").cast("long").alias("n_corpus"),
                  F.sum("d").cast("long").alias("corpus_distortion")))
-    b = batch.select(
-        "vec_id", "embedding",
-        _assign_udf(cent, nprobe=1)(F.col("embedding"))[0]
-        .cast("int").alias("cluster"))
-    e_b = _ivfpq_residual_exploded(b, cent)
+    b_cells = (_ivf_assign_ranked(batch,
+                                  _ivf_coarse_arrays(spark, sf_dir))
+               .where(F.col("arank") == 1)
+               .select("vec_id", "cluster"))
+    e_b = _ivfpq_residual_exploded(batch, b_cells, coarse)
     bagg = (e_b.join(F.broadcast(rcent), ["sub", "dim"])
             .groupBy("vec_id", "sub", "cid").agg(F.sum(sq).alias("d"))
             .groupBy("vec_id", "sub")
@@ -2315,16 +2381,16 @@ def ivfpq_refresh(spark: SparkSession, merged_dir: str,
     else:
         from bacalhau_spark.operators.dedup import _mh_session_cached
 
-        cent = _ivf_centroids(spark, parent_dir)
+        coarse = ivf_coarse_index(spark, parent_dir)
         rcent = ivfpq_centroid_index(spark, parent_dir)
         sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
 
         def build_codes():
-            b = new.select(
-                "vec_id", "embedding",
-                _assign_udf(cent, nprobe=1)(F.col("embedding"))[0]
-                .cast("int").alias("cluster"))
-            e_b = _ivfpq_residual_exploded(b, cent)
+            b_cells = (_ivf_assign_ranked(
+                new, _ivf_coarse_arrays(spark, parent_dir))
+                .where(F.col("arank") == 1)
+                .select("vec_id", "cluster"))
+            e_b = _ivfpq_residual_exploded(new, b_cells, coarse)
             new_codes = (e_b.join(F.broadcast(rcent), ["sub", "dim"])
                          .groupBy("vec_id", "cluster", "sub", "cid")
                          .agg(F.sum(sq).alias("d"))
@@ -2335,13 +2401,22 @@ def ivfpq_refresh(spark: SparkSession, merged_dir: str,
             return (ivfpq_code_index(spark, parent_dir)
                     .unionByName(new_codes))
 
+        def build_cells():
+            new_cells = (_ivf_assign_ranked(
+                new, _ivf_coarse_arrays(spark, parent_dir))
+                .where(F.col("arank") == 1)
+                .select("vec_id", "cluster"))
+            return (ivf_cells_index(spark, parent_dir)
+                    .unionByName(new_cells))
+
         _mh_session_cached(spark, merged_dir, "ivf_coarse",
-                           lambda: ivf_coarse_index(spark, parent_dir),
-                           tbl="embeddings")
+                           lambda: coarse, tbl="embeddings", rev=IVF_REV)
+        _mh_session_cached(spark, merged_dir, "ivf_cells", build_cells,
+                           tbl="embeddings", rev=IVF_REV)
         _mh_session_cached(spark, merged_dir, "ivfpq_codes", build_codes,
-                           tbl="embeddings")
+                           tbl="embeddings", rev=IVF_REV)
         _mh_session_cached(spark, merged_dir, "ivfpq_cent",
-                           lambda: rcent, tbl="embeddings")
+                           lambda: rcent, tbl="embeddings", rev=IVF_REV)
     structs = [F.struct(F.lit(int(r["sub"])).alias("sub"),
                         F.lit(int(r["n_new"])).cast("long").alias("n_new"),
                         F.lit(bool(r["stale"])).alias("stale"),
@@ -2363,20 +2438,26 @@ def nd_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(query, probed-cell) LUT of exact integer distances — residuals
     are coded against the cell centroid, so the LUT is per cell),
     (3) exact full-dimension cosine RE-RANKS the IVFPQ_SHORTLIST best.
-    Recall-gated vs brute force (numpy prototype 0.77 @ nprobe 3;
-    nprobe 4 in tests); approximate by design, no SQL oracle."""
+
+    HASH-GATED END TO END since round 14 (_ANN_IVFPQ_ORACLE — the last
+    ANN family leaves the no_oracle set): coarse training and cell
+    assignment are the integer-exact kmeans convention, residuals are
+    pure integer deltas against the integer cell centroids, the
+    residual codebooks train through the exact PQ loop, the ADC LUT is
+    exact integer math with (adist, nn) tie-breaks, and the re-rank is
+    the bit-identical cosine fold. Recall stays threshold-tested in
+    tests/ — approximate semantics, exact implementation."""
     emb = table(spark, sf_dir, "embeddings")
-    cent = _ivf_centroids(spark, sf_dir)
     codes = ivfpq_code_index(spark, sf_dir)
     rcent = ivfpq_centroid_index(spark, sf_dir)
-    probes = (emb.where(F.col("vec_id") < 20)
-              .select(F.col("vec_id").alias("qid"), "embedding",
-                      F.explode(_assign_udf(cent, nprobe=IVFPQ_NPROBE)(
-                          F.col("embedding"))).alias("cl0"))
-              .select("qid", "embedding",
-                      F.col("cl0").cast("int").alias("cluster")))
-    qe = _ivfpq_residual_exploded(probes, cent, id_col="qid").select(
-        F.col("vec_id").alias("qid"), "cluster", "sub", "dim", "q")
+    q_emb = emb.where(F.col("vec_id") < 20).select("vec_id", "embedding")
+    q_cells = (q_emb.select(
+        "vec_id", F.explode(_probe_cells_expr(
+            _coarse_rows(spark, sf_dir), IVFPQ_NPROBE)).alias("cluster")))
+    qe = (_ivfpq_residual_exploded(q_emb, q_cells,
+                                   ivf_coarse_index(spark, sf_dir))
+          .select(F.col("vec_id").alias("qid"), "cluster", "sub",
+                  "dim", "q"))
     lut = (qe.join(rcent, ["sub", "dim"])
            .groupBy("qid", "cluster", "sub", F.col("cid"))
            .agg(F.sum((F.col("q") - F.col("cq"))
@@ -2408,6 +2489,117 @@ def nd_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id", "rank"))
 
 
+# Shared coarse-quantizer CTE prefix (round 14): the integer-exact IVF
+# training chain — quantized coords (e), seed centroids (ic0), one
+# Lloyd refinement (ivd1/iva1 + ic1 means), the final assignment ranking
+# (ivd2/ivr2) whose rn=1 rows are the corpus cells. Replays
+# ivf_coarse_index + ivf_cells_index + _ivf_assign_ranked exactly
+# ((d, cluster) tie-breaks everywhere).
+_IVF_COARSE_CTES = f"""e AS (
+  SELECT vec_id, i AS dim,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * {KM_SCALE})
+              AS BIGINT) + {KM_OFF} AS q
+  FROM (SELECT vec_id, embedding, unnest(range({KM_DIMS})) AS i
+        FROM embeddings) t),
+ic0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, dim, q AS cq
+        FROM e WHERE vec_id < {N_CLUSTERS}),
+ivd1 AS (SELECT e.vec_id, c.cluster,
+                CAST(SUM((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d
+         FROM e JOIN ic0 c ON e.dim = c.dim
+         GROUP BY e.vec_id, c.cluster),
+iva1 AS (SELECT vec_id, cluster FROM
+         (SELECT vec_id, cluster,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cluster) AS rn
+          FROM ivd1) t WHERE rn = 1),
+ic1 AS (SELECT a.cluster, e.dim, SUM(e.q) // COUNT(*) AS cq
+        FROM e JOIN iva1 a ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.dim),
+ivd2 AS (SELECT e.vec_id, c.cluster,
+                CAST(SUM((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d
+         FROM e JOIN ic1 c ON e.dim = c.dim
+         GROUP BY e.vec_id, c.cluster),
+ivr2 AS (SELECT vec_id, cluster,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cluster) AS rn
+         FROM ivd2),
+cells AS (SELECT vec_id, cluster FROM ivr2 WHERE rn = 1)"""
+
+
+# End-to-end IVF-Flat oracle (round 14): coarse training + cell
+# assignment + probe ranking are exact integer math; the re-rank is
+# the bit-identical cosine fold over every probed candidate.
+_ANN_IVF_ORACLE = f"""
+WITH {_IVF_COARSE_CTES},
+probes AS (SELECT vec_id AS qid, cluster FROM ivr2
+           WHERE vec_id < 20 AND rn <= {NPROBE})
+SELECT vec_id, rank, nn, cos FROM
+(SELECT pr.qid AS vec_id, c.vec_id AS nn, {_DOT_SQL} AS cos,
+        ROW_NUMBER() OVER (PARTITION BY pr.qid
+                           ORDER BY {_DOT_SQL} DESC, c.vec_id) AS rank
+ FROM probes pr JOIN cells c ON pr.cluster = c.cluster
+                            AND c.vec_id <> pr.qid
+ JOIN embeddings a ON a.vec_id = pr.qid
+ JOIN embeddings b ON b.vec_id = c.vec_id) t
+WHERE rank <= 3 ORDER BY vec_id, rank
+"""
+
+
+# End-to-end IVF-PQ oracle (round 14 — the LAST ANN family leaves the
+# no_oracle set): coarse chain, pure-integer residuals (q - cq +
+# IVFPQ_OFF against the integer cell centroids), the residual PQ
+# training chains, the per-(query, probed-cell) integer ADC LUT, the
+# (adist, nn)-tie-broken shortlist, and the exact cosine re-rank.
+_ANN_IVFPQ_ORACLE = f"""
+WITH {_IVF_COARSE_CTES},
+er AS (SELECT e.vec_id, cl.cluster,
+              CAST(e.dim // {PQ_SUB} AS INTEGER) AS sub, e.dim,
+              e.q - c.cq + {IVFPQ_OFF} AS q
+       FROM e JOIN cells cl ON cl.vec_id = e.vec_id
+       JOIN ic1 c ON c.cluster = cl.cluster AND c.dim = e.dim),
+rc0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, dim, q AS cq
+        FROM er WHERE vec_id < {PQ_K}),
+{_pq_round('rc0', 'r1', 'er')},
+rc1 AS (SELECT a.cid, er.dim, SUM(er.q) // COUNT(*) AS cq
+        FROM er JOIN ar1 a ON er.vec_id = a.vec_id AND er.sub = a.sub
+        GROUP BY a.cid, er.dim),
+{_pq_round('rc1', 'r2', 'er')},
+rc2 AS (SELECT a.cid, er.dim, SUM(er.q) // COUNT(*) AS cq
+        FROM er JOIN ar2 a ON er.vec_id = a.vec_id AND er.sub = a.sub
+        GROUP BY a.cid, er.dim),
+codes AS (SELECT a.vec_id, cl.cluster, a.sub, a.cid
+          FROM ar2 a JOIN cells cl ON cl.vec_id = a.vec_id),
+qprobe AS (SELECT vec_id AS qid, cluster FROM ivr2
+           WHERE vec_id < 20 AND rn <= {IVFPQ_NPROBE}),
+qe AS (SELECT p.qid, p.cluster,
+              CAST(e.dim // {PQ_SUB} AS INTEGER) AS sub, e.dim,
+              e.q - c.cq + {IVFPQ_OFF} AS q
+       FROM qprobe p JOIN e ON e.vec_id = p.qid
+       JOIN ic1 c ON c.cluster = p.cluster AND c.dim = e.dim),
+lut AS (SELECT qe.qid, qe.cluster, qe.sub, r.cid,
+               CAST(SUM((qe.q - r.cq) * (qe.q - r.cq)) AS BIGINT) AS d
+        FROM qe JOIN rc2 r ON qe.dim = r.dim
+        GROUP BY qe.qid, qe.cluster, qe.sub, r.cid),
+ad AS (SELECT l.qid, co.vec_id AS nn, CAST(SUM(l.d) AS BIGINT) AS adist
+       FROM codes co JOIN lut l ON co.cluster = l.cluster
+            AND co.sub = l.sub AND co.cid = l.cid
+       WHERE l.qid <> co.vec_id
+       GROUP BY l.qid, co.vec_id),
+short AS (SELECT qid, nn FROM
+          (SELECT qid, nn,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adist, nn) AS srank
+           FROM ad) t WHERE srank <= {IVFPQ_SHORTLIST})
+SELECT vec_id, rank, nn, cos FROM
+(SELECT s.qid AS vec_id, s.nn AS nn, {_DOT_SQL} AS cos,
+        ROW_NUMBER() OVER (PARTITION BY s.qid
+                           ORDER BY {_DOT_SQL} DESC, s.nn) AS rank
+ FROM short s JOIN embeddings a ON a.vec_id = s.qid
+              JOIN embeddings b ON b.vec_id = s.nn) t
+WHERE rank <= 3 ORDER BY vec_id, rank
+"""
+
+
 QUERIES = {
     "nd_embedding_covariance": (nd_embedding_covariance,
                                 _COVARIANCE_ORACLE),
@@ -2423,7 +2615,7 @@ QUERIES = {
     "nd_pq_incremental": (nd_pq_incremental, _PQ_INCR_ORACLE),
     "nd_pq_retrain": (nd_pq_retrain, _PQ_RETRAIN_ORACLE),
     "nd_ann_pq": (nd_ann_pq, _ANN_PQ_ORACLE),
-    "nd_ann_ivfpq": (nd_ann_ivfpq, None),
+    "nd_ann_ivfpq": (nd_ann_ivfpq, _ANN_IVFPQ_ORACLE),
     "nd_semantic_dedup": (nd_semantic_dedup, _SEMDEDUP_ORACLE),
     "nd_kmeans": (nd_kmeans, _KMEANS_ORACLE),
     "nd_semantic_dedup_fast": (nd_semantic_dedup_fast, None),
@@ -2460,7 +2652,7 @@ QUERIES = {
         "WHERE rank <= 3 ORDER BY vec_id, rank",
     ),
     "nd_ann_lsh": (nd_ann_lsh, _ANN_LSH_ORACLE),
-    "nd_ann_ivf": (nd_ann_ivf, None),
+    "nd_ann_ivf": (nd_ann_ivf, _ANN_IVF_ORACLE),
     "nd_ann_lsh_candidates": (nd_ann_lsh_candidates,
                               _LSH_CANDIDATES_ORACLE),
     "nd_ann_lsh_bucketstats": (nd_ann_lsh_bucketstats,

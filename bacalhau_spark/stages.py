@@ -83,7 +83,9 @@ def stage_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bacalhau_spark.operators.multimodal import (audio_phash_index,
                                                      phash_index,
                                                      video_phash_index)
-    from bacalhau_spark.operators.similarity import (ivf_coarse_index,
+    from bacalhau_spark.operators.similarity import (IVF_REV,
+                                                     ivf_cells_index,
+                                                     ivf_coarse_index,
                                                      ivfpq_centroid_index,
                                                      ivfpq_code_index,
                                                      lsh_signature_index,
@@ -111,11 +113,13 @@ def stage_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("extract", html_extract_index, FRONT_DOOR_REV,
                  "documents"),
                 ("lshsig", lsh_signature_index, 1, "embeddings"),
-                ("ivf_coarse", ivf_coarse_index, 1, "embeddings"),
+                ("ivf_coarse", ivf_coarse_index, IVF_REV, "embeddings"),
+                ("ivf_cells", ivf_cells_index, IVF_REV, "embeddings"),
                 ("pq_assign", pq_code_index, 1, "embeddings"),
                 ("pq_cent", pq_centroid_index, 1, "embeddings"),
-                ("ivfpq_codes", ivfpq_code_index, 1, "embeddings"),
-                ("ivfpq_cent", ivfpq_centroid_index, 1, "embeddings"))
+                ("ivfpq_codes", ivfpq_code_index, IVF_REV, "embeddings"),
+                ("ivfpq_cent", ivfpq_centroid_index, IVF_REV,
+                 "embeddings"))
     rows = []
     for kind, fn, rev, tbl in builders:
         n = fn(spark, sf_dir).count()

@@ -14,10 +14,12 @@ def test_list_queries(capsys):
     assert cli.main(["list-queries"]) == 0
     out = capsys.readouterr().out
     assert "q17_hash_agg\toracle" in out
-    # r14: nd_ann_lsh/pq/pca moved to oracle grades; ivf stays the
-    # representative rows-only (numpy-scored by design) row
+    # r14: the whole ANN plane carries oracle grades; the semantic fast
+    # twin stays the representative rows-only (numpy-summation,
+    # equivalence-gated by design) row
     assert "nd_ann_lsh\toracle" in out
-    assert "nd_ann_ivf\trows-only" in out
+    assert "nd_ann_ivf\toracle" in out
+    assert "nd_semantic_dedup_fast\trows-only" in out
 
 
 def test_version(capsys):

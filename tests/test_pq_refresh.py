@@ -25,10 +25,12 @@ def _drop_store(dirs):
     from bacalhau_spark.operators.dedup import _index_table_root
 
     for d in dirs:
-        for kind in ("pq_assign", "pq_cent", "ivf_coarse",
+        for kind in ("pq_assign", "pq_cent", "ivf_coarse", "ivf_cells",
                      "ivfpq_codes", "ivfpq_cent"):
-            shutil.rmtree(_index_table_root(d, kind, "embeddings"),
-                          ignore_errors=True)
+            for rev in (1, 2):
+                shutil.rmtree(
+                    _index_table_root(d, kind, "embeddings", rev=rev),
+                    ignore_errors=True)
 
 
 def test_pq_refresh_retrains_on_drift_and_closes_the_loop(
@@ -167,8 +169,8 @@ def test_ivf_coarse_quantizer_is_published_and_adopted(
     retrain."""
     from bacalhau_spark.operators.dedup import (_index_table_root,
                                                 clear_session_index)
-    from bacalhau_spark.operators.similarity import (_CENTROID_CACHE,
-                                                     _ivf_centroids)
+    from bacalhau_spark.operators.similarity import (IVF_REV,
+                                                     ivf_coarse_index)
     from bacalhau_spark.sources.versioned import latest_manifest
 
     corpus = str(tmp_path / "corpus")
@@ -176,13 +178,15 @@ def test_ivf_coarse_quantizer_is_published_and_adopted(
            .select("vec_id", "embedding"))
     _emb_corpus(spark, emb, corpus)
     try:
-        first = _ivf_centroids(spark, corpus)
-        root = _index_table_root(corpus, "ivf_coarse", "embeddings")
+        first = sorted(map(tuple,
+                           ivf_coarse_index(spark, corpus).collect()))
+        root = _index_table_root(corpus, "ivf_coarse", "embeddings",
+                                 rev=IVF_REV)
         man = latest_manifest(root)
         assert man is not None and man["files"] and man["version"] == 1
         clear_session_index(spark)
-        _CENTROID_CACHE.clear()
-        again = _ivf_centroids(spark, corpus)
+        again = sorted(map(tuple,
+                           ivf_coarse_index(spark, corpus).collect()))
         assert latest_manifest(root)["version"] == 1, \
             "the cold read must adopt, never republish"
         assert again == first, \
@@ -220,9 +224,12 @@ def test_ivfpq_refresh_retrains_on_drift_and_closes_the_loop(
                     .unionByName(drift), merged)
         out = ivfpq_refresh(spark, merged, parent).collect()
         assert out and all(r["action"] == "retrain" for r in out)
+        from bacalhau_spark.operators.similarity import IVF_REV
+
         for kind in ("ivf_coarse", "ivfpq_codes", "ivfpq_cent"):
             man = latest_manifest(
-                _index_table_root(merged, kind, "embeddings"))
+                _index_table_root(merged, kind, "embeddings",
+                                  rev=IVF_REV))
             assert man is not None and man["files"], \
                 f"retrain must publish {kind} under the merged key"
         mon2 = ivfpq_staleness(spark, merged, drift).collect()
@@ -235,7 +242,7 @@ def test_ivfpq_refresh_retrains_on_drift_and_closes_the_loop(
 def test_ivfpq_refresh_adopts_pinned_on_undrifted_batch(
         spark, sf_dir, tmp_path):
     from bacalhau_spark.operators.similarity import (
-        PQ_M, _ivf_centroids, ivfpq_centroid_index, ivfpq_code_index,
+        PQ_M, ivf_coarse_index, ivfpq_centroid_index, ivfpq_code_index,
         ivfpq_refresh)
 
     parent = str(tmp_path / "parent")
@@ -248,7 +255,8 @@ def test_ivfpq_refresh_adopts_pinned_on_undrifted_batch(
         cent_rows = sorted(map(tuple,
                                ivfpq_centroid_index(spark,
                                                     parent).collect()))
-        coarse = _ivf_centroids(spark, parent)
+        coarse = sorted(map(tuple,
+                            ivf_coarse_index(spark, parent).collect()))
         p_emb = spark.read.parquet(
             os.path.join(parent, "embeddings.parquet"))
         batch = (p_emb.where(F.col("vec_id") % 11 == 0)
@@ -262,7 +270,8 @@ def test_ivfpq_refresh_adopts_pinned_on_undrifted_batch(
             == n_parent + n_new * PQ_M
         assert sorted(map(tuple, ivfpq_centroid_index(
             spark, merged).collect())) == cent_rows
-        assert _ivf_centroids(spark, merged) == coarse, \
+        assert sorted(map(tuple, ivf_coarse_index(
+            spark, merged).collect())) == coarse, \
             "adopt_pinned must carry the coarse quantizer verbatim"
     finally:
         _drop_store([parent, merged])
