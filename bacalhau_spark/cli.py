@@ -252,9 +252,10 @@ def cmd_index(args) -> int:
       query path (the production shape: an ingest job publishes the
       index; every later session adopts instead of rebuilding).
       Kinds: sig, cand, winnow, phash, aphash, vphash, pq, ivfpq,
-      lshsig, canon, extract, or all (canon/extract are the
+      ivfvec, lshsig, canon, extract, or all (canon/extract are the
       materialized crawl front door; aphash/vphash the audio and
-      video near-dup signatures — round 12).
+      video near-dup signatures — round 12; ivfvec the cell-clustered
+      inverted file whose probe reads file-prune — round 14).
     - `index refresh --kind pq|ivfpq --sf-dir MERGED --parent PARENT`
       CONSUMES the staleness signal (round-13 verdict #1) for the
       codebook-bearing kinds: encodes MERGED's new vectors against
@@ -406,6 +407,10 @@ def cmd_index(args) -> int:
         ivfpq_code_index(spark, args.sf_dir)
         return ivfpq_centroid_index(spark, args.sf_dir)
 
+    def _ivfvec():
+        from bacalhau_spark.operators.similarity import ivf_vectors_index
+        return ivf_vectors_index(spark, args.sf_dir)
+
     def _lshsig():
         from bacalhau_spark.operators.similarity import lsh_signature_index
         return lsh_signature_index(spark, args.sf_dir)
@@ -419,8 +424,8 @@ def cmd_index(args) -> int:
         return html_extract_index(spark, args.sf_dir)
 
     builders.update(phash=_phash, aphash=_aphash, vphash=_vphash,
-                    pq=_pq, ivfpq=_ivfpq, lshsig=_lshsig,
-                    canon=_canon, extract=_extract)
+                    pq=_pq, ivfpq=_ivfpq, ivfvec=_ivfvec,
+                    lshsig=_lshsig, canon=_canon, extract=_extract)
     kinds = list(builders) if args.kind == "all" else [args.kind]
     built = {}
     for k in kinds:

@@ -481,7 +481,8 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                        cleanup=None, build_delta=None,
                        build_delta_ctx=None,
                        rev: int = 1,
-                       delta_key: str | None = None) -> DataFrame:
+                       delta_key: str | None = None,
+                       write_kwargs: dict | None = None) -> DataFrame:
     """Two-tier shared-index cache — the production index lifecycle:
 
     Tier 1 (session): a per-(applicationId, table-content) map so every
@@ -667,8 +668,13 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                 # tree above it — chunks land before the manifest that
                 # references them
                 props.update(_file_keys_props(root, ck, fkeys))
+                # write_kwargs: builder-declared physical layout for the
+                # published payload (e.g. cluster_by — the IVF inverted
+                # file range-clusters on cell id so the manifest's
+                # per-file stats make probe reads file-prunable)
                 versioned.write_version(
-                    frame, root, props=props, link_files=linked)
+                    frame, root, props=props, link_files=linked,
+                    **(write_kwargs or {}))
             except Exception:  # noqa: BLE001 — adoptability decides
                 pass
             try:

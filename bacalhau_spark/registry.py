@@ -45,7 +45,9 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 #      nd_ann_pq and nd_ann_lsh move from no_oracle to END-TO-END
 #      hash grades (new oracles replay training/LUT/candidates + the
 #      bit-identical cosine re-rank; nd_ann_pq also refactored through
-#      adc_topk); nd_pq_incremental refactored through the factored
+#      adc_topk); NEW nd_ann_ivf_pruned (the inverted file published
+#      range-clustered on cell id; manifest-stat pruned gather, same
+#      oracle as nd_ann_ivf); nd_pq_incremental refactored through the factored
 #      pq_staleness; nd_winnowing reads the session-cached capped
 #      frame; the session model caches gained content fingerprints in
 #      their keys (semantic screen, PCA basis/seeds, IVF centroids —
@@ -63,7 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     # 1. changed/new round 14 (standing rule)
     "nd_pq_retrain", "nd_ann_pq", "nd_ann_lsh",
     "nd_pq_incremental", "nd_pq_quantize",
-    "nd_ann_ivfpq", "nd_ann_ivf",
+    "nd_ann_ivfpq", "nd_ann_ivf", "nd_ann_ivf_pruned",
     "nd_ann_pca", "nd_pca_project",
     "nd_semantic_dedup", "nd_semantic_dedup_fast",
     "nd_winnowing",
@@ -83,9 +85,9 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q15_top_supplier", "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
     "nd_dataset_card", "nd_bloom_prefilter",
-    "nd_bloom_prefilter_part", "nd_substr_dedup",
+    "nd_bloom_prefilter_part",
     # ~window boundary (50): the r11 block queues next for round 15
-    "nd_neardup_decontam",
+    "nd_substr_dedup", "nd_neardup_decontam",
     "nd_heavy_hitters_cms", "nd_embedding_covariance",
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_ngram_overlap",

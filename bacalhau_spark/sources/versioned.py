@@ -288,6 +288,10 @@ _PRED_OPS = {
     "<": lambda mn, mx, v: mn < v,
     ">=": lambda mn, mx, v: mx >= v,
     ">": lambda mn, mx, v: mx > v,
+    # membership: the file survives iff ANY listed value can sit in its
+    # range — the disjunctive probe shape (IVF: cluster IN probed cells)
+    # a conjunction of comparisons cannot express
+    "in": lambda mn, mx, vals: any(mn <= v <= mx for v in vals),
 }
 
 
@@ -318,7 +322,8 @@ def read_version(spark: SparkSession, root: str,
     reading the same snapshot even if the table advances underneath.
 
     `predicate` — an optional conjunction of (column, op, value) with op
-    in ==/<=/</>=/> — turns the read SELECTIVE: the manifest's per-file
+    in ==/<=/</>=/>/in (value = an iterable of candidates for `in`) —
+    turns the read SELECTIVE: the manifest's per-file
     range stats prune the file list BEFORE spark.read ever sees it
     (files whose recorded [min, max] cannot satisfy every conjunct are
     skipped — a long append chain costs only the matching epochs), and
@@ -360,7 +365,10 @@ def read_version(spark: SparkSession, root: str,
         ops = {"==": "__eq__", "<=": "__le__", "<": "__lt__",
                ">=": "__ge__", ">": "__gt__"}
         for col, op, val in predicate:
-            df = df.where(getattr(F.col(col), ops[op])(val))
+            if op == "in":
+                df = df.where(F.col(col).isin(*val))
+            else:
+                df = df.where(getattr(F.col(col), ops[op])(val))
     return df
 
 

@@ -86,6 +86,7 @@ def stage_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bacalhau_spark.operators.similarity import (IVF_REV,
                                                      ivf_cells_index,
                                                      ivf_coarse_index,
+                                                     ivf_vectors_index,
                                                      ivfpq_centroid_index,
                                                      ivfpq_code_index,
                                                      lsh_signature_index,
@@ -115,6 +116,8 @@ def stage_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("lshsig", lsh_signature_index, 1, "embeddings"),
                 ("ivf_coarse", ivf_coarse_index, IVF_REV, "embeddings"),
                 ("ivf_cells", ivf_cells_index, IVF_REV, "embeddings"),
+                ("ivf_vectors", ivf_vectors_index, IVF_REV,
+                 "embeddings"),
                 ("pq_assign", pq_code_index, 1, "embeddings"),
                 ("pq_cent", pq_centroid_index, 1, "embeddings"),
                 ("ivfpq_codes", ivfpq_code_index, IVF_REV, "embeddings"),

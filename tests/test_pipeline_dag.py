@@ -173,7 +173,8 @@ def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
     assert {r[0] for r in idx} == {
         "sig", "cand", "winnow", "phash", "aphash", "vphash",
         "canon", "extract", "lshsig", "ivf_coarse", "ivf_cells",
-        "pq_assign", "pq_cent", "ivfpq_codes", "ivfpq_cent"}
+        "ivf_vectors", "pq_assign", "pq_cent", "ivfpq_codes",
+        "ivfpq_cent"}
     assert all(r[1] > 0 and r[2] >= 1 for r in idx)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     canon = url_canonicalize_frame(

@@ -450,6 +450,33 @@ def test_selective_read_prunes_files_and_keeps_rows(spark, tmp_path):
     assert empty.columns == ["k", "v"] and empty.count() == 0
 
 
+def test_selective_read_in_predicate(spark, tmp_path):
+    """`in` membership pruning (the IVF probe shape: cluster IN probed
+    cells — a disjunction no conjunction of comparisons expresses): a
+    file survives iff ANY listed value can sit in its recorded range,
+    and the residual isin row filter closes pruning to exactness."""
+    from bacalhau_spark.sources.versioned import pruned_file_count
+
+    root = str(tmp_path / "t")
+    for e in range(4):
+        rows = [(e * 10 + i, f"v{e}") for i in range(10)]
+        write_version(_df(spark, rows).coalesce(1), root,
+                      mode="append" if e else "overwrite")
+    # values landing in two of the four epochs: exactly two files kept
+    kept, total = pruned_file_count(root, [("k", "in", (5, 12))])
+    assert (kept, total) == (2, 4)
+    # the row filter drops the member no row carries (999 keeps no
+    # extra rows even though it prunes no extra files)
+    got = sorted(r.k for r in read_version(
+        spark, root, predicate=[("k", "in", (5, 12, 999))]).collect())
+    assert got == [5, 12]
+    # a membership set no file can match: zero files, schema kept
+    kept0, _ = pruned_file_count(root, [("k", "in", (999,))])
+    assert kept0 == 0
+    empty = read_version(spark, root, predicate=[("k", "in", (999,))])
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+
+
 def test_optimistic_concurrency_on_expected_version(spark, tmp_path):
     """write_version(expected_version=N) is the read-modify-write
     guard: a writer that based its transaction on version N fails
