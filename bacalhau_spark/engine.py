@@ -784,7 +784,7 @@ class Engine:
                 sf_dir = self._stage_mounts(run_id, spec)
             elif sf_dir is None:
                 sf_dir = "/root/testdata/sf0.001"
-            df = fn(self.spark, sf_dir)
+            df = fn(self.spark, sf_dir, **_extra_inputs(fn, spec.inputs))
             if spec.verified:
                 assert_deterministic(df)
             self._emit(run_id, EVT_RUNNING,
@@ -853,6 +853,26 @@ class Engine:
             _ctx_local.namespace = None
             for k, v in prev.items():
                 sc.setLocalProperty(k, v)
+
+
+def _extra_inputs(fn, inputs: dict) -> dict:
+    """MULTI-INPUT stages (round 14): a registry callable may declare
+    parameters beyond the standard (spark, sf_dir) pair — matched BY
+    NAME from the spec's inputs dict (e.g. stage_pq_refresh(spark,
+    sf_dir, parent_dir) run with inputs {"sf_dir": "@merge",
+    "parent_dir": "/epochN"}; '@parent' tokens resolve in every input
+    value, so either side of a refresh can be a DAG hand-off). Only
+    DECLARED names pass through — ordinary single-input queries never
+    see stray spec keys (the store/addresses mount keys keep their
+    meaning) — and an extra parameter the spec does not supply fails
+    in the call with the standard missing-argument error, recorded
+    like any other stage failure."""
+    import inspect
+    try:
+        params = list(inspect.signature(fn).parameters)[2:]
+    except (TypeError, ValueError):
+        return {}
+    return {p: inputs[p] for p in params if p in inputs}
 
 
 def run_pipeline_dag(stages: list[dict], submit_async, wait,

@@ -112,6 +112,70 @@ def _curation_stages(base: str, store: str) -> list[dict]:
     ]
 
 
+def test_pq_refresh_stage_runs_in_the_dag(spark, tmp_path):
+    """The staleness consumer INSIDE the epoch-ingest DAG (round 14):
+    stage_pq_refresh is a MULTI-INPUT stage (engine._extra_inputs —
+    the merged corpus arrives as sf_dir, the parent epoch by declared
+    parameter name), its retrain decision publishes the codes under
+    the merged content key, and its commit-log output (monitor rows +
+    chosen action) hands off to a dependent audit stage through the
+    standard '@' token — the controller loop with no operator in it."""
+    import os
+    import shutil
+
+    from bacalhau_spark.operators.dedup import _index_table_root
+    from bacalhau_spark.operators.similarity import (_pq_drift_batch,
+                                                     pq_code_index)
+    from bacalhau_spark.registry import engine_registry
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    parent = str(tmp_path / "parent")
+    merged = str(tmp_path / "merged")
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    emb.coalesce(2).write.parquet(
+        os.path.join(parent, "embeddings.parquet"))
+    try:
+        pq_code_index(spark, parent).count()   # publish epoch N
+        drift = _pq_drift_batch(spark, parent)
+        (spark.read.parquet(os.path.join(parent, "embeddings.parquet"))
+         .unionByName(drift).coalesce(2)
+         .write.parquet(os.path.join(merged, "embeddings.parquet")))
+
+        reg = engine_registry()
+
+        def audit(spark_, path):
+            return (spark_.read.parquet(path).groupBy("action")
+                    .agg(F.count("*").alias("n")))
+
+        reg["p_refresh_audit"] = audit
+        eng = Engine(spark, reg)
+        statuses = eng.submit_pipeline([
+            {"name": "refresh", "query": "stage_pq_refresh",
+             "inputs": {"sf_dir": merged, "parent_dir": parent},
+             "outputs": {"path": str(tmp_path / "refresh_log")}},
+            {"name": "audit", "query": "p_refresh_audit",
+             "after": ["refresh"], "inputs": {"sf_dir": "@refresh"},
+             "outputs": {"path": str(tmp_path / "audit")}},
+        ])
+        assert all(v not in ("Cancelled", "Rejected")
+                   for v in statuses.values())
+        out = spark.read.parquet(str(tmp_path / "audit")).collect()
+        # the synthesized mean-offset drift flags stale -> every one of
+        # the PQ_M subspace rows records the retrain decision
+        assert [(r["action"], r["n"]) for r in out] == [("retrain", 16)]
+        man = latest_manifest(
+            _index_table_root(merged, "pq_assign", "embeddings"))
+        assert man is not None and man["files"], \
+            "the DAG's retrain must publish under the merged content key"
+    finally:
+        for d in (parent, merged):
+            for kind in ("pq_assign", "pq_cent"):
+                shutil.rmtree(
+                    _index_table_root(d, kind, "embeddings"),
+                    ignore_errors=True)
+
+
 def test_crawl_curation_pipeline_end_to_end(spark, tmp_path):
     """The crawl front door as the flagship DAG's entry stage
     (examples/pipeline_crawl_curation.yaml): crawl-extract -> pii ->
