@@ -47,7 +47,9 @@ _MODULES = (scans, scalar, filters, joins, aggregates, windows, sort, setops,
 #      bit-identical cosine re-rank; nd_ann_pq also refactored through
 #      adc_topk); NEW nd_ann_ivf_pruned (the inverted file published
 #      range-clustered on cell id; manifest-stat pruned gather, same
-#      oracle as nd_ann_ivf); nd_pq_incremental refactored through the factored
+#      oracle as nd_ann_ivf); NEW nd_stream_ann (real-time ANN over the
+#      published inverted file — the streaming twin sharing nd_ann_ivf's
+#      hash oracle); nd_pq_incremental refactored through the factored
 #      pq_staleness; nd_winnowing reads the session-cached capped
 #      frame; the session model caches gained content fingerprints in
 #      their keys (semantic screen, PCA basis/seeds, IVF centroids —
@@ -65,7 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     # 1. changed/new round 14 (standing rule)
     "nd_pq_retrain", "nd_ann_pq", "nd_ann_lsh",
     "nd_pq_incremental", "nd_pq_quantize",
-    "nd_ann_ivfpq", "nd_ann_ivf", "nd_ann_ivf_pruned",
+    "nd_ann_ivfpq", "nd_ann_ivf", "nd_ann_ivf_pruned", "nd_stream_ann",
     "nd_ann_pca", "nd_pca_project",
     "nd_semantic_dedup", "nd_semantic_dedup_fast",
     "nd_winnowing",
@@ -85,9 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q15_top_supplier", "tpch_q20_part_promotion",
     "tpch_q21_waiting_supplier", "tpch_q5_local_volume",
     "nd_dataset_card", "nd_bloom_prefilter",
-    "nd_bloom_prefilter_part",
     # ~window boundary (50): the r11 block queues next for round 15
-    "nd_substr_dedup", "nd_neardup_decontam",
+    "nd_bloom_prefilter_part", "nd_substr_dedup", "nd_neardup_decontam",
     "nd_heavy_hitters_cms", "nd_embedding_covariance",
     "nd_bigram_surprisal", "nd_ks_drift",
     "nd_ngram_overlap",

@@ -833,6 +833,78 @@ def nd_stream_band_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_band_screen_gate").orderBy("doc_id")
 
 
+def _emb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as a file-stream source (the _doc_stream convention:
+    glob over the single fixture file; tests swap in a split fixture to
+    grade across real micro-batch boundaries)."""
+    schema = table(spark, sf_dir, "embeddings").schema
+    return (spark.readStream.schema(schema)
+            .parquet(f"{sf_dir}/embeddings.parqu*"))
+
+
+def nd_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-TIME similarity search over the PUBLISHED IVF index — the
+    streaming twin of nd_ann_ivf, sharing its FULL value-hash oracle
+    (_ANN_IVF_ORACLE): streamed query vectors (the same vec_id < 20
+    slice the batch row probes) rank their NPROBE cells IN-ROW against
+    the literal quantizer (_probe_cells_expr — a pure projection, so it
+    is stream-safe by construction), probe the STATIC inverted file
+    (ivf_vectors_index; a stateless stream-static equi join on cell
+    id), and re-rank with the bit-identical cosine fold. Top-3 per
+    query is a complete-mode collect_list + array_sort on (-cos, nn) —
+    double negation is exact, and the struct sort is the same total
+    order the batch twin's ranking window uses, so ties land
+    identically.
+
+    Scale shape: the online-serving read of the ANN plane — the index
+    is built once per epoch (the ingest pipeline), each micro-batch of
+    queries carries only (id, vector), the probe never scans outside
+    the joined cells, and the only streaming state is the per-query
+    top list (K rows per query id). Each query's candidates arrive in
+    the batch the query does, so micro-batch boundaries are invisible
+    (pinned in tests/test_streaming.py across a real split)."""
+    from bacalhau_spark.functions import cosine
+    from bacalhau_spark.operators.similarity import (NPROBE, _coarse_rows,
+                                                     _probe_cells_expr,
+                                                     ivf_vectors_index)
+
+    src = _emb_stream(spark, sf_dir)
+    q = (src.where(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.explode(_probe_cells_expr(
+                     _coarse_rows(spark, sf_dir), NPROBE))
+                 .alias("cluster")))
+    cand = ivf_vectors_index(spark, sf_dir).select(
+        F.col("vec_id").alias("nn"), "cluster",
+        F.col("embedding").alias("c_emb"))
+    cos = cosine(F.col("q_emb"), F.col("c_emb"))
+    scored = (q.join(cand, "cluster")
+              .where(F.col("q_id") != F.col("nn"))
+              .select("q_id", "nn", cos.alias("cos")))
+    # the struct carries the ORIGINAL cos alongside the negated sort
+    # key: re-negating would flip a 0.0 to -0.0 (different hash bits);
+    # (negcos, nn) alone decides the order — nn is unique per query
+    top = (scored.groupBy("q_id")
+           .agg(F.slice(F.array_sort(F.collect_list(F.struct(
+               (-F.col("cos")).alias("negcos"),
+               F.col("nn").alias("nn"),
+               F.col("cos").alias("cos")))), 1, 3).alias("t")))
+    out = (top.select(F.col("q_id").alias("vec_id"),
+                      F.posexplode("t").alias("pos", "s"))
+           .select("vec_id",
+                   (F.col("pos") + 1).cast("int").alias("rank"),
+                   F.col("s.nn").alias("nn"),
+                   F.col("s.cos").alias("cos")))
+    qh = _start_scoped(spark, out
+                       .writeStream.format("memory")
+                       .queryName("stream_ann_probe")
+                       .outputMode("complete").trigger(availableNow=True))
+    _await_or_raise(qh, 180)
+    return (spark.table("stream_ann_probe")
+            .orderBy("vec_id", "rank"))
+
+
 _STREAM_INCR_ORACLE = """
 WITH batch AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4
@@ -850,6 +922,8 @@ from bacalhau_spark.operators.curation import (_GOPHER_ORACLE,  # noqa: E402
                                                _quality_model_oracle)
 from bacalhau_spark.operators.dedup import \
     _INCREMENTAL_MH_ORACLE as _STREAM_BAND_SCREEN_ORACLE  # noqa: E402
+from bacalhau_spark.operators.similarity import \
+    _ANN_IVF_ORACLE as _STREAM_ANN_ORACLE  # noqa: E402
 from bacalhau_spark.operators.pipeline import \
     _EWMA_ORACLE as _STREAM_EWMA_ORACLE  # noqa: E402
 from bacalhau_spark.operators.aggregates import (  # noqa: E402
@@ -1132,6 +1206,10 @@ FROM est ORDER BY est_count DESC, tok LIMIT {CMS_TOP_K}
 QUERIES = {
     "nd_stream_heavy_hitters": (nd_stream_heavy_hitters,
                                 _stream_cms_oracle()),
+    # real-time ANN over the published inverted file — the streaming
+    # twin of nd_ann_ivf, sharing its end-to-end hash oracle (same
+    # probe rule, same candidates, same bit-identical re-rank)
+    "nd_stream_ann": (nd_stream_ann, _STREAM_ANN_ORACLE),
     # identical contract to the batch nd_gopher_filter — per-row mappers
     # are stream-deterministic, so the streaming run shares its oracle
     "nd_stream_gopher": (nd_stream_gopher, _GOPHER_ORACLE),

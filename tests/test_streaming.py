@@ -382,6 +382,41 @@ def test_multibatch_band_screen_equals_batch(spark, sf_dir, tmp_path,
         [tuple(r) for r in want.collect()]
 
 
+def test_multibatch_stream_ann_equals_batch(spark, sf_dir, tmp_path,
+                                            monkeypatch):
+    """The streaming ANN probe across a REAL batch boundary: query
+    vectors split into 2 files, one per trigger. Per-row probe-cell
+    ranking + a stream-static gather from the published inverted file
+    + a complete-mode top list — each query's candidates arrive in the
+    query's own batch, so the boundary must be invisible: rows equal
+    the batch twin (nd_ann_ivf) exactly, floats included."""
+    import pyarrow.parquet as pq
+
+    from bacalhau_spark.operators.similarity import nd_ann_ivf
+    from bacalhau_spark.registry import queries
+    from bacalhau_spark.streaming import events as ev
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half),
+                   str(tmp_path / "embeddings-0.parquet"))
+    pq.write_table(t.slice(half),
+                   str(tmp_path / "embeddings-1.parquet"))
+    schema = table(spark, sf_dir, "embeddings").schema
+
+    def paced(spark_, _sf):
+        return (spark_.readStream.schema(schema)
+                .option("pathGlobFilter", "embeddings-*.parquet")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path)))
+
+    monkeypatch.setattr(ev, "_emb_stream", paced)
+    got = queries()["nd_stream_ann"](spark, sf_dir)
+    want = nd_ann_ivf(spark, sf_dir)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+
+
 @pytest.mark.parametrize("query,max_hamming", [
     ("nd_stream_image_phash", 10),
     ("nd_stream_audio_phash", 10),
