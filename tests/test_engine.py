@@ -34,6 +34,16 @@ def test_submit_runs_to_completion(engine):
     assert names[-1] == EVT_COMPLETED
 
 
+def test_extra_inputs_reach_only_declared_parameters(engine):
+    """_extra_inputs (multi-input stages, round 14) passes ONLY names
+    the callable declares: a stray spec key never reaches an ordinary
+    (spark, sf_dir) query — the run completes as if it were absent."""
+    run_id = engine.submit(JobSpec(
+        query="q01_scan_projection",
+        inputs={"sf_dir": SF_DIR, "parent_dir": "/does/not/exist"}))
+    assert engine.state(run_id) == EVT_COMPLETED
+
+
 def test_replicated_verification_accepts_deterministic_plan(engine):
     """Concurrency=2 analog: two replicas of a deterministic plan must agree
     on the content manifest ⇒ ResultsAccepted."""
