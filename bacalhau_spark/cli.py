@@ -264,6 +264,13 @@ def cmd_index(args) -> int:
       content key — for ivfpq that includes a fresh coarse quantizer);
       otherwise adopts the pinned codebooks and encodes only the new
       rows. Prints one JSON line per subspace with the chosen action.
+    - `index verify [--kind K]` is the store's FSCK (round 14):
+      structural integrity of every published table without a
+      SparkSession — pointer/manifest/addressing props, every data
+      file's parquet footer, and the per-file key map's digests
+      (inline or chunked tree). One JSON line per table; exit 1 when
+      anything fails — scriptable as a cron check or pre-adoption
+      gate.
     - `index drop [--kind K] [--stale-days N]` removes published index
       tables (all, or one kind's) — the cache-invalidation big hammer;
       the next consumer rebuilds and republishes. `--stale-days N`
@@ -353,6 +360,57 @@ def cmd_index(args) -> int:
             dedup._MH_IDX_CACHE.clear()
         print(_json.dumps({"dropped": dropped}))
         return 0
+    if args.action == "verify":
+        # fsck for the store: structural integrity of every published
+        # table WITHOUT a SparkSession — pointer resolves, manifest
+        # parses and carries its addressing props, every named data
+        # file opens as parquet (footer read; row totals reported),
+        # and the per-file key map digest-verifies (inline or chunked
+        # sidecar tree). Exit 1 when anything fails — the verb a cron
+        # job or a pre-adoption gate scripts against. A manifestless
+        # table is reported not-ok (in-flight first publish or
+        # killed-builder debris; `clear_pending`'s age guard decides
+        # which, not this read-only verb).
+        import pyarrow.parquet as _pqt
+        names = sorted(os.listdir(root)) if os.path.isdir(root) else []
+        any_bad = False
+        for name in names:
+            if args.kind not in ("all", name.split("__", 1)[0]):
+                continue
+            troot = os.path.join(root, name)
+            issues: list[str] = []
+            m = None
+            try:
+                m = _v.latest_manifest(troot)
+            except Exception as exc:  # noqa: BLE001 — report, not raise
+                issues.append(f"manifest unreadable: {exc!r}")
+            if m is None and not issues:
+                issues.append(
+                    "no published manifest (in-flight or debris)")
+            n_rows = 0
+            if m is not None:
+                props = m.get("props", {})
+                for k in ("content_key", "kind", "table"):
+                    if not props.get(k):
+                        issues.append(f"manifest missing props.{k}")
+                for p in m.get("files", ()):
+                    try:
+                        n_rows += _pqt.ParquetFile(
+                            os.path.join(troot, p)).metadata.num_rows
+                    except Exception as exc:  # noqa: BLE001
+                        issues.append(
+                            f"{p}: unreadable parquet ({exc!r})")
+                if dedup._manifest_n_file_keys(m) and \
+                        dedup._manifest_file_keys(troot, m) is None:
+                    issues.append(
+                        "file_keys map fails digest verification")
+            any_bad |= bool(issues)
+            print(_json.dumps({
+                "index": name.split("__", 1)[0], "table": name,
+                "version": (m or {}).get("version"),
+                "n_files": len((m or {}).get("files", ())),
+                "n_rows": n_rows, "ok": not issues, "issues": issues}))
+        return 1 if any_bad else 0
     if args.action == "refresh":
         from bacalhau_spark.operators.similarity import (ivfpq_refresh,
                                                          pq_refresh)
@@ -549,9 +607,9 @@ def build_parser() -> argparse.ArgumentParser:
     vz.set_defaults(fn=cmd_viz)
 
     ix = sub.add_parser("index", help="persisted index store: list / "
-                                      "build / drop")
+                                      "build / drop / refresh / verify")
     ix.add_argument("action", choices=("list", "build", "drop",
-                                       "refresh"))
+                                       "refresh", "verify"))
     ix.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                     help="source fixture dir (build/refresh: the "
                          "current — for refresh, MERGED — epoch)")
@@ -560,7 +618,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "published codebook is the pinned baseline")
     ix.add_argument("--kind", default="all",
                     help="sig|cand|winnow|phash|aphash|vphash|lshsig|"
-                         "pq|ivfpq|canon|extract|all")
+                         "pq|ivfpq|ivfvec|canon|extract|all")
     ix.add_argument("--stale-days", type=float, default=None,
                     help="drop only tables whose latest manifest is "
                          "older than N days (dead-content reclamation)")

@@ -68,6 +68,60 @@ def test_index_verb_build_list_drop(spark, sf_dir, capsys):
     assert cli.main(["index", "build", "--kind", "bogus"]) == 2
 
 
+def test_index_verify_is_the_store_fsck(spark, sf_dir, capsys):
+    """`index verify` (round 14): a freshly built table verifies ok
+    (exit 0, footer row totals reported); truncating a data file flips
+    that table to ok=false with the file named and exit 1; a
+    manifestless debris slot reports not-ok without crashing the
+    sweep. Read-only: verify never repairs (clear_pending owns that)."""
+    import os
+    import shutil
+
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                clear_session_index,
+                                                index_store_root)
+
+    assert cli.main(["index", "build", "--sf-dir", sf_dir,
+                     "--kind", "winnow"]) == 0
+    capsys.readouterr()
+    try:
+        assert cli.main(["index", "verify", "--kind", "winnow"]) == 0
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines() if ln]
+        mine = [r for r in rows if r["index"] == "winnow"]
+        assert mine and all(r["ok"] and r["n_rows"] > 0 for r in mine)
+
+        # corrupt one data file: verify must name it and exit 1
+        troot = _index_table_root(sf_dir, "winnow", "documents", rev=2)
+        vdir = os.path.join(troot, "v=000001")
+        victim = next(f for f in os.listdir(vdir)
+                      if f.endswith(".parquet"))
+        with open(os.path.join(vdir, victim), "r+b") as f:
+            f.truncate(16)
+        assert cli.main(["index", "verify", "--kind", "winnow"]) == 1
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines() if ln]
+        bad = [r for r in rows if r["table"] == os.path.basename(troot)]
+        assert bad and not bad[0]["ok"]
+        assert any(victim in i for i in bad[0]["issues"])
+
+        # manifestless debris: reported not-ok, sweep continues
+        debris = os.path.join(index_store_root(),
+                              "winnow__documents__deadbeefdeadbeef")
+        os.makedirs(os.path.join(debris, "v=000001"), exist_ok=True)
+        assert cli.main(["index", "verify", "--kind", "winnow"]) == 1
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines() if ln]
+        deb = [r for r in rows
+               if r["table"].endswith("deadbeefdeadbeef")]
+        assert deb and not deb[0]["ok"]
+        shutil.rmtree(debris, ignore_errors=True)
+    finally:
+        clear_session_index(spark)  # the truncated file must not serve
+        cli.main(["index", "drop", "--kind", "winnow"])
+        capsys.readouterr()
+
+
 def test_index_refresh_argument_validation(capsys):
     """`index refresh` fails fast — BEFORE any Spark session spins up —
     on a non-codebook kind (per-row/banding kinds delta-adopt via
