@@ -1019,3 +1019,53 @@ def test_media_parsers_reject_junk_loudly(junk):
             except Exception as exc:  # noqa: BLE001
                 pytest.fail(f"{fn}: undeclared {type(exc).__name__} "
                             f"on {len(payload)}-byte payload")
+
+
+@given(files=st.lists(st.lists(st.integers(-50, 50), min_size=1,
+                               max_size=8),
+                      min_size=1, max_size=6),
+       data=st.data())
+@settings(deadline=None, max_examples=200)
+def test_file_pruner_is_a_superset_guarantee(files, data):
+    """The manifest-stat pruner may keep too much, never too little:
+    for a random conjunction over ==/<=/</>=/>/in (the full op set,
+    `in` added round 14 for the IVF probe shape), any file holding at
+    least one row that satisfies every conjunct must survive
+    _file_may_match on its recorded [min, max] — and a file with no
+    recorded stats is never pruned (the conservative default the
+    round-10 ADVICE pinned)."""
+    from bacalhau_spark.sources.versioned import _file_may_match
+
+    n_conj = data.draw(st.integers(1, 3))
+    pred = []
+    for _ in range(n_conj):
+        op = data.draw(st.sampled_from(["==", "<=", "<", ">=", ">",
+                                        "in"]))
+        if op == "in":
+            val = tuple(data.draw(st.lists(st.integers(-50, 50),
+                                           min_size=1, max_size=4)))
+        else:
+            val = data.draw(st.integers(-50, 50))
+        pred.append(("k", op, val))
+
+    def row_ok(v):
+        for _, op, val in pred:
+            if op == "==" and not v == val:
+                return False
+            if op == "<=" and not v <= val:
+                return False
+            if op == "<" and not v < val:
+                return False
+            if op == ">=" and not v >= val:
+                return False
+            if op == ">" and not v > val:
+                return False
+            if op == "in" and v not in val:
+                return False
+        return True
+
+    for rows in files:
+        stats = {"k": [min(rows), max(rows)]}
+        if any(row_ok(v) for v in rows):
+            assert _file_may_match(stats, pred), (rows, pred)
+        assert _file_may_match({}, pred)  # statless: never pruned
