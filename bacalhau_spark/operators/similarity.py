@@ -466,28 +466,48 @@ def ivf_cells_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                               tbl="embeddings", rev=IVF_REV)
 
 
-# Output files for the published inverted file: a range repartition on
-# cell id across this many files makes each file a contiguous cell
-# range, so the manifest's per-file [min, max] stats prune a probe read
-# to ~NPROBE/K of the files. At 100 TB this constant becomes
-# files-per-cell instead of cells-per-file; the pruning math is the
-# same because the ranges stay disjoint either way.
-IVF_VEC_FILES = 8
+# Layout rule for the published inverted file. File count scales with
+# source bytes toward IVF_VEC_TARGET_BYTES per file, floored at K (one
+# file per cell — the canonical inverted-file layout) and capped at
+# 256 locally (at 100 TB the cap is the object store's, not ours).
+# The cluster key is chosen by scale: while files <= K, a SINGLE-key
+# range on cell id aligns every file boundary exactly to a cell edge
+# (range sampling on a composite key would put a cell boundary inside
+# most files, and with one file per cell that doubles what a probe
+# opens — measured 6-8/16 vs the aligned 4/16); past K files the
+# COMPOSITE (cluster, vec_id) takes over so files-per-cell can exceed
+# 1, and the ~K boundary-spanning files amortize to noise. Layout
+# choices here affect PRUNING QUALITY only, never row content — an
+# artifact published under either layout adopts with identical query
+# results, so this is not a builder-rev concern.
+IVF_VEC_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def _ivf_vec_layout(sf_dir: str) -> dict:
+    from bacalhau_spark.operators.dedup import _table_part_paths
+    n = sum(os.path.getsize(p)
+            for p in _table_part_paths(sf_dir, "embeddings"))
+    files = max(N_CLUSTERS, min(256, -(-n // IVF_VEC_TARGET_BYTES)))
+    keys = (["cluster"] if files <= N_CLUSTERS
+            else ["cluster", "vec_id"])
+    return {"cluster_by": keys, "cluster_files": files}
 
 
 def ivf_vectors_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INVERTED FILE itself as a persisted store artifact:
     (cluster, vec_id, embedding) — the corpus vectors physically
     re-clustered by their coarse cell, published range-CLUSTERED on
-    cell id (write_version cluster_by) so every file covers a
-    contiguous, footer-stat-recorded cell range. This is the standard
-    IVF storage trade: one re-clustered copy of the vectors buys every
-    probe a candidate fetch that OPENS only the probed cells' files —
-    nd_ann_ivf's "at 100 TB the corpus is partitioned by cell" claim
-    made physical and measurable (pruned_file_count) instead of argued.
-    Rebuild-only like the other trained-state kinds: cell assignment is
-    a global function of the trained quantizer, so a delta union would
-    not equal a rebuild after the quantizer moves."""
+    the scale-chosen key (_ivf_vec_layout; write_version cluster_by)
+    so every file covers a contiguous, footer-stat-recorded cell
+    range. This is the
+    standard IVF storage trade: one re-clustered copy of the vectors
+    buys every probe a candidate fetch that OPENS only the probed
+    cells' files — nd_ann_ivf's "at 100 TB the corpus is partitioned
+    by cell" claim made physical and measurable (pruned_file_count)
+    instead of argued. Rebuild-only like the other trained-state
+    kinds: cell assignment is a global function of the trained
+    quantizer, so a delta union would not equal a rebuild after the
+    quantizer moves."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
     def build():
@@ -498,9 +518,7 @@ def ivf_vectors_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _mh_session_cached(
         spark, sf_dir, "ivf_vectors", build, tbl="embeddings",
-        rev=IVF_REV,
-        write_kwargs={"cluster_by": ["cluster"],
-                      "cluster_files": IVF_VEC_FILES})
+        rev=IVF_REV, write_kwargs=_ivf_vec_layout(sf_dir))
 
 
 def ivf_vectors_pruned(spark: SparkSession, sf_dir: str,

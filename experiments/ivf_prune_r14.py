@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=1)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--scratch", default="/tmp/bacalhau_spark_ivf_prune")
+    ap.add_argument("--target-mb", type=int, default=None,
+                    help="override IVF_VEC_TARGET_BYTES (MB) to force "
+                         "the >K composite-key layout at small widths")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -58,6 +61,8 @@ def main() -> None:
     store = os.path.join(args.scratch, "store")
     os.environ["SPARK_GRAFT_INDEX_STORE"] = store
     shutil.rmtree(store, ignore_errors=True)
+    if args.target_mb:
+        S.IVF_VEC_TARGET_BYTES = args.target_mb * 1024 * 1024
     heap = "16g" if args.mult >= 1000 else "8g"
     spark = get_session("ivf-prune-r14", master="local[32]",
                         shuffle_partitions=32,
@@ -83,7 +88,9 @@ def main() -> None:
             (scaled.repartition(args.mult, "vec_id")
              .write.mode("overwrite")
              .parquet(os.path.join(corpus, "embeddings.parquet")))
-        S.IVF_VEC_FILES = 32  # files-per-cell > 1 at scaled widths
+        # file count auto-scales: max(K, source_bytes/target) — single
+        # cell-aligned key at <=K files, composite (cluster, vec_id)
+        # beyond (see similarity._ivf_vec_layout)
 
     # ---- ingest: quantizer + cells + inverted file -------------------
     t0 = time.time()

@@ -87,6 +87,41 @@ def test_ivf_pruned_probe_matches_and_prunes(spark, sf_dir):
         == sorted(r["vec_id"] for r in full.select("vec_id").collect())
 
 
+def test_ivf_pruned_composite_layout_equality(spark, sf_dir, tmp_path,
+                                              monkeypatch):
+    """The >K COMPOSITE layout (files > one-per-cell, engaged when
+    bytes demand it — forced here via a tiny byte target): boundary-
+    spanning files must only widen what a probe OPENS, never change
+    what it returns. Built on a content-unique corpus (Spark part
+    UUIDs) so the fixture's published single-key artifact cannot
+    adopt-shadow the composite build."""
+    import shutil
+
+    from bacalhau_spark.operators import similarity as S
+    from bacalhau_spark.operators.dedup import _index_table_root
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    corpus = str(tmp_path / "corpus")
+    (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+     .coalesce(2).write.parquet(f"{corpus}/embeddings.parquet"))
+    monkeypatch.setattr(S, "IVF_VEC_TARGET_BYTES", 4096)
+    try:
+        base = [tuple(r) for r in S.nd_ann_ivf(spark, corpus).collect()]
+        got = [tuple(r)
+               for r in S.nd_ann_ivf_pruned(spark, corpus).collect()]
+        assert got == base and got
+        man = latest_manifest(_index_table_root(
+            corpus, "ivf_vectors", "embeddings", rev=S.IVF_REV))
+        if man is not None:
+            assert man["n_files"] > S.N_CLUSTERS, \
+                "tiny target must force the composite >K layout"
+    finally:
+        for kind in ("ivf_coarse", "ivf_cells", "ivf_vectors"):
+            shutil.rmtree(_index_table_root(corpus, kind, "embeddings",
+                                            rev=S.IVF_REV),
+                          ignore_errors=True)
+
+
 def test_pca_ann_recall_vs_brute_force(spark, sf_dir):
     """The reduce-then-index pipeline (PCA 8-dim candidates, full-dim
     scoring) must recover most true top-3 neighbors — PCA keeps the
