@@ -534,6 +534,10 @@ def ivf_vectors_pruned(spark: SparkSession, sf_dir: str,
     from bacalhau_spark.sources import versioned
 
     frame = ivf_vectors_index(spark, sf_dir)  # ensures built/published
+    if not cells:
+        # no probed cells (no query rows): empty result, and the
+        # fallback's isin(*[]) below would raise
+        return frame.where(F.lit(False))
     root = _index_table_root(sf_dir, "ivf_vectors", "embeddings",
                              rev=IVF_REV)
     try:

@@ -366,7 +366,11 @@ def read_version(spark: SparkSession, root: str,
                ">=": "__ge__", ">": "__gt__"}
         for col, op, val in predicate:
             if op == "in":
-                df = df.where(F.col(col).isin(*val))
+                # empty membership = no rows; isin() with no values
+                # raises, and a statless file can survive the pruner
+                # even when every listed value is impossible
+                df = (df.where(F.col(col).isin(*val)) if val
+                      else df.where(F.lit(False)))
             else:
                 df = df.where(getattr(F.col(col), ops[op])(val))
     return df

@@ -475,6 +475,10 @@ def test_selective_read_in_predicate(spark, tmp_path):
     assert kept0 == 0
     empty = read_version(spark, root, predicate=[("k", "in", (999,))])
     assert empty.columns == ["k", "v"] and empty.count() == 0
+    # the EMPTY membership set: no rows, no isin() crash — a statless
+    # file can survive the pruner, so the row filter must handle ()
+    none = read_version(spark, root, predicate=[("k", "in", ())])
+    assert none.columns == ["k", "v"] and none.count() == 0
 
 
 def test_optimistic_concurrency_on_expected_version(spark, tmp_path):
