@@ -291,6 +291,24 @@ def cmd_index(args) -> int:
     from bacalhau_spark.sources import versioned as _v
 
     root = dedup.index_store_root()
+
+    # CLI kind -> store kind prefixes. The builder verbs pq/ivfpq/ivfvec
+    # publish under compound store kinds (pq_assign + pq_cent, ...), so
+    # a prefix match on the CLI name would silently select NOTHING —
+    # `index verify --kind pq` exiting 0 having checked zero tables is
+    # a false-clean fsck (r14 review). Raw store kinds pass through, so
+    # `--kind pq_cent` still narrows to one table.
+    _KIND_ALIASES = {"pq": {"pq_assign", "pq_cent"},
+                     "ivfpq": {"ivfpq_codes", "ivfpq_cent"},
+                     "ivfvec": {"ivf_vectors"},
+                     "ivf": {"ivf_coarse", "ivf_cells"}}
+
+    def _kind_selected(name: str) -> bool:
+        if args.kind == "all":
+            return True
+        store_kind = name.split("__", 1)[0]
+        return store_kind in _KIND_ALIASES.get(args.kind, {args.kind})
+
     def _manifest(name):
         # a corrupt manifest.json (crash mid-copy, disk-full) must not
         # abort the whole verb mid-sweep — treat as manifestless
@@ -310,6 +328,10 @@ def cmd_index(args) -> int:
                 "index": kind, "table": tbl, "source_digest": digest,
                 "version": m["version"], "n_files": m["n_files"],
                 "created_unix": m.get("created_unix"),
+                # which declared rule produced the head: absent =
+                # fresh-trained/built; "pinned" = a refresh carried the
+                # parent's codebooks (declared-approximate vs retrain)
+                "encoding": m.get("props", {}).get("encoding"),
                 "fingerprint_files": len(
                     m.get("props", {}).get("fingerprint", []))}))
         return 0
@@ -331,7 +353,7 @@ def cmd_index(args) -> int:
             cutoff = _time.time() - args.stale_days * 86400.0
         dropped = []
         for name in names:
-            if args.kind not in ("all", name.split("__", 1)[0]):
+            if not _kind_selected(name):
                 continue
             if cutoff is not None:
                 m = _manifest(name)
@@ -375,7 +397,7 @@ def cmd_index(args) -> int:
         names = sorted(os.listdir(root)) if os.path.isdir(root) else []
         any_bad = False
         for name in names:
-            if args.kind not in ("all", name.split("__", 1)[0]):
+            if not _kind_selected(name):
                 continue
             troot = os.path.join(root, name)
             issues: list[str] = []
@@ -409,7 +431,9 @@ def cmd_index(args) -> int:
                 "index": name.split("__", 1)[0], "table": name,
                 "version": (m or {}).get("version"),
                 "n_files": len((m or {}).get("files", ())),
-                "n_rows": n_rows, "ok": not issues, "issues": issues}))
+                "n_rows": n_rows,
+                "encoding": (m or {}).get("props", {}).get("encoding"),
+                "ok": not issues, "issues": issues}))
         return 1 if any_bad else 0
     if args.action == "refresh":
         from bacalhau_spark.operators.similarity import (ivfpq_refresh,

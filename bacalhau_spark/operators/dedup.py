@@ -482,7 +482,8 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                        build_delta_ctx=None,
                        rev: int = 1,
                        delta_key: str | None = None,
-                       write_kwargs: dict | None = None) -> DataFrame:
+                       write_kwargs: dict | None = None,
+                       extra_props: dict | None = None) -> DataFrame:
     """Two-tier shared-index cache — the production index lifecycle:
 
     Tier 1 (session): a per-(applicationId, table-content) map so every
@@ -660,6 +661,12 @@ def _mh_session_cached(spark: SparkSession, sf_dir: str, kind: str,
                      "builder_rev": rev,
                      "fingerprint": [list(t) for t in fp],
                      "kind": kind, "table": tbl}
+            if extra_props:
+                # builder-declared provenance (e.g. encoding=pinned for
+                # a refresh's carried-codebook publish) — recorded so
+                # `index list`/`verify` can tell WHICH declared rule
+                # produced the bytes at this content address
+                props.update(extra_props)
             if is_delta:
                 props["delta_parent"] = parent_digest
             try:
@@ -1327,7 +1334,28 @@ def winnow_capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     capped = _winnow_df_cap(winnow_posting_index(spark, sf_dir)).persist()
     with _MH_IDX_LOCK:
-        return _WINNOW_CAPPED_CACHE.setdefault(key, capped)
+        # same-app entries for this PATH under an older fingerprint are
+        # superseded (the fixture was rewritten in place): unpersist
+        # them, or N rewrites pin N capped frames in executor storage
+        # for the session (r14 review)
+        for k in [k for k in _WINNOW_CAPPED_CACHE
+                  if k[0] == app_id and k[1] == key[1] and k != key]:
+            stale = _WINNOW_CAPPED_CACHE.pop(k, None)
+            if stale is not None:
+                try:
+                    stale.unpersist()
+                except Exception:  # noqa: BLE001 — cache hygiene only
+                    pass
+        won = _WINNOW_CAPPED_CACHE.setdefault(key, capped)
+    if won is not capped:
+        # a concurrent builder won the slot between our miss and this
+        # insert; nothing else holds our duplicate's handle, so drop
+        # its persist instead of leaking it for the session
+        try:
+            capped.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+    return won
 
 
 def winnowing_pairs(docs: DataFrame) -> DataFrame:

@@ -622,10 +622,15 @@ def nd_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.explode(_probe_cells_expr(
                           _coarse_rows(spark, sf_dir), NPROBE))
                       .alias("cluster")))
-    cand = (F.broadcast(probes)
-            .join(ivf_cells_index(spark, sf_dir)
-                  .select(F.col("vec_id").alias("nn"), "cluster"),
-                  "cluster")
+    # candidate pairs scale with the CORPUS (n_queries x n x NPROBE/K
+    # rows), so only the bounded sides broadcast — probes (queries x
+    # NPROBE) and the query vectors; cand joins the corpus scan on nn
+    # as an ordinary shuffle equi join (r14 review: broadcasting cand
+    # ships an O(n) frame to every executor, the exact shape the
+    # docstring's gather claim forbids)
+    cand = (ivf_cells_index(spark, sf_dir)
+            .select(F.col("vec_id").alias("nn"), "cluster")
+            .join(F.broadcast(probes), "cluster")
             .where(F.col("q_id") != F.col("nn"))
             .select("q_id", "nn"))
     cv = emb.select(F.col("vec_id").alias("nn"),
@@ -635,7 +640,7 @@ def nd_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nn"))
     return (
-        cv.join(F.broadcast(cand), "nn")
+        cv.join(cand, "nn")
         .join(F.broadcast(qv), "q_id")
         .select(F.col("q_id").alias("vec_id"), "nn", cos.alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
@@ -1990,6 +1995,48 @@ def pq_staleness(spark: SparkSession, sf_dir: str,
             .orderBy("sub"))
 
 
+def _refresh_append_guard(spark: SparkSession, merged_dir: str,
+                          parent_dir: str) -> None:
+    """The refresh verbs' PREMISE is merged = parent + appended vectors;
+    a vector rewritten in place is invisible to the vec_id anti-join
+    (no staleness fires, the parent's code for it republishes under the
+    merged content key — silently wrong for every later consumer), and
+    a removed vector leaves a phantom code occupying shortlist slots.
+    The store guards exactly this premise everywhere else
+    (_ids_disjoint, strict-subset file keys), so the refreshers do too
+    — FAIL LOUDLY and tell the operator to `index build` the merged
+    epoch fresh. Fast path: every parent part file reappears
+    byte-identical in merged (per-file content keys — zero data
+    reads); otherwise two data checks: no parent id missing from
+    merged, and every common id carries an identical embedding."""
+    from bacalhau_spark.operators.dedup import _scan_table_windows
+
+    _, pk = _scan_table_windows(parent_dir, "embeddings")
+    _, mk = _scan_table_windows(merged_dir, "embeddings")
+    if pk and all(mk.get(b) == k for b, k in pk.items()):
+        return  # file-level proof: parent shards carried verbatim
+    p = table(spark, parent_dir, "embeddings").select(
+        "vec_id", "embedding")
+    m = table(spark, merged_dir, "embeddings").select(
+        "vec_id", "embedding")
+    if not p.join(m.select("vec_id"), "vec_id", "left_anti").isEmpty():
+        raise ValueError(
+            f"refresh: {merged_dir} is missing vec_ids present in "
+            f"parent {parent_dir} — the epoch is not append-only, and "
+            "carried codes would keep phantom entries for the removed "
+            "vectors; rebuild the merged epoch's index with `index "
+            "build` instead")
+    changed = (p.alias("p").join(m.alias("m"), "vec_id")
+               .where(F.col("p.embedding") != F.col("m.embedding")))
+    if not changed.isEmpty():
+        raise ValueError(
+            f"refresh: {merged_dir} rewrites embeddings of vec_ids it "
+            f"shares with parent {parent_dir} — the anti-join cannot "
+            "see in-place rewrites, so carried codes would be silently "
+            "stale for them; rebuild the merged epoch's index with "
+            "`index build` instead")
+
+
 def pq_refresh(spark: SparkSession, merged_dir: str,
                parent_dir: str) -> DataFrame:
     """THE RETRAIN-LOOP CONSUMER of the staleness signal (round-13
@@ -2021,10 +2068,24 @@ def pq_refresh(spark: SparkSession, merged_dir: str,
          while a trained epoch's `d` is vs the final training argmin —
          consumers of `d` beyond monitoring should retrain.)
 
+    Two declared invariants (r14 review): (1) the verb REQUIRES the
+    epoch to be append-only and verifies it (_refresh_append_guard) —
+    an in-place rewrite is invisible to the anti-join and a removal
+    leaves phantom codes, so both fail loudly with a rebuild
+    instruction; (2) a pinned publish and a fresh `index build` of the
+    same merged content are two LEGITIMATE rules for one content
+    address — whichever lands first owns the slot (write_version
+    mode=error; the loser adopts), and the manifest's
+    `encoding: pinned` prop records which rule produced the head
+    (`index list` prints it), so the state is inspectable rather than
+    silent. Operators needing fresh-train bytes at a pinned address
+    run `index drop` first.
+
     Returns the per-subspace monitor rows plus the chosen `action`
     ('retrain' | 'adopt_pinned') as literal structs (the
     stage_index_build convention — the decision already happened; the
     frame is the commit-log view of it)."""
+    _refresh_append_guard(spark, merged_dir, parent_dir)
     m_emb = table(spark, merged_dir, "embeddings")
     p_emb = table(spark, parent_dir, "embeddings")
     new = (m_emb.join(p_emb.select("vec_id"), "vec_id", "left_anti")
@@ -2053,10 +2114,18 @@ def pq_refresh(spark: SparkSession, merged_dir: str,
                                  F.col("m.d").alias("d")))
             return pq_code_index(spark, parent_dir).unionByName(new_codes)
 
+        # encoding=pinned records WHICH declared rule produced the
+        # bytes at this content address: a pinned publish and a fresh
+        # `index build` of the same merged content are two legitimate
+        # rules for one slot — whichever lands first owns it
+        # (mode=error; the loser adopts), and the prop makes the head's
+        # provenance inspectable (`index list`) instead of silent
         _mh_session_cached(spark, merged_dir, "pq_assign", build_codes,
-                           tbl="embeddings")
+                           tbl="embeddings",
+                           extra_props={"encoding": "pinned"})
         _mh_session_cached(spark, merged_dir, "pq_cent", lambda: cent,
-                           tbl="embeddings")
+                           tbl="embeddings",
+                           extra_props={"encoding": "pinned"})
     structs = [F.struct(F.lit(int(r["sub"])).alias("sub"),
                         F.lit(int(r["n_new"])).cast("long").alias("n_new"),
                         F.lit(bool(r["stale"])).alias("stale"),
@@ -2496,6 +2565,7 @@ def ivfpq_refresh(spark: SparkSession, merged_dir: str,
     encodes only the new vectors (coarse cell via the pinned quantizer,
     residual code via argmin against the pinned reconstruction
     codebook). CLI: `index refresh --kind ivfpq`."""
+    _refresh_append_guard(spark, merged_dir, parent_dir)
     m_emb = table(spark, merged_dir, "embeddings")
     p_emb = table(spark, parent_dir, "embeddings")
     new = (m_emb.join(p_emb.select("vec_id"), "vec_id", "left_anti")
@@ -2513,13 +2583,19 @@ def ivfpq_refresh(spark: SparkSession, merged_dir: str,
         coarse = ivf_coarse_index(spark, parent_dir)
         rcent = ivfpq_centroid_index(spark, parent_dir)
         sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+        # the batch's coarse assignment feeds BOTH pinned builders —
+        # computed once, eagerly (r14 review: each builder previously
+        # re-ran the full assignment chain; the monitor's own pass is
+        # internal to ivfpq_staleness). The batch is the increment, so
+        # the checkpoint is increment-sized.
+        new_cells = (_ivf_assign_ranked(
+            new, _ivf_coarse_arrays(spark, parent_dir))
+            .where(F.col("arank") == 1)
+            .select("vec_id", "cluster")
+            .localCheckpoint(eager=True))
 
         def build_codes():
-            b_cells = (_ivf_assign_ranked(
-                new, _ivf_coarse_arrays(spark, parent_dir))
-                .where(F.col("arank") == 1)
-                .select("vec_id", "cluster"))
-            e_b = _ivfpq_residual_exploded(new, b_cells, coarse)
+            e_b = _ivfpq_residual_exploded(new, new_cells, coarse)
             new_codes = (e_b.join(F.broadcast(rcent), ["sub", "dim"])
                          .groupBy("vec_id", "cluster", "sub", "cid")
                          .agg(F.sum(sq).alias("d"))
@@ -2531,21 +2607,22 @@ def ivfpq_refresh(spark: SparkSession, merged_dir: str,
                     .unionByName(new_codes))
 
         def build_cells():
-            new_cells = (_ivf_assign_ranked(
-                new, _ivf_coarse_arrays(spark, parent_dir))
-                .where(F.col("arank") == 1)
-                .select("vec_id", "cluster"))
             return (ivf_cells_index(spark, parent_dir)
                     .unionByName(new_cells))
 
+        pinned = {"encoding": "pinned"}  # provenance, see pq_refresh
         _mh_session_cached(spark, merged_dir, "ivf_coarse",
-                           lambda: coarse, tbl="embeddings", rev=IVF_REV)
+                           lambda: coarse, tbl="embeddings", rev=IVF_REV,
+                           extra_props=pinned)
         _mh_session_cached(spark, merged_dir, "ivf_cells", build_cells,
-                           tbl="embeddings", rev=IVF_REV)
+                           tbl="embeddings", rev=IVF_REV,
+                           extra_props=pinned)
         _mh_session_cached(spark, merged_dir, "ivfpq_codes", build_codes,
-                           tbl="embeddings", rev=IVF_REV)
+                           tbl="embeddings", rev=IVF_REV,
+                           extra_props=pinned)
         _mh_session_cached(spark, merged_dir, "ivfpq_cent",
-                           lambda: rcent, tbl="embeddings", rev=IVF_REV)
+                           lambda: rcent, tbl="embeddings", rev=IVF_REV,
+                           extra_props=pinned)
     structs = [F.struct(F.lit(int(r["sub"])).alias("sub"),
                         F.lit(int(r["n_new"])).cast("long").alias("n_new"),
                         F.lit(bool(r["stale"])).alias("stale"),

@@ -105,6 +105,23 @@ def test_index_verify_is_the_store_fsck(spark, sf_dir, capsys):
         assert bad and not bad[0]["ok"]
         assert any(victim in i for i in bad[0]["issues"])
 
+        # compound-kind aliasing: `--kind pq` must select the pq_assign
+        # AND pq_cent store tables (a prefix match on the CLI name
+        # selected NOTHING — a false-clean fsck; r14 review), and the
+        # raw store kind still narrows to one table
+        from bacalhau_spark.operators.similarity import (pq_centroid_index,
+                                                         pq_code_index)
+        pq_code_index(spark, sf_dir).count()
+        pq_centroid_index(spark, sf_dir).count()
+        assert cli.main(["index", "verify", "--kind", "pq"]) in (0, 1)
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines() if ln]
+        assert {r["index"] for r in rows} == {"pq_assign", "pq_cent"}
+        assert cli.main(["index", "verify", "--kind", "pq_cent"]) in (0, 1)
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines() if ln]
+        assert rows and {r["index"] for r in rows} == {"pq_cent"}
+
         # manifestless debris: reported not-ok, sweep continues
         debris = os.path.join(index_store_root(),
                               "winnow__documents__deadbeefdeadbeef")

@@ -275,3 +275,85 @@ def test_ivfpq_refresh_adopts_pinned_on_undrifted_batch(
             "adopt_pinned must carry the coarse quantizer verbatim"
     finally:
         _drop_store([parent, merged])
+
+
+def test_refresh_append_guard_rejects_non_append_epochs(
+        spark, sf_dir, tmp_path):
+    """The refresh verbs' premise is merged = parent + appended rows,
+    and they must FAIL LOUDLY when it does not hold (r14 review): an
+    in-place embedding rewrite is invisible to the vec_id anti-join
+    (the parent's code would republish for the new bytes — silently
+    wrong), and a removed vector would keep a phantom code. Both
+    shapes raise with a rebuild instruction; the error path publishes
+    nothing under the merged content key."""
+    import pytest
+
+    from bacalhau_spark.operators.dedup import _index_table_root
+    from bacalhau_spark.operators.similarity import (pq_code_index,
+                                                     pq_refresh)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    parent = str(tmp_path / "parent")
+    rewritten = str(tmp_path / "rewritten")
+    shrunk = str(tmp_path / "shrunk")
+    emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .select("vec_id", "embedding"))
+    _emb_corpus(spark, emb, parent)
+    try:
+        pq_code_index(spark, parent).count()
+        # in-place rewrite: same ids, one vector's bytes changed
+        changed = emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") == 3,
+                   F.expr("transform(embedding, v -> CAST(v AS FLOAT)"
+                          " * CAST(0.5 AS FLOAT))"))
+            .otherwise(F.col("embedding")))
+        _emb_corpus(spark, changed, rewritten)
+        with pytest.raises(ValueError, match="rewrites embeddings"):
+            pq_refresh(spark, rewritten, parent)
+        # removal: an id present in parent is missing from merged
+        _emb_corpus(spark, emb.where(F.col("vec_id") != 3), shrunk)
+        with pytest.raises(ValueError, match="missing vec_ids"):
+            pq_refresh(spark, shrunk, parent)
+        for d in (rewritten, shrunk):
+            assert latest_manifest(_index_table_root(
+                d, "pq_assign", "embeddings")) is None, \
+                "a refused refresh must publish nothing"
+    finally:
+        _drop_store([parent, rewritten, shrunk])
+
+
+def test_adopt_pinned_publishes_encoding_provenance(
+        spark, sf_dir, tmp_path):
+    """A pinned publish and a fresh build are two declared rules for
+    one content address; the manifest's encoding prop records which
+    rule produced the head (r14 review) so the state is inspectable."""
+    from bacalhau_spark.operators.dedup import _index_table_root
+    from bacalhau_spark.operators.similarity import (pq_code_index,
+                                                     pq_refresh)
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    parent = str(tmp_path / "parent")
+    merged = str(tmp_path / "merged")
+    emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .select("vec_id", "embedding"))
+    _emb_corpus(spark, emb, parent)
+    try:
+        pq_code_index(spark, parent).count()
+        p_emb = spark.read.parquet(
+            os.path.join(parent, "embeddings.parquet"))
+        batch = (p_emb.where(F.col("vec_id") % 11 == 0)
+                 .select((F.col("vec_id") + 2_000_000).alias("vec_id"),
+                         "embedding"))
+        _emb_corpus(spark, p_emb.unionByName(batch), merged)
+        out = pq_refresh(spark, merged, parent).collect()
+        assert out and all(r["action"] == "adopt_pinned" for r in out)
+        man = latest_manifest(_index_table_root(
+            merged, "pq_assign", "embeddings"))
+        assert man and man["props"].get("encoding") == "pinned"
+        # the parent's own (fresh-trained) manifest carries no mark
+        pman = latest_manifest(_index_table_root(
+            parent, "pq_assign", "embeddings"))
+        assert pman and pman["props"].get("encoding") is None
+    finally:
+        _drop_store([parent, merged])
