@@ -298,9 +298,16 @@ def cmd_index(args) -> int:
     # `index verify --kind pq` exiting 0 having checked zero tables is
     # a false-clean fsck (r14 review). Raw store kinds pass through, so
     # `--kind pq_cent` still narrows to one table.
+    # ivfpq/ivfvec include the coarse-quantizer tables their read and
+    # rebuild paths depend on: `drop --kind ivfpq` is the documented
+    # escape hatch from a pinned refresh publish, and leaving
+    # ivf_coarse/ivf_cells behind would make the next "fresh" build
+    # silently adopt the pinned quantizer it was escaping (r14 review)
     _KIND_ALIASES = {"pq": {"pq_assign", "pq_cent"},
-                     "ivfpq": {"ivfpq_codes", "ivfpq_cent"},
-                     "ivfvec": {"ivf_vectors"},
+                     "ivfpq": {"ivfpq_codes", "ivfpq_cent",
+                               "ivf_coarse", "ivf_cells"},
+                     "ivfvec": {"ivf_vectors", "ivf_coarse",
+                                "ivf_cells"},
                      "ivf": {"ivf_coarse", "ivf_cells"}}
 
     def _kind_selected(name: str) -> bool:
@@ -489,6 +496,12 @@ def cmd_index(args) -> int:
         ivfpq_code_index(spark, args.sf_dir)
         return ivfpq_centroid_index(spark, args.sf_dir)
 
+    def _ivf():
+        from bacalhau_spark.operators.similarity import (ivf_cells_index,
+                                                         ivf_coarse_index)
+        ivf_coarse_index(spark, args.sf_dir)
+        return ivf_cells_index(spark, args.sf_dir)
+
     def _ivfvec():
         from bacalhau_spark.operators.similarity import ivf_vectors_index
         return ivf_vectors_index(spark, args.sf_dir)
@@ -506,7 +519,7 @@ def cmd_index(args) -> int:
         return html_extract_index(spark, args.sf_dir)
 
     builders.update(phash=_phash, aphash=_aphash, vphash=_vphash,
-                    pq=_pq, ivfpq=_ivfpq, ivfvec=_ivfvec,
+                    pq=_pq, ivfpq=_ivfpq, ivf=_ivf, ivfvec=_ivfvec,
                     lshsig=_lshsig, canon=_canon, extract=_extract)
     kinds = list(builders) if args.kind == "all" else [args.kind]
     built = {}
@@ -642,7 +655,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "published codebook is the pinned baseline")
     ix.add_argument("--kind", default="all",
                     help="sig|cand|winnow|phash|aphash|vphash|lshsig|"
-                         "pq|ivfpq|ivfvec|canon|extract|all")
+                         "pq|ivfpq|ivf|ivfvec|canon|extract|all "
+                         "(compound kinds select their full store "
+                         "family for drop/verify: pq = assign+cent, "
+                         "ivfpq/ivfvec also cover the coarse-quantizer "
+                         "tables; raw store kinds like pq_cent narrow "
+                         "to one table)")
     ix.add_argument("--stale-days", type=float, default=None,
                     help="drop only tables whose latest manifest is "
                          "older than N days (dead-content reclamation)")

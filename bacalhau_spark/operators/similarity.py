@@ -2005,20 +2005,45 @@ def _refresh_append_guard(spark: SparkSession, merged_dir: str,
     The store guards exactly this premise everywhere else
     (_ids_disjoint, strict-subset file keys), so the refreshers do too
     — FAIL LOUDLY and tell the operator to `index build` the merged
-    epoch fresh. Fast path: every parent part file reappears
-    byte-identical in merged (per-file content keys — zero data
-    reads); otherwise two data checks: no parent id missing from
-    merged, and every common id carries an identical embedding."""
-    from bacalhau_spark.operators.dedup import _scan_table_windows
+    epoch fresh. Fast path: every parent part file reappears in merged
+    under the store's content-identity window (per-file keys over
+    basename/size/head+tail 4 KB — the same identity ALL adoption
+    trusts, not a full byte compare) AND the appended shards' ids are
+    disjoint from the parent's (a re-carried id in a new shard is
+    invisible to the anti-join and duplicates rows for every
+    downstream vec_id join). Otherwise three data checks: no parent id
+    missing from merged, no duplicate ids in merged, and every common
+    id carries an identical embedding (null-safe — a rewrite to or
+    from NULL must not slip through plain `!=`)."""
+    from bacalhau_spark.operators.dedup import (_scan_table_windows,
+                                                _table_part_paths)
 
     _, pk = _scan_table_windows(parent_dir, "embeddings")
     _, mk = _scan_table_windows(merged_dir, "embeddings")
-    if pk and all(mk.get(b) == k for b, k in pk.items()):
-        return  # file-level proof: parent shards carried verbatim
     p = table(spark, parent_dir, "embeddings").select(
         "vec_id", "embedding")
     m = table(spark, merged_dir, "embeddings").select(
         "vec_id", "embedding")
+    if pk and all(mk.get(b) == k for b, k in pk.items()):
+        # parent shards carried verbatim; the appended shards must not
+        # re-carry parent ids (the recurring re-crawl shape)
+        new_paths = [pth for pth in
+                     _table_part_paths(merged_dir, "embeddings")
+                     if os.path.basename(pth) not in pk]
+        if not new_paths:
+            return  # merged == parent: nothing appended, nothing new
+        new_ids = (spark.read.parquet(*new_paths)
+                   .select("vec_id").distinct())
+        if new_ids.join(p.select("vec_id"), "vec_id",
+                        "left_semi").isEmpty():
+            return
+        raise ValueError(
+            f"refresh: appended shards in {merged_dir} re-carry "
+            f"vec_ids already present in parent {parent_dir} — the "
+            "anti-join cannot see a re-carried id (its parent code "
+            "would republish for the new bytes) and the merged table "
+            "holds duplicate rows for it; rebuild the merged epoch's "
+            "index with `index build` instead")
     if not p.join(m.select("vec_id"), "vec_id", "left_anti").isEmpty():
         raise ValueError(
             f"refresh: {merged_dir} is missing vec_ids present in "
@@ -2026,8 +2051,15 @@ def _refresh_append_guard(spark: SparkSession, merged_dir: str,
             "carried codes would keep phantom entries for the removed "
             "vectors; rebuild the merged epoch's index with `index "
             "build` instead")
+    if not (m.groupBy("vec_id").agg(F.count("*").alias("c"))
+            .where(F.col("c") > 1).isEmpty()):
+        raise ValueError(
+            f"refresh: {merged_dir} carries duplicate vec_ids — every "
+            "downstream vec_id join would fan out; rebuild the merged "
+            "epoch's index with `index build` instead")
     changed = (p.alias("p").join(m.alias("m"), "vec_id")
-               .where(F.col("p.embedding") != F.col("m.embedding")))
+               .where(~F.col("p.embedding")
+                      .eqNullSafe(F.col("m.embedding"))))
     if not changed.isEmpty():
         raise ValueError(
             f"refresh: {merged_dir} rewrites embeddings of vec_ids it "
@@ -2584,15 +2616,18 @@ def ivfpq_refresh(spark: SparkSession, merged_dir: str,
         rcent = ivfpq_centroid_index(spark, parent_dir)
         sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
         # the batch's coarse assignment feeds BOTH pinned builders —
-        # computed once, eagerly (r14 review: each builder previously
-        # re-ran the full assignment chain; the monitor's own pass is
-        # internal to ivfpq_staleness). The batch is the increment, so
-        # the checkpoint is increment-sized.
+        # ONE lazy persist (r14 review, twice): each builder previously
+        # re-ran the full assignment chain, and the first fix's eager
+        # checkpoint paid the job even when every table ADOPTS (the
+        # builders never run on a re-refresh) and pinned its blocks for
+        # the session. persist() materializes only if a builder
+        # actually runs, and the explicit unpersist below releases it
+        # either way (a no-op when nothing materialized).
         new_cells = (_ivf_assign_ranked(
             new, _ivf_coarse_arrays(spark, parent_dir))
             .where(F.col("arank") == 1)
             .select("vec_id", "cluster")
-            .localCheckpoint(eager=True))
+            .persist())
 
         def build_codes():
             e_b = _ivfpq_residual_exploded(new, new_cells, coarse)
@@ -2623,6 +2658,13 @@ def ivfpq_refresh(spark: SparkSession, merged_dir: str,
         _mh_session_cached(spark, merged_dir, "ivfpq_cent",
                            lambda: rcent, tbl="embeddings", rev=IVF_REV,
                            extra_props=pinned)
+        # the published tables (or fallback checkpoints) no longer
+        # depend on the staging frame — release it (no-op if every
+        # table adopted and it never materialized)
+        try:
+            new_cells.unpersist()
+        except Exception:  # noqa: BLE001 — cache hygiene only
+            pass
     structs = [F.struct(F.lit(int(r["sub"])).alias("sub"),
                         F.lit(int(r["n_new"])).cast("long").alias("n_new"),
                         F.lit(bool(r["stale"])).alias("stale"),

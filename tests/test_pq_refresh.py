@@ -315,12 +315,34 @@ def test_refresh_append_guard_rejects_non_append_epochs(
         _emb_corpus(spark, emb.where(F.col("vec_id") != 3), shrunk)
         with pytest.raises(ValueError, match="missing vec_ids"):
             pq_refresh(spark, shrunk, parent)
-        for d in (rewritten, shrunk):
+        # fast-path hole (r14 review, second pass): parent shards
+        # carried VERBATIM plus a new shard that re-carries a parent
+        # vec_id with different bytes — the file-level proof alone
+        # would pass it, so the fast path must also check id
+        # disjointness of the appended shards
+        import shutil as _sh
+
+        recarry = str(tmp_path / "recarry")
+        src = os.path.join(parent, "embeddings.parquet")
+        dst = os.path.join(recarry, "embeddings.parquet")
+        os.makedirs(dst)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                _sh.copy2(os.path.join(src, fn), os.path.join(dst, fn))
+        (emb.where(F.col("vec_id") == 3)
+         .withColumn("embedding",
+                     F.expr("transform(embedding, v -> CAST(v AS FLOAT)"
+                            " * CAST(0.25 AS FLOAT))"))
+         .coalesce(1).write.mode("append").parquet(dst))
+        with pytest.raises(ValueError, match="re-carry"):
+            pq_refresh(spark, recarry, parent)
+        for d in (rewritten, shrunk, recarry):
             assert latest_manifest(_index_table_root(
                 d, "pq_assign", "embeddings")) is None, \
                 "a refused refresh must publish nothing"
     finally:
-        _drop_store([parent, rewritten, shrunk])
+        _drop_store([parent, rewritten, shrunk,
+                     str(tmp_path / "recarry")])
 
 
 def test_adopt_pinned_publishes_encoding_provenance(
