@@ -267,10 +267,12 @@ def cmd_index(args) -> int:
     - `index verify [--kind K]` is the store's FSCK (round 14):
       structural integrity of every published table without a
       SparkSession — pointer/manifest/addressing props, every data
-      file's parquet footer, and the per-file key map's digests
-      (inline or chunked tree). One JSON line per table; exit 1 when
-      anything fails — scriptable as a cron check or pre-adoption
-      gate.
+      file's parquet footer, the per-file key map's digests (inline
+      or chunked tree), and each payload file's publish-time content-
+      window key (flags an in-place body flip the footer read passes;
+      manifests that predate the key record skip the check). One JSON
+      line per table; exit 1 when anything fails — scriptable as a
+      cron check or pre-adoption gate.
     - `index drop [--kind K] [--stale-days N]` removes published index
       tables (all, or one kind's) — the cache-invalidation big hammer;
       the next consumer rebuilds and republishes. `--stale-days N`
@@ -422,6 +424,7 @@ def cmd_index(args) -> int:
                 for k in ("content_key", "kind", "table"):
                     if not props.get(k):
                         issues.append(f"manifest missing props.{k}")
+                pkeys = m.get("payload_keys", {})
                 for p in m.get("files", ()):
                     try:
                         n_rows += _pqt.ParquetFile(
@@ -429,6 +432,24 @@ def cmd_index(args) -> int:
                     except Exception as exc:  # noqa: BLE001
                         issues.append(
                             f"{p}: unreadable parquet ({exc!r})")
+                        continue
+                    # publish-time payload window key (r14): catches an
+                    # in-place body flip the footer read passes; absent
+                    # on pre-r14 manifests (skipped, not failed)
+                    want = pkeys.get(p)
+                    if want is not None:
+                        try:
+                            got = _v.payload_key(
+                                os.path.join(troot, p))
+                        except OSError as exc:
+                            issues.append(
+                                f"{p}: unreadable for payload key "
+                                f"({exc!r})")
+                            continue
+                        if got != want:
+                            issues.append(
+                                f"{p}: payload key mismatch (bytes "
+                                "changed since publish)")
                 if dedup._manifest_n_file_keys(m) and \
                         dedup._manifest_file_keys(troot, m) is None:
                     issues.append(

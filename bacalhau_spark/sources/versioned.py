@@ -35,6 +35,7 @@ root can move between stores.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import threading
@@ -226,10 +227,12 @@ def _finish_version(df, root: str, vdir: str, n: int, prev: int,
     # is range stats per file so a selective read over a long append
     # chain prunes to the files whose ranges can match.
     stats = {p: _footer_stats(os.path.join(root, p)) for p in new_files}
+    pkeys = {p: payload_key(os.path.join(root, p)) for p in new_files}
     files = new_files
     if mode == "append" and prev > 0:
         files = head["files"] + new_files
         stats = {**head.get("stats", {}), **stats}
+        pkeys = {**head.get("payload_keys", {}), **pkeys}
     manifest = {
         "version": n,
         "files": files,
@@ -237,6 +240,7 @@ def _finish_version(df, root: str, vdir: str, n: int, prev: int,
         "columns": df.columns,
         "dtypes": [list(p) for p in df.dtypes],
         "stats": stats,
+        "payload_keys": pkeys,
         "created_unix": int(time.time()),
     }
     if batch_id is not None:
@@ -248,6 +252,35 @@ def _finish_version(df, root: str, vdir: str, n: int, prev: int,
     _publish(os.path.join(vdir, _MANIFEST), json.dumps(manifest))
     _publish(os.path.join(root, _LATEST), str(n))
     return n
+
+
+def payload_key(path: str) -> str:
+    """md5 over (basename, size, head 4 KB, tail 4 KB) — the store's
+    content-identity window applied to a version's OWN payload files,
+    recorded at publish (`manifest.payload_keys`) so `index verify`
+    can flag in-place payload corruption/tampering that preserves
+    parquet structure (a body flip leaves the footer readable, so
+    footer checks alone pass it). Same window convention as the index
+    store's per-file SOURCE keys (operators.dedup._fold_file_window);
+    restated here because sources/ cannot import operators/ and the
+    two domains evolve independently — source identity drives delta
+    adoption, payload keys drive integrity. Like the source keys, the
+    window is identity-by-convention, not a full byte hash: a
+    size-preserving rewrite confined to the interior of a >8 KB file
+    passes (documented; full-payload hashing is the object store's
+    job at scale)."""
+    h = hashlib.md5()
+    size = os.stat(path).st_size
+    h.update(f"{os.path.basename(path)}:{size}:".encode())
+    with open(path, "rb") as f:
+        h.update(f.read(4096))
+        if size > 8192:
+            f.seek(-4096, 2)
+            h.update(f.read(4096))
+        elif size > 4096:
+            f.seek(4096)
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def _footer_stats(path: str) -> dict:

@@ -679,3 +679,30 @@ def test_failed_pointer_flip_preserves_durable_version(spark, tmp_path,
     assert latest_version(root) == 2
     assert sorted(r.k for r in read_version(spark, root).collect()) \
         == [1, 2]
+
+
+def test_payload_keys_recorded_and_flag_in_place_corruption(
+        spark, tmp_path):
+    """Every published version records a payload window key per data
+    file (r14): a later in-place byte flip — which leaves the parquet
+    footer readable, so footer checks alone pass it — changes the
+    recomputed key, which is what `index verify` compares. Append
+    versions carry the prior files' keys forward."""
+    from bacalhau_spark.sources.versioned import payload_key
+
+    root = str(tmp_path / "t")
+    write_version(_df(spark, [(i, "v") for i in range(10)])
+                  .coalesce(1), root)
+    write_version(_df(spark, [(10, "w")]).coalesce(1), root,
+                  mode="append")
+    man = history(root)[-1]
+    assert set(man["payload_keys"]) == set(man["files"])
+    p = man["files"][0]
+    full = os.path.join(root, p)
+    assert payload_key(full) == man["payload_keys"][p]
+    with open(full, "r+b") as f:
+        f.seek(100)
+        b = f.read(1)
+        f.seek(100)
+        f.write(bytes([b[0] ^ 0xFF]))
+    assert payload_key(full) != man["payload_keys"][p]
