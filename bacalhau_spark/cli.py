@@ -318,6 +318,23 @@ def cmd_index(args) -> int:
         store_kind = name.split("__", 1)[0]
         return store_kind in _KIND_ALIASES.get(args.kind, {args.kind})
 
+    def _drop_selected(name: str) -> bool:
+        # DROP cascades across the shared coarse quantizer (r14 review,
+        # third pass): removing ivf_coarse/ivf_cells while a sibling
+        # family's artifacts survive would pair a freshly-retrained
+        # quantizer with cells/codes/an inverted file assigned under
+        # the dropped one — silently wrong neighbors. So any selection
+        # touching the shared tables widens to every kind assigned
+        # under them. verify stays un-cascaded (read-only; checking a
+        # subset corrupts nothing).
+        if args.kind == "all":
+            return True
+        sel = _KIND_ALIASES.get(args.kind, {args.kind})
+        if sel & {"ivf_coarse", "ivf_cells"}:
+            sel = sel | {"ivf_coarse", "ivf_cells", "ivf_vectors",
+                         "ivfpq_codes", "ivfpq_cent"}
+        return name.split("__", 1)[0] in sel
+
     def _manifest(name):
         # a corrupt manifest.json (crash mid-copy, disk-full) must not
         # abort the whole verb mid-sweep — treat as manifestless
@@ -362,7 +379,7 @@ def cmd_index(args) -> int:
             cutoff = _time.time() - args.stale_days * 86400.0
         dropped = []
         for name in names:
-            if not _kind_selected(name):
+            if not _drop_selected(name):
                 continue
             if cutoff is not None:
                 m = _manifest(name)

@@ -267,25 +267,16 @@ def _scan_table_windows(sf_dir: str,
 
 def _fold_file_window(hashers, path: str) -> None:
     """Fold ONE file's (basename, size, head 4 KB, tail 4 KB) window
-    into every given md5 — the single statement of the content-identity
-    window. The whole-table key folds all parts into one running
-    digest; the per-file keys hash each part separately — delta
-    adoption's subset recognition is only correct because both fold the
-    IDENTICAL window, so there is exactly one fold to edit."""
-    def upd(b: bytes) -> None:
-        for h in hashers:
-            h.update(b)
+    into every given md5 — delegates to THE single statement of the
+    content-identity window (sources.versioned.fold_file_window, where
+    payload integrity keys share it since r14). The whole-table key
+    folds all parts into one running digest; the per-file keys hash
+    each part separately — delta adoption's subset recognition is only
+    correct because both fold the IDENTICAL window, so there is
+    exactly one fold to edit."""
+    from bacalhau_spark.sources.versioned import fold_file_window
 
-    size = os.stat(path).st_size
-    upd(f"{os.path.basename(path)}:{size}:".encode())
-    with open(path, "rb") as f:
-        upd(f.read(4096))
-        if size > 8192:
-            f.seek(-4096, 2)
-            upd(f.read(4096))
-        elif size > 4096:
-            f.seek(4096)
-            upd(f.read())
+    fold_file_window(hashers, path)
 
 
 def _table_part_paths(sf_dir: str, tbl: str) -> list[str]:

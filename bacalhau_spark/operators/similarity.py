@@ -2009,9 +2009,10 @@ def _refresh_append_guard(spark: SparkSession, merged_dir: str,
     under the store's content-identity window (per-file keys over
     basename/size/head+tail 4 KB — the same identity ALL adoption
     trusts, not a full byte compare) AND the appended shards' ids are
-    disjoint from the parent's (a re-carried id in a new shard is
-    invisible to the anti-join and duplicates rows for every
-    downstream vec_id join). Otherwise three data checks: no parent id
+    duplicate-free among themselves and disjoint from the parent's (a
+    re-carried id in a new shard is invisible to the anti-join, and
+    either duplicate shape fans out every downstream vec_id join).
+    Otherwise three data checks: no parent id
     missing from merged, no duplicate ids in merged, and every common
     id carries an identical embedding (null-safe — a rewrite to or
     from NULL must not slip through plain `!=`)."""
@@ -2032,10 +2033,18 @@ def _refresh_append_guard(spark: SparkSession, merged_dir: str,
                      if os.path.basename(pth) not in pk]
         if not new_paths:
             return  # merged == parent: nothing appended, nothing new
-        new_ids = (spark.read.parquet(*new_paths)
-                   .select("vec_id").distinct())
-        if new_ids.join(p.select("vec_id"), "vec_id",
-                        "left_semi").isEmpty():
+        new_ids_all = spark.read.parquet(*new_paths).select("vec_id")
+        if not (new_ids_all.groupBy("vec_id")
+                .agg(F.count("*").alias("c"))
+                .where(F.col("c") > 1).isEmpty()):
+            raise ValueError(
+                f"refresh: appended shards in {merged_dir} carry "
+                "duplicate vec_ids among themselves — both rows would "
+                "be encoded and every downstream vec_id join would fan "
+                "out; rebuild the merged epoch's index with `index "
+                "build` instead")
+        if new_ids_all.join(p.select("vec_id"), "vec_id",
+                            "left_semi").isEmpty():
             return
         raise ValueError(
             f"refresh: appended shards in {merged_dir} re-carry "
@@ -2646,25 +2655,28 @@ def ivfpq_refresh(spark: SparkSession, merged_dir: str,
                     .unionByName(new_cells))
 
         pinned = {"encoding": "pinned"}  # provenance, see pq_refresh
-        _mh_session_cached(spark, merged_dir, "ivf_coarse",
-                           lambda: coarse, tbl="embeddings", rev=IVF_REV,
-                           extra_props=pinned)
-        _mh_session_cached(spark, merged_dir, "ivf_cells", build_cells,
-                           tbl="embeddings", rev=IVF_REV,
-                           extra_props=pinned)
-        _mh_session_cached(spark, merged_dir, "ivfpq_codes", build_codes,
-                           tbl="embeddings", rev=IVF_REV,
-                           extra_props=pinned)
-        _mh_session_cached(spark, merged_dir, "ivfpq_cent",
-                           lambda: rcent, tbl="embeddings", rev=IVF_REV,
-                           extra_props=pinned)
-        # the published tables (or fallback checkpoints) no longer
-        # depend on the staging frame — release it (no-op if every
-        # table adopted and it never materialized)
         try:
-            new_cells.unpersist()
-        except Exception:  # noqa: BLE001 — cache hygiene only
-            pass
+            _mh_session_cached(spark, merged_dir, "ivf_coarse",
+                               lambda: coarse, tbl="embeddings",
+                               rev=IVF_REV, extra_props=pinned)
+            _mh_session_cached(spark, merged_dir, "ivf_cells",
+                               build_cells, tbl="embeddings",
+                               rev=IVF_REV, extra_props=pinned)
+            _mh_session_cached(spark, merged_dir, "ivfpq_codes",
+                               build_codes, tbl="embeddings",
+                               rev=IVF_REV, extra_props=pinned)
+            _mh_session_cached(spark, merged_dir, "ivfpq_cent",
+                               lambda: rcent, tbl="embeddings",
+                               rev=IVF_REV, extra_props=pinned)
+        finally:
+            # the published tables (or fallback checkpoints) no longer
+            # depend on the staging frame — release it even when a
+            # publish raises mid-sequence (no-op if every table
+            # adopted and it never materialized)
+            try:
+                new_cells.unpersist()
+            except Exception:  # noqa: BLE001 — cache hygiene only
+                pass
     structs = [F.struct(F.lit(int(r["sub"])).alias("sub"),
                         F.lit(int(r["n_new"])).cast("long").alias("n_new"),
                         F.lit(bool(r["stale"])).alias("stale"),

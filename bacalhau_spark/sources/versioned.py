@@ -254,32 +254,43 @@ def _finish_version(df, root: str, vdir: str, n: int, prev: int,
     return n
 
 
+def fold_file_window(hashers, path: str) -> None:
+    """Fold ONE file's (basename, size, head 4 KB, tail 4 KB) window
+    into every given md5 — THE single statement of the store's
+    content-identity window. Source identity (operators.dedup: the
+    whole-table key and per-file keys that drive delta adoption) and
+    payload integrity (payload_key below) both call this, so the
+    window convention has exactly one place to change. It lives here,
+    at the bottom of the layering, because sources/ cannot import
+    operators/."""
+    def upd(b: bytes) -> None:
+        for h in hashers:
+            h.update(b)
+
+    size = os.stat(path).st_size
+    upd(f"{os.path.basename(path)}:{size}:".encode())
+    with open(path, "rb") as f:
+        upd(f.read(4096))
+        if size > 8192:
+            f.seek(-4096, 2)
+            upd(f.read(4096))
+        elif size > 4096:
+            f.seek(4096)
+            upd(f.read())
+
+
 def payload_key(path: str) -> str:
-    """md5 over (basename, size, head 4 KB, tail 4 KB) — the store's
-    content-identity window applied to a version's OWN payload files,
-    recorded at publish (`manifest.payload_keys`) so `index verify`
-    can flag in-place payload corruption/tampering that preserves
-    parquet structure (a body flip leaves the footer readable, so
-    footer checks alone pass it). Same window convention as the index
-    store's per-file SOURCE keys (operators.dedup._fold_file_window);
-    restated here because sources/ cannot import operators/ and the
-    two domains evolve independently — source identity drives delta
-    adoption, payload keys drive integrity. Like the source keys, the
-    window is identity-by-convention, not a full byte hash: a
+    """The content-identity window applied to a version's OWN payload
+    files, recorded at publish (`manifest.payload_keys`) so `index
+    verify` can flag in-place payload corruption/tampering that
+    preserves parquet structure (a body flip leaves the footer
+    readable, so footer checks alone pass it). Like every use of the
+    window, this is identity-by-convention, not a full byte hash: a
     size-preserving rewrite confined to the interior of a >8 KB file
     passes (documented; full-payload hashing is the object store's
     job at scale)."""
     h = hashlib.md5()
-    size = os.stat(path).st_size
-    h.update(f"{os.path.basename(path)}:{size}:".encode())
-    with open(path, "rb") as f:
-        h.update(f.read(4096))
-        if size > 8192:
-            f.seek(-4096, 2)
-            h.update(f.read(4096))
-        elif size > 4096:
-            f.seek(4096)
-            h.update(f.read())
+    fold_file_window((h,), path)
     return h.hexdigest()
 
 

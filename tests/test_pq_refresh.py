@@ -336,6 +336,23 @@ def test_refresh_append_guard_rejects_non_append_epochs(
          .coalesce(1).write.mode("append").parquet(dst))
         with pytest.raises(ValueError, match="re-carry"):
             pq_refresh(spark, recarry, parent)
+        # fast-path hole #2 (r14 review, third pass): parent shards
+        # carried verbatim plus appended shards that duplicate a NEW
+        # vec_id among THEMSELVES — both rows would be encoded, so the
+        # fast path must reject internal duplicates too
+        dupnew = str(tmp_path / "dupnew")
+        dnd = os.path.join(dupnew, "embeddings.parquet")
+        os.makedirs(dnd)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                _sh.copy2(os.path.join(src, fn), os.path.join(dnd, fn))
+        fresh = (emb.where(F.col("vec_id") == 5)
+                 .select((F.col("vec_id") + 5_000_000).alias("vec_id"),
+                         "embedding"))
+        fresh.coalesce(1).write.mode("append").parquet(dnd)
+        fresh.coalesce(1).write.mode("append").parquet(dnd)
+        with pytest.raises(ValueError, match="duplicate vec_ids among"):
+            pq_refresh(spark, dupnew, parent)
         for d in (rewritten, shrunk, recarry):
             assert latest_manifest(_index_table_root(
                 d, "pq_assign", "embeddings")) is None, \
