@@ -444,17 +444,37 @@ def bpe_merge_rules(spark: SparkSession, docs: DataFrame,
     sequential 2nd argmax may overlap the 1st and outrank our disjoint
     pick); that trade is the standard one real trainers make, and the
     driver pays ~merges/K rounds instead of merges."""
-    rules, vocab = _bpe_train(spark, docs, merges, batch=batch)
+    rules, vocab, hold = _bpe_train(spark, docs, merges, batch=batch)
+    # The rule table is already collected; the final round's vocab
+    # REWRITE is never materialized here (it only matters to encode
+    # consumers — nd_bpe_encode) — dropping both cache markers unrun
+    # saves the last fold+count job the old per-round materialization
+    # always paid.
     vocab.unpersist()
+    if hold is not None:
+        hold.unpersist()
     return spark.createDataFrame(
         rules, "step int, pair string, n long").orderBy("step")
 
 
 def _bpe_train(spark: SparkSession, docs: DataFrame, merges: int,
                batch: int = 1):
-    """The shared train loop: returns (rules, final PERSISTED vocab) —
-    bpe_merge_rules keeps the rule table, nd_bpe_encode keeps the
-    rewritten vocab (the encoded corpus). Caller unpersists vocab."""
+    """The shared train loop: returns (rules, final PERSISTED vocab,
+    hold) — bpe_merge_rules keeps the rule table, nd_bpe_encode keeps
+    the rewritten vocab (the encoded corpus). `hold` is the final
+    vocab's cached parent (or None): the last rewrite is returned
+    UN-materialized — computing it from the live parent cache is the
+    consumer's first action — so the caller must unpersist BOTH vocab
+    and hold once done (after materializing vocab, if it needs it).
+
+    r14 job-schedule change: the old loop ran a dedicated count() per
+    round to materialize the rewrite before unpersisting its parent —
+    2 jobs per merge. Each round's argmax action already materializes
+    the current vocab (computed from the still-live parent cache), so
+    the parent unpersist is simply DEFERRED one round and the count
+    job disappears: merges+1 jobs total instead of 2*merges+1, at the
+    cost of two vocab-sized caches live at a time (bounded — the vocab
+    frame is distinct-words-sized, not corpus-sized)."""
     from pyspark.storagelevel import StorageLevel
 
     if batch < 1:
@@ -464,6 +484,7 @@ def _bpe_train(spark: SparkSession, docs: DataFrame, merges: int,
         .groupBy("word").agg(F.count("*").alias("cnt"))
         .select(F.split("word", "").alias("syms"), "cnt")
         .persist(StorageLevel.MEMORY_AND_DISK))
+    prev: DataFrame | None = None
     rules = []
     while len(rules) < merges:
         k = min(batch, merges - len(rules))
@@ -479,6 +500,11 @@ def _bpe_train(spark: SparkSession, docs: DataFrame, merges: int,
                .groupBy("pair").agg(F.sum("cnt").cast("long").alias("n"))
                .orderBy(F.col("n").desc(), "pair")
                .limit(k * 4 if k > 1 else 1).collect())
+        # That action materialized `vocab` (fold applied over the
+        # parent's live cache); the parent cache is now releasable.
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         chosen: list[tuple[str, str, int]] = []
@@ -513,18 +539,17 @@ def _bpe_train(spark: SparkSession, docs: DataFrame, merges: int,
 
         fold = F.aggregate(
             "syms", F.expr("CAST(array() AS array<string>)"), fold_step)
+        # persist() is lazy — the rewrite is NOT materialized here. The
+        # next round's argmax (or the consumer's first action) computes
+        # it from `vocab`'s still-live cache; unpersist-first would
+        # have replayed the whole fold chain from the raw corpus per
+        # round (the round-8 O(merges^2) bug the old per-round count()
+        # guarded against — the deferred unpersist above guards it at
+        # half the job count).
         nxt = (vocab.withColumn("syms", fold)
                .persist(StorageLevel.MEMORY_AND_DISK))
-        # Materialize nxt from the PARENT's live cache before dropping it.
-        # persist() is lazy: the round-8 form unpersisted first, so nxt's
-        # first action recomputed the whole fold chain from the raw corpus
-        # — every round rescanned the corpus and work was O(merges^2),
-        # exactly what the per-round persist exists to prevent. The count
-        # is one cheap job over the cached vocab-sized frame.
-        nxt.count()
-        vocab.unpersist()
-        vocab = nxt
-    return rules, vocab
+        prev, vocab = vocab, nxt
+    return rules, vocab, prev
 
 
 def _bpe_merges_oracle() -> str:
@@ -608,7 +633,7 @@ def nd_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized; the final histogram explodes the rewritten symbol
     lists weighted by word count and reduces map-side. The oracle runs
     the identical unrolled chain and aggregates v{M}."""
-    _rules, vocab = _bpe_train(
+    _rules, vocab, hold = _bpe_train(
         spark, table(spark, sf_dir, "documents").select("text"),
         BPE_MERGES)
     out = (vocab.select(F.explode("syms").alias("token"), "cnt")
@@ -616,7 +641,11 @@ def nd_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            .orderBy(F.col("n").desc(), "token")
            .limit(BPE_ENCODE_TOP_K)
            .localCheckpoint(eager=True))
+    # The eager checkpoint materialized through the final rewrite (fold
+    # over `hold`'s live cache) — both cache markers can go now.
     vocab.unpersist()
+    if hold is not None:
+        hold.unpersist()
     return out.orderBy(F.col("n").desc(), "token")
 
 

@@ -2512,12 +2512,17 @@ def nd_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group list bounded by the doc's own length — so the ONE wide
     exchange carries per-doc-DISTINCT window keys, hot windows
     (boilerplate, the very thing being measured) collapse map-side
-    exactly as nd_chunk_dedup's chunks do, and the corpus-frequency
-    rollup + join-back operate on that bounded key set (hot key ≤
-    n_docs, AQE skew-split territory; the (doc_id, wh) exchange is
-    shared via ReuseExchange). The run detection is a per-doc window
-    function (partition bounded by document length) over shared
-    positions only. Document text never shuffles anywhere.
+    exactly as nd_chunk_dedup's chunks do. The corpus-frequency
+    rollup is a SUM window over wh on that same aggregate — deriving
+    it as a groupBy+join branch re-ran the whole tokenize+md5 lineage
+    (Spark shares no subplans across DataFrame branches; the r14
+    before-plan shows the window-hash Generate twice), which doubled
+    the dominant cost; the window form shuffles only the compact
+    (doc_id, wh, c, ps) rows (hot wh ≤ n_docs groups one partition —
+    bounded, same as the old join's build side). The run detection is
+    a per-doc window function (partition bounded by document length)
+    over shared positions only. Document text shuffles exactly once
+    (the parallelism spread).
 
     Reference intent: the dedup families' repeated-span measurement
     (SURVEY §2.6 row 17), extended below chunk granularity."""
@@ -2537,10 +2542,11 @@ def nd_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = (wins.groupBy("doc_id", "wh")
           .agg(F.count("*").alias("c"),
                F.collect_list("pos").alias("ps")))
-    freq = dc.groupBy("wh").agg(F.sum("c").alias("f"))
-    shared_pos = (dc.join(freq, "wh").where(F.col("f") > 1)
-                  .select("doc_id", F.explode("ps").alias("pos")))
     from pyspark.sql.window import Window
+    shared_pos = (dc.withColumn("f", F.sum("c").over(
+        Window.partitionBy("wh")))
+        .where(F.col("f") > 1)
+        .select("doc_id", F.explode("ps").alias("pos")))
     run_w = Window.partitionBy("doc_id").orderBy("pos")
     per_doc = (shared_pos
                .withColumn("grp",
@@ -2549,9 +2555,12 @@ def nd_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("doc_id")
                .agg(F.max("run").alias("max_run"),
                     F.sum("run").alias("n_shared")))
-    base = w.select(
+    # Separate lightweight scan branch (no spread, no shuffle): deriving
+    # n_windows from `w` would clone the spread+tokenize lineage a second
+    # time for what is one cheap size(split()) projection per row.
+    base = table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.greatest(n - SUBSTR_WIN + 1, F.lit(0))
+        F.greatest(F.size(words("text")) - SUBSTR_WIN + 1, F.lit(0))
         .cast("long").alias("n_windows"))
     return (base.join(per_doc, "doc_id", "left")
             .select("doc_id", "n_windows",
@@ -2931,7 +2940,9 @@ def boilerplate_strip_frame(docs: DataFrame) -> DataFrame:
     the shared local-mode heap and aborted the x100 single-box run
     (GCLocker thrash, BASELINE §5). The round-6 skew contract still
     holds: the keep-first decision stays NARROW (doc_id, idx, 60-bit
-    hash — min-struct aggregate, never a window) and chunk text only
+    hash — a min-struct window over those 24-byte rows, single-lineage
+    since r14; the hot chunk key is bounded by the window exec's spill
+    path, the _band_candidates rule) and chunk text only
     ever shuffles on UNIFORM keys — once by (doc_id, idx) to meet the
     kept-id set, once by doc_id for the idx-sorted rebuild collect (the
     oracle's string_agg) — so the Zipf-hot chunk key moves 24-byte rows
@@ -2952,12 +2963,18 @@ def boilerplate_strip_frame(docs: DataFrame) -> DataFrame:
                   F.substring(F.md5("chunk"), 1, 15), 16, 10)
                   .cast("long")))
     narrow = chunks.select("doc_id", "idx", "ch")
-    first = narrow.groupBy("ch").agg(
-        F.min(F.struct("doc_id", "idx")).alias("m"))
-    kept_ids = (narrow.join(first, "ch")
-                .where((F.col("doc_id") == F.col("m.doc_id"))
-                       & (F.col("idx") == F.col("m.idx")))
-                .select("doc_id", "idx"))
+    # keep-first as a min-struct WINDOW over ch, not groupBy+join: the
+    # join form evaluated the tokenize+md5 chunk lineage TWICE on the
+    # decision side (aggregate branch + probe branch — no subplan
+    # sharing); the window is single-lineage on the same ch exchange
+    # (r14 A/B: experiments/boiler_window_r14.py).
+    from pyspark.sql.window import Window
+    kept_ids = (narrow.withColumn(
+        "m", F.min(F.struct("doc_id", "idx")).over(
+            Window.partitionBy("ch")))
+        .where((F.col("doc_id") == F.col("m.doc_id"))
+               & (F.col("idx") == F.col("m.idx")))
+        .select("doc_id", "idx"))
     stats = (chunks.select("doc_id", "idx", "chunk")
              .join(kept_ids, ["doc_id", "idx"])
              .groupBy("doc_id")

@@ -46,11 +46,13 @@ def nd_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders->lineitem projection, distinct on two ints) and is the ONLY
     data-sized table; each iteration is one edge-keyed join against the
     node-sized rank frame, one map-side-combined sum by destination,
-    and a broadcast of the 1-row node count — the classic Pregel
-    schedule expressed relationally. The rank frame is re-persisted
-    (MEMORY_AND_DISK, replayable on executor loss) and the previous
-    iteration unpersisted, so plans stay flat instead of nesting
-    PR_ITERS joins. On an undirected graph every node has deg >= 1 and
+    and a node-count literal folded driver-side (one bounded scalar,
+    the CC convention) — the classic Pregel schedule expressed
+    relationally. The edge cache is hash-partitioned on u so every
+    iteration's join reuses it without re-exchanging the data-sized
+    side, and the PR_ITERS-deep loop chains lazily into ONE job (each
+    rank frame is referenced once, so the plan is linear in iters).
+    On an undirected graph every node has deg >= 1 and
     receives from its own neighbors, so no dangling-mass term is
     needed. At web scale the ranks frame exceeds broadcast size and the
     join becomes a co-partitioned shuffle on u — the edge table should
@@ -94,40 +96,62 @@ def pagerank_ranks(fwd: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     # both and materialize them up front (persist is lazy — the round-8
     # form never forced them, so the orders-lineitem edge build was
     # re-planned and rescanned per iteration in the final action).
+    # Persist edges HASH-PARTITIONED ON u (guide §2.4: operations keyed
+    # the same way share one exchange): the cached partitioning
+    # satisfies every iteration's join-by-u requirement, so the
+    # data-sized edge table is shuffled ONCE at build instead of once
+    # per iteration — the in-session form of the "edge table bucketed
+    # by u" layout the web-scale note below prescribes. The r14 A/B
+    # (experiments/pagerank_iter_r14.txt): the un-partitioned cache
+    # re-exchanged ~1.1M edge rows in all three iteration joins.
+    sc = fwd.sparkSession.sparkContext
     edges = (fwd.union(fwd.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
+             .repartition(sc.defaultParallelism, "u")
              .persist(StorageLevel.MEMORY_AND_DISK))
+    # deg inherits edges' u-partitioning (groupBy(u) over hash(u) data
+    # adds no exchange), so the per-iteration deg re-attach join is
+    # also exchange-free.
     deg = (edges.groupBy("u").agg(F.count("*").alias("deg"))
            .persist(StorageLevel.MEMORY_AND_DISK))
-    deg.count()  # one job fills BOTH caches (deg computes through edges)
-    ncnt = deg.agg(F.count("*").cast("long").alias("n_nodes"))
-    ranks = (deg.crossJoin(F.broadcast(ncnt))
-             .select("u", "deg", "n_nodes",
-                     F.expr(f"{R_SCALE} div n_nodes").alias("r"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    # ONE job fills both caches; its return IS the node count (deg has
+    # one row per node). Holding n_nodes as a driver scalar (the CC
+    # one-scalar-per-iteration convention; bounded at any corpus size)
+    # folds the rank floor into literals, removing the per-iteration
+    # count-aggregate + 1-row broadcast the crossJoin form re-ran.
+    # Python // == Spark DIV on the nonnegative domain (both truncate).
+    n_nodes = deg.count()
+    r0 = R_SCALE // n_nodes
+    floor_term = (r0 * 15) // 100
+    nn = F.lit(n_nodes).cast("long")
+    # The loop chains LAZILY: each rank frame is referenced exactly once
+    # by the next iteration, so the plan is linear in `iters` (no
+    # subtree duplication), and the whole loop executes as ONE job
+    # instead of a persist+count action per iteration — the r14 A/B
+    # measured the per-iteration materialization at ~2x the total
+    # (experiments/pagerank_iter_r14.txt). edges/deg stay cached: they
+    # ARE referenced per iteration, and without the cache each
+    # reference would replay the edge build.
+    ranks = deg.select("u", "deg", nn.alias("n_nodes"),
+                       F.lit(r0).cast("long").alias("r"))
     for _ in range(iters):
-        contrib = (edges.join(ranks, "u")
-                   .select(F.col("v").alias("u"),
-                           F.expr("r div deg").alias("c")))
-        nxt = (contrib.groupBy("u")
-               .agg(F.sum("c").cast("long").alias("s"))
-               .join(deg, "u")
-               .crossJoin(F.broadcast(ncnt))
-               .select("u", "deg", "n_nodes",
-                       (F.expr(f"(({R_SCALE} div n_nodes) * 15) div 100")
-                        + F.expr(f"({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"))
-                       .cast("long").alias("r"))
-               .persist(StorageLevel.MEMORY_AND_DISK))
-        # Materialize nxt from the PARENT's live cache before dropping it
-        # (the bpe_merge_rules rule): unpersist-first would make every
-        # iteration's first action replay the whole chain from the edges.
-        nxt.count()
-        ranks.unpersist()
-        ranks = nxt
-    # The final ranks frame is materialized (the loop's last count), so
-    # the loop-only inputs can be released; on cache loss it replays
-    # from source, which callers accept in exchange for not leaking two
+        contrib = (edges.join(ranks.select(
+            "u", F.expr("r div deg").alias("c")), "u")
+            .select(F.col("v").alias("u"), "c"))
+        ranks = (contrib.groupBy("u")
+                 .agg(F.sum("c").cast("long").alias("s"))
+                 .join(deg, "u")
+                 .select("u", "deg", nn.alias("n_nodes"),
+                         (F.lit(floor_term)
+                          + F.expr(f"({PR_DAMP_NUM} * s) div"
+                                   f" {PR_DAMP_DEN}"))
+                         .cast("long").alias("r")))
+    # ONE materializing action for the whole loop; then the loop-only
+    # inputs can be released. On cache loss the result replays from
+    # source, which callers accept in exchange for not leaking two
     # executor-storage entries per call.
+    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
     edges.unpersist()
     deg.unpersist()
     return ranks

@@ -1488,9 +1488,10 @@ def nd_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are already proven bit-identical cross-engine
     (nd_embedding_covariance's green hash row), and eigh is
     deterministic for identical input within one process, so the
-    constants agree exactly. JVM-side HOFs, no Python UDF on this
-    registered row; per the janino rule the 584 literals live in TWO
-    projected array columns, never inlined per-term expressions."""
+    constants agree exactly. Since r14 the fold executes as the Arrow
+    cumsum kernel (see pca_project_exact_frame: same op sequence,
+    bit-identical, and the opaque UDF attribute stops posexplode and
+    the sort sampler re-evaluating the fold — 12.4 s -> 2.0 s)."""
     return (pca_project_exact_frame(spark, sf_dir)
             .select("vec_id", F.posexplode("proj").alias("k", "proj_k"))
             .orderBy("vec_id", "k"))
@@ -1503,32 +1504,43 @@ def pca_project_exact_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow-matmul twin: the matmul's blocked summation differs in
     the last bits, and only the fold is oracle-replayable.
 
-    ONE 64-step pass with a PCA_K-field STRUCT accumulator, not
-    PCA_K separate 64-step folds: interpreted-HOF cost is per lambda
-    STEP, so folding all 8 components per step is 10x faster (6.1 s ->
-    0.59 s at sf0.1, values asserted identical) while each component's
-    accumulation order — acc_k + (q_d - mu_d) * w_kd, d ascending — is
-    unchanged, so the per-k list_sum the oracle replays still matches
-    bit for bit."""
+    The fold runs as an ARROW-BATCHED cumsum kernel (guide §4.2): per
+    component k the oracle's chain  acc + (q_d - mu_d) * w_kd  (d
+    ascending, acc0 = 0.0) is replayed as elementwise (x - mu) * w_k
+    followed by np.cumsum — np.add.accumulate is a strictly SEQUENTIAL
+    scan, so the IEEE op sequence per component is identical to the
+    SQL fold's and the result bit-identical (asserted row-for-row in
+    experiments/pca_fold_r14.py, re-gated by the driver hash). The r14
+    before-state was an interpreted HOF struct-fold: 0.37 s on the bare
+    frame but 12.4 s through nd_pca_project, because posexplode INLINED
+    the fold expression (re-evaluated per emitted component) and the
+    final sort's range-sampling pass re-executed the child. The UDF
+    output is an opaque attribute, so neither re-evaluation can occur
+    (2.0 s end-to-end, same values; plans/r14/*_after.txt)."""
     mu, w, _evals, _n = _pca_model(spark, sf_dir)
-    mu_sql, w_sql = _pca_model_sql(mu, w)
+
+    def _make_udf(mu_l: list, w_l: list):
+        # factory-local so the function pickles BY VALUE with the model
+        # constants captured (foreign-cwd worker rule)
+        def fn(qs):
+            import numpy as _np
+            import pandas as _pd
+            m = _np.asarray(mu_l, dtype="float64")
+            wt = _np.asarray(w_l, dtype="float64").T  # (K, D)
+            x = _np.stack(qs.values).astype("float64")
+            t = (x[:, None, :] - m[None, None, :]) * wt[None, :, :]
+            p = _np.cumsum(t, axis=2)[:, :, -1]
+            return _pd.Series(list(p))
+
+        from pyspark.sql.functions import pandas_udf
+        return pandas_udf(fn, "array<double>")
+
     emb = table(spark, sf_dir, "embeddings")
     qd = emb.select("vec_id", F.expr(
         f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
-        f"* {KM_SCALE}) AS BIGINT) + {KM_OFF})").alias("q"),
-        F.expr(mu_sql).alias("mu"), F.expr(w_sql).alias("w"))
-    init = ", ".join(f"'c{k}', CAST(0.0 AS DOUBLE)"
-                     for k in range(PCA_K))
-    step = ", ".join(
-        f"'c{k}', acc.c{k} + (CAST(element_at(q, d + 1) AS DOUBLE) "
-        f"- element_at(mu, d + 1)) "
-        f"* element_at(element_at(w, {k + 1}), d + 1)"
-        for k in range(PCA_K))
-    fin = ", ".join(f"acc.c{k}" for k in range(PCA_K))
-    proj = F.expr(
-        f"aggregate(sequence(0, {KM_DIMS - 1}), named_struct({init}), "
-        f"(acc, d) -> named_struct({step}), acc -> array({fin}))")
-    return qd.select("vec_id", proj.alias("proj"))
+        f"* {KM_SCALE}) AS BIGINT) + {KM_OFF})").alias("q"))
+    proj = _make_udf(mu, w)
+    return qd.select("vec_id", proj(F.col("q")).alias("proj"))
 
 
 def _pca_fit_literals(sf_dir: str | None) -> tuple[str, str]:
