@@ -1250,6 +1250,12 @@ def nd_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def covariance_frame(emb: DataFrame) -> DataFrame:
     """The sufficient-statistics core over an ARBITRARY
     (vec_id, embedding) frame — also the PCA fit's input surface."""
+    # Spread first: the embeddings fixture is a single row group, so
+    # without it the 2080-struct pair explode (and the _fast twin's
+    # gram matmuls) run on ONE core (r14: 2.25 s -> 1.39 s at sf0.1;
+    # partials are integer sums, partitioning-invariant).
+    from bacalhau_spark.catalog import spread_compute
+    emb = spread_compute(emb.sparkSession, emb, "vec_id")
     # quantized array projected BEFORE the pair HOF (re-evaluation trap)
     qd = emb.select(F.expr(
         f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) "
@@ -1301,7 +1307,11 @@ def covariance_frame_fast(emb: DataFrame) -> DataFrame:
     """Arrow-batched sufficient-statistics core: per batch, quantize
     exactly as covariance_frame (float64 mul, floor, int64 — the same
     op chain, so the integers agree), one int64 Gram matmul, one column
-    sum; the per-batch partials reduce in a 2080-key groupBy."""
+    sum; the per-batch partials reduce in a 2080-key groupBy.
+    Spread like the exact twin: one input row group would otherwise pin
+    the whole matmul pass to a single Python worker."""
+    from bacalhau_spark.catalog import spread_compute
+    emb = spread_compute(emb.sparkSession, emb, "vec_id")
 
     def part(it):
         import numpy as np
@@ -2214,16 +2224,24 @@ def nd_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = _pq_drift_batch(spark, sf_dir)
     stale_t = (pq_staleness(spark, sf_dir, drift)
                .select("sub", F.col("stale").alias("stale_before")))
-    e_m = _pq_exploded(emb.unionByName(drift), persist=False)
+    # persist the merged exploded matrix: the unrolled train loop
+    # references it ~5x (seeds, two E-steps, the M-step), and the
+    # unpersisted r14-entry form recomputed the union+explode per
+    # reference. Same staging lifecycle as kmeans_frame: materialize
+    # the k-row audit eagerly, release the staging matrix.
+    e_m = _pq_exploded(emb.unionByName(drift))
     audit = (pq_train_assign(e_m)
              .groupBy("sub", "cid")
              .agg(F.count("*").alias("n_points"),
                   F.sum("d").cast("long").alias("distortion")))
-    return (audit.join(stale_t, "sub")
-            .select(F.col("sub").cast("int").alias("sub"),
-                    F.col("cid").alias("cluster_id"), "n_points",
-                    "distortion", "stale_before")
-            .orderBy("sub", "cluster_id"))
+    out = (audit.join(stale_t, "sub")
+           .select(F.col("sub").cast("int").alias("sub"),
+                   F.col("cid").alias("cluster_id"), "n_points",
+                   "distortion", "stale_before")
+           .orderBy("sub", "cluster_id")
+           .localCheckpoint(eager=True))
+    e_m.unpersist()
+    return out
 
 
 def _pq_round(prev_cent: str, tag: str, src: str = "e") -> str:

@@ -515,7 +515,16 @@ def nd_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections of that reduced frame, not second passes over text; the
     support floor cuts the candidate set before the two marginal joins;
     and the final top-K is a bounded sort over the survivors. The token
-    stream is scanned once, never shuffled."""
+    stream is scanned once, never shuffled. The reduced bigram-count
+    frame is lazily localCheckpoint'ed: FOUR branches consume it (main,
+    c1, c2, the t guard) and Spark shares no subplans across DataFrame
+    branches — the r14 before-plan shows the explode+count lineage four
+    times with zero ReusedExchange — so without the cut each branch
+    re-ran the corpus pass (2.7 s -> 1.3 s at sf0.1, experiments/
+    pmi_ckpt_r14 note in OPTIMIZATION_r14.md). The checkpoint holds the
+    REDUCED counts (the co-occurrence sketch a real pipeline would
+    materialize anyway), never the token stream, and is recomputed per
+    call — no cross-run state."""
     docs = _docs(spark, sf_dir)
     w = words("text")
     bigrams = F.zip_with(
@@ -523,7 +532,8 @@ def nd_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(w, 2, F.size(w) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b))
     bf = (docs.select(F.explode(bigrams).alias("bigram"))
-          .groupBy("bigram").agg(F.count("*").alias("c12")))
+          .groupBy("bigram").agg(F.count("*").alias("c12"))
+          .localCheckpoint(eager=False))
     c1 = (bf.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
           .agg(F.sum("c12").alias("c1")))
     c2 = (bf.groupBy(F.substring_index("bigram", " ", -1).alias("w2"))

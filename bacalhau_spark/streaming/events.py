@@ -784,10 +784,8 @@ def nd_stream_band_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     index) and every micro-batch probes it; the stream never carries
     text past the per-row signature projection, and the only streaming
     state is the per-doc hit counter."""
-    from bacalhau_spark.catalog import spread_compute
     from bacalhau_spark.operators.dedup import (LSH_BUCKET_CAP,
                                                 _band_key_exprs,
-                                                _mh_sig_frame,
                                                 _mh_sig_row_cols,
                                                 _rolling_shingle_keys,
                                                 _word_hashes)
@@ -801,10 +799,20 @@ def nd_stream_band_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.concat(F.col("text"),
                                 F.lit(" nearvariant edit")).alias("text")))
     batch = fresh.unionByName(recrawl)
+    # Short docs are dropped on the CHEAP equivalent predicate (a doc
+    # has shingles iff it has >= MH_SHINGLE_N words; _word_hashes is
+    # size-preserving) placed BEFORE the hash projections. The r14
+    # before-form filtered `size(sk) > 0` AFTER them, and predicate
+    # pushdown inlined the ENTIRE rolling-shingle expression into the
+    # scan filter with _word_hashes re-inlined per window term — the
+    # documented 50x HOF re-evaluation trap, arriving via the
+    # optimizer (19.4 s -> ~1 s for the whole screen at sf0.1).
+    from bacalhau_spark.functions import words
+    from bacalhau_spark.operators.dedup import MH_SHINGLE_N
+    batch = batch.where(F.size(words("text")) >= MH_SHINGLE_N)
     wh = batch.select("doc_id", _word_hashes(F.col("text")).alias("wh"))
-    sk = (wh.select("doc_id",
-                    _rolling_shingle_keys(F.col("wh")).alias("sk"))
-          .where(F.size("sk") > 0))
+    sk = wh.select("doc_id",
+                   _rolling_shingle_keys(F.col("wh")).alias("sk"))
     sig = sk.select("doc_id", *_mh_sig_row_cols())
     # array_distinct in-row replaces the batch twin's (doc, bkey)
     # DISTINCT — cross-band key collisions only arise within one doc's
@@ -813,9 +821,15 @@ def nd_stream_band_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.array(*_band_key_exprs())))
         .alias("bkey"))
-    corpus = (table(spark, sf_dir, "documents")
-              .where(F.col("doc_id") % 5 != 4).select("doc_id", "text"))
-    corpus_keys = (_mh_sig_frame(spread_compute(spark, corpus, "doc_id"))
+    # Static side reads the SHARED persisted signature index (the same
+    # artifact every batch LSH consumer probes) instead of re-deriving
+    # the corpus signature lineage per call — signatures are per-doc
+    # pure, so filtering the index by doc_id is exactly the old
+    # filter-then-sign corpus build (r14; the phash stream screens
+    # already read their index_fn for the static side).
+    from bacalhau_spark.operators.dedup import minhash_signature_index
+    corpus_keys = (minhash_signature_index(spark, sf_dir)
+                   .where(F.col("doc_id") % 5 != 4)
                    .select(F.explode(F.array(*_band_key_exprs()))
                            .alias("bkey")))
     corpus_idx = (corpus_keys.groupBy("bkey")
