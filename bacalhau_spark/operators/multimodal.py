@@ -689,10 +689,25 @@ def _phash_pairs_verify(spark: SparkSession, sf_dir: str,
     die on the broadcast ceiling), exact xor+bit_count Hamming,
     threshold filter."""
     from bacalhau_spark.operators.dedup import (EDIT_BROADCAST_MAX_PAIRS,
-                                                _cand_pair_count)
+                                                _cand_pair_count,
+                                                _mh_session_cached)
 
-    cand = phash_candidate_pairs(hashes, bucket_cap=bucket_cap,
-                                 n_bands=n_bands)
+    # Candidate pairs are the SECOND persisted tier (r14), mirroring the
+    # minhash family's sig->cand layout: the band explode + window cap +
+    # bucket-and-expand ran on every warm probe (4 exchanges of
+    # regeneration per call) even though the pair set is a pure function
+    # of the published signature index. bench.py already describes the
+    # warm phash rows as the persisted-index probe; this makes the
+    # candidate half of that statement true as well. Cold
+    # (clear_session_index(persisted=True)) now includes this tier's
+    # publish — the honest one-shot ingest cost, noted in
+    # OPTIMIZATION_r14.md. Content-addressed on the documents fixture,
+    # so a changed corpus rebuilds; no delta form (the minhash cand
+    # delta's guards do not carry over to Hamming bands — rebuild).
+    cand = _mh_session_cached(
+        spark, sf_dir, cand_kind,
+        lambda: phash_candidate_pairs(hashes, bucket_cap=bucket_cap,
+                                      n_bands=n_bands))
     sides = cand.select(
         "a_id", "b_id",
         F.explode(F.array("a_id", "b_id")).alias("doc_id"))

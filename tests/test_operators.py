@@ -386,6 +386,48 @@ def test_audio_phash_scale_shape(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
+def test_phash_candidate_tier_is_persisted(spark, sf_dir):
+    """r14: the phash candidate pairs are the second persisted index
+    tier (the minhash sig->cand layout). Pins: (a) the warm probe's
+    plan scans the candidate ARTIFACT (index store parquet) and does
+    NOT regenerate it — no band-bucket Window and no pair-expand
+    flatten anywhere in the executed plan; (b) the persisted pair set
+    equals a direct regeneration from the signature index (the drift
+    guard, same clause as the winnow index test)."""
+    import os
+
+    from bacalhau_spark.operators.dedup import index_store_root
+    from bacalhau_spark.operators.multimodal import (PHASH_BUCKET_CAP,
+                                                     nd_image_phash,
+                                                     phash_candidate_pairs,
+                                                     phash_index)
+
+    df = nd_image_phash(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert os.path.basename(index_store_root()) in plan
+    assert ") Window" not in plan and "row_number" not in plan
+    assert "flatten(transform" not in plan
+    direct = phash_candidate_pairs(phash_index(spark, sf_dir),
+                                   bucket_cap=PHASH_BUCKET_CAP)
+    got = {(r.a_id, r.b_id) for r in df.collect()}
+    regen = {(r.a_id, r.b_id) for r in direct.collect()}
+    assert got <= regen  # verified pairs are a subset of candidates
+    assert regen == {(r.a_id, r.b_id) for r in
+                     _phash_cand_frame(spark, sf_dir).collect()}
+
+
+def _phash_cand_frame(spark, sf_dir):
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+    from bacalhau_spark.operators.multimodal import (PHASH_BUCKET_CAP,
+                                                     phash_candidate_pairs,
+                                                     phash_index)
+    return _mh_session_cached(
+        spark, sf_dir, "phash_cand",
+        lambda: phash_candidate_pairs(phash_index(spark, sf_dir),
+                                      bucket_cap=PHASH_BUCKET_CAP))
+
+
 def test_video_phash_bit_layout_forms_agree():
     """The oracle states the (band, pos) layout as ARITHMETIC over the
     flat cell index while the Spark emitter walks _vphash_cell_layout —
