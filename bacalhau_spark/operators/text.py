@@ -520,8 +520,8 @@ def nd_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1, c2, the t guard) and Spark shares no subplans across DataFrame
     branches — the r14 before-plan shows the explode+count lineage four
     times with zero ReusedExchange — so without the cut each branch
-    re-ran the corpus pass (2.7 s -> 1.3 s at sf0.1, experiments/
-    pmi_ckpt_r14 note in OPTIMIZATION_r14.md). The checkpoint holds the
+    re-ran the corpus pass (2.7 s -> 1.3 s at sf0.1,
+    experiments/ab_records_r14.txt). The checkpoint holds the
     REDUCED counts (the co-occurrence sketch a real pipeline would
     materialize anyway), never the token stream, and is recomputed per
     call — no cross-run state."""
