@@ -387,9 +387,12 @@ def test_round6_operators_scale_shapes(spark, sf_dir):
     - nd_vocab_coverage: the coverage pass probes the top-K vocab through a
       BROADCAST hash join (the token stream never shuffles for the audit),
       and the vocab build aggregates with a map-side partial_count.
-    - nd_boilerplate_strip: no Window exec anywhere (keep-first is a
-      min-struct aggregate, not a ROW_NUMBER window over the Zipf-hot
-      chunk key) and chunk text never shuffles — only 60-bit hashes.
+    - nd_boilerplate_strip: keep-first is exactly ONE min-struct window
+      over the 60-bit chunk hash (the r14 single-lineage form — the r6
+      groupBy+join twin evaluated the tokenize+md5 chunk derivation
+      twice; Zipf-hot chunk keys are bounded by WindowExec's spill path,
+      the same rule `_band_candidates` relies on), never a ROW_NUMBER
+      rank, and chunk text never shuffles — only 60-bit hashes.
     - nd_epoch_shuffle: the operator body is pure per-row codegen — the
       only exchange below the final presentation orderBy is... none; the
       single rangepartitioning exchange belongs to the deterministic
@@ -412,11 +415,18 @@ def test_round6_operators_scale_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in vocab_plan
     assert "partial_count" in vocab_plan
 
-    boiler_plan = _formatted_plan(nd_boilerplate_strip(spark, sf_dir))
-    assert ") Window" not in boiler_plan, (
-        "boilerplate keep-first must not window over the hot chunk key")
-    # the chunk exchange carries (doc_id, idx, ch) longs, never chunk text
     import re
+
+    boiler_plan = _formatted_plan(nd_boilerplate_strip(spark, sf_dir))
+    # r14 single-lineage keep-first: exactly ONE window, a min-struct
+    # (never row_number) partitioned by the 60-bit chunk hash
+    assert boiler_plan.count(") Window") == 1, (
+        "boilerplate keep-first must be the single min-struct window")
+    assert re.search(r"\) Window\nInput[^\n]*\nArguments: \[min\(",
+                     boiler_plan)
+    assert "windowspecdefinition(ch#" in boiler_plan
+    assert "row_number" not in boiler_plan
+    # the chunk exchange carries (doc_id, idx, ch) longs, never chunk text
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)",
                          boiler_plan):
         assert "chunk" not in m.group(1)
@@ -674,7 +684,12 @@ def test_bigram_family_scale_shapes(spark, sf_dir):
     - nd_pmi_collocations: same de-skew + the grand-total attaches by
       BROADCAST (a 1-row aggregate, never a shuffle of the candidate
       set) and there is exactly the one deliberate broadcast nested
-      loop for it — no cartesian of data-sized frames.
+      loop for it — no cartesian of data-sized frames. r14: the shared
+      bigram-count reduction is materialized ONCE per call via
+      localCheckpoint — a stronger one-corpus-pass guarantee than the
+      old ReusedExchange assert: every branch reads the reduced count
+      frame (Scan ExistingRDD) and NO parquet scan remains downstream
+      of the checkpoint.
     """
     import re
 
@@ -699,9 +714,17 @@ def test_bigram_family_scale_shapes(spark, sf_dir):
         assert "text#" not in m.group(1)
     assert "CartesianProduct" not in pplan
     assert "BroadcastNestedLoopJoin" in pplan  # the 1-row total attach
+    # r14: the shared bigram-count lineage is a per-call localCheckpoint —
+    # every branch scans the reduced count frame, the corpus parquet is
+    # read exactly once (at checkpoint fill), so nothing is left to reuse
+    assert "ExistingRDD" in pplan, (
+        "nd_pmi_collocations must serve all branches from the once-"
+        "materialized bigram-count checkpoint")
+    assert "parquet" not in pplan, (
+        "no branch may re-scan the corpus past the count checkpoint")
     pmi.collect()
-    assert "ReusedExchange" in _executed_plan(pmi), (
-        "nd_pmi_collocations recomputes the shared bigram-count exchange")
+    pexec = _executed_plan(pmi)
+    assert "ExistingRDD" in pexec and "parquet" not in pexec
 
 
 def test_ks_drift_scale_shape(spark, sf_dir):
