@@ -1467,6 +1467,8 @@ def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice — components of the induced subgraph, which filtering
     whole-corpus labels would get wrong), labels via the
     pointer-jumping CC (log-diameter rounds), keep one doc per cluster,
+    (the signatures come from the shared per-doc-pure index filtered to
+    the survivor ids — identical frames, see the stage-4 comment),
     (5) benchmark decontamination: drop cluster survivors that are
     benchmark members (doc_id % 10 == 0 stands in for the eval suite)
     or share any NGRAM_N-gram with the benchmark shingle set. Emits one
@@ -1495,8 +1497,18 @@ def nd_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = (mkept.groupBy(F.md5("text").alias("fp"))
             .agg(F.min("doc_id").alias("doc_id")))
     sdocs = docs.join(surv.select("doc_id"), "doc_id")
-    pairs = _band_candidates(_mh_sig_frame(
-        spread_compute(spark, sdocs, "doc_id")))
+    # Survivor-slice signatures from the SHARED minhash signature index
+    # (r14 closing slice): signatures are per-doc pure and the survivors
+    # carry UNMODIFIED text, so index-filtered-to-survivors is exactly
+    # _mh_sig_frame(sdocs) — the same filter-then-sign == sign-then-
+    # filter equivalence the decontam/incremental screens use. The
+    # survivor id set broadcasts (one long per kept doc); banding then
+    # runs over the induced subgraph's signatures as before. At corpus
+    # scale this removes the one remaining full-text signature pass in
+    # the composed funnel — stage 4 becomes an index scan + band join.
+    pairs = _band_candidates(
+        minhash_signature_index(spark, sf_dir)
+        .join(F.broadcast(surv.select("doc_id")), "doc_id"))
     edges = sym_edges(pairs)
     labels = cc_labels_doubling(edges)
     # one doc per near-dup cluster: drop labeled non-roots
@@ -2744,25 +2756,21 @@ def nd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment — and the join keys on the single folded 8-byte key;
     text never shuffles on either side. Deliberately the shuffle
     semi-join form (a 100 TB corpus's band set does not broadcast).
+    Since the r14 closing slice both the corpus side AND the unseen
+    (re-keyed, text-unmodified) batch half read the shared minhash
+    signature index — signatures are per-doc pure, so a re-keyed copy
+    of unmodified text carries the original's signature row under the
+    new key — and only the EDITED re-crawl slice (different text,
+    different signature) runs the signature fold fresh: the corpus
+    signature pass this row used to re-pay per call is an index scan.
 
     Reference intent: the recurring-ingest loop (new CID appears → job
     runs on it) of pkg/requesternode — here the job is the near-dup
     screen itself."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.where(F.col("doc_id") % 5 != 4)
-    batch = (docs.where(F.col("doc_id") % 5 == 4)
-             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
-             .unionByName(
-                 docs.where(F.col("doc_id") % 10 == 1).select(
-                     (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                     F.concat(F.col("text"),
-                              F.lit(" nearvariant edit")).alias("text"))))
     band = F.explode(F.array(*_band_key_exprs())).alias("bkey")
-    # spread_compute: the signature build is the CPU-dense stage and a
-    # single-row-group fixture would otherwise pin it to one task (the
-    # _minhash_signatures lesson — profiled 1.69s -> 0.35s at sf0.1)
-    corpus_keys = _mh_sig_frame(
-        spread_compute(spark, corpus, "doc_id")).select(band)
+    sig = minhash_signature_index(spark, sf_dir)
+    corpus_keys = sig.where(F.col("doc_id") % 5 != 4).select(band)
     # hot-bucket cap mirrors the index build: buckets that _band_candidates
     # would drop as degenerate are not probe targets either. groupBy-count
     # (map-side partial agg), NOT a count-over-window: the capped LSH
@@ -2773,8 +2781,19 @@ def nd_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count("*").alias("n"))
                   .where(F.col("n") <= LSH_BUCKET_CAP)
                   .select("bkey"))
-    batch_keys = (_mh_sig_frame(spread_compute(spark, batch, "doc_id"))
-                  .select("doc_id", band).distinct())
+    edited = (docs.where(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"),
+                 F.lit(" nearvariant edit")).alias("text")))
+    # spread_compute on the FRESH fold only: the signature build is the
+    # CPU-dense stage and a single-row-group fixture would otherwise pin
+    # it to one task (the _minhash_signatures lesson — 1.69s -> 0.35s)
+    batch_sig = (sig.where(F.col("doc_id") % 5 == 4)
+                 .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                         *[f"mh{s}" for s in range(len(MH_AB))])
+                 .unionByName(_mh_sig_frame(
+                     spread_compute(spark, edited, "doc_id"))))
+    batch_keys = batch_sig.select("doc_id", band).distinct()
     return (batch_keys.join(corpus_idx, "bkey")
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("bands_hit"))
@@ -2846,28 +2865,37 @@ def nd_neardup_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     band set (shuffle semi-join, cannot broadcast); here the index is
     the benchmark suite's band set — eval suites are millions of rows
     at most, curated and bounded — so the index BROADCASTS and the
-    100 TB train side is never shuffled at all: signatures reduce
-    map-side (one 16-column row per doc), band keys probe the broadcast
-    in codegen, and the only exchanges left are the per-doc distinct
-    and the final per-language counters. Uses THE shared signature and
-    band-key folds (_mh_sig_frame / _band_key_exprs), so this screen
-    cannot drift from the LSH index the corpus dedup builds.
+    100 TB train side is never shuffled at all: band keys probe the
+    broadcast in codegen, and the only exchanges left are the per-doc
+    distinct and the final per-language counters. Both sides read THE
+    shared minhash signature index (r14 closing slice — signatures are
+    per-doc pure, so filter-then-sign == sign-then-filter for the
+    doc_id slices, the nd_stream_band_screen equivalence): the bench
+    and unmodified-train signatures come from the persisted index, and
+    only the synthesized LEAK slice (edited text — a different
+    signature by construction) runs the signature fold fresh, over 5%
+    of the corpus. At 100 TB that converts two full-corpus signature
+    passes per screen into an index scan + a leak-sized fold, and the
+    screen cannot drift from the LSH index the corpus dedup builds
+    (same _band_key_exprs fold over the same artifact).
 
     Output: per-language (n_docs, n_flagged) over the train side."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang",
                                                     "text")
-    bench = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
     leak = (docs.where(F.col("doc_id") % 20 == 0)
             .select((F.col("doc_id") + 3_000_000).alias("doc_id"), "lang",
                     F.concat("text", F.lit(" leaked benchmark copy"))
                     .alias("text")))
     train = docs.where(F.col("doc_id") % 10 != 0).unionByName(leak)
     band = F.explode(F.array(*_band_key_exprs())).alias("bkey")
-    bench_idx = (_mh_sig_frame(spread_compute(spark, bench, "doc_id"))
+    sig = minhash_signature_index(spark, sf_dir)
+    bench_idx = (sig.where(F.col("doc_id") % 10 == 0)
                  .select(band).distinct())
-    train_keys = (_mh_sig_frame(
-        spread_compute(spark, train.select("doc_id", "text"), "doc_id"))
-        .select("doc_id", band).distinct())
+    leak_sig = _mh_sig_frame(spread_compute(
+        spark, leak.select("doc_id", "text"), "doc_id"))
+    train_keys = (sig.where(F.col("doc_id") % 10 != 0)
+                  .unionByName(leak_sig)
+                  .select("doc_id", band).distinct())
     flagged = (train_keys.join(F.broadcast(bench_idx), "bkey")
                .select("doc_id").distinct().withColumn("hit", F.lit(1)))
     return (train.select("doc_id", "lang")
