@@ -2469,7 +2469,13 @@ def nd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("w"), i * CHUNK_WORDS + 1, CHUNK_WORDS))),
             1, 15), 16, 10).cast("long"))
     chunks = w.select("doc_id", F.explode(chunk_hash).alias("ch"))
-    dc = chunks.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    # Lazily checkpoint the reduced per-doc chunk counts (the PMI
+    # convention, r14): freq and the main join both consume dc, and the
+    # md5-per-chunk HOF lineage is the expensive half — one hash pass
+    # instead of two. 1.03 s -> 0.74 s at sf0.1
+    # (experiments/count_frame_ckpt_r14.py); counts only, per call.
+    dc = (chunks.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=False))
     freq = dc.groupBy("ch").agg(F.sum("c").alias("f"))
     return (
         dc.join(freq, "ch")

@@ -393,20 +393,28 @@ def nd_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     percents of any real corpus) into one partition. Instead the token
     stream first reduces to per-(doc, word) counts — partial aggregation
     combines the head words map-side, so the shuffle carries at most one
-    row per document per word. The corpus frequency is then a rollup of
-    those counts by word (both aggregations share one exchange via
-    ReuseExchange — the (doc_id, word) shuffle is planned once), attached
-    back at doc granularity where the hot key is bounded by n_docs and
-    AQE's skew-join split handles the residue. The grand total is a
-    scalar off a cheap second scan of the projected size column (no
-    second pass over the word stream)."""
+    row per document per word. The reduced (doc, word) counts are
+    materialized ONCE per call (lazy localCheckpoint — the PMI
+    convention, r14): the corpus-frequency rollup, the join probe and
+    the grand total all scan the count frame, so the token stream is
+    scanned exactly once. The frequency attaches back at doc
+    granularity where the hot key is bounded by n_docs and AQE's
+    skew-join split handles the residue. The grand total t is SUM(c)
+    over the counts — the same integer as the token count, with no
+    extra pass over text."""
     docs = spread_compute(spark, table(spark, sf_dir, "documents")
                           .select("doc_id", "text"), "doc_id")
     wordsdf = docs.select("doc_id", F.explode(words("text")).alias("word"))
-    dw = wordsdf.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    # Lazily checkpoint the reduced per-doc counts (the PMI convention,
+    # r14): freq and the main join both consume dw — one corpus pass
+    # instead of two. The corpus token total is the SAME integer as
+    # SUM(c) over dw (every occurrence counted once either way), so the
+    # third full tokenize pass the old `total` branch paid is gone too.
+    # 1.01 s -> 0.77 s at sf0.1 (experiments/count_frame_ckpt_r14.py).
+    dw = (wordsdf.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=False))
     freq = dw.groupBy("word").agg(F.sum("c").alias("f"))
-    total = (docs.select(F.size(words("text")).alias("n"))
-             .agg(F.sum("n").cast("long").alias("t")))
+    total = dw.agg(F.sum("c").cast("long").alias("t"))
     return (
         dw.join(freq, "word")
         .crossJoin(F.broadcast(total))
@@ -448,7 +456,10 @@ def nd_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the bigram's first token, a projection, not a second pass over
     text), and both attach back by broadcast-resistant keys whose hot
     rows are bounded by n_docs with AQE skew-split as the residue. The
-    raw token stream is scanned once and never shuffled."""
+    raw token stream is scanned once and never shuffled — enforced
+    since r14 by a lazy localCheckpoint of the reduced counts (the PMI
+    convention): all three consumers scan the count frame, so the
+    one-corpus-pass claim holds by construction, not by AQE reuse."""
     docs = _docs(spark, sf_dir)
     w = words("text")
     bigrams = F.zip_with(
@@ -456,7 +467,14 @@ def nd_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(w, 2, F.size(w) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b))
     bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
-    db = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    # Lazily checkpoint the REDUCED per-doc counts: THREE branches
+    # consume db (bfreq, ctx, main join) and Spark shares no subplans
+    # across DataFrame branches, so without the cut each branch re-ran
+    # the tokenize+explode corpus pass (the nd_pmi_collocations fix,
+    # r14: 1.73 s -> 1.45 s here, experiments/count_frame_ckpt_r14.py).
+    # Holds counts only, never the token stream; recomputed per call.
+    db = (bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+          .localCheckpoint(eager=False))
     bfreq = db.groupBy("bigram").agg(F.sum("c").alias("c12"))
     ctx = (db.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
            .agg(F.sum("c").alias("c1")))

@@ -194,15 +194,23 @@ def test_zipf_key_queries_have_no_skewed_window(spark, sf_dir):
         plan = _formatted_plan(df)
         assert ") Window" not in plan, (
             f"{fn.__name__} still windows over a Zipf-skewed key")
-        assert "partial_count" in plan, (
-            f"{fn.__name__} lost its map-side partial aggregation")
-        # the (doc, key) exchange feeds both the frequency rollup and the
-        # join probe; AQE must plan it ONCE (the docstrings' ReuseExchange
-        # claim, visible only in the post-execution adaptive plan)
+        # r14: the reduced (doc, key) count frame is a per-call
+        # localCheckpoint (the PMI convention) — the map-side partial
+        # aggregation lives inside the checkpoint fill, and every
+        # branch (frequency rollup + join probe + the rarity total)
+        # scans the reduced counts: a stronger one-corpus-pass
+        # guarantee than the old ReusedExchange assert. The visible
+        # rollups still partial-aggregate map-side over the counts.
+        assert "partial_sum" in plan, (
+            f"{fn.__name__} lost its map-side partial rollup")
+        assert "ExistingRDD" in plan, (
+            f"{fn.__name__} must serve all branches from the once-"
+            "materialized count checkpoint")
+        assert "parquet" not in plan, (
+            f"{fn.__name__} re-scans the corpus past the checkpoint")
         df.collect()
         final = _executed_plan(df)
-        assert "ReusedExchange" in final, (
-            f"{fn.__name__} recomputes the shared (doc, key) exchange")
+        assert "ExistingRDD" in final and "parquet" not in final
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
@@ -676,11 +684,12 @@ def test_bigram_family_scale_shapes(spark, sf_dir):
     """The two bigram-LM operators' 100 TB plan claims, asserted:
 
     - nd_bigram_surprisal: same Zipf de-skew contract as nd_word_rarity
-      — no Window over a raw token key, partial aggregation collapses
-      the bigram head map-side, the raw text column never crosses an
-      exchange, and the shared (doc, bigram) reduction is planned ONCE
-      (ReusedExchange feeds the frequency rollup, the context rollup,
-      and the join probe).
+      — no Window over a raw token key, the raw text column never
+      crosses an exchange, and (r14) the shared (doc, bigram) reduction
+      is materialized ONCE per call via localCheckpoint: the frequency
+      rollup, the context rollup and the join probe all scan the
+      reduced count frame, no parquet scan downstream (the same
+      stronger one-corpus-pass pin as nd_pmi_collocations below).
     - nd_pmi_collocations: same de-skew + the grand-total attaches by
       BROADCAST (a 1-row aggregate, never a shuffle of the candidate
       set) and there is exactly the one deliberate broadcast nested
@@ -702,9 +711,14 @@ def test_bigram_family_scale_shapes(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "text#" not in m.group(1)
+    assert "ExistingRDD" in plan, (
+        "nd_bigram_surprisal must serve all three branches from the "
+        "once-materialized (doc, bigram) count checkpoint")
+    assert "parquet" not in plan, (
+        "no branch may re-scan the corpus past the count checkpoint")
     df.collect()
-    assert "ReusedExchange" in _executed_plan(df), (
-        "nd_bigram_surprisal recomputes the shared (doc, bigram) exchange")
+    dexec = _executed_plan(df)
+    assert "ExistingRDD" in dexec and "parquet" not in dexec
 
     pmi = nd_pmi_collocations(spark, sf_dir)
     pplan = _formatted_plan(pmi)
