@@ -1726,14 +1726,56 @@ def _shingle_postings(docs: DataFrame, n: int, df_cap: int) -> DataFrame:
             .localCheckpoint(eager=True))
 
 
-def _shingle_pair_stats(docs: DataFrame, n: int,
-                        df_cap: int) -> tuple[DataFrame, DataFrame]:
+def shingle_posting_index(spark: SparkSession, sf_dir: str, n: int = 3,
+                          df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Session-scoped shared (shingle, ids) posting index over the
+    documents fixture — the jaccard family's analog of
+    minhash_signature_index's tier 1: nd_ngram_jaccard, nd_containment
+    and nd_weighted_jaccard all consume the SAME df-capped posting
+    lists (weighted derives its rarity weight FROM the list length the
+    row already carries), so the checkpointed build runs once per
+    (session, table-content, n, df_cap) instead of once per row per
+    call. Keyed into _MH_IDX_CACHE — same content fingerprint (a
+    fixture rewritten mid-session misses and rebuilds), same app-id
+    eviction for stopped sessions, same clear_session_index lifecycle
+    (a cold measurement re-pays the build). Session tier ONLY: the
+    persisted store kind (publish + the delta story — postings are a
+    GROUPING of docs by shingle, so appends mutate existing rows and
+    need the winnow-style per-doc-pure layout) stays the documented
+    round-2 candidate; this tier is the in-session amortization the
+    production build-once-probe-many lifecycle already implies."""
+    app_id = spark.sparkContext.applicationId
+    fp = _docs_fingerprint(sf_dir, "documents")
+    key = (app_id, os.path.realpath(sf_dir), fp,
+           f"shpost:{n}:{df_cap}", "documents", 1)
+    with _MH_IDX_LOCK:
+        for k in [k for k in _MH_IDX_CACHE if k[0] != app_id]:
+            _MH_IDX_CACHE.pop(k, None)
+            _ADOPTED_ROOTS.pop(k, None)
+        hit = _MH_IDX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    postings = _shingle_postings(
+        spread_compute(spark, table(spark, sf_dir, "documents")
+                       .select("doc_id", "text"), "doc_id"), n, df_cap)
+    with _MH_IDX_LOCK:
+        return _MH_IDX_CACHE.setdefault(key, postings)
+
+
+def _shingle_pair_stats(docs: DataFrame, n: int, df_cap: int,
+                        postings: DataFrame | None = None,
+                        ) -> tuple[DataFrame, DataFrame]:
     """The shared inverted-index core of ngram_jaccard_pairs and
     containment_pairs: per-(a<b) pair shared-shingle counts plus per-doc
     retained-set sizes, over 60-bit md5 shingle keys with the stop-
     shingle df_cap guard. See ngram_jaccard_pairs for the full scale
-    rationale (posting-list bucket-and-expand, no index self-join)."""
-    postings = _shingle_postings(docs, n, df_cap)
+    rationale (posting-list bucket-and-expand, no index self-join).
+    `postings` (if given) is a pre-built posting frame for the SAME
+    (docs, n, df_cap) — the session-shared index the registered rows
+    pass (shingle_posting_index); the fresh build is the fallback for
+    arbitrary frames."""
+    if postings is None:
+        postings = _shingle_postings(docs, n, df_cap)
     sizes = (postings.select(F.explode("ids").alias("doc_id"))
              .groupBy("doc_id").agg(F.count("*").alias("n")))
     # Struct pair keys on purpose: packing (a,b) into one long (a<<32|b)
@@ -1753,7 +1795,8 @@ def _shingle_pair_stats(docs: DataFrame, n: int,
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = JACCARD_THRESHOLD,
-                        df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+                        df_cap: int = SHINGLE_DF_CAP,
+                        postings: DataFrame | None = None) -> DataFrame:
     """Word-n-gram Jaccard near-dup pairs over a (doc_id, text) frame.
     Candidate generation is an inverted-index equi join — only docs sharing
     at least one shingle are ever compared. The index keys on the shingle's
@@ -1781,7 +1824,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     #    (~#distinct-shingles rows) is localCheckpoint'ed once for its two
     #    consumers (pair stream + per-doc sizes). At corpus scale the
     #    posting lists are the persisted inverted-index artifact.
-    shared, sizes = _shingle_pair_stats(docs, n, df_cap)
+    shared, sizes = _shingle_pair_stats(docs, n, df_cap, postings=postings)
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     # Raw division (no ROUND): numerator/denominator are identical integers
@@ -1808,15 +1851,19 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (catalog.spread_compute): the explode + per-shingle md5 is the
     CPU-dwarfs-row-bytes profile, and a single-row-group input would pin
     the whole index build to one task (profiled 1.69s -> 0.35s at
-    sf0.1)."""
+    sf0.1). The posting lists come from the session-shared
+    shingle_posting_index (r14): ngram/weighted/containment consume the
+    same df-capped postings, built once per (session, table content)."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
     return ngram_jaccard_pairs(
-        spread_compute(spark, table(spark, sf_dir, "documents")
-                       .select("doc_id", "text"), "doc_id"))
+        docs, postings=shingle_posting_index(spark, sf_dir))
 
 
 def weighted_jaccard_pairs(docs: DataFrame, n: int = 3,
                            threshold: float = JACCARD_THRESHOLD,
-                           df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+                           df_cap: int = SHINGLE_DF_CAP,
+                           postings: DataFrame | None = None) -> DataFrame:
     """Rarity-weighted (idf-style) Jaccard near-dup pairs: every retained
     shingle carries the integer weight n_docs DIV df(shingle), so two
     documents that share their RARE shingles (the actual content) score
@@ -1834,25 +1881,19 @@ def weighted_jaccard_pairs(docs: DataFrame, n: int = 3,
     row from the list length it already carries (no extra df pass; the
     corpus size rides in as a broadcast 1-row aggregate). Text never
     shuffles; only 8-byte shingle keys and long weights move."""
-    sh = (docs.select("doc_id", words("text").alias("w"))
-          .select("doc_id",
-                  F.explode(shingles(F.col("w"), n)).alias("s"))
-          .select("doc_id",
-                  F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-                  .cast("long").alias("shingle"))
-          .distinct())
+    # The BASE posting lists are the family-shared artifact
+    # (_shingle_postings / shingle_posting_index — identical build to
+    # ngram/containment's); the rarity weight is DERIVED from the list
+    # length each posting row already carries plus the broadcast corpus
+    # size, a per-row projection downstream of the checkpoint, so the
+    # weighted screen shares the one index instead of building a
+    # wt-annotated twin (r14 closing slice; weight values identical —
+    # nd div size(ids) commutes with the repartition/checkpoint).
+    if postings is None:
+        postings = _shingle_postings(docs, n, df_cap)
     ndocs = docs.select(F.countDistinct("doc_id").alias("nd"))
-    # explicit-width repartition before the checkpoint: see
-    # _shingle_pair_stats — AQE would otherwise freeze the byte-small
-    # posting frame at a couple of partitions and starve the explode
-    width = docs.sparkSession.sparkContext.defaultParallelism
-    postings = (sh.groupBy("shingle")
-                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-                .where(F.size("ids") <= df_cap)
-                .crossJoin(F.broadcast(ndocs))
-                .withColumn("wt", F.expr("nd div size(ids)"))
-                .repartition(width, "shingle")
-                .localCheckpoint(eager=True))
+    postings = (postings.crossJoin(F.broadcast(ndocs))
+                .withColumn("wt", F.expr("nd div size(ids)")))
     sizes = (postings.select(F.explode("ids").alias("doc_id"), "wt")
              .groupBy("doc_id").agg(F.sum("wt").alias("tw")))
     pair_expr = F.expr(PAIR_EXPAND_SQL)
@@ -1880,9 +1921,10 @@ def nd_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rarity-weighted word-3-gram Jaccard pairs (>= 0.5) over the
     documents fixture — see weighted_jaccard_pairs. Spread scan for the
     same CPU-dwarfs-row-bytes reason as nd_ngram_jaccard."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
     return weighted_jaccard_pairs(
-        spread_compute(spark, table(spark, sf_dir, "documents")
-                       .select("doc_id", "text"), "doc_id"))
+        docs, postings=shingle_posting_index(spark, sf_dir))
 
 
 _WEIGHTED_JACCARD_ORACLE = f"""
@@ -1919,7 +1961,8 @@ CONTAIN_THRESHOLD = 0.8
 
 def containment_pairs(docs: DataFrame, n: int = 3,
                       threshold: float = CONTAIN_THRESHOLD,
-                      df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+                      df_cap: int = SHINGLE_DF_CAP,
+                      postings: DataFrame | None = None) -> DataFrame:
     """Directed shingle-containment pairs: C(A in B) = |A∩B| / |A| —
     the asymmetric complement of Jaccard dedup. A short document quoted
     wholesale inside a much longer one scores near-zero Jaccard (the
@@ -1952,7 +1995,7 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     whole family, 27 s -> 11 s at x10), plus the planner broadcasting
     the multi-million-row PAIR aggregate instead of the doc-sizes
     frames (fixed by the explicit broadcasts below)."""
-    shared, sizes = _shingle_pair_stats(docs, n, df_cap)
+    shared, sizes = _shingle_pair_stats(docs, n, df_cap, postings=postings)
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     # explicit sizes broadcast — without it the planner broadcast the
@@ -1978,9 +2021,10 @@ def nd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram containment pairs (C >= 0.8) over the documents
     fixture — see containment_pairs. Spread scan for the same
     CPU-dwarfs-row-bytes reason as nd_ngram_jaccard."""
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
     return containment_pairs(
-        spread_compute(spark, table(spark, sf_dir, "documents")
-                       .select("doc_id", "text"), "doc_id"))
+        docs, postings=shingle_posting_index(spark, sf_dir))
 
 
 _MH_AB_VALUES = ", ".join(f"({s}, {a}::BIGINT, {b}::BIGINT)"

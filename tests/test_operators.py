@@ -1351,3 +1351,38 @@ def test_real_frame_video_phash_near_dup(spark, tmp_path):
                  n_bands=VPHASH_NBANDS).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= VPHASH_MAX_HAMMING
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_shingle_posting_index_shared_and_equivalent(spark, sf_dir):
+    """r14: the jaccard family's session-shared posting index.
+
+    - ngram/weighted/containment registered rows must serve from ONE
+      cached posting frame per (session, table content): two lookups
+      return the same object, and the family rows over the index equal
+      the frame-level generics' fresh-build path row for row.
+    - clear_session_index evicts it (cold measurements re-pay the
+      build), after which a fresh lookup returns a NEW frame.
+    """
+    from bacalhau_spark.catalog import spread_compute, table
+    from bacalhau_spark.operators import dedup as D
+
+    idx1 = D.shingle_posting_index(spark, sf_dir)
+    idx2 = D.shingle_posting_index(spark, sf_dir)
+    assert idx1 is idx2, "second lookup must hit the session cache"
+
+    docs = spread_compute(spark, table(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), "doc_id")
+    for fresh_fn, row_name in (
+            (D.ngram_jaccard_pairs, "nd_ngram_jaccard"),
+            (D.weighted_jaccard_pairs, "nd_weighted_jaccard"),
+            (D.containment_pairs, "nd_containment")):
+        from bacalhau_spark.registry import ALL_QUERIES
+        fresh = sorted(map(tuple, fresh_fn(docs).collect()))
+        shared = sorted(map(tuple,
+                            ALL_QUERIES[row_name][0](spark, sf_dir)
+                            .collect()))
+        assert fresh == shared, f"{row_name} diverges from fresh build"
+
+    D.clear_session_index(spark)
+    idx3 = D.shingle_posting_index(spark, sf_dir)
+    assert idx3 is not idx1, "eviction must force a rebuild"
