@@ -1762,6 +1762,56 @@ def shingle_posting_index(spark: SparkSession, sf_dir: str, n: int = 3,
         return _MH_IDX_CACHE.setdefault(key, postings)
 
 
+def shingle_pair_index(spark: SparkSession, sf_dir: str, n: int = 3,
+                       df_cap: int = SHINGLE_DF_CAP,
+                       weighted: bool = False,
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Session-scoped shared pair-stats tier over shingle_posting_index
+    — tier 2 of the jaccard family, the phash candidate-tier
+    convention applied here: nd_ngram_jaccard and nd_containment
+    consume byte-identical (per-pair shared counts, per-doc sizes)
+    frames and nd_weighted_jaccard their rarity-weighted twin, yet
+    each call re-expanded the posting lists into pairs and re-reduced
+    them (~1.3 s of each row's ~2 s at sf0.1 with the posting tier
+    hot). The REDUCED pair-stats frames — never the posting lists,
+    never text — are checkpointed once per (session, table content,
+    n, df_cap, weighted) and every consumer's remaining per-call work
+    is the bounded joins + threshold + sort. Same _MH_IDX_CACHE
+    lifecycle as the tiers below it: content-fingerprint key (a
+    rewritten fixture rebuilds), app-id eviction, clear_session_index
+    makes cold measurements re-pay the build. Derived strictly from
+    the shared posting index, so values are the fresh path's by
+    construction; the weighted variant's corpus count comes from the
+    documents table itself (docs absent from the postings — fewer
+    than n words — still count toward nd, exactly as the fresh
+    build's countDistinct does)."""
+    app_id = spark.sparkContext.applicationId
+    fp = _docs_fingerprint(sf_dir, "documents")
+    kind = "shpairw" if weighted else "shpair"
+    key = (app_id, os.path.realpath(sf_dir), fp,
+           f"{kind}:{n}:{df_cap}", "documents", 1)
+    with _MH_IDX_LOCK:
+        for k in [k for k in _MH_IDX_CACHE if k[0] != app_id]:
+            _MH_IDX_CACHE.pop(k, None)
+            _ADOPTED_ROOTS.pop(k, None)
+        hit = _MH_IDX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    postings = shingle_posting_index(spark, sf_dir, n, df_cap)
+    if weighted:
+        shared, sizes = _weighted_pair_stats(
+            table(spark, sf_dir, "documents").select("doc_id"),
+            n, df_cap, postings=postings)
+    else:
+        # docs is only consulted on the postings-fallback branch
+        shared, sizes = _shingle_pair_stats(
+            None, n, df_cap, postings=postings)
+    pair = (shared.localCheckpoint(eager=True),
+            sizes.localCheckpoint(eager=True))
+    with _MH_IDX_LOCK:
+        return _MH_IDX_CACHE.setdefault(key, pair)
+
+
 def _shingle_pair_stats(docs: DataFrame, n: int, df_cap: int,
                         postings: DataFrame | None = None,
                         ) -> tuple[DataFrame, DataFrame]:
@@ -1796,7 +1846,9 @@ def _shingle_pair_stats(docs: DataFrame, n: int, df_cap: int,
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = JACCARD_THRESHOLD,
                         df_cap: int = SHINGLE_DF_CAP,
-                        postings: DataFrame | None = None) -> DataFrame:
+                        postings: DataFrame | None = None,
+                        pair_stats: tuple[DataFrame, DataFrame]
+                        | None = None) -> DataFrame:
     """Word-n-gram Jaccard near-dup pairs over a (doc_id, text) frame.
     Candidate generation is an inverted-index equi join — only docs sharing
     at least one shingle are ever compared. The index keys on the shingle's
@@ -1824,7 +1876,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     #    (~#distinct-shingles rows) is localCheckpoint'ed once for its two
     #    consumers (pair stream + per-doc sizes). At corpus scale the
     #    posting lists are the persisted inverted-index artifact.
-    shared, sizes = _shingle_pair_stats(docs, n, df_cap, postings=postings)
+    shared, sizes = (pair_stats if pair_stats is not None
+                     else _shingle_pair_stats(docs, n, df_cap,
+                                              postings=postings))
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     # Raw division (no ROUND): numerator/denominator are identical integers
@@ -1853,17 +1907,53 @@ def nd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole index build to one task (profiled 1.69s -> 0.35s at
     sf0.1). The posting lists come from the session-shared
     shingle_posting_index (r14): ngram/weighted/containment consume the
-    same df-capped postings, built once per (session, table content)."""
+    same df-capped postings, built once per (session, table content) —
+    and the REDUCED pair-stats frames come from shingle_pair_index
+    (tier 2, same lifecycle), so the per-call work is the bounded
+    joins + threshold + sort."""
     docs = spread_compute(spark, table(spark, sf_dir, "documents")
                           .select("doc_id", "text"), "doc_id")
     return ngram_jaccard_pairs(
-        docs, postings=shingle_posting_index(spark, sf_dir))
+        docs, pair_stats=shingle_pair_index(spark, sf_dir))
+
+
+def _weighted_pair_stats(docs: DataFrame, n: int, df_cap: int,
+                         postings: DataFrame | None = None,
+                         ) -> tuple[DataFrame, DataFrame]:
+    """The rarity-weighted twin of _shingle_pair_stats: per-(a<b) pair
+    weighted shared sums plus per-doc total weights. The BASE posting
+    lists are the family-shared artifact (_shingle_postings /
+    shingle_posting_index — identical build to ngram/containment's);
+    the rarity weight is DERIVED from the list length each posting row
+    already carries plus the broadcast corpus size, a per-row
+    projection downstream of the checkpoint, so the weighted screen
+    shares the one index instead of building a wt-annotated twin
+    (r14 closing slice; weight values identical — nd div size(ids)
+    commutes with the repartition/checkpoint)."""
+    if postings is None:
+        postings = _shingle_postings(docs, n, df_cap)
+    ndocs = docs.select(F.countDistinct("doc_id").alias("nd"))
+    postings = (postings.crossJoin(F.broadcast(ndocs))
+                .withColumn("wt", F.expr("nd div size(ids)")))
+    sizes = (postings.select(F.explode("ids").alias("doc_id"), "wt")
+             .groupBy("doc_id").agg(F.sum("wt").alias("tw")))
+    pair_expr = F.expr(PAIR_EXPAND_SQL)
+    shared = (
+        postings.where(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"), "wt")
+        .groupBy(F.col("p.a_id").alias("a_id"),
+                 F.col("p.b_id").alias("b_id"))
+        .agg(F.sum("wt").cast("long").alias("shared_w"))
+    )
+    return shared, sizes
 
 
 def weighted_jaccard_pairs(docs: DataFrame, n: int = 3,
                            threshold: float = JACCARD_THRESHOLD,
                            df_cap: int = SHINGLE_DF_CAP,
-                           postings: DataFrame | None = None) -> DataFrame:
+                           postings: DataFrame | None = None,
+                           pair_stats: tuple[DataFrame, DataFrame]
+                           | None = None) -> DataFrame:
     """Rarity-weighted (idf-style) Jaccard near-dup pairs: every retained
     shingle carries the integer weight n_docs DIV df(shingle), so two
     documents that share their RARE shingles (the actual content) score
@@ -1881,29 +1971,9 @@ def weighted_jaccard_pairs(docs: DataFrame, n: int = 3,
     row from the list length it already carries (no extra df pass; the
     corpus size rides in as a broadcast 1-row aggregate). Text never
     shuffles; only 8-byte shingle keys and long weights move."""
-    # The BASE posting lists are the family-shared artifact
-    # (_shingle_postings / shingle_posting_index — identical build to
-    # ngram/containment's); the rarity weight is DERIVED from the list
-    # length each posting row already carries plus the broadcast corpus
-    # size, a per-row projection downstream of the checkpoint, so the
-    # weighted screen shares the one index instead of building a
-    # wt-annotated twin (r14 closing slice; weight values identical —
-    # nd div size(ids) commutes with the repartition/checkpoint).
-    if postings is None:
-        postings = _shingle_postings(docs, n, df_cap)
-    ndocs = docs.select(F.countDistinct("doc_id").alias("nd"))
-    postings = (postings.crossJoin(F.broadcast(ndocs))
-                .withColumn("wt", F.expr("nd div size(ids)")))
-    sizes = (postings.select(F.explode("ids").alias("doc_id"), "wt")
-             .groupBy("doc_id").agg(F.sum("wt").alias("tw")))
-    pair_expr = F.expr(PAIR_EXPAND_SQL)
-    shared = (
-        postings.where(F.size("ids") >= 2)
-        .select(F.explode(pair_expr).alias("p"), "wt")
-        .groupBy(F.col("p.a_id").alias("a_id"),
-                 F.col("p.b_id").alias("b_id"))
-        .agg(F.sum("wt").cast("long").alias("shared_w"))
-    )
+    shared, sizes = (pair_stats if pair_stats is not None
+                     else _weighted_pair_stats(docs, n, df_cap,
+                                               postings=postings))
     wa = sizes.select(F.col("doc_id").alias("a_id"), F.col("tw").alias("ta"))
     wb = sizes.select(F.col("doc_id").alias("b_id"), F.col("tw").alias("tb"))
     score = (F.col("shared_w").cast("double")
@@ -1920,11 +1990,13 @@ def weighted_jaccard_pairs(docs: DataFrame, n: int = 3,
 def nd_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rarity-weighted word-3-gram Jaccard pairs (>= 0.5) over the
     documents fixture — see weighted_jaccard_pairs. Spread scan for the
-    same CPU-dwarfs-row-bytes reason as nd_ngram_jaccard."""
+    same CPU-dwarfs-row-bytes reason as nd_ngram_jaccard; pair stats
+    from the weighted tier of shingle_pair_index."""
     docs = spread_compute(spark, table(spark, sf_dir, "documents")
                           .select("doc_id", "text"), "doc_id")
     return weighted_jaccard_pairs(
-        docs, postings=shingle_posting_index(spark, sf_dir))
+        docs, pair_stats=shingle_pair_index(spark, sf_dir,
+                                            weighted=True))
 
 
 _WEIGHTED_JACCARD_ORACLE = f"""
@@ -1962,7 +2034,9 @@ CONTAIN_THRESHOLD = 0.8
 def containment_pairs(docs: DataFrame, n: int = 3,
                       threshold: float = CONTAIN_THRESHOLD,
                       df_cap: int = SHINGLE_DF_CAP,
-                      postings: DataFrame | None = None) -> DataFrame:
+                      postings: DataFrame | None = None,
+                      pair_stats: tuple[DataFrame, DataFrame]
+                      | None = None) -> DataFrame:
     """Directed shingle-containment pairs: C(A in B) = |A∩B| / |A| —
     the asymmetric complement of Jaccard dedup. A short document quoted
     wholesale inside a much longer one scores near-zero Jaccard (the
@@ -1995,7 +2069,9 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     whole family, 27 s -> 11 s at x10), plus the planner broadcasting
     the multi-million-row PAIR aggregate instead of the doc-sizes
     frames (fixed by the explicit broadcasts below)."""
-    shared, sizes = _shingle_pair_stats(docs, n, df_cap, postings=postings)
+    shared, sizes = (pair_stats if pair_stats is not None
+                     else _shingle_pair_stats(docs, n, df_cap,
+                                              postings=postings))
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     # explicit sizes broadcast — without it the planner broadcast the
@@ -2020,11 +2096,12 @@ def containment_pairs(docs: DataFrame, n: int = 3,
 def nd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram containment pairs (C >= 0.8) over the documents
     fixture — see containment_pairs. Spread scan for the same
-    CPU-dwarfs-row-bytes reason as nd_ngram_jaccard."""
+    CPU-dwarfs-row-bytes reason as nd_ngram_jaccard; pair stats from
+    shingle_pair_index (shared frame-identical with the ngram row's)."""
     docs = spread_compute(spark, table(spark, sf_dir, "documents")
                           .select("doc_id", "text"), "doc_id")
     return containment_pairs(
-        docs, postings=shingle_posting_index(spark, sf_dir))
+        docs, pair_stats=shingle_pair_index(spark, sf_dir))
 
 
 _MH_AB_VALUES = ", ".join(f"({s}, {a}::BIGINT, {b}::BIGINT)"

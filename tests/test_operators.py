@@ -1386,3 +1386,36 @@ def test_shingle_posting_index_shared_and_equivalent(spark, sf_dir):
     D.clear_session_index(spark)
     idx3 = D.shingle_posting_index(spark, sf_dir)
     assert idx3 is not idx1, "eviction must force a rebuild"
+
+
+def test_shingle_pair_index_shared_and_equivalent(spark, sf_dir):
+    """r14 closing slice: tier 2 — the session-shared pair-stats
+    frames over the posting index (the phash candidate-tier
+    convention). The fresh-vs-registered equality for all three
+    consumer rows is pinned by the posting-index test above (the
+    registered rows route through this tier); here we pin the tier's
+    own lifecycle:
+
+    - two lookups return the SAME checkpointed frames (one build per
+      session/content);
+    - the weighted tier is a distinct cache entry (different frames);
+    - clear_session_index evicts it alongside the posting tier, after
+      which a fresh lookup returns NEW frames whose rows still equal
+      the evicted ones (rebuild, not drift).
+    """
+    from bacalhau_spark.operators import dedup as D
+
+    p1 = D.shingle_pair_index(spark, sf_dir)
+    p2 = D.shingle_pair_index(spark, sf_dir)
+    assert p1[0] is p2[0] and p1[1] is p2[1], \
+        "second lookup must hit the session cache"
+    w1 = D.shingle_pair_index(spark, sf_dir, weighted=True)
+    assert w1[0] is not p1[0], "weighted tier is its own entry"
+    assert "shared_w" in w1[0].columns and "tw" in w1[1].columns
+    before = sorted(map(tuple, p1[0].collect()))
+
+    D.clear_session_index(spark)
+    p3 = D.shingle_pair_index(spark, sf_dir)
+    assert p3[0] is not p1[0], "eviction must force a rebuild"
+    assert sorted(map(tuple, p3[0].collect())) == before, \
+        "rebuilt pair stats must match the evicted frames"
