@@ -5,8 +5,9 @@ import os
 import statistics
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from bacalhau_spark.registry import ALL_QUERIES
 from bacalhau_spark.session import get_session
