@@ -1699,31 +1699,52 @@ def nd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_postings(docs: DataFrame, n: int, df_cap: int) -> DataFrame:
-    """Checkpointed (shingle, ids) posting lists over 60-bit md5 keys
-    with the stop-shingle df_cap guard. The explicit-width repartition
-    BEFORE the checkpoint is load-bearing: AQE's size-based coalescing
-    (parallelismFirst=false, the session default) collapses the
-    byte-small posting-list aggregate to a couple of partitions, the
-    checkpoint FREEZES that partitioning, and the pair explode
+def shingle_doc_postings(docs: DataFrame, n: int) -> DataFrame:
+    """Per-doc-pure (doc_id, shingle) posting rows over 60-bit md5 keys
+    — the PERSISTED payload of the jaccard family's inverted index
+    (round 15; the winnow_postings convention): a doc's shingle set is
+    a pure function of its own text, so an appended epoch's rows UNION
+    exactly with the parent's (delta adoption — only new shards are
+    ever tokenized/hashed), and the stop-shingle df cap is applied at
+    READ time so the artifact never becomes a global function of the
+    corpus (a build-time cap would need parent-row removal when a
+    shingle's df crosses the cap on append — inexpressible as
+    hardlink-plus-delta)."""
+    return (docs.select("doc_id", words("text").alias("w"))
+            .select("doc_id",
+                    F.explode(shingles(F.col("w"), n)).alias("s"))
+            .select("doc_id",
+                    F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                    .cast("long").alias("shingle"))
+            .distinct())
+
+
+def _group_cap_postings(sh: DataFrame, df_cap: int) -> DataFrame:
+    """(doc_id, shingle) rows -> checkpointed (shingle, ids) posting
+    lists with the stop-shingle df_cap guard. The explicit-width
+    repartition BEFORE the checkpoint is load-bearing: AQE's size-based
+    coalescing (parallelismFirst=false, the session default) collapses
+    the byte-small posting-list aggregate to a couple of partitions,
+    the checkpoint FREEZES that partitioning, and the pair explode
     downstream amplifies rows ~1000x out of those few partitions — two
     cores doing all the work (2.4x the whole operator at x10, measured
     in registry_crossover_r8c.txt; the spread_compute rationale applied
     at a mid-plan stage). The explicit partition count keeps AQE from
     re-coalescing the repartition."""
-    sh = (docs.select("doc_id", words("text").alias("w"))
-          .select("doc_id",
-                  F.explode(shingles(F.col("w"), n)).alias("s"))
-          .select("doc_id",
-                  F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
-                  .cast("long").alias("shingle"))
-          .distinct())
-    width = docs.sparkSession.sparkContext.defaultParallelism
+    width = sh.sparkSession.sparkContext.defaultParallelism
     return (sh.groupBy("shingle")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
             .where(F.size("ids") <= df_cap)
             .repartition(width, "shingle")
             .localCheckpoint(eager=True))
+
+
+def _shingle_postings(docs: DataFrame, n: int, df_cap: int) -> DataFrame:
+    """The fresh (un-indexed) posting-list build over an ARBITRARY
+    (doc_id, text) frame — decomposition-shared with the persisted path
+    (shingle_doc_postings + _group_cap_postings), so index and direct
+    form cannot drift."""
+    return _group_cap_postings(shingle_doc_postings(docs, n), df_cap)
 
 
 def shingle_posting_index(spark: SparkSession, sf_dir: str, n: int = 3,
@@ -1738,12 +1759,20 @@ def shingle_posting_index(spark: SparkSession, sf_dir: str, n: int = 3,
     call. Keyed into _MH_IDX_CACHE — same content fingerprint (a
     fixture rewritten mid-session misses and rebuilds), same app-id
     eviction for stopped sessions, same clear_session_index lifecycle
-    (a cold measurement re-pays the build). Session tier ONLY: the
-    persisted store kind (publish + the delta story — postings are a
-    GROUPING of docs by shingle, so appends mutate existing rows and
-    need the winnow-style per-doc-pure layout) stays the documented
-    round-2 candidate; this tier is the in-session amortization the
-    production build-once-probe-many lifecycle already implies."""
+    (a cold measurement re-pays the build).
+
+    PERSISTED since round 15 (the r14 verdict's deferred item): the
+    per-doc-pure (doc_id, shingle) rows are the store artifact (kind
+    f"shpost{n}", the winnow_postings layout — uncapped, so delta
+    adoption is exact: an appended epoch hardlinks the parent's files
+    and tokenizes only the new shards; delta_key guards re-carried
+    doc_ids, whose union would duplicate posting rows). The GROUPED
+    df-capped (shingle, ids) lists every consumer actually probes are a
+    DERIVED view (grouping is a global function of the corpus — it can
+    never be the persisted payload), rebuilt once per session from the
+    artifact scan and cached at this session tier exactly as before:
+    warm calls skip the scan, a cold session pays artifact-read + group
+    instead of tokenize + hash + group."""
     app_id = spark.sparkContext.applicationId
     fp = _docs_fingerprint(sf_dir, "documents")
     key = (app_id, os.path.realpath(sf_dir), fp,
@@ -1755,9 +1784,17 @@ def shingle_posting_index(spark: SparkSession, sf_dir: str, n: int = 3,
         hit = _MH_IDX_CACHE.get(key)
     if hit is not None:
         return hit
-    postings = _shingle_postings(
-        spread_compute(spark, table(spark, sf_dir, "documents")
-                       .select("doc_id", "text"), "doc_id"), n, df_cap)
+    per_doc = _mh_session_cached(
+        spark, sf_dir, f"shpost{n}",
+        lambda: shingle_doc_postings(
+            spread_compute(spark, table(spark, sf_dir, "documents")
+                           .select("doc_id", "text"), "doc_id"), n),
+        build_delta=lambda paths: shingle_doc_postings(
+            spread_compute(spark,
+                           spark.read.parquet(*paths)
+                           .select("doc_id", "text"), "doc_id"), n),
+        delta_key="doc_id")
+    postings = _group_cap_postings(per_doc, df_cap)
     with _MH_IDX_LOCK:
         return _MH_IDX_CACHE.setdefault(key, postings)
 

@@ -191,18 +191,26 @@ def main() -> None:
         he_runs.append(time.perf_counter() - t0)
     html_extract_cold = round(statistics.median(he_runs), 3)
 
-    # COLD video-phash pass (round 12): the heaviest per-doc hash build
-    # in the store (288 md5 cells/video) — the warm row measures the
-    # persisted-index probe; this is the one-shot build+publish+read an
-    # ingest epoch pays (the stage_index_build cost, per kind).
-    vp_fn, _ = ALL_QUERIES["nd_video_phash"]
-    vp_runs = []
-    for _ in range(3):
-        clear_session_index(spark, persisted=True)
-        t0 = time.perf_counter()
-        materialize(vp_fn(spark, sf_dir))
-        vp_runs.append(time.perf_counter() - t0)
-    video_phash_cold = round(statistics.median(vp_runs), 3)
+    # COLD phash passes (video round 12; image/audio round 15 — the
+    # round-14 verdict's What's-wrong #4: the candidate tier moved pair
+    # generation out of the warm probe for all three modalities, so the
+    # warm rows alone no longer carry the one-shot ingest cost for
+    # image/audio). Each is the heaviest per-doc hash build of its
+    # modality — the warm row measures the persisted-index probe; cold
+    # is the one-shot build+publish+read an ingest epoch pays (both
+    # tiers evicted per run, additions-only: no existing key changes).
+    phash_cold: dict[str, float] = {}
+    for cold_name in ("nd_video_phash", "nd_image_phash",
+                      "nd_audio_phash"):
+        ph_fn, _ = ALL_QUERIES[cold_name]
+        ph_runs = []
+        for _ in range(3):
+            clear_session_index(spark, persisted=True)
+            t0 = time.perf_counter()
+            materialize(ph_fn(spark, sf_dir))
+            ph_runs.append(time.perf_counter() - t0)
+        phash_cold[cold_name] = round(statistics.median(ph_runs), 3)
+    video_phash_cold = phash_cold["nd_video_phash"]
 
     def total(names, cold_minhash: bool = True) -> float:
         # r8-and-earlier comparable subtotals swap in the COLD minhash
@@ -235,26 +243,28 @@ def main() -> None:
               if n not in r10_added + r11_added]
     r10_set = [n for n in BENCH_QUERIES if n not in r11_added]
     floor_end = scheduler_floor(spark)
-    print(json.dumps({
-        "metric": "bench_headline_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
+
+    # SIDECAR (round 15, r14 verdict What's-wrong #2): the one-line
+    # contract JSON had grown past the driver's tail capture (BENCH_r13
+    # stored truncated -> parsed: null -> PERF lost the whole
+    # round-over-round table), so everything that is diagnostics rather
+    # than contract — per-query spreads, the r3..r11 comparable
+    # subtotals, floor-adjusted values — moves to BENCH_sidecar.json
+    # next to this file. The printed line keeps exactly the driver
+    # contract (metric/value/unit/queries/sf) plus the floor probes and
+    # the per-round cold keys (small scalars the per-round series
+    # quotes). No `queries` entry is removed or renamed.
+    sidecar = {
         "spreads": spreads,
-        # Scheduler-floor probe bracketing the timed sweep (median/min of
-        # 5 runs of one action on a 1-row frame): makes every run
-        # load-self-identifying — compare runs by (t - floor) for
-        # sub-second queries, and distrust a run whose start/end floors
-        # disagree by >30% (load changed mid-sweep). Idle ref: ~0.09-0.11 s.
-        "floor_s": floor_start["median"],
-        "floor_min_s": floor_start["min"],
-        "floor_end_s": floor_end["median"],
-        # Warm (queries.nd_minhash_lsh) = session-index PROBE, the
-        # production read path; cold = per-run index BUILD+probe, the
-        # r8-and-earlier measurement and the like-for-like partner of
-        # the 0.525 s re-deriving DuckDB baseline. Comparable subtotals
-        # use COLD.
-        "nd_minhash_lsh_cold_s": minhash_cold,
+        # floor-adjusted medians (t - floor_s, clamped at 0): the
+        # load-normalized per-query view — at sf0.1 the scheduler floor
+        # alone exceeds 2x the DuckDB total for the fastest queries, so
+        # cross-run and cross-core-count comparisons should use these
+        # (r14 verdict #3: the 8-core ratios read ~1 only because the
+        # raw medians are floor-bound).
+        "queries_floor_adj": {
+            n: round(max(t - floor_start["median"], 0.0), 3)
+            for n, t in timings.items()},
         "r3_comparable_total": total(r3_set),
         "r7_comparable_total": total(r7_set),
         "r8_comparable_total": total(r8_set),
@@ -268,15 +278,47 @@ def main() -> None:
         # r11's series measured nd_html_extract as the inline chain per
         # run (no artifact existed) and nd_minhash_lsh warm in `value`;
         # the comparable total therefore swaps ONLY html_extract to the
-        # cold (build+publish+read) number.
-        "nd_html_extract_cold_s": html_extract_cold,
-        "nd_video_phash_cold_s": video_phash_cold,
-        # the r11 series is the 20-row set (pre the r12 audio/video
-        # additions) with the INLINE extraction basis (cold swap-in)
+        # cold (build+publish+read) number. The r11 series is the
+        # 20-row set (pre the r12 audio/video additions).
         "r11_comparable_total": round(
             sum(html_extract_cold if n == "nd_html_extract"
                 else timings[n] for n in BENCH_QUERIES
                 if n not in ("nd_audio_phash", "nd_video_phash")), 3),
+        "floor_s": floor_start["median"],
+        "floor_min_s": floor_start["min"],
+        "floor_end_s": floor_end["median"],
+        "sf": sf,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_sidecar.json"), "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError:
+        pass  # a read-only checkout never blocks the contract line
+
+    print(json.dumps({
+        "metric": "bench_headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        # Scheduler-floor probe bracketing the timed sweep (median/min of
+        # 5 runs of one action on a 1-row frame): makes every run
+        # load-self-identifying — compare runs by (t - floor) for
+        # sub-second queries, and distrust a run whose start/end floors
+        # disagree by >30% (load changed mid-sweep). Idle ref: ~0.09-0.11 s.
+        "floor_s": floor_start["median"],
+        "floor_min_s": floor_start["min"],
+        "floor_end_s": floor_end["median"],
+        # Warm (queries.nd_minhash_lsh) = session-index PROBE, the
+        # production read path; cold = per-run index BUILD+probe, the
+        # r8-and-earlier measurement and the like-for-like partner of
+        # the 0.525 s re-deriving DuckDB baseline. The sidecar's
+        # comparable subtotals use COLD.
+        "nd_minhash_lsh_cold_s": minhash_cold,
+        "nd_html_extract_cold_s": html_extract_cold,
+        "nd_video_phash_cold_s": video_phash_cold,
+        "nd_image_phash_cold_s": phash_cold["nd_image_phash"],
+        "nd_audio_phash_cold_s": phash_cold["nd_audio_phash"],
         "pyspark_version": pyspark.__version__,
         "sf": sf,
     }))

