@@ -1975,6 +1975,43 @@ def pq_retrain_drift_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("embedding")))
 
 
+def pq_baseline_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAIN-TIME corpus baseline as a persisted artifact (round 15,
+    r14 verdict #6): per subspace, (n_corpus, corpus_distortion) under
+    the PUBLISHED reconstruction codebook (c2) with the PUBLISHED code
+    assignment — exactly what an ADC consumer pays, and exactly the
+    `corp` term every staleness-monitor call previously recomputed with
+    a full corpus explode + two joins. The stat is a pure function of
+    the embeddings CONTENT (codes and centroids are deterministic
+    functions of it), so it shares their content-addressed lifecycle:
+    recorded once when the index family is built, then every monitor
+    call — this session, the next, the refresh verb — READS the 16-row
+    artifact. Exact integer math end to end, so the recorded rows are
+    bit-identical to the recomputation the DuckDB oracle performs. No
+    delta form on purpose: the baseline aggregates over the whole
+    corpus under a specific codebook; an appended epoch re-records at
+    its own content address (pq_refresh's pinned path carries codes, so
+    the re-record is one index-sized join, never a retrain)."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    def build():
+        emb = table(spark, sf_dir, "embeddings")
+        cent = pq_centroid_index(spark, sf_dir)  # (sub, cid, dim, cq)
+        codes = pq_code_index(spark, sf_dir)     # (vec_id, sub, cid, d)
+        e_c = _pq_exploded(emb, persist=False)
+        sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+        return (e_c.join(codes.select("vec_id", "sub", "cid"),
+                         ["vec_id", "sub"])
+                .join(F.broadcast(cent), ["sub", "cid", "dim"])
+                .groupBy("vec_id", "sub").agg(F.sum(sq).alias("d"))
+                .groupBy("sub")
+                .agg(F.count("*").cast("long").alias("n_corpus"),
+                     F.sum("d").cast("long").alias("corpus_distortion")))
+
+    return _mh_session_cached(spark, sf_dir, "pq_base", build,
+                              tbl="embeddings")
+
+
 def pq_staleness(spark: SparkSession, sf_dir: str,
                  batch: DataFrame) -> DataFrame:
     """Per-subspace staleness monitor over an arbitrary increment
@@ -1984,19 +2021,12 @@ def pq_staleness(spark: SparkSession, sf_dir: str,
     mean distortion to the corpus's own under the same codebook, and
     flag `stale` when the ratio exceeds PQ_STALENESS_FACTOR. Consumed
     by pq_refresh (the retrain loop — round-13 verdict #1) and by the
-    graded nd_pq_incremental row."""
-    emb = table(spark, sf_dir, "embeddings")
+    graded nd_pq_incremental row. The corpus side is the train-time
+    recorded baseline (pq_baseline_index) — the monitor reads 16 rows
+    instead of re-scanning the corpus per call (r14 verdict #6)."""
     cent = pq_centroid_index(spark, sf_dir)      # (sub, cid, dim, cq) = c2
-    codes = pq_code_index(spark, sf_dir)         # (vec_id, sub, cid, d)
-    e_c = _pq_exploded(emb, persist=False)
     sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-    corp = (e_c.join(codes.select("vec_id", "sub", "cid"),
-                     ["vec_id", "sub"])
-            .join(F.broadcast(cent), ["sub", "cid", "dim"])
-            .groupBy("vec_id", "sub").agg(F.sum(sq).alias("d"))
-            .groupBy("sub")
-            .agg(F.count("*").cast("long").alias("n_corpus"),
-                 F.sum("d").cast("long").alias("corpus_distortion")))
+    corp = pq_baseline_index(spark, sf_dir)
     e_b = _pq_exploded(batch, persist=False)
     bagg = (e_b.join(F.broadcast(cent), ["sub", "dim"])
             .groupBy("vec_id", "sub", "cid").agg(F.sum(sq).alias("d"))
@@ -2579,6 +2609,37 @@ def ivfpq_centroid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                               tbl="embeddings", rev=IVF_REV)
 
 
+def ivfpq_baseline_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_baseline_index's IVF-PQ twin: the per-subspace corpus
+    baseline (n_corpus, corpus_distortion) under the published coarse
+    quantizer + residual codebook with the published assignment,
+    recorded once per embeddings content and READ by every
+    ivfpq_staleness call (the refresh verb re-collected the corpus
+    term per epoch check). Exact integers; rev follows the IVF family
+    (the baseline is a function of the rev-2 coarse artifacts)."""
+    from bacalhau_spark.operators.dedup import _mh_session_cached
+
+    def build():
+        coarse = ivf_coarse_index(spark, sf_dir)
+        rcent = ivfpq_centroid_index(spark, sf_dir)   # residual c2
+        codes = ivfpq_code_index(spark, sf_dir)
+        emb = (table(spark, sf_dir, "embeddings")
+               .select("vec_id", "embedding"))
+        e_c = _ivfpq_residual_exploded(
+            emb, ivf_cells_index(spark, sf_dir), coarse)
+        sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+        return (e_c.join(codes.select("vec_id", "sub", "cid"),
+                         ["vec_id", "sub"])
+                .join(F.broadcast(rcent), ["sub", "cid", "dim"])
+                .groupBy("vec_id", "sub").agg(F.sum(sq).alias("d"))
+                .groupBy("sub")
+                .agg(F.count("*").cast("long").alias("n_corpus"),
+                     F.sum("d").cast("long").alias("corpus_distortion")))
+
+    return _mh_session_cached(spark, sf_dir, "ivfpq_base", build,
+                              tbl="embeddings", rev=IVF_REV)
+
+
 def ivfpq_staleness(spark: SparkSession, sf_dir: str,
                     batch: DataFrame) -> DataFrame:
     """The IVF-PQ twin of pq_staleness (round 14 — the retrain loop
@@ -2587,21 +2648,12 @@ def ivfpq_staleness(spark: SparkSession, sf_dir: str,
     state, exactly why round 14 persisted it), its residuals
     fresh-argmin encode against the published residual codebook, and
     per-subspace mean distortion compares to the corpus's own under the
-    same codebooks at PQ_STALENESS_FACTOR."""
+    same codebooks at PQ_STALENESS_FACTOR. The corpus side reads the
+    recorded baseline artifact (ivfpq_baseline_index, r15)."""
     coarse = ivf_coarse_index(spark, sf_dir)
     rcent = ivfpq_centroid_index(spark, sf_dir)   # residual c2
-    codes = ivfpq_code_index(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    e_c = _ivfpq_residual_exploded(
-        emb, ivf_cells_index(spark, sf_dir), coarse)
     sq = (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-    corp = (e_c.join(codes.select("vec_id", "sub", "cid"),
-                     ["vec_id", "sub"])
-            .join(F.broadcast(rcent), ["sub", "cid", "dim"])
-            .groupBy("vec_id", "sub").agg(F.sum(sq).alias("d"))
-            .groupBy("sub")
-            .agg(F.count("*").cast("long").alias("n_corpus"),
-                 F.sum("d").cast("long").alias("corpus_distortion")))
+    corp = ivfpq_baseline_index(spark, sf_dir)
     b_cells = (_ivf_assign_ranked(batch,
                                   _ivf_coarse_arrays(spark, sf_dir))
                .where(F.col("arank") == 1)

@@ -69,12 +69,18 @@ def _shpost_source(spark):
     )
 
 
-def _pq_monitor_corp(spark):
-    """The corpus-baseline term of pq_staleness, as the monitor sees it."""
+def _pq_monitor_corp(spark, tag="after"):
+    """The corpus-baseline term of pq_staleness, as the monitor sees
+    it: after = the recorded 16-row artifact read (session-cold probe);
+    before = the r14 inline recompute, stated verbatim."""
     from bacalhau_spark.operators import similarity as S
-    if hasattr(S, "pq_baseline_index"):
+    if tag != "before" and hasattr(S, "pq_baseline_index"):
+        from bacalhau_spark.operators.dedup import clear_session_index
+        S.pq_baseline_index(spark, SF)  # publish/adopt (train time)
+        clear_session_index(spark)      # next-session shape
         return S.pq_baseline_index(spark, SF)
     from pyspark.sql import functions as F
+
     from bacalhau_spark.catalog import table
     emb = table(spark, SF, "embeddings")
     cent = S.pq_centroid_index(spark, SF)
@@ -106,7 +112,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         if name in SPECIAL:
-            df = SPECIAL[name](spark)
+            try:
+                df = SPECIAL[name](spark, tag)
+            except TypeError:
+                df = SPECIAL[name](spark)
         else:
             fn, _ = ALL_QUERIES[name]
             fn(spark, SF).write.mode("overwrite").format("noop").save()
