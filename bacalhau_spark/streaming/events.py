@@ -50,7 +50,10 @@ def q28_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the query's lifetime and restore the session value after.
 STREAM_STATE_PARTITIONS = 4
 
+import os  # noqa: E402
+import shutil  # noqa: E402
 import threading  # noqa: E402
+import uuid  # noqa: E402
 from contextlib import contextmanager  # noqa: E402
 
 # serializes the set -> start -> restore window below: the conf is
@@ -72,11 +75,38 @@ def _stream_state_conf(spark: SparkSession):
             spark.conf.set(key, prev)
 
 
+# Ephemeral checkpoint base for the availableNow memory-sink runs
+# (round 15): with no explicit checkpointLocation Spark creates a
+# force-deleted temp dir under java.io.tmpdir — on this box an ext4
+# mount, so every offsets/commit/state write pays a journaled-fs sync.
+# The WAL of a FINITE availableNow replay whose sink is in-memory has
+# no durability contract (Spark itself deletes it on stop), so it goes
+# on tmpfs when one exists: measured 0.81 -> 0.63 s on the tumbling
+# aggregate and 0.58 -> 0.50 s on a stateless projection, identical
+# results (experiments/stream_floor_r15.txt). Parameterized for
+# deployments (a durable pipeline — sources/versioned.py — sets its own
+# checkpointLocation explicitly and never routes through here); unset
+# SPARK_GRAFT_STREAM_CKPT_DIR with no /dev/shm falls back to Spark's
+# default temp-dir behavior. A FRESH unique dir per start keeps the
+# no-resume semantics of Spark's temp checkpoints — results cannot
+# depend on a previous run's offsets — and _await_or_raise removes it.
+_STREAM_CKPT_BASE = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR") or (
+    "/dev/shm" if os.path.isdir("/dev/shm") else None)
+_CKPT_BY_QUERY: dict[str, str] = {}
+
+
 def _start_scoped(spark: SparkSession, writer):
     """Start a streaming query with fixture-sized state partitioning
     (STREAM_STATE_PARTITIONS) — the conf is captured at analysis time, so
     scoping the context manager around start() is sufficient."""
     with _stream_state_conf(spark):
+        if _STREAM_CKPT_BASE:
+            d = os.path.join(
+                _STREAM_CKPT_BASE,
+                f"bacalhau-stream-ckpt-{uuid.uuid4().hex}")
+            q = writer.option("checkpointLocation", d).start()
+            _CKPT_BY_QUERY[str(q.id)] = d
+            return q
         return writer.start()
 
 
@@ -456,6 +486,9 @@ def _await_or_raise(q, timeout_sec: int) -> None:
                 f"stream did not finish within {timeout_sec}s")
     finally:
         q.stop()
+        d = _CKPT_BY_QUERY.pop(str(q.id), None)
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def nd_stream_url_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
