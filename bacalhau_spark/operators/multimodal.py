@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bacalhau_spark.catalog import table
+from bacalhau_spark.catalog import spread_compute, table
 
 FEATURE_SCHEMA = ("doc_id bigint, n_bytes int, width int, height int, "
                   "phash string")
@@ -736,12 +736,21 @@ def phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-indexed form re-decoded every thumbnail per branch."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
+    # spread_compute (r15): the per-doc hash build is 72 md5 cells/doc
+    # of pure projection CPU over a ONE-row-group scan at fixture scale
+    # — without the exchange the whole build (and therefore the cold
+    # ingest cost) runs in a single task at ANY core count (the x10
+    # scaling probe measured the video twin ~flat 8c vs 32c,
+    # experiments/scaling_axis_r15.txt). Per-row map, so values are
+    # partitioning-invariant; no-op at corpus scale (>= cores splits).
     return _mh_session_cached(
         spark, sf_dir, "phash",
-        lambda: phash_frame(
-            table(spark, sf_dir, "documents").select("doc_id")),
-        build_delta=lambda paths: phash_frame(
-            spark.read.parquet(*paths).select("doc_id")))
+        lambda: phash_frame(spread_compute(
+            spark, table(spark, sf_dir, "documents").select("doc_id"),
+            "doc_id")),
+        build_delta=lambda paths: phash_frame(spread_compute(
+            spark, spark.read.parquet(*paths).select("doc_id"),
+            "doc_id")))
 
 
 # Pixel convention for the REAL-decoder round-trip row: md5-derived
@@ -1225,12 +1234,17 @@ def audio_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish, every consumer scans the artifact."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
+    # spread_compute (r15): see phash_index — 144 md5 envelope cells/doc
+    # of projection CPU over a one-row-group scan; single-task without
+    # the exchange.
     return _mh_session_cached(
         spark, sf_dir, "aphash",
-        lambda: audio_phash_frame(
-            table(spark, sf_dir, "documents").select("doc_id")),
-        build_delta=lambda paths: audio_phash_frame(
-            spark.read.parquet(*paths).select("doc_id")))
+        lambda: audio_phash_frame(spread_compute(
+            spark, table(spark, sf_dir, "documents").select("doc_id"),
+            "doc_id")),
+        build_delta=lambda paths: audio_phash_frame(spread_compute(
+            spark, spark.read.parquet(*paths).select("doc_id"),
+            "doc_id")))
 
 
 def nd_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,12 +1389,18 @@ def video_phash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish, every consumer scans the artifact."""
     from bacalhau_spark.operators.dedup import _mh_session_cached
 
+    # spread_compute (r15): see phash_index — 288 md5 cells/doc, the
+    # heaviest hash build in the store; the x10 scaling probe measured
+    # the cold path ~flat across 8c/32c because the one-row-group scan
+    # pinned it to a single task (experiments/scaling_axis_r15.txt).
     return _mh_session_cached(
         spark, sf_dir, "vphash",
-        lambda: video_phash_frame(
-            table(spark, sf_dir, "documents").select("doc_id")),
-        build_delta=lambda paths: video_phash_frame(
-            spark.read.parquet(*paths).select("doc_id")))
+        lambda: video_phash_frame(spread_compute(
+            spark, table(spark, sf_dir, "documents").select("doc_id"),
+            "doc_id")),
+        build_delta=lambda paths: video_phash_frame(spread_compute(
+            spark, spark.read.parquet(*paths).select("doc_id"),
+            "doc_id")))
 
 
 def nd_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:

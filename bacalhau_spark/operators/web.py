@@ -218,13 +218,22 @@ def html_extract_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (html_extract_frame(pages)
                 .select("doc_id", "title", "content"))
 
+    # spread_compute (r15): the HTML synthesis + regex extraction chain
+    # is per-row CPU over a one-row-group scan (single task without the
+    # exchange) — A/B 0.33 -> 0.25 s at sf0.1. The canon build keeps
+    # the raw scan: its URL string chain is cheap and the same A/B read
+    # 0.27 -> 0.30 s (the exchange does not pay; negative recorded in
+    # OPTIMIZATION_r15.md).
+    from bacalhau_spark.catalog import spread_compute
+
     return _mh_session_cached(
         spark, sf_dir, "extract",
-        lambda: _extract(table(spark, sf_dir, "documents")
-                         .select("doc_id", "source", "text")),
-        build_delta=lambda paths: _extract(
-            spark.read.parquet(*paths)
-            .select("doc_id", "source", "text")),
+        lambda: _extract(spread_compute(
+            spark, table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text"), "doc_id")),
+        build_delta=lambda paths: _extract(spread_compute(
+            spark, spark.read.parquet(*paths)
+            .select("doc_id", "source", "text"), "doc_id")),
         rev=FRONT_DOOR_REV)
 
 
